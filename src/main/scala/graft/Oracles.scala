@@ -1,0 +1,310 @@
+package graft
+
+/** DuckDB oracle SQL for [[Queries]] — identical column names, identical
+  * ordering, and engine-stable numerics (exact decimal internally, double
+  * at the boundary). Queries without an entry here (x03, x04, x07) use
+  * hash-function-specific signatures that no SQL engine reproduces; they
+  * get the driver's rows-only check and are ScalaTest-validated instead.
+  */
+object Oracles {
+
+  val all: Map[String, String] = Map(
+
+    "q01_union_universe" ->
+      """SELECT custkey FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+        |  UNION
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) t ORDER BY custkey""".stripMargin,
+
+    "q02_asof_join" ->
+      """SELECT custkey, asof_date, asof_price FROM (
+        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS asof_date,
+        |         o_totalprice AS asof_price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-30 00:00:00'
+        |) t WHERE rn = 1 ORDER BY custkey""".stripMargin,
+
+    "q03_export_dat" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS orderkey,
+        |       CAST(l_linenumber AS VARCHAR) AS linenumber,
+        |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS shipdate,
+        |       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS extendedprice
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  AND l_discount IS NOT NULL
+        |  AND CAST(l_shipdate AS DATE) BETWEEN DATE '2000-01-01' AND DATE '2000-03-31'
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_shipdate""".stripMargin,
+
+    "q04_date_list" ->
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        |ORDER BY order_date""".stripMargin,
+
+    "q05_trunc_export" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  trunc(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * 100) / 100 AS net_price,
+        |  trunc(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_tax AS DECIMAL(18,4)) * 10000) / 10000 AS qty_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, qty_tax""".stripMargin,
+
+    "q06_coalesce_export" ->
+      """SELECT o_orderkey AS orderkey,
+        |       coalesce(nullif(o_orderstatus, 'P'), '') AS status,
+        |       coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '') AS totalprice
+        |FROM orders ORDER BY orderkey""".stripMargin,
+
+    "q07_side_decode" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'click' THEN 'Click' WHEN 'view' THEN 'View'
+        |    WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Signup'
+        |    WHEN 'error' THEN 'Error' ELSE 'Other' END AS side,
+        |  value / 100.0 AS vol
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q08_null_sentinels" ->
+      """SELECT event_id, cleaned, CAST(cleaned AS DOUBLE) / 100.0 AS cleaned_pct
+        |FROM (
+        |  SELECT event_id,
+        |    CASE WHEN s IN ('N/A','0.00') THEN NULL
+        |         ELSE CAST(regexp_replace(s, '[,%]', '', 'g') AS DECIMAL(18,4)) END AS cleaned
+        |  FROM (
+        |    SELECT event_id,
+        |      CASE WHEN value < 1 THEN '0.00'
+        |           WHEN event_type = 'error' THEN 'N/A'
+        |           ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END AS s
+        |    FROM events) t1) t2
+        |ORDER BY event_id""".stripMargin,
+
+    "q09_occ_decode" ->
+      """WITH occ AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    concat(l_returnflag, l_linestatus, ' ',
+        |      strftime(CAST(l_shipdate AS DATE), '%y%m%d'),
+        |      CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END,
+        |      lpad(CAST(l_partkey * 100 + l_linenumber AS VARCHAR), 8, '0')) AS code
+        |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) >= 2000)
+        |SELECT l_orderkey, l_linenumber,
+        |  regexp_extract(code, '([0-9A-Z.]+) *([0-9]{6})([CP])([0-9]{8})', 1) AS underlying,
+        |  make_date(
+        |    2000 + CAST(substr(regexp_extract(code, '([0-9A-Z.]+) *([0-9]{6})([CP])([0-9]{8})', 2), 1, 2) AS INTEGER),
+        |    CAST(substr(regexp_extract(code, '([0-9A-Z.]+) *([0-9]{6})([CP])([0-9]{8})', 2), 3, 2) AS INTEGER),
+        |    CAST(substr(regexp_extract(code, '([0-9A-Z.]+) *([0-9]{6})([CP])([0-9]{8})', 2), 5, 2) AS INTEGER)) AS expiry,
+        |  CASE regexp_extract(code, '([0-9A-Z.]+) *([0-9]{6})([CP])([0-9]{8})', 3)
+        |    WHEN 'C' THEN 'Call' WHEN 'P' THEN 'Put' END AS side,
+        |  CAST(regexp_extract(code, '([0-9A-Z.]+) *([0-9]{6})([CP])([0-9]{8})', 4) AS BIGINT) / 1000.0 AS strike
+        |FROM occ ORDER BY l_orderkey, l_linenumber, underlying, expiry, side, strike""".stripMargin,
+
+    "q10_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, side, px FROM (
+        |  SELECT l_orderkey, l_linenumber, 'Call' AS side, l_extendedprice AS px FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'Put' AS side, l_discount AS px FROM lineitem
+        |) t ORDER BY l_orderkey, l_linenumber, side, px""".stripMargin,
+
+    "q11_nearest_strike" ->
+      """SELECT p_brand, nearest_part, nearest_price FROM (
+        |  SELECT p_brand, p_partkey AS nearest_part, p_retailprice AS nearest_price,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY abs(p_retailprice - 950.0), p_partkey) AS rn
+        |  FROM part) t WHERE rn = 1 ORDER BY p_brand""".stripMargin,
+
+    "q12_nearest_expiration" ->
+      """WITH targets AS (
+        |  SELECT unnest([DATE '1996-03-01', DATE '1997-03-01',
+        |                 DATE '1998-03-01', DATE '1999-03-01']) AS target)
+        |SELECT custkey, target, orderkey FROM (
+        |  SELECT o_custkey AS custkey, t.target, o_orderkey AS orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey, t.target
+        |      ORDER BY abs(date_diff('day', CAST(o_orderdate AS DATE), t.target)), o_orderkey) AS rn
+        |  FROM orders CROSS JOIN targets t) t2
+        |WHERE rn = 1 ORDER BY custkey, target""".stripMargin,
+
+    "q13_keep_first" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |    ORDER BY l_linenumber, l_suppkey) AS rn FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "q14_last_wins" ->
+      """SELECT user_id, last_event, last_ts, last_value FROM (
+        |  SELECT user_id, event_id AS last_event, ts AS last_ts, value AS last_value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q15_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q16_anti_fk" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q17_counters" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |       count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q19_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q20_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "x01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "x02_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, jaccard FROM (
+        |  SELECT d1, d2,
+        |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id) t
+        |WHERE jaccard >= 0.6 ORDER BY d1, d2""".stripMargin,
+
+    "x05_embed_neardup" ->
+      """SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "x06_ann_topk" ->
+      """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |        (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "x08_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','and','of','to','in','is'))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('der','die','das','und','nicht','ist'))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('el','los','que','y','es','una'))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('le','les','et','est','une','dans'))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('的','是','了','在','我'))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en = g AND s_en > 0 THEN 'en'
+        |       WHEN s_de = g AND s_de > 0 THEN 'de'
+        |       WHEN s_es = g AND s_es > 0 THEN 'es'
+        |       WHEN s_fr = g AND s_fr > 0 THEN 'fr'
+        |       WHEN s_zh = g AND s_zh > 0 THEN 'zh'
+        |       ELSE 'en' END AS lang_pred
+        |FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM sc) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "x09_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> x IN ('the','a','and','of','to','in','is','der','die','das','und',
+        |               'nicht','ist','el','los','que','y','es','una','le','les',
+        |               'et','est','une','dans','的','是','了','在','我'))) AS BIGINT) AS n_stopwords,
+        |  CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> x IN ('the','a','and','of','to','in','is','der','die','das','und',
+        |               'nicht','ist','el','los','que','y','es','una','le','les',
+        |               'et','est','une','dans','的','是','了','在','我'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x10_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x11_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x12_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x13_sliding" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(TIMESTAMP '1970-01-01' + INTERVAL (CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)) SECOND AS TIMESTAMP) AS bk
+        |  FROM events)
+        |SELECT ws, event_type, count(*) AS n FROM (
+        |  SELECT unnest([bk, bk - INTERVAL 30 MINUTE]) AS ws, event_type FROM b) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x14_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged)
+        |SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin,
+
+    "x15_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

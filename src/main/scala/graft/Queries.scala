@@ -1,0 +1,449 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.operators.{AsOf, NearestSelect, Upsert}
+import graft.functions.{Cleansing, Occ}
+import graft.ext.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+
+/** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
+  * the LLM-pipeline extension operators. Every query is deterministic
+  * (explicit ORDER BY + tie-breaks) and most have a DuckDB oracle in
+  * [[Oracles]] with IDENTICAL column names and types.
+  *
+  * Numeric policy for oracle parity: sums/aggregates go through exact
+  * DecimalType and are cast to double at the boundary (order-independent,
+  * bit-stable); raw doubles pass through untouched; single scalar
+  * double ops (one divide, one abs) are IEEE-deterministic.
+  */
+object Queries {
+
+  private val D4 = DecimalType(18, 4)
+  private val D2 = DecimalType(18, 2)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01 — Q1 symbol-universe shape: UNION of two DISTINCT branches, one
+    * filtered to the latest snapshot via a max() subquery
+    * (reference: extract.rkt:73-108). */
+  val q01UnionUniverse: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val latest = o.agg(max(col("o_orderdate")).as("__mx"))
+    val a = o.join(broadcast(latest), col("o_orderdate") === col("__mx"))
+      .select(col("o_custkey").as("custkey"))
+    val b = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    a.union(b).distinct().orderBy("custkey")
+  }
+
+  /** q02 — J2 as-of join: latest order ≤ cutoff per customer
+    * (reference: transform-load.2025-08-19.rkt:104-113). */
+  val q02AsofJoin: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    AsOf.latestPerKeyUpTo(o, Seq("o_custkey"), col("o_orderdate"),
+        lit("1997-06-30 00:00:00").cast("timestamp"), Seq(col("o_orderkey")))
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast("date").as("asof_date"),
+        col("o_totalprice").as("asof_price"))
+      .orderBy("custkey")
+  }
+
+  /** q03 — Q3 export-dat projection: ::text casts, NOT NULL measure
+    * filter, multi-key sort (reference: dump-dat.rkt:50-79). */
+  val q03ExportDat: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .where(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull &&
+        col("l_discount").isNotNull &&
+        col("l_shipdate").cast("date").between("2000-01-01", "2000-03-31"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+      // the sort covers every output column for full determinism
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_quantity"), col("l_shipdate"))
+      .select(
+        col("l_orderkey").cast("string").as("orderkey"),
+        col("l_linenumber").cast("string").as("linenumber"),
+        col("l_shipdate").cast("date").cast("string").as("shipdate"),
+        col("l_quantity").cast(D2).cast("string").as("quantity"),
+        col("l_extendedprice").cast(D2).cast("string").as("extendedprice"))
+  }
+
+  /** q04 — Q4 distinct date list in range (reference: dump-dat.rkt:82-94). */
+  val q04DateList: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_orderdate").cast("date").as("order_date"))
+      .where(col("order_date").between("1996-01-01", "1997-12-31"))
+      .distinct().orderBy("order_date")
+  }
+
+  /** q05 — Q5 trunc-to-scale export (reference: dump-dolt.rkt:60-67).
+    * Truncation toward zero on exact decimals, not round. */
+  val q05TruncExport: Q = (s, dir) => {
+    val one = lit(BigDecimal(1))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Cleansing.truncTo(col("l_extendedprice").cast(D4) *
+          (one - col("l_discount").cast(D4)), 2).cast("double").as("net_price"),
+        Cleansing.truncTo(col("l_quantity").cast(D4) *
+          col("l_tax").cast(D4), 4).cast("double").as("qty_tax"))
+      .orderBy("l_orderkey", "l_linenumber", "net_price", "qty_tax")
+  }
+
+  /** q06 — Q6 `coalesce(col::text, '')` export (reference:
+    * dump-dolt.rkt:103-127). */
+  val q06CoalesceExport: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey").as("orderkey"),
+        coalesce(when(col("o_orderstatus") === "P", lit(null))
+          .otherwise(col("o_orderstatus")), lit("")).as("status"),
+        coalesce(col("o_totalprice").cast(D2).cast("string"), lit(""))
+          .as("totalprice"))
+      .orderBy("orderkey")
+  }
+
+  /** q07 — Q8 chain-insert transform: CASE side decode + pct/100
+    * (reference: transform-load.2025-08-19.rkt:195-208). */
+  val q07SideDecode: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("event_type") === "click", "Click")
+          .when(col("event_type") === "view", "View")
+          .when(col("event_type") === "purchase", "Purchase")
+          .when(col("event_type") === "signup", "Signup")
+          .when(col("event_type") === "error", "Error")
+          .otherwise("Other").as("side"),
+        (col("value") / lit(100.0)).as("vol"))
+      .orderBy("event_id")
+  }
+
+  /** q08 — Q9 null-sentinel CASE table: 'N/A'/'0.00' → NULL, strip [,%],
+    * cast back to decimal (reference: transform-load.2025-08-19.rkt:
+    * 327-394, 398-417). */
+  val q08NullSentinels: Q = (s, dir) => {
+    val sCol = when(col("value") < 1, lit("0.00"))
+      .when(col("event_type") === "error", lit("N/A"))
+      .otherwise(col("value").cast(D2).cast("string"))
+    Tables.events(s, dir)
+      .withColumn("__s", sCol)
+      .select(col("event_id"),
+        Cleansing.nullSentinels(col("__s"), Seq("N/A", "0.00"))
+          .cast(D4).as("cleaned"))
+      .withColumn("cleaned_pct", col("cleaned").cast("double") / lit(100.0))
+      .orderBy("event_id")
+  }
+
+  /** q09 — P2 OCC option-symbol round trip: encode a synthetic OCC code,
+    * decode with the reference's regex (reference: transform-load.rkt:
+    * 49-56, 69-71). */
+  val q09OccDecode: Q = (s, dir) => {
+    val occ = concat(col("l_returnflag"), col("l_linestatus"), lit(" "),
+      date_format(col("l_shipdate").cast("date"), "yyMMdd"),
+      when(col("l_linenumber") % 2 === 0, "C").otherwise("P"),
+      lpad((col("l_partkey") * 100 + col("l_linenumber")).cast("string"),
+        8, "0"))
+    Tables.lineitem(s, dir)
+      .where(year(col("l_shipdate").cast("date")) >= 2000)
+      .withColumn("occ", occ)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Occ.underlying(col("occ")).as("underlying"),
+        Occ.expiration(col("occ")).as("expiry"),
+        Occ.side(col("occ")).as("side"),
+        (regexp_extract(col("occ"), Occ.pattern, 4).cast("long") /
+          lit(1000.0)).as("strike"))
+      .orderBy("l_orderkey", "l_linenumber", "underlying", "expiry", "side",
+        "strike")
+  }
+
+  /** q10 — P3 straddle unpivot: one row → Call row + Put row
+    * (reference: transform-load.2025-08-19.rkt:128-142). */
+  val q10Unpivot: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), explode(array(
+        struct(lit("Call").as("side"), col("l_extendedprice").as("px")),
+        struct(lit("Put").as("side"), col("l_discount").as("px")))).as("x"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("x.side").as("side"), col("x.px").as("px"))
+      .orderBy("l_orderkey", "l_linenumber", "side", "px")
+  }
+
+  /** q11 — A4 argmin by numeric distance (closest-strike)
+    * (reference: transform-load.2025-08-19.rkt:60-66). */
+  val q11NearestStrike: Q = (s, dir) => {
+    import s.implicits._
+    val targets = Seq(950.0).toDF("target")
+    NearestSelect.nearest(Tables.part(s, dir), Seq("p_brand"), targets,
+        abs(col("p_retailprice") - col("target")), Seq(col("p_partkey")))
+      .select(col("p_brand"), col("p_partkey").as("nearest_part"),
+        col("p_retailprice").as("nearest_price"))
+      .orderBy("p_brand")
+  }
+
+  /** q12 — A3/J4 argmin by date distance over a target grid
+    * (reference: transform-load.2025-08-19.rkt:51-58, 123-126, 147-152). */
+  val q12NearestExpiration: Q = (s, dir) => {
+    import s.implicits._
+    val targets = Seq("1996-03-01", "1997-03-01", "1998-03-01", "1999-03-01")
+      .toDF("t").select(to_date(col("t")).as("target"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+    NearestSelect.nearest(o, Seq("o_custkey"), targets,
+        abs(datediff(col("target"), col("od"))), Seq(col("o_orderkey")))
+      .select(col("o_custkey").as("custkey"), col("target"),
+        col("o_orderkey").as("orderkey"))
+      .orderBy("custkey", "target")
+  }
+
+  /** q13 — A5 keep-first PK dedup (ON CONFLICT DO NOTHING)
+    * (reference: transform-load.2025-08-19.rkt:209). */
+  val q13KeepFirst: Q = (s, dir) => {
+    Upsert.keepFirst(Tables.lineitem(s, dir), Seq("l_orderkey", "l_partkey"),
+        Seq(col("l_linenumber"), col("l_suppkey")))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"))
+      .orderBy("l_orderkey", "l_partkey")
+  }
+
+  /** q14 — S10/A6 last-wins upsert (ON CONFLICT DO UPDATE)
+    * (reference: weeklies-transform-load.rkt:52-64). */
+  val q14LastWins: Q = (s, dir) => {
+    Upsert.lastWins(Tables.events(s, dir), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** q15 — J1 semi-join set membership
+    * (reference: extract.2023-11-16.rkt:163-173). */
+  val q15SemiJoin: Q = (s, dir) => {
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** q16 — J3 FK-violation report via anti join
+    * (reference: schema.sql:24-26). */
+  val q16AntiFk: Q = (s, dir) => {
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** q17 — A7 run counters: per-branch counts
+    * (reference: transform-load.2025-08-19.rkt:154-156, 425-427). */
+  val q17Counters: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_disc"))
+      .orderBy("flag")
+  }
+
+  /** q18 — top-k by sort (Q5's ORDER BY + the argmax family). */
+  val q18TopK: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q19 — headline aggregation (TPC-H Q1 shape): exact decimal sums cast
+    * to double at the boundary. */
+  val q19Agg: Q = (s, dir) => {
+    val one = lit(BigDecimal(1))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(D4)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D4)).cast("double").as("sum_price"),
+        sum(col("l_extendedprice").cast(D4) * (one - col("l_discount").cast(D4)))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q20 — headline join+agg: broadcast the small dims, one shuffle for
+    * the final group. */
+  val q20JoinAgg: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("l_extendedprice").cast(D4)).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ───────────────────────── extension operators ─────────────────────────
+
+  /** x01 — exact dedup by content hash. */
+  val x01DedupExact: Q = (s, dir) => {
+    Dedup.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("keep_id")
+  }
+
+  /** x02 — exact trigram-shingle Jaccard near-dup pairs (the oracle-exact
+    * counterpart of MinHash). */
+  val x02NgramJaccard: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+    Dedup.jaccardPairs(docs, "doc_id", "sh", 0.6).orderBy("d1", "d2")
+  }
+
+  /** x03 — MinHash+LSH near-dup candidates, verified by exact Jaccard.
+    * No SQL oracle (hash-function specific); validated in ScalaTest
+    * against [[x02NgramJaccard]]. */
+  val x03MinhashLsh: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    Dedup.minhashLsh(docs, "doc_id", "sh", numHashes = 32, bands = 8,
+      threshold = 0.6).orderBy("id_a", "id_b")
+  }
+
+  /** x04 — SimHash near-dup pairs. No SQL oracle; ScalaTest-validated. */
+  val x04Simhash: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("tok"))
+    Dedup.simhashPairs(docs, "doc_id", "tok", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** x05 — embedding-cosine near-duplicate pairs (exact, pairwise). */
+  val x05EmbedNearDup: Q = (s, dir) => {
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      0.45).orderBy("id_a", "id_b")
+  }
+
+  /** x06 — brute-force cosine top-k neighbors (ANN correctness baseline). */
+  val x06AnnTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteTopK(emb.where(col("vec_id") < 10), emb, "vec_id",
+      "embedding", 5).orderBy("query_id", "rank")
+  }
+
+  /** x07 — LSH-bucketed ANN pairs (the 100 TB scale path). No SQL oracle;
+    * recall measured against x05 in ScalaTest. */
+  val x07LshAnn: Q = (s, dir) => {
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+      "embedding", 0.45, bands = 4, bitsPerBand = 8).orderBy("id_a", "id_b")
+  }
+
+  /** x08 — language-ID heuristic. */
+  val x08LangId: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** x09 — quality scoring. */
+  val x09Quality: Q = (s, dir) => {
+    TextAnalysis.withQuality(Tables.documents(s, dir), col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stopwords"),
+        col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** x10 — token counting. */
+  val x10TokenCount: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** x11 — document fingerprinting (canonicalized content hash). */
+  val x11Fingerprint: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** x12 — tumbling event-time window aggregation. */
+  val x12Tumbling: Q = (s, dir) => {
+    EventWindows.tumbling(Tables.events(s, dir), col("ts"), "1 hour",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          sum(col("value").cast(D4)).cast("double").as("sum_value")))
+      .orderBy("ws", "event_type")
+  }
+
+  /** x13 — sliding event-time window aggregation. */
+  val x13Sliding: Q = (s, dir) => {
+    EventWindows.sliding(Tables.events(s, dir), col("ts"), "1 hour",
+        "30 minutes", Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .orderBy("ws", "event_type")
+  }
+
+  /** x14 — sessionization with a 30-minute inactivity gap. */
+  val x14Session: Q = (s, dir) => {
+    EventWindows.sessionize(Tables.events(s, dir), col("ts"), col("user_id"),
+        1800000000L, col("event_id"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "sid")
+  }
+
+  /** x15 — multimodal payload metadata over a binary column. */
+  val x15MultimodalMeta: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+    Multimodal.withPayloadMeta(docs, "payload")
+      .select(col("doc_id"), col("n_bytes"), col("digest"))
+      .orderBy("doc_id")
+  }
+
+  /** All queries, keyed as exposed through SparkEntry. Every result passes
+    * through [[Tables.ntzOut]] so timestamps match the naive-timestamp
+    * oracle output. */
+  val all: Map[String, Q] = Map[String, Q](
+    "q01_union_universe" -> q01UnionUniverse,
+    "q02_asof_join" -> q02AsofJoin,
+    "q03_export_dat" -> q03ExportDat,
+    "q04_date_list" -> q04DateList,
+    "q05_trunc_export" -> q05TruncExport,
+    "q06_coalesce_export" -> q06CoalesceExport,
+    "q07_side_decode" -> q07SideDecode,
+    "q08_null_sentinels" -> q08NullSentinels,
+    "q09_occ_decode" -> q09OccDecode,
+    "q10_unpivot" -> q10Unpivot,
+    "q11_nearest_strike" -> q11NearestStrike,
+    "q12_nearest_expiration" -> q12NearestExpiration,
+    "q13_keep_first" -> q13KeepFirst,
+    "q14_last_wins" -> q14LastWins,
+    "q15_semi_join" -> q15SemiJoin,
+    "q16_anti_fk" -> q16AntiFk,
+    "q17_counters" -> q17Counters,
+    "q18_topk" -> q18TopK,
+    "q19_agg" -> q19Agg,
+    "q20_join_agg" -> q20JoinAgg,
+    "x01_dedup_exact" -> x01DedupExact,
+    "x02_ngram_jaccard" -> x02NgramJaccard,
+    "x03_minhash_lsh" -> x03MinhashLsh,
+    "x04_simhash" -> x04Simhash,
+    "x05_embed_neardup" -> x05EmbedNearDup,
+    "x06_ann_topk" -> x06AnnTopK,
+    "x07_lsh_ann" -> x07LshAnn,
+    "x08_lang_id" -> x08LangId,
+    "x09_quality" -> x09Quality,
+    "x10_token_count" -> x10TokenCount,
+    "x11_fingerprint" -> x11Fingerprint,
+    "x12_tumbling" -> x12Tumbling,
+    "x13_sliding" -> x13Sliding,
+    "x14_session" -> x14Session,
+    "x15_multimodal_meta" -> x15MultimodalMeta
+  ).map { case (k, f) =>
+    k -> ((s: SparkSession, d: String) => Tables.ntzOut(f(s, d)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, language-ID heuristic, quality scoring, fingerprinting.
+  * Everything is per-row (embarrassingly parallel, no shuffle) and built
+  * from codegen'd functions — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the BPE-ish fallback regex). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Tokens drawn from `words`, counted via a codegen'd HOF filter. */
+  def wordsetCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), w => w.isin(words.map(lit): _*)))
+      .cast("long")
+
+  /** Per-language stopword markers for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: the heuristic must stay a broadcastable
+    * constant, not a model. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "es" -> Seq("el", "los", "que", "y", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Language-ID: argmax of marker hits, deterministic tie-break in
+    * `langMarkers` declaration order (first wins). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ws) => l -> wordsetCount(text, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit(langMarkers.head._1)) { case (acc, (l, s)) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: token count, mean token length, stopword ratio,
+    * punctuation ratio. Single-pass, no shuffle. */
+  def withQuality(df: DataFrame, text: Column): DataFrame = {
+    val nTok = tokenCount(text)
+    val nStop = wordsetCount(text, langMarkers.flatMap(_._2))
+    val nPunct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("avg_token_len",
+        length(text).cast("double") / nTok)
+      .withColumn("stopword_ratio", nStop.cast("double") / nTok)
+      .withColumn("punct_ratio", nPunct.cast("double") / length(text))
+  }
+
+  /** Canonical-form fingerprint: lowercase, collapse non-alphanumerics,
+    * hash. Used for exact dedup robust to formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")).cast("binary"))
+
+  /** `n`-token shingles (contiguous), 1-based positions, empty array for
+    * short docs. Codegen'd transform over the token array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cleansing
+
+/** Export projections — the reference's CSV/Dolt dump queries
+  * (reference: dump-dat.rkt:44-94; dump-dolt.rkt:46-148).
+  */
+object Export {
+
+  /** Every column `::text` (reference: dump-dat.rkt:51-65). Decimals keep
+    * their declared scale; NULL handling is the writer's concern. */
+  def allToString(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+
+  /** `coalesce(col::text, '')` (reference: dump-dolt.rkt:104-120). */
+  def textOrBlank(c: Column): Column = coalesce(c.cast("string"), lit(""))
+
+  /** Dolt export scaling: bid/ask trunc 2, vol/greeks trunc 4
+    * (reference: dump-dolt.rkt:60-67). */
+  def doltChainProjection(df: DataFrame): DataFrame =
+    df.select(
+      col("date"), col("act_symbol"), col("expiration"), col("strike"),
+      col("call_put"),
+      Cleansing.truncTo(col("bid"), 2).as("bid"),
+      Cleansing.truncTo(col("ask"), 2).as("ask"),
+      Cleansing.truncTo(col("vol"), 4).as("vol"),
+      Cleansing.truncTo(col("delta"), 4).as("delta"),
+      Cleansing.truncTo(col("gamma"), 4).as("gamma"),
+      Cleansing.truncTo(col("theta"), 4).as("theta"),
+      Cleansing.truncTo(col("vega"), 4).as("vega"),
+      Cleansing.truncTo(col("rho"), 4).as("rho"))
+
+  /** Date-partitioned CSV sink with header — the engine-side analog of the
+    * per-date dump files (reference: dump-dat.rkt:44-81). */
+  def writeDailyCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").option("nullValue", "")
+      .partitionBy("date").csv(path)
+}

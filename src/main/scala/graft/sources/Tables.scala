@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Readers for the driver's synthetic parquet tables (TESTDATA.md).
+  *
+  * Timestamp handling: the testdata parquet stores TIMESTAMP(NANOS),
+  * which Spark's parquet reader rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong` is on; with it the column loads
+  * as LongType nanoseconds. We convert nanos → micros with integer `div`
+  * (exact, truncating — the same truncation DuckDB applies when it reads
+  * nano timestamps), then to TimestampType. Session TZ is UTC throughout,
+  * so wall-clock values match the oracle's naive timestamps.
+  */
+object Tables {
+
+  /** Known nanosecond-timestamp columns per table. */
+  private val nanoCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val withTs = nanoCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
+      if (acc.schema.fieldNames.contains(c) &&
+          acc.schema(c).dataType == LongType)
+        acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      else acc
+    }
+    withTs.schema.fields.foldLeft(withTs) { (acc, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => acc
+      }
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Cast every TimestampType column to TIMESTAMP_NTZ for output parity
+    * with the DuckDB oracle (which reads/writes naive timestamps). Values
+    * are unchanged under the UTC session TZ. */
+  def ntzOut(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case TimestampType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        case _ => acc
+      }
+    }
+}
