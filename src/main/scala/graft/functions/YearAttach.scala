@@ -29,16 +29,15 @@ object YearAttach {
   /** `dayMonth` is e.g. "05-Mar"; `target` is the observation date.
     * Returns a DateType column. */
   def attachYear(dayMonth: Column, target: Column): Column = {
-    val day = split(dayMonth, "-").getItem(0).cast("int")
+    val rawDay = split(dayMonth, "-").getItem(0).cast("int")
     val mon = monthNum(split(dayMonth, "-").getItem(1))
+    // 29-Feb is coerced to 28-Feb UNCONDITIONALLY, before year binding —
+    // the reference's "leap year hack" rewrites the string itself
+    // (transform-load.2025-08-19.rkt:229-231), even when the bound year
+    // turns out to be a leap year.
+    val day = when(mon === 2 && rawDay === 29, lit(28)).otherwise(rawDay)
     val ty = year(target)
-    // 29-Feb in a non-leap candidate year → 28-Feb
-    // (reference: transform-load.2025-08-19.rkt:229-231).
-    def mk(y: Column): Column = {
-      val leap = (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
-      val d = when(mon === 2 && day === 29 && !leap, lit(28)).otherwise(day)
-      make_date(y, mon, d)
-    }
+    def mk(y: Column): Column = make_date(y, mon, day)
     val thisYear = mk(ty)
     // in (target − 1y, target] → this year, else prior year
     // (reference: transform-load.2025-08-19.rkt:237-239).

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cleansing
+import graft.operators.Upsert
+
+/** Weeklies CSV source — the OCC weekly-options roster
+  * (reference: weeklies-transform-load.rkt:41-70).
+  *
+  * Semantics: split on ',', trim fields, column 1 = symbol (with
+  * BRKB→BRK.B / RDSA→RDS.A remap, :65-68), column 3 = effective date;
+  * `last_seen` = file date; malformed rows (header lines, short rows,
+  * bad dates) are dropped — the reference relies on a per-row exception
+  * handler (:47-50); we use `try_to_date` + null filters, which keeps the
+  * load declarative and the quarantine countable.
+  */
+object WeekliesCsv {
+
+  def readFile(spark: SparkSession, path: String, fileDate: java.sql.Date)
+      : DataFrame = {
+    val raw = spark.read.option("header", "false").csv(path)
+    raw.select(
+        Cleansing.remapSymbol(trim(col("_c0"))).as("act_symbol"),
+        expr("try_to_date(trim(_c2))").as("effective_date"),
+        lit(fileDate).as("last_seen"))
+      .where(col("act_symbol").isNotNull && length(col("act_symbol")) > 0 &&
+        col("effective_date").isNotNull)
+  }
+
+  /** Merge a day's file into the roster: ON CONFLICT DO UPDATE — the new
+    * row wins (reference: :52-64). */
+  def upsertRoster(existing: DataFrame, incoming: DataFrame): DataFrame =
+    Upsert.upsert(existing, incoming, Seq("act_symbol"),
+      preferExisting = false)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, EventWindows, Similarity, TextAnalysis}
+
+/** Extension operators: dedup family consistency (MinHash candidates must
+  * cover what exact Jaccard finds), similarity recall, text analysis,
+  * sessionization gap semantics. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"),
+    (5L, "unrelated words entirely for this one document here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, col("text"), col("doc_id"))
+    assert(got.count() == 4) // 1 and 4 collapse
+    val dup = rows(got.where($"n_dups" === 2)).head
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds near-dup pairs that exact jaccard confirms") {
+    val sh = docs.select($"doc_id",
+      array_distinct(TextAnalysis.shingles($"text", 3)).as("sh"))
+    val exact = rows(Dedup.jaccardPairs(sh, "doc_id", "sh", 0.6)
+      .select("d1", "d2")).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = rows(Dedup.minhashLsh(sh, "doc_id", "sh", 32, 8, 0.6)
+      .select("id_a", "id_b")).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 4L))) // identical docs
+    assert(exact.contains((1L, 2L)) && exact.contains((2L, 4L))) // near-dup
+    // LSH verification filter = the same exact jaccard → subset; identical
+    // docs always share every band → must be found
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs absent") {
+    val tok = docs.select($"doc_id", TextAnalysis.tokens(lower($"text")).as("t"))
+    val got = rows(Dedup.simhashPairs(tok, "doc_id", "t", maxHamming = 3)
+      .select("id_a", "id_b", "hamming"))
+    val m = got.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m((1L, 4L)) == 0)
+    assert(!m.contains((3L, 5L)))
+  }
+
+  test("similarity: brute top-k exact against hand-computed cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.bruteTopK(vecs.where($"vec_id" === 0), vecs,
+      "vec_id", "embedding", 2).select("neighbor_id", "rank"))
+    assert(got.map(r => (r.getLong(0), r.getInt(1))) == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("similarity: LSH bucketing finds identical vectors") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val vecs = Seq((0L, base), (1L, base.clone()),
+      (2L, base.map(x => -x)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      0.99).select("id_a", "id_b")).map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == Seq((0L, 1L))) // opposite vector shares no sign-bucket
+  }
+
+  test("text analysis: tokens, shingles, fingerprint, lang-id") {
+    val t = Seq("The  Quick   fox!").toDF("text")
+    assert(rows(t.select(TextAnalysis.tokenCount($"text"))).head.getLong(0) == 3)
+    val sh = rows(t.select(TextAnalysis.shingles($"text", 3))).head
+      .getSeq[String](0)
+    assert(sh == Seq("the quick fox!"))
+    // fingerprint is insensitive to case/punctuation/whitespace noise
+    val fp = Seq("The Quick fox", "the   quick FOX!!").toDF("text")
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+    val fps = rows(fp).map(_.getString(0))
+    assert(fps(0) == fps(1))
+    val lang = rows(Seq("the cat and the dog of the house")
+      .toDF("text").select(TextAnalysis.langId($"text"))).head.getString(0)
+    assert(lang == "en")
+  }
+
+  test("sessionize: strict 30-min gap splits sessions") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:29:59", 2L),
+      (1L, "2024-01-01 00:59:59", 3L), // 30:00 exactly → same session
+      (1L, "2024-01-01 01:30:00", 4L), // 30:01 gap → new session
+      (2L, "2024-01-01 00:00:00", 5L))
+      .toDF("user_id", "tss", "event_id")
+      .withColumn("ts", to_timestamp($"tss"))
+    val got = EventWindows.sessionize(ev, col("ts"), col("user_id"),
+      1800000000L, col("event_id"))
+    val sids = rows(got.orderBy("event_id").select("sid")).map(_.getLong(0))
+    assert(sids == Seq(1L, 1L, 1L, 2L, 1L))
+  }
+}

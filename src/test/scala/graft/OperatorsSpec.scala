@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, NearestSelect, Upsert}
+
+/** As-of join (J2), nearest-select argmin (A3/A4), upsert dedup (A5/S10)
+  * — including the reference's edge cases: no row before the cutoff,
+  * deterministic tie-breaks, idempotence (`load ∘ load = load`). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of: latest row ≤ cutoff per key; keys with no prior row drop") {
+    val prices = Seq(
+      ("A", "2024-01-10", 10.0), ("A", "2024-01-12", 12.0),
+      ("A", "2024-01-20", 20.0), // after cutoff
+      ("B", "2024-02-01", 99.0)  // entirely after cutoff
+    ).toDF("k", "ds", "v").withColumn("t", to_date($"ds"))
+    val got = AsOf.latestPerKeyUpTo(prices, Seq("k"), col("t"),
+      lit(d("2024-01-15")), Seq(col("v")))
+    val r = rows(got.select("k", "ds", "v").orderBy("k"))
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "A" && r(0).getString(1) == "2024-01-12")
+  }
+
+  test("as-of join attaches latest right ≤ left time per row") {
+    val left = Seq(("A", "2024-01-15"), ("A", "2024-01-11"), ("C", "2024-01-15"))
+      .toDF("k", "ls").withColumn("lt", to_date($"ls"))
+    val right = Seq(("A", "2024-01-10", 1.0), ("A", "2024-01-12", 2.0))
+      .toDF("k", "rs", "v").withColumn("rt", to_date($"rs"))
+    val got = AsOf.asOfJoin(left, right, Seq("k"), col("lt"), col("asof_rt"))
+    val r = rows(got.select($"k", $"ls", $"asof_v").orderBy("k", "ls"))
+    assert(r(0).getString(1) == "2024-01-11" && r(0).getDouble(2) == 1.0)
+    assert(r(1).getString(1) == "2024-01-15" && r(1).getDouble(2) == 2.0)
+    assert(r(2).getString(0) == "C" && r(2).isNullAt(2)) // no match → null
+  }
+
+  test("nearest: argmin with deterministic first-wins tie-break") {
+    // two candidates at equal distance from 10 → smaller tie-break wins
+    val cand = Seq(("g", 8.0, 1L), ("g", 12.0, 2L), ("g", 30.0, 3L))
+      .toDF("grp", "x", "id")
+    val targets = Seq(10.0).toDF("target")
+    val got = NearestSelect.nearest(cand, Seq("grp"), targets,
+      abs(col("x") - col("target")), Seq(col("id")))
+    val r = rows(got.select("id"))
+    assert(r.map(_.getLong(0)) == Seq(1L))
+  }
+
+  test("nearestValueAll keeps every row at the winning value") {
+    val cand = Seq(("g", 8.0, "call"), ("g", 8.0, "put"), ("g", 30.0, "x"))
+      .toDF("grp", "x", "side")
+    val targets = Seq(10.0).toDF("target")
+    val got = NearestSelect.nearestValueAll(cand, Seq("grp"), targets,
+      abs(col("x") - col("target")), col("x"))
+    assert(rows(got.select("side")).map(_.getString(0)).sorted ==
+      Seq("call", "put"))
+  }
+
+  test("keepFirst/lastWins: precedence and idempotence") {
+    val df = Seq((1, "a", 1), (1, "b", 2), (2, "c", 1)).toDF("pk", "v", "seq")
+    val first = Upsert.keepFirst(df, Seq("pk"), Seq(col("seq")))
+    assert(rows(first.orderBy("pk").select("v")).map(_.getString(0)) ==
+      Seq("a", "c"))
+    val last = Upsert.lastWins(df, Seq("pk"), Seq(col("seq")))
+    assert(rows(last.orderBy("pk").select("v")).map(_.getString(0)) ==
+      Seq("b", "c"))
+    // idempotence: applying keepFirst twice = once
+    val twice = Upsert.keepFirst(first, Seq("pk"), Seq(col("seq")))
+    assert(rows(twice.orderBy("pk", "v")).toString ==
+      rows(first.orderBy("pk", "v")).toString)
+  }
+
+  test("upsert: DO NOTHING keeps existing, DO UPDATE takes incoming") {
+    val existing = Seq((1, "old"), (2, "keep")).toDF("pk", "v")
+    val incoming = Seq((1, "new"), (3, "ins")).toDF("pk", "v")
+    val nothing = Upsert.upsert(existing, incoming, Seq("pk"),
+      preferExisting = true)
+    assert(rows(nothing.orderBy("pk").select("v")).map(_.getString(0)) ==
+      Seq("old", "keep", "ins"))
+    val update = Upsert.upsert(existing, incoming, Seq("pk"),
+      preferExisting = false)
+    assert(rows(update.orderBy("pk").select("v")).map(_.getString(0)) ==
+      Seq("new", "keep", "ins"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+case class Ev(pk: Long, ts: java.sql.Timestamp, v: String)
+
+/** Streaming forms agree with the batch operators: replayed duplicates
+  * insert nothing (A5 in streaming terms), windowed counts match the
+  * batch tumbling aggregation, session windows match sessionize. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming dedup: re-delivered PKs add no rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), "a"),
+      Ev(1, ts("2024-01-01 00:00:00"), "a-dup"),
+      Ev(2, ts("2024-01-01 00:01:00"), "b"))
+    val out = Streams.dedupKeepFirst(mem.toDF(), Seq("pk"), "ts", "10 minutes")
+    runToMemory(out, "dedup_out", "append")
+    // replay the same keys in a later batch
+    mem.addData(Ev(1, ts("2024-01-01 00:00:00"), "a-replay"))
+    val q2 = out.writeStream.format("memory").queryName("dedup_out2")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val n = spark.sql("select distinct pk from dedup_out").count()
+    assert(n == 2)
+  }
+
+  test("streaming tumbling counts equal batch window counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 00:05:00"), "x"), Ev(2, ts("2024-01-01 00:55:00"), "x"),
+      Ev(3, ts("2024-01-01 01:05:00"), "y"), Ev(4, ts("2024-01-01 01:10:00"), "y"))
+    mem.addData(evs: _*)
+    val out = Streams.tumblingCounts(mem.toDF(), "ts", "1 hour",
+      "10 minutes", Seq(col("v")))
+    runToMemory(out, "tumb_out", "complete")
+    val got = spark.sql("select ws, v, n from tumb_out order by ws, v")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq
+    val batch = evs.toDF()
+      .groupBy(window($"ts", "1 hour").getField("start").as("ws"), $"v")
+      .agg(count(lit(1)).as("n")).orderBy("ws", "v")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq
+    assert(got == batch)
+  }
+
+  test("streaming session windows split on the gap like batch sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), "s"),
+      Ev(1, ts("2024-01-01 00:20:00"), "s"),
+      Ev(1, ts("2024-01-01 01:30:00"), "s"), // > 30 min gap → new session
+      Ev(2, ts("2024-01-01 00:00:00"), "s"))
+    val out = Streams.sessionCounts(mem.toDF(), "ts", "30 minutes",
+      "10 minutes", Seq(col("pk")))
+    runToMemory(out, "sess_out", "complete")
+    val got = spark.sql("select pk, n from sess_out order by pk, session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}
