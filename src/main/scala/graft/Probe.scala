@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main — times sub-stages of the hot extension queries. */
+object Probe {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Tables
+    import graft.ext.{Dedup, TextAnalysis}
+
+    val docs = Tables.documents(spark, dir)
+    time("docs count")(docs.count())
+    val sh = docs.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), 3).as("sh"))
+    time("shingles")(sh.count())
+    time("shingle stats")(println(sh.select(
+      sum(size(col("sh"))), max(size(col("sh")))).collect().mkString))
+    val hs = sh.select(col("doc_id"), Dedup.hashedShingles(col("sh")).as("hs"))
+    time("hashed shingles")(hs.count())
+    val sig = hs.select(col("doc_id"),
+      graft.functions.expressions.VectorExpressions
+        .minhashSignature(col("hs"), 32).as("sig"))
+    time("signatures")(sig.count())
+    time("x03 full")(Queries.all("x03_minhash_lsh")(spark, dir).count())
+    // x02 stages
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+    time("tok explode distinct")(tok.count())
+    val tokH = sh.select(col("doc_id"),
+      explode(Dedup.hashedShingles(col("sh"))).as("h"))
+    time("tokH explode")(tokH.count())
+    val inter = tokH.as("a").join(tokH.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id")).count()
+    time("posting join pairs")(println(inter.agg(count(lit(1)),
+      sum(col("count"))).collect().mkString))
+    time("x02 full")(Queries.all("x02_ngram_jaccard")(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -336,7 +336,8 @@ object Queries {
     * recall measured against x05 in ScalaTest. */
   val x07LshAnn: Q = (s, dir) => {
     Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-      "embedding", 0.45, bands = 4, bitsPerBand = 8).orderBy("id_a", "id_b")
+      "embedding", 0.45, bands = 4, bitsPerBand = 8, maxDim = 128)
+      .orderBy("id_a", "id_b")
   }
 
   /** x08 — language-ID heuristic. */

@@ -1,14 +1,20 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.expressions.VectorExpressions
+
 /** Deduplication family for training-data pipelines: exact, MinHash+LSH,
-  * SimHash, n-gram Jaccard. Designed shuffle-minimal: every variant
-  * reduces to (a) per-row signature computation at scan speed, then
-  * (b) ONE groupBy/join on a signature key that is orders of magnitude
-  * smaller than the corpus.
+  * SimHash, n-gram Jaccard. Designed shuffle-minimal:
+  *
+  *  - per-row signature work happens at scan speed in custom codegen
+  *    expressions (MinHashSignature / SimHash64) over PRE-HASHED shingles
+  *    (strings → xxhash64 longs once, then everything downstream moves
+  *    8-byte keys instead of shingle strings);
+  *  - candidate generation shuffles ONLY (id, band, bucket) rows — the
+  *    document payloads are re-joined by id afterwards for verification,
+  *    so the O(candidates) stage never carries arrays through a shuffle.
   */
 object Dedup {
 
@@ -18,37 +24,32 @@ object Dedup {
     df.groupBy(md5(text.cast("binary")).as("content_hash"))
       .agg(min(keyCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Deterministic 64-bit hash of a string with a seed — xxhash64 is
-    * codegen'd and stable across executors/runs. */
-  private def h64(c: Column, seed: Int): Column =
-    xxhash64(lit(seed), c)
+  /** Distinct xxhash64 of each shingle — the compact document signature
+    * input shared by MinHash and exact-Jaccard verification. */
+  def hashedShingles(shingles: Column): Column =
+    array_distinct(transform(shingles, s => xxhash64(s)))
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the min hash over the doc's shingle set. Returns array<long>. */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { s =>
-      array_min(transform(shingleSet, sh => h64(sh, s)))
-    }: _*)
+  /** Exact Jaccard over two hashed-shingle sets. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
-    * pairs; candidates are verified with exact shingle-set Jaccard.
+    * pairs; candidates are verified with exact (hashed-)shingle Jaccard.
     *
-    * Scale path: signatures are computed per-row; the only shuffles are
-    * the explode→groupBy on (band, bucket-hash) — tiny keys — and the
-    * verification join over candidates (≪ n²).
-    *
-    * @param docs (id, shingles) — shingles must be a deduplicated array.
+    * @param docs (id, shingles: array<string>) — shingles need not be
+    *             distinct; hashing dedups them.
     */
   def minhashLsh(docs: DataFrame, idCol: String, shinglesCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6)
       : DataFrame = {
-    val rows = bands // numHashes / rowsPerBand bands of rowsPerBand rows
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"), col(shinglesCol).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // band key = hash of the band's slice of the signature
-    val banded = sig.select(col("id"), col("sh"),
+    val base = docs
+      .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
+      .where(size(col("hs")) > 0)
+    val sig = base.withColumn("sig",
+      VectorExpressions.minhashSignature(col("hs"), numHashes))
+    // band key = hash of the band's slice of the signature; ids only
+    val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -56,33 +57,25 @@ object Dedup {
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+    // verification join: re-attach hashed shingles by id (small pair set)
+    val sa = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val sb = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over a token/shingle array: per-bit weighted vote of
-    * per-token hashes. Pure per-row expression work. */
-  def simhash(tokensCol: Column): Column = {
-    // For each bit i: sign(sum over tokens of (bit i set ? +1 : -1))
-    val hashes = transform(tokensCol, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash over a token/shingle array — one codegen'd loop over
+    * pre-hashed tokens. */
+  def simhash(tokensCol: Column): Column =
+    VectorExpressions.simhash64(transform(tokensCol, t => xxhash64(t)))
 
-  /** Near-dup pairs by SimHash: exact match on 4 16-bit bands (any band
-    * equal → candidate; hamming ≤ maxHamming verified). */
+  /** Near-dup pairs by SimHash: candidates share one of 4 exact 16-bit
+    * bands; verified by full hamming distance. Ids+signature only through
+    * the shuffle. */
   def simhashPairs(docs: DataFrame, idCol: String, tokensCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
@@ -102,17 +95,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity pairs via a token-posting-list join —
-    * the oracle-checkable exact counterpart of [[minhashLsh]]. Shuffles:
-    * explode→join on shingle, then one groupBy on the pair key. */
+  /** Exact n-gram Jaccard similarity pairs via a posting-list join on
+    * HASHED shingles (8-byte join keys, not strings) — the
+    * oracle-checkable exact counterpart of [[minhashLsh]]. Shuffles:
+    * explode→join on the shingle hash, then one groupBy on the pair key. */
   def jaccardPairs(docs: DataFrame, idCol: String, shinglesCol: String,
       threshold: Double): DataFrame = {
     val tok = docs
-      .select(col(idCol).as("id"), explode(col(shinglesCol)).as("s"))
-      .distinct()
+      .select(col(idCol).as("id"), explode(hashedShingles(col(shinglesCol))).as("h"))
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = tok.as("a").join(tok.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
       .agg(count(lit(1)).as("i"))
     val j = inter

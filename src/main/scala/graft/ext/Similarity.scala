@@ -55,17 +55,21 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 → uniform in [-1, 1). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+  /** Deterministic pseudo-random hyperplane (splitmix64-derived, no RNG —
+    * reproducible across runs and executors). `maxDim` just needs to be
+    * ≥ the embedding dimension; the dot product uses the shorter length. */
+  private def plane(p: Int, maxDim: Int): Seq[Double] =
+    Seq.tabulate(maxDim) { i =>
+      val m = graft.functions.expressions.MinHashSignature.mix(
+        (p.toLong << 32) | (i.toLong & 0xFFFFFFFFL))
+      m.toDouble / Long.MaxValue.toDouble
+    }
 
-  /** Sign bit of v · plane_p for one hyperplane. */
-  private def signBit(vec: Column, plane: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x * planeComponent(plane, i)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sign bit of v · plane_p — one codegen'd dot product against a
+    * literal plane vector. */
+  private def signBit(vec: Column, p: Int, maxDim: Int): Column = {
+    val proj = graft.functions.expressions.VectorExpressions.dotProduct(
+      vec, typedLit(plane(p, maxDim)))
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 
@@ -73,22 +77,24 @@ object Similarity {
     * `bitsPerBand` hyperplane sign bits each; pairs sharing any band
     * bucket are scored exactly, others are never compared. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
+      threshold: Double, bands: Int = 4, bitsPerBand: Int = 8,
+      maxDim: Int = 512): DataFrame = {
     val vd = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__n2").as("n2"))
     val withSig = vd.withColumn("bkeys", array((0 until bands).map { b =>
       (0 until bitsPerBand).map(i =>
-        signBit(col("v"), b * bitsPerBand + i) * lit(1L << i))
+        signBit(col("v"), b * bitsPerBand + i, maxDim) * lit(1L << i))
         .reduce(_ + _) + lit(b.toLong << 32)
     }: _*))
-    val banded = withSig.select(col("id"), col("v"), col("n2"),
-      explode(col("bkeys")).as("bkey"))
-    banded.as("a").join(banded.as("b"),
+    // candidate generation moves (id, bkey) only; vectors re-attach by id
+    val banded = withSig.select(col("id"), explode(col("bkeys")).as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.n2").as("na"), col("b.n2").as("nb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val va = vd.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na"))
+    val vb = vd.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", VectorOps.cosineWithNorms(
         VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cosine") >= threshold)

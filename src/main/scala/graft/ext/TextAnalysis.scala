@@ -59,13 +59,10 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")).cast("binary"))
 
-  /** `n`-token shingles (contiguous), 1-based positions, empty array for
-    * short docs. Codegen'd transform over the token array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** `n`-token shingles (contiguous); empty array for short docs. A
+    * custom expression — the HOF formulation re-evaluates the tokenizer
+    * per element (HOFs are interpreted, no common-subexpression reuse
+    * inside the lambda). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.expressions.VectorExpressions.shingles(tokens(lower(text)), n)
 }

@@ -3,24 +3,27 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector primitives over `array<float>` / `array<double>` columns,
-  * built on codegen'd higher-order functions. Accumulation is a
-  * left-to-right fold in element order, which keeps results bit-stable
-  * across engines and across re-partitioning (array-local, no shuffle
-  * order dependence).
+/** Dense-vector primitives over `array<float>` / `array<double>` columns.
+  * The dot product is a custom codegen'd Catalyst expression
+  * ([[graft.functions.expressions.DotProduct]]) — a tight primitive loop
+  * with NO per-row array allocation, unlike a zip_with/aggregate HOF
+  * chain. Accumulation is a left-to-right fold in element order, which
+  * keeps results bit-stable across engines (matches DuckDB's
+  * list_dot_product) and across re-partitioning.
   */
 object VectorOps {
+
+  import graft.functions.expressions.VectorExpressions
 
   /** Element-exact widening; float→double is value-preserving. */
   def toDouble(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    VectorExpressions.dotProduct(toDouble(a), toDouble(b))
 
   def norm2(a: Column): Column = {
     val ad = toDouble(a)
-    aggregate(zip_with(ad, ad, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    VectorExpressions.dotProduct(ad, ad)
   }
 
   def cosine(a: Column, b: Column): Column =

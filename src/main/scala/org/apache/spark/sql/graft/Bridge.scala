@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeExpression, ExpressionColumnNode}
+
+/** Expression ↔ Column bridge for Spark 4's split Column API.
+  *
+  * Spark 4 made `Column` a backend-agnostic wrapper over `ColumnNode`;
+  * building a Column from a Catalyst `Expression` (and back) is
+  * `private[sql]`, so custom codegen expressions need this one-file
+  * residence in the `org.apache.spark.sql` namespace — the same pattern
+  * public Spark extension libraries use.
+  */
+object Bridge {
+  def column(e: Expression): Column = Column(ExpressionColumnNode(e))
+  def expression(c: Column): Expression = ColumnNodeExpression(c.node)
+}
