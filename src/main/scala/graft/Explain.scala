@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints `explain("formatted")` for the headline
+  * queries so pushdown / broadcast / shuffle structure can be reviewed
+  * (scan lines must show PushedFilters + pruned ReadSchema; small dims
+  * must broadcast; no stray exchanges). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q02_asof_join", "q12_nearest_expiration", "q19_agg",
+        "q20_join_agg", "q03_export_dat", "x03_minhash_lsh")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      Queries.all(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -33,8 +33,29 @@ object Export {
       Cleansing.truncTo(col("rho"), 4).as("rho"))
 
   /** Date-partitioned CSV sink with header — the engine-side analog of the
-    * per-date dump files (reference: dump-dat.rkt:44-81). */
+    * per-date dump files (reference: dump-dat.rkt:44-81). Empty string
+    * encodes NULL (reference: dump-dolt.rkt:107-120). */
   def writeDailyCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").option("nullValue", "")
       .partitionBy("date").csv(path)
+
+  /** S11 bulk restore: CSV → rows with bad-row tolerance, the analog of
+    * `COPY … (on_error ignore)` (reference: restore-from-dolt.rkt:47-71).
+    * PERMISSIVE mode quarantines unparseable rows into `_corrupt_record`;
+    * [[readCsvRestore]] returns (good rows, quarantined rows) so the load
+    * can count failures like the reference's per-row handler. */
+  def readCsvRestore(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val df = spark.read
+      .option("header", "true").option("nullValue", "")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).csv(path)
+      .cache() // PERMISSIVE corrupt-column referencing requires it
+    (df.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.where(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Export
+
+/** Export sinks + bulk restore: CSV round trip with header/nullValue,
+  * trunc-scaled dolt projection, PERMISSIVE bad-row quarantine (S8, Q5,
+  * S11). */
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("daily csv export round-trips with NULL-as-empty-string") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq(
+      ("2024-01-15", "AAA", "10.5", Some("1.25")),
+      ("2024-01-15", "BBB", "20.0", None),
+      ("2024-01-16", "AAA", "11.0", Some("1.50")))
+      .toDF("ds", "act_symbol", "strike", "bid")
+      .select(to_date($"ds").as("date"), $"act_symbol",
+        $"strike".cast(DecimalType(18, 2)).as("strike"),
+        $"bid".cast(DecimalType(18, 2)).as("bid"))
+    Export.writeDailyCsv(df, s"$tmp/out")
+    // partition pruning applies on read; NULL round-trips via nullValue=""
+    val back = spark.read.option("header", "true").option("nullValue", "")
+      .csv(s"$tmp/out")
+    assert(back.count() == 3)
+    assert(back.where($"date" === "2024-01-15").count() == 2)
+    assert(back.where($"bid".isNull).count() == 1)
+  }
+
+  test("restore: PERMISSIVE read quarantines bad rows, keeps good ones") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restore").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/in.csv"),
+      """act_symbol,strike,bid
+        |AAA,95.0,6.10
+        |BBB,not-a-number,1.0
+        |CCC,7.5,
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("act_symbol", StringType),
+      StructField("strike", DoubleType),
+      StructField("bid", DoubleType)))
+    val (good, bad) = Export.readCsvRestore(spark, s"$tmp/in.csv", schema)
+    assert(good.count() == 2) // AAA and CCC (empty bid → NULL is fine)
+    assert(bad.count() == 1)  // BBB quarantined, not job-fatal
+    assert(rows(good.where($"act_symbol" === "CCC")).head.isNullAt(2))
+  }
+
+  test("dolt projection truncates bid/ask to 2 and greeks to 4") {
+    val df = Seq(("2024-01-15", "AAA", "2024-01-26", "95.0", "Call",
+      "6.119", "6.391", "6.25", "0.25559", "0.72999", "0.031", "-0.045",
+      "0.112", "0.05"))
+      .toDF("ds", "act_symbol", "es", "strike_s", "call_put", "bid_s",
+        "ask_s", "mv", "vol_s", "delta_s", "gamma_s", "theta_s", "vega_s",
+        "rho_s")
+      .select(to_date($"ds").as("date"), $"act_symbol",
+        to_date($"es").as("expiration"),
+        $"strike_s".cast(DecimalType(38, 4)).as("strike"), $"call_put",
+        $"bid_s".cast(DecimalType(38, 4)).as("bid"),
+        $"ask_s".cast(DecimalType(38, 4)).as("ask"),
+        $"mv".cast(DecimalType(38, 4)).as("model_value"),
+        $"vol_s".cast(DecimalType(38, 5)).as("vol"),
+        $"delta_s".cast(DecimalType(38, 5)).as("delta"),
+        $"gamma_s".cast(DecimalType(38, 4)).as("gamma"),
+        $"theta_s".cast(DecimalType(38, 4)).as("theta"),
+        $"vega_s".cast(DecimalType(38, 4)).as("vega"),
+        $"rho_s".cast(DecimalType(38, 4)).as("rho"))
+    val r = rows(Export.doltChainProjection(df)).head
+    assertDecEq(r.getAs[java.math.BigDecimal]("bid"), "6.11")
+    assertDecEq(r.getAs[java.math.BigDecimal]("ask"), "6.39")
+    assertDecEq(r.getAs[java.math.BigDecimal]("vol"), "0.2555")
+    assertDecEq(r.getAs[java.math.BigDecimal]("delta"), "0.7299")
+  }
+}
