@@ -305,6 +305,67 @@ object Oracles {
     "x15_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Domain pipelines run on bundled golden fixtures, so their oracles
+    // are literal expected outputs (independently asserted in ScalaTest
+    // from the reference's semantics, SURVEY §2/§5).
+
+    "d01_chain_pipeline" ->
+      """SELECT CAST(d AS DATE) AS date, act_symbol, CAST(e AS DATE) AS expiration,
+        |  CAST(strike AS DECIMAL(38,4)) AS strike, call_put,
+        |  CAST(bid AS DECIMAL(38,4)) AS bid, CAST(ask AS DECIMAL(38,4)) AS ask,
+        |  CAST(model_value AS DECIMAL(38,4)) AS model_value,
+        |  CAST(vol AS DECIMAL(38,4)) AS vol, CAST(delta AS DECIMAL(38,4)) AS delta,
+        |  CAST(gamma AS DECIMAL(38,4)) AS gamma, CAST(theta AS DECIMAL(38,4)) AS theta,
+        |  CAST(vega AS DECIMAL(38,4)) AS vega, CAST(rho AS DECIMAL(38,4)) AS rho
+        |FROM (VALUES
+        | ('2024-01-15','AAA','2024-01-26',95.0,'Call',6.10,6.30,6.21,0.2550,0.7200,0.0310,-0.0450,0.1120,0.0500),
+        | ('2024-01-15','AAA','2024-01-26',95.0,'Put',1.05,1.15,1.10,0.2600,-0.2800,0.0310,-0.0410,0.1120,-0.0200),
+        | ('2024-01-15','AAA','2024-01-26',100.0,'Call',2.80,3.00,2.9012,0.2480,0.5100,0.0420,-0.0500,0.1300,0.0400),
+        | ('2024-01-15','AAA','2024-01-26',100.0,'Put',2.75,2.95,2.85,0.2510,-0.4900,0.0420,-0.0480,0.1300,-0.0400),
+        | ('2024-01-15','AAA','2024-02-23',100.0,'Call',4.10,4.40,4.25,0.2390,0.5300,0.0350,-0.0350,0.1800,0.0800),
+        | ('2024-01-15','AAA','2024-02-23',100.0,'Put',3.90,4.20,4.05,0.2420,-0.4700,0.0350,-0.0330,0.1800,-0.0800),
+        | ('2024-01-15','AAA','2024-03-22',100.0,'Call',5.60,5.90,5.75,0.2310,0.5500,0.0300,-0.0280,0.2200,0.1200),
+        | ('2024-01-15','AAA','2024-03-22',100.0,'Put',5.10,5.40,5.25,0.2350,-0.4500,0.0300,-0.0260,0.2200,-0.1200),
+        | ('2024-01-15','BBB','2024-02-16',5.0,'Call',0.55,0.65,0.60,0.4500,0.6000,0.1100,-0.0120,0.0200,0.0100),
+        | ('2024-01-15','BBB','2024-02-16',5.0,'Put',0.35,0.45,0.40,0.4600,-0.4000,0.1100,-0.0110,0.0200,-0.0100),
+        | ('2024-01-15','BBB','2024-02-16',7.5,'Call',0.10,0.20,0.15,0.4800,0.2000,0.0800,-0.0080,0.0150,0.0000),
+        | ('2024-01-15','BBB','2024-02-16',7.5,'Put',2.40,2.60,2.50,0.4900,-0.8000,0.0800,-0.0070,0.0150,-0.0200)
+        |) t(d, act_symbol, e, strike, call_put, bid, ask, model_value, vol, delta, gamma, theta, vega, rho)
+        |ORDER BY act_symbol, expiration, strike, call_put""".stripMargin,
+
+    "d02_volatility_html" ->
+      """SELECT act_symbol, CAST(d AS DATE) AS date,
+        |  CAST(hv_current AS DECIMAL(38,4)) AS hv_current,
+        |  CAST(hv_week_ago AS DECIMAL(38,4)) AS hv_week_ago,
+        |  CAST(NULL AS DECIMAL(38,4)) AS hv_month_ago,
+        |  CAST(hv_year_high AS DECIMAL(38,4)) AS hv_year_high,
+        |  CAST(hv_year_high_date AS DATE) AS hv_year_high_date,
+        |  CAST(hv_year_low AS DECIMAL(38,4)) AS hv_year_low,
+        |  CAST(hv_year_low_date AS DATE) AS hv_year_low_date,
+        |  CAST(iv_current AS DECIMAL(38,4)) AS iv_current,
+        |  CAST(NULL AS DECIMAL(38,4)) AS iv_week_ago,
+        |  CAST(NULL AS DECIMAL(38,4)) AS iv_month_ago,
+        |  CAST(NULL AS DECIMAL(38,4)) AS iv_year_high,
+        |  CAST(NULL AS DATE) AS iv_year_high_date,
+        |  CAST(NULL AS DECIMAL(38,4)) AS iv_year_low,
+        |  CAST(NULL AS DATE) AS iv_year_low_date
+        |FROM (VALUES
+        | ('AAA','2024-01-15',0.2861,0.2915,0.6240,'2023-03-05',0.1820,'2023-02-28',12.3456)
+        |) t(act_symbol, d, hv_current, hv_week_ago, hv_year_high,
+        |    hv_year_high_date, hv_year_low, hv_year_low_date, iv_current)
+        |ORDER BY act_symbol""".stripMargin,
+
+    "d03_weeklies" ->
+      """SELECT act_symbol, CAST(e AS DATE) AS effective_date,
+        |       CAST(l AS DATE) AS last_seen
+        |FROM (VALUES
+        | ('AAPL','2024-01-13','2024-01-15'),
+        | ('BRK.B','2024-01-12','2024-01-15'),
+        | ('OLD','2023-01-01','2023-01-01'),
+        | ('RDS.A','2024-01-05','2024-01-15')
+        |) t(act_symbol, e, l)
+        |ORDER BY act_symbol""".stripMargin
   )
 }

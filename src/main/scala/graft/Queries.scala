@@ -405,6 +405,54 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // ─────────────────── domain pipelines on bundled fixtures ───────────────
+  // These run the reference-shaped sources end-to-end on the golden
+  // fixtures in src/main/resources; their oracles are literal VALUES
+  // (the expected outputs are independently asserted in ScalaTest).
+
+  private def resPath(p: String): String = graft.sources.Fixtures.path(p)
+
+  /** d01 — flagship E2 chain pipeline: day folder JSON → as-of mark →
+    * 27×4 grid selection → PK dedup (reference:
+    * transform-load.2025-08-19.rkt:102-225). */
+  val d01ChainPipeline: Q = (s, _) => {
+    import s.implicits._
+    val prices = Seq(("AAA", "2024-01-12", 101.0), ("AAA", "2024-01-20", 150.0),
+      ("BBB", "2024-01-10", 6.0))
+      .toDF("act_symbol", "ds", "close")
+      .select(col("act_symbol"), to_date(col("ds")).as("date"), col("close"))
+    graft.plans.ChainPipeline.loadDay(s, resPath("chain/2024-01-15"), prices,
+      java.sql.Date.valueOf("2024-01-15"))
+  }
+
+  /** d02 — volatility HTML extraction incl. sentinel quarantine and year
+    * attachment (reference: transform-load.2025-08-19.rkt:228-300). */
+  val d02VolatilityHtml: Q = (s, _) => {
+    val pages = graft.sources.VolatilityHtml.readDay(s, resPath("vol"))
+    val (good, _) = graft.sources.VolatilityHtml.partitionSentinels(pages)
+    graft.sources.VolatilityHtml
+      .toHistory(good, java.sql.Date.valueOf("2024-01-15"))
+      .orderBy("act_symbol")
+  }
+
+  /** d03 — weeklies roster load + last-wins upsert (reference:
+    * weeklies-transform-load.rkt:41-70). */
+  val d03Weeklies: Q = (s, _) => {
+    import s.implicits._
+    val f = graft.sources.WeekliesCsv.readFile(s,
+      resPath("weeklies/weeklyoptions.2024-01-15.csv"),
+      java.sql.Date.valueOf("2024-01-15"))
+    val dedup = Upsert.lastWins(f, Seq("act_symbol"),
+      Seq(col("effective_date")))
+    val existing = Seq(("AAPL", "2023-12-01", "2023-12-01"),
+      ("OLD", "2023-01-01", "2023-01-01"))
+      .toDF("s", "e", "l")
+      .select(col("s").as("act_symbol"), to_date(col("e")).as("effective_date"),
+        to_date(col("l")).as("last_seen"))
+    graft.sources.WeekliesCsv.upsertRoster(existing, dedup)
+      .orderBy("act_symbol")
+  }
+
   /** All queries, keyed as exposed through SparkEntry. Every result passes
     * through [[Tables.ntzOut]] so timestamps match the naive-timestamp
     * oracle output. */
@@ -443,7 +491,10 @@ object Queries {
     "x12_tumbling" -> x12Tumbling,
     "x13_sliding" -> x13Sliding,
     "x14_session" -> x14Session,
-    "x15_multimodal_meta" -> x15MultimodalMeta
+    "x15_multimodal_meta" -> x15MultimodalMeta,
+    "d01_chain_pipeline" -> d01ChainPipeline,
+    "d02_volatility_html" -> d02VolatilityHtml,
+    "d03_weeklies" -> d03Weeklies
   ).map { case (k, f) =>
     k -> ((s: SparkSession, d: String) => Tables.ntzOut(f(s, d)))
   }

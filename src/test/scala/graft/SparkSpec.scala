@@ -16,8 +16,10 @@ trait SparkSpec extends AnyFunSuite {
     s
   }
 
-  def res(path: String): String =
-    getClass.getClassLoader.getResource(path).getPath
+  /** Fixture path, materialized from the main-resources bundle (a stale
+    * test-classes directory can shadow the classpath resource, so resolve
+    * through Fixtures rather than getResource). */
+  def res(path: String): String = graft.sources.Fixtures.path(path)
 
   def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
 
