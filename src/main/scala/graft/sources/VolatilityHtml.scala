@@ -42,6 +42,24 @@ object VolatilityHtml {
     (pages.where(!bad), pages.where(bad))
   }
 
+  /** A7 run counters: attempted / succeeded / failed, like the
+    * reference's end-of-run summary
+    * (transform-load.2025-08-19.rkt:425-427). One pass over the pages. */
+  case class LoadReport(attempted: Long, succeeded: Long, failed: Long)
+
+  def loadWithReport(spark: SparkSession, dir: String,
+      date: java.sql.Date): (DataFrame, LoadReport) = {
+    val pages = readDay(spark, dir)
+    val counts = pages.agg(
+      count(lit(1)).as("n"),
+      count(when(Cleansing.isSentinelPage(col("page")), 1)).as("bad"))
+      .collect()(0)
+    val (good, _) = partitionSentinels(pages)
+    (toHistory(good, date),
+      LoadReport(counts.getLong(0), counts.getLong(0) - counts.getLong(1),
+        counts.getLong(1)))
+  }
+
   /** The history table: the innermost `<table>` block (no nested table)
     * with at least 9 rows — the sxpath target `(table 2) tr (td 1) table`
     * resolved structurally rather than by absolute position, so header

@@ -15,4 +15,13 @@ import org.apache.spark.sql.classic.{ColumnNodeExpression, ExpressionColumnNode}
 object Bridge {
   def column(e: Expression): Column = Column(ExpressionColumnNode(e))
   def expression(c: Column): Expression = ColumnNodeExpression(c.node)
+
+  /** Register a SQL function on an EXISTING session (SparkSessionExtensions
+    * only applies at session construction). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ingest.RateLimitedScheduler
+import graft.sources.VolatilityHtml
+
+/** SQL function registration, the rate-limited ingestion scheduler, and
+  * the A7 load report. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_* functions are callable from SQL after register") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql(
+      "SELECT graft_shingles(array('a','b','c','d'), 3) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val mh = spark.sql(
+      "SELECT size(graft_minhash_signature(array(1L, 2L, 3L), 16)) AS n")
+      .collect()(0).getInt(0)
+    assert(mh == 16)
+    // extension path constructs without error
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("scheduler: 20s spacing, 1800s refresh cadence, failure isolation") {
+    var now = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var refreshes = 0
+    val sched = new RateLimitedScheduler(20000, 1800000,
+      clock = () => now, sleep = ms => { sleeps += ms; now += ms })
+    val symbols = (0 until 120).map(i => s"S$i") // 120 × 20 s = 40 min
+    val results = sched.run(symbols, () => refreshes += 1, { s =>
+      if (s == "S5") throw new RuntimeException("boom") else s.toLowerCase
+    })
+    assert(sleeps.forall(_ == 20000)) // politeness spacing
+    assert(refreshes == 2)            // t=0 and the 30-min boundary
+    assert(results.count(_.outcome.isLeft) == 1)
+    assert(results.find(_.symbol == "S5").get.outcome.isLeft)
+    assert(results.find(_.symbol == "S6").get.outcome == Right("s6"))
+  }
+
+  test("volatility load report counts sentinels as failures") {
+    val (hist, report) = VolatilityHtml.loadWithReport(spark, res("vol"),
+      d("2024-01-15"))
+    assert(report == VolatilityHtml.LoadReport(2, 1, 1))
+    assert(hist.count() == 1)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.{Cleansing, Occ, YearAttach}
+import graft.operators.Upsert
+
+/** Property-style tests (SURVEY §5.2): randomized cases generated with a
+  * fixed seed, each property checked over the whole batch in ONE Spark
+  * job (no per-case round trips).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("property: OCC encode/decode round-trips") {
+    val cases = (1 to 200).map { _ =>
+      val und = (1 to (1 + rnd.nextInt(5)))
+        .map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+      val y = 24 + rnd.nextInt(6)
+      val m = 1 + rnd.nextInt(12)
+      val d = 1 + rnd.nextInt(28)
+      val side = if (rnd.nextBoolean()) "C" else "P"
+      val strikeThousandths = 500 + rnd.nextInt(5000000)
+      val code = s"$und " + f"$y%02d$m%02d$d%02d" + side +
+        f"$strikeThousandths%08d"
+      (code, und, f"20$y%02d-$m%02d-$d%02d", side, strikeThousandths.toLong)
+    }
+    val df = cases.toDF("code", "und", "expiry", "side", "thousandths")
+      .select($"und", $"expiry", $"side", $"thousandths",
+        Occ.underlying($"code").as("g_und"),
+        Occ.expiration($"code").cast("string").as("g_expiry"),
+        Occ.side($"code").as("g_side"),
+        (Occ.strike($"code") * 1000).cast("long").as("g_thousandths"))
+    val bad = df.where($"g_und" =!= $"und" || $"g_expiry" =!= $"expiry" ||
+      $"g_side" =!= (when($"side" === "C", "Call").otherwise("Put")) ||
+      $"g_thousandths" =!= $"thousandths")
+    assert(bad.count() == 0, bad.take(3).mkString("; "))
+  }
+
+  test("property: truncTo is toward-zero, bounded, idempotent") {
+    val cases = (1 to 300).map { _ =>
+      val v = BigDecimal(rnd.nextLong() % 100000000L, 6) // scale 6
+      v.toString
+    }
+    val df = cases.toDF("s")
+      .select($"s".cast(DecimalType(28, 6)).as("x"))
+      .select($"x", Cleansing.truncTo($"x", 4).cast(DecimalType(28, 6)).as("t"))
+      .select($"x", $"t",
+        Cleansing.truncTo($"t", 4).cast(DecimalType(28, 6)).as("tt"))
+    val bad = df.where(
+      abs($"t") > abs($"x") ||                 // magnitude never grows
+      abs($"x" - $"t") >= lit(BigDecimal("0.0001")) || // within one ulp(4)
+      ($"x" > 0 && $"t" < 0) || ($"x" < 0 && $"t" > 0) || // sign preserved
+      $"tt" =!= $"t")                          // idempotent
+    assert(bad.count() == 0, bad.take(3).mkString("; "))
+  }
+
+  test("property: keepFirst keeps exactly one minimal row per PK; " +
+      "load∘load = load") {
+    val rows0 = (1 to 500).map { _ =>
+      (rnd.nextInt(40), rnd.nextInt(40), rnd.nextInt(1000), rnd.nextInt(1000))
+    }
+    val df = rows0.toDF("pk1", "pk2", "ord", "payload")
+    val once = Upsert.keepFirst(df, Seq("pk1", "pk2"),
+      Seq(col("ord"), col("payload")))
+    // one row per PK
+    assert(once.groupBy("pk1", "pk2").count().where($"count" > 1).count() == 0)
+    // each kept row carries its group's minimal (ord, payload)
+    val mins = df.groupBy("pk1", "pk2")
+      .agg(min(struct($"ord", $"payload")).as("m"))
+    val joined = once.join(mins, Seq("pk1", "pk2"))
+      .where(struct($"ord", $"payload") =!= $"m")
+    assert(joined.count() == 0)
+    // idempotence
+    val twice = Upsert.keepFirst(once, Seq("pk1", "pk2"),
+      Seq(col("ord"), col("payload")))
+    assert(twice.exceptAll(once).count() == 0 &&
+      once.exceptAll(twice).count() == 0)
+  }
+
+  test("property: nearest-select winner has minimal distance in its group") {
+    val rows0 = (1 to 400).map { _ =>
+      (rnd.nextInt(20), rnd.nextDouble() * 1000, rnd.nextInt(100000))
+    }
+    val df = rows0.toDF("grp", "x", "id")
+    val targets = Seq(250.0, 750.0).toDF("target")
+    val got = graft.operators.NearestSelect.nearest(df, Seq("grp"), targets,
+      abs(col("x") - col("target")), Seq(col("id")))
+    val minDist = df.crossJoin(targets).groupBy("grp", "target")
+      .agg(min(abs($"x" - $"target")).as("md"))
+    val bad = got.join(minDist, Seq("grp", "target"))
+      .where(abs($"x" - $"target") =!= $"md")
+    assert(bad.count() == 0)
+  }
+
+  test("property: year attachment lands in (target−1y, target]") {
+    val cases = (1 to 200).map { _ =>
+      val d = 1 + rnd.nextInt(28)
+      val mon = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+        "Sep", "Oct", "Nov", "Dec")(rnd.nextInt(12))
+      val ty = 2020 + rnd.nextInt(8)
+      val tm = 1 + rnd.nextInt(12)
+      val td = 1 + rnd.nextInt(28)
+      (f"$d%02d-$mon", f"$ty-$tm%02d-$td%02d")
+    }
+    val df = cases.toDF("dm", "ts")
+      .select($"dm", to_date($"ts").as("target"))
+      .select($"dm", $"target", YearAttach.attachYear($"dm", $"target").as("r"))
+    val bad = df.where($"r".isNull || $"r" > $"target" ||
+      $"r" <= add_months($"target", -12))
+    assert(bad.count() == 0, bad.take(3).mkString("; "))
+  }
+}
