@@ -21,6 +21,24 @@ import graft.functions.Cleansing
   */
 object ChainJson {
 
+  /** Typed view of [[toOptionChain]]'s output — use where per-record
+    * logic warrants compile-time field checks (SURVEY §1.3). */
+  def toOptionQuotes(straddles: DataFrame, date: java.sql.Date)
+      : org.apache.spark.sql.Dataset[graft.model.OptionQuote] = {
+    val spark = straddles.sparkSession
+    import spark.implicits._
+    val df = toOptionChain(straddles, date)
+    // scala.BigDecimal encodes as the system-default decimal(38,18)
+    val widened = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          acc.withColumn(f.name, col(f.name).cast("decimal(38,18)"))
+        case _ => acc
+      }
+    }
+    widened.as[graft.model.OptionQuote]
+  }
+
   /** Read every `*.json` under `dir`; adds `act_symbol` from the file
     * name (reference: transform-load.2025-08-19.rkt:160-161). */
   def readDay(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+import graft.operators.Skew
+import graft.sources.ChainJson
+
+/** Scale-path pieces: typed parse layer, salted aggregation equivalence,
+  * streaming chain ingestion ≡ batch, multimodal batch feature
+  * extraction. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typed parse layer: Dataset[OptionQuote] view of the chain load") {
+    val ds = ChainJson.toOptionQuotes(
+      ChainJson.readDay(spark, res("chain/2024-01-15")), d("2024-01-15"))
+    val quotes = ds.collect()
+    assert(quotes.length == 12)
+    val q = quotes.find(q => q.act_symbol == "AAA" &&
+      q.strike == BigDecimal(100) && q.call_put == "Call" &&
+      q.expiration == d("2024-01-26")).get
+    assert(q.vol == BigDecimal("0.248"))
+    // typed filter/map compiles and runs
+    assert(ds.filter(_.call_put == "Call").count() == 6)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = Tables("lineitem")
+    val direct = df.groupBy("l_returnflag")
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("n"))
+    val salted = Skew.saltedAgg(df, Seq("l_returnflag"), 8, Seq(
+      ($"l_quantity", (c: org.apache.spark.sql.Column) => sum(c),
+        (c: org.apache.spark.sql.Column) => sum(c), "s"),
+      (lit(1), (c: org.apache.spark.sql.Column) => count(c),
+        (c: org.apache.spark.sql.Column) => sum(c), "n")))
+    val a = direct.orderBy("l_returnflag").collect().map(r =>
+      (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSeq
+    val b = salted.orderBy("l_returnflag").collect().map(r =>
+      (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
+  private def Tables(name: String) =
+    graft.sources.Tables.read(spark, "/root/testdata/sf0.001", name)
+
+  test("streaming chain ingestion produces the batch result") {
+    val dir = res("chain/2024-01-15")
+    val stream = spark.readStream
+      .schema(graft.model.Schemas.chainStraddleRow)
+      .option("multiLine", "true")
+      .json(s"$dir/*.json")
+      .withColumn("act_symbol",
+        regexp_extract(input_file_name(), "([^/]+)\\.json$", 1))
+    val out = ChainJson.toOptionChain(stream, d("2024-01-15"))
+    val q = out.writeStream.format("memory").queryName("chain_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "select act_symbol, expiration, strike, call_put from chain_stream")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = ChainJson.toOptionChain(
+      ChainJson.readDay(spark, dir), d("2024-01-15"))
+      .select("act_symbol", "expiration", "strike", "call_put")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("multimodal: per-partition feature extraction, deterministic stub") {
+    implicit val s = spark
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", "fake-png-bytes".getBytes, 4, 4),
+      Multimodal.MediaRecord(2L, "audio", "fake-wav".getBytes, 0, 0),
+      Multimodal.MediaRecord(3L, "image", "fake-png-bytes".getBytes, 4, 4))
+      .toDS().repartition(2)
+    val feats = Multimodal.extractFeatures(recs, dim = 8).collect()
+      .sortBy(_.media_id)
+    assert(feats.length == 3)
+    assert(feats(0).n_bytes == 14 && feats(0).features.length == 8)
+    // deterministic: same payload → same digest and features
+    assert(feats(0).digest == feats(2).digest)
+    assert(feats(0).features.toSeq == feats(2).features.toSeq)
+    assert(feats(0).digest != feats(1).digest)
+  }
+}
