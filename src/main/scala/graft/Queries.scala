@@ -405,6 +405,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x16 — end-to-end near-dedup: LSH pairs → connected components →
+    * surviving doc ids. No SQL oracle (hash-specific candidates);
+    * ScalaTest-verified clustering semantics. */
+  val x16DedupCorpus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+    Dedup.dedupCorpus(docs, "doc_id", "sh", threshold = 0.6).orderBy("doc_id")
+  }
+
   // ─────────────────── domain pipelines on bundled fixtures ───────────────
   // These run the reference-shaped sources end-to-end on the golden
   // fixtures in src/main/resources; their oracles are literal VALUES
@@ -492,6 +501,7 @@ object Queries {
     "x13_sliding" -> x13Sliding,
     "x14_session" -> x14Session,
     "x15_multimodal_meta" -> x15MultimodalMeta,
+    "x16_dedup_corpus" -> x16DedupCorpus,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies

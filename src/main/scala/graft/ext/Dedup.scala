@@ -95,6 +95,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs → (id, cluster) where
+    * cluster = min id reachable. Iterative label propagation: each round
+    * is one join + min-agg; rounds needed = component diameter (near-dup
+    * clusters are shallow — a handful of rounds). `maxIters` bounds
+    * runaway chains; at scale this is the standard alternating
+    * small-star/large-star scheme's simple cousin and shuffles only
+    * (id, label) pairs. */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id2")).agg(min(col("cluster")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+      val changed = updated.as("u").join(labels.as("l"), Seq("id"))
+        .where(col("u.cluster") =!= col("l.cluster")).limit(1).count() > 0
+      labels = updated.localCheckpoint(true)
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dedup of a corpus: MinHash+LSH pairs → connected
+    * components → keep the smallest id per cluster. Returns the surviving
+    * ids (singletons survive by definition). */
+  def dedupCorpus(docs: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6)
+      : DataFrame = {
+    val pairs = minhashLsh(docs, idCol, shinglesCol, numHashes, bands,
+      threshold)
+    val comp = clusters(pairs)
+    val losers = comp.where(col("id") =!= col("cluster")).select(col("id"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(losers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+  }
+
   /** Exact n-gram Jaccard similarity pairs via a posting-list join on
     * HASHED shingles (8-byte join keys, not strings) — the
     * oracle-checkable exact counterpart of [[minhashLsh]]. Shuffles:

@@ -48,6 +48,20 @@ class ExtSpec extends SparkSpec {
     assert(!m.contains((3L, 5L)))
   }
 
+  test("clusters + dedupCorpus: transitive near-dups collapse to one") {
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val comp = rows(Dedup.clusters(pairs).orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 1-2-4 is one component via transitivity, 7-8 another
+    assert(comp == Seq((1L, 1L), (2L, 1L), (4L, 1L), (7L, 7L), (8L, 7L)))
+    val sh = docs.select($"doc_id",
+      array_distinct(TextAnalysis.shingles($"text", 3)).as("sh"))
+    val kept = rows(Dedup.dedupCorpus(sh, "doc_id", "sh", threshold = 0.6)
+      .orderBy("doc_id")).map(_.getLong(0))
+    // docs 1,2,4 are one near-dup cluster (1 kept); 3 and 5 are singletons
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
   test("similarity: brute top-k exact against hand-computed cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),

@@ -23,7 +23,8 @@ class QueriesSpec extends SparkSpec {
   test("queries and oracles stay in sync") {
     assert(Oracles.all.keySet.subsetOf(Queries.all.keySet))
     val noOracle = Queries.all.keySet -- Oracles.all.keySet
-    assert(noOracle == Set("x03_minhash_lsh", "x04_simhash", "x07_lsh_ann"),
+    assert(noOracle == Set("x03_minhash_lsh", "x04_simhash", "x07_lsh_ann",
+      "x16_dedup_corpus"),
       s"queries silently missing an oracle: $noOracle")
   }
 
