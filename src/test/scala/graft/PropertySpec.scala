@@ -95,6 +95,26 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("property: sort-merge as-of join equals the join+window form") {
+    val left = (1 to 300).map { i =>
+      (rnd.nextInt(15), 1000 + rnd.nextInt(9000), s"L$i")
+    }.toDF("k", "lt", "payload")
+    // distinct (k, rt) pairs so both forms share one deterministic answer
+    val right = (1 to 200).map { _ =>
+      (rnd.nextInt(15), 1000 + rnd.nextInt(9000))
+    }.distinct.map { case (k, rt) => (k, rt, rnd.nextDouble()) }
+      .toDF("k", "rt", "v")
+    val a = graft.operators.AsOf
+      .asOfJoin(left, right, Seq("k"), col("lt"), col("asof_rt"))
+      .select($"k", $"lt", $"payload", $"asof_rt", $"asof_v")
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.operators.AsOf
+      .asOfJoinSorted(left, right, Seq("k"), "lt", "rt")
+      .select($"k", $"lt", $"payload", $"asof_rt", $"asof_v")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("property: year attachment lands in (target−1y, target]") {
     val cases = (1 to 200).map { _ =>
       val d = 1 + rnd.nextInt(28)
