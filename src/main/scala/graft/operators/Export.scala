@@ -39,6 +39,18 @@ object Export {
     df.write.mode("overwrite").option("header", "true").option("nullValue", "")
       .partitionBy("date").csv(path)
 
+  /** Bucketed parquet table for co-located joins: two tables bucketed the
+    * same way join with NO exchange on either side — the pre-shuffle
+    * pattern for repeatedly-joined 100 TB fact tables (chain ↔ volatility
+    * by symbol, documents ↔ embeddings by id). Bucket count should match
+    * the target parallelism, not the test value. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   /** S11 bulk restore: CSV → rows with bad-row tolerance, the analog of
     * `COPY … (on_error ignore)` (reference: restore-from-dolt.rkt:47-71).
     * PERMISSIVE mode quarantines unparseable rows into `_corrupt_record`;

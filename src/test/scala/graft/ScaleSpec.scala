@@ -65,6 +65,29 @@ class ScaleSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.Export.writeBucketed(
+        Tables("orders").select($"o_orderkey", $"o_custkey"),
+        "b_orders", Seq("o_orderkey"), 4)
+      graft.operators.Export.writeBucketed(
+        Tables("lineitem").select($"l_orderkey", $"l_quantity"),
+        "b_lineitem", Seq("l_orderkey"), 4)
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in bucketed join:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("multimodal: per-partition feature extraction, deterministic stub") {
     implicit val s = spark
     val recs = Seq(
