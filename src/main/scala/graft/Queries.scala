@@ -405,6 +405,72 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q21 — shipping-priority shape (TPC-H Q3): selective dim filter +
+    * two joins + grouped decimal revenue + top-k. */
+  val q21ShippingPriority: Q = (s, dir) => {
+    val one = lit(BigDecimal(1))
+    val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate").cast("date") < "1998-01-01")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("orderdate"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .where(col("l_shipdate").cast("date") > "1998-01-01")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(D4) *
+        (one - col("l_discount").cast(D4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+  }
+
+  /** q22 — regional supplier volume shape (TPC-H Q5): five-table join
+    * with co-located customer/supplier nation condition. */
+  val q22RegionVolume: Q = (s, dir) => {
+    val one = lit(BigDecimal(1))
+    val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(D4) *
+        (one - col("l_discount").cast(D4))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+  }
+
+  /** x17 — per-label embedding centroids: exact-decimal elementwise sums
+    * (order-independent under any partitioning) divided at the boundary. */
+  val x17LabelCentroids: Q = (s, dir) => {
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      // widen float→double BEFORE the decimal cast (Spark's float→decimal
+      // goes through the float's 7-digit shortest repr), and quantize at
+      // scale 8 — coarse enough that no embedding value sits exactly on a
+      // rounding tie, where Spark (half-up) and DuckDB (half-even) differ
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        col("col").cast("double").cast(DecimalType(28, 8)).as("e"))
+      .groupBy("label", "pos")
+      .agg((sum(col("e")).cast("double") / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+  }
+
   /** x16 — end-to-end near-dedup: LSH pairs → connected components →
     * surviving doc ids. No SQL oracle (hash-specific candidates);
     * ScalaTest-verified clustering semantics. */
@@ -486,6 +552,9 @@ object Queries {
     "q18_topk" -> q18TopK,
     "q19_agg" -> q19Agg,
     "q20_join_agg" -> q20JoinAgg,
+    "q21_shipping_priority" -> q21ShippingPriority,
+    "q22_region_volume" -> q22RegionVolume,
+    "x17_label_centroids" -> x17LabelCentroids,
     "x01_dedup_exact" -> x01DedupExact,
     "x02_ngram_jaccard" -> x02NgramJaccard,
     "x03_minhash_lsh" -> x03MinhashLsh,
