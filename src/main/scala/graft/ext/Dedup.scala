@@ -108,20 +108,26 @@ object Dedup {
       .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    var i = 0
+    // labels only ever decrease, so Σ(id − cluster) grows strictly until
+    // the fixpoint — one cheap agg over the checkpointed result replaces
+    // a join-based change detector (one action per round, not two)
+    def progress(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("id") - col("cluster"))).first().getLong(0)
+    var prevProgress = -1L
     var converged = false
+    var i = 0
     while (i < maxIters && !converged) {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min(col("cluster")).as("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      labels = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
-      val changed = updated.as("u").join(labels.as("l"), Seq("id"))
-        .where(col("u.cluster") =!= col("l.cluster")).limit(1).count() > 0
-      labels = updated.localCheckpoint(true)
-      converged = !changed
+        .localCheckpoint(true)
+      val p = progress(labels)
+      converged = p == prevProgress
+      prevProgress = p
       i += 1
     }
     labels

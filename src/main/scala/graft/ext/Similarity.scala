@@ -7,6 +7,14 @@ import graft.functions.VectorOps
 
 /** Similarity search over an embedding column (`array<float>`).
   *
+  * Literature anchors (PAPERS.md): distributed top-k similarity search
+  * partitions candidates so each worker prunes against a local reference
+  * (REPOSE, ICDE 2021); interactive/incremental top-k reuses partial
+  * results across queries (EDBT 2020); adaptive indexing pays index cost
+  * only for hot regions (SIGMOD 2020 "Continuously Adaptive Similarity
+  * Search"). The LSH tier below follows the same principle — prune
+  * globally with cheap signatures, pay exact cost only inside buckets.
+  *
   * Two tiers:
   *  - [[bruteTopK]] / [[nearDupPairs]] — exact cosine, O(|Q|·n) / O(n²)
   *    pairwise; the correctness baseline. Norms are precomputed once per
