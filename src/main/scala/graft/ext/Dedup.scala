@@ -112,7 +112,8 @@ object Dedup {
     // the fixpoint — one cheap agg over the checkpointed result replaces
     // a join-based change detector (one action per round, not two)
     def progress(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("id") - col("cluster"))).first().getLong(0)
+      df.agg(coalesce(sum(col("id") - col("cluster")), lit(0L)))
+        .first().getLong(0)
     var prevProgress = -1L
     var converged = false
     var i = 0
