@@ -204,6 +204,22 @@ object Oracles {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
 
+    "x18_clean_corpus" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','and','of','to','in','is','der','die','das','und',
+        |                 'nicht','ist','el','los','que','y','es','una','le','les',
+        |                 'et','est','une','dans','的','是','了','在','我'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id FROM q
+        |WHERE n_tokens >= 20 AND stop_ratio <= 0.5 AND punct_ratio <= 0.1
+        |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_dups

@@ -471,6 +471,17 @@ object Queries {
       .orderBy("label", "pos")
   }
 
+  /** x18 — corpus cleaning pipeline: quality gate → exact dedup (keep the
+    * smallest doc_id per identical text). The near-dup tail of the
+    * pipeline is x16. */
+  val x18CleanCorpus: Q = (s, dir) => {
+    val filtered = TextAnalysis.qualityFilter(Tables.documents(s, dir),
+      col("text"), minTokens = 20, maxStopRatio = 0.5, maxPunctRatio = 0.1)
+    Dedup.exact(filtered, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** x16 — end-to-end near-dedup: LSH pairs → connected components →
     * surviving doc ids. No SQL oracle (hash-specific candidates);
     * ScalaTest-verified clustering semantics. */
@@ -555,6 +566,7 @@ object Queries {
     "q21_shipping_priority" -> q21ShippingPriority,
     "q22_region_volume" -> q22RegionVolume,
     "x17_label_centroids" -> x17LabelCentroids,
+    "x18_clean_corpus" -> x18CleanCorpus,
     "x01_dedup_exact" -> x01DedupExact,
     "x02_ngram_jaccard" -> x02NgramJaccard,
     "x03_minhash_lsh" -> x03MinhashLsh,

@@ -54,6 +54,18 @@ object TextAnalysis {
       .withColumn("punct_ratio", nPunct.cast("double") / length(text))
   }
 
+  /** Quality gate for a training corpus: minimum length, bounded stopword
+    * and punctuation ratios. Composes with [[Dedup]] into the standard
+    * clean→dedup pipeline (Queries.x18). */
+  def qualityFilter(df: DataFrame, text: Column, minTokens: Long = 20,
+      maxStopRatio: Double = 0.5, maxPunctRatio: Double = 0.1): DataFrame = {
+    val q = withQuality(df, text)
+    q.where(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopRatio &&
+        col("punct_ratio") <= maxPunctRatio)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Canonical-form fingerprint: lowercase, collapse non-alphanumerics,
     * hash. Used for exact dedup robust to formatting noise. */
   def fingerprint(text: Column): Column =
