@@ -63,7 +63,7 @@ object TextAnalysis {
     q.where(col("n_tokens") >= minTokens &&
         col("stopword_ratio") <= maxStopRatio &&
         col("punct_ratio") <= maxPunctRatio)
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Canonical-form fingerprint: lowercase, collapse non-alphanumerics,

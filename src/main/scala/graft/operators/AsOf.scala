@@ -89,7 +89,7 @@ object AsOf {
         .withColumn("__tag", lit(0))) { (acc, c) =>
       acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val unioned = rightU.select(leftU.columns.map(col): _*).unionByName(leftU)
+    val unioned = rightU.select(leftU.columns.toIndexedSeq.map(col): _*).unionByName(leftU)
 
     val schema = unioned.schema
     val keyIdx = keys.map(schema.fieldIndex)

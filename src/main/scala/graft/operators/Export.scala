@@ -12,7 +12,7 @@ object Export {
   /** Every column `::text` (reference: dump-dat.rkt:51-65). Decimals keep
     * their declared scale; NULL handling is the writer's concern. */
   def allToString(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+    df.select(df.columns.toIndexedSeq.map(c => col(c).cast("string").as(c)): _*)
 
   /** `coalesce(col::text, '')` (reference: dump-dolt.rkt:104-120). */
   def textOrBlank(c: Column): Column = coalesce(c.cast("string"), lit(""))

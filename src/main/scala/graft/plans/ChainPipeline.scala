@@ -82,7 +82,7 @@ object ChainPipeline {
         chain("act_symbol") === sel("s_sym") &&
           chain("expiration") === sel("sel_exp") &&
           chain("strike") === sel("sel_strike"))
-      .select(chain.columns.map(chain(_)): _*)
+      .select(chain.columns.toIndexedSeq.map(chain(_)): _*)
   }
 
   /** Full day pipeline: JSON folder → selected, PK-deduped option_chain
