@@ -10,8 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warm-up outside the timed region
+    // JVM/codegen/scan warm-up outside the timed region: exercise agg,
+    // window, join and the parquet reader once so the first timed query
+    // doesn't absorb JIT/classloading cost
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val w = spark.range(10000).selectExpr("id", "id % 7 AS k")
+    w.join(w.selectExpr("k AS k2", "id AS id2"),
+        org.apache.spark.sql.functions.expr("k = k2 AND id2 < 20"))
+      .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+      .where("rn = 1").collect()
+    graft.sources.Tables.read(spark, sfDir, "region").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
