@@ -65,7 +65,8 @@ object Oracles {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q08_null_sentinels" ->
-      """SELECT event_id, cleaned, CAST(cleaned AS DOUBLE) / 100.0 AS cleaned_pct
+      """SELECT event_id, CAST(cleaned AS DOUBLE) AS cleaned,
+        |  CAST(cleaned AS DOUBLE) / 100.0 AS cleaned_pct
         |FROM (
         |  SELECT event_id,
         |    CASE WHEN s IN ('N/A','0.00') THEN NULL
@@ -362,12 +363,16 @@ object Oracles {
 
     "d01_chain_pipeline" ->
       """SELECT CAST(d AS DATE) AS date, act_symbol, CAST(e AS DATE) AS expiration,
-        |  CAST(strike AS DECIMAL(38,4)) AS strike, call_put,
-        |  CAST(bid AS DECIMAL(38,4)) AS bid, CAST(ask AS DECIMAL(38,4)) AS ask,
-        |  CAST(model_value AS DECIMAL(38,4)) AS model_value,
-        |  CAST(vol AS DECIMAL(38,4)) AS vol, CAST(delta AS DECIMAL(38,4)) AS delta,
-        |  CAST(gamma AS DECIMAL(38,4)) AS gamma, CAST(theta AS DECIMAL(38,4)) AS theta,
-        |  CAST(vega AS DECIMAL(38,4)) AS vega, CAST(rho AS DECIMAL(38,4)) AS rho
+        |  CAST(CAST(strike AS DECIMAL(38,4)) AS DOUBLE) AS strike, call_put,
+        |  CAST(CAST(bid AS DECIMAL(38,4)) AS DOUBLE) AS bid,
+        |  CAST(CAST(ask AS DECIMAL(38,4)) AS DOUBLE) AS ask,
+        |  CAST(CAST(model_value AS DECIMAL(38,4)) AS DOUBLE) AS model_value,
+        |  CAST(CAST(vol AS DECIMAL(38,4)) AS DOUBLE) AS vol,
+        |  CAST(CAST(delta AS DECIMAL(38,4)) AS DOUBLE) AS delta,
+        |  CAST(CAST(gamma AS DECIMAL(38,4)) AS DOUBLE) AS gamma,
+        |  CAST(CAST(theta AS DECIMAL(38,4)) AS DOUBLE) AS theta,
+        |  CAST(CAST(vega AS DECIMAL(38,4)) AS DOUBLE) AS vega,
+        |  CAST(CAST(rho AS DECIMAL(38,4)) AS DOUBLE) AS rho
         |FROM (VALUES
         | ('2024-01-15','AAA','2024-01-26',95.0,'Call',6.10,6.30,6.21,0.2550,0.7200,0.0310,-0.0450,0.1120,0.0500),
         | ('2024-01-15','AAA','2024-01-26',95.0,'Put',1.05,1.15,1.10,0.2600,-0.2800,0.0310,-0.0410,0.1120,-0.0200),
@@ -386,19 +391,19 @@ object Oracles {
 
     "d02_volatility_html" ->
       """SELECT act_symbol, CAST(d AS DATE) AS date,
-        |  CAST(hv_current AS DECIMAL(38,4)) AS hv_current,
-        |  CAST(hv_week_ago AS DECIMAL(38,4)) AS hv_week_ago,
-        |  CAST(NULL AS DECIMAL(38,4)) AS hv_month_ago,
-        |  CAST(hv_year_high AS DECIMAL(38,4)) AS hv_year_high,
+        |  CAST(CAST(hv_current AS DECIMAL(38,4)) AS DOUBLE) AS hv_current,
+        |  CAST(CAST(hv_week_ago AS DECIMAL(38,4)) AS DOUBLE) AS hv_week_ago,
+        |  CAST(NULL AS DOUBLE) AS hv_month_ago,
+        |  CAST(CAST(hv_year_high AS DECIMAL(38,4)) AS DOUBLE) AS hv_year_high,
         |  CAST(hv_year_high_date AS DATE) AS hv_year_high_date,
-        |  CAST(hv_year_low AS DECIMAL(38,4)) AS hv_year_low,
+        |  CAST(CAST(hv_year_low AS DECIMAL(38,4)) AS DOUBLE) AS hv_year_low,
         |  CAST(hv_year_low_date AS DATE) AS hv_year_low_date,
-        |  CAST(iv_current AS DECIMAL(38,4)) AS iv_current,
-        |  CAST(NULL AS DECIMAL(38,4)) AS iv_week_ago,
-        |  CAST(NULL AS DECIMAL(38,4)) AS iv_month_ago,
-        |  CAST(NULL AS DECIMAL(38,4)) AS iv_year_high,
+        |  CAST(CAST(iv_current AS DECIMAL(38,4)) AS DOUBLE) AS iv_current,
+        |  CAST(NULL AS DOUBLE) AS iv_week_ago,
+        |  CAST(NULL AS DOUBLE) AS iv_month_ago,
+        |  CAST(NULL AS DOUBLE) AS iv_year_high,
         |  CAST(NULL AS DATE) AS iv_year_high_date,
-        |  CAST(NULL AS DECIMAL(38,4)) AS iv_year_low,
+        |  CAST(NULL AS DOUBLE) AS iv_year_low,
         |  CAST(NULL AS DATE) AS iv_year_low_date
         |FROM (VALUES
         | ('AAA','2024-01-15',0.2861,0.2915,0.6240,'2023-03-05',0.1820,'2023-02-28',12.3456)

@@ -587,6 +587,6 @@ object Queries {
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies
   ).map { case (k, f) =>
-    k -> ((s: SparkSession, d: String) => Tables.ntzOut(f(s, d)))
+    k -> ((s: SparkSession, d: String) => Tables.ntzOut(Tables.doubleOut(f(s, d))))
   }
 }

@@ -42,6 +42,9 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, shinglesCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6)
       : DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "trailing hash functions would be silently ignored")
     val rowsPerBand = numHashes / bands
     val base = docs
       .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
@@ -131,6 +134,11 @@ object Dedup {
       prevProgress = p
       i += 1
     }
+    if (!converged)
+      // stderr, not stdout — Bench's stdout must stay one JSON line
+      System.err.println(
+        s"[graft.Dedup] clusters() hit maxIters=$maxIters before the " +
+          "fixpoint; components with diameter > maxIters are under-merged")
     labels
   }
 

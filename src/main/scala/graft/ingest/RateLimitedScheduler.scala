@@ -38,7 +38,9 @@ class RateLimitedScheduler(
       }
       Result(sym,
         try Right(fetch(sym))
-        catch { case e: Throwable => Left(e) })
+        // NonFatal only: OOM/InterruptedException must abort the run,
+        // not masquerade as a per-symbol fetch failure
+        catch { case scala.util.control.NonFatal(e) => Left(e) })
     }
   }
 }

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** Keep exactly one row per PK, preferring the smallest `precedence`
-    * tuple (ASC). Deterministic for any input order. */
+    * tuple (ASC). Deterministic for any input order. Pass plain columns,
+    * not `.asc`/`.desc` — the sort direction is applied here, and a
+    * nested SortOrder falls out of codegen. */
   def keepFirst(df: DataFrame, pk: Seq[String], precedence: Seq[Column])
       : DataFrame = {
     val w = Window.partitionBy(pk.map(col): _*)

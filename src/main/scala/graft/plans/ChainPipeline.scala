@@ -94,8 +94,11 @@ object ChainPipeline {
     val selected =
       if (allOptions) chain
       else selectNearTheMoney(chain, markPrices(prices, folderDate), folderDate)
+    // bid ASC NULLS LAST, spelled as plain columns (isNull sorts false
+    // first) — keepFirst applies .asc itself, and a pre-wrapped SortOrder
+    // would nest and kick the sort out of codegen.
     Upsert.keepFirst(selected, Schemas.optionChainPk,
-        Seq(col("bid").asc_nulls_last))
+        Seq(col("bid").isNull, col("bid")))
       .orderBy("act_symbol", "expiration", "strike", "call_put")
   }
 }

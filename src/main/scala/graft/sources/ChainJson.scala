@@ -87,8 +87,12 @@ object ChainJson {
         col("o.bid").cast(D).as("bid"),
         col("o.ask").cast(D).as("ask"),
         col("o.model_value").cast(D).as("model_value"),
-        Cleansing.truncTo(col("o.ivint").cast(DecimalType(38, 8)) /
-          lit(BigDecimal(100)), 4).cast(D).as("vol"),
+        // vol is inserted as ivint/100 with NO trunc in the reference
+        // (transform-load.2025-08-19.rkt:203 — trunc applies only to the
+        // greeks, :204-208); the cast to scale 4 rounds half-up, a
+        // deviation only for ivint with >2 decimals (not observed).
+        (col("o.ivint").cast(DecimalType(38, 8)) /
+          lit(BigDecimal(100))).cast(D).as("vol"),
         Cleansing.truncTo(col("o.delta"), 4).cast(D).as("delta"),
         Cleansing.truncTo(col("o.gamma"), 4).cast(D).as("gamma"),
         Cleansing.truncTo(col("o.theta"), 4).cast(D).as("theta"),

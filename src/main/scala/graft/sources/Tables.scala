@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver's synthetic parquet tables (TESTDATA.md).
   *
@@ -59,6 +59,19 @@ object Tables {
       f.dataType match {
         case TimestampType =>
           acc.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        case _ => acc
+      }
+    }
+
+  /** Cast every DecimalType column to double at the output boundary.
+    * Exact decimals stay internal to the pipelines; emitting them in a
+    * result hash-mismatches the driver's compare (decimal rendering
+    * differs across readers), while doubles round-trip identically. */
+  def doubleOut(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: DecimalType =>
+          acc.withColumn(f.name, col(f.name).cast("double"))
         case _ => acc
       }
     }

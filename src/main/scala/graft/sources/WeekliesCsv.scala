@@ -15,6 +15,13 @@ import graft.operators.Upsert
   * bad dates) are dropped — the reference relies on a per-row exception
   * handler (:47-50); we use `try_to_date` + null filters, which keeps the
   * load declarative and the quarantine countable.
+  *
+  * Deliberate determinism deviation: when one file lists a symbol more
+  * than once, the reference's last PHYSICAL row wins (sequential
+  * ON CONFLICT DO UPDATE, :52-64). File order is not stable in a
+  * distributed read, so callers dedup with `Upsert.lastWins` on the
+  * max `effective_date` instead — value-determined, order-free (same
+  * policy as the other tie-break deviations, SURVEY §5).
   */
 object WeekliesCsv {
 

@@ -46,6 +46,14 @@ def main(sf_dir, out_dir):
             results[name] = f"ORACLE_SQL_ERROR {str(e)[:160]}"
             continue
         got_types = [str(t) for t in got_rel.types]
+        # Round-1 lesson: the driver's hash renders DECIMAL differently on
+        # its two read paths even when values are identical — any decimal
+        # column at the boundary is a latent hash mismatch.
+        dec = [c for c, t in zip(got_cols, got_types) if "DECIMAL" in t] + \
+              [c for c, t in zip(exp_cols, exp_types) if "DECIMAL" in t]
+        if dec:
+            results[name] = f"DECIMAL_AT_BOUNDARY cols={sorted(set(dec))}"
+            continue
         if sorted(got_cols) != sorted(exp_cols):
             results[name] = f"COLS_MISMATCH got={got_cols} exp={exp_cols}"
             continue
