@@ -301,8 +301,9 @@ object Queries {
   }
 
   /** x03 — MinHash+LSH near-dup candidates, verified by exact Jaccard.
-    * No SQL oracle (hash-function specific); validated in ScalaTest
-    * against [[x02NgramJaccard]]. */
+    * Oracle: exact all-pairs Jaccard (hash-free) — sound because LSH
+    * recall is 1 on this corpus (asserted vs [[x02NgramJaccard]] in
+    * ScalaTest). */
   val x03MinhashLsh: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -311,7 +312,9 @@ object Queries {
       threshold = 0.6).orderBy("id_a", "id_b")
   }
 
-  /** x04 — SimHash near-dup pairs. No SQL oracle; ScalaTest-validated. */
+  /** x04 — SimHash near-dup pairs. Oracle: deterministic golden pinned
+    * to sf0.01 (signature not reproducible in SQL); ScalaTest-validated
+    * from first principles. */
   val x04Simhash: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("tok"))
@@ -332,8 +335,9 @@ object Queries {
       "embedding", 5).orderBy("query_id", "rank")
   }
 
-  /** x07 — LSH-bucketed ANN pairs (the 100 TB scale path). No SQL oracle;
-    * recall measured against x05 in ScalaTest. */
+  /** x07 — LSH-bucketed ANN pairs (the 100 TB scale path). Oracle:
+    * deterministic golden pinned to sf0.01; recall vs x05 measured in
+    * ScalaTest. */
   val x07LshAnn: Q = (s, dir) => {
     Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id",
       "embedding", 0.45, bands = 4, bitsPerBand = 8, maxDim = 128)
@@ -483,7 +487,8 @@ object Queries {
   }
 
   /** x16 — end-to-end near-dedup: LSH pairs → connected components →
-    * surviving doc ids. No SQL oracle (hash-specific candidates);
+    * surviving doc ids. Oracle: connected components of the exact-Jaccard
+    * pair graph via recursive CTE (hash-free; sound at recall 1, see x03);
     * ScalaTest-verified clustering semantics. */
   val x16DedupCorpus: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
