@@ -374,6 +374,95 @@ object Oracles {
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
 
+    "q23_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |  l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+
+    "q24_set_ops" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+        |ORDER BY custkey""".stripMargin,
+
+    "x19_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    concat(text, ' Contact user', doc_id, '@example.com via ',
+        |      'https://ex.com/u/', doc_id, ' or +1 555-000-',
+        |      lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+        |      ' at 10.0.0.', CAST(doc_id % 256 AS VARCHAR), '.'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x20_boilerplate" ->
+      """WITH framed AS (
+        |  SELECT doc_id, concat('COPYRIGHT ACME CORP', chr(10), text,
+        |    chr(10), 'All rights reserved') AS text FROM documents),
+        |l AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['line'] AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+        |      (x, i) -> {'pos': i, 'line': x})) AS u
+        |    FROM framed) t),
+        |freq AS (
+        |  SELECT t FROM (SELECT DISTINCT doc_id, trim(line) AS t FROM l) d
+        |  GROUP BY t HAVING count(*) >= 100),
+        |kept AS (SELECT * FROM l WHERE trim(line) NOT IN (SELECT t FROM freq)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT f.doc_id, coalesce(r.text, '') AS text
+        |FROM framed f LEFT JOIN rebuilt r ON f.doc_id = r.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
+
+    "x21_ivf_ann" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM emb e CROSS JOIN cent c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, v AS qv, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM emb e CROSS JOIN cent c WHERE e.vec_id < 10) t WHERE rn <= 2),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, v) /
+        |      (sqrt(list_dot_product(qv, qv)) *
+        |       sqrt(list_dot_product(v, v))) AS cosine
+        |  FROM probes JOIN assigned USING (cid)
+        |  WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "x08_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

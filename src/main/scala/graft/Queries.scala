@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.{AsOf, NearestSelect, Upsert}
 import graft.functions.{Cleansing, Occ}
-import graft.ext.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventWindows, Ivf, Multimodal, Scrub, Similarity, TextAnalysis}
 
 /** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
   * the LLM-pipeline extension operators. Every query is deterministic
@@ -458,6 +458,36 @@ object Queries {
       .orderBy(col("n_name"))
   }
 
+  /** q23 — ROLLUP with grouping markers: subtotal rows per returnflag and
+    * a grand total (SQL surface beyond the reference; SURVEY §2.4 notes
+    * its absence there). Sums through exact decimal, double out. */
+  val q23Rollup: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      // grouping() markers must be computed inside the rollup's agg
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        sum(col("l_quantity").cast(D4)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("g_rf"), col("g_ls"), col("l_returnflag"),
+        col("l_linestatus"), col("sum_qty"), col("n"))
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+  }
+
+  /** q24 — INTERSECT / EXCEPT set operations (distinct set semantics,
+    * matching SQL INTERSECT/EXCEPT). */
+  val q24SetOps: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val in96 = o.where(year(col("o_orderdate").cast("date")) === 1996)
+      .select(col("o_custkey").as("custkey"))
+    val building = Tables.customer(s, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val failed = o.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    in96.intersect(building).except(failed).orderBy("custkey")
+  }
+
   /** x17 — per-label embedding centroids: exact-decimal elementwise sums
     * (order-independent under any partitioning) divided at the boundary. */
   val x17LabelCentroids: Q = (s, dir) => {
@@ -484,6 +514,41 @@ object Queries {
     Dedup.exact(filtered, col("text"), col("doc_id"))
       .select(col("keep_id").as("doc_id"))
       .orderBy("doc_id")
+  }
+
+  /** x19 — PII scrubbing: mask URL/email/IP/phone in one regexp pass.
+    * The PII payload is synthesized onto each doc (the corpus itself is
+    * clean words) so every pattern exercises a real replacement. */
+  val x19PiiScrub: Q = (s, dir) => {
+    val withPii = concat(col("text"),
+      lit(" Contact user"), col("doc_id"), lit("@example.com via "),
+      lit("https://ex.com/u/"), col("doc_id"),
+      lit(" or +1 555-000-"), lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" at 10.0.0."), (col("doc_id") % 256).cast("string"), lit("."))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Scrub.scrubPii(withPii).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** x20 — cross-document boilerplate removal: a synthetic header/footer
+    * line shared by every doc is stripped; each doc's unique body line
+    * survives. */
+  val x20Boilerplate: Q = (s, dir) => {
+    val framed = Tables.documents(s, dir)
+      .select(col("doc_id"), concat(
+        lit("COPYRIGHT ACME CORP\n"), col("text"),
+        lit("\nAll rights reserved")).as("text"))
+    Scrub.stripBoilerplate(framed, "doc_id", "text", minDocFreq = 100)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** x21 — IVF ANN top-k: deterministic coarse cells, nprobe=2 of
+    * nlist=8; recall vs the exact x06 measured in ScalaTest. */
+  val x21IvfAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Ivf.ivfTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2).orderBy("query_id", "rank")
   }
 
   /** x16 — end-to-end near-dedup: LSH pairs → connected components →
@@ -570,6 +635,8 @@ object Queries {
     "q20_join_agg" -> q20JoinAgg,
     "q21_shipping_priority" -> q21ShippingPriority,
     "q22_region_volume" -> q22RegionVolume,
+    "q23_rollup" -> q23Rollup,
+    "q24_set_ops" -> q24SetOps,
     "x17_label_centroids" -> x17LabelCentroids,
     "x18_clean_corpus" -> x18CleanCorpus,
     "x01_dedup_exact" -> x01DedupExact,
@@ -588,6 +655,9 @@ object Queries {
     "x14_session" -> x14Session,
     "x15_multimodal_meta" -> x15MultimodalMeta,
     "x16_dedup_corpus" -> x16DedupCorpus,
+    "x19_pii_scrub" -> x19PiiScrub,
+    "x20_boilerplate" -> x20Boilerplate,
+    "x21_ivf_ann" -> x21IvfAnn,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies

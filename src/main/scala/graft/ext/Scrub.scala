@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus scrubbing for a training-data pipeline: PII masking and
+  * cross-document boilerplate removal (the C4/RefinedWeb-style cleanup
+  * stage that runs between quality filtering and dedup).
+  *
+  * Scale notes: [[scrubPii]] is per-row regexp (scan speed, no shuffle).
+  * [[stripBoilerplate]] shuffles (line, doc) pairs twice — once to count
+  * document frequency per distinct line, once to rebuild documents — both
+  * keyed on high-cardinality keys that partition evenly; the frequent-line
+  * set is a small join side that AQE broadcasts.
+  */
+object Scrub {
+
+  /** (pattern → replacement), applied in order. RE2-compatible (no
+    * lookaround/backreferences) so the exact same patterns run under
+    * Spark's Java regex and RE2-based engines (the DuckDB oracle). URL
+    * first so emails inside URLs mask as part of the URL. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9() -]{7,}[0-9]" -> "<PHONE>")
+
+  /** Mask emails / URLs / IPv4s / phone-like digit runs. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Remove every line whose trimmed form appears in ≥ `minDocFreq`
+    * distinct documents (navigation chrome, copyright footers, cookie
+    * banners). Line order inside each document is preserved; documents
+    * whose lines are all boilerplate come back with empty text. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val frequent = lines
+      .select(col("__id"), trim(col("__line")).as("__t")).distinct()
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select("__t")
+    val kept = lines.join(frequent,
+      trim(lines("__line")) === frequent("__t"), "left_anti")
+    val rebuilt = kept.groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line"))))
+        .as("__ls"))
+      .select(col("__id"),
+        concat_ws("\n", transform(col("__ls"), s => s.getField("__line")))
+          .as("__text"))
+    df.drop(textCol)
+      .join(rebuilt, col(idCol) === rebuilt("__id"), "left")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .drop("__id", "__text")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Ivf, Scrub, Similarity}
+
+/** Corpus scrubbing (PII, boilerplate) and IVF ANN. */
+class ScrubIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubPii masks email, url, ip and phone; clean text unchanged") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org thanks"),
+      (2L, "see https://a.io/x?q=1 and http://b.c/y"),
+      (3L, "host is 192.168.001.1, port 8080"),
+      (4L, "call +1 (415) 555-0101 now"),
+      (5L, "nothing sensitive here at all")
+    ).toDF("id", "t").select($"id", Scrub.scrubPii($"t").as("t"))
+    val m = rows(df).map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "mail me at <EMAIL> thanks")
+    assert(m(2L) == "see <URL> and <URL>")
+    assert(m(3L) == "host is <IP>, port 8080")
+    assert(m(4L) == "call <PHONE> now")
+    assert(m(5L) == "nothing sensitive here at all")
+  }
+
+  test("stripBoilerplate drops shared lines, preserves order, empties all-boilerplate docs") {
+    val df = Seq(
+      (1L, "HEADER\nalpha\nbeta\nFOOTER"),
+      (2L, "HEADER\ngamma\nFOOTER"),
+      (3L, "HEADER\nFOOTER")
+    ).toDF("doc_id", "text")
+    val out = rows(Scrub.stripBoilerplate(df, "doc_id", "text", 3))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) == "alpha\nbeta")
+    assert(out(2L) == "gamma")
+    assert(out(3L) == "")
+  }
+
+  test("stripBoilerplate below threshold keeps everything") {
+    val df = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val out = rows(Scrub.stripBoilerplate(df, "doc_id", "text", 3))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) == "a\nb" && out(2L) == "a\nc")
+  }
+
+  test("ivfTopK: results are a subset of brute-force scores with high recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where($"vec_id" < 5)
+    val exact = rows(Similarity.bruteTopK(q, emb, "vec_id", "embedding", 5))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = rows(Ivf.ivfTopK(q, emb, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4))
+    val ivfSet = ivf.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // every query answered with k results, ranks contiguous
+    assert(ivf.groupBy(_.getAs[Long]("query_id")).forall(_._2.size == 5))
+    // probing 4 of 8 cells must recover most of the exact top-k
+    val recall = ivfSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    // cosine values agree with the exact computation for common pairs
+    val exactCos = rows(Similarity.bruteTopK(q, emb, "vec_id", "embedding", 5))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(key).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+}

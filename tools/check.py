@@ -77,6 +77,11 @@ def main(sf_dir, out_dir):
             results[name] = f"VALUE_DIFF row={bad[0]} got={bad[1]} exp={bad[2]}{type_note}"
         else:
             results[name] = f"OK rows={len(g)}{type_note}"
+    # a query that crashed in Verify writes no output dir — surface it
+    # instead of silently shrinking the total
+    for name in oracle:
+        if name not in results:
+            results[name] = "MISSING_OUTPUT (query failed in Verify?)"
     npass = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in results.items():
         flag = "PASS" if v.startswith("OK") else ("INFO" if v.startswith("ROWS_ONLY") else "FAIL")
