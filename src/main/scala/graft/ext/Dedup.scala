@@ -39,23 +39,33 @@ object Dedup {
     * @param docs (id, shingles: array<string>) — shingles need not be
     *             distinct; hashing dedups them.
     */
-  def minhashLsh(docs: DataFrame, idCol: String, shinglesCol: String,
-      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6)
-      : DataFrame = {
+  /** (id, band, bucket) LSH band keys — one row per document per band.
+    * The shared candidate-generation core of [[minhashLsh]], public so a
+    * streaming dedup can key state by the same buckets. Stateless
+    * (per-row), so it applies unchanged to a streaming DataFrame. */
+  def bandKeys(docs: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "trailing hash functions would be silently ignored")
     val rowsPerBand = numHashes / bands
-    val base = docs
+    docs
       .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
       .where(size(col("hs")) > 0)
-    val sig = base.withColumn("sig",
-      VectorExpressions.minhashSignature(col("hs"), numHashes))
-    // band key = hash of the band's slice of the signature; ids only
-    val banded = sig.select(col("id"),
+      .withColumn("sig", VectorExpressions.minhashSignature(col("hs"), numHashes))
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  def minhashLsh(docs: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6)
+      : DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
+      .where(size(col("hs")) > 0)
+    val banded = bandKeys(docs, idCol, shinglesCol, numHashes, bands)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
