@@ -117,8 +117,12 @@ object Dedup {
     * (id, label) pairs. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 10): DataFrame = {
+    // materialize the edge set ONCE — the pair plan upstream (LSH
+    // banding, candidate join, verification) would otherwise re-execute
+    // on every iteration of the label-propagation loop
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
     // labels only ever decrease, so Σ(id − cluster) grows strictly until
