@@ -9,7 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: WARN-level scans (FileStreamSink metadata probes) print full
+    // stack traces to stderr and bury the one-line JSON the driver parses
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen/scan warm-up outside the timed region: exercise agg,
     // window, join and the parquet reader once so the first timed query
     // doesn't absorb JIT/classloading cost

@@ -43,6 +43,19 @@ class ScrubIvfSpec extends SparkSpec {
     assert(out(1L) == "a\nb" && out(2L) == "a\nc")
   }
 
+  test("ivfTopK plan: centroids broadcast, probe join is not a cross join") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Ivf.ivfTopK(emb.where($"vec_id" < 5), emb, "vec_id",
+      "embedding", 5).queryExecution.executedPlan.toString
+    // the centroid side of assignment/probing must be a broadcast (the
+    // nlist rows are a constant), and the probed-cell search must join on
+    // cid, not cross-join corpus × queries
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(400))
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      "cell-id equi-join missing:\n" + plan.take(400))
+  }
+
   test("ivfTopK: results are a subset of brute-force scores with high recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.where($"vec_id" < 5)
