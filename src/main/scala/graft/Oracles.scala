@@ -463,6 +463,43 @@ object Oracles {
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "q25_cube" ->
+      """SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+        |  o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "x22_approx_distinct" ->
+      """SELECT l_returnflag, occupied, exact,
+        |  CAST(occupied AS DOUBLE) / 65536.0 AS est_ratio
+        |FROM (
+        |  SELECT l_returnflag,
+        |    count(DISTINCT (l_partkey * 2654435761) % 65536) AS occupied,
+        |    count(DISTINCT l_partkey) AS exact
+        |  FROM lineitem GROUP BY 1) t
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "x23_pii_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, concat(text, ' Contact user', doc_id,
+        |    '@example.com via ', 'https://ex.com/u/', doc_id,
+        |    ' or +1 555-000-', lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+        |    ' at 10.0.0.', CAST(doc_id % 256 AS VARCHAR), '.') AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\+?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "x08_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

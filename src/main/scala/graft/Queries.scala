@@ -488,6 +488,58 @@ object Queries {
     in96.intersect(building).except(failed).orderBy("custkey")
   }
 
+  /** q25 — CUBE over order status × priority: all four grouping
+    * combinations with grouping markers. */
+  val q25Cube: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"),
+        sum(col("o_totalprice").cast(D4)).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("g_s"), col("g_p"), col("o_orderstatus"),
+        col("o_orderpriority"), col("sum_price"), col("n"))
+      .orderBy("g_s", "g_p", "o_orderstatus", "o_orderpriority")
+  }
+
+  /** x22 — approximate distinct via linear-counting occupancy: distinct
+    * l_partkey per returnflag, estimated from occupied buckets of a
+    * 2^16 multiplicative-hash table. The scalable part is the shuffle
+    * bound: distinct (group, bucket) pairs are capped at m per group,
+    * where exact countDistinct shuffles unbounded keys. `est_ratio` is
+    * occupied/m (m a power of two → the division is exact in binary);
+    * the ln-based estimate itself is asserted in ScalaTest, not in the
+    * oracle, because libm ln differs across engines in the last ulp. */
+  val x22ApproxDistinct: Q = (s, dir) => {
+    val m = 65536
+    val bucket = pmod(col("l_partkey") * lit(2654435761L), lit(m.toLong))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(bucket).as("occupied"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .withColumn("est_ratio", col("occupied").cast("double") / lit(m.toDouble))
+      .orderBy("l_returnflag")
+  }
+
+  /** x23 — PII audit: per-document counts of each PII pattern (the
+    * measurement side of x19's masking). Counting is per-row regexp at
+    * scan speed, no shuffle. */
+  val x23PiiAudit: Q = (s, dir) => {
+    val withPii = concat(col("text"),
+      lit(" Contact user"), col("doc_id"), lit("@example.com via "),
+      lit("https://ex.com/u/"), col("doc_id"),
+      lit(" or +1 555-000-"), lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" at 10.0.0."), (col("doc_id") % 256).cast("string"), lit("."))
+    def n(pat: String) =
+      size(regexp_extract_all(withPii, lit(pat), lit(0))).cast("long")
+    val Seq(urlP, emailP, ipP, phoneP) = Scrub.piiPatterns.map(_._1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        n(urlP).as("n_urls"), n(emailP).as("n_emails"),
+        n(ipP).as("n_ips"), n(phoneP).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
   /** x17 — per-label embedding centroids: exact-decimal elementwise sums
     * (order-independent under any partitioning) divided at the boundary. */
   val x17LabelCentroids: Q = (s, dir) => {
@@ -637,6 +689,9 @@ object Queries {
     "q22_region_volume" -> q22RegionVolume,
     "q23_rollup" -> q23Rollup,
     "q24_set_ops" -> q24SetOps,
+    "q25_cube" -> q25Cube,
+    "x22_approx_distinct" -> x22ApproxDistinct,
+    "x23_pii_audit" -> x23PiiAudit,
     "x17_label_centroids" -> x17LabelCentroids,
     "x18_clean_corpus" -> x18CleanCorpus,
     "x01_dedup_exact" -> x01DedupExact,

@@ -43,6 +43,19 @@ class ScrubIvfSpec extends SparkSpec {
     assert(out(1L) == "a\nb" && out(2L) == "a\nc")
   }
 
+  test("linear-counting occupancy estimates distinct counts within 5%") {
+    val df = Queries.x22ApproxDistinct(spark, "/root/testdata/sf0.01")
+    val out = rows(df)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val occupied = r.getAs[Long]("occupied").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
+      val est = -65536.0 * math.log(1 - occupied / 65536.0)
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"estimate $est vs exact $exact")
+    }
+  }
+
   test("ivfTopK plan: centroids broadcast, probe join is not a cross join") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Ivf.ivfTopK(emb.where($"vec_id" < 5), emb, "vec_id",
