@@ -11,7 +11,8 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_asof_join", "q12_nearest_expiration", "q19_agg",
-        "q20_join_agg", "q03_export_dat", "x03_minhash_lsh")
+        "q20_join_agg", "q03_export_dat", "x03_minhash_lsh",
+        "x21_ivf_ann", "x20_boilerplate", "x22_approx_distinct")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
