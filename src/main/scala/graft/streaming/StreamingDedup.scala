@@ -27,9 +27,16 @@ object StreamingDedup {
   case class Novelty(docId: Long, bucket: Long, firstId: Long, isFirst: Boolean)
 
   /** Per-bucket first-seen tracker. Within a batch, documents are folded
-    * in ascending id order (deterministic under shuffle). */
-  private def trackBucket(bucket: Long, rows: Iterator[BandKey],
-      state: GroupState[Long]): Iterator[Novelty] = {
+    * in ascending id order (deterministic under shuffle). With a TTL,
+    * idle buckets age out of the state store — dedup becomes windowed
+    * (a doc is only compared against buckets seen within the TTL), the
+    * standard bounded-state trade for an unbounded stream. */
+  private def trackBucket(stateTtl: Option[String])(bucket: Long,
+      rows: Iterator[BandKey], state: GroupState[Long]): Iterator[Novelty] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var first: Option[Long] = state.getOption
     val out = rows.toSeq.sortBy(_.docId).map { r =>
       first match {
@@ -41,29 +48,34 @@ object StreamingDedup {
       }
     }
     first.foreach(state.update)
+    stateTtl.foreach(state.setTimeoutDuration)
     out.iterator
   }
 
   /** Stream of (bucket, docId) → per-(doc, bucket) novelty rows. */
-  def bucketNovelty(banded: Dataset[BandKey]): Dataset[Novelty] = {
+  def bucketNovelty(banded: Dataset[BandKey],
+      stateTtl: Option[String] = None): Dataset[Novelty] = {
     implicit val outEnc = Encoders.product[Novelty]
     implicit val stateEnc = Encoders.scalaLong
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded.groupByKey(_.bucket)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(trackBucket)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(trackBucket(stateTtl))
   }
 
   /** Wire a streaming (id, shingles) DataFrame through banding + the
     * stateful tracker. A document is a near-dup CANDIDATE iff any of its
     * rows has isFirst = false; group the sink output by docId to decide. */
   def nearDupNovelty(docs: DataFrame, idCol: String, shinglesCol: String,
-      numHashes: Int = 32, bands: Int = 8): Dataset[Novelty] = {
+      numHashes: Int = 32, bands: Int = 8,
+      stateTtl: Option[String] = None): Dataset[Novelty] = {
     import docs.sparkSession.implicits._
     val banded = Dedup.bandKeys(docs, idCol, shinglesCol, numHashes, bands)
       // fold the band index into the state key, mirroring the batch join
       // on (band, bucket)
       .selectExpr("xxhash64(band, bucket) AS bucket", "id AS docId")
       .as[BandKey]
-    bucketNovelty(banded)
+    bucketNovelty(banded, stateTtl)
   }
 }
