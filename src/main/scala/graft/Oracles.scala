@@ -500,6 +500,25 @@ object Oracles {
         |    '\+?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phones
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    "x24_ivf_kmeans" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM emb e CROSS JOIN cent c) t WHERE rn = 1)
+        |SELECT cid, CAST(i AS INTEGER) AS pos,
+        |  CAST(sum(CAST(v[i] AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS centroid,
+        |  count(*) AS n
+        |FROM assigned, range(1, 65) t(i)
+        |GROUP BY 1, 2 ORDER BY cid, pos""".stripMargin,
+
     "x08_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

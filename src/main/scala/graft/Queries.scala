@@ -540,6 +540,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x24 — one Lloyd refinement of the IVF coarse quantizer: per-cell
+    * elementwise means through exact-decimal sums (the x17 mean, keyed by
+    * assigned cell instead of label). Swap-in path for k-means-quality
+    * IVF centroids without touching the probe mechanics. */
+  val x24IvfKmeans: Q = (s, dir) => {
+    Ivf.lloydStep(Tables.embeddings(s, dir), "vec_id", "embedding",
+      nlist = 8).orderBy("cid", "pos")
+  }
+
   /** x17 — per-label embedding centroids: exact-decimal elementwise sums
     * (order-independent under any partitioning) divided at the boundary. */
   val x17LabelCentroids: Q = (s, dir) => {
@@ -692,6 +701,7 @@ object Queries {
     "q25_cube" -> q25Cube,
     "x22_approx_distinct" -> x22ApproxDistinct,
     "x23_pii_audit" -> x23PiiAudit,
+    "x24_ivf_kmeans" -> x24IvfKmeans,
     "x17_label_centroids" -> x17LabelCentroids,
     "x18_clean_corpus" -> x18CleanCorpus,
     "x01_dedup_exact" -> x01DedupExact,
