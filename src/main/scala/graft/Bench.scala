@@ -22,10 +22,16 @@ object Bench {
       .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
       .where("rn = 1").collect()
     graft.sources.Tables.read(spark, sfDir, "region").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // min-of-2 per query: damps one-off JIT/page-cache/GC noise (a 3.5×
+    // x02 swing in the round-2 driver run came from exactly that — the
+    // code was unchanged), at the cost of running the corpus twice
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(once(fn), once(fn))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

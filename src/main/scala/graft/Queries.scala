@@ -293,11 +293,16 @@ object Queries {
   }
 
   /** x02 — exact trigram-shingle Jaccard near-dup pairs (the oracle-exact
-    * counterpart of MinHash). */
+    * counterpart of MinHash). Candidate generation drops stopword-grade
+    * shingles (df > 64) to bound the posting-list self-join's Σ df² cost;
+    * similarities are still EXACT (full-set verification per candidate),
+    * and recall is 1 on this corpus — asserted against the uncapped form
+    * in ScalaTest, and the DuckDB oracle is itself uncapped. */
   val x02NgramJaccard: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
-    Dedup.jaccardPairs(docs, "doc_id", "sh", 0.6).orderBy("d1", "d2")
+    Dedup.jaccardPairs(docs, "doc_id", "sh", 0.6, maxDocFreq = 64)
+      .orderBy("d1", "d2")
   }
 
   /** x03 — MinHash+LSH near-dup candidates, verified by exact Jaccard.
@@ -612,6 +617,18 @@ object Queries {
       k = 5, nlist = 8, nprobe = 2).orderBy("query_id", "rank")
   }
 
+  /** x25 — IVF ANN with one Lloyd refinement of the coarse quantizer:
+    * same probe mechanics as x21, but the cells come from refined
+    * centroids (exact-decimal means, so the refinement is
+    * engine-reproducible and the query stays oracle-checkable). Recall
+    * vs the seed quantizer is asserted in ScalaTest. */
+  val x25IvfRefined: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Ivf.ivfTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2, refineIters = 1)
+      .orderBy("query_id", "rank")
+  }
+
   /** x16 — end-to-end near-dedup: LSH pairs → connected components →
     * surviving doc ids. Oracle: connected components of the exact-Jaccard
     * pair graph via recursive CTE (hash-free; sound at recall 1, see x03);
@@ -723,6 +740,7 @@ object Queries {
     "x19_pii_scrub" -> x19PiiScrub,
     "x20_boilerplate" -> x20Boilerplate,
     "x21_ivf_ann" -> x21IvfAnn,
+    "x25_ivf_refined" -> x25IvfRefined,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies

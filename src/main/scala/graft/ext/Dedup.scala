@@ -173,23 +173,50 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity pairs via a posting-list join on
     * HASHED shingles (8-byte join keys, not strings) — the
-    * oracle-checkable exact counterpart of [[minhashLsh]]. Shuffles:
-    * explode→join on the shingle hash, then one groupBy on the pair key. */
+    * oracle-checkable exact counterpart of [[minhashLsh]].
+    *
+    * The posting-list self-join does Σ df² work per distinct shingle, so
+    * one stopword-grade shingle shared by d documents costs d² candidate
+    * rows while contributing almost no discriminating power. `maxDocFreq`
+    * caps that: shingles occurring in more than `maxDocFreq` documents are
+    * dropped from CANDIDATE GENERATION only — every candidate pair is then
+    * verified with exact Jaccard over the FULL hashed-shingle sets, so
+    * reported similarities are exact regardless of the cap. The only
+    * approximation is recall: a qualifying pair is missed iff EVERY
+    * shingle it shares is above the cap, which at Jaccard ≥ threshold
+    * means two documents built almost entirely from corpus-wide boilerplate
+    * (such pairs are exactly what the cap is meant to not pay for).
+    *
+    * Shuffles: df count + semi-join on the shingle hash, capped self-join
+    * on (hash) producing id pairs only, then the pair-key dedup; full
+    * shingle arrays travel only in the final per-candidate verify join,
+    * never through the df²-sized stage.
+    */
   def jaccardPairs(docs: DataFrame, idCol: String, shinglesCol: String,
-      threshold: Double): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("id"), explode(hashedShingles(col(shinglesCol))).as("h"))
-    val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = tok.as("a").join(tok.as("b"),
+      threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
+    val tok = base.select(col("id"), explode(col("hs")).as("h"))
+    val capped =
+      if (maxDocFreq == Long.MaxValue) tok
+      else {
+        // anti-join against the HOT set, not semi-join against the rare
+        // set: |hot| ≤ total_postings / maxDocFreq and is tiny in
+        // practice, so AQE turns this into a broadcast anti-join — the
+        // whole cap costs one map-side-combined df count + a scan
+        val hot = tok.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq).select("h")
+        tok.join(hot, Seq("h"), "left_anti")
+      }
+    val candidates = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
-      .agg(count(lit(1)).as("i"))
-    val j = inter
-      .join(sizes.as("sa"), col("d1") === col("sa.id"))
-      .join(sizes.as("sb"), col("d2") === col("sb.id"))
-      .select(col("d1"), col("d2"),
-        (col("i").cast("double") /
-          (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
-    j.where(col("jaccard") >= threshold)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val sa = base.select(col("id").as("d1"), col("hs").as("hs_a"))
+    val sb = base.select(col("id").as("d2"), col("hs").as("hs_b"))
+    candidates.join(sa, "d1").join(sb, "d2")
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
   }
 }

@@ -4,59 +4,74 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
+import graft.functions.expressions.VectorExpressions
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the corpus
   * into `nlist` coarse cells, search only the `nprobe` cells nearest each
   * query. The third ANN tier next to [[Similarity.bruteTopK]] (exact) and
   * [[Similarity.lshNearDupPairs]] (signature pruning).
   *
-  * The coarse quantizer is deterministic — the centroid set is the
+  * The coarse quantizer is deterministic — the seed centroid set is the
   * embeddings of the `nlist` smallest ids — so results are reproducible
-  * across runs/engines and the operator is oracle-checkable; swap in
-  * k-means centroids for recall without touching the probe mechanics.
+  * across runs/engines and the operator is oracle-checkable;
+  * `refineIters` Lloyd steps sharpen the seeds for recall without
+  * touching the probe mechanics (still deterministic: exact-decimal
+  * means are order-independent under any partitioning).
   *
-  * At 100 TB: centroids are a broadcast constant; the cell assignment is
-  * a scan-speed map; the one shuffle co-partitions corpus and probes on
-  * `cell_id`, so each cell's exact search is local and the per-task cost
-  * is |cell| × queries-probing-it, not n × |Q|.
+  * At 100 TB: centroids are nlist×dim doubles resident on the driver and
+  * embedded in the plan like a broadcast; cell assignment is a pure
+  * per-row codegen argmax ([[VectorExpressions.nearestCell]]) — a
+  * scan-speed map with NO exchange (asserted in ScalaTest). The single
+  * corpus shuffle is the `cell_id` equi-join that co-partitions corpus
+  * and probes, so each cell's exact search is local and the per-task
+  * cost is |cell| × queries-probing-it, not n × |Q|. Each Lloyd
+  * iteration adds one scan + a map-side-combined (cid, dim) mean agg —
+  * only nlist×dim×partitions rows move.
   */
 object Ivf {
 
+  /** Centroid constants: (cid, vector, squared L2 norm), cid-ascending. */
+  private type Centroids = Array[(Long, Array[Double], Double)]
+
   /** The deterministic seed centroids: embeddings of the `nlist`
-    * smallest ids, with vector + norm precomputed for the broadcast. */
+    * smallest ids. nlist rows — a driver-side constant, like collecting
+    * a broadcast side. */
   private def seedCentroids(corpus: DataFrame, idCol: String,
-      vecCol: String, nlist: Int): DataFrame =
+      vecCol: String, nlist: Int): Centroids =
     corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cid"), VectorOps.toDouble(col(vecCol)).as("cv"),
+      .select(col(idCol).cast("long").as("cid"),
+        VectorOps.toDouble(col(vecCol)).as("cv"),
         VectorOps.norm2(col(vecCol)).as("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
 
   /** Nearest centroid by cosine per corpus row (ties to the smallest
-    * cid) — the broadcast-side cell assignment shared by search and
-    * refinement. Output: (neighbor_id, v, n2, cid). */
+    * cid) — a zero-exchange scan-speed map over the constant centroid
+    * set. Output: (neighbor_id, v, n2, cid). */
   private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
-      cent: DataFrame): DataFrame = {
-    val cvec = corpus.select(col(idCol).as("neighbor_id"),
-      VectorOps.toDouble(col(vecCol)).as("v"), VectorOps.norm2(col(vecCol)).as("n2"))
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("__cos").desc, col("cid").asc)
-    cvec.crossJoin(broadcast(cent))
-      .withColumn("__cos", VectorOps.cosineWithNorms(
-        VectorOps.dot(col("v"), col("cv")), col("n2"), col("cn")))
-      .withColumn("__rn", row_number().over(wAssign)).where(col("__rn") === 1)
-      .select(col("neighbor_id"), col("v"), col("n2"), col("cid"))
-  }
+      cent: Centroids): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+        VectorOps.toDouble(col(vecCol)).as("v"),
+        VectorOps.norm2(col(vecCol)).as("n2"))
+      .withColumn("cid", VectorExpressions.nearestCell(col("v"), col("n2"),
+        cent.map(_._2), cent.map(_._3), cent.map(_._1)))
 
-  /** One Lloyd iteration of the coarse quantizer: the refined centroid of
-    * each cell is the elementwise mean of its members, computed through
+  /** Exposed for plan assertions in ScalaTest: the assignment subtree
+    * must stay exchange-free. */
+  private[graft] def assignedForPlanCheck(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int): DataFrame =
+    assignCells(corpus, idCol, vecCol,
+      seedCentroids(corpus, idCol, vecCol, nlist))
+
+  /** Per-cell elementwise means of the assigned vectors, computed through
     * exact decimal sums (order-independent under any partitioning — the
     * same engine-stable mean as the label-centroid operator) and cast to
     * double at the boundary. Output: (cid, pos, centroid, n), one row per
-    * (cell, dimension). */
-  def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): DataFrame = {
+    * (cell, dimension), pos 1-based. */
+  private def cellMeans(assigned: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cent = seedCentroids(corpus, idCol, vecCol, nlist)
-    assignCells(corpus, idCol, vecCol, cent)
+    assigned
       .select(col("cid"), posexplode(col("v")))
       // quantize at scale 8 (tie-free for float-sourced values) so the
       // sum is exact and identical across engines
@@ -67,20 +82,67 @@ object Ivf {
         count(lit(1)).as("n"))
   }
 
+  /** One Lloyd iteration of the coarse quantizer over the seed centroids,
+    * as a queryable DataFrame (the x24 oracle shape). */
+  def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame =
+    cellMeans(assignCells(corpus, idCol, vecCol,
+      seedCentroids(corpus, idCol, vecCol, nlist)))
+
+  /** `iters` Lloyd refinements of the seed quantizer. Each iteration runs
+    * one zero-exchange assignment scan plus one map-side-combined
+    * (cid, dim) mean agg; only nlist×dim rows return to the driver. Cells
+    * that lose all members drop out (their cid disappears), matching the
+    * GROUP BY semantics of the SQL oracle. The refreshed norm is a
+    * left-to-right fold in element order — the same accumulation as
+    * [[VectorOps.norm2]] and DuckDB's `list_dot_product`. */
+  private def refinedCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int): Centroids = {
+    var cent = seedCentroids(corpus, idCol, vecCol, nlist)
+    var it = 0
+    while (it < iters) {
+      cent = cellMeans(assignCells(corpus, idCol, vecCol, cent))
+        .select(col("cid"), col("pos"), col("centroid"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val cv = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          var cn = 0.0
+          var i = 0
+          while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
+          (cid, cv, cn)
+        }
+        .toArray
+        .sortBy(_._1)
+      it += 1
+    }
+    cent
+  }
+
   /** Top-k cosine neighbors per query, searching only the `nprobe`
     * nearest of `nlist` coarse cells. `queries` and `corpus` share the
-    * id/vector column names; self-matches are excluded. */
+    * id/vector column names; self-matches are excluded. `refineIters`
+    * Lloyd steps (default 0 = raw seeds) improve cell balance and recall
+    * at the cost of one corpus scan + tiny agg per step. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cent = seedCentroids(corpus, idCol, vecCol, nlist)
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      refineIters: Int = 0): DataFrame = {
+    val cent =
+      if (refineIters <= 0) seedCentroids(corpus, idCol, vecCol, nlist)
+      else refinedCentroids(corpus, idCol, vecCol, nlist, refineIters)
     val assigned = assignCells(corpus, idCol, vecCol, cent)
 
-    // probe list: the nprobe nearest centroids per query
+    // probe list: the nprobe nearest centroids per query. The window runs
+    // on the SMALL query side only (|Q| × nlist rows), never the corpus.
+    import corpus.sparkSession.implicits._
+    val centDf = cent.toSeq
+      .map { case (cid, cv, cn) => (cid, cv.toSeq, cn) }
+      .toDF("cid", "cv", "cn")
     val qvec = queries.select(col(idCol).as("query_id"),
       VectorOps.toDouble(col(vecCol)).as("qv"), VectorOps.norm2(col(vecCol)).as("qn"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("cid").asc)
-    val probes = qvec.crossJoin(broadcast(cent))
+    val probes = qvec.crossJoin(broadcast(centDf))
       .withColumn("__cos", VectorOps.cosineWithNorms(
         VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("__rn", row_number().over(wProbe)).where(col("__rn") <= nprobe)

@@ -183,8 +183,7 @@ object MinHashSignature {
   * `split(text)` input that turns O(tokens) into O(tokens × split(text)).
   * Here the child array is evaluated exactly once per row.
   */
-case class Shingles(child: Expression, n: Int) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles"
@@ -209,8 +208,119 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression
     ArrayData.toArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val space = ctx.addReferenceObj("space",
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+        "org.apache.spark.unsafe.types.UTF8String")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      s"""
+         |int $m = $a.numElements() - ${n - 1};
+         |if ($m < 0) $m = 0;
+         |Object[] $out = new Object[$m];
+         |org.apache.spark.unsafe.types.UTF8String[] $parts =
+         |  new org.apache.spark.unsafe.types.UTF8String[$n];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $parts[$k] = $a.getUTF8String($i + $k);
+         |  }
+         |  $out[$i] = org.apache.spark.unsafe.types.UTF8String.concatWs($space, $parts);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Nearest coarse-quantizer cell for a vector: argmax over a SMALL
+  * driver-resident centroid set of `dot(v, c) / (sqrt(n2) * sqrt(cn))`,
+  * ties to the first (lowest-cid) centroid — bit-identical to
+  * `row_number() OVER (ORDER BY cosine DESC, cid ASC) = 1` including
+  * Spark/DuckDB's NaN-sorts-largest double ordering
+  * (java.lang.Double.compare). The centroids are constructor constants
+  * (embedded via codegen references, like a broadcast), so cell
+  * assignment is a pure per-row map: NO crossJoin row expansion and NO
+  * exchange — at 100 TB the assignment costs exactly one corpus scan.
+  *
+  * `centIds` must be sorted ascending; `centVecs`/`centNorms` are
+  * positionally aligned with it.
+  */
+case class NearestCell(vec: Expression, norm2: Expression,
+    centVecs: Array[Array[Double]], centNorms: Array[Double],
+    centIds: Array[Long]) extends BinaryExpression {
+
+  require(centIds.length == centVecs.length &&
+    centIds.length == centNorms.length && centIds.nonEmpty,
+    "centroid ids/vectors/norms must be non-empty and aligned")
+
+  override def left: Expression = vec
+  override def right: Expression = norm2
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val sq = math.sqrt(b.asInstanceOf[Double])
+    var best = 0.0
+    var bestId = 0L
+    var j = 0
+    while (j < centIds.length) {
+      val cv = centVecs(j)
+      val n = math.min(v.numElements(), cv.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
+      val cos = dot / (sq * math.sqrt(centNorms(j)))
+      if (j == 0 || java.lang.Double.compare(cos, best) > 0) {
+        best = cos; bestId = centIds(j)
+      }
+      j += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cents = ctx.addReferenceObj("centVecs", centVecs, "double[][]")
+      val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+      val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+      val sq = ctx.freshName("sq")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val j = ctx.freshName("j")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val cos = ctx.freshName("cos")
+      s"""
+         |double $sq = java.lang.Math.sqrt($b);
+         |double $best = 0.0;
+         |long $bestId = 0L;
+         |for (int $j = 0; $j < $ids.length; $j++) {
+         |  double[] $cv = $cents[$j];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $cv[$i];
+         |  }
+         |  double $cos = $dot / ($sq * java.lang.Math.sqrt($norms[$j]));
+         |  if ($j == 0 || java.lang.Double.compare($cos, $best) > 0) {
+         |    $best = $cos; $bestId = $ids[$j];
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(vec = l, norm2 = r)
 }
 
 object VectorExpressions {
@@ -223,4 +333,8 @@ object VectorExpressions {
     column(MinHashSignature(expression(hashes), numHashes))
   def shingles(tokens: Column, n: Int): Column =
     column(Shingles(expression(tokens), n))
+  def nearestCell(vec: Column, norm2: Column, centVecs: Array[Array[Double]],
+      centNorms: Array[Double], centIds: Array[Long]): Column =
+    column(NearestCell(expression(vec), expression(norm2),
+      centVecs, centNorms, centIds))
 }

@@ -39,6 +39,22 @@ class ExtSpec extends SparkSpec {
     assert(lsh.contains((1L, 4L)))
   }
 
+  test("jaccardPairs maxDocFreq: exact values; recall holds unless every shared shingle is hot") {
+    val sh = docs.select($"doc_id", TextAnalysis.shingles($"text", 3).as("sh"))
+    val uncapped = rows(Dedup.jaccardPairs(sh, "doc_id", "sh", 0.6))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cap above every df in this corpus → identical output, value-exact
+    val capped = rows(Dedup.jaccardPairs(sh, "doc_id", "sh", 0.6, maxDocFreq = 3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped)
+    // cap=1 drops every shingle shared by ≥2 docs from candidate
+    // generation → the identical pair (1,4) can no longer be FOUND, the
+    // designed recall trade-off at the extreme; nothing spurious appears
+    val starved = rows(Dedup.jaccardPairs(sh, "doc_id", "sh", 0.6, maxDocFreq = 1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(starved.subsetOf(uncapped) && !starved.contains((1L, 4L, 1.0)))
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs absent") {
     val tok = docs.select($"doc_id", TextAnalysis.tokens(lower($"text")).as("t"))
     val got = rows(Dedup.simhashPairs(tok, "doc_id", "t", maxHamming = 3)

@@ -69,6 +69,32 @@ class ScrubIvfSpec extends SparkSpec {
       "cell-id equi-join missing:\n" + plan.take(400))
   }
 
+  test("IVF cell assignment is exchange-free (pure scan-speed map)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Ivf.assignedForPlanCheck(emb, "vec_id", "embedding", 8)
+      .queryExecution.executedPlan.toString
+    // the 100 TB contract: assignment costs exactly one corpus scan — no
+    // crossJoin row expansion, no shuffle of vectors through a window
+    assert(!plan.contains("Exchange"), "assignment shuffles:\n" + plan.take(600))
+    assert(!plan.contains("Window"), "assignment uses a window:\n" + plan.take(600))
+  }
+
+  test("ivfTopK with Lloyd refinement: recall >= seed-centroid recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.where($"vec_id" < 10)
+    val exact = rows(Similarity.bruteTopK(q, emb, "vec_id", "embedding", 5))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(refine: Int): Double = {
+      val got = rows(Ivf.ivfTopK(q, emb, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 2, refineIters = refine))
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val seed = recall(0)
+    val refined = recall(1)
+    assert(refined >= seed, s"refined recall $refined < seed recall $seed")
+  }
+
   test("ivfTopK: results are a subset of brute-force scores with high recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.where($"vec_id" < 5)
