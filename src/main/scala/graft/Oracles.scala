@@ -537,6 +537,17 @@ object Oracles {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin,
 
+    "q26_grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+        |  o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin,
+
     "x22_approx_distinct" ->
       """SELECT l_returnflag, occupied, exact,
         |  CAST(occupied AS DOUBLE) / 65536.0 AS est_ratio
@@ -722,6 +733,33 @@ object Oracles {
         |) t(act_symbol, d, hv_current, hv_week_ago, hv_year_high,
         |    hv_year_high_date, hv_year_low, hv_year_low_date, iv_current)
         |ORDER BY act_symbol""".stripMargin,
+
+    // d05 restores what it exported, so the oracle is the identity query
+    // on the source slice — stronger than a golden VALUES table
+    "d05_export_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS date
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "d04_chain_html" ->
+      """SELECT CAST(d AS DATE) AS date, act_symbol, CAST(e AS DATE) AS expiration,
+        |  CAST(CAST(strike AS DECIMAL(38,4)) AS DOUBLE) AS strike, call_put,
+        |  CAST(CAST(bid AS DECIMAL(38,4)) AS DOUBLE) AS bid,
+        |  CAST(CAST(ask AS DECIMAL(38,4)) AS DOUBLE) AS ask,
+        |  CAST(CAST(vol AS DECIMAL(38,4)) AS DOUBLE) AS vol,
+        |  CAST(CAST(delta AS DECIMAL(38,4)) AS DOUBLE) AS delta,
+        |  CAST(CAST(gamma AS DECIMAL(38,4)) AS DOUBLE) AS gamma,
+        |  CAST(CAST(theta AS DECIMAL(38,4)) AS DOUBLE) AS theta,
+        |  CAST(CAST(vega AS DECIMAL(38,4)) AS DOUBLE) AS vega,
+        |  CAST(CAST(rho AS DECIMAL(38,4)) AS DOUBLE) AS rho
+        |FROM (VALUES
+        | ('2024-01-15','AAA','2024-01-26',95.0,'Call',6.10,6.30,0.2550,0.7200,0.0310,-0.0450,0.1120,0.0500),
+        | ('2024-01-15','AAA','2024-01-26',95.0,'Put',1.05,1.15,0.2600,-0.2800,0.0310,-0.0410,0.1120,-0.0200),
+        | ('2024-01-15','AAA','2024-02-23',100.5,'Call',4.10,4.40,0.2390,0.5300,0.0350,-0.0350,0.1800,0.0800),
+        | ('2024-01-15','AAA','2024-02-23',100.5,'Put',3.90,4.20,0.2420,-0.4700,0.0350,-0.0330,0.1800,NULL)
+        |) t(d, act_symbol, e, strike, call_put, bid, ask, vol, delta, gamma, theta, vega, rho)
+        |ORDER BY expiration, strike, call_put""".stripMargin,
 
     "d03_weeklies" ->
       """SELECT act_symbol, CAST(e AS DATE) AS effective_date,

@@ -479,6 +479,24 @@ object Queries {
       .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
   }
 
+  /** q26 — arbitrary GROUPING SETS (not expressible as one rollup/cube):
+    * totals by (status, priority), by priority alone, and the grand
+    * total — skipping the (status) set a rollup would force. */
+  val q26GroupingSets: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"),
+        sum(col("o_totalprice").cast(D4)).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("g_s"), col("g_p"), col("o_orderstatus"),
+        col("o_orderpriority"), col("sum_price"), col("n"))
+      .orderBy("g_s", "g_p", "o_orderstatus", "o_orderpriority")
+  }
+
   /** q24 — INTERSECT / EXCEPT set operations (distinct set semantics,
     * matching SQL INTERSECT/EXCEPT). */
   val q24SetOps: Q = (s, dir) => {
@@ -687,6 +705,44 @@ object Queries {
       .orderBy("act_symbol")
   }
 
+  /** d04 — first-generation HTML chain-page extraction: positional td
+    * projection (call offset 0 / put offset −1) + OCC onmouseover decode
+    * (reference: transform-load.rkt:47-64, patterns :49-56). */
+  val d04ChainHtml: Q = (s, _) => {
+    val pages = graft.sources.ChainHtml.readDay(s, resPath("chainhtml/2024-01-15"))
+    graft.sources.ChainHtml.toOptions(pages, java.sql.Date.valueOf("2024-01-15"))
+      .orderBy("expiration", "strike", "call_put")
+  }
+
+  /** d05 — S8+S11 round trip under the oracle: a deterministic orders
+    * slice goes out through the date-partitioned CSV sink (header, ''
+    * encodes NULL — reference: dump-dat.rkt:44-81) and back through the
+    * PERMISSIVE bulk restore (reference: restore-from-dolt.rkt:47-71),
+    * with one injected malformed file that must be QUARANTINED, not
+    * fail the load. The oracle is the identity query on orders — the
+    * round trip must be lossless. */
+  val d05ExportRestore: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val src = Tables.orders(s, dir)
+      .where(col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+      .select(to_date(col("o_orderdate")).as("date"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val path = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
+    graft.operators.Export.writeDailyCsv(src, path)
+    val badDir = java.nio.file.Paths.get(path, "date=1995-01-01")
+    java.nio.file.Files.createDirectories(badDir)
+    java.nio.file.Files.writeString(badDir.resolve("zz_corrupt.csv"),
+      "o_orderkey,o_custkey,o_orderstatus,o_totalprice\nnot_a_number,also bad\n")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("date", DateType)))
+    val (good, _) = graft.operators.Export.readCsvRestore(s, path, schema)
+    good.orderBy("o_orderkey")
+  }
+
   /** All queries, keyed as exposed through SparkEntry. Every result passes
     * through [[Tables.ntzOut]] so timestamps match the naive-timestamp
     * oracle output. */
@@ -716,6 +772,7 @@ object Queries {
     "q23_rollup" -> q23Rollup,
     "q24_set_ops" -> q24SetOps,
     "q25_cube" -> q25Cube,
+    "q26_grouping_sets" -> q26GroupingSets,
     "x22_approx_distinct" -> x22ApproxDistinct,
     "x23_pii_audit" -> x23PiiAudit,
     "x24_ivf_kmeans" -> x24IvfKmeans,
@@ -743,7 +800,9 @@ object Queries {
     "x25_ivf_refined" -> x25IvfRefined,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
-    "d03_weeklies" -> d03Weeklies
+    "d03_weeklies" -> d03Weeklies,
+    "d04_chain_html" -> d04ChainHtml,
+    "d05_export_restore" -> d05ExportRestore
   ).map { case (k, f) =>
     k -> ((s: SparkSession, d: String) => Tables.ntzOut(Tables.doubleOut(f(s, d))))
   }

@@ -10,6 +10,7 @@ object Fixtures {
 
   private val files = Seq(
     "chain/2024-01-15/AAA.json",
+    "chainhtml/2024-01-15/AAA.html",
     "chain/2024-01-15/BBB.json",
     "vol/AAA.html",
     "vol/BAD.html",

@@ -12,47 +12,53 @@ import graft.ext.Dedup
   * it applies to a stream unchanged). A keyed state per (band, bucket)
   * remembers the first document that ever claimed the bucket; every later
   * document sharing it is emitted as a near-dup candidate against that
-  * representative. Candidates are exactly the batch LSH candidate pairs,
-  * discovered incrementally — verification (exact Jaccard against the
-  * representative) stays a cheap downstream join because candidates are
-  * rare.
+  * representative. The state key IS the (band, bucket) pair — not a
+  * re-hash of it — so the candidate set is identical to the batch join
+  * on (band, bucket) by construction, not just almost surely.
+  * Verification (exact Jaccard against the representative) stays a cheap
+  * downstream join because candidates are rare.
   *
   * At scale: state is one long per occupied bucket (not per document),
   * sharded by the state-store partitioning on the bucket key; skewed
-  * buckets cost emission volume, not state size.
+  * buckets cost emission volume, not state size. Within a batch the
+  * tracker buffers only the group's doc ids (8 bytes each, no sort) to
+  * resolve the deterministic min-id owner before emitting.
   */
 object StreamingDedup {
 
-  case class BandKey(bucket: Long, docId: Long)
-  case class Novelty(docId: Long, bucket: Long, firstId: Long, isFirst: Boolean)
+  case class BandKey(band: Int, bucket: Long, docId: Long)
+  case class BucketKey(band: Int, bucket: Long)
+  case class Novelty(docId: Long, band: Int, bucket: Long, firstId: Long,
+    isFirst: Boolean)
 
-  /** Per-bucket first-seen tracker. Within a batch, documents are folded
-    * in ascending id order (deterministic under shuffle). With a TTL,
-    * idle buckets age out of the state store — dedup becomes windowed
-    * (a doc is only compared against buckets seen within the TTL), the
-    * standard bounded-state trade for an unbounded stream. */
-  private def trackBucket(stateTtl: Option[String])(bucket: Long,
+  /** Per-bucket first-seen tracker. Within a batch the owner is the
+    * smallest id in the group (deterministic under shuffle), found in one
+    * bounded pass over the ids — the full rows are never materialized or
+    * sorted. With a TTL, idle buckets age out of the state store — dedup
+    * becomes windowed (a doc is only compared against buckets seen within
+    * the TTL), the standard bounded-state trade for an unbounded stream. */
+  private def trackBucket(stateTtl: Option[String])(key: BucketKey,
       rows: Iterator[BandKey], state: GroupState[Long]): Iterator[Novelty] = {
     if (state.hasTimedOut) {
       state.remove()
       return Iterator.empty
     }
-    var first: Option[Long] = state.getOption
-    val out = rows.toSeq.sortBy(_.docId).map { r =>
-      first match {
-        case None =>
-          first = Some(r.docId)
-          Novelty(r.docId, bucket, r.docId, isFirst = true)
-        case Some(f) =>
-          Novelty(r.docId, bucket, f, isFirst = f == r.docId)
-      }
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var minId = Long.MaxValue
+    rows.foreach { r =>
+      ids += r.docId
+      if (r.docId < minId) minId = r.docId
     }
-    first.foreach(state.update)
-    stateTtl.foreach(state.setTimeoutDuration)
-    out.iterator
+    val owner = state.getOption.getOrElse(minId)
+    if (ids.nonEmpty) {
+      state.update(owner)
+      stateTtl.foreach(state.setTimeoutDuration)
+    }
+    ids.iterator.map(id =>
+      Novelty(id, key.band, key.bucket, owner, isFirst = id == owner))
   }
 
-  /** Stream of (bucket, docId) → per-(doc, bucket) novelty rows. */
+  /** Stream of (band, bucket, docId) → per-(doc, bucket) novelty rows. */
   def bucketNovelty(banded: Dataset[BandKey],
       stateTtl: Option[String] = None): Dataset[Novelty] = {
     implicit val outEnc = Encoders.product[Novelty]
@@ -60,7 +66,8 @@ object StreamingDedup {
     val timeout =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    banded.groupByKey(_.bucket)(Encoders.scalaLong)
+    banded.groupByKey(r => BucketKey(r.band, r.bucket))(
+        Encoders.product[BucketKey])
       .flatMapGroupsWithState(OutputMode.Append, timeout)(trackBucket(stateTtl))
   }
 
@@ -72,9 +79,7 @@ object StreamingDedup {
       stateTtl: Option[String] = None): Dataset[Novelty] = {
     import docs.sparkSession.implicits._
     val banded = Dedup.bandKeys(docs, idCol, shinglesCol, numHashes, bands)
-      // fold the band index into the state key, mirroring the batch join
-      // on (band, bucket)
-      .selectExpr("xxhash64(band, bucket) AS bucket", "id AS docId")
+      .selectExpr("CAST(band AS INT) AS band", "bucket", "id AS docId")
       .as[BandKey]
     bucketNovelty(banded, stateTtl)
   }

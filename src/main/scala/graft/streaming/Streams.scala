@@ -20,6 +20,43 @@ object Streams {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates(pk :+ tsCol)
 
+  /** foreachBatch upsert sink: maintains a parquet table with
+    * `INSERT … ON CONFLICT (pk) DO NOTHING` semantics across
+    * micro-batches — the streaming form of [[graft.operators.Upsert.keepFirst]]
+    * (S9; reference: transform-load.2025-08-19.rkt:209). Each batch is
+    * first deduped internally (smallest `precedence` tuple wins, same
+    * rule as the batch operator), then anti-joined against the table's
+    * existing PKs so only never-seen keys are APPENDED — the table is
+    * never rewritten, so a 100 TB table costs one PK-projection scan per
+    * batch (at real scale the PK set would sit in a bucketed/indexed
+    * store; the shape — dedup, anti-join, append — is the same).
+    * Replayed batches insert nothing: load ∘ load = load.
+    *
+    * Returns the started query; stop it when done. */
+  def keepFirstSink(stream: DataFrame, pk: Seq[String],
+      precedence: Seq[Column], tablePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = graft.operators.Upsert.keepFirst(batch, pk, precedence)
+        val existingPks =
+          try Some(spark.read.parquet(tablePath).select(pk.map(col): _*))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("PATH_NOT_FOUND") ||
+                  e.getMessage.contains("Path does not exist") => None
+          }
+        val fresh = existingPks match {
+          case Some(keys) => deduped.join(keys, pk, "left_anti")
+          case None => deduped
+        }
+        fresh.write.mode("append").parquet(tablePath)
+      }
+      .start()
+
   /** Tumbling event-time aggregation with watermark — the streaming form
     * of EventWindows.tumbling. */
   def tumblingCounts(stream: DataFrame, tsCol: String, width: String,

@@ -61,6 +61,30 @@ class SourcesSpec extends SparkSpec {
     assert(rows(again).toString == rows(out).toString)
   }
 
+  test("chain html: positional call/put projection + OCC onmouseover decode") {
+    val opts = graft.sources.ChainHtml.toOptions(
+      graft.sources.ChainHtml.readDay(spark, res("chainhtml/2024-01-15")), day)
+    // 2 expirations × (call + put); header/nav rows carry no OCC → dropped
+    assert(opts.count() == 4)
+    val call = rows(opts.where($"call_put" === "Call" &&
+      $"expiration" === lit(d("2024-01-26")))).head
+    assert(call.getAs[String]("act_symbol") == "AAA")
+    assertDecEq(call.getAs[java.math.BigDecimal]("strike"), "95")
+    assertDecEq(call.getAs[java.math.BigDecimal]("bid"), "6.10")
+    assertDecEq(call.getAs[java.math.BigDecimal]("ask"), "6.30")
+    // 25.50% → 0.2550 (no truncation in the HTML era)
+    assertDecEq(call.getAs[java.math.BigDecimal]("vol"), "0.255")
+    assertDecEq(call.getAs[java.math.BigDecimal]("theta"), "-0.045")
+    // put rows read one td to the LEFT (offset −1)
+    val put = rows(opts.where($"call_put" === "Put" &&
+      $"expiration" === lit(d("2024-02-23")))).head
+    assertDecEq(put.getAs[java.math.BigDecimal]("strike"), "100.5")
+    assertDecEq(put.getAs[java.math.BigDecimal]("bid"), "3.90")
+    assertDecEq(put.getAs[java.math.BigDecimal]("delta"), "-0.47")
+    // number-or-false: 'N/A' rho → NULL, not an error
+    assert(put.isNullAt(put.fieldIndex("rho")))
+  }
+
   test("volatility html: positional extraction, sentinels, year attach") {
     val pages = VolatilityHtml.readDay(spark, res("vol"))
     val (good, bad) = VolatilityHtml.partitionSentinels(pages)

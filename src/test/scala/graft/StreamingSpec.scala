@@ -40,6 +40,35 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("keepFirstSink: stream-loaded table equals batch keepFirst") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs1 = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), "a"),
+      Ev(1, ts("2024-01-01 00:00:01"), "a-later"),
+      Ev(2, ts("2024-01-01 00:01:00"), "b"))
+    val evs2 = Seq(
+      Ev(1, ts("2024-01-01 00:00:02"), "a-replay"), // conflict → DO NOTHING
+      Ev(3, ts("2024-01-01 00:02:00"), "c"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink")
+    val table = dir.resolve("table").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(evs1: _*)
+    val q = Streams.keepFirstSink(mem.toDF(), Seq("pk"), Seq(col("ts")),
+      table, ckpt)
+    q.processAllAvailable()
+    mem.addData(evs2: _*) // second micro-batch, cross-batch conflicts
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(table)
+      .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
+    val batch = graft.operators.Upsert
+      .keepFirst((evs1 ++ evs2).toDF(), Seq("pk"), Seq(col("ts")))
+      .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
+    assert(got == batch)
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("streaming tumbling counts equal batch window counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
