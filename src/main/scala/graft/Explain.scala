@@ -12,7 +12,9 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_asof_join", "q12_nearest_expiration", "q19_agg",
         "q20_join_agg", "q03_export_dat", "x03_minhash_lsh",
-        "x21_ivf_ann", "x20_boilerplate", "x22_approx_distinct")
+        "x21_ivf_ann", "x25_ivf_refined", "x20_boilerplate",
+        "x22_approx_distinct", "x02_ngram_jaccard", "x26_hash_split",
+        "x27_pack_chunks")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

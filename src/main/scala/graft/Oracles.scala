@@ -537,6 +537,28 @@ object Oracles {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin,
 
+    "x26_hash_split" ->
+      """SELECT doc_id, (doc_id * 2654435761) % 1000 AS bucket,
+        |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x27_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, start_tok,
+        |  CAST(floor(start_tok / 2048) AS BIGINT) AS chunk_first,
+        |  CAST(floor((start_tok + n_tokens - 1) / 2048) AS BIGINT) AS chunk_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q26_grouping_sets" ->
       """SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.{AsOf, NearestSelect, Upsert}
 import graft.functions.{Cleansing, Occ}
-import graft.ext.{Dedup, EventWindows, Ivf, Multimodal, Scrub, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventWindows, Ivf, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
   * the LLM-pipeline extension operators. Every query is deterministic
@@ -635,6 +635,27 @@ object Queries {
       k = 5, nlist = 8, nprobe = 2).orderBy("query_id", "rank")
   }
 
+  /** x26 — deterministic train/valid/test split (80/10/10 per mille):
+    * hash-bucket assignment, a pure per-row map — rerunning or
+    * re-sharding cannot move a document across splits. */
+  val x26HashSplit: Q = (s, dir) => {
+    Sampling.hashSplit(Tables.documents(s, dir), col("doc_id"), 800, 100)
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** x27 — concat-then-chunk sequence packing at 2048 tokens, packed
+    * shard-locally over 8 deterministic shards (the distributed-writer
+    * layout). */
+  val x27PackChunks: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Sampling.packChunks(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), chunkTokens = 2048, shards = 8)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_tok"), col("chunk_first"), col("chunk_last"))
+      .orderBy("doc_id")
+  }
+
   /** x25 — IVF ANN with one Lloyd refinement of the coarse quantizer:
     * same probe mechanics as x21, but the cells come from refined
     * centroids (exact-decimal means, so the refinement is
@@ -798,6 +819,8 @@ object Queries {
     "x20_boilerplate" -> x20Boilerplate,
     "x21_ivf_ann" -> x21IvfAnn,
     "x25_ivf_refined" -> x25IvfRefined,
+    "x26_hash_split" -> x26HashSplit,
+    "x27_pack_chunks" -> x27PackChunks,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling and packing for training-data pipelines: deterministic
+  * train/valid/test splitting and concat-then-chunk sequence packing.
+  *
+  * Both are engine-reproducible by construction (no RNG — assignment is
+  * a pure function of the row key), so a split/packing computed today on
+  * one engine is identical tomorrow on another: the property that makes
+  * dataset versioning and leakage audits possible at 100 TB.
+  */
+object Sampling {
+
+  /** Knuth's multiplicative-hash bucket in [0, buckets): deterministic,
+    * uniform for sequential ids, and expressible in any SQL engine
+    * (exact long arithmetic, no overflow for id < 2^33). The same
+    * formula as the linear-counting sketch (Queries.x22). */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(id * lit(2654435761L), lit(buckets.toLong))
+
+  /** Deterministic train/valid/test assignment by per-mille weight:
+    * bucket < `train` ‰ → "train", < train+valid ‰ → "valid", else
+    * "test". A pure per-row map — no shuffle, no RNG state; rerunning or
+    * re-sharding the corpus cannot move a document across splits. */
+  def hashSplit(df: DataFrame, id: Column, trainPerMille: Int,
+      validPerMille: Int): DataFrame = {
+    require(trainPerMille + validPerMille <= 1000,
+      "train + valid per-mille must leave room for test")
+    val b = hashBucket(id, 1000)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(b < trainPerMille, "train")
+          .when(b < trainPerMille + validPerMille, "valid")
+          .otherwise("test"))
+  }
+
+  /** Concat-then-chunk sequence packing (the GPT-style pretraining
+    * layout): documents are laid end to end in (shard, id) order and the
+    * token stream is cut every `chunkTokens`; each document reports the
+    * first/last chunk it lands in and its offset in the stream.
+    *
+    * Packing is SHARD-LOCAL: the corpus is split into `shards`
+    * deterministic streams (id mod shards) packed independently — the
+    * window's partition key. That is both how distributed packing runs in
+    * practice (independent writers) and what keeps this scale-safe: the
+    * only shuffle is the shard/window exchange, parallelism = shards, and
+    * no shard ever needs a global prefix sum.
+    */
+  def packChunks(df: DataFrame, id: Column, nTokens: Column,
+      chunkTokens: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", pmod(id, lit(shards.toLong)))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_first",
+        floor(col("start_tok") / chunkTokens).cast("long"))
+      .withColumn("chunk_last",
+        floor((col("start_tok") + col("n_tokens") - 1) / chunkTokens)
+          .cast("long"))
+  }
+}

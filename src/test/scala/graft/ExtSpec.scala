@@ -114,6 +114,36 @@ class ExtSpec extends SparkSpec {
     assert(lang == "en")
   }
 
+  test("hashSplit is deterministic, exhaustive, and ~80/10/10") {
+    val ids = (0L until 1000L).toDF("id")
+    val s1 = rows(graft.ext.Sampling.hashSplit(ids, col("id"), 800, 100))
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    val s2 = rows(graft.ext.Sampling.hashSplit(ids.repartition(7), col("id"), 800, 100))
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(s1 == s2) // re-sharding cannot move a row across splits
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("valid") > 50 && counts("valid") < 150)
+  }
+
+  test("packChunks: shard-local streams are gapless and chunk-aligned") {
+    val docs = Seq((0L, 1000L), (8L, 1500L), (16L, 100L), (1L, 2048L), (9L, 1L))
+      .toDF("id", "n")
+    val got = rows(graft.ext.Sampling.packChunks(docs, col("id"), col("n"),
+      chunkTokens = 2048, shards = 8))
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("start_tok"),
+          r.getAs[Long]("chunk_first"), r.getAs[Long]("chunk_last"))).toMap
+    // shard 0 stream: 0 (0..999), 8 (1000..2499), 16 (2500..2599)
+    assert(got(0L) == (0L, 0L, 0L, 0L))
+    assert(got(8L) == (0L, 1000L, 0L, 1L)) // spans the 2048 boundary
+    assert(got(16L) == (0L, 2500L, 1L, 1L))
+    // shard 1 stream: doc 1 fills chunk 0 exactly; doc 9 starts chunk 1
+    assert(got(1L) == (1L, 0L, 0L, 0L))
+    assert(got(9L) == (1L, 2048L, 1L, 1L))
+  }
+
   test("sessionize: strict 30-min gap splits sessions") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:29:59", 2L),
