@@ -559,6 +559,60 @@ object Oracles {
         |  CAST(floor((start_tok + n_tokens - 1) / 2048) AS BIGINT) AS chunk_last
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "x28_length_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM t)
+        |SELECT lang,
+        |  max(CASE WHEN rn = greatest(1, (1*n + 1) // 2) THEN v END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, (9*n + 9) // 10) THEN v END) AS p90,
+        |  max(CASE WHEN rn = greatest(1, (99*n + 99) // 100) THEN v END) AS p99,
+        |  max(n) AS n
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x29_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n FROM toks
+        |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
+
+    "x30_mixture" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id + 2654435769) * 2654435761) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 1000 ELSE 250 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "x31_pipeline_stats" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','and','of','to','in','is','der','die','das','und',
+        |                 'nicht','ist','el','los','que','y','es','una','le','les',
+        |                 'et','est','une','dans','的','是','了','在','我'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM q
+        |  WHERE n_tokens >= 20 AND stop_ratio <= 0.5 AND punct_ratio <= 0.1
+        |  GROUP BY md5(text))
+        |SELECT CASE WHEN (q.doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |            WHEN (q.doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+        |FROM q JOIN kept USING (doc_id)
+        |GROUP BY 1 ORDER BY split""".stripMargin,
+
     "q26_grouping_sets" ->
       """SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.{AsOf, NearestSelect, Upsert}
 import graft.functions.{Cleansing, Occ}
-import graft.ext.{Dedup, EventWindows, Ivf, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventWindows, Ivf, Multimodal, Quantiles, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
   * the LLM-pipeline extension operators. Every query is deterministic
@@ -668,6 +668,59 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** x28 — exact per-language doc-length quantiles (p50/p90/p99 of the
+    * token count): rank arithmetic is pure integer math, so the result
+    * is engine-reproducible bit-for-bit. The percentile_approx sketch
+    * path (bounded shuffle) is asserted against this in ExtSpec. */
+  val x28LengthQuantiles: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    Quantiles.discrete(docs, Seq("lang"), col("n_tokens"),
+        Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+      .orderBy("lang")
+  }
+
+  /** x29 — exact heavy hitters: top-25 tokens by corpus frequency,
+    * ties broken by token. The explode→groupBy shuffles every distinct
+    * token; the bounded-memory scale path is SpaceSavingAggregator
+    * (one `capacity`-sized summary per partition per group), whose
+    * guarantees ExtSpec asserts against these exact counts. */
+  val x29HeavyHitters: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(25)
+  }
+
+  /** x30 — deterministic weighted corpus mixture: English kept whole,
+    * every other language downsampled to 250‰ by a salted hash
+    * predicate — the mixture step of a training-data pipeline as a pure
+    * per-row filter (no RNG, no shuffle, survives re-sharding). */
+  val x30Mixture: Q = (s, dir) => {
+    val rate = when(col("lang") === "en", lit(1000)).otherwise(lit(250))
+    Sampling.weightedSample(Tables.documents(s, dir), col("doc_id"), rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** x31 — end-to-end training-data pipeline stats: quality gate →
+    * exact dedup (keep smallest id) → deterministic split → per-split
+    * doc/token totals. Composes x09/x01/x26; every stage is the
+    * oracle-checked operator, so this is the flagship "would the whole
+    * pipeline reproduce" query. */
+  val x31PipelineStats: Q = (s, dir) => {
+    val filtered = TextAnalysis.qualityFilter(Tables.documents(s, dir),
+      col("text"), minTokens = 20, maxStopRatio = 0.5, maxPunctRatio = 0.1)
+    val kept = Dedup.exact(filtered, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val docs = Tables.documents(s, dir).join(kept, Seq("doc_id"), "left_semi")
+    Sampling.hashSplit(docs, col("doc_id"), 800, 100)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+      .orderBy("split")
+  }
+
   /** x16 — end-to-end near-dedup: LSH pairs → connected components →
     * surviving doc ids. Oracle: connected components of the exact-Jaccard
     * pair graph via recursive CTE (hash-free; sound at recall 1, see x03);
@@ -821,6 +874,10 @@ object Queries {
     "x25_ivf_refined" -> x25IvfRefined,
     "x26_hash_split" -> x26HashSplit,
     "x27_pack_chunks" -> x27PackChunks,
+    "x28_length_quantiles" -> x28LengthQuantiles,
+    "x29_heavy_hitters" -> x29HeavyHitters,
+    "x30_mixture" -> x30Mixture,
+    "x31_pipeline_stats" -> x31PipelineStats,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

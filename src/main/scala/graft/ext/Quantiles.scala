@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped quantiles for corpus statistics (doc-length percentiles per
+  * language, token budgets per split, …).
+  *
+  * Two paths, same signature:
+  *  - [[discrete]] — EXACT discrete quantiles (the value at rank
+  *    ceil(p·n), lower quantile-disc semantics). Rank arithmetic is pure
+  *    integer math (`ceil(num·n / den)` as `(num·n + den − 1) div den`),
+  *    so the result is engine-reproducible bit-for-bit — no IEEE ceil
+  *    edge cases — and oracle-checkable (x28). One shuffle on the group
+  *    key + a per-group sort; the per-group sort is the scale cost,
+  *    which is exactly why the approximate path exists.
+  *  - [[approx]] — `percentile_approx` (Greenwald–Khanna style sketch):
+  *    bounded-size partial buffers merge map-side, so the shuffle
+  *    carries one sketch per (partition, group) regardless of group
+  *    size. The 100 TB path; ScalaTest bounds its error against
+  *    [[discrete]].
+  *
+  * `ps` are (numerator, denominator, label) rationals — p50 = (1, 2,
+  * "p50") — kept rational precisely so the exact path never multiplies
+  * doubles.
+  */
+object Quantiles {
+
+  /** Exact discrete quantiles: one output row per group with a `<label>`
+    * column per requested quantile plus `n`. Equal values make the rank
+    * choice order-insensitive (any tie permutation yields the same value
+    * at a given rank), so `orderBy(value)` alone is deterministic. */
+  def discrete(df: DataFrame, groupCols: Seq[String], value: Column,
+      ps: Seq[(Int, Int, String)]): DataFrame = {
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .withColumn("_v", value)
+      .withColumn("_rn", row_number().over(part.orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(part))
+    val aggs = ps.map { case (num, den, label) =>
+      // ceil(num*n/den) = (t - t%den)/den with t = num*n + den - 1: the
+      // subtraction makes the dividend an exact multiple of den, so the
+      // double division is exact (no IEEE ceil/floor edge) and the rank
+      // matches the oracle's integer `//` bit-for-bit
+      val t = lit(num.toLong) * col("_n") + lit(den.toLong - 1L)
+      val rank = greatest(lit(1L),
+        ((t - pmod(t, lit(den.toLong))) / lit(den.toLong)).cast("long"))
+      max(when(col("_rn") === rank, col("_v"))).as(label)
+    } :+ max(col("_n")).as("n")
+    ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sketch-based quantiles, same output shape as [[discrete]]. */
+  def approx(df: DataFrame, groupCols: Seq[String], value: Column,
+      ps: Seq[(Int, Int, String)], accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map { case (num, den, label) =>
+      percentile_approx(value, lit(num.toDouble / den), lit(accuracy))
+        .as(label)
+    } :+ count(lit(1)).as("n")
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -37,6 +37,20 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Deterministic weighted corpus mixture: keep each row iff its hash
+    * bucket falls under a per-row per-mille rate (a Column, so rates can
+    * come from a CASE over source/language/quality tier). This is the
+    * up/down-sampling step of a training-data mixture ("4 epochs of
+    * wiki, 0.3 of common crawl") expressed as a pure per-row predicate:
+    * no RNG, no shuffle, no state — at 100 TB it composes into the scan
+    * and survives re-sharding unchanged. `salt` decorrelates the keep
+    * decision from other hash assignments over the same id (e.g.
+    * [[hashSplit]]'s buckets), so sampling cannot systematically favor
+    * one split. */
+  def weightedSample(df: DataFrame, id: Column, ratePerMille: Column,
+      salt: Long = 0x9e3779b9L): DataFrame =
+    df.where(hashBucket(id + lit(salt), 1000) < ratePerMille)
+
   /** Concat-then-chunk sequence packing (the GPT-style pretraining
     * layout): documents are laid end to end in (shard, id) order and the
     * token stream is cut every `chunkTokens`; each document reports the

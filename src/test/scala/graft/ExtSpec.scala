@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, EventWindows, Similarity, TextAnalysis}
 
@@ -142,6 +143,65 @@ class ExtSpec extends SparkSpec {
     // shard 1 stream: doc 1 fills chunk 0 exactly; doc 9 starts chunk 1
     assert(got(1L) == (1L, 0L, 0L, 0L))
     assert(got(9L) == (1L, 2048L, 1L, 1L))
+  }
+
+  test("discrete quantiles: exact ranks, stable under re-sharding") {
+    val df = (1L to 100L).map(v => ("g", v)).toDF("g", "v")
+    val ps = Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+    val got = rows(graft.ext.Quantiles.discrete(df, Seq("g"), col("v"), ps)).head
+    // ceil(p*n) over 1..100: ranks 50 / 90 / 99
+    assert((got.getAs[Long]("p50"), got.getAs[Long]("p90"),
+      got.getAs[Long]("p99"), got.getAs[Long]("n")) == (50L, 90L, 99L, 100L))
+    val re = rows(graft.ext.Quantiles.discrete(df.repartition(7), Seq("g"),
+      col("v"), ps)).head
+    assert(re.getAs[Long]("p50") == 50L && re.getAs[Long]("p99") == 99L)
+    // sketch path lands within one rank of exact on this data
+    val ap = rows(graft.ext.Quantiles.approx(df, Seq("g"), col("v"), ps)).head
+    assert(math.abs(ap.getAs[Long]("p50") - 50L) <= 1)
+    assert(math.abs(ap.getAs[Long]("p90") - 90L) <= 1)
+  }
+
+  test("space-saving: exact when capacity covers distinct, bounded otherwise") {
+    // counts: a=50, b=30, c=15, d..m = 1 each (10 singletons); N = 105
+    val toks = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(15)("c") ++
+      ('d' to 'm').map(_.toString)).sortBy(identity)
+    val ds = spark.createDataset(toks)(Encoders.STRING).repartition(4)
+    val exactRegime = ds.select(
+      new graft.ext.SpaceSavingAggregator(64).toColumn).collect().head
+    assert(exactRegime.takeWhile(_._2 > 1).map(t => (t._1, t._2, t._3)) ==
+      Seq(("a", 50L, 0L), ("b", 30L, 0L), ("c", 15L, 0L)))
+    val n = toks.size.toLong
+    val m = 5
+    val sketched = ds.select(
+      new graft.ext.SpaceSavingAggregator(m).toColumn).collect().head
+    val est = sketched.map(t => t._1 -> (t._2, t._3)).toMap
+    val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // over-count only, within the per-merge error budget; heavy keys present
+    assert(sketched.size <= m)
+    sketched.foreach { case (t, c, e) =>
+      val tc = truth.getOrElse(t, 0L)
+      assert(c >= tc && c - tc <= e, s"$t est=$c true=$tc err=$e")
+    }
+    // presence is guaranteed only above N/m (= 21): a and b qualify
+    Seq("a", "b").foreach(k => assert(est.contains(k), s"heavy $k evicted"))
+  }
+
+  test("weightedSample: deterministic pure-filter subset semantics") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    val all = graft.ext.Sampling.weightedSample(ids, col("doc_id"), lit(1000))
+    assert(all.count() == 1000)
+    val none = graft.ext.Sampling.weightedSample(ids, col("doc_id"), lit(0))
+    assert(none.count() == 0)
+    val s1 = rows(graft.ext.Sampling.weightedSample(ids, col("doc_id"), lit(250)))
+      .map(_.getLong(0)).toSet
+    val s2 = rows(graft.ext.Sampling.weightedSample(ids.repartition(9),
+      col("doc_id"), lit(250))).map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.size > 150 && s1.size < 350)
+    // independent of the split hash: the sample hits all three splits
+    val splits = rows(graft.ext.Sampling.hashSplit(
+      s1.toSeq.toDF("doc_id"), col("doc_id"), 800, 100))
+      .map(_.getAs[String]("split")).toSet
+    assert(splits == Set("train", "valid", "test"))
   }
 
   test("sessionize: strict 30-min gap splits sessions") {
