@@ -57,6 +57,55 @@ object Streams {
       }
       .start()
 
+  /** foreachBatch last-wins sink (S10 streaming — the CDC form of
+    * `ON CONFLICT DO UPDATE`): the table is an append-only LOG; each
+    * micro-batch appends its rows stamped with the batch id, and readers
+    * resolve current state with [[latestView]] — max (batch, ord) per
+    * PK, the batch [[graft.operators.Upsert.lastWins]] rule with the
+    * batch id as the leading key. Appending beats rewriting at scale: a
+    * batch lands at the cost of the batch regardless of table size
+    * (merge-on-read), and [[compactLog]] folds the log back to one row
+    * per key when read amplification warrants — the same
+    * compact-on-write / merge-on-read tradeoff every LSM or lakehouse
+    * table format makes (at 100 TB compaction would run per
+    * date/bucket partition, not whole-table). A replayed batch appends
+    * identical rows under the same batch id, which the per-PK max
+    * resolves to the same values: load ∘ load = load on the VIEW. */
+  def lastWinsSink(stream: DataFrame, tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+      .start()
+
+  /** Current state of a [[lastWinsSink]] log: one row per PK, largest
+    * (_batch, ord) wins. `ord` must fully determine order within a
+    * batch (the batch operator's contract). Retains `_batch` so a
+    * compacted log remains a valid log. */
+  def latestView(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      pk: Seq[String], ord: Seq[Column]): DataFrame =
+    graft.operators.Upsert.lastWins(
+      spark.read.parquet(tablePath), pk, col("_batch") +: ord)
+
+  /** Fold the log to its latest view in place (compact-on-write).
+    * Batch-id stamps survive, so post-compaction appends still order
+    * after every compacted row. */
+  def compactLog(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      pk: Seq[String], ord: Seq[Column]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = tablePath + ".compact"
+    latestView(spark, tablePath, pk, ord)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(tablePath), true)
+    fs.rename(new Path(tmp), new Path(tablePath))
+  }
+
   /** Tumbling event-time aggregation with watermark — the streaming form
     * of EventWindows.tumbling. */
   def tumblingCounts(stream: DataFrame, tsCol: String, width: String,

@@ -69,6 +69,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("lastWinsSink: log view equals batch lastWins, compaction is lossless") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs1 = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), "a-v1"),
+      Ev(1, ts("2024-01-01 00:00:05"), "a-v2"), // within-batch update
+      Ev(2, ts("2024-01-01 00:01:00"), "b-v1"))
+    val evs2 = Seq(
+      Ev(1, ts("2024-01-01 00:00:01"), "a-v3"), // later batch wins despite older ts
+      Ev(3, ts("2024-01-01 00:02:00"), "c-v1"))
+    val evs3 = Seq(Ev(2, ts("2024-01-01 00:03:00"), "b-v2"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val table = dir.resolve("log").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(evs1: _*)
+    val q = Streams.lastWinsSink(mem.toDF(), table, ckpt)
+    q.processAllAvailable()
+    mem.addData(evs2: _*)
+    q.processAllAvailable()
+    def state(): Set[(Long, String)] =
+      Streams.latestView(spark, table, Seq("pk"), Seq(col("ts")))
+        .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
+    assert(state() == Set((1L, "a-v3"), (2L, "b-v1"), (3L, "c-v1")))
+    // log holds every version; the view is one row per key
+    assert(spark.read.parquet(table).count() == 5)
+    Streams.compactLog(spark, table, Seq("pk"), Seq(col("ts")))
+    assert(spark.read.parquet(table).count() == 3) // folded to latest
+    assert(state() == Set((1L, "a-v3"), (2L, "b-v1"), (3L, "c-v1")))
+    // appends after compaction still order after compacted rows
+    mem.addData(evs3: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(state() == Set((1L, "a-v3"), (2L, "b-v2"), (3L, "c-v1")))
+  }
+
   test("streaming tumbling counts equal batch window counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
