@@ -589,6 +589,20 @@ object Oracles {
         |  CASE WHEN lang = 'en' THEN 1000 ELSE 250 END
         |ORDER BY doc_id""".stripMargin,
 
+    "x32_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM toks GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 1000)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     "x31_pipeline_stats" ->
       """WITH q AS (
         |  SELECT doc_id, text,

@@ -703,6 +703,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x32 — vocabulary coverage / OOV scoring: the corpus top-1000-token
+    * vocabulary (deterministic count-desc, token-asc boundary) is a
+    * bounded small side that broadcasts; each document reports its token
+    * count and out-of-vocabulary rate. The only full-width shuffle keys
+    * on doc_id with partial aggregation; the rate is a single
+    * bigint/bigint IEEE divide, so the result is engine-exact. */
+  val x32OovRate: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(1000)
+      .select(col("token"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** x31 — end-to-end training-data pipeline stats: quality gate →
     * exact dedup (keep smallest id) → deterministic split → per-split
     * doc/token totals. Composes x09/x01/x26; every stage is the
@@ -878,6 +899,7 @@ object Queries {
     "x29_heavy_hitters" -> x29HeavyHitters,
     "x30_mixture" -> x30Mixture,
     "x31_pipeline_stats" -> x31PipelineStats,
+    "x32_oov_rate" -> x32OovRate,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
