@@ -603,6 +603,21 @@ object Oracles {
         |FROM toks t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    "x33_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev ON tr.s = ev.s
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
     "x31_pipeline_stats" ->
       """WITH q AS (
         |  SELECT doc_id, text,

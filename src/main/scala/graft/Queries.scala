@@ -724,6 +724,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x33 — benchmark decontamination: training documents that share any
+    * n-gram with a held-out eval slice, with the count of distinct
+    * shared shingles. The eval side is small by nature (benchmarks), so
+    * its distinct shingle set broadcasts; the train side streams through
+    * the hash semi-join at scan speed — no shuffle keyed on anything
+    * wider than (doc_id). Join keys are md5 digests, modeling the
+    * hashed-shingle form a 100 TB run would ship instead of raw strings.
+    * (n=3 here so the synthetic corpus exercises the operator; real
+    * decontamination runs 8–13-grams — the shape is identical.) */
+  val x33Decontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val isEval = col("doc_id") % 97 === 0
+    def sh(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("s"))
+    val evalSh = sh(docs.where(isEval)).select(md5(col("s")).as("h")).distinct()
+    val trainSh = sh(docs.where(!isEval)).select(col("doc_id"), md5(col("s")).as("h"))
+    trainSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** x31 — end-to-end training-data pipeline stats: quality gate →
     * exact dedup (keep smallest id) → deterministic split → per-split
     * doc/token totals. Composes x09/x01/x26; every stage is the
@@ -900,6 +921,7 @@ object Queries {
     "x30_mixture" -> x30Mixture,
     "x31_pipeline_stats" -> x31PipelineStats,
     "x32_oov_rate" -> x32OovRate,
+    "x33_decontaminate" -> x33Decontaminate,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
