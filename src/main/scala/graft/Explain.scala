@@ -14,7 +14,8 @@ object Explain {
         "q20_join_agg", "q03_export_dat", "x03_minhash_lsh",
         "x21_ivf_ann", "x25_ivf_refined", "x20_boilerplate",
         "x22_approx_distinct", "x02_ngram_jaccard", "x26_hash_split",
-        "x27_pack_chunks")
+        "x27_pack_chunks", "x28_length_quantiles", "x29_heavy_hitters",
+        "x31_pipeline_stats", "x32_oov_rate", "x33_decontaminate")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
