@@ -653,6 +653,17 @@ object Oracles {
         |                        (o_orderpriority), ())
         |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin,
 
+    "q27_window_funcs" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  o_totalprice AS price,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, seq""".stripMargin,
+
     "x22_approx_distinct" ->
       """SELECT l_returnflag, occupied, exact,
         |  CAST(occupied AS DOUBLE) / 65536.0 AS est_ratio

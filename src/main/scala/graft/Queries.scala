@@ -703,6 +703,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q27 — analytic window-function family over the order history: lag,
+    * sequence number, quartile bucket (ntile) and percent_rank in ONE
+    * Window node over one custkey exchange (all four share the same
+    * partition+order, so Catalyst fuses them — no repeated shuffles).
+    * The (orderdate, orderkey) order is unique per partition, making
+    * every function deterministic; percent_rank is an exact-int IEEE
+    * divide. */
+  val q27WindowFuncs: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("price"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        row_number().over(w).cast("long").as("seq"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"))
+      .orderBy("custkey", "seq")
+  }
+
   /** x32 — vocabulary coverage / OOV scoring: the corpus top-1000-token
     * vocabulary (deterministic count-desc, token-asc boundary) is a
     * bounded small side that broadcasts; each document reports its token
@@ -889,6 +910,7 @@ object Queries {
     "q24_set_ops" -> q24SetOps,
     "q25_cube" -> q25Cube,
     "q26_grouping_sets" -> q26GroupingSets,
+    "q27_window_funcs" -> q27WindowFuncs,
     "x22_approx_distinct" -> x22ApproxDistinct,
     "x23_pii_audit" -> x23PiiAudit,
     "x24_ivf_kmeans" -> x24IvfKmeans,

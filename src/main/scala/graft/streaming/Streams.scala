@@ -20,6 +20,18 @@ object Streams {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates(pk :+ tsCol)
 
+  /** Watermark-bounded dedup WITHOUT event time in the key:
+    * `dropDuplicatesWithinWatermark` keeps the first ARRIVAL per PK even
+    * when re-deliveries carry different event times (at-least-once
+    * sources re-stamp on retry — the case where [[dedupKeepFirst]]'s
+    * pk+ts key sees two distinct rows). State still ages out at the
+    * watermark, so memory stays bounded by keys-per-delay, not by
+    * corpus history. */
+  def dedupWithinWatermark(stream: DataFrame, pk: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(pk)
+
   /** foreachBatch upsert sink: maintains a parquet table with
     * `INSERT … ON CONFLICT (pk) DO NOTHING` semantics across
     * micro-batches — the streaming form of [[graft.operators.Upsert.keepFirst]]

@@ -69,6 +69,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("dedupWithinWatermark drops re-stamped duplicates dedupKeepFirst keeps") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), "a"),
+      Ev(1, ts("2024-01-01 00:00:03"), "a-restamped"), // retry, new ts
+      Ev(2, ts("2024-01-01 00:01:00"), "b"))
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    runToMemory(Streams.dedupWithinWatermark(mem.toDF(), Seq("pk"), "ts",
+      "10 minutes"), "wwm_out", "append")
+    val got = spark.sql("select pk, v from wwm_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"))) // first arrival wins per PK
+    // the pk+ts-keyed form sees the re-stamped retry as a distinct row
+    val mem2 = MemoryStream[Ev]
+    mem2.addData(evs: _*)
+    runToMemory(Streams.dedupKeepFirst(mem2.toDF(), Seq("pk"), "ts",
+      "10 minutes"), "wwm_out2", "append")
+    assert(spark.sql("select * from wwm_out2").count() == 3)
+  }
+
   test("lastWinsSink: log view equals batch lastWins, compaction is lossless") {
     implicit val sqlCtx = spark.sqlContext
     val evs1 = Seq(
