@@ -170,16 +170,16 @@ object Oracles {
 
     "q19_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q20_join_agg" ->
       """SELECT c_mktsegment,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -188,7 +188,7 @@ object Oracles {
 
     "q21_shipping_priority" ->
       """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -201,7 +201,7 @@ object Oracles {
 
     "q22_region_volume" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -214,7 +214,7 @@ object Oracles {
 
     "x17_label_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,
-        |  CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS centroid,
+        |  CAST(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*) AS centroid,
         |  count(*) AS n
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
@@ -386,7 +386,7 @@ object Oracles {
       """SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
         |  l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -493,7 +493,7 @@ object Oracles {
         |cent AS (
         |  SELECT cid, list(centroid ORDER BY pos) AS cv FROM (
         |    SELECT cid, i AS pos,
-        |      CAST(sum(CAST(v[i] AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS centroid
+        |      CAST(CAST(sum(CAST(v[i] AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*) AS centroid
         |    FROM a0, range(1, 65) t(i) GROUP BY 1, 2) m
         |  GROUP BY cid),
         |assigned AS (
@@ -531,7 +531,7 @@ object Oracles {
       """SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
         |  o_orderstatus, o_orderpriority,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -646,7 +646,7 @@ object Oracles {
       """SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
         |  o_orderstatus, o_orderpriority,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
@@ -705,7 +705,7 @@ object Oracles {
         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
         |    FROM emb e CROSS JOIN cent c) t WHERE rn = 1)
         |SELECT cid, CAST(i AS INTEGER) AS pos,
-        |  CAST(sum(CAST(v[i] AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS centroid,
+        |  CAST(CAST(sum(CAST(v[i] AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*) AS centroid,
         |  count(*) AS n
         |FROM assigned, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY cid, pos""".stripMargin,
@@ -763,7 +763,7 @@ object Oracles {
 
     "x12_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x13_sliding" ->

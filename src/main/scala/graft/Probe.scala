@@ -48,6 +48,34 @@ object Probe {
     time("posting join pairs")(println(inter.agg(count(lit(1)),
       sum(col("count"))).collect().mkString))
     time("x02 full")(Queries.all("x02_ngram_jaccard")(spark, dir).count())
+    time("x02 full 2nd")(Queries.all("x02_ngram_jaccard")(spark, dir).count())
+    // hypothesis: the shingle projection is recomputed 4x (df count,
+    // anti-join input, self-join, verify) — time the same pipeline over
+    // an eagerly materialized base
+    val baseCp = time("base localCheckpoint") {
+      docs.select(col("doc_id").as("id"),
+        Dedup.hashedShingles(TextAnalysis.shingles(col("text"), 3)).as("hs"))
+        .localCheckpoint()
+    }
+    time("x02 on checkpointed base") {
+      val tokc = baseCp.select(col("id"), explode(col("hs")).as("h"))
+      val hot = tokc.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") > 64).select("h")
+      val capped = tokc.join(hot, Seq("h"), "left_anti")
+      val cands = capped.as("a").join(capped.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"))
+        .dropDuplicates("d1", "d2")
+      val sa = baseCp.select(col("id").as("d1"), col("hs").as("hs_a"))
+      val sb = baseCp.select(col("id").as("d2"), col("hs").as("hs_b"))
+      cands.join(sa, "d1").join(sb, "d2")
+        .withColumn("jaccard",
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))))
+        .where(col("jaccard") >= 0.6)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy("d1", "d2").count()
+    }
     spark.stop()
   }
 }
