@@ -603,6 +603,14 @@ object Oracles {
         |FROM toks t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    "x34_cross_modal" ->
+      """SELECT d.lang, e.label, count(*) AS n,
+        |  CAST(sum(len(regexp_split_to_array(trim(d.text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(CAST(sum(len(regexp_split_to_array(trim(d.text), '\s+'))) AS BIGINT) AS DOUBLE)
+        |    / count(*) AS avg_tokens
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1, 2 ORDER BY lang, label""".stripMargin,
+
     "x33_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr

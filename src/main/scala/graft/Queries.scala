@@ -703,6 +703,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x34 — cross-modal corpus stats: documents joined to their embedding
+    * rows (text ⋈ vector modality) on the shared id, aggregated per
+    * (lang, label). At 100 TB both sides live bucketed on the id
+    * (Export.writeBucketed) so this join needs no exchange; totals are
+    * integers and the mean is one IEEE divide, keeping it oracle-exact. */
+  val x34CrossModal: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n"))
+      .orderBy("lang", "label")
+  }
+
   /** q27 — analytic window-function family over the order history: lag,
     * sequence number, quartile bucket (ntile) and percent_rank in ONE
     * Window node over one custkey exchange (all four share the same
@@ -944,6 +960,7 @@ object Queries {
     "x31_pipeline_stats" -> x31PipelineStats,
     "x32_oov_rate" -> x32OovRate,
     "x33_decontaminate" -> x33Decontaminate,
+    "x34_cross_modal" -> x34CrossModal,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -115,6 +115,63 @@ class PropertySpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("property: discrete quantiles equal the sorted-seq rank definition") {
+    val groups = (1 to 12).map { g =>
+      g.toString -> (1 to (1 + rnd.nextInt(400)))
+        .map(_ => rnd.nextInt(1000).toLong)
+    }
+    val df = groups.flatMap { case (g, vs) => vs.map(g -> _) }.toDF("g", "v")
+    val ps = Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+    val got = rows(graft.ext.Quantiles.discrete(df, Seq("g"), col("v"), ps))
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("p50"), r.getAs[Long]("p90"), r.getAs[Long]("p99"),
+          r.getAs[Long]("n"))).toMap
+    groups.foreach { case (g, vs) =>
+      val sorted = vs.sorted
+      def rank(num: Int, den: Int): Long =
+        sorted(math.max(1, (num.toLong * vs.size + den - 1) / den).toInt - 1)
+      assert(got(g) == (rank(1, 2), rank(9, 10), rank(99, 100),
+        vs.size.toLong), s"group $g")
+    }
+  }
+
+  test("property: space-saving invariants over random skewed streams") {
+    val toks = (1 to 3000).map { _ =>
+      // zipf-ish: small ids are hot
+      ("t" + (math.pow(rnd.nextDouble(), 3) * 50).toInt.toString)
+    }
+    val ds = spark.createDataset(toks)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(5)
+    val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (cap <- Seq(4, 16, 64)) {
+      val got = ds.select(
+        new graft.ext.SpaceSavingAggregator(cap).toColumn).collect().head
+      assert(got.size <= cap)
+      got.foreach { case (t, c, e) =>
+        val tc = truth.getOrElse(t, 0L)
+        assert(c >= tc && c - tc <= e, s"cap=$cap $t est=$c true=$tc err=$e")
+      }
+    }
+    // exact regime: capacity above distinct count reproduces exact counts
+    val exact = ds.select(
+      new graft.ext.SpaceSavingAggregator(512).toColumn).collect().head
+    assert(exact.map(t => t._1 -> t._2).toMap == truth)
+    assert(exact.forall(_._3 == 0L))
+  }
+
+  test("property: weightedSample rates nest monotonically") {
+    val ids = (1 to 500).map(_ => rnd.nextLong() % 1000000).filter(_ >= 0)
+      .distinct.toDF("id")
+    val kept = Seq(100, 400, 700, 1000).map { rate =>
+      rate -> rows(graft.ext.Sampling.weightedSample(ids, col("id"), lit(rate)))
+        .map(_.getLong(0)).toSet
+    }
+    kept.sliding(2).foreach { case Seq((r1, s1), (r2, s2)) =>
+      assert(s1.subsetOf(s2), s"rate $r1 not nested in $r2")
+    }
+    assert(kept.last._2.size == ids.count())
+  }
+
   test("property: year attachment lands in (target−1y, target]") {
     val cases = (1 to 200).map { _ =>
       val d = 1 + rnd.nextInt(28)
