@@ -118,6 +118,56 @@ object Streams {
     fs.rename(new Path(tmp), new Path(tablePath))
   }
 
+  /** Incremental aggregate maintenance (the materialized-view pattern):
+    * each micro-batch appends its PARTIAL per-key (sum, count) to the
+    * log — never a read-modify-write of the table — and [[sumView]]
+    * folds the log with the same monoid on read. Because sum/count are
+    * commutative monoids, append order, replays of partials, and
+    * compaction all commute; a batch lands at the cost of its own
+    * partial aggregate regardless of view size. [[compactAdditive]]
+    * folds the log to one row per key (the same merge the reader runs),
+    * so read amplification is a knob, not a correctness concern.
+    * Sums run in exact decimal (order-independent); cast at the edge. */
+  def additiveSink(stream: DataFrame, keys: Seq[String], value: Column,
+      tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(keys.map(col): _*)
+          .agg(sum(value.cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+            .as("_psum"), count(lit(1)).as("_pcount"))
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+      .start()
+
+  /** Current state of an [[additiveSink]] log: one row per key with the
+    * folded sum (double at the boundary) and count. */
+  def sumView(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      keys: Seq[String]): DataFrame =
+    spark.read.parquet(tablePath)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_psum")).cast("double").as("total"),
+        sum(col("_pcount")).as("n"))
+
+  /** Fold the additive log to one partial per key in place. */
+  def compactAdditive(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, keys: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = tablePath + ".compact"
+    spark.read.parquet(tablePath)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_psum")).as("_psum"), sum(col("_pcount")).as("_pcount"),
+        max(col("_batch")).as("_batch"))
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(tablePath), true)
+    fs.rename(new Path(tmp), new Path(tablePath))
+  }
+
   /** Tumbling event-time aggregation with watermark — the streaming form
     * of EventWindows.tumbling. */
   def tumblingCounts(stream: DataFrame, tsCol: String, width: String,

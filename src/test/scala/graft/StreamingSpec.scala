@@ -125,6 +125,39 @@ class StreamingSpec extends SparkSpec {
     assert(state() == Set((1L, "a-v3"), (2L, "b-v2"), (3L, "c-v1")))
   }
 
+  test("additiveSink: folded view equals batch aggregate through compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(Ev(10, ts("2024-01-01 00:00:00"), "a"),
+      Ev(5, ts("2024-01-01 00:00:01"), "a"),
+      Ev(7, ts("2024-01-01 00:01:00"), "b"))
+    val b2 = Seq(Ev(3, ts("2024-01-01 00:02:00"), "a"),
+      Ev(2, ts("2024-01-01 00:03:00"), "c"))
+    val b3 = Seq(Ev(1, ts("2024-01-01 00:04:00"), "b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv")
+    val table = dir.resolve("log").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(mem.toDF(), Seq("v"), col("pk"), table, ckpt)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    def state(): Map[String, (Double, Long)] =
+      Streams.sumView(spark, table, Seq("v")).collect()
+        .map(r => r.getAs[String]("v") ->
+          (r.getAs[Double]("total"), r.getAs[Long]("n"))).toMap
+    val expected = Map("a" -> (18.0, 3L), "b" -> (7.0, 1L), "c" -> (2.0, 1L))
+    assert(state() == expected)
+    assert(spark.read.parquet(table).count() == 4) // partials: a,b + a,c
+    Streams.compactAdditive(spark, table, Seq("v"))
+    assert(spark.read.parquet(table).count() == 3)
+    assert(state() == expected)
+    mem.addData(b3: _*) // appends after compaction still fold correctly
+    q.processAllAvailable()
+    q.stop()
+    assert(state() == expected.updated("b", (8.0, 2L)))
+  }
+
   test("streaming tumbling counts equal batch window counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
