@@ -603,6 +603,20 @@ object Oracles {
         |FROM toks t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    "x35_scalar_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |s AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos)
+        |SELECT e.vec_id, e.pos,
+        |  CASE WHEN s.mx = s.mn THEN 0
+        |       ELSE greatest(0, least(255,
+        |         CAST(floor((e.v - s.mn) / ((s.mx - s.mn) / 255.0)) AS BIGINT)))
+        |  END AS code
+        |FROM e JOIN s USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
+
     "x34_cross_modal" ->
       """SELECT d.lang, e.label, count(*) AS n,
         |  CAST(sum(len(regexp_split_to_array(trim(d.text), '\s+'))) AS BIGINT) AS total_tokens,

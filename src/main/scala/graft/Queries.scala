@@ -719,6 +719,17 @@ object Queries {
       .orderBy("lang", "label")
   }
 
+  /** x35 — embedding compression: int8 scalar quantization (the SQ8
+    * stage of an IVF-SQ index). Per-dim code-books are a broadcast
+    * 64-row stats table; quantization is a per-row map. The code is one
+    * subtract + divide + floor in IEEE doubles — bit-identical across
+    * engines, so the query is oracle-exact with zero tolerance. */
+  val x35ScalarQuant: Q = (s, dir) => {
+    graft.ext.Quantize.scalarQuantize(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+  }
+
   /** q27 — analytic window-function family over the order history: lag,
     * sequence number, quartile bucket (ntile) and percent_rank in ONE
     * Window node over one custkey exchange (all four share the same
@@ -961,6 +972,7 @@ object Queries {
     "x32_oov_rate" -> x32OovRate,
     "x33_decontaminate" -> x33Decontaminate,
     "x34_cross_modal" -> x34CrossModal,
+    "x35_scalar_quant" -> x35ScalarQuant,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

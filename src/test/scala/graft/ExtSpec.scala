@@ -204,6 +204,34 @@ class ExtSpec extends SparkSpec {
     assert(splits == Set("train", "valid", "test"))
   }
 
+  test("scalar quantization: codes bounded, reconstruction within one cell") {
+    val vecs = Seq(
+      (1L, Array(0.0f, -1.0f, 5.0f)),
+      (2L, Array(1.0f, 1.0f, 5.0f)),   // dim 3 constant → code 0
+      (3L, Array(0.5f, 0.25f, 5.0f)),
+      (4L, Array(0.25f, -0.5f, 5.0f)))
+      .toDF("id", "vec")
+    val codes = graft.ext.Quantize.scalarQuantize(vecs, "id", "vec")
+    val got = rows(codes).map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.values.forall(c => c >= 0 && c <= 255))
+    assert(got((1L, 1L)) == 0L && got((2L, 1L)) == 255L) // extremes hit the ends
+    assert(got.filter(_._1._2 == 3L).values.forall(_ == 0L)) // constant dim
+    // dequantized midpoint is within half a cell of the original
+    val stats = rows(graft.ext.Quantize.dimStats(vecs, col("vec")))
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val orig = rows(vecs.select(col("id"), posexplode(col("vec")).as(Seq("p", "v"))))
+      .map(r => (r.getLong(0), r.getInt(1) + 1L) -> r.getFloat(2).toDouble).toMap
+    got.foreach { case ((id, pos), code) =>
+      val (mn, mx) = stats(pos)
+      if (mx > mn) {
+        val cell = (mx - mn) / 255.0
+        val recon = mn + (code + 0.5) * cell
+        assert(math.abs(recon - orig((id, pos))) <= cell * 0.5 + 1e-12,
+          s"id=$id pos=$pos code=$code")
+      }
+    }
+  }
+
   test("sessionize: strict 30-min gap splits sessions") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:29:59", 2L),
