@@ -95,6 +95,28 @@ class ScrubIvfSpec extends SparkSpec {
     assert(refined >= seed, s"refined recall $refined < seed recall $seed")
   }
 
+  test("SQ8 search: top-k over dequantized corpus recovers exact neighbors") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val toDouble = transform(col("embedding"), _.cast("double"))
+    val q = emb.where($"vec_id" < 10).select($"vec_id", toDouble.as("embedding"))
+    val corpusExact = emb.select($"vec_id", toDouble.as("embedding"))
+    val exact = rows(Similarity.bruteTopK(q, corpusExact, "vec_id", "embedding", 5))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // ADC shape: exact queries against the SQ8-dequantized corpus
+    val codes = graft.ext.Quantize.scalarQuantize(emb, "vec_id", "embedding")
+    val stats = graft.ext.Quantize.dimStats(emb, col("embedding"))
+    val rebuilt = codes.join(broadcast(stats), Seq("pos"))
+      .withColumn("dv",
+        graft.ext.Quantize.dequantize(col("code"), col("mn"), col("mx")))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("dv")))),
+        s => s.getField("dv")).as("embedding"))
+    val got = rows(Similarity.bruteTopK(q, rebuilt, "vec_id", "embedding", 5))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall $recall") // 255 levels ≈ lossless here
+  }
+
   test("ivfTopK: results are a subset of brute-force scores with high recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.where($"vec_id" < 5)
