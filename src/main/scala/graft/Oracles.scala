@@ -538,9 +538,9 @@ object Oracles {
         |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin,
 
     "x26_hash_split" ->
-      """SELECT doc_id, (doc_id * 2654435761) % 1000 AS bucket,
-        |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+      """SELECT doc_id, ((doc_id % 1000) * 761) % 1000 AS bucket,
+        |  CASE WHEN ((doc_id % 1000) * 761) % 1000 < 800 THEN 'train'
+        |       WHEN ((doc_id % 1000) * 761) % 1000 < 900 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -585,7 +585,7 @@ object Oracles {
 
     "x30_mixture" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id + 2654435769) * 2654435761) % 1000 <
+        |WHERE (((doc_id % 1000) + 769) * 761) % 1000 <
         |  CASE WHEN lang = 'en' THEN 1000 ELSE 250 END
         |ORDER BY doc_id""".stripMargin,
 
@@ -691,7 +691,7 @@ object Oracles {
         |  CAST(occupied AS DOUBLE) / 65536.0 AS est_ratio
         |FROM (
         |  SELECT l_returnflag,
-        |    count(DISTINCT (l_partkey * 2654435761) % 65536) AS occupied,
+        |    count(DISTINCT ((l_partkey % 65536) * 31153) % 65536) AS occupied,
         |    count(DISTINCT l_partkey) AS exact
         |  FROM lineitem GROUP BY 1) t
         |ORDER BY l_returnflag""".stripMargin,

@@ -535,7 +535,10 @@ object Queries {
     * oracle, because libm ln differs across engines in the last ulp. */
   val x22ApproxDistinct: Q = (s, dir) => {
     val m = 65536
-    val bucket = pmod(col("l_partkey") * lit(2654435761L), lit(m.toLong))
+    // residue form of (key*A) mod m — overflow-free for any key (see
+    // Sampling.hashBucket)
+    val bucket = pmod(pmod(col("l_partkey"), lit(m.toLong)) *
+      lit(2654435761L % m), lit(m.toLong))
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(bucket).as("occupied"),
@@ -892,7 +895,13 @@ object Queries {
       .select(to_date(col("o_orderdate")).as("date"),
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
-    val path = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
+    // fixed scratch path, cleared up front: repeated Verify/Bench runs
+    // reuse it instead of leaking a new temp dir per execution
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_d05_roundtrip").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
     graft.operators.Export.writeDailyCsv(src, path)
     val badDir = java.nio.file.Paths.get(path, "date=1995-01-01")
     java.nio.file.Files.createDirectories(badDir)

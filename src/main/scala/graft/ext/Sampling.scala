@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth's multiplicative-hash bucket in [0, buckets): deterministic,
-    * uniform for sequential ids, and expressible in any SQL engine
-    * (exact long arithmetic, no overflow for id < 2^33). The same
+  /** Multiplicative-hash bucket in [0, buckets): deterministic, uniform
+    * for sequential ids, and expressible in any SQL engine. Computed in
+    * RESIDUE form — ((id mod m)·(A mod m)) mod m, which equals
+    * (id·A) mod m exactly by modular arithmetic — so the operands stay
+    * below m² and the expression can never overflow (the naive id·A
+    * form silently wraps in Spark and hard-errors in DuckDB once
+    * id exceeds Long.MaxValue/A ≈ 3.4e9 — real ids at 100 TB). The same
     * formula as the linear-counting sketch (Queries.x22). */
-  def hashBucket(id: Column, buckets: Int): Column =
-    pmod(id * lit(2654435761L), lit(buckets.toLong))
+  def hashBucket(id: Column, buckets: Int): Column = {
+    val m = buckets.toLong
+    pmod(pmod(id, lit(m)) * lit(2654435761L % m), lit(m))
+  }
 
   /** Deterministic train/valid/test assignment by per-mille weight:
     * bucket < `train` ‰ → "train", < train+valid ‰ → "valid", else
@@ -48,8 +54,12 @@ object Sampling {
     * [[hashSplit]]'s buckets), so sampling cannot systematically favor
     * one split. */
   def weightedSample(df: DataFrame, id: Column, ratePerMille: Column,
-      salt: Long = 0x9e3779b9L): DataFrame =
-    df.where(hashBucket(id + lit(salt), 1000) < ratePerMille)
+      salt: Long = 0x9e3779b9L): DataFrame = {
+    // salting in residue space keeps the whole expression overflow-free
+    // while equal to hashBucket(id + salt) in exact arithmetic
+    val salted = pmod(id, lit(1000L)) + lit(salt % 1000L)
+    df.where(hashBucket(salted, 1000) < ratePerMille)
+  }
 
   /** Concat-then-chunk sequence packing (the GPT-style pretraining
     * layout): documents are laid end to end in (shard, id) order and the

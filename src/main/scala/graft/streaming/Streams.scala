@@ -57,9 +57,13 @@ object Streams {
         val existingPks =
           try Some(spark.read.parquet(tablePath).select(pk.map(col): _*))
           catch {
+            // missing dir OR a dir with no part files yet (a first batch
+            // whose rows were all filtered writes only _SUCCESS, and the
+            // next read fails schema inference, not existence)
             case e: org.apache.spark.sql.AnalysisException
                 if e.getMessage.contains("PATH_NOT_FOUND") ||
-                  e.getMessage.contains("Path does not exist") => None
+                  e.getMessage.contains("Path does not exist") ||
+                  e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
           }
         val fresh = existingPks match {
           case Some(keys) => deduped.join(keys, pk, "left_anti")
@@ -105,17 +109,29 @@ object Streams {
 
   /** Fold the log to its latest view in place (compact-on-write).
     * Batch-id stamps survive, so post-compaction appends still order
-    * after every compacted row. */
+    * after every compacted row.
+    *
+    * CONTRACT: compaction requires quiescence — call it between batches
+    * or with the query stopped. The materialize → delete → rename
+    * sequence on a plain parquet directory is not atomic: an append
+    * racing the delete would be lost, and crash-safety across the swap
+    * needs a transactional table format (which is what a production
+    * deployment would put under this same log/fold/compact shape). */
   def compactLog(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      pk: Seq[String], ord: Seq[Column]): Unit = {
+      pk: Seq[String], ord: Seq[Column]): Unit =
+    swapInPlace(spark, tablePath, latestView(spark, tablePath, pk, ord))
+
+  private def swapInPlace(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, folded: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = tablePath + ".compact"
-    latestView(spark, tablePath, pk, ord)
-      .write.mode("overwrite").parquet(tmp)
+    folded.write.mode("overwrite").parquet(tmp)
     val fs = new Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(tablePath), true)
-    fs.rename(new Path(tmp), new Path(tablePath))
+    if (!fs.delete(new Path(tablePath), true) ||
+        !fs.rename(new Path(tmp), new Path(tablePath)))
+      throw new java.io.IOException(
+        s"compaction swap failed for $tablePath (compacted data is in $tmp)")
   }
 
   /** Incremental aggregate maintenance (the materialized-view pattern):
@@ -143,30 +159,37 @@ object Streams {
       }
       .start()
 
+  /** The log with at-least-once replays collapsed: foreachBatch can
+    * re-run a batch after a crash between the parquet append and the
+    * checkpoint commit, appending a byte-identical partial under the
+    * same batch id — deduping on (keys, _batch) makes the fold
+    * replay-idempotent, which is what lets the view claim
+    * load ∘ load = load without a transactional sink. */
+  private def dedupedPartials(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(tablePath).dropDuplicates(keys :+ "_batch")
+
   /** Current state of an [[additiveSink]] log: one row per key with the
     * folded sum (double at the boundary) and count. */
   def sumView(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       keys: Seq[String]): DataFrame =
-    spark.read.parquet(tablePath)
+    dedupedPartials(spark, tablePath, keys)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_psum")).cast("double").as("total"),
         sum(col("_pcount")).as("n"))
 
-  /** Fold the additive log to one partial per key in place. */
+  /** Fold the additive log to one partial per key in place. Same
+    * quiescence contract as [[compactLog]] — and additionally the
+    * stream's last batch must be checkpoint-committed, because a
+    * replay of a batch that compaction already folded away would
+    * re-append it as a new partial. */
   def compactAdditive(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String, keys: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tmp = tablePath + ".compact"
-    spark.read.parquet(tablePath)
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col("_psum")).as("_psum"), sum(col("_pcount")).as("_pcount"),
-        max(col("_batch")).as("_batch"))
-      .write.mode("overwrite").parquet(tmp)
-    val fs = new Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(tablePath), true)
-    fs.rename(new Path(tmp), new Path(tablePath))
-  }
+      tablePath: String, keys: Seq[String]): Unit =
+    swapInPlace(spark, tablePath,
+      dedupedPartials(spark, tablePath, keys)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("_psum")).as("_psum"), sum(col("_pcount")).as("_pcount"),
+          max(col("_batch")).as("_batch")))
 
   /** Tumbling event-time aggregation with watermark — the streaming form
     * of EventWindows.tumbling. */

@@ -158,6 +158,54 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected.updated("b", (8.0, 2L)))
   }
 
+  test("keepFirstSink survives a table dir with no part files") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty")
+    val table = dir.resolve("table").toString
+    // simulate a first batch whose rows were all filtered: dir exists,
+    // no parquet part files — the PK read must treat it as "no keys yet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(table, "_SUCCESS"), "")
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts("2024-01-01 00:00:00"), "a"))
+    val q = Streams.keepFirstSink(mem.toDF(), Seq("pk"), Seq(col("ts")),
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(table).count() == 1)
+  }
+
+  test("additiveSink view is idempotent under batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_replay")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(4, ts("2024-01-01 00:00:00"), "a"),
+      Ev(6, ts("2024-01-01 00:00:01"), "b"))
+    val q = Streams.additiveSink(mem.toDF(), Seq("v"), col("pk"), table,
+      dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    q.stop()
+    def state(): Map[String, (Double, Long)] =
+      Streams.sumView(spark, table, Seq("v")).collect()
+        .map(r => r.getAs[String]("v") ->
+          (r.getAs[Double]("total"), r.getAs[Long]("n"))).toMap
+    val before = state()
+    assert(before == Map("a" -> (4.0, 1L), "b" -> (6.0, 1L)))
+    // simulate at-least-once replay: the crashed-and-rerun batch appends
+    // a byte-identical partial under the same batch id (materialize
+    // first — appending from a live self-read is undefined)
+    val logRows = spark.read.parquet(table).collect().toSeq
+    val logSchema = spark.read.parquet(table).schema
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(logRows).asJava, logSchema)
+      .write.mode("append").parquet(table)
+    assert(state() == before) // fold dedupes on (keys, _batch)
+    Streams.compactAdditive(spark, table, Seq("v"))
+    assert(state() == before)
+  }
+
   test("streaming tumbling counts equal batch window counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
