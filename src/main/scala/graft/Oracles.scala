@@ -603,6 +603,30 @@ object Oracles {
         |FROM toks t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    "x36_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ind, b.doc_id AS exd, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT ind AS doc_id FROM inter
+        |  JOIN sizes sa ON ind = sa.doc_id
+        |  JOIN sizes sb ON exd = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
+
     "x35_scalar_quant" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(i AS BIGINT) AS pos,

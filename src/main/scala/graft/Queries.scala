@@ -733,6 +733,20 @@ object Queries {
       .orderBy("vec_id", "pos")
   }
 
+  /** x36 — incremental-ingestion dedup: an incoming slice (doc_id ≡ 0
+    * mod 7) is admitted against the existing corpus; near-dups of an
+    * existing doc are dropped. Oracle-sound because LSH recall is 1 on
+    * this corpus (the x03≡x02 identity), so the exact-Jaccard oracle
+    * decides admission identically. */
+  val x36IncrementalDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val isIncoming = col("doc_id") % 7 === 0
+    Dedup.dedupAgainstCorpus(docs.where(!isIncoming), docs.where(isIncoming),
+        "doc_id", "sh")
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** q27 — analytic window-function family over the order history: lag,
     * sequence number, quartile bucket (ntile) and percent_rank in ONE
     * Window node over one custkey exchange (all four share the same
@@ -982,6 +996,7 @@ object Queries {
     "x33_decontaminate" -> x33Decontaminate,
     "x34_cross_modal" -> x34CrossModal,
     "x35_scalar_quant" -> x35ScalarQuant,
+    "x36_incremental_dedup" -> x36IncrementalDedup,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -81,6 +81,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental-ingestion dedup: drop incoming documents that are
+    * near-duplicates of the EXISTING corpus — the production admission
+    * path, where the existing side's (band, bucket) keys are a
+    * precomputed index and only the incoming batch is shingled and
+    * signed. Candidates come from shared band buckets (incoming ×
+    * existing only — incoming-internal dups are [[minhashLsh]]'s job),
+    * and admission is decided by the same exact hashed-shingle Jaccard
+    * verification, so `dedupAgainstCorpus(C, B)` drops exactly the B
+    * docs that `minhashLsh(C ∪ B)` pairs with a C doc (asserted in
+    * ExtSpec). Returns the surviving incoming rows. */
+  def dedupAgainstCorpus(existing: DataFrame, incoming: DataFrame,
+      idCol: String, shinglesCol: String, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+    val exBands = bandKeys(existing, idCol, shinglesCol, numHashes, bands)
+      .withColumnRenamed("id", "ex_id")
+    val inBands = bandKeys(incoming, idCol, shinglesCol, numHashes, bands)
+    val candidates = inBands.join(exBands, Seq("band", "bucket"))
+      .select(col("id"), col("ex_id")).dropDuplicates("id", "ex_id")
+    val exHs = existing.select(col(idCol).as("ex_id"),
+      hashedShingles(col(shinglesCol)).as("hs_ex"))
+    val inHs = incoming.select(col(idCol).as("id"),
+      hashedShingles(col(shinglesCol)).as("hs_in"))
+    val dupIds = candidates.join(inHs, "id").join(exHs, "ex_id")
+      .where(jaccard(col("hs_in"), col("hs_ex")) >= threshold)
+      .select(col("id")).distinct()
+    incoming.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol),
+      "left_anti")
+  }
+
   /** 64-bit SimHash over a token/shingle array — one codegen'd loop over
     * pre-hashed tokens. */
   def simhash(tokensCol: Column): Column =

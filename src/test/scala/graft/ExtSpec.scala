@@ -145,6 +145,30 @@ class ExtSpec extends SparkSpec {
     assert(got(9L) == (1L, 2048L, 1L, 1L))
   }
 
+  test("dedupAgainstCorpus admits exactly what corpus-wide LSH would admit") {
+    val sh = (d: org.apache.spark.sql.DataFrame) => d.select($"doc_id",
+      array_distinct(TextAnalysis.shingles($"text", 3)).as("sh"))
+    val existing = sh(docs.where($"doc_id".isin(1L, 3L, 5L)))
+    val incoming = sh(docs.where($"doc_id".isin(2L, 4L)))
+    val survivors = rows(Dedup.dedupAgainstCorpus(existing, incoming,
+      "doc_id", "sh")).map(_.getAs[Long]("doc_id")).toSet
+    // doc 4 is an exact copy of existing doc 1 → dropped; doc 2 is a
+    // near-dup of 1 above threshold → dropped too
+    val crossPairs = rows(Dedup.minhashLsh(sh(docs), "doc_id", "sh"))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .filter { case (a, b) =>
+        Set(1L, 3L, 5L).contains(a) ^ Set(1L, 3L, 5L).contains(b) }
+    val expectDropped = crossPairs.flatMap { case (a, b) => Seq(a, b) }
+      .filter(Set(2L, 4L).contains).toSet
+    assert(survivors == Set(2L, 4L) -- expectDropped)
+    // admission is idempotent: survivors re-checked against the corpus
+    // plus themselves admit unchanged
+    val again = rows(Dedup.dedupAgainstCorpus(existing,
+      incoming.where($"doc_id".isin(survivors.toSeq: _*)), "doc_id", "sh"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == survivors)
+  }
+
   test("discrete quantiles: exact ranks, stable under re-sharding") {
     val df = (1L to 100L).map(v => ("g", v)).toDF("g", "v")
     val ps = Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
