@@ -627,6 +627,29 @@ object Oracles {
         |WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
 
+    // count-min: the h CTE inlines the Spark side's multiplier/offset
+    // residues mod 509 (2654435761→252, 2246822519→318, 3266489917→232,
+    // 668265263→181; offsets 17/31/47/61 are already < 509)
+    "x37_count_min" ->
+      """WITH h(j, a, b) AS (VALUES
+        |    (0, 252, 17), (1, 318, 31), (2, 232, 47), (3, 181, 61)),
+        |sk AS (
+        |  SELECT h.j AS j, ((o.o_custkey % 509) * h.a + h.b) % 509 AS bucket,
+        |    count(*) AS c
+        |  FROM orders o CROSS JOIN h GROUP BY 1, 2),
+        |probe AS (SELECT c_custkey AS custkey FROM customer),
+        |est AS (
+        |  SELECT p.custkey, min(coalesce(s.c, 0)) AS est
+        |  FROM probe p CROSS JOIN h
+        |  LEFT JOIN sk s ON s.j = h.j
+        |    AND s.bucket = ((p.custkey % 509) * h.a + h.b) % 509
+        |  GROUP BY 1),
+        |ex AS (SELECT o_custkey AS custkey, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT e.custkey, CAST(coalesce(x.n, 0) AS BIGINT) AS n_exact,
+        |  CAST(e.est AS BIGINT) AS est,
+        |  CAST(e.est - coalesce(x.n, 0) AS BIGINT) AS overcount
+        |FROM est e LEFT JOIN ex x USING (custkey) ORDER BY custkey""".stripMargin,
+
     "x35_scalar_quant" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(i AS BIGINT) AS pos,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.{AsOf, NearestSelect, Upsert}
 import graft.functions.{Cleansing, Occ}
-import graft.ext.{Dedup, EventWindows, Ivf, Multimodal, Quantiles, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Quantiles, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
   * the LLM-pipeline extension operators. Every query is deterministic
@@ -747,6 +747,30 @@ object Queries {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** x37 — count-min sketch frequency estimates: a 4×509 counter grid
+    * over the order stream answers "how many orders does customer k
+    * have" for EVERY customer (even absent ones) from depth·width cells
+    * of state. Building the sketch shuffles at most depth·width rows per
+    * map partition (vs every distinct key for the exact count), and
+    * estimation is a per-row map against the broadcast grid — the
+    * bounded, additive scale path next to x29's exact top-k. The width
+    * is deliberately undersized for the corpus so collisions (and the
+    * one-sided over-count they cause) are visible in the output; the
+    * exact count sits alongside for comparison. Residue-form hashes keep
+    * it overflow-free and oracle-exact. */
+  val x37CountMin: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val sk = CountMin.sketch(orders, col("o_custkey"))
+    val probe = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+    val exact = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n"))
+    CountMin.estimate(sk, probe, col("custkey"))
+      .join(exact, Seq("custkey"), "left")
+      .select(col("custkey"), coalesce(col("n"), lit(0L)).as("n_exact"),
+        col("est"), (col("est") - coalesce(col("n"), lit(0L))).as("overcount"))
+      .orderBy("custkey")
+  }
+
   /** q27 — analytic window-function family over the order history: lag,
     * sequence number, quartile bucket (ntile) and percent_rank in ONE
     * Window node over one custkey exchange (all four share the same
@@ -997,6 +1021,7 @@ object Queries {
     "x34_cross_modal" -> x34CrossModal,
     "x35_scalar_quant" -> x35ScalarQuant,
     "x36_incremental_dedup" -> x36IncrementalDedup,
+    "x37_count_min" -> x37CountMin,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

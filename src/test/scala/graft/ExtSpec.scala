@@ -256,6 +256,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("count-min: one-sided error, mass conservation, cellwise-sum merge") {
+    import graft.ext.CountMin
+    // skewed multiset over a deliberately tiny grid so collisions occur
+    val keys = (1L to 40L).flatMap(k => Seq.fill((41 - k).toInt)(k))
+    val df = keys.toDF("k")
+    val w = 13
+    val sk = CountMin.sketch(df, $"k", width = w, depth = 3)
+    // every depth row conserves total mass
+    val perDepth = rows(sk.groupBy("j").agg(sum($"c").as("s")))
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perDepth.size == 3 && perDepth.values.forall(_ == keys.size.toLong))
+    // estimates never undercount; absent keys still answer (possibly > 0)
+    val probe = (1L to 50L).toDF("k")
+    val est = rows(CountMin.estimate(sk, probe, $"k", width = w, depth = 3))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (1L to 50L).foreach { k =>
+      assert(est(k) >= truth.getOrElse(k, 0L), s"undercount at $k")
+    }
+    // additivity: sketch of the union == cellwise sum of the halves
+    val (a, b) = keys.splitAt(keys.size / 2)
+    val merged = CountMin.merge(
+      CountMin.sketch(a.toDF("k"), $"k", width = w, depth = 3),
+      CountMin.sketch(b.toDF("k"), $"k", width = w, depth = 3))
+    val cells = (d: org.apache.spark.sql.DataFrame) =>
+      rows(d.select("j", "bucket", "c"))
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(merged) == cells(sk))
+  }
+
   test("sessionize: strict 30-min gap splits sessions") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:29:59", 2L),
