@@ -733,6 +733,22 @@ object Oracles {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY custkey, seq""".stripMargin,
 
+    // as-of tie-break mirrors AsOfJoinExec's required right ordering:
+    // among equal (user, orderdate) the sort-greatest remaining tuple
+    // wins, and o_orderkey (unique) decides before o_totalprice
+    "q28_asof_planned" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |    o.o_orderdate, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts,
+        |  o_orderdate AS asof_o_orderdate, o_orderkey AS asof_o_orderkey,
+        |  o_totalprice AS asof_o_totalprice
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "x22_approx_distinct" ->
       """SELECT l_returnflag, occupied, exact,
         |  CAST(occupied AS DOUBLE) / 65536.0 AS est_ratio

@@ -792,6 +792,23 @@ object Queries {
       .orderBy("custkey", "seq")
   }
 
+  /** q28 — the as-of join as a first-class Catalyst operator
+    * (plans.AsOfJoin: logical node + strategy + AsOfJoinExec): every
+    * event picks up its user's latest order at-or-before the event
+    * time. The exec DECLARES clustering + (key, time) ordering needs, so
+    * this plan carries one exchange per side here and ZERO when the
+    * inputs are bucketed (PlansSpec asserts both); execution is a
+    * streaming sorted merge — no |L|×|R| intermediate, no buffering
+    * beyond one right row. Same semantics as AsOf.asOfJoinSorted. */
+  val q28AsofPlanned: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val ord = Tables.orders(s, dir).select(col("o_custkey").as("user_id"),
+      col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.AsOfJoin(ev, ord, Seq("user_id"), "ts", "o_orderdate")
+      .orderBy("event_id")
+  }
+
   /** x32 — vocabulary coverage / OOV scoring: the corpus top-1000-token
     * vocabulary (deterministic count-desc, token-asc boundary) is a
     * bounded small side that broadcasts; each document reports its token
@@ -985,6 +1002,7 @@ object Queries {
     "q25_cube" -> q25Cube,
     "q26_grouping_sets" -> q26GroupingSets,
     "q27_window_funcs" -> q27WindowFuncs,
+    "q28_asof_planned" -> q28AsofPlanned,
     "x22_approx_distinct" -> x22ApproxDistinct,
     "x23_pii_audit" -> x23PiiAudit,
     "x24_ivf_kmeans" -> x24IvfKmeans,

@@ -16,6 +16,19 @@ object Bridge {
   def column(e: Expression): Column = Column(ExpressionColumnNode(e))
   def expression(c: Column): Expression = ColumnNodeExpression(c.node)
 
+  /** Analyzed logical plan of a DataFrame (attributes resolved, ready to
+    * be wired as a child of a custom logical node). */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** DataFrame over a custom logical plan (Dataset.ofRows is private[sql]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL function on an EXISTING session (SparkSessionExtensions
     * only applies at session construction). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
