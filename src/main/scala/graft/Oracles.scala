@@ -664,6 +664,31 @@ object Oracles {
         |FROM e JOIN s USING (pos)
         |ORDER BY vec_id, pos""".stripMargin,
 
+    // PQ: seeds are the 16 smallest-id vectors; codeword j of subspace s
+    // is that vector's dims [s*8+1, s*8+8] (1-based). Distances are
+    // double-exact (cast-then-subtract-then-square, summed in element
+    // order) so the argmin matches Spark's codegen loop bit-for-bit.
+    "x38_pq_encode" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |dists AS (
+        |  SELECT e.vec_id, t.s, seeds.code,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (v[CAST(t.s*8 + i AS INT)] - cv[CAST(t.s*8 + i AS INT)])
+        |        * (v[CAST(t.s*8 + i AS INT)] - cv[CAST(t.s*8 + i AS INT)]))) AS d
+        |  FROM e CROSS JOIN range(0, 8) t(s) CROSS JOIN seeds),
+        |best AS (
+        |  SELECT vec_id, s, code,
+        |    row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY d ASC, code ASC) AS rn
+        |  FROM dists)
+        |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
     "x34_cross_modal" ->
       """SELECT d.lang, e.label, count(*) AS n,
         |  CAST(sum(len(regexp_split_to_array(trim(d.text), '\s+'))) AS BIGINT) AS total_tokens,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.{AsOf, NearestSelect, Upsert}
 import graft.functions.{Cleansing, Occ}
-import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Quantiles, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Pq, Quantiles, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
   * the LLM-pipeline extension operators. Every query is deterministic
@@ -733,6 +733,18 @@ object Queries {
       .orderBy("vec_id", "pos")
   }
 
+  /** x38 — product quantization: each 64-dim embedding becomes 8
+    * subspace codes (8 bytes vs 256 — the compression tier above x35's
+    * SQ8, and what keeps a 100 TB vector index RAM-resident). Codebooks
+    * are deterministic id-seeded constants embedded in the plan;
+    * encoding is ONE codegen scan — no join, no exchange (plan-asserted
+    * in ScrubIvfSpec). Distances are double-exact in both engines, so
+    * the argmin codes hash-match with zero tolerance. */
+  val x38PqEncode: Q = (s, dir) => {
+    Pq.encodeLong(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy("vec_id", "sub")
+  }
+
   /** x36 — incremental-ingestion dedup: an incoming slice (doc_id ≡ 0
     * mod 7) is admitted against the existing corpus; near-dups of an
     * existing doc are dropped. Oracle-sound because LSH recall is 1 on
@@ -1040,6 +1052,7 @@ object Queries {
     "x35_scalar_quant" -> x35ScalarQuant,
     "x36_incremental_dedup" -> x36IncrementalDedup,
     "x37_count_min" -> x37CountMin,
+    "x38_pq_encode" -> x38PqEncode,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.functions.expressions.VectorExpressions
+
+/** Product quantization (Jégou et al.): slice each vector into `m`
+  * contiguous subspaces and store, per subspace, the index of the
+  * L2-nearest codeword — m bytes replacing dim floats. The compression
+  * tier above SQ8 ([[Quantize]]): SQ8 keeps one code per DIMENSION
+  * (dim bytes), PQ keeps one per SUBSPACE (m bytes, 8 here vs 64), which
+  * is what makes a 100 TB embedding corpus index RAM-resident.
+  *
+  * Codebooks are deterministic — codeword j of every subspace is the
+  * sub-vector of the j-th-smallest id (the same seed rule as
+  * [[Ivf]]'s coarse quantizer) — so encoding is reproducible across
+  * engines and x38 is oracle-checkable with zero tolerance.
+  *
+  * At scale: the codebooks are m×k×(dim/m) doubles resident on the
+  * driver, embedded in the plan as expression constants; encoding is a
+  * single [[VectorExpressions.pqEncode]] codegen map — one corpus scan,
+  * no join, no exchange (plan-asserted in ScrubIvfSpec). Asymmetric
+  * distance (query × decoded codeword) needs only the codebook and the
+  * m-byte codes, never the original vectors.
+  */
+object Pq {
+
+  /** Deterministic seed codebooks: `codebooks(s)(j)` = subspace-s slice
+    * of the vector with the j-th-smallest id. */
+  def seedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("id"),
+        VectorOps.toDouble(col(vecCol)).as("v"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(seeds.nonEmpty, "corpus has no rows to seed codebooks from")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    Array.tabulate(m)(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  /** (id, codes array<long>) — the encoded corpus, one scan. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16): DataFrame = {
+    val cb = seedCodebooks(df, idCol, vecCol, m, k)
+    df.select(col(idCol),
+      VectorExpressions.pqEncode(VectorOps.toDouble(col(vecCol)), cb)
+        .as("codes"))
+  }
+
+  /** Long form (id, sub, code) — the x38 query/oracle shape. */
+  def encodeLong(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16): DataFrame =
+    encode(df, idCol, vecCol, m, k)
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col(idCol), col("sub").cast("long").as("sub"), col("code"))
+
+  /** The codebook as a DataFrame (sub, code, cw) — the decode side of
+    * asymmetric distance computation; m×k rows, always broadcastable. */
+  def codebookDf(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cb = seedCodebooks(corpus, idCol, vecCol, m, k)
+    cb.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cw, j) =>
+        (s.toLong, j.toLong, cw.toSeq)
+      }
+    }.toSeq.toDF("sub", "code", "cw")
+  }
+
+  /** PQ-decoded corpus (id, vec): each vector rebuilt as the
+    * concatenation of its subspace codewords — the reconstruction used
+    * by ADC search and the recall test. */
+  def decode(encoded: DataFrame, codebook: DataFrame, idCol: String)
+      : DataFrame =
+    encoded.select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col(idCol), col("sub").cast("long").as("sub"), col("code"))
+      .join(broadcast(codebook), Seq("sub", "code"))
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cw")))),
+        s => s.getField("cw"))).as("vec"))
+}

@@ -323,6 +323,103 @@ case class NearestCell(vec: Expression, norm2: Expression,
       : Expression = copy(vec = l, norm2 = r)
 }
 
+/** Product-quantization encoder: split the input vector into
+  * `codebooks.length` contiguous subspaces and emit, per subspace, the
+  * index of the L2-nearest codeword — all m codes in ONE per-row codegen
+  * map (array<long> out). The codebooks are constructor constants
+  * (driver-resident, embedded like a broadcast), so encoding a 100 TB
+  * corpus is exactly one scan: no join, no exchange, no per-row
+  * allocation beyond the m-long code array.
+  *
+  * Ties go to the smallest code (strict `<` keeps the first minimum);
+  * NaN distances follow java.lang.Double.compare, mirroring the SQL
+  * oracle's `ORDER BY d ASC, code ASC`. `codebooks(s)(j)` is codeword j
+  * of subspace s; all subspaces must share one sub-dimension.
+  */
+case class PqEncode(vec: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty per subspace")
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == subDim)),
+    "all codewords must share one sub-dimension")
+
+  override def child: Expression = vec
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val codes = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val off = s * subDim
+      var best = 0.0
+      var bj = 0L
+      var j = 0
+      while (j < cb.length) {
+        val cw = cb(j)
+        var d = 0.0
+        var i = 0
+        while (i < subDim && off + i < v.numElements()) {
+          val diff = v.getDouble(off + i) - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        if (j == 0 || java.lang.Double.compare(d, best) < 0) { best = d; bj = j }
+        j += 1
+      }
+      codes(s) = bj
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val sub = ctx.freshName("sub")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bj = ctx.freshName("bj")
+      val j = ctx.freshName("j")
+      val cw = ctx.freshName("cw")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val diff = ctx.freshName("diff")
+      s"""
+         |long[] $codes = new long[$cb.length];
+         |for (int $s = 0; $s < $cb.length; $s++) {
+         |  double[][] $sub = $cb[$s];
+         |  int $off = $s * $subDim;
+         |  double $best = 0.0;
+         |  long $bj = 0L;
+         |  for (int $j = 0; $j < $sub.length; $j++) {
+         |    double[] $cw = $sub[$j];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $subDim && $off + $i < $a.numElements(); $i++) {
+         |      double $diff = $a.getDouble($off + $i) - $cw[$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($j == 0 || java.lang.Double.compare($d, $best) < 0) {
+         |      $best = $d; $bj = $j;
+         |    }
+         |  }
+         |  $codes[$s] = $bj;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(vec = c)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
 
@@ -337,4 +434,6 @@ object VectorExpressions {
       centNorms: Array[Double], centIds: Array[Long]): Column =
     column(NearestCell(expression(vec), expression(norm2),
       centVecs, centNorms, centIds))
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqEncode(expression(vec), codebooks))
 }

@@ -140,4 +140,50 @@ class ScrubIvfSpec extends SparkSpec {
       exactCos.get(key).foreach(c => assert(c == r.getAs[Double]("cosine")))
     }
   }
+
+  test("PQ encode: exchange-free scan, bounded codes, lossless on seeds") {
+    import graft.ext.Pq
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val enc = Pq.encode(emb, "vec_id", "embedding")
+    // one-scan contract: codebooks are plan constants, not a join side
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "PQ encode shuffles:\n" + plan.take(600))
+    assert(!plan.contains("Join"), "PQ encode joins:\n" + plan.take(600))
+    val codes = rows(Pq.encodeLong(emb, "vec_id", "embedding"))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(codes.values.forall(c => c >= 0 && c <= 15))
+    assert(codes.keys.map(_._2).toSet == (0L to 7L).toSet)
+    // seed vectors reconstruct exactly (their own sub-vectors are
+    // codewords, so the nearest distance is 0 in every subspace)
+    val cb = Pq.codebookDf(emb, "vec_id", "embedding")
+    val decoded = Pq.decode(enc.where($"vec_id" < 16), cb, "vec_id")
+    val orig = rows(emb.where($"vec_id" < 16).select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v")))
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows(decoded).foreach { r =>
+      assert(r.getSeq[Double](1) == orig(r.getLong(0)),
+        s"seed ${r.getLong(0)} not reconstructed exactly")
+    }
+  }
+
+  test("PQ reconstruction error shrinks as the codebook grows (nested seeds)") {
+    import graft.ext.Pq
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def meanErr(k: Int): Double = {
+      val enc = Pq.encode(emb, "vec_id", "embedding", m = 8, k = k)
+      val cb = Pq.codebookDf(emb, "vec_id", "embedding", m = 8, k = k)
+      val dec = Pq.decode(enc, cb, "vec_id")
+      val joined = dec.join(emb.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v")), "vec_id")
+      rows(joined.select(
+        aggregate(zip_with($"vec", $"v", (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _).as("e"))).map(_.getDouble(0)).sum
+    }
+    // k=64 seed set ⊇ k=16 seed set, so the per-subspace min distance is
+    // pointwise ≤ — total reconstruction error must not increase
+    val e16 = meanErr(16)
+    val e64 = meanErr(64)
+    assert(e64 <= e16, s"error grew with a larger codebook: $e64 > $e16")
+    assert(e16 > 0.0) // non-seed vectors are genuinely approximated
+  }
 }
