@@ -576,6 +576,19 @@ object Oracles {
         |  max(n) AS n
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "x39_window_quantiles" ->
+      """WITH r AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, value AS v,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |      ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY date_trunc('hour', ts), event_type) AS n
+        |  FROM events)
+        |SELECT ws, event_type,
+        |  max(CASE WHEN rn = greatest(1, (1*n + 1) // 2) THEN v END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, (19*n + 19) // 20) THEN v END) AS p95,
+        |  max(n) AS n
+        |FROM r GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
     "x29_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -965,6 +978,11 @@ object Oracles {
     "d05_export_restore" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(o_orderdate AS DATE) AS date
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "d06_range_export" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
         |ORDER BY o_orderkey""".stripMargin,
 

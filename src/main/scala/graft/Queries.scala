@@ -983,6 +983,38 @@ object Queries {
     good.orderBy("o_orderkey")
   }
 
+  /** d06 — range-partitioned sorted-run export → read-back under the
+    * identity oracle: the slice goes out via Export.writeRangeSorted
+    * (disjoint, internally-sorted parquet runs whose file order is
+    * global order — per-file sortedness and disjointness are asserted
+    * in ExportSpec) and must come back losslessly. */
+  val d06RangeExport: Q = (s, dir) => {
+    val src = Tables.orders(s, dir)
+      .where(col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // fixed scratch path, cleared up front (Bench runs queries twice)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_d06_rangesorted").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.operators.Export.writeRangeSorted(src, path, 8, Seq("o_orderkey"))
+    s.read.parquet(path).orderBy("o_orderkey")
+  }
+
+  /** x39 — per-window value quantiles: exact p50/p95 of the event value
+    * inside each (hour, event_type) tumbling window — x28's integer-rank
+    * quantiles composed with x12's window grouping. One shuffle on the
+    * (window, type) key; the sketch path (Quantiles.approx) is the
+    * bounded-shuffle variant at scale. */
+  val x39WindowQuantiles: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("ws", date_trunc("hour", col("ts")))
+    Quantiles.discrete(ev, Seq("ws", "event_type"), col("value"),
+        Seq((1, 2, "p50"), (19, 20, "p95")))
+      .orderBy("ws", "event_type")
+  }
+
   /** All queries, keyed as exposed through SparkEntry. Every result passes
     * through [[Tables.ntzOut]] so timestamps match the naive-timestamp
     * oracle output. */
@@ -1053,11 +1085,13 @@ object Queries {
     "x36_incremental_dedup" -> x36IncrementalDedup,
     "x37_count_min" -> x37CountMin,
     "x38_pq_encode" -> x38PqEncode,
+    "x39_window_quantiles" -> x39WindowQuantiles,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
     "d04_chain_html" -> d04ChainHtml,
-    "d05_export_restore" -> d05ExportRestore
+    "d05_export_restore" -> d05ExportRestore,
+    "d06_range_export" -> d06RangeExport
   ).map { case (k, f) =>
     k -> ((s: SparkSession, d: String) => Tables.ntzOut(Tables.doubleOut(f(s, d))))
   }

@@ -51,6 +51,20 @@ object Export {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** Range-partitioned sorted-run export: `n` parquet files whose key
+    * ranges are DISJOINT and internally sorted (repartitionByRange
+    * samples the key distribution, so file sizes stay balanced even on
+    * skewed keys). File order IS global order — a downstream
+    * merge-reader consumes globally sorted data with no shuffle, and
+    * min/max footer stats let range-pruned scans skip whole files. The
+    * write-side shape of the sorted-scan operators (as-of, merge
+    * dedup): pay the sort once at export, never again at read. */
+  def writeRangeSorted(df: DataFrame, path: String, n: Int,
+      keys: Seq[String]): Unit =
+    df.repartitionByRange(n, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** S11 bulk restore: CSV → rows with bad-row tolerance, the analog of
     * `COPY … (on_error ignore)` (reference: restore-from-dolt.rkt:47-71).
     * PERMISSIVE mode quarantines unparseable rows into `_corrupt_record`;

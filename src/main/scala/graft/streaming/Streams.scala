@@ -199,6 +199,25 @@ object Streams {
       .groupBy((window(col(tsCol), width).getField("start").as("ws") +: keys): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Windowed quantiles over a stream: per-(window, keys) p-quantiles of
+    * `value` via percentile_approx — the streaming form of
+    * Quantiles.approx composed with tumbling windows (x39's batch
+    * shape). The GK-style sketch is a mergeable bounded buffer, so state
+    * per open window is O(accuracy), not O(events) — the only shape a
+    * quantile can take in unbounded streams. `ps` are (num, den, label)
+    * rationals like the batch API. */
+  def windowQuantiles(stream: DataFrame, tsCol: String, width: String,
+      watermark: String, keys: Seq[Column], value: Column,
+      ps: Seq[(Int, Int, String)], accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map { case (num, den, label) =>
+      percentile_approx(value, lit(num.toDouble / den), lit(accuracy))
+        .as(label)
+    } :+ count(lit(1)).as("n")
+    stream.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), width).getField("start").as("ws") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Session windows with an inactivity gap — the streaming form of
     * EventWindows.sessionize, using the built-in session_window (state
     * managed by Spark, no custom flatMapGroupsWithState needed). */

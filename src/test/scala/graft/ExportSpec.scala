@@ -73,4 +73,36 @@ class ExportSpec extends SparkSpec {
     assertDecEq(r.getAs[java.math.BigDecimal]("vol"), "0.2555")
     assertDecEq(r.getAs[java.math.BigDecimal]("delta"), "0.7299")
   }
+
+  test("range-sorted export: disjoint sorted runs, file order is global order") {
+    val src = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_range_sorted").toString
+    try {
+      Export.writeRangeSorted(src, path, 4, Seq("o_orderkey"))
+      val parts = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(parts.length > 1, "expected multiple sorted runs")
+      // each file internally sorted; ranges strictly disjoint in file order
+      var prevMax = Long.MinValue
+      parts.foreach { f =>
+        val keys = rows(spark.read.parquet(f.toString).select($"o_orderkey"))
+          .map(_.getLong(0))
+        assert(keys == keys.sorted, s"${f.getName} is not a sorted run")
+        if (keys.nonEmpty) {
+          assert(keys.head > prevMax,
+            s"${f.getName} overlaps the previous run ($prevMax)")
+          prevMax = keys.last
+        }
+      }
+      // lossless: the concatenation is exactly the source
+      val back = rows(spark.read.parquet(path).orderBy("o_orderkey"))
+        .map(_.toString)
+      val orig = rows(src.orderBy("o_orderkey")).map(_.toString)
+      assert(back == orig)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
 }

@@ -225,6 +225,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming windowed quantiles equal the batch sketch quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val evs = (1 to 40).map(i => Ev(i.toLong,
+      ts(f"2024-01-01 0${i % 2}%d:10:00"), if (i % 3 == 0) "a" else "b"))
+    mem.addData(evs: _*)
+    val out = Streams.windowQuantiles(mem.toDF(), "ts", "1 hour",
+      "10 minutes", Seq(col("v")), col("pk").cast("double"),
+      Seq((1, 2, "p50"), (9, 10, "p90")))
+    runToMemory(out, "wq_out", "complete")
+    val got = spark.sql("select ws, v, p50, p90, n from wq_out order by ws, v")
+      .collect().map(_.toString).toSeq
+    val batch = graft.ext.Quantiles.approx(
+        evs.toDF().withColumn("ws", date_trunc("hour", $"ts")),
+        Seq("ws", "v"), $"pk".cast("double"),
+        Seq((1, 2, "p50"), (9, 10, "p90")))
+      .select($"ws", $"v", $"p50", $"p90", $"n").orderBy("ws", "v")
+      .collect().map(_.toString).toSeq
+    assert(got == batch && got.size == 4)
+    // the sketch at this accuracy is exact on 40 values: spot-check p50
+    // of the hour-0 'b' group against the true median rank value
+    val hour0b = evs.filter(e => e.pk % 2 == 0 && e.v == "b").map(_.pk).sorted
+    val expectedP50 = hour0b((hour0b.size + 1) / 2 - 1).toDouble
+    val gotP50 = spark.sql(
+      "select p50 from wq_out where v = 'b' and ws = timestamp '2024-01-01 00:00:00'")
+      .collect().head.getDouble(0)
+    assert(gotP50 == expectedP50)
+  }
+
   test("streaming session windows split on the gap like batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
