@@ -134,14 +134,70 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for [[AsOfJoinPlan]] — the part of the Catalyst
+  * contract a custom node must supply itself: the built-in
+  * PushDownPredicates has no idea the as-of join is left-preserving, so
+  * without this rule every user filter sits ABOVE the join and the scans
+  * read everything.
+  *
+  * Two sound pushes (PlansSpec asserts both reach the parquet
+  * `PushedFilters`):
+  *  - predicates over left attributes push into the LEFT child — safe
+  *    because each output row is exactly one left row enriched with
+  *    right values (the join drops/duplicates nothing);
+  *  - the subset of those over the JOIN KEYS also push into the RIGHT
+  *    child with the key attributes remapped — right rows whose key
+  *    can't match any surviving left row can never be picked.
+  *
+  * Predicates referencing right-side (asof_) columns stay above the
+  * join: they see the match result, so they cannot move.
+  */
+object AsOfJoinPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeMap}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val newLeft = Filter(push.reduce(And), j.left)
+        // key-only predicates additionally prune the right side, with
+        // left key attrs rewritten to the matching right key attrs
+        val keyPairs = j.leftKeys.zip(j.rightKeys).collect {
+          case (l: Attribute, r: Attribute) => (l, r)
+        }
+        val keyMap = AttributeMap(keyPairs)
+        val leftKeySet = org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(keyPairs.map(_._1))
+        val rightPush = push
+          .filter(_.references.subsetOf(leftKeySet))
+          .map(_.transform { case a: Attribute => keyMap.getOrElse(a, a) })
+        val newRight =
+          if (rightPush.isEmpty) j.right
+          else Filter(rightPush.reduce(And), j.right)
+        val nj = j.copy(left = newLeft, right = newRight)
+        keep.reduceOption(And).map(Filter(_, nj)).getOrElse(nj)
+      }
+  }
+}
+
 /** DataFrame-level entry point. */
 object AsOfJoin {
 
-  /** Idempotently add the planner strategy to the session. */
+  /** Idempotently add the planner strategy and optimizer rule to the
+    * session (the public post-construction hooks for both). */
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(AsOfJoinPushdown)) {
+      spark.experimental.extraOptimizations = opts :+ AsOfJoinPushdown
     }
   }
 

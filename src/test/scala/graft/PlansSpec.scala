@@ -72,6 +72,34 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("pushdown rule: left filters reach both scans, asof_ filters stay put") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts")
+    val ord = graft.sources.Tables.orders(spark, dir)
+      .select($"o_custkey".as("user_id"), $"o_orderdate", $"o_orderkey")
+    val joined = AsOfJoin(ev, ord, Seq("user_id"), "ts", "o_orderdate")
+    val filtered = joined.where($"user_id" < 50 && $"event_id" % 2 === 0)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    // both conjuncts left the post-join position…
+    val aboveJoin = opt.linesIterator.takeWhile(!_.contains("AsOfJoin")).mkString("\n")
+    assert(!aboveJoin.contains("Filter"), s"filter not pushed:\n$opt")
+    // …and the key predicate reached BOTH parquet scans as a pushed filter
+    val exec = filtered.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*LessThan".r.findAllIn(exec).size
+    assert(pushed == 2, s"expected key filter pushed to both scans:\n$exec")
+    // results are unchanged by the rewrite
+    val expect = AsOf.asOfJoinSorted(ev, ord, Seq("user_id"), "ts", "o_orderdate")
+      .where($"user_id" < 50 && $"event_id" % 2 === 0)
+    assert(canon(filtered) == canon(expect))
+    // a predicate over an asof_ (right result) column must NOT push below
+    val onRight = joined.where($"asof_o_orderkey".isNotNull)
+    val opt2 = onRight.queryExecution.optimizedPlan.toString
+    assert(opt2.linesIterator.next().trim.startsWith("Filter") ||
+      opt2.linesIterator.next().trim.startsWith("Project"),
+      s"asof_ filter moved unexpectedly:\n$opt2")
+  }
+
   test("planned as-of ≡ sorted form on the events×orders corpus slice") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.sources.Tables.events(spark, dir)
