@@ -702,6 +702,56 @@ object Oracles {
         |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
 
+    // ADC: encode CTE is x38's; subspace distances use the same 3-dot
+    // expansion as the Spark side, decimal-cast before the sum so the
+    // ranking matches under any accumulation order; dist leaves through
+    // the varchar→double boundary cast (DuckDB's direct decimal→double
+    // is 1 ULP off past 2^53)
+    "x40_adc_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |cb AS (
+        |  SELECT t.s, seeds.code,
+        |    list_transform(range(1, 9), i -> cv[CAST(t.s*8 + i AS INT)]) AS cw
+        |  FROM seeds CROSS JOIN range(0, 8) t(s)),
+        |dists AS (
+        |  SELECT e.vec_id, t.s, seeds.code,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (v[CAST(t.s*8 + i AS INT)] - cv[CAST(t.s*8 + i AS INT)])
+        |        * (v[CAST(t.s*8 + i AS INT)] - cv[CAST(t.s*8 + i AS INT)]))) AS d
+        |  FROM e CROSS JOIN range(0, 8) t(s) CROSS JOIN seeds),
+        |enc AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d ASC, code ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |lut AS (
+        |  SELECT query_id, s, code,
+        |    CAST(list_dot_product(qs, qs) - 2*list_dot_product(qs, cw)
+        |      + list_dot_product(cw, cw) AS DECIMAL(28,12)) AS d
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, cb.s, cb.code, cb.cw,
+        |      list_transform(range(1, 9), i -> q.v[CAST(cb.s*8 + i AS INT)]) AS qs
+        |    FROM e q CROSS JOIN cb WHERE q.vec_id < 10)),
+        |dist AS (
+        |  SELECT l.query_id, enc.vec_id AS neighbor_id, sum(l.d) AS dd
+        |  FROM enc JOIN lut l ON enc.s = l.s AND enc.code = l.code
+        |  WHERE l.query_id <> enc.vec_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT query_id, neighbor_id, dd,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dd ASC, neighbor_id ASC) AS rank
+        |  FROM dist)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  CAST(CAST(dd AS VARCHAR) AS DOUBLE) AS dist
+        |FROM top WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "x34_cross_modal" ->
       """SELECT d.lang, e.label, count(*) AS n,
         |  CAST(sum(len(regexp_split_to_array(trim(d.text), '\s+'))) AS BIGINT) AS total_tokens,

@@ -745,6 +745,18 @@ object Queries {
       .orderBy("vec_id", "sub")
   }
 
+  /** x40 — ADC top-k over the PQ-compressed corpus: after x38's encode,
+    * search reads ONLY the 8-byte codes — per (query, row) distance is a
+    * sum of m lookups in the query's broadcast m×k distance table, the
+    * classic PQ search shape. Exact-decimal distance sums keep the
+    * ranking order-independent and oracle-identical. */
+  val x40AdcTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Pq.adcTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** x36 — incremental-ingestion dedup: an incoming slice (doc_id ≡ 0
     * mod 7) is admitted against the existing corpus; near-dups of an
     * existing doc are dropped. Oracle-sound because LSH recall is 1 on
@@ -1086,6 +1098,7 @@ object Queries {
     "x37_count_min" -> x37CountMin,
     "x38_pq_encode" -> x38PqEncode,
     "x39_window_quantiles" -> x39WindowQuantiles,
+    "x40_adc_topk" -> x40AdcTopK,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

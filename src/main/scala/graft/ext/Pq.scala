@@ -72,6 +72,50 @@ object Pq {
     }.toSeq.toDF("sub", "code", "cw")
   }
 
+  /** ADC (asymmetric distance) top-k: exact query vectors against the
+    * PQ-COMPRESSED corpus — after encoding, the original corpus vectors
+    * are never read again. Per query the m×k lookup table of subspace
+    * distances (|Q|·m·k rows, always broadcastable) is joined to the
+    * (id, sub, code) long form, so per-(query, row) distance is a SUM of
+    * m table lookups — the classic PQ search shape: the corpus-side work
+    * is one broadcast probe + a (query, id)-keyed partial aggregation,
+    * never a vector×vector loop.
+    *
+    * Determinism: subspace distances use the 3-dot expansion
+    * (q·q − 2·q·c + c·c, each dot left-to-right) and are cast to exact
+    * DECIMAL before the sum, so ranking is order-independent under any
+    * partitioning and identical in the SQL oracle (x40); `dist` leaves
+    * as the decimal→double boundary cast. */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.VectorOps
+    val cb = seedCodebooks(corpus, idCol, vecCol, m, kCodes)
+    val subDim = cb(0)(0).length
+    val enc = encodeLong(corpus, idCol, vecCol, m, kCodes)
+    val cbDf = codebookDf(corpus, idCol, vecCol, m, kCodes)
+    val qs = queries.select(col(idCol).as("query_id"),
+      VectorOps.toDouble(col(vecCol)).as("qv"))
+    val lut = qs.crossJoin(broadcast(cbDf))
+      .withColumn("qsub",
+        slice(col("qv"), col("sub").cast("int") * subDim + 1, lit(subDim)))
+      .withColumn("d",
+        (VectorOps.dot(col("qsub"), col("qsub"))
+          - lit(2.0) * VectorOps.dot(col("qsub"), col("cw"))
+          + VectorOps.dot(col("cw"), col("cw"))).cast(DecimalType(28, 12)))
+      .select(col("query_id"), col("sub"), col("code"), col("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dd").asc, col("neighbor_id").asc)
+    enc.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(sum(col("d")).as("dd"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dd").as("dist"))
+  }
+
   /** PQ-decoded corpus (id, vec): each vector rebuilt as the
     * concatenation of its subspace codewords — the reconstruction used
     * by ADC search and the recall test. */

@@ -166,6 +166,35 @@ class ScrubIvfSpec extends SparkSpec {
     }
   }
 
+  test("ADC top-k: distances equal L2 to the decoded corpus (the ADC identity)") {
+    import graft.ext.Pq
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where($"vec_id" < 5)
+    val got = rows(Pq.adcTopK(q, emb, "vec_id", "embedding", k = 5))
+    assert(got.groupBy(_.getAs[Long]("query_id")).size == 5)
+    got.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")) == (1L to 5L))
+      val dists = byRank.map(_.getAs[java.math.BigDecimal]("dist").doubleValue)
+      assert(dists == dists.sorted, "distances not ascending with rank")
+    }
+    // ADC(q, x) = ||q − decode(x)||²: check against explicit reconstruction
+    val cb = Pq.codebookDf(emb, "vec_id", "embedding")
+    val dec = Pq.decode(Pq.encode(emb, "vec_id", "embedding"), cb, "vec_id")
+    val decoded = rows(dec).map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qvecs = rows(q.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v")))
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.foreach { r =>
+      val qv = qvecs(r.getAs[Long]("query_id"))
+      val nv = decoded(r.getAs[Long]("neighbor_id"))
+      val l2 = qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum
+      val adc = r.getAs[java.math.BigDecimal]("dist").doubleValue
+      assert(math.abs(adc - l2) < 1e-6, s"ADC $adc vs decoded L2 $l2")
+    }
+  }
+
   test("PQ reconstruction error shrinks as the codebook grows (nested seeds)") {
     import graft.ext.Pq
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
