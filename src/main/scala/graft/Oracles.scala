@@ -663,6 +663,43 @@ object Oracles {
         |  CAST(e.est - coalesce(x.n, 0) AS BIGINT) AS overcount
         |FROM est e LEFT JOIN ex x USING (custkey) ORDER BY custkey""".stripMargin,
 
+    "x41_heavy_change" ->
+      """WITH h(j, a, b) AS (VALUES
+        |    (0, 252, 17), (1, 318, 31), (2, 232, 47), (3, 181, 61)),
+        |ska AS (
+        |  SELECT h.j AS j, ((o.o_custkey % 509) * h.a + h.b) % 509 AS bucket,
+        |    count(*) AS c
+        |  FROM orders o CROSS JOIN h
+        |  WHERE o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |skb AS (
+        |  SELECT h.j AS j, ((o.o_custkey % 509) * h.a + h.b) % 509 AS bucket,
+        |    count(*) AS c
+        |  FROM orders o CROSS JOIN h
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |probe AS (SELECT c_custkey AS custkey FROM customer),
+        |est AS (
+        |  SELECT p.custkey,
+        |    min(coalesce(sa.c, 0)) AS est_a, min(coalesce(sb.c, 0)) AS est_b
+        |  FROM probe p CROSS JOIN h
+        |  LEFT JOIN ska sa ON sa.j = h.j
+        |    AND sa.bucket = ((p.custkey % 509) * h.a + h.b) % 509
+        |  LEFT JOIN skb sb ON sb.j = h.j
+        |    AND sb.bucket = ((p.custkey % 509) * h.a + h.b) % 509
+        |  GROUP BY 1),
+        |exa AS (SELECT o_custkey AS custkey, count(*) AS n FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
+        |exb AS (SELECT o_custkey AS custkey, count(*) AS n FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1)
+        |SELECT e.custkey, CAST(e.est_a AS BIGINT) AS est_a,
+        |  CAST(e.est_b AS BIGINT) AS est_b,
+        |  CAST(e.est_b - e.est_a AS BIGINT) AS d_est,
+        |  CAST(coalesce(xb.n, 0) - coalesce(xa.n, 0) AS BIGINT) AS d_exact
+        |FROM est e LEFT JOIN exa xa USING (custkey)
+        |  LEFT JOIN exb xb USING (custkey)
+        |ORDER BY custkey""".stripMargin,
+
     "x35_scalar_quant" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
@@ -759,6 +796,24 @@ object Oracles {
         |    / count(*) AS avg_tokens
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY 1, 2 ORDER BY lang, label""".stripMargin,
+
+    // x42 is the bloom-GATED form of x33: the gate has no false
+    // negatives and the exact join removes false positives, so the
+    // result — and therefore the oracle — is identical to x33's
+    "x42_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev ON tr.s = ev.s
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     "x33_decontaminate" ->
       """WITH toks AS (

@@ -733,6 +733,37 @@ object Queries {
       .orderBy("vec_id", "pos")
   }
 
+  /** x41 — heavy-change detection from count-min sketches: the order
+    * stream splits into two epochs at 1996-01-01; each epoch keeps only
+    * its 4×509 sketch, and per-customer traffic change is estimated as
+    * the difference of the two point estimates — the drift/monitoring
+    * pattern where epochs are compared WITHOUT retaining raw history
+    * (exact per-epoch counts sit alongside to exhibit the error). Both
+    * estimates are one-sided over-counts, so the estimated delta can err
+    * either way but each side is bounded by its epoch's collision mass;
+    * everything is integer arithmetic, hash-exact in the oracle. */
+  val x41HeavyChange: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val cut = lit("1996-01-01").cast("timestamp")
+    val a = orders.where(col("o_orderdate") < cut)
+    val b = orders.where(col("o_orderdate") >= cut)
+    val probe = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+    def exact(df: DataFrame, as: String) =
+      df.groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as(as))
+    val estA = CountMin.estimate(CountMin.sketch(a, col("o_custkey")),
+      probe, col("custkey")).withColumnRenamed("est", "est_a")
+    val estB = CountMin.estimate(CountMin.sketch(b, col("o_custkey")),
+      estA, col("custkey")).withColumnRenamed("est", "est_b")
+    estB
+      .join(exact(a, "n_a"), Seq("custkey"), "left")
+      .join(exact(b, "n_b"), Seq("custkey"), "left")
+      .select(col("custkey"), col("est_a"), col("est_b"),
+        (col("est_b") - col("est_a")).as("d_est"),
+        (coalesce(col("n_b"), lit(0L)) - coalesce(col("n_a"), lit(0L)))
+          .as("d_exact"))
+      .orderBy("custkey")
+  }
+
   /** x38 — product quantization: each 64-dim embedding becomes 8
     * subspace codes (8 bytes vs 256 — the compression tier above x35's
     * SQ8, and what keeps a 100 TB vector index RAM-resident). Codebooks
@@ -870,6 +901,31 @@ object Queries {
       explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("s"))
     val evalSh = sh(docs.where(isEval)).select(md5(col("s")).as("h")).distinct()
     val trainSh = sh(docs.where(!isEval)).select(col("doc_id"), md5(col("s")).as("h"))
+    trainSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** x42 — bloom-gated decontamination: x33's semantics with the
+    * 100 TB-shaped candidate path. The eval shingle set's BLOOM (k bits
+    * per element, built with Spark's own sketch) gates every train
+    * shingle at scan speed; only the ~fpp sliver that survives reaches
+    * the exact digest join, which removes false positives. No false
+    * negatives → gate + verify ≡ exact, so this query shares x33's
+    * oracle logic verbatim — same rows, different (bounded) work. When
+    * the exact eval set outgrows the broadcast budget, its bloom still
+    * fits, and the shuffle after the gate carries ~fpp of the corpus. */
+  val x42BloomDecontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val isEval = col("doc_id") % 97 === 0
+    def sh(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("sv"))
+    val evalSh = sh(docs.where(isEval)).select(md5(col("sv")).as("h")).distinct()
+    val bloom = graft.ext.Bloom.buildHashed(evalSh, col("h"),
+      expectedItems = 100000L, fpp = 0.01)
+    val trainSh = sh(docs.where(!isEval))
+      .select(col("doc_id"), md5(col("sv")).as("h"))
+      .where(graft.ext.Bloom.mightContain(bloom, col("h")))
     trainSh.join(broadcast(evalSh), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
@@ -1099,6 +1155,8 @@ object Queries {
     "x38_pq_encode" -> x38PqEncode,
     "x39_window_quantiles" -> x39WindowQuantiles,
     "x40_adc_topk" -> x40AdcTopK,
+    "x41_heavy_change" -> x41HeavyChange,
+    "x42_bloom_decontaminate" -> x42BloomDecontaminate,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -286,6 +286,26 @@ class ExtSpec extends SparkSpec {
     assert(cells(merged) == cells(sk))
   }
 
+  test("bloom gate: zero false negatives, few false positives, exact after verify") {
+    import graft.ext.Bloom
+    val present = (1L to 500L).map(i => s"key_$i").toDF("k")
+    val bloom = Bloom.buildHashed(present, $"k", expectedItems = 500, fpp = 0.01)
+    // no false negatives: every present key passes the gate
+    assert(rows(present.where(!Bloom.mightContain(bloom, $"k"))).isEmpty)
+    // absent keys mostly fail it (fpp 1% — allow generous slack)
+    val absent = (5001L to 6000L).map(i => s"key_$i").toDF("k")
+    val fp = rows(absent.where(Bloom.mightContain(bloom, $"k"))).size
+    assert(fp <= 100, s"false-positive rate too high: $fp/1000")
+    // gate + exact verify ≡ exact semi-join
+    val gated = absent.unionByName(present)
+      .where(Bloom.mightContain(bloom, $"k"))
+      .join(present.withColumnRenamed("k", "pk"), $"k" === $"pk", "left_semi")
+    val exact = absent.unionByName(present)
+      .join(present.withColumnRenamed("k", "pk"), $"k" === $"pk", "left_semi")
+    assert(rows(gated).map(_.getString(0)).sorted ==
+      rows(exact).map(_.getString(0)).sorted)
+  }
+
   test("sessionize: strict 30-min gap splits sessions") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:29:59", 2L),
