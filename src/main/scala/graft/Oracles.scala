@@ -739,6 +739,62 @@ object Oracles {
         |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
 
+    // PQ + 1 Lloyd step: seed-encode (x38's CTEs), re-estimate each
+    // codeword as the exact-decimal elementwise mean of its members
+    // (x24's decimal-mean pattern; empty codewords coalesce to the
+    // seed), then re-encode against the refined codebook
+    "x43_pq_refined" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |dists0 AS (
+        |  SELECT e.vec_id, t.s, seeds.code,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (v[CAST(t.s*8 + i AS INT)] - cv[CAST(t.s*8 + i AS INT)])
+        |        * (v[CAST(t.s*8 + i AS INT)] - cv[CAST(t.s*8 + i AS INT)]))) AS d
+        |  FROM e CROSS JOIN range(0, 8) t(s) CROSS JOIN seeds),
+        |enc0 AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d ASC, code ASC) AS rn
+        |    FROM dists0) WHERE rn = 1),
+        |means AS (
+        |  SELECT a.s, a.code, (t.i - 1) % 8 AS ii,
+        |    CAST(CAST(sum(CAST(e.v[t.i] AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
+        |      / count(*) AS mv
+        |  FROM e CROSS JOIN range(1, 65) t(i)
+        |  JOIN enc0 a ON a.vec_id = e.vec_id AND a.s = (t.i - 1) // 8
+        |  GROUP BY 1, 2, 3),
+        |cb0 AS (
+        |  SELECT t.s, seeds.code,
+        |    list_transform(range(1, 9), i -> cv[CAST(t.s*8 + i AS INT)]) AS cw
+        |  FROM seeds CROSS JOIN range(0, 8) t(s)),
+        |cb1e AS (
+        |  SELECT cb0.s, cb0.code, t.ii,
+        |    coalesce(mn.mv, cb0.cw[CAST(t.ii + 1 AS INT)]) AS val
+        |  FROM cb0 CROSS JOIN range(0, 8) t(ii)
+        |  LEFT JOIN means mn
+        |    ON mn.s = cb0.s AND mn.code = cb0.code AND mn.ii = t.ii),
+        |cb1 AS (SELECT s, code, list(val ORDER BY ii) AS cw
+        |  FROM cb1e GROUP BY 1, 2),
+        |dists1 AS (
+        |  SELECT e.vec_id, c.s, c.code,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (v[CAST(c.s*8 + i AS INT)] - c.cw[CAST(i AS INT)])
+        |        * (v[CAST(c.s*8 + i AS INT)] - c.cw[CAST(i AS INT)]))) AS d
+        |  FROM e CROSS JOIN cb1 c)
+        |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+        |FROM (
+        |  SELECT vec_id, s, code,
+        |    row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY d ASC, code ASC) AS rn
+        |  FROM dists1) WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin,
+
     // ADC: encode CTE is x38's; subspace distances use the same 3-dot
     // expansion as the Spark side, decimal-cast before the sum so the
     // ranking matches under any accumulation order; dist leaves through

@@ -788,6 +788,19 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** x43 — PQ with one Lloyd step of the per-subspace k-means: each
+    * codeword re-estimated as the exact-decimal elementwise mean of its
+    * members (empty codewords keep their seed, so indices stay stable),
+    * then the corpus re-encoded. One extra scan + an m·k·subDim-row agg
+    * buys measurably lower reconstruction error (spec-asserted); the
+    * whole training loop — assign, re-estimate, re-encode — stays
+    * engine-reproducible and oracle-exact. */
+  val x43PqRefined: Q = (s, dir) => {
+    Pq.encodeRefinedLong(Tables.embeddings(s, dir), "vec_id", "embedding",
+        iters = 1)
+      .orderBy("vec_id", "sub")
+  }
+
   /** x36 — incremental-ingestion dedup: an incoming slice (doc_id ≡ 0
     * mod 7) is admitted against the existing corpus; near-dups of an
     * existing doc are dropped. Oracle-sound because LSH recall is 1 on
@@ -1157,6 +1170,7 @@ object Queries {
     "x40_adc_topk" -> x40AdcTopK,
     "x41_heavy_change" -> x41HeavyChange,
     "x42_bloom_decontaminate" -> x42BloomDecontaminate,
+    "x43_pq_refined" -> x43PqRefined,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

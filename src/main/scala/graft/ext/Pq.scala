@@ -55,16 +55,71 @@ object Pq {
   /** Long form (id, sub, code) — the x38 query/oracle shape. */
   def encodeLong(df: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16): DataFrame =
-    encode(df, idCol, vecCol, m, k)
+    encodeLongWith(df, idCol, vecCol, seedCodebooks(df, idCol, vecCol, m, k))
+
+  private def encodeLongWith(df: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol),
+        VectorExpressions.pqEncode(VectorOps.toDouble(col(vecCol)), cb)
+          .as("codes"))
       .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
       .select(col(idCol), col("sub").cast("long").as("sub"), col("code"))
+
+  /** `iters` Lloyd steps of the per-subspace k-means: re-estimate each
+    * codeword as the elementwise mean of its members (exact-decimal
+    * sums, so the refined codebook is identical under any partitioning
+    * and in the SQL oracle); codewords that lose every member keep
+    * their previous value, so code indices stay stable. Each iteration
+    * costs one encode scan plus one (sub, code, dim)-keyed
+    * map-side-combined aggregation — m·k·subDim rows back to the
+    * driver, never the vectors. */
+  def refineCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 1)
+      : Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.types.DecimalType
+    var cb = seedCodebooks(corpus, idCol, vecCol, m, k)
+    val subDim = cb(0)(0).length
+    var it = 0
+    while (it < iters) {
+      val enc = encodeLongWith(corpus, idCol, vecCol, cb)
+      val elems = corpus.select(col(idCol),
+          posexplode(VectorOps.toDouble(col(vecCol))).as(Seq("p", "v")))
+        .select(col(idCol),
+          (col("p") / lit(subDim)).cast("long").as("sub"),
+          pmod(col("p"), lit(subDim)).cast("long").as("ii"), col("v"))
+      val means = elems.join(enc, Seq(idCol, "sub"))
+        .groupBy("sub", "code", "ii")
+        .agg((sum(col("v").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1))).as("mv"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getLong(0).toInt)(r.getLong(1).toInt)(r.getLong(2).toInt) =
+          r.getDouble(3)
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** x43's shape: the encoded corpus under Lloyd-refined codebooks. */
+  def encodeRefinedLong(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 1): DataFrame =
+    encodeLongWith(df, idCol, vecCol,
+      refineCodebooks(df, idCol, vecCol, m, k, iters))
 
   /** The codebook as a DataFrame (sub, code, cw) — the decode side of
     * asymmetric distance computation; m×k rows, always broadcastable. */
   def codebookDf(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16): DataFrame = {
-    import corpus.sparkSession.implicits._
-    val cb = seedCodebooks(corpus, idCol, vecCol, m, k)
+      m: Int = 8, k: Int = 16): DataFrame =
+    codebookDfFrom(corpus.sparkSession,
+      seedCodebooks(corpus, idCol, vecCol, m, k))
+
+  /** Any codebook constant (seed or refined) as (sub, code, cw) rows. */
+  def codebookDfFrom(spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
     cb.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cw, j) =>
         (s.toLong, j.toLong, cw.toSeq)

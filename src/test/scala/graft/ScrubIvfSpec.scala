@@ -195,6 +195,30 @@ class ScrubIvfSpec extends SparkSpec {
     }
   }
 
+  test("PQ Lloyd step: refined codebook does not increase reconstruction error") {
+    import graft.ext.Pq
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val orig = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+    def totalErr(cb: Array[Array[Array[Double]]]): Double = {
+      val enc = orig.select($"vec_id",
+        graft.functions.expressions.VectorExpressions.pqEncode($"v", cb)
+          .as("codes"))
+      val dec = Pq.decode(enc, Pq.codebookDfFrom(spark, cb), "vec_id")
+      rows(dec.join(orig, "vec_id").select(
+        aggregate(zip_with($"vec", $"v", (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _).as("e"))).map(_.getDouble(0)).sum
+    }
+    val seed = Pq.seedCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val refined = Pq.refineCodebooks(emb, "vec_id", "embedding", 8, 16, 1)
+    val eSeed = totalErr(seed)
+    val eRef = totalErr(refined)
+    // Lloyd monotonicity (means minimize within-cell squared error; the
+    // re-encode argmin only improves further) up to decimal mean rounding
+    assert(eRef <= eSeed + 1e-6, s"refined error $eRef > seed error $eSeed")
+    assert(eRef < eSeed, s"refinement changed nothing: $eRef vs $eSeed")
+  }
+
   test("PQ reconstruction error shrinks as the codebook grows (nested seeds)") {
     import graft.ext.Pq
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
