@@ -15,7 +15,9 @@ object Explain {
         "x21_ivf_ann", "x25_ivf_refined", "x20_boilerplate",
         "x22_approx_distinct", "x02_ngram_jaccard", "x26_hash_split",
         "x27_pack_chunks", "x28_length_quantiles", "x29_heavy_hitters",
-        "x31_pipeline_stats", "x32_oov_rate", "x33_decontaminate")
+        "x31_pipeline_stats", "x32_oov_rate", "x33_decontaminate",
+        "q28_asof_planned", "x37_count_min", "x38_pq_encode",
+        "x40_adc_topk", "x42_bloom_decontaminate")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -739,6 +739,76 @@ object Oracles {
         |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
 
+    // IVF-PQ: x21's cosine cell assignment + x38's encode + x40's ADC
+    // ranking, with the candidate set restricted to each query's nprobe
+    // nearest cells
+    "x44_ivfpq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |dists0 AS (
+        |  SELECT e.vec_id, t.s, seeds.code,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (v[CAST(t.s*8 + i AS INT)] - cv[CAST(t.s*8 + i AS INT)])
+        |        * (v[CAST(t.s*8 + i AS INT)] - cv[CAST(t.s*8 + i AS INT)]))) AS d
+        |  FROM e CROSS JOIN range(0, 8) t(s) CROSS JOIN seeds),
+        |enc AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d ASC, code ASC) AS rn
+        |    FROM dists0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.query_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_dot_product(q.qv, c.cv) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        |cb AS (
+        |  SELECT t.s, seeds.code,
+        |    list_transform(range(1, 9), i -> cv[CAST(t.s*8 + i AS INT)]) AS cw
+        |  FROM seeds CROSS JOIN range(0, 8) t(s)),
+        |lut AS (
+        |  SELECT query_id, s, code,
+        |    CAST(list_dot_product(qs, qs) - 2*list_dot_product(qs, cw)
+        |      + list_dot_product(cw, cw) AS DECIMAL(28,12)) AS d
+        |  FROM (
+        |    SELECT q.query_id, cb.s, cb.code, cb.cw,
+        |      list_transform(range(1, 9), i -> q.qv[CAST(cb.s*8 + i AS INT)]) AS qs
+        |    FROM q CROSS JOIN cb)),
+        |dist AS (
+        |  SELECT l.query_id, enc.vec_id AS neighbor_id, sum(l.d) AS dd
+        |  FROM enc
+        |  JOIN assigned a ON a.vec_id = enc.vec_id
+        |  JOIN probes p ON p.cid = a.cid
+        |  JOIN lut l ON l.query_id = p.query_id
+        |    AND l.s = enc.s AND l.code = enc.code
+        |  WHERE l.query_id <> enc.vec_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT query_id, neighbor_id, dd,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dd ASC, neighbor_id ASC) AS rank
+        |  FROM dist)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  CAST(CAST(dd AS VARCHAR) AS DOUBLE) AS dist
+        |FROM top WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // PQ + 1 Lloyd step: seed-encode (x38's CTEs), re-estimate each
     // codeword as the exact-decimal elementwise mean of its members
     // (x24's decimal-mean pattern; empty codewords coalesce to the

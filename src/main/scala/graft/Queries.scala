@@ -801,6 +801,20 @@ object Queries {
       .orderBy("vec_id", "sub")
   }
 
+  /** x44 — IVF-PQ: the composed 100 TB vector index. One corpus scan
+    * stamps every row with its coarse cell AND its PQ codes (two
+    * plan-constant expressions side by side); search touches only the
+    * nprobe probed cells and ranks by ADC distance from the broadcast
+    * lookup tables — raw vectors are never read at query time. Every
+    * component (cell argmax, codes, LUT, decimal ranking) is the
+    * already-oracle-checked x21/x38/x40 machinery, composed. */
+  val x44IvfPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Ivf.ivfPqTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** x36 — incremental-ingestion dedup: an incoming slice (doc_id ≡ 0
     * mod 7) is admitted against the existing corpus; near-dups of an
     * existing doc are dropped. Oracle-sound because LSH recall is 1 on
@@ -1171,6 +1185,7 @@ object Queries {
     "x41_heavy_change" -> x41HeavyChange,
     "x42_bloom_decontaminate" -> x42BloomDecontaminate,
     "x43_pq_refined" -> x43PqRefined,
+    "x44_ivfpq_topk" -> x44IvfPq,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

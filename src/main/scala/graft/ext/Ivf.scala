@@ -119,6 +119,76 @@ object Ivf {
     cent
   }
 
+  /** IVF-PQ: the full 100 TB index shape — coarse cells prune the
+    * search space (only `nprobe` of `nlist` cells per query are read)
+    * and PQ codes replace the vectors inside them (ADC distances from
+    * the query's broadcast m×k lookup table). ONE corpus scan computes
+    * BOTH the cell id and the codes (two expression constants side by
+    * side, no join, no exchange); at query time the engine needs the
+    * codes, the codebook and the centroids — never the raw vectors.
+    * Distance ranking is exact-decimal like [[Pq.adcTopK]]; ties break
+    * on neighbor_id; self-matches are excluded. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      m: Int = 8, kCodes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import corpus.sparkSession.implicits._
+    val cent = seedCentroids(corpus, idCol, vecCol, nlist)
+    val cb = Pq.seedCodebooks(corpus, idCol, vecCol, m, kCodes)
+    val subDim = cb(0)(0).length
+
+    // one scan: (neighbor_id, cid, sub, code)
+    val assignedCodes = corpus.select(col(idCol).as("neighbor_id"),
+        graft.functions.VectorOps.toDouble(col(vecCol)).as("v"),
+        graft.functions.VectorOps.norm2(col(vecCol)).as("n2"))
+      .withColumn("cid", VectorExpressions.nearestCell(col("v"), col("n2"),
+        cent.map(_._2), cent.map(_._3), cent.map(_._1)))
+      .withColumn("codes", VectorExpressions.pqEncode(col("v"), cb))
+      .select(col("neighbor_id"), col("cid"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("neighbor_id"), col("cid"),
+        col("sub").cast("long").as("sub"), col("code"))
+
+    val centDf = cent.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) }
+      .toDF("cid", "cv", "cn")
+    val qvec = queries.select(col(idCol).as("query_id"),
+      graft.functions.VectorOps.toDouble(col(vecCol)).as("qv"),
+      graft.functions.VectorOps.norm2(col(vecCol)).as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("cid").asc)
+    val probes = qvec.crossJoin(broadcast(centDf))
+      .withColumn("__cos", graft.functions.VectorOps.cosineWithNorms(
+        graft.functions.VectorOps.dot(col("qv"), col("cv")),
+        col("qn"), col("cn")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    val cbDf = Pq.codebookDfFrom(corpus.sparkSession, cb)
+    val lut = qvec.crossJoin(broadcast(cbDf))
+      .withColumn("qsub",
+        slice(col("qv"), col("sub").cast("int") * subDim + 1, lit(subDim)))
+      .withColumn("d",
+        (graft.functions.VectorOps.dot(col("qsub"), col("qsub"))
+          - lit(2.0) * graft.functions.VectorOps.dot(col("qsub"), col("cw"))
+          + graft.functions.VectorOps.dot(col("cw"), col("cw")))
+          .cast(DecimalType(28, 12)))
+      .select(col("query_id"), col("sub"), col("code"), col("d"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("dd").asc, col("neighbor_id").asc)
+    assignedCodes
+      .join(broadcast(probes.select(col("query_id"), col("cid")).distinct()),
+        Seq("cid"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("dd"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dd").as("dist"))
+  }
+
   /** Top-k cosine neighbors per query, searching only the `nprobe`
     * nearest of `nlist` coarse cells. `queries` and `corpus` share the
     * id/vector column names; self-matches are excluded. `refineIters`

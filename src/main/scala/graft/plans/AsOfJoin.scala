@@ -82,6 +82,12 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of left rows with a match"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
@@ -90,6 +96,8 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     val lTime = leftTime
     val rTime = rightTime
     val allOut = output
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
@@ -124,6 +132,8 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
             lastMatch = buffered.next().copy()
           } else done = true // right side ahead of this left row
         }
+        outRows += 1
+        if (lastMatch != null) matched += 1
         result(joined(lRow, if (lastMatch == null) nullRight else lastMatch))
       }
     }

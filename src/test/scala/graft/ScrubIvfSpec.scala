@@ -195,6 +195,37 @@ class ScrubIvfSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: cell id and codes fuse into one scan; results well-formed") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.where($"vec_id" < 10)
+    val res = Ivf.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 4)
+    // the corpus scan computes BOTH constants in the same projection —
+    // no second pass, no join to attach codes to cells
+    val plan = res.queryExecution.executedPlan.toString
+    val fused = plan.linesIterator.exists(l =>
+      l.contains("nearest_cell") && l.contains("pq_encode"))
+    assert(fused, "cell assignment and PQ encode not fused into one scan:\n" +
+      plan.take(800))
+    val got = rows(res)
+    assert(got.groupBy(_.getAs[Long]("query_id")).size == 10)
+    got.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("rank")) ==
+        (1L to 5L))
+    }
+    // probing EVERY cell removes the IVF layer entirely: the result must
+    // be EXACTLY the pure-ADC ranking (same decimal distances, same
+    // ties) — the cell layer only ever prunes, never re-ranks. (On this
+    // synthetic corpus recall vs exact L2 is dominated by PQ16
+    // quantization error itself — random embeddings are PQ's worst case
+    // — so the meaningful invariant is this identity, not a recall bar.)
+    val full = rows(Ivf.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 8)).map(_.toString).sorted
+    val adc = rows(graft.ext.Pq.adcTopK(q, emb, "vec_id", "embedding", k = 5))
+      .map(_.toString).sorted
+    assert(full == adc, "nprobe=nlist IVF-PQ differs from pure ADC")
+  }
+
   test("PQ Lloyd step: refined codebook does not increase reconstruction error") {
     import graft.ext.Pq
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
