@@ -1018,6 +1018,51 @@ object Oracles {
         |  o_totalprice AS asof_o_totalprice
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    "q29_rolling_window" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+        |    AS VARCHAR) AS DOUBLE) AS rolling_90d
+        |FROM orders ORDER BY custkey, orderkey""".stripMargin,
+
+    "q30_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS VARCHAR) AS DOUBLE) AS f_rev,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS VARCHAR) AS DOUBLE) AS o_rev,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS VARCHAR) AS DOUBLE) AS p_rev
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q31_gap_fill" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_custkey < 10),
+        |base AS (
+        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day,
+        |    max(o_totalprice) AS obs
+        |  FROM o GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(min(o_orderdate) AS DATE) AS mn,
+        |    CAST(max(o_orderdate) AS DATE) AS mx
+        |  FROM o GROUP BY 1),
+        |spine AS (
+        |  SELECT custkey,
+        |    CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM rng)
+        |SELECT s.custkey, s.day,
+        |  last_value(b.obs IGNORE NULLS) OVER (
+        |    PARTITION BY s.custkey ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+        |FROM spine s LEFT JOIN base b
+        |  ON b.custkey = s.custkey AND b.day = s.day
+        |ORDER BY s.custkey, s.day""".stripMargin,
+
     "x22_approx_distinct" ->
       """SELECT l_returnflag, occupied, exact,
         |  CAST(occupied AS DOUBLE) / 65536.0 AS est_ratio

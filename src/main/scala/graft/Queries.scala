@@ -874,6 +874,67 @@ object Queries {
       .orderBy("custkey", "seq")
   }
 
+  /** q29 — rolling 90-day revenue per customer: a RANGE-framed window
+    * over epoch seconds (peers at equal timestamps enter the frame
+    * together in both engines). The window sum runs in exact decimal so
+    * it is order-independent under any partitioning; one custkey
+    * exchange, frame evaluation is a per-partition sliding scan. */
+  val q29RollingWindow: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("long"))
+      .rangeBetween(-90L * 86400L, 0L)
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        sum(col("o_totalprice").cast(D2)).over(w).cast("double")
+          .as("rolling_90d"))
+      .orderBy("custkey", "orderkey")
+  }
+
+  /** q30 — PIVOT: order counts and exact-decimal revenue per year,
+    * fanned out to one column per order status (explicit pivot values →
+    * stable schema; absent combinations surface as zeros). Pivot is one
+    * groupBy exchange — Catalyst folds the per-status CASEs into the
+    * aggregate, no per-status scans. */
+  val q30Pivot: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(D2)).cast("double").as("rev"))
+      .select(col("yr"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_rev").as("f_rev"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_rev").as("o_rev"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_rev").as("p_rev"))
+      .orderBy("yr")
+  }
+
+  /** q31 — calendar resample + forward fill: each customer's order
+    * history becomes a gapless daily series (per-key date spine via
+    * sequence(), one generator row per key — no driver loop), missing
+    * days carry the last observation forward with an ignore-nulls
+    * last() window. The gap-filling shape every market-data table
+    * (prices, chains) needs before joining calendars. */
+  val q31GapFill: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).where(col("o_custkey") < 10)
+    val base = o.groupBy(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(max(col("o_totalprice")).as("obs"))
+    val spine = o.groupBy(col("o_custkey").as("custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("mn"),
+        max(col("o_orderdate").cast("date")).as("mx"))
+      .select(col("custkey"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(base, Seq("custkey", "day"), "left")
+      .select(col("custkey"), col("day"),
+        last(col("obs"), ignoreNulls = true).over(w).as("price"))
+      .orderBy("custkey", "day")
+  }
+
   /** q28 — the as-of join as a first-class Catalyst operator
     * (plans.AsOfJoin: logical node + strategy + AsOfJoinExec): every
     * event picks up its user's latest order at-or-before the event
@@ -1142,6 +1203,9 @@ object Queries {
     "q26_grouping_sets" -> q26GroupingSets,
     "q27_window_funcs" -> q27WindowFuncs,
     "q28_asof_planned" -> q28AsofPlanned,
+    "q29_rolling_window" -> q29RollingWindow,
+    "q30_pivot" -> q30Pivot,
+    "q31_gap_fill" -> q31GapFill,
     "x22_approx_distinct" -> x22ApproxDistinct,
     "x23_pii_audit" -> x23PiiAudit,
     "x24_ivf_kmeans" -> x24IvfKmeans,
