@@ -1018,6 +1018,29 @@ object Oracles {
         |  o_totalprice AS asof_o_totalprice
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    "q32_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS orderkey, o_totalprice AS price,
+        |    o_orderstatus AS status
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE orderkey % 5 <> 0),
+        |v2 AS (
+        |  SELECT orderkey,
+        |    CASE WHEN orderkey % 3 = 0 THEN price + 1.0 ELSE price END AS price,
+        |    status
+        |  FROM base WHERE orderkey % 7 <> 0)
+        |SELECT coalesce(v1.orderkey, v2.orderkey) AS orderkey,
+        |  CASE WHEN v1.orderkey IS NULL THEN 'added'
+        |       WHEN v2.orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  v1.price AS old_price, v1.status AS old_status,
+        |  v2.price AS new_price, v2.status AS new_status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.orderkey = v2.orderkey
+        |WHERE v1.orderkey IS NULL OR v2.orderkey IS NULL
+        |  OR v1.price IS DISTINCT FROM v2.price
+        |  OR v1.status IS DISTINCT FROM v2.status
+        |ORDER BY orderkey""".stripMargin,
+
     "q29_rolling_window" ->
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
         |  CAST(o_orderdate AS DATE) AS order_date,

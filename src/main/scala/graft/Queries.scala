@@ -874,6 +874,26 @@ object Queries {
       .orderBy("custkey", "seq")
   }
 
+  /** q32 — versioned-snapshot diff: two deterministic "versions" of the
+    * order table (v1 drops keys ≡0 mod 5; v2 drops ≡0 mod 7 and bumps
+    * the price of keys ≡0 mod 3) classified into added / removed /
+    * changed by one PK full-outer join + a null-safe tuple compare —
+    * the relational core of the reference's Dolt-versioned exports,
+    * in-engine. Reversibility (apply(old, diff) ≡ new) is asserted in
+    * OperatorsSpec. */
+  val q32SnapshotDiff: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+    val v1 = orders.where(col("orderkey") % 5 =!= 0)
+    val v2 = orders.where(col("orderkey") % 7 =!= 0)
+      .withColumn("price",
+        when(col("orderkey") % 3 === 0, col("price") + 1.0)
+          .otherwise(col("price")))
+    graft.operators.Diff.snapshotDiff(v1, v2, Seq("orderkey"))
+      .orderBy("orderkey")
+  }
+
   /** q29 — rolling 90-day revenue per customer: a RANGE-framed window
     * over epoch seconds (peers at equal timestamps enter the frame
     * together in both engines). The window sum runs in exact decimal so
@@ -1206,6 +1226,7 @@ object Queries {
     "q29_rolling_window" -> q29RollingWindow,
     "q30_pivot" -> q30Pivot,
     "q31_gap_fill" -> q31GapFill,
+    "q32_snapshot_diff" -> q32SnapshotDiff,
     "x22_approx_distinct" -> x22ApproxDistinct,
     "x23_pii_audit" -> x23PiiAudit,
     "x24_ivf_kmeans" -> x24IvfKmeans,

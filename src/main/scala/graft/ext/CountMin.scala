@@ -45,20 +45,29 @@ object CountMin {
     pmod(pmod(key, lit(w)) * lit(A(j) % w) + lit(B(j) % w), lit(w))
   }
 
+  /** The `depth` (j, bucket) cell coordinates of every input row — the
+    * pre-aggregation form, usable on a STREAMING DataFrame (feed it to
+    * Streams.additiveSink keyed on (j, bucket) to maintain the sketch
+    * incrementally; cell counts are additive, so per-batch partials fold
+    * to exactly the batch sketch — asserted in StreamingSpec). */
+  def cells(df: DataFrame, key: Column, width: Int = 509, depth: Int = 4)
+      : DataFrame = {
+    require(depth >= 1 && depth <= maxDepth, s"depth must be in [1, $maxDepth]")
+    require(width >= 2, "width must be at least 2")
+    val cs = (0 until depth).map(j =>
+      struct(lit(j).as("j"), bucket(key, j, width).as("bucket")))
+    df.select(explode(array(cs: _*)).as("cell"))
+      .select(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+  }
+
   /** Build the sketch: one (j, bucket, c) row per OCCUPIED cell (absent
     * cells are zero). Each input row lands in exactly `depth` cells; the
     * groupBy carries partial map-side sums, so the shuffle is bounded at
     * depth·width rows per map partition. */
   def sketch(df: DataFrame, key: Column, width: Int = 509, depth: Int = 4)
-      : DataFrame = {
-    require(depth >= 1 && depth <= maxDepth, s"depth must be in [1, $maxDepth]")
-    require(width >= 2, "width must be at least 2")
-    val cells = (0 until depth).map(j =>
-      struct(lit(j).as("j"), bucket(key, j, width).as("bucket")))
-    df.select(explode(array(cells: _*)).as("cell"))
-      .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-  }
+      : DataFrame =
+    cells(df, key, width, depth)
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
 
   /** Cell-wise merge of sketches built with the same (width, depth). */
   def merge(sketches: DataFrame*): DataFrame =

@@ -81,4 +81,21 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(update.orderBy("pk").select("v")).map(_.getString(0)) ==
       Seq("new", "keep", "ins"))
   }
+
+  test("snapshot diff: classification and apply round-trip") {
+    import graft.operators.Diff
+    val old = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("pk", "x", "y")
+    val nw = Seq((2L, 20.0, "b"), (3L, 31.0, "c"), (4L, 40.0, "d"))
+      .toDF("pk", "x", "y")
+    val diff = Diff.snapshotDiff(old, nw, Seq("pk"))
+    val byPk = rows(diff).map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byPk == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // unchanged key 2 emits nothing; the diff replays old → new exactly
+    val replayed = Diff.applyDiff(old, diff, Seq("pk"))
+    assert(rows(replayed.orderBy("pk")).map(_.toString) ==
+      rows(nw.orderBy("pk")).map(_.toString))
+    // diff of identical snapshots is empty (idempotence fixpoint)
+    assert(rows(Diff.snapshotDiff(nw, nw, Seq("pk"))).isEmpty)
+  }
 }

@@ -254,6 +254,34 @@ class StreamingSpec extends SparkSpec {
     assert(gotP50 == expectedP50)
   }
 
+  test("streaming count-min: additive cell partials fold to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.CountMin
+    val mem = MemoryStream[Ev]
+    val evs = (1 to 60).map(i => Ev((i % 9).toLong, ts("2024-01-01 00:00:00"), "v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm_stream")
+    val table = dir.resolve("table").toString
+    val ckpt = dir.resolve("ckpt").toString
+    try {
+      val q = Streams.additiveSink(
+        CountMin.cells(mem.toDF(), $"pk", width = 13, depth = 3),
+        Seq("j", "bucket"), lit(1L), table, ckpt)
+      mem.addData(evs.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(25): _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = rows(Streams.sumView(spark, table, Seq("j", "bucket"))
+          .select($"j", $"bucket", $"n"))
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = rows(CountMin.sketch(evs.toDF(), $"pk", width = 13, depth = 3))
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("streaming session windows split on the gap like batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
