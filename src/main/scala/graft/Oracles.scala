@@ -616,6 +616,34 @@ object Oracles {
         |FROM toks t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    "x45_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(arr) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) AS rep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x46_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x47_topk_agg" ->
+      """SELECT o_custkey AS custkey, CAST(rn AS BIGINT) AS rank,
+        |  o_orderkey AS orderkey, o_totalprice AS price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY custkey, rank""".stripMargin,
+
     "x36_incremental_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr

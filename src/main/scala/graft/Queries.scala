@@ -1039,6 +1039,61 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x45 — intra-document repetition score: the share of repeated
+    * tokens per document (1 − distinct/total), the quality signal that
+    * catches looping/boilerplate generations that length and stopword
+    * ratios miss. Pure per-row array ops — scan speed, no shuffle. */
+  val x45Repetition: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** x46 — skew-salted aggregation under the oracle: the two-stage
+    * (key, salt) → key aggregate must equal the plain GROUP BY exactly
+    * — which it does because the partials are algebraic and the sums
+    * run in exact decimal, so neither the salt assignment (which is
+    * partition-dependent) nor the merge order can show through. The
+    * operator that keeps one hot key from pinning a reducer at 100 TB,
+    * now with a CORRECTNESS row instead of ScalaTest only. */
+  val x46SaltedAgg: Q = (s, dir) => {
+    graft.operators.Skew.saltedAgg(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), 8, Seq(
+          (col("l_quantity").cast(D2), (c: Column) => sum(c),
+            (c: Column) => sum(c), "sum_qty"),
+          (lit(1L), (c: Column) => count(c), (c: Column) => sum(c), "n")))
+      .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** x47 — typed top-k Aggregator under the oracle: per-customer top-3
+    * orders by price through the bounded k-row buffers (shuffle carries
+    * k rows per partition-group, not the group) — must equal the
+    * window row_number form bit-for-bit, ties to the smaller orderkey. */
+  val x47TopKAgg: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+    rows.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.ext.TopKAggregator(3).toColumn)
+      .flatMap { case (k, top) =>
+        top.zipWithIndex.map { case ((price, id), i) =>
+          (k, (i + 1).toLong, id, price)
+        }
+      }
+      .toDF("custkey", "rank", "orderkey", "price")
+      .orderBy("custkey", "rank")
+  }
+
   /** x31 — end-to-end training-data pipeline stats: quality gate →
     * exact dedup (keep smallest id) → deterministic split → per-split
     * doc/token totals. Composes x09/x01/x26; every stage is the
@@ -1271,6 +1326,9 @@ object Queries {
     "x42_bloom_decontaminate" -> x42BloomDecontaminate,
     "x43_pq_refined" -> x43PqRefined,
     "x44_ivfpq_topk" -> x44IvfPq,
+    "x45_repetition" -> x45Repetition,
+    "x46_salted_agg" -> x46SaltedAgg,
+    "x47_topk_agg" -> x47TopKAgg,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
