@@ -218,6 +218,22 @@ object Streams {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Stream-stream interval join: rows of two UNBOUNDED streams pair on
+    * a key when the right event lands within `lookback` BEFORE the left
+    * event (inclusive on both ends). The time bound is what makes this
+    * executable: with both sides watermarked, Spark keeps only
+    * `watermark + lookback` of state per side and ages the rest out —
+    * an unbounded-state join is a refused plan, not a slow one. The
+    * batch equivalent is a plain range-condition join; StreamingSpec
+    * asserts the two agree. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lookback: String, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs BETWEEN $leftTs - INTERVAL $lookback AND $leftTs"))
+
   /** Session windows with an inactivity gap — the streaming form of
     * EventWindows.sessionize, using the built-in session_window (state
     * managed by Spark, no custom flatMapGroupsWithState needed). */

@@ -254,6 +254,38 @@ class StreamingSpec extends SparkSpec {
     assert(gotP50 == expectedP50)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Ev]
+    val clickRows = Seq(
+      Ev(1, ts("2024-01-01 00:10:00"), "c1"),
+      Ev(1, ts("2024-01-01 00:40:00"), "c2"),
+      Ev(2, ts("2024-01-01 00:05:00"), "c3"))
+    val impRows = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), "i1"), // 10 min before c1 → pairs
+      Ev(1, ts("2024-01-01 00:25:00"), "i2"), // 15 min before c2 → pairs
+      Ev(1, ts("2024-01-01 00:41:00"), "i3"), // after every click → never
+      Ev(2, ts("2024-01-01 00:05:00"), "i4")) // equal ts → inclusive pair
+    clicks.addData(clickRows: _*)
+    imps.addData(impRows: _*)
+    val joined = Streams.intervalJoin(
+      clicks.toDF().select($"pk", $"ts".as("cts"), $"v".as("click")),
+      imps.toDF().select($"pk".as("ipk"), $"ts".as("its"), $"v".as("imp")),
+      "pk", "ipk", "cts", "its", "30 minutes", "10 minutes")
+    runToMemory(joined, "ssj_out", "append")
+    val got = spark.sql("select click, imp from ssj_out order by click, imp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // batch equivalent on the same rows
+    val batch = clickRows.toDF().select($"pk", $"ts".as("cts"), $"v".as("click"))
+      .join(impRows.toDF().select($"pk".as("ipk"), $"ts".as("its"), $"v".as("imp")),
+        expr("pk = ipk AND its BETWEEN cts - INTERVAL 30 minutes AND cts"))
+      .select($"click", $"imp").orderBy("click", "imp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == batch)
+    assert(got == Seq(("c1", "i1"), ("c2", "i2"), ("c3", "i4")))
+  }
+
   test("streaming count-min: additive cell partials fold to the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.CountMin
