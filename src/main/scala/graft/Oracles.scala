@@ -1069,6 +1069,31 @@ object Oracles {
         |  OR v1.status IS DISTINCT FROM v2.status
         |ORDER BY orderkey""".stripMargin,
 
+    "q33_exists_agg" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q34_not_exists" ->
+      """WITH a AS (
+        |  SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) / count(*) AS ab
+        |  FROM customer)
+        |SELECT c_mktsegment AS segment, count(*) AS n,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > a.ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q29_rolling_window" ->
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
         |  CAST(o_orderdate AS DATE) AS order_date,

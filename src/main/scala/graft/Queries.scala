@@ -894,6 +894,45 @@ object Queries {
       .orderBy("orderkey")
   }
 
+  /** q33 — EXISTS-aggregate (TPC-H Q4 shape): orders in a quarter that
+    * have at least one returned line item, counted by priority. The
+    * correlated EXISTS is a LEFT SEMI join — probe side never
+    * duplicates, and the date filter pushes to the orders scan. */
+  val q33ExistsAgg: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val returned = Tables.lineitem(s, dir)
+      .where(col("l_returnflag") === "R").select(col("l_orderkey"))
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("priority")
+  }
+
+  /** q34 — scalar subquery + NOT EXISTS (TPC-H Q22 shape): customers
+    * above the global average balance with no order in Q4-1997,
+    * summarized per segment. The average is one broadcast scalar
+    * (exact-decimal sum / count, so it is partition-order-independent);
+    * the correlated NOT EXISTS is an anti join whose date predicate
+    * pushes to the orders scan. */
+  val q34NotExists: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val avgBal = c.agg((sum(col("c_acctbal").cast(D4)).cast("double")
+      / count(lit(1))).as("ab"))
+    val q4Orders = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("ab"))
+      .join(q4Orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast(D4)).cast("double").as("total_bal"))
+      .orderBy("segment")
+  }
+
   /** q29 — rolling 90-day revenue per customer: a RANGE-framed window
     * over epoch seconds (peers at equal timestamps enter the frame
     * together in both engines). The window sum runs in exact decimal so
@@ -1282,6 +1321,8 @@ object Queries {
     "q30_pivot" -> q30Pivot,
     "q31_gap_fill" -> q31GapFill,
     "q32_snapshot_diff" -> q32SnapshotDiff,
+    "q33_exists_agg" -> q33ExistsAgg,
+    "q34_not_exists" -> q34NotExists,
     "x22_approx_distinct" -> x22ApproxDistinct,
     "x23_pii_audit" -> x23PiiAudit,
     "x24_ivf_kmeans" -> x24IvfKmeans,
