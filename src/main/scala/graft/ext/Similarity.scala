@@ -83,10 +83,23 @@ object Similarity {
 
   /** LSH-bucketed approximate neighbor pairs: `bands` signatures of
     * `bitsPerBand` hyperplane sign bits each; pairs sharing any band
-    * bucket are scored exactly, others are never compared. */
+    * bucket are scored exactly, others are never compared.
+    *
+    * `flipBits > 0` turns on MULTI-PROBE: one side of the candidate
+    * join additionally emits every bucket key at Hamming distance 1 in
+    * the first `flipBits` signature bits, so pairs whose signatures
+    * disagree in a single probed bit still become candidates — recall
+    * rises without adding bands (i.e. without re-hashing or more state),
+    * at the cost of `flipBits`× more rows on ONE side of the
+    * ids-only candidate join. Precision is untouched: every candidate
+    * still passes the exact cosine verification. The expansion is
+    * one-sided, which suffices — for any pair, the lower id's probe
+    * set covers the higher id's original key. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 4, bitsPerBand: Int = 8,
-      maxDim: Int = 512): DataFrame = {
+      maxDim: Int = 512, flipBits: Int = 0): DataFrame = {
+    require(flipBits >= 0 && flipBits <= bitsPerBand,
+      "flipBits must be in [0, bitsPerBand]")
     val vd = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__n2").as("n2"))
     val withSig = vd.withColumn("bkeys", array((0 until bands).map { b =>
@@ -96,7 +109,14 @@ object Similarity {
     }: _*))
     // candidate generation moves (id, bkey) only; vectors re-attach by id
     val banded = withSig.select(col("id"), explode(col("bkeys")).as("bkey"))
-    val cand = banded.as("a").join(banded.as("b"),
+    // probe side: the key itself plus its single-bit-flip neighbors
+    // (band tag lives above bit 32, untouched by the low-bit flips)
+    val probed =
+      if (flipBits == 0) banded
+      else banded.select(col("id"), explode(array(
+        col("bkey") +: (0 until flipBits).map(i =>
+          col("bkey").bitwiseXOR(lit(1L << i))): _*)).as("bkey"))
+    val cand = probed.as("a").join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")

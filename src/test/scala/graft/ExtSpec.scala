@@ -286,6 +286,28 @@ class ExtSpec extends SparkSpec {
     assert(cells(merged) == cells(sk))
   }
 
+  test("multi-probe LSH: superset of single-probe, subset of exact, exact values") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(flip: Int) = rows(graft.ext.Similarity.lshNearDupPairs(
+        emb, "vec_id", "embedding", threshold = 0.2,
+        bands = 2, bitsPerBand = 8, flipBits = flip))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val single = pairs(0)
+    val multi = pairs(8)
+    // probing can only ADD candidates; exact verify keeps values exact
+    assert(single.keySet.subsetOf(multi.keySet))
+    assert(multi.size > single.size,
+      s"multi-probe added nothing (single=${single.size})")
+    single.foreach { case (k, v) => assert(multi(k) == v) }
+    // everything reported is a true above-threshold pair
+    val exact = rows(graft.ext.Similarity.nearDupPairs(
+        emb, "vec_id", "embedding", 0.2))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    multi.foreach { case (k, v) =>
+      assert(exact.contains(k) && exact(k) == v, s"spurious/wrong pair $k")
+    }
+  }
+
   test("bloom gate: zero false negatives, few false positives, exact after verify") {
     import graft.ext.Bloom
     val present = (1L to 500L).map(i => s"key_$i").toDF("k")
