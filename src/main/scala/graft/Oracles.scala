@@ -1069,6 +1069,20 @@ object Oracles {
         |  OR v1.status IS DISTINCT FROM v2.status
         |ORDER BY orderkey""".stripMargin,
 
+    "q35_unpivot_measures" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |  m AS measure, v AS value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS m,
+        |    CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount',
+        |    CAST(l_discount AS DOUBLE) FROM lineitem)
+        |ORDER BY orderkey, linenumber, measure, value""".stripMargin,
+
     "q33_exists_agg" ->
       """SELECT o_orderpriority AS priority, count(*) AS n
         |FROM orders o

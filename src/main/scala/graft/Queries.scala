@@ -894,6 +894,24 @@ object Queries {
       .orderBy("orderkey")
   }
 
+  /** q35 — UNPIVOT (melt): the three lineitem measures go long as
+    * (measure, value) rows — q30's inverse, via the native
+    * Dataset.unpivot (one Expand node, a single scan, no union of three
+    * passes). Sorted on every output column because (orderkey,
+    * linenumber) is not unique in the synthetic data. */
+  val q35Unpivot: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"))
+      .unpivot(Array(col("orderkey"), col("linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "measure", "value")
+      .orderBy("orderkey", "linenumber", "measure", "value")
+  }
+
   /** q33 — EXISTS-aggregate (TPC-H Q4 shape): orders in a quarter that
     * have at least one returned line item, counted by priority. The
     * correlated EXISTS is a LEFT SEMI join — probe side never
@@ -1323,6 +1341,7 @@ object Queries {
     "q32_snapshot_diff" -> q32SnapshotDiff,
     "q33_exists_agg" -> q33ExistsAgg,
     "q34_not_exists" -> q34NotExists,
+    "q35_unpivot_measures" -> q35Unpivot,
     "x22_approx_distinct" -> x22ApproxDistinct,
     "x23_pii_audit" -> x23PiiAudit,
     "x24_ivf_kmeans" -> x24IvfKmeans,
