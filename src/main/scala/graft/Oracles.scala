@@ -538,9 +538,10 @@ object Oracles {
         |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin,
 
     "x26_hash_split" ->
-      """SELECT doc_id, ((doc_id % 1000) * 761) % 1000 AS bucket,
-        |  CASE WHEN ((doc_id % 1000) * 761) % 1000 < 800 THEN 'train'
-        |       WHEN ((doc_id % 1000) * 761) % 1000 < 900 THEN 'valid'
+      """SELECT doc_id,
+        |  (((doc_id % 1000000007) * 654435747) % 1000000007) % 1000 AS bucket,
+        |  CASE WHEN (((doc_id % 1000000007) * 654435747) % 1000000007) % 1000 < 800 THEN 'train'
+        |       WHEN (((doc_id % 1000000007) * 654435747) % 1000000007) % 1000 < 900 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -551,8 +552,8 @@ object Oracles {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, shard, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
         |  FROM t)
         |SELECT doc_id, shard, n_tokens, start_tok,
         |  CAST(floor(start_tok / 2048) AS BIGINT) AS chunk_first,
@@ -598,7 +599,7 @@ object Oracles {
 
     "x30_mixture" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (((doc_id % 1000) + 769) * 761) % 1000 <
+        |WHERE (((doc_id % 1000000007) * 654435755) % 1000000007) % 1000 <
         |  CASE WHEN lang = 'en' THEN 1000 ELSE 250 END
         |ORDER BY doc_id""".stripMargin,
 
@@ -1000,8 +1001,8 @@ object Oracles {
         |  SELECT min(doc_id) AS doc_id FROM q
         |  WHERE n_tokens >= 20 AND stop_ratio <= 0.5 AND punct_ratio <= 0.1
         |  GROUP BY md5(text))
-        |SELECT CASE WHEN (q.doc_id * 2654435761) % 1000 < 800 THEN 'train'
-        |            WHEN (q.doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+        |SELECT CASE WHEN (((q.doc_id % 1000000007) * 654435747) % 1000000007) % 1000 < 800 THEN 'train'
+        |            WHEN (((q.doc_id % 1000000007) * 654435747) % 1000000007) % 1000 < 900 THEN 'valid'
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs,
         |  CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
@@ -1158,7 +1159,7 @@ object Oracles {
         |  CAST(occupied AS DOUBLE) / 65536.0 AS est_ratio
         |FROM (
         |  SELECT l_returnflag,
-        |    count(DISTINCT ((l_partkey % 65536) * 31153) % 65536) AS occupied,
+        |    count(DISTINCT (((l_partkey % 1000000007) * 654435747) % 1000000007) % 65536) AS occupied,
         |    count(DISTINCT l_partkey) AS exact
         |  FROM lineitem GROUP BY 1) t
         |ORDER BY l_returnflag""".stripMargin,

@@ -535,10 +535,9 @@ object Queries {
     * oracle, because libm ln differs across engines in the last ulp. */
   val x22ApproxDistinct: Q = (s, dir) => {
     val m = 65536
-    // residue form of (key*A) mod m — overflow-free for any key (see
-    // Sampling.hashBucket)
-    val bucket = pmod(pmod(col("l_partkey"), lit(m.toLong)) *
-      lit(2654435761L % m), lit(m.toLong))
+    // two-step prime-residue hash — overflow-free for any key and with
+    // period P ≈ 1e9, not m (see Sampling.hashBucket)
+    val bucket = Sampling.hashBucket(col("l_partkey"), m)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(bucket).as("occupied"),

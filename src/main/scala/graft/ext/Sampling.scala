@@ -14,17 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Large prime for the two-step residue reduction: P² < 2⁶³, so
+    * (id mod P)·(A mod P) can never overflow a Long (or DuckDB BIGINT),
+    * and the hash period is P ≈ 1e9 rather than the bucket count. */
+  val HashPrime: Long = 1000000007L
+  /** Knuth's multiplicative constant, pre-reduced mod [[HashPrime]]. */
+  val HashMult: Long = 2654435761L % HashPrime // = 654435747
+
   /** Multiplicative-hash bucket in [0, buckets): deterministic, uniform
-    * for sequential ids, and expressible in any SQL engine. Computed in
-    * RESIDUE form — ((id mod m)·(A mod m)) mod m, which equals
-    * (id·A) mod m exactly by modular arithmetic — so the operands stay
-    * below m² and the expression can never overflow (the naive id·A
-    * form silently wraps in Spark and hard-errors in DuckDB once
-    * id exceeds Long.MaxValue/A ≈ 3.4e9 — real ids at 100 TB). The same
-    * formula as the linear-counting sketch (Queries.x22). */
+    * for sequential ids, and expressible in any SQL engine. Computed as
+    * a TWO-STEP residue reduction — h = ((id mod P)·(A mod P)) mod P
+    * with P = 1e9+7 prime, then h mod buckets. The first reduction keeps
+    * every operand below P² < 2⁶³ (the naive id·A form silently wraps in
+    * Spark and hard-errors in DuckDB once id exceeds
+    * Long.MaxValue/A ≈ 3.4e9 — real ids at 100 TB); reducing by the
+    * PRIME first, not by the bucket count, makes the hash period P ≈ 1e9
+    * instead of `buckets` — a single-step ((id mod m)·A) mod m depends
+    * only on id mod m, so with m=1000 ids carrying mod structure
+    * (striped blocks, round-robin shards) would bias splits
+    * systematically. The same formula as the linear-counting sketch
+    * (Queries.x22). */
   def hashBucket(id: Column, buckets: Int): Column = {
-    val m = buckets.toLong
-    pmod(pmod(id, lit(m)) * lit(2654435761L % m), lit(m))
+    pmod(pmod(pmod(id, lit(HashPrime)) * lit(HashMult), lit(HashPrime)),
+      lit(buckets.toLong))
   }
 
   /** Deterministic train/valid/test assignment by per-mille weight:
@@ -55,10 +67,18 @@ object Sampling {
     * one split. */
   def weightedSample(df: DataFrame, id: Column, ratePerMille: Column,
       salt: Long = 0x9e3779b9L): DataFrame = {
-    // salting in residue space keeps the whole expression overflow-free
-    // while equal to hashBucket(id + salt) in exact arithmetic
-    val salted = pmod(id, lit(1000L)) + lit(salt % 1000L)
-    df.where(hashBucket(salted, 1000) < ratePerMille)
+    // the salt enters as an independent MULTIPLIER, not an added
+    // constant: the hash is affine, so hashBucket(id + s) =
+    // hashBucket(id) shifted by a constant — the keep set would be a
+    // CONTIGUOUS range of hashSplit buckets (fully correlated with the
+    // split; for some salts one split absorbs the whole sample). Two
+    // multiplicative hashes with distinct multipliers mod a prime are
+    // pairwise-scrambled, which is the decorrelation actually needed
+    val mult = salt % HashPrime
+    require(mult != 0, "salt must be nonzero mod HashPrime")
+    val b = pmod(pmod(pmod(id, lit(HashPrime)) * lit(mult),
+      lit(HashPrime)), lit(1000L))
+    df.where(b < ratePerMille)
   }
 
   /** Concat-then-chunk sequence packing (the GPT-style pretraining

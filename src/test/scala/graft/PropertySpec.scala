@@ -172,6 +172,26 @@ class PropertySpec extends SparkSpec {
     assert(kept.last._2.size == ids.count())
   }
 
+  test("property: hashBucket period is the prime, not the bucket count") {
+    // ids congruent mod 1000 but different mod P must be able to land in
+    // different buckets — a single-step ((id mod m)·A) mod m hash would
+    // make the two ranges below bucket-identical (period m = 1000), so a
+    // corpus whose ids carry mod-1000 structure (striped blocks,
+    // round-robin shards) would get a systematically biased split
+    def buckets(lo: Long): Seq[Long] = rows(
+      (lo until lo + 1000L).toDF("id")
+        .select(col("id"), graft.ext.Sampling.hashBucket(col("id"), 1000).as("b"))
+        .orderBy("id")
+    ).map(_.getLong(1))
+    val b0 = buckets(0L)
+    val b1 = buckets(1000L)
+    val differing = b0.zip(b1).count { case (a, b) => a != b }
+    assert(differing > 900, s"only $differing/1000 shifted ids re-bucketed")
+    // spot-check the concrete pair from the design note: 1 vs 1001
+    assert(b0(1) == 654435747L % 1000000007L % 1000L)
+    assert(b0(1) != b1(1))
+  }
+
   test("property: year attachment lands in (target−1y, target]") {
     val cases = (1 to 200).map { _ =>
       val d = 1 + rnd.nextInt(28)
