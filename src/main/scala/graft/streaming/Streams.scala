@@ -54,21 +54,23 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val deduped = graft.operators.Upsert.keepFirst(batch, pk, precedence)
-        val existingPks =
-          try Some(spark.read.parquet(tablePath).select(pk.map(col): _*))
-          catch {
-            // missing dir OR a dir with no part files yet (a first batch
-            // whose rows were all filtered writes only _SUCCESS, and the
-            // next read fails schema inference, not existence)
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("PATH_NOT_FOUND") ||
-                  e.getMessage.contains("Path does not exist") ||
-                  e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
-          }
-        val fresh = existingPks match {
-          case Some(keys) => deduped.join(keys, pk, "left_anti")
-          case None => deduped
-        }
+        // explicit FileSystem existence check, not exception-message
+        // parsing: the table "exists" iff the dir holds at least one
+        // part file (a first batch whose rows were all filtered writes
+        // only _SUCCESS, and reading that dir fails schema inference).
+        // Any OTHER read failure — permissions, corrupt footer — must
+        // propagate, not silently skip the anti-join and break
+        // load ∘ load = load
+        val tableP = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(tableP) && fs.listStatus(tableP)
+          .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        val fresh =
+          if (hasData)
+            deduped.join(
+              spark.read.parquet(tablePath).select(pk.map(col): _*),
+              pk, "left_anti")
+          else deduped
         fresh.write.mode("append").parquet(tablePath)
       }
       .start()
