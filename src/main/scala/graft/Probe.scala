@@ -19,6 +19,7 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("asof")) { asofBench(spark); spark.stop(); return }
     import graft.sources.Tables
     import graft.ext.{Dedup, TextAnalysis}
 
@@ -77,5 +78,22 @@ object Probe {
         .orderBy("d1", "d2").count()
     }
     spark.stop()
+  }
+
+  /** Micro-bench for the AsOfJoinExec merge loop: synthetic 8M×2M join
+    * over 200k keys, inputs pre-materialized so the timed region is
+    * dominated by exchange+sort+merge, and the merge-loop delta shows up
+    * across runs of the same build. */
+  def asofBench(spark: SparkSession): Unit = {
+    val left = spark.range(8000000L).selectExpr(
+      "id % 200000 AS k", "CAST(id / 200000 AS LONG) * 10 + 5 AS t", "id AS payload")
+      .localCheckpoint()
+    val right = spark.range(2000000L).selectExpr(
+      "id % 200000 AS k", "CAST(id / 200000 AS LONG) * 37 AS t", "id AS rv")
+      .localCheckpoint()
+    (1 to 3).foreach { i =>
+      time(s"asof 8M x 2M run $i")(
+        graft.plans.AsOfJoin(left, right, Seq("k"), "t", "t").count())
+    }
   }
 }

@@ -122,7 +122,11 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
           curKey = k.copy()
           lastMatch = null
         }
-        val t = lTimeProj(lRow).copy()
+        // no .copy(): each UnsafeProjection owns its result buffer, and
+        // lTimeProj is next invoked only on the NEXT left row — `t` is
+        // read solely inside this iteration's advance loop (rTimeProj
+        // writes a different buffer), so the reference stays valid
+        val t = lTimeProj(lRow)
         var done = false
         while (!done && buffered.hasNext) {
           val rRow = buffered.head
