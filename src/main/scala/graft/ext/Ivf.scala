@@ -130,7 +130,8 @@ object Ivf {
     * on neighbor_id; self-matches are excluded. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
-      m: Int = 8, kCodes: Int = 16): DataFrame = {
+      m: Int = 8, kCodes: Int = 16,
+      maxLutRows: Long = Pq.MaxLutRows): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import corpus.sparkSession.implicits._
     val cent = seedCentroids(corpus, idCol, vecCol, nlist)
@@ -154,6 +155,9 @@ object Ivf {
     val qvec = queries.select(col(idCol).as("query_id"),
       graft.functions.VectorOps.toDouble(col(vecCol)).as("qv"),
       graft.functions.VectorOps.norm2(col(vecCol)).as("qn"))
+    // enforce the "queries side is small" assumption the per-query LUT
+    // broadcast below rests on (see Pq.MaxLutRows)
+    Pq.requireLutFits(qvec.count(), m, kCodes, maxLutRows)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("cid").asc)
     val probes = qvec.crossJoin(broadcast(centDf))

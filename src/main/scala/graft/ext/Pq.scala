@@ -143,15 +143,46 @@ object Pq {
     * as the decimal→double boundary cast. */
   def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16): DataFrame = {
+    val cb = seedCodebooks(corpus, idCol, vecCol, m, kCodes)
+    adcTopKEncoded(queries, encodeLong(corpus, idCol, vecCol, m, kCodes),
+      cb, idCol, vecCol, k)
+  }
+
+  /** Guard for the |Q|·m·k LUT broadcast every ADC search ships: the
+    * "queries side is small" assumption enforced, not hoped. The default
+    * bound (8M rows ≈ a few hundred MB broadcast at ~40 B/row) admits
+    * ~65k queries at m·k = 128; beyond it, shard the query set into
+    * chunks (each micro-batch of [[graft.streaming.Streams.adcScoreSink]]
+    * is exactly such a chunk) rather than raising the bound past what a
+    * driver/executor can hold. */
+  val MaxLutRows: Long = 8L * 1024 * 1024
+  private[ext] def requireLutFits(nQueries: Long, m: Int, kCodes: Int,
+      maxRows: Long): Unit = {
+    val rows = nQueries * m * kCodes
+    require(rows <= maxRows,
+      s"ADC lookup-table broadcast would be $rows rows " +
+        s"($nQueries queries x $m subspaces x $kCodes codes) > $maxRows; " +
+        "shard the query set into smaller chunks (e.g. score it as a " +
+        "stream via Streams.adcScoreSink) instead of broadcasting it")
+  }
+
+  /** ADC top-k against an ALREADY-ENCODED corpus — the streaming/serving
+    * shape: encode (and checkpoint) the corpus once, score any number of
+    * query sets against the codes. `encLong` is the (id, sub, code) long
+    * form; `cb` the codebook constant the codes were produced with. */
+  def adcTopKEncoded(queries: DataFrame, encLong: DataFrame,
+      cb: Array[Array[Array[Double]]], idCol: String, vecCol: String,
+      k: Int, maxLutRows: Long = MaxLutRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.VectorOps
-    val cb = seedCodebooks(corpus, idCol, vecCol, m, kCodes)
+    val m = cb.length
+    val kCodes = cb(0).length
     val subDim = cb(0)(0).length
-    val enc = encodeLong(corpus, idCol, vecCol, m, kCodes)
-    val cbDf = codebookDf(corpus, idCol, vecCol, m, kCodes)
     val qs = queries.select(col(idCol).as("query_id"),
       VectorOps.toDouble(col(vecCol)).as("qv"))
+    requireLutFits(qs.count(), m, kCodes, maxLutRows)
+    val cbDf = codebookDfFrom(queries.sparkSession, cb)
     val lut = qs.crossJoin(broadcast(cbDf))
       .withColumn("qsub",
         slice(col("qv"), col("sub").cast("int") * subDim + 1, lit(subDim)))
@@ -162,7 +193,7 @@ object Pq {
       .select(col("query_id"), col("sub"), col("code"), col("d"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dd").asc, col("neighbor_id").asc)
-    enc.join(broadcast(lut), Seq("sub", "code"))
+    encLong.join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
       .agg(sum(col("d")).as("dd"))
       .where(col("query_id") =!= col("neighbor_id"))

@@ -193,6 +193,84 @@ object Streams {
         .agg(sum(col("_psum")).as("_psum"), sum(col("_pcount")).as("_pcount"),
           max(col("_batch")).as("_batch")))
 
+  /** Diff→CDC bridge: maintain a parquet table by APPLYING a stream of
+    * [[graft.operators.Diff.snapshotDiff]] rows incrementally — the
+    * missing half of the snapshot-diff story (diffs as a CHANGE FEED,
+    * not just a comparison result). Each micro-batch is one diff
+    * (added/removed/changed + old_/new_ tuples); the sink folds it into
+    * the table with [[graft.operators.Diff.applyDiff]] semantics, so
+    * after batches d1…dn the table equals
+    * applyDiff(…applyDiff(initial, d1)…, dn) — StreamingSpec asserts
+    * exactly that against the batch operator.
+    *
+    * Replay-hardening: foreachBatch is at-least-once, and the batch
+    * operator's union of "added" rows is NOT idempotent under replay —
+    * here added keys are also anti-joined out of the current table
+    * first, making each batch an upsert: apply ∘ apply = apply. For
+    * batches that ARE a diff of the current table the two rules agree
+    * (an added key cannot already be present).
+    *
+    * Cost shape at scale: one PK anti-join + one append per batch —
+    * identical to [[keepFirstSink]]'s admission shape, co-locatable via
+    * bucketing; the in-place swap stands in for the transactional commit
+    * a production table format would provide (see [[compactLog]]'s
+    * contract). */
+  def applyDiffSink(diffStream: DataFrame, pk: Seq[String],
+      tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    diffStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val vals = batch.columns.filter(_.startsWith("new_"))
+          .map(_.stripPrefix("new_")).toSeq
+        val incoming = batch.where(col("change").isin("added", "changed"))
+          .select(pk.map(col) ++ vals.map(c => col("new_" + c).as(c)): _*)
+        val tableP = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(tableP) && fs.listStatus(tableP)
+          .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        if (!hasData) {
+          incoming.write.mode("overwrite").parquet(tablePath)
+        } else {
+          val touched = batch.select(pk.map(col): _*)
+          val next = spark.read.parquet(tablePath)
+            .join(touched, pk, "left_anti")
+            .unionByName(incoming)
+          swapInPlace(spark, tablePath, next)
+        }
+      }
+      .start()
+
+  /** Streaming ADC scorer: score a query STREAM against a fixed
+    * PQ-encoded corpus, appending per-batch top-k rows to `outPath`.
+    * The serving shape of [[graft.ext.Pq.adcTopK]]: the corpus is
+    * encoded ONCE (m-byte codes, checkpointed so no batch re-reads the
+    * raw vectors — the IVF-PQ "never touch the vectors again" property,
+    * now per micro-batch), and each batch ships only its own |q|·m·k
+    * distance LUT as a broadcast — queries arrive in bounded chunks, so
+    * the LUT broadcast bound holds by construction. StreamingSpec
+    * asserts each batch's appended rows ≡ `Pq.adcTopKEncoded` run on
+    * that batch alone. */
+  def adcScoreSink(queryStream: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, outPath: String,
+      checkpoint: String, m: Int = 8, kCodes: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cb = graft.ext.Pq.seedCodebooks(corpus, idCol, vecCol, m, kCodes)
+    val enc = graft.ext.Pq.encodeLong(corpus, idCol, vecCol, m, kCodes)
+      .localCheckpoint()
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Pq.adcTopKEncoded(batch, enc, cb, idCol, vecCol, k)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Tumbling event-time aggregation with watermark — the streaming form
     * of EventWindows.tumbling. */
   def tumblingCounts(stream: DataFrame, tsCol: String, width: String,

@@ -226,6 +226,25 @@ class ScrubIvfSpec extends SparkSpec {
     assert(full == adc, "nprobe=nlist IVF-PQ differs from pure ADC")
   }
 
+  test("ADC LUT broadcast guard: oversized query sets are refused, not hoped") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where($"vec_id" < 10) // 10 queries x 8 x 16 = 1280 LUT rows
+    val e1 = intercept[IllegalArgumentException] {
+      Ivf.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5, maxLutRows = 1000)
+    }
+    assert(e1.getMessage.contains("lookup-table broadcast"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Pq.adcTopKEncoded(q,
+        graft.ext.Pq.encodeLong(emb, "vec_id", "embedding"),
+        graft.ext.Pq.seedCodebooks(emb, "vec_id", "embedding", 8, 16),
+        "vec_id", "embedding", k = 5, maxLutRows = 1000)
+    }
+    assert(e2.getMessage.contains("lookup-table broadcast"))
+    // at the default bound the same call plans and runs
+    assert(rows(Ivf.ivfPqTopK(q, emb, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 4)).nonEmpty)
+  }
+
   test("PQ Lloyd step: refined codebook does not increase reconstruction error") {
     import graft.ext.Pq
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

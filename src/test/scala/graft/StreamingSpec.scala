@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.streaming.Streams
 
 case class Ev(pk: Long, ts: java.sql.Timestamp, v: String)
+case class DiffRow(pk: Long, change: String, old_v: String, new_v: String)
+case class QV(vec_id: Long, embedding: Array[Float])
 
 /** Streaming forms agree with the batch operators: replayed duplicates
   * insert nothing (A5 in streaming terms), windowed counts match the
@@ -309,6 +311,90 @@ class StreamingSpec extends SparkSpec {
       val batch = rows(CountMin.sketch(evs.toDF(), $"pk", width = 13, depth = 3))
         .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(streamed == batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("applyDiffSink: stream-applied diffs reach each snapshot; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Diff
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("pk", "v")
+    val v1 = Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("pk", "v")
+    val v2 = Seq((1L, "a2"), (3L, "c2"), (4L, "d")).toDF("pk", "v")
+    def diffRows(o: org.apache.spark.sql.DataFrame,
+        n: org.apache.spark.sql.DataFrame): Seq[DiffRow] =
+      Diff.snapshotDiff(o, n, Seq("pk")).collect().toSeq.map(r =>
+        DiffRow(r.getAs[Long]("pk"), r.getAs[String]("change"),
+          r.getAs[String]("old_v"), r.getAs[String]("new_v")))
+    val d0 = diffRows(v0.where(lit(false)), v0) // bootstrap: all added
+    val d1 = diffRows(v0, v1)
+    val d2 = diffRows(v1, v2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_diffsink")
+    val table = dir.resolve("table").toString
+    try {
+      val mem = MemoryStream[DiffRow]
+      val q = Streams.applyDiffSink(mem.toDF(), Seq("pk"), table,
+        dir.resolve("ckpt").toString)
+      def state(): Set[(Long, String)] = spark.read.parquet(table)
+        .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
+      mem.addData(d0: _*); q.processAllAvailable()
+      assert(state() == Set((1L, "a"), (2L, "b")))
+      mem.addData(d1: _*); q.processAllAvailable()
+      assert(state() == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+      mem.addData(d2: _*); q.processAllAvailable()
+      q.stop()
+      val expectBatch = graft.operators.Diff
+        .applyDiff(graft.operators.Diff.applyDiff(v0,
+          Diff.snapshotDiff(v0, v1, Seq("pk")), Seq("pk")),
+          Diff.snapshotDiff(v1, v2, Seq("pk")), Seq("pk"))
+        .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
+      assert(state() == expectBatch)
+      assert(state() == Set((1L, "a2"), (3L, "c2"), (4L, "d")))
+      // at-least-once replay of the last diff (fresh stream + checkpoint,
+      // same table): added keys must not duplicate — apply ∘ apply = apply
+      val mem2 = MemoryStream[DiffRow]
+      val q2 = Streams.applyDiffSink(mem2.toDF(), Seq("pk"), table,
+        dir.resolve("ckpt2").toString)
+      mem2.addData(d2: _*); q2.processAllAvailable()
+      q2.stop()
+      assert(state() == expectBatch)
+      assert(spark.read.parquet(table).count() == 3)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("adcScoreSink: streamed per-batch top-k equals batch ADC search") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Pq
+    def vec(i: Long): Array[Float] = Array((i % 5).toFloat,
+      ((i * 3) % 7).toFloat, ((i * 5) % 11).toFloat, ((i * 7) % 13).toFloat)
+    val corpus = (1L to 32L).map(i => QV(i, vec(i))).toDF()
+    val b1 = Seq(QV(101L, vec(41)), QV(102L, vec(42)))
+    val b2 = Seq(QV(103L, vec(43)), QV(104L, vec(44)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_adcsink")
+    val out = dir.resolve("scores").toString
+    try {
+      val mem = MemoryStream[QV]
+      mem.addData(b1: _*)
+      val q = Streams.adcScoreSink(mem.toDF(), corpus, "vec_id", "embedding",
+        k = 3, out, dir.resolve("ckpt").toString, m = 2, kCodes = 4)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def keyed(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.select($"query_id", $"rank", $"neighbor_id",
+          $"dist".cast("string")).collect().map(_.toString).toSet
+      val got1 = keyed(spark.read.parquet(out).where($"_batch" === 0))
+      val got2 = keyed(spark.read.parquet(out).where($"_batch" === 1))
+      val exp1 = keyed(Pq.adcTopK(b1.toDF(), corpus, "vec_id", "embedding",
+        k = 3, m = 2, kCodes = 4))
+      val exp2 = keyed(Pq.adcTopK(b2.toDF(), corpus, "vec_id", "embedding",
+        k = 3, m = 2, kCodes = 4))
+      assert(got1 == exp1 && got2 == exp2)
+      assert(got1.nonEmpty && got2.nonEmpty)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
