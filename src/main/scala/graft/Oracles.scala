@@ -545,6 +545,50 @@ object Oracles {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "x48_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (((doc_id % 1000000007) * 654435747) % 1000000007),
+        |        doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+
+    "x49_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    (((doc_id % 1000000007) * 654435747) % 1000000007) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE cum_prev < CASE WHEN source IN ('src0','src1')
+        |                      THEN 1000000 ELSE 800 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "x50_calibrate" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS pct
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x51_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((row_number() OVER (PARTITION BY shard
+        |    ORDER BY n_tokens, doc_id) - 1) // 16 AS BIGINT) AS batch_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "x27_pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

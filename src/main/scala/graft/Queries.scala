@@ -1150,6 +1150,62 @@ object Queries {
       .orderBy("custkey", "rank")
   }
 
+  /** x48 — deterministic stratified sample: the 50 smallest-hash docs
+    * per language. The row_number-≤-k shape triggers Spark's
+    * WindowGroupLimit rewrite (plan-asserted in ExtSpec): every map
+    * task pre-truncates to k rows per stratum BEFORE the shuffle, so
+    * the exchange carries |strata|·k rows per task, not the corpus. */
+  val x48StratifiedSample: Q = (s, dir) => {
+    Sampling.stratifiedSample(Tables.documents(s, dir), Seq(col("lang")),
+        col("doc_id"), 50)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** x49 — per-source token-budget mixture ("n tokens of each source"):
+    * documents admit in hash order until the source's budget fills; the
+    * BUCKETED two-phase form runs here (per-(source, hash-slice) totals
+    * + a per-row window over only the boundary slice — 1/1024th of the
+    * data), and the oracle is the plain one-window-per-source cumsum:
+    * they must agree row-for-row. src0/src1 get an effectively
+    * unlimited budget (whole-source keep), every other source cuts at
+    * 800 tokens — both code paths (fully-in buckets, boundary bucket)
+    * exercise at every scale. */
+  val x49TokenBudget: Q = (s, dir) => {
+    val budget = when(col("source").isin("src0", "src1"), lit(1000000L))
+      .otherwise(lit(800L))
+    Sampling.tokenBudgetBucketed(Tables.documents(s, dir), col("source"),
+        col("doc_id"), TextAnalysis.tokenCount(col("text")), budget)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** x50 — per-language percentile calibration of a raw quality score
+    * (token count): pct = percent_rank within the language, determinate
+    * via the (score, id) tie-break. The step that makes one global
+    * threshold comparable across languages whose raw score
+    * distributions differ. */
+  val x50Calibrate: Q = (s, dir) => {
+    TextAnalysis.calibrate(
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+        col("lang"), col("n_tokens"), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pct"))
+      .orderBy("doc_id")
+  }
+
+  /** x51 — length-bucketed micro-batching: shard-locally sort by token
+    * count and cut every 16 docs, so co-batched sequences have
+    * near-equal length (padding efficiency). Same shard-local scale
+    * shape as x27's packing: parallelism = shards, no global sort. */
+  val x51LengthBatches: Q = (s, dir) => {
+    Sampling.lengthBatches(Tables.documents(s, dir), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), batchSize = 16, shards = 8)
+      .select(col("doc_id"), col("shard"), col("batch_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** x31 — end-to-end training-data pipeline stats: quality gate →
     * exact dedup (keep smallest id) → deterministic split → per-split
     * doc/token totals. Composes x09/x01/x26; every stage is the
@@ -1388,6 +1444,10 @@ object Queries {
     "x45_repetition" -> x45Repetition,
     "x46_salted_agg" -> x46SaltedAgg,
     "x47_topk_agg" -> x47TopKAgg,
+    "x48_stratified_sample" -> x48StratifiedSample,
+    "x49_token_budget" -> x49TokenBudget,
+    "x50_calibrate" -> x50Calibrate,
+    "x51_length_batches" -> x51LengthBatches,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

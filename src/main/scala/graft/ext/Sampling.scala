@@ -39,6 +39,110 @@ object Sampling {
       lit(buckets.toLong))
   }
 
+  /** Raw hash value in [0, P) — the pre-bucket multiplicative hash: a
+    * deterministic, engine-reproducible "uniform random" ORDER over ids.
+    * Sampling operators sort by this (ties by id) so "the first n
+    * documents" / "the first B tokens" is a uniform sample that any
+    * engine re-derives bit-identically. */
+  def hashValue(id: Column): Column =
+    pmod(pmod(id, lit(HashPrime)) * lit(HashMult), lit(HashPrime))
+
+  /** Deterministic stratified sample: the `k` smallest-hash rows per
+    * stratum (ties by id) with their in-stratum `sample_rank`. The
+    * rank-filter shape is deliberate: Spark's WindowGroupLimit rewrite
+    * turns `row_number() <= k` into a per-map-task partial top-k BEFORE
+    * the stratum shuffle, so each task ships at most k rows per stratum
+    * — at 100 TB the exchange carries |strata|·k rows per task, not the
+    * corpus. Rerunning or re-sharding cannot change the sample. */
+  def stratifiedSample(df: DataFrame, strata: Seq[Column], id: Column,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(strata: _*).orderBy(hashValue(id), id)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
+  /** Per-group token-budget admission — the "sample 50 B tokens of web,
+    * 10 B of code" mixture step: documents are taken in hash order
+    * (ties by id) until the group's budget is exhausted; a document is
+    * kept iff the tokens of strictly-earlier documents in its group sum
+    * below `budget` (so the document that crosses the boundary is the
+    * last one in — the budget is a floor, not a ceiling). One
+    * cumulative-sum window per group: correct at any scale but serial
+    * per group — see [[tokenBudgetBucketed]] for the form that windows
+    * only the boundary slice. */
+  def tokenBudget(df: DataFrame, group: Column, id: Column,
+      nTokens: Column, budget: Column): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(hashValue(id), id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum_prev", coalesce(sum(nTokens).over(w), lit(0L)))
+      .where(col("__cum_prev") < budget)
+      .drop("__cum_prev")
+  }
+
+  /** [[tokenBudget]] in the 100 TB shape. The plain form runs ONE
+    * ordered cumulative sum per group — a single reducer walks the
+    * whole group no matter how many executors exist. Here the hash
+    * range [0, P) splits into `nBuckets` contiguous slices (so bucket
+    * order IS hash-order prefix), and:
+    *
+    *  1. a tiny map-side-combined aggregate computes per-(group,
+    *     bucket) token totals (|groups|·nBuckets rows);
+    *  2. a window over THAT table derives each bucket's
+    *     tokens-before-it prefix;
+    *  3. buckets that fit entirely under the budget pass with NO
+    *     per-row window; buckets entirely past it drop the same way;
+    *     only the one boundary bucket per group — 1/nBuckets of the
+    *     data — runs the per-row cumulative sum.
+    *
+    * Result is row-identical to [[tokenBudget]] (ExtSpec asserts it):
+    * same order, same boundary rule, just prefix-summed hierarchically.
+    */
+  def tokenBudgetBucketed(df: DataFrame, group: Column, id: Column,
+      nTokens: Column, budget: Column, nBuckets: Int = 1024): DataFrame = {
+    val width = (HashPrime + nBuckets - 1) / nBuckets
+    val withB = df.withColumn("__h", hashValue(id))
+      .withColumn("__b", (col("__h") / lit(width)).cast("long"))
+      .withColumn("__n", nTokens)
+      .withColumn("__budget", budget)
+    val totals = withB.groupBy(group.as("__g"), col("__b"))
+      .agg(sum(col("__n")).as("__t"))
+      .withColumn("__before", coalesce(sum(col("__t")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val joined = withB.join(totals,
+      group === col("__g") && withB("__b") === totals("__b"))
+      .drop(totals("__b")).drop("__g")
+    val fullyIn = joined.where(col("__before") + col("__t") <= col("__budget"))
+    val boundary = joined.where(col("__before") < col("__budget") &&
+      col("__before") + col("__t") > col("__budget"))
+    val wIn = Window.partitionBy(group, col("__b"))
+      .orderBy(col("__h"), id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundaryKept = boundary
+      .withColumn("__cum", col("__before") +
+        coalesce(sum(col("__n")).over(wIn), lit(0L)))
+      .where(col("__cum") < col("__budget"))
+      .drop("__cum")
+    fullyIn.unionByName(boundaryKept)
+      .drop("__h", "__b", "__n", "__budget", "__t", "__before")
+  }
+
+  /** Length-bucketed micro-batch assignment (padding-efficient
+    * batching): within each of `shards` deterministic streams (id mod
+    * shards) documents sort by (n_tokens, id) and every `batchSize`
+    * consecutive documents form one batch — sequences in a batch have
+    * near-equal length, which is what keeps padding waste low when the
+    * batch is tensorized. Shard-local like [[packChunks]]: parallelism
+    * = shards, no global sort. */
+  def lengthBatches(df: DataFrame, id: Column, nTokens: Column,
+      batchSize: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("n_tokens"), id)
+    df.withColumn("shard", pmod(id, lit(shards.toLong)))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("batch_id",
+        floor((row_number().over(w) - lit(1)) / lit(batchSize)).cast("long"))
+  }
+
   /** Deterministic train/valid/test assignment by per-mille weight:
     * bucket < `train` ‰ → "train", < train+valid ‰ → "valid", else
     * "test". A pure per-row map — no shuffle, no RNG state; rerunning or

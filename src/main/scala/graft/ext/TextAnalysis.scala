@@ -66,6 +66,21 @@ object TextAnalysis {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Per-group percentile calibration of a raw score: `pct` =
+    * percent_rank of (score, id) within the group — the step that makes
+    * one quality threshold meaningful ACROSS sources/languages whose raw
+    * score distributions differ (a 0.8-quantile English doc and a
+    * 0.8-quantile Chinese doc are equally "good for their group", their
+    * raw scores are not comparable). Tie-break by id makes every rank —
+    * and so every pct — deterministic and engine-reproducible. One
+    * window per group; the (rank−1)/(n−1) formula is identical in any
+    * SQL engine, so calibrated thresholds port exactly. */
+  def calibrate(df: DataFrame, group: Column, score: Column, id: Column)
+      : DataFrame =
+    df.withColumn("pct", percent_rank().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(group).orderBy(score, id)))
+
   /** Canonical-form fingerprint: lowercase, collapse non-alphanumerics,
     * hash. Used for exact dedup robust to formatting noise. */
   def fingerprint(text: Column): Column =

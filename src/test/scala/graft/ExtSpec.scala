@@ -128,6 +128,89 @@ class ExtSpec extends SparkSpec {
     assert(counts("valid") > 50 && counts("valid") < 150)
   }
 
+  test("stratifiedSample: WindowGroupLimit plan, exact per-stratum sizes") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sampled = graft.ext.Sampling.stratifiedSample(
+      docs, Seq(col("lang")), col("doc_id"), 5)
+    // the rank<=k filter must hit Spark's WindowGroupLimit rewrite: maps
+    // pre-truncate to k rows per stratum before the shuffle
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-limit not rewritten to WindowGroupLimit:\n" + plan.take(600))
+    val perStratum = rows(sampled.groupBy("lang").count())
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strataSizes = rows(docs.groupBy("lang").count())
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strataSizes.foreach { case (lang, n) =>
+      assert(perStratum(lang) == math.min(5L, n))
+    }
+    // resharding cannot change the sample
+    val again = rows(graft.ext.Sampling.stratifiedSample(
+      docs.repartition(7), Seq(col("lang")), col("doc_id"), 5)
+      .select(col("doc_id"))).map(_.getLong(0)).toSet
+    assert(again == rows(sampled.select(col("doc_id"))).map(_.getLong(0)).toSet)
+  }
+
+  test("tokenBudgetBucketed equals the plain windowed form at every budget") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val nTok = graft.ext.TextAnalysis.tokenCount(col("text"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      rows(df.select(col("doc_id"))).map(_.getLong(0)).toSet
+    // budgets spanning: nothing, boundary-cut, everything
+    Seq(0L, 1L, 120L, 1000L, 100000L).foreach { b =>
+      val plain = graft.ext.Sampling.tokenBudget(
+        docs, col("source"), col("doc_id"), nTok, lit(b))
+      // nBuckets = 4 forces multi-row buckets (the boundary-window path);
+      // 1024 approximates one-row buckets (the fully-in/out fast path)
+      Seq(4, 1024).foreach { nb =>
+        val bucketed = graft.ext.Sampling.tokenBudgetBucketed(
+          docs, col("source"), col("doc_id"), nTok, lit(b), nb)
+        assert(ids(bucketed) == ids(plain), s"budget=$b nBuckets=$nb")
+      }
+    }
+  }
+
+  test("lengthBatches: contiguous sorted batches of bounded size") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = rows(graft.ext.Sampling.lengthBatches(docs, col("doc_id"),
+      graft.ext.TextAnalysis.tokenCount(col("text")), batchSize = 8, shards = 4))
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("n_tokens")))
+    got.groupBy(_._1).values.foreach { shard =>
+      val byBatch = shard.groupBy(_._2).toSeq.sortBy(_._1)
+      // every batch full (size 8) except possibly the last
+      byBatch.init.foreach { case (_, rs) => assert(rs.size == 8) }
+      assert(byBatch.last._2.size <= 8)
+      // batches partition the shard's length-sorted order: max token
+      // count of batch b never exceeds min of batch b+1
+      byBatch.sliding(2).foreach {
+        case Seq((_, a), (_, b2)) =>
+          assert(a.map(_._3).max <= b2.map(_._3).min)
+        case _ =>
+      }
+    }
+  }
+
+  test("calibrate: pct is a deterministic in-group percentile in [0,1]") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("n_tokens", graft.ext.TextAnalysis.tokenCount(col("text")))
+    val got = rows(graft.ext.TextAnalysis.calibrate(
+      docs, col("lang"), col("n_tokens"), col("doc_id"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("pct")))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.groupBy(_._1).values.foreach { group =>
+      val sorted = group.sortBy(t => (t._3, t._2))
+      assert(sorted.head._4 == 0.0)
+      if (sorted.size > 1) assert(sorted.last._4 == 1.0)
+      // pct strictly increases along the (score, id) order: the
+      // tie-break makes every rank unique
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 < b._4)
+        case _ =>
+      }
+    }
+  }
+
   test("packChunks: shard-local streams are gapless and chunk-aligned") {
     val docs = Seq((0L, 1000L), (8L, 1500L), (16L, 100L), (1L, 2048L), (9L, 1L))
       .toDF("id", "n")
