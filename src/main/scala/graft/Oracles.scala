@@ -382,6 +382,48 @@ object Oracles {
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
 
+    "x52_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT d1, d2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |    FROM inter
+        |    JOIN sizes sa ON d1 = sa.doc_id
+        |    JOIN sizes sb ON d2 = sb.doc_id) t
+        |  WHERE jaccard >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(r.m, d.doc_id)) AS cluster,
+        |    CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents d
+        |  LEFT JOIN (SELECT src, min(dst) AS m FROM reach GROUP BY src) r
+        |    ON d.doc_id = r.src),
+        |ranked AS (
+        |  SELECT doc_id, cluster, n_tokens,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM comp)
+        |SELECT doc_id, cluster, n_tokens FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
     "q23_rollup" ->
       """SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,

@@ -1206,6 +1206,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x52 — canonical-document selection: near-dup clusters (the x16
+    * machinery: LSH candidates, exact verify, label propagation) with
+    * the QUALITY-AWARE survivor rule — the longest copy survives, ties
+    * to the smallest id. The difference from x16 is exactly what a
+    * production dedup wants: x16 keeps the accidental min-id copy,
+    * this keeps the best one, and each survivor carries its cluster
+    * label so lineage is auditable. */
+  val x52Canonical: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.shingles(col("text"), 3).as("sh"))
+    Dedup.canonicalSelect(docs, "doc_id", "sh",
+        TextAnalysis.tokenCount(col("text")), threshold = 0.6)
+      .select(col("doc_id"), col("cluster"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** x31 — end-to-end training-data pipeline stats: quality gate →
     * exact dedup (keep smallest id) → deterministic split → per-split
     * doc/token totals. Composes x09/x01/x26; every stage is the
@@ -1448,6 +1466,7 @@ object Queries {
     "x49_token_budget" -> x49TokenBudget,
     "x50_calibrate" -> x50Calibrate,
     "x51_length_batches" -> x51LengthBatches,
+    "x52_canonical" -> x52Canonical,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

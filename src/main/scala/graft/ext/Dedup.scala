@@ -200,6 +200,33 @@ object Dedup {
       .select(col("id").as(idCol))
   }
 
+  /** Canonical-document selection: [[dedupCorpus]]'s clustering with a
+    * QUALITY-AWARE survivor rule — per near-dup cluster keep the row
+    * with the highest `score` (ties to the smallest id) instead of the
+    * smallest id, which is what a production dedup actually wants: the
+    * cleanest copy survives, not the accidentally-first one. Returns
+    * the surviving rows with their `cluster` label (singletons are
+    * their own cluster and always survive).
+    *
+    * Scale shape: LSH pairs + label propagation as in [[dedupCorpus]]
+    * (shuffles (id, label) pairs only), then one row_number window per
+    * cluster — WindowGroupLimit-truncated map-side, and cluster sizes
+    * are near-dup groups (small by construction). */
+  def canonicalSelect(docs: DataFrame, idCol: String, shinglesCol: String,
+      score: Column, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLsh(docs, idCol, shinglesCol, numHashes, bands,
+      threshold)
+    val comp = clusters(pairs).withColumnRenamed("id", idCol)
+    val assigned = docs.join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(score.desc, col(idCol))
+    assigned.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Exact n-gram Jaccard similarity pairs via a posting-list join on
     * HASHED shingles (8-byte join keys, not strings) — the
     * oracle-checkable exact counterpart of [[minhashLsh]].

@@ -128,6 +128,29 @@ class ExtSpec extends SparkSpec {
     assert(counts("valid") > 50 && counts("valid") < 150)
   }
 
+  test("canonicalSelect keeps the best copy; dedupCorpus keeps the first") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),                      // near-dup cluster {1,2}: 2 is longer
+      (2L, base + " with extra detail appended"),
+      (5L, "completely unrelated text about database systems and storage"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        graft.ext.TextAnalysis.shingles(col("text"), 3).as("sh"))
+    val survivors = rows(graft.ext.Dedup.canonicalSelect(docs, "doc_id", "sh",
+        graft.ext.TextAnalysis.tokenCount(col("text")), threshold = 0.5)
+      .select(col("doc_id"), col("cluster")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // quality rule keeps the LONGER near-dup (2), labeled with cluster 1;
+    // the singleton survives as its own cluster
+    assert(survivors == Map(2L -> 1L, 5L -> 5L))
+    // min-id rule on the same input keeps 1 instead — the two survivor
+    // rules differ exactly on the quality-ranked cluster
+    val minId = rows(graft.ext.Dedup.dedupCorpus(docs, "doc_id", "sh",
+      threshold = 0.5)).map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 5L))
+  }
+
   test("stratifiedSample: WindowGroupLimit plan, exact per-stratum sizes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val sampled = graft.ext.Sampling.stratifiedSample(
