@@ -79,52 +79,44 @@ object Sampling {
       .drop("__cum_prev")
   }
 
-  /** [[tokenBudget]] in the 100 TB shape. The plain form runs ONE
-    * ordered cumulative sum per group — a single reducer walks the
-    * whole group no matter how many executors exist. Here the hash
-    * range [0, P) splits into `nBuckets` contiguous slices (so bucket
-    * order IS hash-order prefix), and:
+  /** [[tokenBudget]] in the 100 TB shape: a HIERARCHICAL prefix sum.
+    * The plain form runs one ordered cumulative sum per group — a
+    * single reducer walks the whole group no matter how many executors
+    * exist. Here the hash range [0, P) splits into `nBuckets`
+    * contiguous slices (so bucket order IS hash-order prefix), and the
+    * global prefix decomposes exactly:
     *
-    *  1. a tiny map-side-combined aggregate computes per-(group,
-    *     bucket) token totals (|groups|·nBuckets rows);
-    *  2. a window over THAT table derives each bucket's
-    *     tokens-before-it prefix;
-    *  3. buckets that fit entirely under the budget pass with NO
-    *     per-row window; buckets entirely past it drop the same way;
-    *     only the one boundary bucket per group — 1/nBuckets of the
-    *     data — runs the per-row cumulative sum.
+    *   tokens-before-row = tokens-before-its-BUCKET (from a tiny
+    *   map-side-combined (group, bucket) totals aggregate, broadcast
+    *   back — |groups|·nBuckets rows) + tokens-before-it WITHIN its
+    *   bucket (a window partitioned by (group, bucket), so the sort
+    *   runs on 1/nBuckets-sized slices with nBuckets-way parallelism
+    *   per group instead of one serial reducer).
     *
-    * Result is row-identical to [[tokenBudget]] (ExtSpec asserts it):
-    * same order, same boundary rule, just prefix-summed hierarchically.
-    */
+    * Same keep rule, row-identical to [[tokenBudget]] (ExtSpec asserts
+    * it across budgets and bucket counts); the extra cost is one
+    * column-pruned pre-scan for the totals. */
   def tokenBudgetBucketed(df: DataFrame, group: Column, id: Column,
       nTokens: Column, budget: Column, nBuckets: Int = 1024): DataFrame = {
     val width = (HashPrime + nBuckets - 1) / nBuckets
     val withB = df.withColumn("__h", hashValue(id))
       .withColumn("__b", (col("__h") / lit(width)).cast("long"))
       .withColumn("__n", nTokens)
-      .withColumn("__budget", budget)
-    val totals = withB.groupBy(group.as("__g"), col("__b"))
+    val totals = withB.groupBy(group.as("__g"), col("__b").as("__tb"))
       .agg(sum(col("__n")).as("__t"))
       .withColumn("__before", coalesce(sum(col("__t")).over(
-        Window.partitionBy(col("__g")).orderBy(col("__b"))
+        Window.partitionBy(col("__g")).orderBy(col("__tb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val joined = withB.join(totals,
-      group === col("__g") && withB("__b") === totals("__b"))
-      .drop(totals("__b")).drop("__g")
-    val fullyIn = joined.where(col("__before") + col("__t") <= col("__budget"))
-    val boundary = joined.where(col("__before") < col("__budget") &&
-      col("__before") + col("__t") > col("__budget"))
+      .drop("__t")
     val wIn = Window.partitionBy(group, col("__b"))
       .orderBy(col("__h"), id)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val boundaryKept = boundary
-      .withColumn("__cum", col("__before") +
+    withB.join(broadcast(totals),
+        group === col("__g") && col("__b") === col("__tb"))
+      .withColumn("__cum_prev", col("__before") +
         coalesce(sum(col("__n")).over(wIn), lit(0L)))
-      .where(col("__cum") < col("__budget"))
-      .drop("__cum")
-    fullyIn.unionByName(boundaryKept)
-      .drop("__h", "__b", "__n", "__budget", "__t", "__before")
+      .where(col("__cum_prev") < budget)
+      .drop("__h", "__b", "__n", "__g", "__tb", "__before", "__cum_prev")
   }
 
   /** Length-bucketed micro-batch assignment (padding-efficient
