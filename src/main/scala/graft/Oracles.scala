@@ -1071,6 +1071,21 @@ object Oracles {
         |FROM tr JOIN ev ON tr.s = ev.s
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
+    "x53_contamination_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT tr.train_id, ev.eval_id, count(*) AS n_shared
+        |FROM tr JOIN ev ON tr.s = ev.s
+        |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin,
+
     "x31_pipeline_stats" ->
       """WITH q AS (
         |  SELECT doc_id, text,

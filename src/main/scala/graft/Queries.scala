@@ -1070,6 +1070,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x53 — contamination evidence pairs: x33 says HOW contaminated each
+    * train doc is; this says BY WHICH eval doc — (train_id, eval_id,
+    * shared 3-gram count), the audit artifact a decontamination
+    * decision is reviewed against. Same broadcast shape as x33 (the
+    * eval side is the small one; pair grain adds eval_id to the
+    * aggregation key, not a new shuffle of the corpus). */
+  val x53ContaminationPairs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val isEval = col("doc_id") % 97 === 0
+    def sh(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("s"))
+    val evalSh = sh(docs.where(isEval))
+      .select(col("doc_id").as("eval_id"), md5(col("s")).as("h"))
+    val trainSh = sh(docs.where(!isEval))
+      .select(col("doc_id").as("train_id"), md5(col("s")).as("h"))
+    trainSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id", "eval_id")
+  }
+
   /** x42 — bloom-gated decontamination: x33's semantics with the
     * 100 TB-shaped candidate path. The eval shingle set's BLOOM (k bits
     * per element, built with Spark's own sketch) gates every train
@@ -1467,6 +1487,7 @@ object Queries {
     "x50_calibrate" -> x50Calibrate,
     "x51_length_batches" -> x51LengthBatches,
     "x52_canonical" -> x52Canonical,
+    "x53_contamination_pairs" -> x53ContaminationPairs,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -400,6 +400,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming stratified sample tracks the batch sample after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSample
+    import graft.streaming.StreamingSample.Doc
+    val all = (1L to 120L).map(i => Doc(s"lang${i % 3}", i * 7 + 1))
+    val (b1, b2) = all.splitAt(70)
+    val mem = MemoryStream[Doc]
+    val q = StreamingSample.run(mem.toDS(), k = 5).writeStream
+      .format("memory").queryName("strat_out").outputMode("append").start()
+    def latestSample(): Map[String, Seq[Long]] =
+      spark.sql("""SELECT stratum, id, sample_rank FROM strat_out s
+          WHERE version = (SELECT max(version) FROM strat_out
+                           WHERE stratum = s.stratum)""")
+        .collect().groupBy(_.getString(0))
+        .view.mapValues(_.sortBy(_.getAs[Long]("sample_rank"))
+          .map(_.getAs[Long]("id")).toSeq).toMap
+    def batchSample(docs: Seq[Doc]): Map[String, Seq[Long]] =
+      graft.ext.Sampling.stratifiedSample(
+          docs.toDF("stratum", "id"), Seq(col("stratum")), col("id"), 5)
+        .collect().groupBy(_.getAs[String]("stratum"))
+        .view.mapValues(_.sortBy(_.getAs[Long]("sample_rank"))
+          .map(_.getAs[Long]("id")).toSeq).toMap
+    mem.addData(b1: _*); q.processAllAvailable()
+    assert(latestSample() == batchSample(b1)) // prefix-equivalence mid-stream
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    assert(latestSample() == batchSample(all))
+  }
+
   test("streaming session windows split on the gap like batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
