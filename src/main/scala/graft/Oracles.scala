@@ -1454,6 +1454,10 @@ object Oracles {
         |FROM orders WHERE o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
         |ORDER BY o_orderkey""".stripMargin,
 
+    "d07_jsonl_export" ->
+      """SELECT doc_id, lang, source, n_chars, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "d04_chain_html" ->
       """SELECT CAST(d AS DATE) AS date, act_symbol, CAST(e AS DATE) AS expiration,
         |  CAST(CAST(strike AS DECIMAL(38,4)) AS DOUBLE) AS strike, call_put,

@@ -1383,6 +1383,36 @@ object Queries {
     s.read.parquet(path).orderBy("o_orderkey")
   }
 
+  /** d07 — JSONL export → bad-line-tolerant restore under the identity
+    * oracle: the documents table goes out through the range-sorted JSONL
+    * sink (the interchange format every training pipeline ingests), one
+    * injected malformed line file must be QUARANTINED, and the read-back
+    * must be lossless — text column included, which exercises JSON
+    * string escaping both ways. */
+  val d07JsonlExport: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_d07_jsonl").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.operators.Export.writeJsonl(src, path, 8, Seq("doc_id"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "zz_corrupt.json"),
+      "this is not { json at all\n")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType),
+      StructField("text", StringType)))
+    val (good, _) = graft.operators.Export.readJsonlRestore(s, path, schema)
+    good.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+      .orderBy("doc_id")
+  }
+
   /** x39 — per-window value quantiles: exact p50/p95 of the event value
     * inside each (hour, event_type) tumbling window — x28's integer-rank
     * quantiles composed with x12's window grouping. One shuffle on the
@@ -1493,7 +1523,8 @@ object Queries {
     "d03_weeklies" -> d03Weeklies,
     "d04_chain_html" -> d04ChainHtml,
     "d05_export_restore" -> d05ExportRestore,
-    "d06_range_export" -> d06RangeExport
+    "d06_range_export" -> d06RangeExport,
+    "d07_jsonl_export" -> d07JsonlExport
   ).map { case (k, f) =>
     k -> ((s: SparkSession, d: String) => Tables.ntzOut(Tables.doubleOut(f(s, d))))
   }

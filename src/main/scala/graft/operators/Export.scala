@@ -65,6 +65,35 @@ object Export {
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** JSONL export — the training-pipeline native interchange format
+    * (one JSON object per line). Same deterministic layout contract as
+    * [[writeRangeSorted]]: `n` files with DISJOINT key ranges, sorted
+    * within each file, so file order is global order and a downstream
+    * trainer (or merge-reader) consumes ordered shards with no
+    * shuffle. */
+  def writeJsonl(df: DataFrame, path: String, n: Int,
+      keys: Seq[String]): Unit =
+    df.repartitionByRange(n, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").json(path)
+
+  /** JSONL restore with bad-line tolerance — the JSON twin of
+    * [[readCsvRestore]]: PERMISSIVE mode quarantines unparseable lines
+    * into `_corrupt_record`; returns (good rows, quarantined lines). */
+  def readJsonlRestore(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val df = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).json(path)
+      .cache() // PERMISSIVE corrupt-column referencing requires it
+    (df.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.where(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
+
   /** S11 bulk restore: CSV → rows with bad-row tolerance, the analog of
     * `COPY … (on_error ignore)` (reference: restore-from-dolt.rkt:47-71).
     * PERMISSIVE mode quarantines unparseable rows into `_corrupt_record`;

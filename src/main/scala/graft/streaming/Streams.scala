@@ -109,6 +109,20 @@ object Streams {
     graft.operators.Upsert.lastWins(
       spark.read.parquet(tablePath), pk, col("_batch") +: ord)
 
+  /** Time travel on a [[lastWinsSink]] log: the table's state as of
+    * batch `asOfBatch` — the log IS the history, so any past state is
+    * one predicate away (rows stamped later are simply ignored by the
+    * fold). This is what the append-only design buys over rewriting:
+    * audits and reproducible re-reads of "the table as the training
+    * run saw it" cost a filter, not a restore. Compaction folds history
+    * away (its contract) — retain the log, or snapshot before
+    * compacting, where time travel matters. */
+  def viewAsOf(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      pk: Seq[String], ord: Seq[Column], asOfBatch: Long): DataFrame =
+    graft.operators.Upsert.lastWins(
+      spark.read.parquet(tablePath).where(col("_batch") <= asOfBatch),
+      pk, col("_batch") +: ord)
+
   /** Fold the log to its latest view in place (compact-on-write).
     * Batch-id stamps survive, so post-compaction appends still order
     * after every compacted row.

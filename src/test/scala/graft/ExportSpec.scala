@@ -105,4 +105,43 @@ class ExportSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     }
   }
+
+  test("jsonl export: sorted disjoint shards, escaping-safe, bad lines quarantined") {
+    import org.apache.spark.sql.types._
+    val src = Seq(
+      (1L, "plain text"),
+      (2L, "quotes \" and \\ backslash"),
+      (3L, "newline\nand\ttab"),
+      (4L, "unicode 中文 ü"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    try {
+      Export.writeJsonl(src, path, 2, Seq("id"))
+      // shard files are sorted runs in file order (same contract as
+      // writeRangeSorted, in the interchange format)
+      val parts = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      assert(parts.length > 1)
+      var prevMax = Long.MinValue
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("text", StringType)))
+      parts.foreach { f =>
+        val keys = rows(spark.read.schema(schema).json(f.toString)
+          .select($"id")).map(_.getLong(0))
+        assert(keys == keys.sorted && (keys.isEmpty || keys.head > prevMax))
+        if (keys.nonEmpty) prevMax = keys.last
+      }
+      // inject a malformed line; restore must quarantine it and round-trip
+      // every document — including escapes, unicode, and null — exactly
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "zz_bad.json"), "{broken\n")
+      val (good, bad) = Export.readJsonlRestore(spark, path, schema)
+      assert(bad.count() == 1)
+      val back = rows(good.orderBy("id")).map(_.toString)
+      assert(back == rows(src.orderBy("id")).map(_.toString))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
 }

@@ -115,6 +115,14 @@ class StreamingSpec extends SparkSpec {
       Streams.latestView(spark, table, Seq("pk"), Seq(col("ts")))
         .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
     assert(state() == Set((1L, "a-v3"), (2L, "b-v1"), (3L, "c-v1")))
+    // time travel: the state as of batch 0 ignores batch 1's rows
+    val asOf0 = Streams.viewAsOf(spark, table, Seq("pk"), Seq(col("ts")), 0L)
+      .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
+    assert(asOf0 == Set((1L, "a-v2"), (2L, "b-v1")))
+    // and as-of the latest batch it IS the latest view
+    val asOf1 = Streams.viewAsOf(spark, table, Seq("pk"), Seq(col("ts")), 1L)
+      .collect().map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).toSet
+    assert(asOf1 == state())
     // log holds every version; the view is one row per key
     assert(spark.read.parquet(table).count() == 5)
     Streams.compactLog(spark, table, Seq("pk"), Seq(col("ts")))
