@@ -721,6 +721,14 @@ object Oracles {
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "x54_salted_join" ->
+      """SELECT p.p_type,
+        |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x47_topk_agg" ->
       """SELECT o_custkey AS custkey, CAST(rn AS BIGINT) AS rank,
         |  o_orderkey AS orderkey, o_totalprice AS price

@@ -1170,6 +1170,24 @@ object Queries {
       .orderBy("custkey", "rank")
   }
 
+  /** x54 — salted equi-join under the oracle: lineitem×part scattered
+    * over 8 sub-keys (hot side salted, other side replicated 8×) must
+    * equal the plain join exactly — the salt spreads each hot key's
+    * reducer work salt-ways without touching semantics, because every
+    * left row meets its replicated right row exactly once. Sums in
+    * exact decimal so neither the (random) salt assignment nor merge
+    * order can show through — the same invisibility argument as x46. */
+  val x54SaltedJoin: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"))
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_type"))
+    graft.operators.Skew.saltedJoin(li, p, Seq("l_partkey"), 8)
+      .groupBy("p_type")
+      .agg(sum(col("l_quantity").cast(D2)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("p_type")
+  }
+
   /** x48 — deterministic stratified sample: the 50 smallest-hash docs
     * per language. The row_number-≤-k shape triggers Spark's
     * WindowGroupLimit rewrite (plan-asserted in ExtSpec): every map
@@ -1518,6 +1536,7 @@ object Queries {
     "x51_length_batches" -> x51LengthBatches,
     "x52_canonical" -> x52Canonical,
     "x53_contamination_pairs" -> x53ContaminationPairs,
+    "x54_salted_join" -> x54SaltedJoin,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -77,6 +77,19 @@ object Export {
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").json(path)
 
+  /** Shard manifest of an exported dataset: one row per data file with
+    * (file, rows, min_key, max_key) — the catalog a merge-reader or
+    * range-pruned consumer plans against without opening data files.
+    * For [[writeRangeSorted]]/[[writeJsonl]] output the ranges are
+    * disjoint, so `ORDER BY min_key` IS the global read order
+    * (ExportSpec asserts both). Pass the read-back DataFrame
+    * (`spark.read.parquet(path)` / schema'd json) — one column-pruned
+    * scan builds the manifest. */
+  def manifest(df: DataFrame, key: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(key)).as("min_key"), max(col(key)).as("max_key"))
+
   /** JSONL restore with bad-line tolerance — the JSON twin of
     * [[readCsvRestore]]: PERMISSIVE mode quarantines unparseable lines
     * into `_corrupt_record`; returns (good rows, quarantined lines). */

@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Salted equi-join for skewed LARGE×MEDIUM joins — the technique for
+    * when the hot side is too big for one reducer AND the other side is
+    * too big to broadcast: the skewed side scatters each row to one of
+    * `salt` sub-keys (random salt — any salt gives the same join
+    * result, so determinism is not at stake), the other side REPLICATES
+    * each row to all `salt` sub-keys, and the join runs on
+    * (keys, salt) — every hot key's work spreads over `salt` reducers
+    * at the cost of replicating the right side salt×. Inner and
+    * left_outer preserve exact join semantics (each left row carries
+    * exactly one salt value, each right row meets it exactly once).
+    *
+    * AQE's skew-join split is the first line of defense; this is the
+    * explicit form for when the skew is known and stable (a stopword
+    * posting list, one index-dominating symbol) or AQE's post-shuffle
+    * view cannot see it. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      salt: Int, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salted join preserves semantics for inner/left joins, not $joinType")
+    val l = skewed.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val r = other.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Two-stage salted sum/count aggregation.
     *
     * @param aggs (inputColumn, partialAgg, mergeAgg, outName) — e.g.

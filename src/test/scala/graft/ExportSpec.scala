@@ -101,6 +101,17 @@ class ExportSpec extends SparkSpec {
         .map(_.toString)
       val orig = rows(src.orderBy("o_orderkey")).map(_.toString)
       assert(back == orig)
+      // the manifest sees the same structure as the file loop above:
+      // every row accounted for, ranges disjoint in min_key order
+      val mf = rows(Export.manifest(spark.read.parquet(path), "o_orderkey")
+        .orderBy("min_key"))
+        .map(r => (r.getAs[Long]("rows"), r.getAs[Long]("min_key"),
+          r.getAs[Long]("max_key")))
+      assert(mf.map(_._1).sum == src.count())
+      mf.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 < b._2, "manifest ranges overlap")
+        case _ =>
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     }

@@ -43,6 +43,23 @@ class ScaleSpec extends SparkSpec {
   private def Tables(name: String) =
     graft.sources.Tables.read(spark, "/root/testdata/sf0.001", name)
 
+  test("salted join equals plain join for inner and left, nulls preserved") {
+    import org.apache.spark.sql.functions._
+    val fact = Seq((1L, 10.0), (1L, 20.0), (1L, 30.0), (2L, 5.0), (9L, 7.0))
+      .toDF("k", "v") // key 1 is "hot"; key 9 has no dim row
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      rows(df.select($"k", $"v", $"name")).map(_.toString).sorted
+    val si = graft.operators.Skew.saltedJoin(fact, dim, Seq("k"), 4)
+    assert(canon(si) == canon(fact.join(dim, Seq("k"))))
+    val sl = graft.operators.Skew.saltedJoin(fact, dim, Seq("k"), 4, "left")
+    assert(canon(sl) == canon(fact.join(dim, Seq("k"), "left")))
+    assert(canon(sl).exists(_.contains("null"))) // key 9 survives with null
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(fact, dim, Seq("k"), 4, "right")
+    }
+  }
+
   test("streaming chain ingestion produces the batch result") {
     val dir = res("chain/2024-01-15")
     val stream = spark.readStream
