@@ -172,6 +172,35 @@ class PropertySpec extends SparkSpec {
     assert(kept.last._2.size == ids.count())
   }
 
+  test("property: stratified samples nest as k grows") {
+    val ids = (1 to 400).map(_ => rnd.nextLong() % 100000).filter(_ >= 0)
+      .distinct.map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("stratum", "id")
+    val samples = Seq(3, 10, 40).map { k =>
+      k -> rows(graft.ext.Sampling.stratifiedSample(
+          ids, Seq(col("stratum")), col("id"), k).select(col("id")))
+        .map(_.getLong(0)).toSet
+    }
+    samples.sliding(2).foreach { case Seq((k1, s1), (k2, s2)) =>
+      assert(s1.subsetOf(s2), s"sample(k=$k1) not nested in sample(k=$k2)")
+    }
+  }
+
+  test("property: token-budget keeps nest as the budget grows") {
+    val docs = (1 to 300).map { i =>
+      (s"g${i % 4}", i.toLong, 5L + (i % 11))
+    }.toDF("g", "id", "n")
+    val kept = Seq(0L, 50L, 200L, 100000L).map { b =>
+      b -> rows(graft.ext.Sampling.tokenBudget(docs, col("g"), col("id"),
+          col("n"), lit(b)).select(col("id")))
+        .map(_.getLong(0)).toSet
+    }
+    kept.sliding(2).foreach { case Seq((b1, s1), (b2, s2)) =>
+      assert(s1.subsetOf(s2), s"budget $b1 not nested in $b2")
+    }
+    assert(kept.head._2.isEmpty && kept.last._2.size == 300)
+  }
+
   test("property: hashBucket period is the prime, not the bucket count") {
     // ids congruent mod 1000 but different mod P must be able to land in
     // different buckets — a single-step ((id mod m)·A) mod m hash would

@@ -437,6 +437,47 @@ class StreamingSpec extends SparkSpec {
     assert(latestSample() == batchSample(all))
   }
 
+  test("streaming admission: single batch equals batch tokenBudget; ledger bounds hold") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAdmission
+    import graft.streaming.StreamingAdmission.DocTok
+    val docs = (1L to 60L).map(i =>
+      DocTok(s"src${i % 3}", i, 10 + (i % 7)))
+    val budget = (s: String) => if (s == "src0") 10000L else 100L
+    // single-batch stream ≡ the batch operator (same order, same rule)
+    val mem1 = MemoryStream[DocTok]
+    mem1.addData(docs: _*)
+    val q1 = StreamingAdmission.run(mem1.toDS(), budget).writeStream
+      .format("memory").queryName("adm1").outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    val streamed = spark.sql("select source, id from adm1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batchKept = graft.ext.Sampling.tokenBudget(
+        docs.toDF("source", "id", "n_tokens"), col("source"), col("id"),
+        col("n_tokens"),
+        when(col("source") === "src0", 10000L).otherwise(100L))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("id"))).toSet
+    assert(streamed == batchKept)
+    // multi-batch: admitted sets only grow, and per-source admitted
+    // tokens exceed the budget by at most the crossing document
+    val mem2 = MemoryStream[DocTok]
+    val (b1, b2) = docs.splitAt(30)
+    val q2 = StreamingAdmission.run(mem2.toDS(), budget).writeStream
+      .format("memory").queryName("adm2").outputMode("append").start()
+    mem2.addData(b1: _*); q2.processAllAvailable()
+    val after1 = spark.sql("select id from adm2").collect().map(_.getLong(0)).toSet
+    mem2.addData(b2: _*); q2.processAllAvailable()
+    q2.stop()
+    val after2Rows = spark.sql("select source, id, n_tokens from adm2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(after1.subsetOf(after2Rows.map(_._2).toSet))
+    after2Rows.groupBy(_._1).foreach { case (src, rs) =>
+      val toks = rs.map(_._3)
+      val total = toks.sum
+      assert(total - toks.max < budget(src), s"$src over-admitted")
+    }
+  }
+
   test("streaming session windows split on the gap like batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
