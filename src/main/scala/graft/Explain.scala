@@ -17,7 +17,9 @@ object Explain {
         "x27_pack_chunks", "x28_length_quantiles", "x29_heavy_hitters",
         "x31_pipeline_stats", "x32_oov_rate", "x33_decontaminate",
         "q28_asof_planned", "x37_count_min", "x38_pq_encode",
-        "x40_adc_topk", "x42_bloom_decontaminate")
+        "x40_adc_topk", "x42_bloom_decontaminate",
+        "x48_stratified_sample", "x49_token_budget", "x51_length_batches",
+        "x52_canonical", "x53_contamination_pairs", "x54_salted_join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -102,16 +102,25 @@ object Sampling {
     val withB = df.withColumn("__h", hashValue(id))
       .withColumn("__b", (col("__h") / lit(width)).cast("long"))
       .withColumn("__n", nTokens)
+    // materialized once: reused by the size probe and the join below
+    // (without it the totals aggregate — a full pre-scan — would run
+    // twice), and the count makes the broadcast decision measured, not
+    // hoped: |groups|·nBuckets rows fit a broadcast for any sane group
+    // count, but a corpus with millions of groups must fall back to a
+    // shuffle join rather than OOM the driver
     val totals = withB.groupBy(group.as("__g"), col("__b").as("__tb"))
       .agg(sum(col("__n")).as("__t"))
       .withColumn("__before", coalesce(sum(col("__t")).over(
         Window.partitionBy(col("__g")).orderBy(col("__tb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__t")
+      .localCheckpoint()
+    val totalsSide =
+      if (totals.count() <= 4L * 1024 * 1024) broadcast(totals) else totals
     val wIn = Window.partitionBy(group, col("__b"))
       .orderBy(col("__h"), id)
       .rowsBetween(Window.unboundedPreceding, -1)
-    withB.join(broadcast(totals),
+    withB.join(totalsSide,
         group === col("__g") && col("__b") === col("__tb"))
       .withColumn("__cum_prev", col("__before") +
         coalesce(sum(col("__n")).over(wIn), lit(0L)))
