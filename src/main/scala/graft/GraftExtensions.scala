@@ -29,6 +29,18 @@ object GraftExtensions {
   private def intArg(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
+  /** The deterministic sampling hash as an expression tree of built-in
+    * operators — SQL users get bit-identical split/sample assignment
+    * (two-step prime reduction, see [[graft.ext.Sampling.hashBucket]])
+    * without the Column API. */
+  private def hashValueExpr(id: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Multiply, Pmod}
+    import org.apache.spark.sql.types.LongType
+    val p = Literal(graft.ext.Sampling.HashPrime)
+    Pmod(Multiply(Pmod(Cast(id, LongType), p),
+      Literal(graft.ext.Sampling.HashMult)), p)
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_product" ->
       ((c: Seq[Expression]) => DotProduct(c(0), c(1))),
@@ -37,7 +49,15 @@ object GraftExtensions {
     "graft_minhash_signature" ->
       ((c: Seq[Expression]) => MinHashSignature(c(0), intArg(c(1)))),
     "graft_shingles" ->
-      ((c: Seq[Expression]) => Shingles(c(0), intArg(c(1)))))
+      ((c: Seq[Expression]) => Shingles(c(0), intArg(c(1)))),
+    "graft_hash_value" ->
+      ((c: Seq[Expression]) => hashValueExpr(c(0))),
+    "graft_hash_bucket" ->
+      ((c: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Pmod}
+        import org.apache.spark.sql.types.LongType
+        Pmod(hashValueExpr(c(0)), Cast(c(1), LongType))
+      }))
 
   /** Register every graft function on an existing session. */
   def register(spark: SparkSession): Unit =

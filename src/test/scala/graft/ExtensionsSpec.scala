@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ingest.RateLimitedScheduler
 import graft.sources.VolatilityHtml
 
@@ -21,6 +23,16 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT size(graft_minhash_signature(array(1L, 2L, 3L), 16)) AS n")
       .collect()(0).getInt(0)
     assert(mh == 16)
+    // the SQL hash is bit-identical to the Column-API sampling hash
+    val sqlBuckets = spark.sql(
+      "SELECT id, graft_hash_bucket(id, 1000) AS b FROM range(0, 500)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val colBuckets = rows(spark.range(0, 500).toDF("id")
+      .select(col("id"), graft.ext.Sampling.hashBucket(col("id"), 1000).as("b")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlBuckets == colBuckets)
+    assert(spark.sql("SELECT graft_hash_value(1001)").collect()(0).getLong(0)
+      == (1001L * 654435747L) % 1000000007L)
     // extension path constructs without error
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
