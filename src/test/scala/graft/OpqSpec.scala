@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Opq
+
+/** OPQ invariants. On the synthetic isotropic embeddings the achievable
+  * gain over plain PQ is ~zero by construction (no subspace correlation
+  * to unskew), so — like the PQ/IVF specs — these assert the exact
+  * mathematical invariants of the alternation, not an improvement bar
+  * the data cannot honor. */
+class OpqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def maxAbs(m: Opq.Mat): Double =
+    m.map(_.map(math.abs).max).max
+
+  test("OPQ: monotone error, orthonormal rotation, lossless rotate round-trip") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Opq.learn(emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+    // alternating exact minimizations of one objective: non-increasing
+    assert(model.errors.size == 3)
+    model.errors.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1.0 + 1e-9), s"error increased: $a -> $b")
+    }
+    assert(model.errors.forall(e => e > 0.0 && !e.isNaN))
+    // R orthonormal: RᵀR = I within fp tolerance
+    val d = model.rotation.length
+    val rtr = {
+      val rt = Opq.transpose(model.rotation)
+      Array.tabulate(d, d)((i, j) =>
+        (0 until d).map(k => rt(i)(k) * model.rotation(k)(j)).sum -
+          (if (i == j) 1.0 else 0.0))
+    }
+    assert(maxAbs(rtr) < 1e-8, s"RtR deviates from I by ${maxAbs(rtr)}")
+    // rotateT preserves norms and rotate inverts it, row-for-row
+    val probe = emb.limit(20).select($"vec_id",
+      graft.functions.VectorOps.toDouble($"embedding").as("x"))
+    val roundTrip = probe
+      .withColumn("z", Opq.rotateT($"x", model.rotation))
+      .withColumn("back", Opq.rotate($"z", model.rotation))
+      .select(
+        abs(graft.functions.VectorOps.dot($"x", $"x") -
+          graft.functions.VectorOps.dot($"z", $"z")).as("normDrift"),
+        aggregate(zip_with($"x", $"back", (a, b) => abs(a - b)),
+          lit(0.0), (acc, v) => greatest(acc, v)).as("elemDrift"))
+      .agg(max($"normDrift"), max($"elemDrift")).first()
+    assert(roundTrip.getDouble(0) < 1e-6, "rotation does not preserve norms")
+    assert(roundTrip.getDouble(1) < 1e-8, "rotate does not invert rotateT")
+  }
+
+  test("OPQ jacobi/polar: recovers a known rotation exactly") {
+    // polar(R) = R for an orthogonal matrix: build a block-diagonal
+    // Givens rotation and check the solver returns it
+    val d = 6
+    val theta = 0.7
+    val g: Opq.Mat = Array.tabulate(d, d) { (i, j) =>
+      if (i == j && i >= 2) 1.0
+      else if (i == 0 && j == 0) math.cos(theta)
+      else if (i == 0 && j == 1) -math.sin(theta)
+      else if (i == 1 && j == 0) math.sin(theta)
+      else if (i == 1 && j == 1) math.cos(theta)
+      else 0.0
+    }
+    // scale by a positive-definite stretch: polar(G·S) must return G
+    val s: Opq.Mat = Array.tabulate(d, d)((i, j) =>
+      if (i == j) 1.0 + 0.5 * i else 0.0)
+    val gs = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => g(i)(k) * s(k)(j)).sum)
+    val rec = graft.ext.Opq.polar(gs)
+    val drift = Array.tabulate(d, d)((i, j) =>
+      math.abs(rec(i)(j) - g(i)(j))).map(_.max).max
+    assert(drift < 1e-10, s"polar factor off by $drift")
+  }
+}
