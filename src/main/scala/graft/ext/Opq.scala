@@ -145,6 +145,27 @@ object Opq {
   case class OpqModel(rotation: Mat, codebooks: Array[Array[Array[Double]]],
       errors: Seq[Double])
 
+  /** ADC top-k search in the OPQ-rotated space: learn (or reuse) a
+    * model, rotate queries and corpus with R, encode the rotated corpus
+    * under the learned codebooks, and search with the shared ADC
+    * machinery ([[Pq.adcTopKEncoded]] — broadcast LUTs, exact-decimal
+    * ranking, LUT-size guard). Because R is orthogonal, distances in
+    * the rotated space ARE the original distances; only the
+    * quantization grid moved. With `iters = 0` the model is R = I with
+    * seed codebooks, so the result is EXACTLY [[Pq.adcTopK]]
+    * (spec-asserted identity — the OPQ layer only re-fits, never
+    * re-ranks). */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 2, model: Option[OpqModel] = None): DataFrame = {
+    val mod = model.getOrElse(learn(corpus, idCol, vecCol, m, kCodes, iters))
+    def rotated(df: DataFrame): DataFrame = df.select(col(idCol),
+      rotateT(VectorOps.toDouble(col(vecCol)), mod.rotation).as("__z"))
+    Pq.adcTopKEncoded(rotated(queries),
+      Pq.encodeLongWith(rotated(corpus), idCol, "__z", mod.codebooks),
+      mod.codebooks, idCol, "__z", k)
+  }
+
   /** Alternating OPQ training. `iters` full (assign, codebooks,
     * rotation) rounds from R = I and id-seeded codebooks; the returned
     * `errors` (one per round, measured after the rotation update) are

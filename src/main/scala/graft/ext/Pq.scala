@@ -57,7 +57,7 @@ object Pq {
       m: Int = 8, k: Int = 16): DataFrame =
     encodeLongWith(df, idCol, vecCol, seedCodebooks(df, idCol, vecCol, m, k))
 
-  private def encodeLongWith(df: DataFrame, idCol: String, vecCol: String,
+  private[ext] def encodeLongWith(df: DataFrame, idCol: String, vecCol: String,
       cb: Array[Array[Array[Double]]]): DataFrame =
     df.select(col(idCol),
         VectorExpressions.pqEncode(VectorOps.toDouble(col(vecCol)), cb)

@@ -48,6 +48,26 @@ class OpqSpec extends SparkSpec {
     assert(roundTrip.getDouble(1) < 1e-8, "rotate does not invert rotateT")
   }
 
+  test("OPQ ADC search: identity model is exactly plain ADC; trained model well-formed") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where($"vec_id" < 5)
+    // iters = 0 → R = I, seed codebooks: the rotation layer must be
+    // invisible — same decimal distances, same ties, same rows
+    val identity = rows(Opq.adcTopK(q, emb, "vec_id", "embedding", k = 5,
+      iters = 0)).map(_.toString).sorted
+    val plain = rows(graft.ext.Pq.adcTopK(q, emb, "vec_id", "embedding",
+      k = 5)).map(_.toString).sorted
+    assert(identity == plain, "identity-rotation OPQ differs from plain ADC")
+    // trained model still returns a full, well-ranked result set
+    val trained = rows(Opq.adcTopK(q, emb, "vec_id", "embedding", k = 5,
+      iters = 2))
+    assert(trained.groupBy(_.getAs[Long]("query_id")).size == 5)
+    trained.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("rank")) ==
+        (1L to 5L))
+    }
+  }
+
   test("OPQ jacobi/polar: recovers a known rotation exactly") {
     // polar(R) = R for an orthogonal matrix: build a block-diagonal
     // Givens rotation and check the solver returns it
