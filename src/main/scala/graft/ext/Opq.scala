@@ -41,8 +41,19 @@ object Opq {
 
   type Mat = Array[Array[Double]]
 
-  /** z = Rᵀ·x as a column expression (R orthogonal ⇒ Rᵀ = R⁻¹). */
-  def rotateT(vec: Column, r: Mat): Column = {
+  /** z = Rᵀ·x as a column expression (R orthogonal ⇒ Rᵀ = R⁻¹) — the
+    * codegen [[graft.functions.expressions.VectorExpressions.matVecT]]
+    * (one fused primitive loop, matrix embedded as a plan constant), so
+    * the corpus-wide rotation runs at scan speed. [[rotateTHof]] is the
+    * built-in-HOF reference form; OpqSpec asserts the two are
+    * bit-identical. */
+  def rotateT(vec: Column, r: Mat): Column =
+    graft.functions.expressions.VectorExpressions.matVecT(vec, r)
+
+  /** Reference implementation of [[rotateT]] from built-in HOFs only —
+    * the accumulation-order spec the codegen expression must match
+    * bit-for-bit (left-to-right over i, per output j). */
+  def rotateTHof(vec: Column, r: Mat): Column = {
     val d = r.length
     val rLit = array(r.toIndexedSeq.map(row =>
       array(row.toIndexedSeq.map(lit): _*)): _*)

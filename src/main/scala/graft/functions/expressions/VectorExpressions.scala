@@ -420,6 +420,67 @@ case class PqEncode(vec: Expression, codebooks: Array[Array[Array[Double]]])
     copy(vec = c)
 }
 
+/** z = Rᵀ·x with R a driver-resident square constant (embedded in the
+  * plan like a broadcast, same pattern as [[NearestCell]]/[[PqEncode]]):
+  * one fused primitive loop inside whole-stage codegen, replacing the
+  * `transform(sequence…, aggregate(sequence…))` HOF form whose lambdas
+  * run interpreted and re-evaluate per element — the corpus-wide OPQ
+  * rotation at scan speed.
+  *
+  * Numeric contract: output j accumulates R(i,j)·x(i) for i ascending,
+  * left-to-right — bit-identical to the HOF fold it replaces, so
+  * rotation-identity tests (R = I ⇒ z = x exactly) keep holding. */
+case class MatVecT(vec: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val d = matrix.length
+  require(d > 0 && matrix.forall(_.length == d), "matrix must be square")
+
+  override def child: Expression = vec
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec_t"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(d, v.numElements())
+    val out = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += matrix(i)(j) * v.getDouble(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("matrix", matrix, "double[][]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double[] $out = new double[$d];
+         |int $n = java.lang.Math.min($d, $a.numElements());
+         |for (int $j = 0; $j < $d; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $m[$i][$j] * $a.getDouble($i);
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(vec = c)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
 
@@ -436,4 +497,6 @@ object VectorExpressions {
       centVecs, centNorms, centIds))
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(vec), codebooks))
+  def matVecT(vec: Column, matrix: Array[Array[Double]]): Column =
+    column(MatVecT(expression(vec), matrix))
 }

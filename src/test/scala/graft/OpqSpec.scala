@@ -46,6 +46,13 @@ class OpqSpec extends SparkSpec {
       .agg(max($"normDrift"), max($"elemDrift")).first()
     assert(roundTrip.getDouble(0) < 1e-6, "rotation does not preserve norms")
     assert(roundTrip.getDouble(1) < 1e-8, "rotate does not invert rotateT")
+    // the codegen MatVecT matches the built-in-HOF reference fold
+    // bit-for-bit (same left-to-right accumulation order)
+    val parity = probe
+      .select(Opq.rotateT($"x", model.rotation).as("fast"),
+        Opq.rotateTHof($"x", model.rotation).as("ref"))
+      .where(not($"fast" <=> $"ref"))
+    assert(parity.count() == 0, "MatVecT diverges from the HOF reference")
   }
 
   test("OPQ ADC search: identity model is exactly plain ADC; trained model well-formed") {
