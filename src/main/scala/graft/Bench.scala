@@ -57,6 +57,11 @@ object Bench {
     val errored = results.count(_._2.isEmpty)
     val total = ok.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errored,"sf":"$sfDir"}""")
+    // the driver keeps only the TAIL of stdout: with the total printed
+    // first in one long line, truncation destroys exactly the headline
+    // (BENCH_r03/r04 "parsed": null). A short trailing summary survives
+    // any tail capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errored,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

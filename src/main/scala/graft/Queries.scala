@@ -650,9 +650,12 @@ object Queries {
     * shard-locally over 8 deterministic shards (the distributed-writer
     * layout). */
   val x27PackChunks: Q = (s, dir) => {
+    // n_tokens is a caller-owned column here (the operator no longer
+    // emits one — it only ADDS its documented outputs)
     val docs = Tables.documents(s, dir)
-    Sampling.packChunks(docs, col("doc_id"),
-        TextAnalysis.tokenCount(col("text")), chunkTokens = 2048, shards = 8)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    Sampling.packChunks(docs, col("doc_id"), col("n_tokens"),
+        chunkTokens = 2048, shards = 8)
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("start_tok"), col("chunk_first"), col("chunk_last"))
       .orderBy("doc_id")
@@ -1238,8 +1241,10 @@ object Queries {
     * near-equal length (padding efficiency). Same shard-local scale
     * shape as x27's packing: parallelism = shards, no global sort. */
   val x51LengthBatches: Q = (s, dir) => {
-    Sampling.lengthBatches(Tables.documents(s, dir), col("doc_id"),
-        TextAnalysis.tokenCount(col("text")), batchSize = 16, shards = 8)
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    Sampling.lengthBatches(docs, col("doc_id"), col("n_tokens"),
+        batchSize = 16, shards = 8)
       .select(col("doc_id"), col("shard"), col("batch_id"), col("n_tokens"))
       .orderBy("doc_id")
   }

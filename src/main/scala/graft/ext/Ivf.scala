@@ -156,8 +156,11 @@ object Ivf {
       graft.functions.VectorOps.toDouble(col(vecCol)).as("qv"),
       graft.functions.VectorOps.norm2(col(vecCol)).as("qn"))
     // enforce the "queries side is small" assumption the per-query LUT
-    // broadcast below rests on (see Pq.MaxLutRows)
-    Pq.requireLutFits(qvec.count(), m, kCodes, maxLutRows)
+    // broadcast below rests on (see Pq.MaxLutRows); ids-only count so
+    // the probe job never evaluates the vector conversion
+    if (maxLutRows != Long.MaxValue)
+      Pq.requireLutFits(queries.select(col(idCol)).count(), m, kCodes,
+        maxLutRows)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("cid").asc)
     val probes = qvec.crossJoin(broadcast(centDf))

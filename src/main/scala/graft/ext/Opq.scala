@@ -181,11 +181,24 @@ object Opq {
     * rotation) rounds from R = I and id-seeded codebooks; the returned
     * `errors` (one per round, measured after the rotation update) are
     * non-increasing up to fp noise — spec-asserted. */
+  /** Hard bound on the embedding dimension [[learn]] accepts: the
+    * rotation update runs a driver-side O(d³) Jacobi eigensolve per
+    * iteration (fine to ~1k dims, minutes-to-hours beyond), and the d²
+    * outer-product aggregation rows grow quadratically. Refuse loudly —
+    * the same enforce-don't-hope style as [[Pq.MaxLutRows]] — rather
+    * than silently burning the driver on a d=8192 column. */
+  val MaxLearnDim: Int = 1024
+
   def learn(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, iters: Int = 3): OpqModel = {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.expressions.VectorExpressions
     val d = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(d <= MaxLearnDim,
+      s"Opq.learn: dim $d > $MaxLearnDim — the rotation update is a " +
+        "driver-side O(d^3) Jacobi eigensolve per iteration; reduce the " +
+        "dimension first (e.g. a fixed projection) or raise MaxLearnDim " +
+        "knowing the cost")
     val base = corpus.select(col(idCol).as("id"),
       VectorOps.toDouble(col(vecCol)).as("x")).localCheckpoint()
     val sumX2 = base.select(

@@ -181,7 +181,12 @@ object Pq {
     val subDim = cb(0)(0).length
     val qs = queries.select(col(idCol).as("query_id"),
       VectorOps.toDouble(col(vecCol)).as("qv"))
-    requireLutFits(qs.count(), m, kCodes, maxLutRows)
+    // guard probe counts an ids-only projection (column pruning keeps
+    // any upstream rotation/conversion out of the count job); callers
+    // that bound the query side by construction — adcScoreSink's
+    // micro-batches — pass Long.MaxValue to skip the extra job entirely
+    if (maxLutRows != Long.MaxValue)
+      requireLutFits(queries.select(col(idCol)).count(), m, kCodes, maxLutRows)
     val cbDf = codebookDfFrom(queries.sparkSession, cb)
     val lut = qs.crossJoin(broadcast(cbDf))
       .withColumn("qsub",

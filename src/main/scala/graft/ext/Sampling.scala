@@ -115,33 +115,58 @@ object Sampling {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__t")
       .localCheckpoint()
+    // byte-aware broadcast bound (the Pq.requireLutFits discipline): a
+    // row-count threshold alone admits 4M rows of WIDE group keys —
+    // hundreds of MB. Estimate bytes as rows × (schema default sizes +
+    // object overhead) against a 64 MB broadcast budget; past it, the
+    // plain shuffle join below is the documented fallback.
+    val rowBytes = totals.schema.fields.map(_.dataType.defaultSize).sum + 32L
     val totalsSide =
-      if (totals.count() <= 4L * 1024 * 1024) broadcast(totals) else totals
+      if (totals.count() * rowBytes <= 64L * 1024 * 1024) broadcast(totals)
+      else totals
     val wIn = Window.partitionBy(group, col("__b"))
       .orderBy(col("__h"), id)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe on the group key: the totals aggregate keeps NULL as a
+    // group, so a plain === here would silently drop every null-group
+    // row while the single-window tokenBudget keeps them — breaking the
+    // documented row-identity between the two forms
     withB.join(totalsSide,
-        group === col("__g") && col("__b") === col("__tb"))
+        (group <=> col("__g")) && col("__b") === col("__tb"))
       .withColumn("__cum_prev", col("__before") +
         coalesce(sum(col("__n")).over(wIn), lit(0L)))
       .where(col("__cum_prev") < budget)
       .drop("__h", "__b", "__n", "__g", "__tb", "__before", "__cum_prev")
   }
 
+  /** Output-column guard for the batching operators: an output written
+    * over an existing user column would silently destroy caller data
+    * (the file's `__`-prefix convention exists exactly so internals
+    * can't collide) — refuse loudly instead. */
+  private def requireFresh(df: DataFrame, names: String*): Unit =
+    names.foreach(n => require(!df.columns.contains(n),
+      s"input already has a column named '$n' — rename it first: " +
+        "batching operators only ADD output columns, never overwrite"))
+
   /** Length-bucketed micro-batch assignment (padding-efficient
     * batching): within each of `shards` deterministic streams (id mod
-    * shards) documents sort by (n_tokens, id) and every `batchSize`
+    * shards) documents sort by (token count, id) and every `batchSize`
     * consecutive documents form one batch — sequences in a batch have
     * near-equal length, which is what keeps padding waste low when the
     * batch is tensorized. Shard-local like [[packChunks]]: parallelism
-    * = shards, no global sort. */
+    * = shards, no global sort. Adds `shard` and `batch_id`; every input
+    * column (including any caller-owned `n_tokens`) passes through
+    * untouched — the token count enters only as the sort expression. */
   def lengthBatches(df: DataFrame, id: Column, nTokens: Column,
       batchSize: Int, shards: Int): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col("n_tokens"), id)
-    df.withColumn("shard", pmod(id, lit(shards.toLong)))
-      .withColumn("n_tokens", nTokens)
+    requireFresh(df, "shard", "batch_id")
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__n"), id)
+    df.withColumn("__shard", pmod(id, lit(shards.toLong)))
+      .withColumn("__n", nTokens)
       .withColumn("batch_id",
         floor((row_number().over(w) - lit(1)) / lit(batchSize)).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__shard", "__n")
   }
 
   /** Deterministic train/valid/test assignment by per-mille weight:
@@ -197,19 +222,25 @@ object Sampling {
     * practice (independent writers) and what keeps this scale-safe: the
     * only shuffle is the shard/window exchange, parallelism = shards, and
     * no shard ever needs a global prefix sum.
-    */
+    *
+    * Adds `shard`, `start_tok`, `chunk_first`, `chunk_last`; every input
+    * column passes through untouched (the token count enters only as an
+    * expression). */
   def packChunks(df: DataFrame, id: Column, nTokens: Column,
       chunkTokens: Int, shards: Int): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(id)
+    requireFresh(df, "shard", "start_tok", "chunk_first", "chunk_last")
+    val w = Window.partitionBy(col("__shard")).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("shard", pmod(id, lit(shards.toLong)))
-      .withColumn("n_tokens", nTokens)
+    df.withColumn("__shard", pmod(id, lit(shards.toLong)))
+      .withColumn("__n", nTokens)
       .withColumn("start_tok",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        coalesce(sum(col("__n")).over(w), lit(0L)))
       .withColumn("chunk_first",
         floor(col("start_tok") / chunkTokens).cast("long"))
       .withColumn("chunk_last",
-        floor((col("start_tok") + col("n_tokens") - 1) / chunkTokens)
+        floor((col("start_tok") + col("__n") - 1) / chunkTokens)
           .cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__shard", "__n")
   }
 }

@@ -442,13 +442,17 @@ case class MatVecT(vec: Expression, matrix: Array[Array[Double]])
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    val n = math.min(d, v.numElements())
+    // a mis-sized vector must fail loudly: truncating or zero-padding
+    // would silently rotate into the wrong subspace and corrupt every
+    // downstream OPQ code without any visible error
+    if (v.numElements() != d) throw new IllegalArgumentException(
+      s"mat_vec_t: vector has ${v.numElements()} elements, rotation is ${d}x$d")
     val out = new Array[Double](d)
     var j = 0
     while (j < d) {
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += matrix(i)(j) * v.getDouble(i); i += 1 }
+      while (i < d) { acc += matrix(i)(j) * v.getDouble(i); i += 1 }
       out(j) = acc
       j += 1
     }
@@ -459,16 +463,19 @@ case class MatVecT(vec: Expression, matrix: Array[Array[Double]])
     nullSafeCodeGen(ctx, ev, a => {
       val m = ctx.addReferenceObj("matrix", matrix, "double[][]")
       val out = ctx.freshName("out")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
       s"""
+         |if ($a.numElements() != $d) {
+         |  throw new IllegalArgumentException(
+         |    "mat_vec_t: vector has " + $a.numElements() +
+         |    " elements, rotation is $d" + "x" + "$d");
+         |}
          |double[] $out = new double[$d];
-         |int $n = java.lang.Math.min($d, $a.numElements());
          |for (int $j = 0; $j < $d; $j++) {
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $d; $i++) {
          |    $acc += $m[$i][$j] * $a.getDouble($i);
          |  }
          |  $out[$j] = $acc;

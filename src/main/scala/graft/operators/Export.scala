@@ -103,8 +103,22 @@ object Export {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt).json(path)
       .cache() // PERMISSIVE corrupt-column referencing requires it
-    (df.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
-      df.where(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+    splitAndRelease(df)
+  }
+
+  /** Split a cached PERMISSIVE read into (good, quarantined) and release
+    * the cache: the two sides are eagerly materialized (localCheckpoint,
+    * whose blocks the ContextCleaner reclaims once unreferenced) so the
+    * CacheManager entry — which would otherwise leak executor storage
+    * for the session lifetime on every restore call — can be dropped
+    * before returning. */
+  private def splitAndRelease(df: DataFrame): (DataFrame, DataFrame) = {
+    val good = df.where(col("_corrupt_record").isNull)
+      .drop("_corrupt_record").localCheckpoint()
+    val bad = df.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record")).localCheckpoint()
+    df.unpersist()
+    (good, bad)
   }
 
   /** S11 bulk restore: CSV → rows with bad-row tolerance, the analog of
@@ -123,7 +137,6 @@ object Export {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt).csv(path)
       .cache() // PERMISSIVE corrupt-column referencing requires it
-    (df.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
-      df.where(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+    splitAndRelease(df)
   }
 }

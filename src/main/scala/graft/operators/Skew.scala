@@ -18,13 +18,26 @@ object Skew {
   /** Salted equi-join for skewed LARGE×MEDIUM joins — the technique for
     * when the hot side is too big for one reducer AND the other side is
     * too big to broadcast: the skewed side scatters each row to one of
-    * `salt` sub-keys (random salt — any salt gives the same join
-    * result, so determinism is not at stake), the other side REPLICATES
-    * each row to all `salt` sub-keys, and the join runs on
-    * (keys, salt) — every hot key's work spreads over `salt` reducers
-    * at the cost of replicating the right side salt×. Inner and
-    * left_outer preserve exact join semantics (each left row carries
-    * exactly one salt value, each right row meets it exactly once).
+    * `salt` sub-keys, the other side REPLICATES each row to all `salt`
+    * sub-keys, and the join runs on (keys, salt) — every hot key's work
+    * spreads over `salt` reducers at the cost of replicating the right
+    * side salt×. Inner and left_outer preserve exact join semantics
+    * (each left row carries exactly one salt value, each right row
+    * meets it exactly once).
+    *
+    * The salt is derived from the FULL row content, never from
+    * monotonically_increasing_id or rand: a join key must be
+    * deterministic under recomputation. With a nondeterministic salt, a
+    * shuffle-fetch-failure retry can recompute a map task and assign a
+    * row a different salt than the copy a finished reducer already
+    * consumed — duplicating or losing rows. Content-hashing makes the
+    * retry reproduce identical salts (rows identical in every column
+    * share a salt, which affects distribution only, never
+    * correctness). Columns of MapType are excluded from the hash (Spark
+    * forbids hashing maps); a row set whose only non-key columns are
+    * maps falls back to hashing the keys alone — correct, but then a
+    * single hot key occupies one salt bucket, so pass distinguishing
+    * columns in that case.
     *
     * AQE's skew-join split is the first line of defense; this is the
     * explicit form for when the skew is known and stable (a stopword
@@ -34,12 +47,30 @@ object Skew {
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salted join preserves semantics for inner/left joins, not $joinType")
-    val l = skewed.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val l = skewed.withColumn("__salt", contentSalt(skewed, salt))
     val r = other.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Deterministic per-row salt in [0, salt): hash of every hashable
+    * (non-map) column, so recomputation of a lost partition reproduces
+    * the same salt assignment bit-for-bit. */
+  private def contentSalt(df: DataFrame, salt: Int): Column = {
+    val hashable = df.schema.fields
+      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty, "no hashable (non-map) columns to salt on")
+    pmod(hash(hashable: _*), lit(salt))
+  }
+
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
 
   /** Two-stage salted sum/count aggregation.
     *
@@ -49,8 +80,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
       aggs: Seq[(Column, Column => Column, Column => Column, String)])
       : DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val salted = df.withColumn("__salt", contentSalt(df, salt))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(aggs.head._2(aggs.head._1).as(s"__p0"),

@@ -278,7 +278,10 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ext.Pq.adcTopKEncoded(batch, enc, cb, idCol, vecCol, k)
+        // micro-batches are bounded by construction, so skip the LUT
+        // guard's per-batch count job (maxLutRows = Long.MaxValue)
+        graft.ext.Pq.adcTopKEncoded(batch, enc, cb, idCol, vecCol, k,
+            maxLutRows = Long.MaxValue)
           .withColumn("_batch", lit(batchId))
           .write.mode("append").parquet(outPath)
       }

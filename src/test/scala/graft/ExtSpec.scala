@@ -193,10 +193,46 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetBucketed keeps null-group rows (null-safe totals join)") {
+    val df = Seq((1L, Some("a"), 10L), (2L, None, 10L), (3L, Some("a"), 10L),
+      (4L, None, 10L), (5L, None, 10L)).toDF("id", "g", "n")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      rows(d.select(col("id"))).map(_.getLong(0)).toSet
+    Seq(5L, 15L, 100L).foreach { b =>
+      val plain = graft.ext.Sampling.tokenBudget(
+        df, col("g"), col("id"), col("n"), lit(b))
+      val bucketed = graft.ext.Sampling.tokenBudgetBucketed(
+        df, col("g"), col("id"), col("n"), lit(b), 4)
+      assert(ids(bucketed) == ids(plain), s"budget=$b")
+      // the NULL group is a real group: some of its rows must be kept
+      if (b >= 15L) assert(ids(bucketed).exists(Set(2L, 4L, 5L)))
+    }
+  }
+
+  test("batching operators refuse output-name collisions, pass caller columns through") {
+    val base = Seq((1L, 100L), (2L, 200L)).toDF("id", "n_tokens")
+    // caller-owned n_tokens survives untouched
+    val lb = graft.ext.Sampling.lengthBatches(
+      base, col("id"), col("n_tokens") * 2, batchSize = 2, shards = 1)
+    assert(rows(lb.select(col("n_tokens")).orderBy(col("id")))
+      .map(_.getLong(0)) == Seq(100L, 200L))
+    // an existing output-named column is refused loudly, never overwritten
+    val clash = base.withColumn("shard", lit(9L))
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.lengthBatches(clash, col("id"), col("n_tokens"), 2, 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.packChunks(clash, col("id"), col("n_tokens"), 2048, 1)
+    }
+  }
+
   test("lengthBatches: contiguous sorted batches of bounded size") {
+    // pre-added caller column: the operator must leave it untouched
+    // (it only adds shard/batch_id) — the collision-survival contract
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("n_tokens", graft.ext.TextAnalysis.tokenCount(col("text")))
     val got = rows(graft.ext.Sampling.lengthBatches(docs, col("doc_id"),
-      graft.ext.TextAnalysis.tokenCount(col("text")), batchSize = 8, shards = 4))
+      col("n_tokens"), batchSize = 8, shards = 4))
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("batch_id"),
         r.getAs[Long]("n_tokens")))
     got.groupBy(_._1).values.foreach { shard =>

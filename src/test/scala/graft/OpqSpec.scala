@@ -55,6 +55,28 @@ class OpqSpec extends SparkSpec {
     assert(parity.count() == 0, "MatVecT diverges from the HOF reference")
   }
 
+  test("Opq.learn refuses dimensions beyond MaxLearnDim (driver O(d^3) guard)") {
+    val wide = Seq((1L, Array.fill(Opq.MaxLearnDim + 8)(0.5)),
+      (2L, Array.fill(Opq.MaxLearnDim + 8)(0.25)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Opq.learn(wide, "vec_id", "embedding", m = 8, k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("O(d^3)"))
+  }
+
+  test("MatVecT fails loudly on a dimension-mismatched vector") {
+    val r: Opq.Mat = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val bad = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "x")
+    val e = intercept[Exception] {
+      bad.select(Opq.rotateT($"x", r)).collect()
+    }
+    // surfaces either directly or wrapped by the task failure
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("mat_vec_t")), chain(e).mkString(" | "))
+  }
+
   test("OPQ ADC search: identity model is exactly plain ADC; trained model well-formed") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.where($"vec_id" < 5)
