@@ -60,8 +60,9 @@ object Bench {
     // the driver keeps only the TAIL of stdout: with the total printed
     // first in one long line, truncation destroys exactly the headline
     // (BENCH_r03/r04 "parsed": null). A short trailing summary survives
-    // any tail capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errored,"n_queries":${results.size},"sf":"$sfDir"}""")
+    // any tail capture. Distinct metric name so a consumer summing
+    // "total" lines cannot double-count the same wall-clock.
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","errors":$errored,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

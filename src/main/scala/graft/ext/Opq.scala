@@ -168,8 +168,10 @@ object Opq {
     * re-ranks). */
   def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16,
-      iters: Int = 2, model: Option[OpqModel] = None): DataFrame = {
-    val mod = model.getOrElse(learn(corpus, idCol, vecCol, m, kCodes, iters))
+      iters: Int = 2, model: Option[OpqModel] = None,
+      maxDim: Int = MaxLearnDim): DataFrame = {
+    val mod = model.getOrElse(
+      learn(corpus, idCol, vecCol, m, kCodes, iters, maxDim))
     def rotated(df: DataFrame): DataFrame = df.select(col(idCol),
       rotateT(VectorOps.toDouble(col(vecCol)), mod.rotation).as("__z"))
     Pq.adcTopKEncoded(rotated(queries),
@@ -181,24 +183,28 @@ object Opq {
     * rotation) rounds from R = I and id-seeded codebooks; the returned
     * `errors` (one per round, measured after the rotation update) are
     * non-increasing up to fp noise — spec-asserted. */
-  /** Hard bound on the embedding dimension [[learn]] accepts: the
+  /** Default bound on the embedding dimension [[learn]] accepts: the
     * rotation update runs a driver-side O(d³) Jacobi eigensolve per
     * iteration (fine to ~1k dims, minutes-to-hours beyond), and the d²
     * outer-product aggregation rows grow quadratically. Refuse loudly —
     * the same enforce-don't-hope style as [[Pq.MaxLutRows]] — rather
-    * than silently burning the driver on a d=8192 column. */
+    * than silently burning the driver on a d=8192 column. Callers that
+    * accept the cost opt in per call via `maxDim` (the
+    * [[Pq.adcTopKEncoded]] `maxLutRows` pattern) — e.g. d=1536 works,
+    * slowly, and is a deliberate choice, not a hard wall. */
   val MaxLearnDim: Int = 1024
 
   def learn(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16, iters: Int = 3): OpqModel = {
+      m: Int = 8, k: Int = 16, iters: Int = 3,
+      maxDim: Int = MaxLearnDim): OpqModel = {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.expressions.VectorExpressions
     val d = corpus.select(size(col(vecCol))).first().getInt(0)
-    require(d <= MaxLearnDim,
-      s"Opq.learn: dim $d > $MaxLearnDim — the rotation update is a " +
+    require(d <= maxDim,
+      s"Opq.learn: dim $d > $maxDim — the rotation update is a " +
         "driver-side O(d^3) Jacobi eigensolve per iteration; reduce the " +
-        "dimension first (e.g. a fixed projection) or raise MaxLearnDim " +
-        "knowing the cost")
+        "dimension first (e.g. a fixed projection) or pass a larger " +
+        "maxDim knowing the cost")
     val base = corpus.select(col(idCol).as("id"),
       VectorOps.toDouble(col(vecCol)).as("x")).localCheckpoint()
     val sumX2 = base.select(
@@ -239,11 +245,19 @@ object Opq {
       val joined = base.join(yhat, "id").localCheckpoint()
       val sumY2 = joined.select(
         sum(VectorOps.dot(col("y"), col("y")))).first().getDouble(0)
+      // exact-decimal sum: a plain double sum is accumulation-order
+      // dependent across partitions, which would make R — and everything
+      // downstream (the encode, the x55 oracle golden) — wobble run to
+      // run. DecimalType(38,18) holds xi·yj products (|x| bounded by the
+      // embedding scale) exactly enough that the merged sum is
+      // order-independent; the boundary cast to double happens once.
       val mRows = joined.select(
           posexplode(col("x")).as(Seq("i", "xi")), col("y"))
         .select(col("i"), posexplode(col("y")).as(Seq("j", "yj")),
           col("xi"))
-        .groupBy("i", "j").agg(sum(col("xi") * col("yj")).as("mij"))
+        .groupBy("i", "j")
+        .agg(sum((col("xi") * col("yj")).cast(DecimalType(38, 18)))
+          .cast("double").as("mij"))
         .collect()
       val mMat: Mat = Array.ofDim[Double](d, d)
       mRows.foreach(row =>

@@ -182,9 +182,11 @@ object Pq {
     val qs = queries.select(col(idCol).as("query_id"),
       VectorOps.toDouble(col(vecCol)).as("qv"))
     // guard probe counts an ids-only projection (column pruning keeps
-    // any upstream rotation/conversion out of the count job); callers
-    // that bound the query side by construction — adcScoreSink's
-    // micro-batches — pass Long.MaxValue to skip the extra job entirely
+    // any upstream rotation/conversion out of the count job); a caller
+    // that has ALREADY materialized and counted its query set may pass
+    // Long.MaxValue to skip the extra job — but nothing that merely
+    // assumes boundedness should (a replayed stream backlog is one
+    // unbounded "micro"-batch; adcScoreSink keeps the guard on)
     if (maxLutRows != Long.MaxValue)
       requireLutFits(queries.select(col(idCol)).count(), m, kCodes, maxLutRows)
     val cbDf = codebookDfFrom(queries.sparkSession, cb)

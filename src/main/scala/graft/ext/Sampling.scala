@@ -72,6 +72,7 @@ object Sampling {
     * only the boundary slice. */
   def tokenBudget(df: DataFrame, group: Column, id: Column,
       nTokens: Column, budget: Column): DataFrame = {
+    requireFresh(df, "__cum_prev")
     val w = Window.partitionBy(group).orderBy(hashValue(id), id)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__cum_prev", coalesce(sum(nTokens).over(w), lit(0L)))
@@ -98,6 +99,8 @@ object Sampling {
     * column-pruned pre-scan for the totals. */
   def tokenBudgetBucketed(df: DataFrame, group: Column, id: Column,
       nTokens: Column, budget: Column, nBuckets: Int = 1024): DataFrame = {
+    requireFresh(df, "__h", "__b", "__n", "__g", "__tb", "__before",
+      "__cum_prev")
     val width = (HashPrime + nBuckets - 1) / nBuckets
     val withB = df.withColumn("__h", hashValue(id))
       .withColumn("__b", (col("__h") / lit(width)).cast("long"))
@@ -117,12 +120,26 @@ object Sampling {
       .localCheckpoint()
     // byte-aware broadcast bound (the Pq.requireLutFits discipline): a
     // row-count threshold alone admits 4M rows of WIDE group keys —
-    // hundreds of MB. Estimate bytes as rows × (schema default sizes +
-    // object overhead) against a 64 MB broadcast budget; past it, the
-    // plain shuffle join below is the documented fallback.
-    val rowBytes = totals.schema.fields.map(_.dataType.defaultSize).sum + 32L
+    // hundreds of MB. MEASURED widths, not schema defaults:
+    // StringType.defaultSize is 20 bytes, so a default-size estimate
+    // admits ~2M rows of 500-byte URL group keys (~1 GB actual
+    // broadcast). Variable-width columns (string/binary) contribute
+    // their actual per-row length; fixed-width columns their type size;
+    // +32 B/row object overhead. One aggregate job over the already
+    // checkpointed totals — same cost as the count() it replaces. Past
+    // the 64 MB budget, the plain shuffle join below is the fallback.
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val rowBytes = totals.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }.reduce(_ + _) + lit(32L)
+    val estBytes = totals.select(coalesce(sum(rowBytes), lit(0L)))
+      .first().getLong(0)
     val totalsSide =
-      if (totals.count() * rowBytes <= 64L * 1024 * 1024) broadcast(totals)
+      if (estBytes <= 64L * 1024 * 1024) broadcast(totals)
       else totals
     val wIn = Window.partitionBy(group, col("__b"))
       .orderBy(col("__h"), id)
@@ -140,13 +157,16 @@ object Sampling {
   }
 
   /** Output-column guard for the batching operators: an output written
-    * over an existing user column would silently destroy caller data
-    * (the file's `__`-prefix convention exists exactly so internals
-    * can't collide) — refuse loudly instead. */
+    * over an existing user column would silently destroy caller data —
+    * refuse loudly instead. The guard covers the INTERNAL `__`-prefixed
+    * temporaries too: the prefix is a convention, not a namespace, and a
+    * caller column named `__n` would be silently overwritten and then
+    * dropped — data loss twice over. Enforced, not documented. */
   private def requireFresh(df: DataFrame, names: String*): Unit =
     names.foreach(n => require(!df.columns.contains(n),
       s"input already has a column named '$n' — rename it first: " +
-        "batching operators only ADD output columns, never overwrite"))
+        "batching operators only ADD output columns (and reserve their " +
+        "__-prefixed temporaries), never overwrite"))
 
   /** Length-bucketed micro-batch assignment (padding-efficient
     * batching): within each of `shards` deterministic streams (id mod
@@ -159,7 +179,7 @@ object Sampling {
     * untouched — the token count enters only as the sort expression. */
   def lengthBatches(df: DataFrame, id: Column, nTokens: Column,
       batchSize: Int, shards: Int): DataFrame = {
-    requireFresh(df, "shard", "batch_id")
+    requireFresh(df, "shard", "batch_id", "__shard", "__n")
     val w = Window.partitionBy(col("__shard")).orderBy(col("__n"), id)
     df.withColumn("__shard", pmod(id, lit(shards.toLong)))
       .withColumn("__n", nTokens)
@@ -228,7 +248,8 @@ object Sampling {
     * expression). */
   def packChunks(df: DataFrame, id: Column, nTokens: Column,
       chunkTokens: Int, shards: Int): DataFrame = {
-    requireFresh(df, "shard", "start_tok", "chunk_first", "chunk_last")
+    requireFresh(df, "shard", "start_tok", "chunk_first", "chunk_last",
+      "__shard", "__n")
     val w = Window.partitionBy(col("__shard")).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__shard", pmod(id, lit(shards.toLong)))

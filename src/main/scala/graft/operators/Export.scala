@@ -111,7 +111,17 @@ object Export {
     * whose blocks the ContextCleaner reclaims once unreferenced) so the
     * CacheManager entry — which would otherwise leak executor storage
     * for the session lifetime on every restore call — can be dropped
-    * before returning. */
+    * before returning.
+    *
+    * Tradeoffs of the localCheckpoint form, deliberate: (a) it truncates
+    * lineage into non-replicated executor-local blocks, so an executor
+    * loss AFTER this call fails the restored frames with missing-block
+    * errors instead of recomputing from the source files — acceptable
+    * for a restore (re-run the restore; the source files are still
+    * there), chosen over the cache leak; (b) both splits materialize
+    * eagerly even if the caller consumes only one — the quarantine side
+    * is tiny by construction (corrupt rows), so the waste is one extra
+    * scan of the cached blocks, not of the source. */
   private def splitAndRelease(df: DataFrame): (DataFrame, DataFrame) = {
     val good = df.where(col("_corrupt_record").isNull)
       .drop("_corrupt_record").localCheckpoint()

@@ -42,25 +42,41 @@ object Skew {
     * AQE's skew-join split is the first line of defense; this is the
     * explicit form for when the skew is known and stable (a stopword
     * posting list, one index-dominating symbol) or AQE's post-shuffle
-    * view cannot see it. */
+    * view cannot see it.
+    *
+    * `saltOn` (optional): columns to derive the salt from, defaulting to
+    * all hashable columns. LOW-ENTROPY ROW CONTENT ⇒ LOW-ENTROPY SALT:
+    * rows identical in every hashed column share a salt, so a
+    * duplicate-heavy hot key — counting `(key, 1)` event rows is exactly
+    * the salted-agg use case — lands on ONE reducer and silently defeats
+    * the mitigation. Callers with a stable unique id should pass it
+    * (`saltOn = Seq(col("event_id"))`); the salt stays deterministic
+    * under recomputation because the id is row content, not
+    * `monotonically_increasing_id`/`rand` state. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
-      salt: Int, joinType: String = "inner"): DataFrame = {
+      salt: Int, joinType: String = "inner",
+      saltOn: Seq[Column] = Nil): DataFrame = {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salted join preserves semantics for inner/left joins, not $joinType")
-    val l = skewed.withColumn("__salt", contentSalt(skewed, salt))
+    val l = skewed.withColumn("__salt", saltFor(skewed, salt, saltOn))
     val r = other.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
 
-  /** Deterministic per-row salt in [0, salt): hash of every hashable
-    * (non-map) column, so recomputation of a lost partition reproduces
-    * the same salt assignment bit-for-bit. */
-  private def contentSalt(df: DataFrame, salt: Int): Column = {
-    val hashable = df.schema.fields
-      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
-    require(hashable.nonEmpty, "no hashable (non-map) columns to salt on")
-    pmod(hash(hashable: _*), lit(salt))
+  /** Deterministic per-row salt in [0, salt): hash of `saltOn` if given,
+    * else of every hashable (non-map) column — either way a pure
+    * function of row content, so recomputation of a lost partition
+    * reproduces the same salt assignment bit-for-bit. */
+  private[graft] def saltFor(df: DataFrame, salt: Int,
+      saltOn: Seq[Column]): Column = {
+    if (saltOn.nonEmpty) pmod(hash(saltOn: _*), lit(salt))
+    else {
+      val hashable = df.schema.fields
+        .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+      require(hashable.nonEmpty, "no hashable (non-map) columns to salt on")
+      pmod(hash(hashable: _*), lit(salt))
+    }
   }
 
   private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -78,9 +94,9 @@ object Skew {
     *             (col("v"), sum _, sum _, "sum_v").
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
-      aggs: Seq[(Column, Column => Column, Column => Column, String)])
-      : DataFrame = {
-    val salted = df.withColumn("__salt", contentSalt(df, salt))
+      aggs: Seq[(Column, Column => Column, Column => Column, String)],
+      saltOn: Seq[Column] = Nil): DataFrame = {
+    val salted = df.withColumn("__salt", saltFor(df, salt, saltOn))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(aggs.head._2(aggs.head._1).as(s"__p0"),

@@ -278,10 +278,14 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // micro-batches are bounded by construction, so skip the LUT
-        // guard's per-batch count job (maxLutRows = Long.MaxValue)
-        graft.ext.Pq.adcTopKEncoded(batch, enc, cb, idCol, vecCol, k,
-            maxLutRows = Long.MaxValue)
+        // the LUT guard stays ON per batch: "micro-batches are bounded"
+        // holds only if the caller set a source rate limit
+        // (maxFilesPerTrigger/maxOffsetsPerTrigger) — a file-source
+        // backlog replayed after downtime delivers one arbitrarily large
+        // first batch straight into the LUT broadcast. The guard's
+        // ids-only count of an already-materialized micro-batch is one
+        // cheap local job; the refusal message names the sharding fix.
+        graft.ext.Pq.adcTopKEncoded(batch, enc, cb, idCol, vecCol, k)
           .withColumn("_batch", lit(batchId))
           .write.mode("append").parquet(outPath)
       }

@@ -224,6 +224,47 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ext.Sampling.packChunks(clash, col("id"), col("n_tokens"), 2048, 1)
     }
+    // the __-prefixed INTERNALS are enforced too, not just documented:
+    // a caller column named __n would be overwritten then dropped
+    val tempClash = base.withColumn("__n", lit(9L))
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.lengthBatches(tempClash, col("id"), col("n_tokens"), 2, 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.packChunks(tempClash, col("id"), col("n_tokens"), 2048, 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.tokenBudget(
+        base.withColumn("__cum_prev", lit(0L)),
+        col("id"), col("id"), col("n_tokens"), lit(10L))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.tokenBudgetBucketed(
+        base.withColumn("__tb", lit(0L)),
+        col("id"), col("id"), col("n_tokens"), lit(10L))
+    }
+  }
+
+  test("tokenBudgetBucketed: wide string group keys stay row-identical (measured-width broadcast bound)") {
+    // A defaultSize estimate (20 B/string) would call ANY group-key
+    // width broadcastable; the measured-width estimate sees real bytes.
+    // Config 1 (~33 MB of totals keys) stays under the 64 MB budget —
+    // broadcast branch; config 2 (~96 MB) crosses it — shuffle-join
+    // fallback. Both must be row-identical to the plain windowed form.
+    def check(width: Int, nRows: Long, nGroups: Int, budget: Long): Unit = {
+      val wide = "k" * width
+      val df = (1L to nRows).map(i => (i, wide + (i % nGroups), 10L))
+        .toDF("id", "g", "n")
+      def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+        rows(d.select(col("id"))).map(_.getLong(0)).toSet
+      val plain = graft.ext.Sampling.tokenBudget(
+        df, col("g"), col("id"), col("n"), lit(budget))
+      val bucketed = graft.ext.Sampling.tokenBudgetBucketed(
+        df, col("g"), col("id"), col("n"), lit(budget), 4)
+      assert(ids(bucketed) == ids(plain), s"width=$width budget=$budget")
+    }
+    check(1 << 17, 256L, 64, 25L)  // under budget: broadcast branch
+    check(1 << 20, 96L, 32, 15L)   // over budget: shuffle fallback
   }
 
   test("lengthBatches: contiguous sorted batches of bounded size") {

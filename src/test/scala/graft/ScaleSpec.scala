@@ -60,6 +60,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("saltOn spreads a duplicate-heavy hot key the content salt cannot") {
+    // the degenerate salted-agg input: counting (key, 1) event rows —
+    // every row of the hot key is IDENTICAL, so the content-derived salt
+    // (a pure function of row content) collapses them into one bucket
+    val dup = Seq.fill(64)(("hot", 1L)).toDF("k", "v")
+    val defaultSalts = dup.select(
+      Skew.saltFor(dup, 8, Nil).as("s")).distinct().count()
+    assert(defaultSalts == 1L, "identical rows must share a content salt")
+    // with a stable unique id passed via saltOn, the same hot key spreads
+    val withId = (1L to 64L).map(i => ("hot", 1L, i)).toDF("k", "v", "id")
+    val idSalts = withId.select(
+      Skew.saltFor(withId, 8, Seq($"id")).as("s")).distinct().count()
+    assert(idSalts > 1L, "id-salted hot key must occupy >1 salt bucket")
+    // and the aggregate stays exact
+    val salted = Skew.saltedAgg(withId, Seq("k"), 8, Seq(
+      ($"v", (c: org.apache.spark.sql.Column) => sum(c),
+        (c: org.apache.spark.sql.Column) => sum(c), "s"),
+      (lit(1), (c: org.apache.spark.sql.Column) => count(c),
+        (c: org.apache.spark.sql.Column) => sum(c), "n")),
+      saltOn = Seq($"id"))
+    val r = salted.collect()
+    assert(r.length == 1 && r(0).getLong(1) == 64L && r(0).getLong(2) == 64L)
+    // saltedJoin accepts the same explicit salt and stays exact
+    val dim = Seq(("hot", "x")).toDF("k", "name")
+    val sj = Skew.saltedJoin(withId, dim, Seq("k"), 4, "inner", Seq($"id"))
+    assert(sj.count() == 64L)
+  }
+
   test("streaming chain ingestion produces the batch result") {
     val dir = res("chain/2024-01-15")
     val stream = spark.readStream

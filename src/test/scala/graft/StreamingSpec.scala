@@ -408,6 +408,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("adcScoreSink refuses an oversized replay batch (LUT guard stays on)") {
+    implicit val sqlCtx = spark.sqlContext
+    // "micro-batches are bounded" is a rate-limit property, not a
+    // streaming one: a backlog replayed after downtime arrives as ONE
+    // batch. 65,600 queries x m*k=128 = 8.4M LUT rows > MaxLutRows —
+    // the sink must refuse loudly, not broadcast it.
+    def vec16(i: Long): Array[Float] =
+      Array.tabulate(16)(j => ((i * 3 + j) % 7).toFloat)
+    val corpus = (1L to 32L).map(i => QV(i, vec16(i))).toDF()
+    val big = (100000L until 165600L).map(i => QV(i, vec16(i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_adcsink_guard")
+    try {
+      val mem = MemoryStream[QV]
+      mem.addData(big: _*)
+      val q = Streams.adcScoreSink(mem.toDF(), corpus, "vec_id", "embedding",
+        k = 3, dir.resolve("scores").toString, dir.resolve("ckpt").toString,
+        m = 8, kCodes = 16)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("ADC lookup-table")),
+        s"expected the LUT guard refusal, got: ${messages(e).mkString(" | ")}")
+      q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("streaming stratified sample tracks the batch sample after every batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingSample
