@@ -20,7 +20,8 @@ object Oracles {
     * lenient rows-only check — Verify omits them from oracle_sql.json
     * unless the scale dir is sf0.01. (The d* fixture goldens are
     * scale-independent: they read bundled fixtures, not sf tables.) */
-  val pinnedToSf001: Set[String] = Set("x04_simhash", "x07_lsh_ann")
+  val pinnedToSf001: Set[String] =
+    Set("x04_simhash", "x07_lsh_ann", "x55_opq_encode")
 
   val all: Map[String, String] = Map(
 
@@ -720,6 +721,92 @@ object Oracles {
         |    AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // OPQ (x55): DuckDB RE-COMPUTES the rotated encode of every
+    // vector from the rotation matrix R and the codebooks emitted
+    // below as literals — only the driver-side Jacobi polar factor
+    // (not SQL-expressible) is pinned; the distributed rotate+encode
+    // is verified end to end. Literals regenerated by graft.OpqPin;
+    // pinned to sf0.01 (the learn is data-dependent), deterministic
+    // relearn asserted by OpqPin and OpqSpec. Rotation z_j =
+    // sum_i R[i][j]*x[i] left-to-right, matching matVecT codegen;
+    // per-subspace distances use the x38 cast/order discipline.
+    "x55_opq_encode" ->
+      """WITH rl AS (SELECT [
+        |  [0.9944693495169896,0.05570993093610056,-0.057653252787794415,0.024737779499293195,0.019531233295904858,0.015924450959970818,-0.014277310699455134,0.02313341580427964,0.0021224256885739477,-0.0438627842752635,-0.014299041317776507,0.007813324033267849,0.004911728058376377,0.007763922383509146,0.013570126861296708,-0.012437699875597227],
+        |  [-0.058232474318947444,0.9907799835370955,-0.058359264099006464,-0.011432425242786487,-0.038601836270432094,0.050189800195938036,-0.05450506448979159,0.01648711082879065,0.017329624161343458,0.020480241607176645,0.004786870783511194,-0.014222472991100101,0.00895656937771483,0.021133080840586585,-0.007308099685499191,0.05148368495509889],
+        |  [0.05484380412414894,0.06337740008810545,0.9918028558751039,0.021004304503180887,-8.211790991273504E-6,-0.03096952503488018,-0.035976050275936707,0.0011625785444157252,0.005192111759736223,0.04274617208331344,-0.027868443967607594,0.027304830489261613,3.200574954179136E-5,-0.047492910409349304,-0.013684322923330619,-0.028060680676531308],
+        |  [-0.024261997870331488,0.008334704559930371,-0.023782581238251624,0.9946550356121446,-0.04040426459526354,-0.017575491251968466,0.005628637382586373,-0.01674700371924602,0.05469335641632973,7.793323647092308E-4,0.0058625083101712504,0.012442832143703567,0.009628425856544144,-0.04108233094874295,-0.04704214219205015,-0.0030821460971833872],
+        |  [-0.023300362728270047,0.036093530246812465,-0.0044147505814305064,0.03800009813916469,0.994446435586484,-0.010013285614351594,-0.019664890625140787,0.017128525838456164,0.0240178247533819,0.02284266342508367,-0.020493810474645224,0.024464983021212805,0.04665114072488173,0.03843920709292162,-0.02492359195663979,-0.024382727093039944],
+        |  [-0.011412740728130078,-0.05087371703370971,0.03410591970595718,0.021233896531778804,0.009118242291393769,0.9948957686280565,-0.021139504330721696,0.025288530158610288,0.007944711625175694,0.03542921251989714,-0.00426661589760835,-0.028971039548541588,-0.027189676744216795,0.0375267506255496,0.0020516050788524087,-0.018782536096445868],
+        |  [0.010499140290497757,0.053332911733275604,0.03546799001664617,-0.005660328015406392,0.01973532105913597,0.021265299797575854,0.9910612706238656,0.07062711847590908,0.048370906015594885,-0.038205300927174675,0.00426461713958806,-0.016777024417987653,-0.03606029330983006,-0.001562753736406873,-0.022155472630869318,0.04278231044320141],
+        |  [-0.02094187564098196,-0.021405769151297476,-0.006624927090898403,0.013977318295815777,-0.020872269909047142,-0.030570828658046945,-0.06780568193342439,0.9873275778474657,0.05251561948832828,0.06298909558987495,-0.010370245544613693,0.07918071430431242,-0.06148122817559535,0.01698241963903377,0.030098860722351795,-0.0018608422703846605],
+        |  [-9.733814268146348E-4,-0.015000893298716567,-0.009342404458296587,-0.05780942258249893,-0.02444072185014047,-0.005105115315625299,-0.03991653450200831,-0.0680567407786736,0.9819163644835411,-0.012945258415889041,-0.026209332965853174,0.1295751587816161,-0.0550012836743914,0.01880371891292642,-0.028796553361933062,-0.05902893433994931],
+        |  [0.04617693223221013,-0.018050299480977618,-0.04308514518765842,-0.00559510948676036,-0.019612074946805738,-0.030991597624669583,0.043465577960258205,-0.057270709629627575,0.015308655859722155,0.9930809426659474,0.004539539944220433,-0.030377019636400975,0.021359665884968036,-0.015748562327851302,-0.02588876415691021,0.019441562416933664],
+        |  [0.014536175674374879,-0.0011908750658954255,0.026740081947115104,-0.003656105429859601,0.019497406783679734,0.002517904955828666,-0.0059726466536888,0.00368439537393958,0.01816552305236489,-3.2335184749786457E-4,0.9970424501473104,0.050122947652253745,-0.024368099162535465,0.025532447130030014,0.014116198386138226,-0.015560240952723606],
+        |  [-0.008674993891306992,0.01840963433617708,-0.027632442704798425,-0.004462615435988068,-0.02215815211192177,0.029963116135025933,0.03324023699308988,-0.07358552263601126,-0.13981097831274278,0.029884755413454023,-0.04784786312953812,0.979841786768743,-0.019754700356752253,0.02738203492202404,0.03354987967987589,-0.07621467490857725],
+        |  [-0.005286946935743032,-0.011970523311206543,0.005763039482589383,-0.012053059975661844,-0.051585095896771876,0.023634745814511443,0.03070435560516973,0.05935409771530431,0.05100076800215271,-0.01832243659326484,0.02062004818568708,0.026966695336222445,0.9896281831205567,0.07869964732332846,-0.034410974287174434,-0.033676500070766724],
+        |  [-0.0026195973431417468,-0.015038769724269669,0.045380449041934744,0.04173839869753305,-0.035880789008302945,-0.0438224902830693,0.003659286053252532,-0.021669666723843305,-0.020588646256295834,0.01575240527371481,-0.02561710086098364,-0.03542895501980096,-0.07658953625647887,0.9915099605917594,-0.002443883843438785,-0.026968103516266384],
+        |  [-0.013422561977459132,0.010233618926148137,0.012240445210316739,0.04517408085549999,0.02022498390027806,-0.003803940381096667,0.02450189679839407,-0.027643108756387168,0.03632901093520453,0.023434360263468634,-0.012735972079776023,-0.03392202401702266,0.03586009279940652,7.862823801660021E-4,0.9951848560282858,-0.0295844606272571],
+        |  [0.013655073264901283,-0.051053142190007304,0.02970842440168034,0.004543818556743271,0.021291225870755368,0.01644962780138509,-0.041062106137869356,-0.008814286071447519,0.04820045218633692,-0.014863544613043385,0.007965280527831062,0.08602061088834484,0.028736395704340223,0.032917656096030146,0.03054017239941842,0.9904377465211021]
+        |] AS r),
+        |e AS (
+        |  SELECT vec_id, list_transform(range(1, 17), i ->
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |z AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, 17), j ->
+        |      list_sum(list_transform(range(1, 17), i ->
+        |        rl.r[CAST(i AS INT)][CAST(j AS INT)] * v[CAST(i AS INT)]))) AS zv
+        |  FROM e CROSS JOIN rl),
+        |cb AS (SELECT * FROM (VALUES
+        |  (0,0,[0.07270216536231884,0.03527650536231884,-0.0512480568115942,-0.15332571014492752]),
+        |  (0,1,[-0.13764431946666666,-0.06634417453333333,-0.032061207466666665,-0.04204105093333334]),
+        |  (0,2,[0.037161268691588784,-0.012801778971962616,-0.11664725850467289,0.08970335411214954]),
+        |  (0,3,[-0.13482494432432432,0.12962361783783782,0.022814962702702703,0.058981684324324324]),
+        |  (0,4,[0.024538061379310347,0.023781465977011498,0.12439812425287357,0.013969834252873563]),
+        |  (0,5,[0.01995020365384615,-0.16795195673076924,0.06995009923076924,0.06701732038461539]),
+        |  (0,6,[-0.05456533478260869,0.07153581413043478,0.09540910130434783,-0.14247055326086958]),
+        |  (0,7,[0.24960297185185187,0.00797852962962963,0.02570467259259259,0.052175565925925926]),
+        |  (1,0,[0.1568032693548387,-0.06991139048387096,-0.09143429951612904,-0.06121501935483871]),
+        |  (1,1,[-0.028041324126984127,-0.06092814,-0.154800823015873,0.0065174644444444445]),
+        |  (1,2,[-0.11944908793478262,-0.04126895510869565,0.039256085,0.006816084130434783]),
+        |  (1,3,[0.07581510999999999,0.007435084742268042,0.12953456587628864,-0.036594388659793815]),
+        |  (1,4,[-0.07152861166666667,-0.22168602666666667,0.20388162666666665,0.16534880500000002]),
+        |  (1,5,[0.12978108000000002,0.002396653673469388,-0.08591935734693877,0.15603122244897957]),
+        |  (1,6,[-0.03821152510638298,0.15695492840425532,-0.06746886329787234,-0.04831413372340425]),
+        |  (1,7,[-0.045584553513513516,0.043073053243243245,-0.014645411891891892,0.18432135891891893]),
+        |  (2,0,[0.1256184310126582,-0.007810669430379748,-0.007506265886075949,-0.028846716708860756]),
+        |  (2,1,[-0.04248294171717172,0.05456635898989899,-0.08106516464646465,0.061902981111111116]),
+        |  (2,2,[-0.04696123985915493,-0.193584021971831,0.02202623,0.019682141126760564]),
+        |  (2,3,[-0.171397984,0.125672743,-0.064752269,0.18207804700000002]),
+        |  (2,4,[0.023554101315789472,0.17305026710526317,0.12070871526315789,-0.007697706052631579]),
+        |  (2,5,[-0.07749366140350877,0.04607202245614035,0.13945006859649123,-0.026158266140350876]),
+        |  (2,6,[0.0553471625,0.3697850275,0.0979435375,-0.0337952125]),
+        |  (2,7,[-0.12816416377358492,-0.07409562660377358,-0.01446596,-0.056865766792452824]),
+        |  (3,0,[-0.14337921871428572,-0.04459691142857143,-0.06194264571428571,-0.02500213142857143]),
+        |  (3,1,[0.09531643949999999,-0.127986083,0.07772655366666667,0.010420210333333334]),
+        |  (3,2,[-0.07454974756410257,0.043255017051282055,0.01666806871794872,0.15457744102564103]),
+        |  (3,3,[0.004193377575757576,0.24049550787878787,0.04732175242424243,0.006563880303030303]),
+        |  (3,4,[0.056452677049180326,0.010960371639344263,0.16805733803278688,0.0064155519672131145]),
+        |  (3,5,[0.06273435762376238,-0.060330406237623764,-0.08282608950495049,-0.039377822673267324]),
+        |  (3,6,[0.06350970833333333,0.12818800466666666,-0.129699011,0.023676169833333333]),
+        |  (3,7,[-0.13312848027027027,-0.04726406648648649,0.07025026351351352,-0.16292826513513514])
+        |) t(s, code, cw)),
+        |dists AS (
+        |  SELECT z.vec_id, cb.s, cb.code,
+        |    list_sum(list_transform(range(1, 5), i ->
+        |      (zv[CAST(cb.s*4 + i AS INT)] - cb.cw[CAST(i AS INT)])
+        |        * (zv[CAST(cb.s*4 + i AS INT)] - cb.cw[CAST(i AS INT)]))) AS d
+        |  FROM z CROSS JOIN cb),
+        |best AS (
+        |  SELECT vec_id, s, code,
+        |    row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY d ASC, code ASC) AS rn
+        |  FROM dists)
+        |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
 
     "x54_salted_join" ->
       """SELECT p.p_type,

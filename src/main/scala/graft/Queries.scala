@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.{AsOf, NearestSelect, Upsert}
 import graft.functions.{Cleansing, Occ}
-import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Pq, Quantiles, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Opq, Pq, Quantiles, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
   * the LLM-pipeline extension operators. Every query is deterministic
@@ -1191,6 +1191,25 @@ object Queries {
       .orderBy("p_type")
   }
 
+  /** x55 — OPQ: learn a rotation + codebooks (Ge et al., CVPR'13;
+    * deterministic: id-seeded codebooks, exact-decimal aggregations,
+    * fixed-sweep Jacobi), then emit the ROTATED encode of the whole
+    * corpus in the x38 long form. The oracle re-computes z = Rᵀ·x and
+    * the nearest-codeword argmin for every vector in DuckDB from R and
+    * the codebooks pinned as SQL literals ([[graft.OpqPin]] regenerates
+    * them; pinned to sf0.01, so Verify omits the oracle at other
+    * scales). Only the driver-side polar factor is pinned — the
+    * distributed rotate+encode path is verified end to end. d=16 slice
+    * keeps the pinned rotation literal reviewable (16×16); the full-dim
+    * path shares the same code and is spec-covered (OpqSpec). */
+  val x55OpqEncode: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+    val model = Opq.learn(base, "vec_id", "v16", m = 4, k = 8, iters = 1)
+    Opq.encodeLong(base, "vec_id", "v16", model)
+      .orderBy("vec_id", "sub")
+  }
+
   /** x48 — deterministic stratified sample: the 50 smallest-hash docs
     * per language. The row_number-≤-k shape triggers Spark's
     * WindowGroupLimit rewrite (plan-asserted in ExtSpec): every map
@@ -1542,6 +1561,7 @@ object Queries {
     "x52_canonical" -> x52Canonical,
     "x53_contamination_pairs" -> x53ContaminationPairs,
     "x54_salted_join" -> x54SaltedJoin,
+    "x55_opq_encode" -> x55OpqEncode,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -179,6 +179,18 @@ object Opq {
       mod.codebooks, idCol, "__z", k)
   }
 
+  /** Rotated long-form encode (id, sub, code) under a learned model —
+    * the x55 query/oracle shape: z = Rᵀ·x at scan speed (codegen
+    * [[rotateT]]), then the x38 encode discipline on z. Everything the
+    * oracle needs (R, codebooks) is a plan constant, so a SQL engine
+    * given the same literals recomputes the encode bit-for-bit. */
+  def encodeLong(corpus: DataFrame, idCol: String, vecCol: String,
+      model: OpqModel): DataFrame =
+    Pq.encodeLongWith(
+      corpus.select(col(idCol),
+        rotateT(VectorOps.toDouble(col(vecCol)), model.rotation).as("__z")),
+      idCol, "__z", model.codebooks)
+
   /** Alternating OPQ training. `iters` full (assign, codebooks,
     * rotation) rounds from R = I and id-seeded codebooks; the returned
     * `errors` (one per round, measured after the rotation update) are

@@ -97,6 +97,31 @@ class OpqSpec extends SparkSpec {
     }
   }
 
+  test("encodeLong: identity model is the plain PQ encode; maxDim override works") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // iters = 0 → R = I, seed codebooks: rotated encode ≡ Pq.encodeLong
+    val idModel = Opq.learn(emb, "vec_id", "embedding", m = 8, k = 16,
+      iters = 0)
+    val rotated = rows(Opq.encodeLong(emb, "vec_id", "embedding", idModel)
+      .orderBy("vec_id", "sub")).map(_.toString)
+    val plain = rows(graft.ext.Pq.encodeLong(emb, "vec_id", "embedding")
+      .orderBy("vec_id", "sub")).map(_.toString)
+    assert(rotated == plain && rotated.nonEmpty)
+    // a trained model changes codes (the grid moved) but keeps the shape
+    val trained = Opq.learn(emb, "vec_id", "embedding", m = 8, k = 16,
+      iters = 1)
+    val enc = Opq.encodeLong(emb, "vec_id", "embedding", trained)
+    assert(enc.count() == emb.count() * 8)
+    // the maxDim escape hatch admits a dimension the default refuses
+    val wide = Seq((1L, Array.fill(Opq.MaxLearnDim + 8)(0.5)),
+      (2L, Array.fill(Opq.MaxLearnDim + 8)(0.25)),
+      (3L, Array.fill(Opq.MaxLearnDim + 8)(0.125)))
+      .toDF("vec_id", "embedding")
+    val m = Opq.learn(wide, "vec_id", "embedding", m = 8, k = 2, iters = 0,
+      maxDim = Opq.MaxLearnDim + 8)
+    assert(m.rotation.length == Opq.MaxLearnDim + 8)
+  }
+
   test("OPQ jacobi/polar: recovers a known rotation exactly") {
     // polar(R) = R for an orthogonal matrix: build a block-diagonal
     // Givens rotation and check the solver returns it
