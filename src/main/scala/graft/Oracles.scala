@@ -808,6 +808,25 @@ object Oracles {
         |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
 
+    // x56: the payload is BUILT from doc_id (PNG/JPEG/GIF/WAV headers
+    // or garbage, round-robin by doc_id % 5) and parsed back by the
+    // pure-JVM MediaCodec; the oracle predicts the parsed fields from
+    // the same arithmetic — scale-independent, no pinning
+    "x56_media_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |    WHEN 3 THEN 'wav' ELSE 'unknown' END AS format,
+        |  CASE WHEN doc_id % 5 IN (0, 1, 2)
+        |    THEN CAST(16 + doc_id % 1000 AS INT) END AS width,
+        |  CASE WHEN doc_id % 5 IN (0, 1, 2)
+        |    THEN CAST(16 + (doc_id * 7) % 1000 AS INT) END AS height,
+        |  CASE WHEN doc_id % 5 = 3
+        |    THEN CAST(8000 + (doc_id % 100) * 441 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 5 = 3
+        |    THEN CAST(1 + doc_id % 2 AS INT) END AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "x54_salted_join" ->
       """SELECT p.p_type,
         |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR)

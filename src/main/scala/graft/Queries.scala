@@ -1210,6 +1210,58 @@ object Queries {
       .orderBy("vec_id", "sub")
   }
 
+  /** Big-endian hex of the low `nBytes` bytes of a long column (zero
+    * padded) — codegen building blocks for binary fixtures. */
+  private def hexBe(c: Column, nBytes: Int): Column =
+    lpad(hex(c), nBytes * 2, "0")
+
+  /** Little-endian: the same bytes emitted low-order first. */
+  private def hexLe(c: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(k =>
+      lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255L))), 2, "0")): _*)
+
+  /** x56 — REAL multimodal header codec under the oracle. Each doc_id
+    * deterministically builds a binary payload IN CODEGEN (unhex of a
+    * concat: a valid PNG signature+IHDR, a JPEG with an APP0 segment
+    * before its SOF0 — exercising the segment scan — a GIF89a header, a
+    * RIFF/WAVE fmt chunk, or garbage), then
+    * [[graft.ext.Multimodal.decodeMeta]] parses the BYTES back
+    * per-partition. The oracle predicts (format, width, height,
+    * sample_rate, channels) from the same doc_id arithmetic — any
+    * endianness, offset, or segment-scan bug in [[graft.ext.Multimodal
+    * .MediaCodec]] (or in the byte construction) breaks the hash.
+    * Scale-independent: derivable at every sf, unlike the pinned
+    * x04/x07/x55. */
+  val x56MediaMeta: Q = (s, dir) => {
+    val id = col("doc_id")
+    val w = lit(16L) + pmod(id, lit(1000L))
+    val h = lit(16L) + pmod(id * 7, lit(1000L))
+    val sr = lit(8000L) + pmod(id, lit(100L)) * lit(441L)
+    val ch = lit(1L) + pmod(id, lit(2L))
+    val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      hexBe(w, 4), hexBe(h, 4), lit("080600000000000000"))
+    val jpeg = concat(
+      lit("FFD8FFE000104A46494600010100000100010000FFC0000B08"),
+      hexBe(h, 2), hexBe(w, 2), lit("01011100FFD9"))
+    val gif = concat(lit("474946383961"), hexLe(w, 2), hexLe(h, 2),
+      lit("F70000"))
+    // RIFF + size(36 le) + WAVE + "fmt " + 16(le) + audioFormat 1(le)
+    val wav = concat(lit("524946462400000057415645666D7420100000000100"),
+      hexLe(ch, 2), hexLe(sr, 4), hexLe(sr * ch * lit(2L), 4),
+      hexLe(ch * lit(2L), 2), lit("1000"))
+    val unk = concat(lit("DEADBEEF"), hexBe(id, 8))
+    val payload = unhex(
+      when(pmod(id, lit(5L)) === 0, png)
+        .when(pmod(id, lit(5L)) === 1, jpeg)
+        .when(pmod(id, lit(5L)) === 2, gif)
+        .when(pmod(id, lit(5L)) === 3, wav)
+        .otherwise(unk))
+    val docs = Tables.documents(s, dir).select(id, payload.as("payload"))
+    Multimodal.decodeMeta(docs, "doc_id", "payload")
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x48 — deterministic stratified sample: the 50 smallest-hash docs
     * per language. The row_number-≤-k shape triggers Spark's
     * WindowGroupLimit rewrite (plan-asserted in ExtSpec): every map
@@ -1562,6 +1614,7 @@ object Queries {
     "x53_contamination_pairs" -> x53ContaminationPairs,
     "x54_salted_join" -> x54SaltedJoin,
     "x55_opq_encode" -> x55OpqEncode,
+    "x56_media_meta" -> x56MediaMeta,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -133,6 +133,70 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("MediaCodec: golden header fixtures parse; malformed bytes degrade, never throw") {
+    import Multimodal.{MediaCodec, MediaMeta}
+    def bytes(hex: String): Array[Byte] =
+      hex.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    // golden fixtures (also recorded in FIXTURES.md §C)
+    val png = bytes("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08 06 000000")
+    assert(MediaCodec.parseHeader(png) ==
+      MediaMeta("png", Some(640), Some(480), None, None))
+    // JPEG: APP0 (JFIF) and a COM segment BEFORE the SOF0 — the scan
+    // must skip both by their length fields
+    val jpeg = bytes("FFD8" +
+      "FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+      "FFFE 0004 4142" +
+      "FFC0 000B 08 0040 0080 01 01 11 00" +
+      "FFD9")
+    assert(MediaCodec.parseHeader(jpeg) ==
+      MediaMeta("jpeg", Some(128), Some(64), None, None))
+    val gif = bytes("474946383961 8002 E001 F7 00 00") // 640x480 le
+    assert(MediaCodec.parseHeader(gif) ==
+      MediaMeta("gif", Some(640), Some(480), None, None))
+    // WAV: a JUNK chunk before fmt — the chunk scan must skip it
+    val wav = bytes("52494646 24000000 57415645" +
+      "4A554E4B 04000000 DEADBEEF" +
+      "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000")
+    assert(MediaCodec.parseHeader(wav) ==
+      MediaMeta("wav", None, None, Some(44100), Some(2)))
+    // degradation: matched magic but truncated/absent detail → nulls
+    assert(MediaCodec.parseHeader(bytes("89504E470D0A1A0A")) ==
+      MediaMeta("png", None, None, None, None))
+    assert(MediaCodec.parseHeader(bytes("FFD8FFD9")) ==
+      MediaMeta("jpeg", None, None, None, None))
+    assert(MediaCodec.parseHeader(bytes("474946383961")) ==
+      MediaMeta("gif", None, None, None, None))
+    assert(MediaCodec.parseHeader(bytes("52494646240000005741564500")) ==
+      MediaMeta("wav", None, None, None, None))
+    // garbage / empty / non-media
+    assert(MediaCodec.parseHeader(bytes("DEADBEEF")).format == "unknown")
+    assert(MediaCodec.parseHeader(Array.emptyByteArray).format == "unknown")
+    assert(MediaCodec.parseHeader("plain text".getBytes).format == "unknown")
+    // adversarial: JPEG whose segment length overruns the buffer
+    assert(MediaCodec.parseHeader(bytes("FFD8 FFE0 FFFF 00")) ==
+      MediaMeta("jpeg", None, None, None, None))
+  }
+
+  test("decodeMeta: distributed parse incl. null payloads") {
+    val df = Seq(
+      (1L, "89504E470D0A1A0A0000000D49484452000000100000002008060000000000"),
+      (2L, "474946383961100020000000"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "00"))
+      .toDF("media_id", "hexp")
+      .select($"media_id", unhex($"hexp").as("payload"))
+      .repartition(2)
+    val got = rows(Multimodal.decodeMeta(df, "media_id", "payload")
+      .orderBy("media_id")).map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3))))
+    assert(got == Seq(
+      (1L, "png", Some(16), Some(32)),
+      (2L, "gif", Some(16), Some(32)),
+      (3L, "unknown", None, None),
+      (4L, "unknown", None, None)))
+  }
+
   test("multimodal: per-partition feature extraction, deterministic stub") {
     implicit val s = spark
     val recs = Seq(
