@@ -1591,6 +1591,22 @@ object Oracles {
         |) t(d, act_symbol, e, strike, call_put, bid, ask, vol, delta, gamma, theta, vega, rho)
         |ORDER BY expiration, strike, call_put""".stripMargin,
 
+    // q36: fixture pipeline (three bundled roster files), literal
+    // VALUES like the other d* goldens; values hand-derived from the
+    // fold + containment semantics and re-derived by the upsert spec
+    "q36_weeklies_asof" ->
+      """SELECT CAST(a AS DATE) AS as_of, act_symbol,
+        |       CAST(e AS DATE) AS effective_date,
+        |       CAST(l AS DATE) AS last_seen
+        |FROM (VALUES
+        | ('2024-01-16','BRK.B','2024-01-12','2024-01-22'),
+        | ('2024-01-25','MSFT','2024-01-19','2024-02-05'),
+        | ('2024-02-05','AAPL','2024-02-02','2024-02-05'),
+        | ('2024-02-05','MSFT','2024-01-19','2024-02-05'),
+        | ('2024-02-05','TSLA','2024-02-02','2024-02-05')
+        |) t(a, act_symbol, e, l)
+        |ORDER BY as_of, act_symbol""".stripMargin,
+
     "d03_weeklies" ->
       """SELECT act_symbol, CAST(e AS DATE) AS effective_date,
         |       CAST(l AS DATE) AS last_seen

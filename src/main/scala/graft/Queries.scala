@@ -1414,6 +1414,35 @@ object Queries {
       .orderBy("act_symbol")
   }
 
+  /** q36 — weeklies SCD as-of read: fold THREE daily roster files
+    * through the last-wins upsert (the reference's per-file
+    * ON CONFLICT DO UPDATE — weeklies-transform-load.rkt:52-64 over
+    * oic.weekly, schema.sql:53-60), then answer "which weeklies were
+    * listed on date D" for a set of snapshot dates:
+    * effective_date ≤ D ≤ last_seen via [[graft.sources.WeekliesCsv
+    * .listedOn]]'s broadcast interval join. Closes the SCD READ side —
+    * d03 covers only the write side. Oracle: literal VALUES (fixture
+    * pipeline, like all d*). */
+  val q36WeekliesAsof: Q = (s, _) => {
+    import s.implicits._
+    def day(f: String, d: String): DataFrame = {
+      val raw = graft.sources.WeekliesCsv.readFile(s,
+        resPath(s"weeklies/$f"), java.sql.Date.valueOf(d))
+      Upsert.lastWins(raw, Seq("act_symbol"), Seq(col("effective_date")))
+    }
+    val empty = Seq.empty[(String, java.sql.Date, java.sql.Date)]
+      .toDF("act_symbol", "effective_date", "last_seen")
+    val roster = Seq(
+      day("weeklyoptions.2024-01-15.csv", "2024-01-15"),
+      day("weeklyoptions.2024-01-22.csv", "2024-01-22"),
+      day("weeklyoptions.2024-02-05.csv", "2024-02-05"))
+      .foldLeft(empty)(graft.sources.WeekliesCsv.upsertRoster)
+    val dates = Seq("2024-01-16", "2024-01-25", "2024-02-05")
+      .toDF("d").select(to_date(col("d")).as("as_of"))
+    graft.sources.WeekliesCsv.listedOn(roster, dates)
+      .orderBy("as_of", "act_symbol")
+  }
+
   /** d04 — first-generation HTML chain-page extraction: positional td
     * projection (call offset 0 / put offset −1) + OCC onmouseover decode
     * (reference: transform-load.rkt:47-64, patterns :49-56). */
@@ -1618,6 +1647,7 @@ object Queries {
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
+    "q36_weeklies_asof" -> q36WeekliesAsof,
     "d04_chain_html" -> d04ChainHtml,
     "d05_export_restore" -> d05ExportRestore,
     "d06_range_export" -> d06RangeExport,

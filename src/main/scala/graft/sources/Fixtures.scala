@@ -14,7 +14,9 @@ object Fixtures {
     "chain/2024-01-15/BBB.json",
     "vol/AAA.html",
     "vol/BAD.html",
-    "weeklies/weeklyoptions.2024-01-15.csv")
+    "weeklies/weeklyoptions.2024-01-15.csv",
+    "weeklies/weeklyoptions.2024-01-22.csv",
+    "weeklies/weeklyoptions.2024-02-05.csv")
 
   private lazy val root: Path = {
     val dir = Files.createTempDirectory("graft_fixtures")

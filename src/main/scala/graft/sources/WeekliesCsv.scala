@@ -41,4 +41,22 @@ object WeekliesCsv {
   def upsertRoster(existing: DataFrame, incoming: DataFrame): DataFrame =
     Upsert.upsert(existing, incoming, Seq("act_symbol"),
       preferExisting = false)
+
+  /** SCD read side of the roster: which weeklies were listed on each
+    * `as_of` date — `effective_date ≤ as_of ≤ last_seen` on the current
+    * table (the reference's `oic.weekly` keeps ONE row per symbol —
+    * schema.sql:53-60 — updated in place per file, weeklies-transform-
+    * load.rkt:52-64, so the containment interval is the row itself).
+    *
+    * Shape: an interval (theta) join of a date list against the roster.
+    * The DATE LIST is the broadcast side (a handful of snapshot dates);
+    * the roster streams through the nested-loop probe at scan speed —
+    * no shuffle of either side, correct at any roster size. */
+  def listedOn(roster: DataFrame, asOfDates: DataFrame): DataFrame = {
+    roster.join(broadcast(asOfDates.select(col("as_of"))),
+        col("effective_date") <= col("as_of") &&
+          col("as_of") <= col("last_seen"))
+      .select(col("as_of"), col("act_symbol"), col("effective_date"),
+        col("last_seen"))
+  }
 }
