@@ -292,6 +292,40 @@ object Streams {
       .start()
   }
 
+  /** [[adcScoreSink]] over an OPQ-ROTATED index: the serving shape of
+    * [[graft.ext.Opq.adcTopK]]. The model (rotation + codebooks) is
+    * learned once — or passed in, the production path: train offline,
+    * serve many streams — the corpus is rotated and encoded ONCE
+    * (checkpointed m-byte codes), and each micro-batch rotates only its
+    * own queries (a |q|×d² codegen map) before the shared ADC machinery.
+    * R is orthogonal, so rotated-space distances ARE original distances;
+    * StreamingSpec asserts each batch's rows ≡ `Opq.adcTopK` on that
+    * batch with the same model. The LUT guard stays on per batch, same
+    * rationale as [[adcScoreSink]]. */
+  def opqAdcScoreSink(queryStream: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, outPath: String,
+      checkpoint: String, m: Int = 8, kCodes: Int = 16, iters: Int = 2,
+      model: Option[graft.ext.Opq.OpqModel] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.{Opq, Pq}
+    import graft.functions.VectorOps
+    val mod = model.getOrElse(
+      Opq.learn(corpus, idCol, vecCol, m, kCodes, iters))
+    val enc = Opq.encodeLong(corpus, idCol, vecCol, mod).localCheckpoint()
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rotated = batch.select(col(idCol),
+          Opq.rotateT(VectorOps.toDouble(col(vecCol)), mod.rotation)
+            .as("__z"))
+        Pq.adcTopKEncoded(rotated, enc, mod.codebooks, idCol, "__z", k)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Tumbling event-time aggregation with watermark — the streaming form
     * of EventWindows.tumbling. */
   def tumblingCounts(stream: DataFrame, tsCol: String, width: String,

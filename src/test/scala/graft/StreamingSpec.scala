@@ -408,6 +408,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("opqAdcScoreSink: streamed rotated top-k equals batch OPQ search per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Opq
+    def vec(i: Long): Array[Float] = Array((i % 5).toFloat,
+      ((i * 3) % 7).toFloat, ((i * 5) % 11).toFloat, ((i * 7) % 13).toFloat)
+    val corpus = (1L to 32L).map(i => QV(i, vec(i))).toDF()
+    // train once, serve both the stream and the batch reference — the
+    // production shape (model passed in, not re-learned per consumer)
+    val model = Opq.learn(corpus, "vec_id", "embedding", m = 2, k = 4,
+      iters = 1)
+    val b1 = Seq(QV(101L, vec(41)), QV(102L, vec(42)))
+    val b2 = Seq(QV(103L, vec(43)), QV(104L, vec(44)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_opqsink")
+    val out = dir.resolve("scores").toString
+    try {
+      val mem = MemoryStream[QV]
+      mem.addData(b1: _*)
+      val q = Streams.opqAdcScoreSink(mem.toDF(), corpus, "vec_id",
+        "embedding", k = 3, out, dir.resolve("ckpt").toString,
+        m = 2, kCodes = 4, model = Some(model))
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def keyed(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.select($"query_id", $"rank", $"neighbor_id",
+          $"dist".cast("string")).collect().map(_.toString).toSet
+      val got1 = keyed(spark.read.parquet(out).where($"_batch" === 0))
+      val got2 = keyed(spark.read.parquet(out).where($"_batch" === 1))
+      val exp1 = keyed(Opq.adcTopK(b1.toDF(), corpus, "vec_id", "embedding",
+        k = 3, m = 2, kCodes = 4, model = Some(model)))
+      val exp2 = keyed(Opq.adcTopK(b2.toDF(), corpus, "vec_id", "embedding",
+        k = 3, m = 2, kCodes = 4, model = Some(model)))
+      assert(got1 == exp1 && got2 == exp2)
+      assert(got1.nonEmpty && got2.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("adcScoreSink refuses an oversized replay batch (LUT guard stays on)") {
     implicit val sqlCtx = spark.sqlContext
     // "micro-batches are bounded" is a rate-limit property, not a
