@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe for the headline operators — the first check
+  * of the "linear in rows, bounded shuffles" design claims above the
+  * driver's sf0.1 gate.
+  *
+  * The driver ships no sf1 testdata, so this builds a BENCH-ONLY
+  * ~10×-sf0.1 dataset (≈ sf1: 6M lineitem rows, 50k documents, 20k
+  * embeddings) under `tmp-scale/` by unioning 10 ISOMORPHIC copies of
+  * sf0.1 — never used for correctness oracles:
+  *
+  *  - documents: ids offset per copy; every token suffixed with the
+  *    copy index, so each copy's shingle space is DISJOINT — within-copy
+  *    near-dup structure is preserved exactly (pairs/clusters scale ×10
+  *    linearly) and cross-copy Jaccard is 0. Naive duplication would
+  *    instead weld every row into one 10-clone cluster and measure a
+  *    workload no real corpus has.
+  *  - embeddings: ids offset; each copy multiplied elementwise by a
+  *    deterministic ±1 sign pattern — an orthogonal diagonal map, so
+  *    within-copy cosines (and the near-dup pair set) are EXACTLY
+  *    preserved while cross-copy cosines scramble.
+  *  - lineitem: ids offset on the PK prefix; values untouched.
+  *
+  * Prints one JSON line per (query, scale) with min-of-2 seconds; the
+  * table in ARCHITECTURE.md is derived from this output.
+  *
+  * Usage: `runMain graft.ScaleProbe [copies]` (default 10).
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val out = s"tmp-scale/sfx$copies"
+    buildIfAbsent(spark, base, out, copies)
+
+    val queries = Seq("x01_dedup_exact", "x02_ngram_jaccard",
+      "x03_minhash_lsh", "x07_lsh_ann", "x16_dedup_corpus",
+      "x52_canonical", "q05_trunc_export", "q13_keep_first")
+    // JIT/scan warm-up
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (dir <- Seq("/root/testdata/sf0.01", base, out); q <- queries) {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Queries.all(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = math.min(once(), once())
+      println(s"""{"query":"$q","dir":"$dir","sec":$best}""")
+    }
+    spark.stop()
+  }
+
+  private def buildIfAbsent(spark: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_OK"))) return
+
+    val docs = graft.sources.Tables.documents(spark, base)
+    val docMax = docs.agg(max("doc_id")).first().getLong(0) + 1
+    (0 until copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * docMax)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$k"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = graft.sources.Tables.embeddings(spark, base)
+    val embMax = emb.agg(max("vec_id")).first().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    (0 until copies).map { k =>
+      // deterministic ±1 diagonal per copy: orthogonal, so within-copy
+      // cosine structure is exactly preserved
+      val signs = array((0 until dim).map { j =>
+        lit(if (((k * 1000003 + j * 7919) & 1) == 0) 1.0f else -1.0f)
+      }: _*)
+      emb.select(
+        (col("vec_id") + lit(k * embMax)).as("vec_id"),
+        zip_with(col("embedding"), signs, (x, s) => x * s)
+          .cast("array<float>").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val li = graft.sources.Tables.lineitem(spark, base)
+    val liMax = li.agg(max("l_orderkey")).first().getLong(0) + 1
+    (0 until copies).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * liMax))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/_OK")).close()
+  }
+}
