@@ -14,7 +14,9 @@ import graft.functions.expressions._
   *  - [[GraftExtensions.register]] on an already-running session.
   *
   * Functions: `graft_dot_product(a, b)`, `graft_simhash64(hashes)`,
-  * `graft_minhash_signature(hashes, n)`, `graft_shingles(tokens, n)`.
+  * `graft_minhash_signature(hashes, n)`, `graft_shingles(tokens, n)`,
+  * `graft_hash_value(id)`, `graft_hash_bucket(id, n)`,
+  * `graft_media_meta(binary)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -57,7 +59,9 @@ object GraftExtensions {
         import org.apache.spark.sql.catalyst.expressions.{Cast, Pmod}
         import org.apache.spark.sql.types.LongType
         Pmod(hashValueExpr(c(0)), Cast(c(1), LongType))
-      }))
+      }),
+    "graft_media_meta" ->
+      ((c: Seq[Expression]) => MediaMetaExpr(c.head)))
 
   /** Register every graft function on an existing session. */
   def register(spark: SparkSession): Unit =

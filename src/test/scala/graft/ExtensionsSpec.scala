@@ -37,6 +37,31 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("graft_media_meta parses headers from SQL; agrees with decodeMeta") {
+    GraftExtensions.register(spark)
+    // PNG 16x32 (FIXTURES.md §C byte layout)
+    val png = spark.sql(
+      """SELECT graft_media_meta(unhex(
+        |'89504E470D0A1A0A0000000D4948445200000010000000200806000000')) AS m
+        |""".stripMargin).selectExpr("m.format", "m.width", "m.height")
+      .collect()(0)
+    assert(png.getString(0) == "png" && png.getInt(1) == 16 &&
+      png.getInt(2) == 32)
+    // WAV 44.1 kHz stereo (FIXTURES.md §C, minus the JUNK chunk); a NULL
+    // payload classifies as "unknown", never a null struct
+    val r = spark.sql(
+      """SELECT graft_media_meta(CAST(NULL AS BINARY)).format AS f,
+        |  graft_media_meta(unhex(concat(
+        |    '524946462400000057415645',
+        |    '666D74201000000001000200', '44AC0000', '10B1020004001000'
+        |  ))).sample_rate AS sr,
+        |  graft_media_meta(unhex('DEADBEEF')).format AS g
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "unknown")
+    assert(r.getInt(1) == 44100)
+    assert(r.getString(2) == "unknown")
+  }
+
   test("scheduler: 20s spacing, 1800s refresh cadence, failure isolation") {
     var now = 0L
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
