@@ -95,6 +95,25 @@ object Similarity {
     * still passes the exact cosine verification. The expansion is
     * one-sided, which suffices — for any pair, the lower id's probe
     * set covers the higher id's original key. */
+  /** Occupancy-aware band width: the bitsPerBand that keeps EXPECTED
+    * bucket occupancy (n / 2^bits per band) at or under
+    * `targetOccupancy`. Candidate-join work per band is Σ occupancy² ≈
+    * n·occupancy, so holding occupancy constant as the corpus grows is
+    * what makes LSH cost LINEAR in rows — at fixed bits it grows with
+    * occupancy instead (the measured 8.8× at the round-6 sf1-equivalent
+    * probe vs 1.8× at sf0.1 is exactly this). Wider bands are stricter
+    * per band (recall per band drops); compensate with more `bands` or
+    * `flipBits` multi-probe, both of which add linear work, never
+    * quadratic. Clamped to [4, 30] bits; pure function of the
+    * already-known corpus count, so callers pay no extra job if they
+    * track row counts (or one ids-only count if not). */
+  def autoBitsPerBand(n: Long, targetOccupancy: Long = 16L): Int = {
+    require(n > 0 && targetOccupancy > 0, "counts must be positive")
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n + targetOccupancy - 1) / targetOccupancy) - 1)
+    math.min(30, math.max(4, needed))
+  }
+
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 4, bitsPerBand: Int = 8,
       maxDim: Int = 512, flipBits: Int = 0): DataFrame = {

@@ -245,6 +245,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("autoBitsPerBand: constant expected occupancy as the corpus scales") {
+    import graft.ext.Similarity
+    assert(Similarity.autoBitsPerBand(16) == 4) // clamp floor
+    assert(Similarity.autoBitsPerBand(256, 16) == 4)
+    assert(Similarity.autoBitsPerBand(1L << 20, 16) == 16)
+    // 4x the rows → exactly 2 more bits → occupancy unchanged
+    assert(Similarity.autoBitsPerBand(4L << 20, 16) == 18)
+    assert(Similarity.autoBitsPerBand(Long.MaxValue, 1) == 30) // clamp ceil
+    // identical vectors share every signature regardless of band width,
+    // so auto-sized search still finds exact duplicates
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val dup = emb.where(col("vec_id") === 1)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(dup)
+    val bits = Similarity.autoBitsPerBand(corpus.count())
+    val pairs = rows(Similarity.lshNearDupPairs(corpus, "vec_id",
+        "embedding", threshold = 0.999, bitsPerBand = bits)
+      .select(col("id_a"), col("id_b")))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 100001L)))
+  }
+
   test("tokenBudgetBucketed: wide string group keys stay row-identical (measured-width broadcast bound)") {
     // A defaultSize estimate (20 B/string) would call ANY group-key
     // width broadcastable; the measured-width estimate sees real bytes.
