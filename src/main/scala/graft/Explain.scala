@@ -19,7 +19,12 @@ object Explain {
         "q28_asof_planned", "x37_count_min", "x38_pq_encode",
         "x40_adc_topk", "x42_bloom_decontaminate",
         "x48_stratified_sample", "x49_token_budget", "x51_length_batches",
-        "x52_canonical", "x53_contamination_pairs", "x54_salted_join")
+        "x52_canonical", "x53_contamination_pairs", "x54_salted_join",
+        // round 6: rotated encode must stay exchange-free after the
+        // matVecT map; q36's date list must broadcast (nested loop, no
+        // shuffle of the roster); x56's payload build stays in codegen
+        // up to the single mapPartitions parse
+        "x55_opq_encode", "q36_weeklies_asof", "x56_media_meta")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
