@@ -827,6 +827,43 @@ object Oracles {
         |    THEN CAST(1 + doc_id % 2 AS INT) END AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // x57: SemDeDup — x21's seed-centroid cosine assignment, x05's
+    // cosine pairs restricted to same-cell, x16's recursive
+    // reachability; keep_id = min id of the semantic component
+    "x57_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_dot_product(ea.v, eb.v) /
+        |    (sqrt(list_dot_product(ea.v, ea.v)) *
+        |     sqrt(list_dot_product(eb.v, eb.v))) >= 0.45),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        |keep AS (
+        |  SELECT src AS id, least(src, min(dst)) AS keep_id
+        |  FROM reach GROUP BY src)
+        |SELECT e.vec_id AS id, coalesce(k.keep_id, e.vec_id) AS keep_id
+        |FROM e LEFT JOIN keep k ON k.id = e.vec_id
+        |ORDER BY id""".stripMargin,
+
     "x54_salted_join" ->
       """SELECT p.p_type,
         |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR)

@@ -1210,6 +1210,18 @@ object Queries {
       .orderBy("vec_id", "sub")
   }
 
+  /** x57 — SemDeDup semantic dedup: coarse-cell assignment (the x21
+    * quantizer) + within-cell cosine pruning (the x05 cosine) +
+    * connected-component survivors (the x16 clustering). Every id maps
+    * to its semantic group's smallest id; keep_id == id ⇔ survives.
+    * Oracle: the same cells/pairs/reachability in DuckDB (x21 + x05 +
+    * x16 oracle disciplines composed). */
+  val x57SemanticDedup: Q = (s, dir) => {
+    Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+        "embedding", nCells = 16, threshold = 0.45)
+      .orderBy("id")
+  }
+
   /** Big-endian hex of the low `nBytes` bytes of a long column (zero
     * padded) — codegen building blocks for binary fixtures. */
   private def hexBe(c: Column, nBytes: Int): Column =
@@ -1644,6 +1656,7 @@ object Queries {
     "x54_salted_join" -> x54SaltedJoin,
     "x55_opq_encode" -> x55OpqEncode,
     "x56_media_meta" -> x56MediaMeta,
+    "x57_semantic_dedup" -> x57SemanticDedup,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

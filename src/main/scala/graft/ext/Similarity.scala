@@ -95,6 +95,46 @@ object Similarity {
     * still passes the exact cosine verification. The expansion is
     * one-sided, which suffices — for any pair, the lower id's probe
     * set covers the higher id's original key. */
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023, from the public
+    * algorithm): partition the embedding space into coarse cells (the
+    * deterministic IVF seed quantizer — cosine-nearest of the nCells
+    * smallest-id vectors, a zero-exchange codegen scan), then prune
+    * cosine near-duplicates WITHIN each cell. Cross-cell pairs are never
+    * compared — that is the algorithm's definition and its cost model:
+    * candidate work is Σ cell² instead of n², the quadratic-taming
+    * analog of LSH banding but in embedding space, where "same cell"
+    * is itself a semantic statement.
+    *
+    * Shape: candidate generation shuffles (cid, id) rows only; vectors
+    * re-attach by id for the exact cosine verify; survivors are the
+    * smallest id per connected component of verified pairs
+    * ([[Dedup.clusters]] label propagation). Returns (id, keep_id) for
+    * EVERY input row — keep_id == id means the row survives; a dropped
+    * row points at the member of its semantic group that replaces it. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double): DataFrame = {
+    val assigned = Ivf.assignedForPlanCheck(emb, idCol, vecCol, nCells)
+      .select(col("neighbor_id").as("id"), col("cid"))
+    val cand = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val vd = withNorm(emb, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("__n2").as("n2"))
+    val va = vd.select(col("id").as("id_a"), col("v").as("va"),
+      col("n2").as("na"))
+    val vb = vd.select(col("id").as("id_b"), col("v").as("vb"),
+      col("n2").as("nb"))
+    val pairs = cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", VectorOps.cosineWithNorms(
+        VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.clusters(pairs).withColumnRenamed("cluster", "keep_id")
+    emb.select(col(idCol).as("id")).distinct()
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("keep_id"), col("id")).as("keep_id"))
+  }
+
   /** Occupancy-aware band width: the bitsPerBand that keeps EXPECTED
     * bucket occupancy (n / 2^bits per band) at or under
     * `targetOccupancy`. Candidate-join work per band is Σ occupancy² ≈

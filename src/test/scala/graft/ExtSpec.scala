@@ -245,6 +245,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: total map, idempotent survivors, within-cell pairs only") {
+    import graft.ext.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = rows(Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 8, threshold = 0.45))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total: one verdict per input row
+    assert(out.size == emb.count())
+    // labels are component minima: keep_id ≤ id, and every keep target
+    // is itself a survivor (its own keep_id)
+    out.foreach { case (id, keep) =>
+      assert(keep <= id, s"$id -> $keep")
+      assert(out(keep) == keep, s"keep target $keep of $id is not kept")
+    }
+    // cell restriction only ever REMOVES pairs vs global near-dup: any
+    // id dropped here must be near SOME other vector globally (x05's
+    // exact pair set at the same threshold)
+    val globalPairs = rows(Similarity.nearDupPairs(emb, "vec_id",
+        "embedding", 0.45).select(col("id_a"), col("id_b")))
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val dropped = out.collect { case (id, keep) if keep != id => id }
+    dropped.foreach(id =>
+      assert(globalPairs.contains(id), s"dropped $id has no global pair"))
+  }
+
   test("autoBitsPerBand: constant expected occupancy as the corpus scales") {
     import graft.ext.Similarity
     assert(Similarity.autoBitsPerBand(16) == 4) // clamp floor
