@@ -864,6 +864,44 @@ object Oracles {
         |FROM e LEFT JOIN keep k ON k.id = e.vec_id
         |ORDER BY id""".stripMargin,
 
+    // x58: incremental semantic admission — the quantizer cells come
+    // from the EXISTING (even-id) corpus only; an incoming (odd-id) row
+    // is dropped iff some existing row in its cell is cosine-near
+    "x58_semantic_admit" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ex AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |inc AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM ex ORDER BY vec_id LIMIT 16),
+        |exa AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ex.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY ex.vec_id ORDER BY
+        |        list_dot_product(ex.v, c.cv) /
+        |          (sqrt(list_dot_product(ex.v, ex.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM ex CROSS JOIN cent c) WHERE rn = 1),
+        |ina AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT inc.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY inc.vec_id ORDER BY
+        |        list_dot_product(inc.v, c.cv) /
+        |          (sqrt(list_dot_product(inc.v, inc.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM inc CROSS JOIN cent c) WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT i.vec_id
+        |  FROM ina i JOIN exa x ON i.cid = x.cid
+        |  JOIN e ei ON ei.vec_id = i.vec_id
+        |  JOIN e ee ON ee.vec_id = x.vec_id
+        |  WHERE list_dot_product(ei.v, ee.v) /
+        |    (sqrt(list_dot_product(ei.v, ei.v)) *
+        |     sqrt(list_dot_product(ee.v, ee.v))) >= 0.45)
+        |SELECT vec_id FROM inc
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
+
     "x54_salted_join" ->
       """SELECT p.p_type,
         |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR)

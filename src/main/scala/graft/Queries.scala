@@ -1222,6 +1222,21 @@ object Queries {
       .orderBy("id")
   }
 
+  /** x58 — incremental semantic admission: even-id embeddings are the
+    * EXISTING corpus (and define the quantizer cells), odd ids arrive
+    * as the incoming batch; an incoming row is dropped iff some
+    * existing row in its cell is cosine-near. The production ingestion
+    * form of x57 (same cells, one-sided candidates). */
+  val x58SemanticAdmit: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val existing = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
+    val incoming = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
+    Similarity.semanticAdmit(existing, incoming, "vec_id", "embedding",
+        nCells = 16, threshold = 0.45)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   /** Big-endian hex of the low `nBytes` bytes of a long column (zero
     * padded) — codegen building blocks for binary fixtures. */
   private def hexBe(c: Column, nBytes: Int): Column =
@@ -1657,6 +1672,7 @@ object Queries {
     "x55_opq_encode" -> x55OpqEncode,
     "x56_media_meta" -> x56MediaMeta,
     "x57_semantic_dedup" -> x57SemanticDedup,
+    "x58_semantic_admit" -> x58SemanticAdmit,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -64,6 +64,17 @@ object Ivf {
     assignCells(corpus, idCol, vecCol,
       seedCentroids(corpus, idCol, vecCol, nlist))
 
+  /** Assignment of `df` to the seed cells of `seedSource` — the
+    * incremental-admission shape, where the quantizer is built once on
+    * the EXISTING corpus and applied unchanged to both the existing
+    * side and every incoming batch (a batch must not move the cell
+    * boundaries it is judged against). Same zero-exchange scan as
+    * [[assignedForPlanCheck]]. */
+  private[graft] def assignTo(df: DataFrame, seedSource: DataFrame,
+      idCol: String, vecCol: String, nlist: Int): DataFrame =
+    assignCells(df, idCol, vecCol,
+      seedCentroids(seedSource, idCol, vecCol, nlist))
+
   /** Per-cell elementwise means of the assigned vectors, computed through
     * exact decimal sums (order-independent under any partitioning — the
     * same engine-stable mean as the label-centroid operator) and cast to

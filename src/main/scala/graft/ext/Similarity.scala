@@ -135,6 +135,40 @@ object Similarity {
       .select(col("id"), coalesce(col("keep_id"), col("id")).as("keep_id"))
   }
 
+  /** Incremental semantic admission — [[semanticDedup]]'s production
+    * ingestion shape, mirroring [[Dedup.dedupAgainstCorpus]]: drop
+    * incoming rows whose embedding is cosine-near an EXISTING row in
+    * the same coarse cell; returns the surviving incoming rows. The
+    * quantizer (seed cells) is built on the EXISTING corpus only and
+    * applied unchanged to both sides — an incoming batch must not move
+    * the cell boundaries it is judged against, which is also what makes
+    * the operator streaming-safe (per micro-batch, fixed index).
+    * Candidates are incoming × existing within a cell, ids-only through
+    * the shuffle; incoming-internal duplicates are [[semanticDedup]]'s
+    * job. */
+  def semanticAdmit(existing: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, nCells: Int, threshold: Double)
+      : DataFrame = {
+    val exA = Ivf.assignTo(existing, existing, idCol, vecCol, nCells)
+      .select(col("neighbor_id").as("ex_id"), col("cid"))
+    val inA = Ivf.assignTo(incoming, existing, idCol, vecCol, nCells)
+      .select(col("neighbor_id").as("in_id"), col("cid"))
+    val cand = inA.join(exA, Seq("cid")).select(col("in_id"), col("ex_id"))
+    val ex = withNorm(existing, idCol, vecCol)
+      .select(col(idCol).as("ex_id"), col(vecCol).as("ve"),
+        col("__n2").as("ne"))
+    val in = withNorm(incoming, idCol, vecCol)
+      .select(col(idCol).as("in_id"), col(vecCol).as("vi"),
+        col("__n2").as("ni"))
+    val dupIds = cand.join(in, "in_id").join(ex, "ex_id")
+      .where(VectorOps.cosineWithNorms(
+        VectorOps.dot(col("vi"), col("ve")), col("ni"), col("ne"))
+        >= threshold)
+      .select(col("in_id")).distinct()
+    incoming.join(dupIds.withColumnRenamed("in_id", idCol), Seq(idCol),
+      "left_anti")
+  }
+
   /** Occupancy-aware band width: the bitsPerBand that keeps EXPECTED
     * bucket occupancy (n / 2^bits per band) at or under
     * `targetOccupancy`. Candidate-join work per band is Σ occupancy² ≈

@@ -270,6 +270,37 @@ class ExtSpec extends SparkSpec {
       assert(globalPairs.contains(id), s"dropped $id has no global pair"))
   }
 
+  test("semanticAdmit: one-sided admission, idempotent, no surviving near-dup to existing") {
+    import graft.ext.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val existing = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
+    val incoming = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
+    val admitted = Similarity.semanticAdmit(existing, incoming, "vec_id",
+      "embedding", nCells = 8, threshold = 0.45)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      rows(df.select(col("vec_id"))).map(_.getLong(0)).toSet
+    val adm = ids(admitted)
+    // admitted ⊆ incoming; nothing existing leaks in
+    assert(adm.subsetOf(ids(incoming)))
+    // no admitted row is a GLOBAL near-dup of an existing row that
+    // shares its cell — cross-check against the exact pair set
+    val pairs = rows(Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        0.45).select(col("id_a"), col("id_b")))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every dropped incoming row must have SOME existing near-dup
+    // (cell restriction only removes reasons to drop, never adds)
+    val droppedIds = ids(incoming) -- adm
+    val nearExisting = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a)
+    }.filter { case (i, e) => i % 2 == 1 && e % 2 == 0 }.map(_._1).toSet
+    droppedIds.foreach(i => assert(nearExisting.contains(i),
+      s"dropped $i has no existing near-dup even globally"))
+    // idempotent: re-admitting the admitted batch changes nothing
+    val again = ids(Similarity.semanticAdmit(existing, admitted, "vec_id",
+      "embedding", nCells = 8, threshold = 0.45))
+    assert(again == adm)
+  }
+
   test("autoBitsPerBand: constant expected occupancy as the corpus scales") {
     import graft.ext.Similarity
     assert(Similarity.autoBitsPerBand(16) == 4) // clamp floor
