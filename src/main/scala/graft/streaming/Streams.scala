@@ -326,6 +326,34 @@ object Streams {
       .start()
   }
 
+  /** Streaming semantic admission: each micro-batch of incoming
+    * embeddings is admitted against the FIXED existing corpus
+    * ([[graft.ext.Similarity.semanticAdmit]] — the quantizer cells come
+    * from the existing side only, so no batch can move the boundaries
+    * it is judged against), and survivors append to `outPath`. Batches
+    * are independent by design: admission is against the existing
+    * corpus, not against earlier batches (cross-batch dups are
+    * [[graft.ext.Similarity.semanticDedup]]'s job on the compacted
+    * output). StreamingSpec asserts each batch's appended rows ≡ the
+    * batch `semanticAdmit` on that batch alone. */
+  def semanticAdmitSink(incomingStream: DataFrame, existing: DataFrame,
+      idCol: String, vecCol: String, nCells: Int, threshold: Double,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // materialize the existing side once — every batch re-joins it
+    val ex = existing.localCheckpoint()
+    incomingStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Similarity.semanticAdmit(ex, batch, idCol, vecCol,
+            nCells, threshold)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Tumbling event-time aggregation with watermark — the streaming form
     * of EventWindows.tumbling. */
   def tumblingCounts(stream: DataFrame, tsCol: String, width: String,

@@ -448,6 +448,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("semanticAdmitSink: streamed per-batch admission equals batch semanticAdmit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    def vec(i: Long): Array[Float] = Array((i % 5).toFloat,
+      ((i * 3) % 7).toFloat, ((i * 5) % 11).toFloat, ((i * 7) % 13).toFloat)
+    val existing = (1L to 32L).map(i => QV(i, vec(i))).toDF()
+    // b1 is half EXACT copies of existing vectors (must drop: cosine 1,
+    // same cell trivially) and half novel patterns; b2 is all novel —
+    // per-batch independence means b2 is judged against EXISTING only,
+    // never against b1's survivors
+    val b1 = (101L to 105L).map(i => QV(i, vec(i - 100))) ++
+      (106L to 110L).map(i => QV(i, vec(i * 17 + 1)))
+    val b2 = (201L to 210L).map(i => QV(i, vec(i * 29 + 7)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_semadmit")
+    val out = dir.resolve("admitted").toString
+    try {
+      val mem = MemoryStream[QV]
+      mem.addData(b1: _*)
+      val q = Streams.semanticAdmitSink(mem.toDF(), existing, "vec_id",
+        "embedding", nCells = 4, threshold = 0.999,
+        out, dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def got(batch: Long): Set[Long] =
+        spark.read.parquet(out).where($"_batch" === batch)
+          .select($"vec_id").collect().map(_.getLong(0)).toSet
+      def exp(rows: Seq[QV]): Set[Long] =
+        Similarity.semanticAdmit(existing, rows.toDF(), "vec_id",
+            "embedding", nCells = 4, threshold = 0.999)
+          .select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(got(0) == exp(b1))
+      assert(got(1) == exp(b2))
+      // the exact copies in b1 must actually drop — the admission is
+      // doing work, not vacuously passing everything through
+      assert((got(0) & (101L to 105L).toSet).isEmpty,
+        s"exact copies survived: ${got(0)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("adcScoreSink refuses an oversized replay batch (LUT guard stays on)") {
     implicit val sqlCtx = spark.sqlContext
     // "micro-batches are bounded" is a rate-limit property, not a
