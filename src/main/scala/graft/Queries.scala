@@ -345,7 +345,7 @@ object Queries {
     * ScalaTest. */
   val x07LshAnn: Q = (s, dir) => {
     Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-      "embedding", 0.45, bands = 4, bitsPerBand = 8, maxDim = 128)
+      "embedding", 0.45, bands = 4, bitsPerBand = Some(8), maxDim = 128)
       .orderBy("id_a", "id_b")
   }
 
@@ -1218,7 +1218,7 @@ object Queries {
     * x16 oracle disciplines composed). */
   val x57SemanticDedup: Q = (s, dir) => {
     Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
-        "embedding", nCells = 16, threshold = 0.45)
+        "embedding", threshold = 0.45, nCells = Some(16))
       .orderBy("id")
   }
 
@@ -1232,7 +1232,7 @@ object Queries {
     val existing = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
     val incoming = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
     Similarity.semanticAdmit(existing, incoming, "vec_id", "embedding",
-        nCells = 16, threshold = 0.45)
+        threshold = 0.45, nCells = Some(16))
       .select(col("vec_id"))
       .orderBy("vec_id")
   }

@@ -64,7 +64,7 @@ object ScaleProbe {
       copies: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_OK"))) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_OKv2"))) return
 
     val docs = graft.sources.Tables.documents(spark, base)
     val docMax = docs.agg(max("doc_id")).first().getLong(0) + 1
@@ -73,7 +73,11 @@ object ScaleProbe {
         (col("doc_id") + lit(k * docMax)).as("doc_id"),
         array_join(transform(split(col("text"), " "),
           t => concat(t, lit(s"~$k"))), " ").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+        // the suffixed tokens changed the length — recompute, don't
+        // carry the source n_chars through (length-sensitive operators
+        // would otherwise measure inconsistent rows)
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -101,6 +105,6 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    fs.create(new org.apache.hadoop.fs.Path(s"$out/_OK")).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/_OKv2")).close()
   }
 }

@@ -30,8 +30,13 @@ import graft.functions.expressions.VectorExpressions
   */
 object Ivf {
 
-  /** Centroid constants: (cid, vector, squared L2 norm), cid-ascending. */
-  private type Centroids = Array[(Long, Array[Double], Double)]
+  /** Centroid constants: (cid, vector, squared L2 norm), cid-ascending.
+    * Public so the semantic-dedup family ([[Similarity.semanticDedup]] /
+    * [[Similarity.semanticAdmit]]) can train a quantizer ONCE
+    * ([[train]]) and re-apply it across calls — the incremental
+    * admission and streaming shapes require the cell boundaries to be a
+    * value, not a recomputation. */
+  type Centroids = Array[(Long, Array[Double], Double)]
 
   /** The deterministic seed centroids: embeddings of the `nlist`
     * smallest ids. nlist rows — a driver-side constant, like collecting
@@ -57,23 +62,32 @@ object Ivf {
       .withColumn("cid", VectorExpressions.nearestCell(col("v"), col("n2"),
         cent.map(_._2), cent.map(_._3), cent.map(_._1)))
 
+  /** Train a coarse quantizer as a VALUE: the deterministic seed cells
+    * (`refineIters = 0`) or `refineIters` Lloyd refinements of them —
+    * the x24 k-means under the same exact-decimal arithmetic. The
+    * result is nlist×dim driver-side doubles, embedded in downstream
+    * plans like a broadcast; training it once and passing it around is
+    * what lets incremental admission judge every batch against FIXED
+    * cell boundaries, and what gives [[Similarity.semanticDedup]]
+    * balanced cells without re-scanning. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, refineIters: Int = 0): Centroids =
+    if (refineIters <= 0) seedCentroids(corpus, idCol, vecCol, nlist)
+    else refinedCentroids(corpus, idCol, vecCol, nlist, refineIters)
+
+  /** Nearest-cell assignment of `df` under an already-trained quantizer
+    * — the zero-exchange codegen argmax scan ([[VectorExpressions
+    * .nearestCell]]); output (neighbor_id, v, n2, cid). */
+  def assignWith(df: DataFrame, idCol: String, vecCol: String,
+      cent: Centroids): DataFrame =
+    assignCells(df, idCol, vecCol, cent)
+
   /** Exposed for plan assertions in ScalaTest: the assignment subtree
     * must stay exchange-free. */
   private[graft] def assignedForPlanCheck(corpus: DataFrame, idCol: String,
       vecCol: String, nlist: Int): DataFrame =
     assignCells(corpus, idCol, vecCol,
       seedCentroids(corpus, idCol, vecCol, nlist))
-
-  /** Assignment of `df` to the seed cells of `seedSource` — the
-    * incremental-admission shape, where the quantizer is built once on
-    * the EXISTING corpus and applied unchanged to both the existing
-    * side and every incoming batch (a batch must not move the cell
-    * boundaries it is judged against). Same zero-exchange scan as
-    * [[assignedForPlanCheck]]. */
-  private[graft] def assignTo(df: DataFrame, seedSource: DataFrame,
-      idCol: String, vecCol: String, nlist: Int): DataFrame =
-    assignCells(df, idCol, vecCol,
-      seedCentroids(seedSource, idCol, vecCol, nlist))
 
   /** Per-cell elementwise means of the assigned vectors, computed through
     * exact decimal sums (order-independent under any partitioning — the

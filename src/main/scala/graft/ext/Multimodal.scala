@@ -71,7 +71,8 @@ object Multimodal {
             else {
               val marker = u8(q)
               if (sof.contains(marker)) {
-                if (q + 8 < n)
+                // dimensions end at byte q+7, so q+8 == n is still valid
+                if (q + 8 <= n)
                   out = MediaMeta("jpeg", Some(u16be(q + 6)),
                     Some(u16be(q + 4)), None, None)
                 done = true

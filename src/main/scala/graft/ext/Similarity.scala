@@ -111,9 +111,31 @@ object Similarity {
     * ([[Dedup.clusters]] label propagation). Returns (id, keep_id) for
     * EVERY input row — keep_id == id means the row survives; a dropped
     * row points at the member of its semantic group that replaces it. */
+  /** Sizing: `centroids` (a trained [[Ivf.train]] quantizer — Lloyd
+    * refinement balances cells, which bounds the per-cell constant) wins
+    * over `nCells` (the pinned-oracle form) wins over the DEFAULT —
+    * [[autoNCells]] of a one-off ids-only count, which holds EXPECTED
+    * cell size at `targetCellSize` as the corpus grows. At a fixed cell
+    * count, within-cell candidate work is n²/k — quadratic; at fixed
+    * cell SIZE it is n·targetCellSize — linear. The round-6 sf1-equiv
+    * probe measured exactly this failure on the LSH analog (8.8× work
+    * for 10× rows at fixed width), so the scale-safe sizing is the
+    * default and fixed k is the opt-in.
+    *
+    * `maxIters` bounds [[Dedup.clusters]] label propagation; the
+    * default is effectively to-fixpoint (propagation needs component-
+    * diameter iterations and stops early on convergence) because the
+    * operator's contract — keep_id = the component's minimum id — is a
+    * transitive-closure statement, not a bounded-hop one. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, threshold: Double): DataFrame = {
-    val assigned = Ivf.assignedForPlanCheck(emb, idCol, vecCol, nCells)
+      threshold: Double, nCells: Option[Int] = None,
+      centroids: Option[Ivf.Centroids] = None,
+      targetCellSize: Long = DefaultCellSize,
+      maxIters: Int = FixpointIters): DataFrame = {
+    val cent = centroids.getOrElse(Ivf.train(emb, idCol, vecCol,
+      nCells.getOrElse(autoNCells(
+        emb.select(col(idCol)).count(), targetCellSize))))
+    val assigned = Ivf.assignWith(emb, idCol, vecCol, cent)
       .select(col("neighbor_id").as("id"), col("cid"))
     val cand = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
@@ -129,7 +151,8 @@ object Similarity {
         VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"))
-    val comp = Dedup.clusters(pairs).withColumnRenamed("cluster", "keep_id")
+    val comp = Dedup.clusters(pairs, maxIters = maxIters)
+      .withColumnRenamed("cluster", "keep_id")
     emb.select(col(idCol).as("id")).distinct()
       .join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("keep_id"), col("id")).as("keep_id"))
@@ -145,13 +168,23 @@ object Similarity {
     * the operator streaming-safe (per micro-batch, fixed index).
     * Candidates are incoming × existing within a cell, ids-only through
     * the shuffle; incoming-internal duplicates are [[semanticDedup]]'s
-    * job. */
+    * job. Pass `centroids` (trained once via [[Ivf.train]]) when the
+    * SAME quantizer must judge many calls — the cross-batch streaming
+    * sink does exactly this, so admitted rows can join the judging side
+    * without moving the boundaries. Sizing otherwise follows
+    * [[semanticDedup]]: explicit `nCells` or the [[autoNCells]]
+    * default. */
   def semanticAdmit(existing: DataFrame, incoming: DataFrame,
-      idCol: String, vecCol: String, nCells: Int, threshold: Double)
-      : DataFrame = {
-    val exA = Ivf.assignTo(existing, existing, idCol, vecCol, nCells)
+      idCol: String, vecCol: String, threshold: Double,
+      nCells: Option[Int] = None,
+      centroids: Option[Ivf.Centroids] = None,
+      targetCellSize: Long = DefaultCellSize): DataFrame = {
+    val cent = centroids.getOrElse(Ivf.train(existing, idCol, vecCol,
+      nCells.getOrElse(autoNCells(
+        existing.select(col(idCol)).count(), targetCellSize))))
+    val exA = Ivf.assignWith(existing, idCol, vecCol, cent)
       .select(col("neighbor_id").as("ex_id"), col("cid"))
-    val inA = Ivf.assignTo(incoming, existing, idCol, vecCol, nCells)
+    val inA = Ivf.assignWith(incoming, idCol, vecCol, cent)
       .select(col("neighbor_id").as("in_id"), col("cid"))
     val cand = inA.join(exA, Seq("cid")).select(col("in_id"), col("ex_id"))
     val ex = withNorm(existing, idCol, vecCol)
@@ -188,16 +221,88 @@ object Similarity {
     math.min(30, math.max(4, needed))
   }
 
+  /** Default EXPECTED cell size for the auto-sized semantic quantizer.
+    * Within-cell candidate work per row is one cell's worth of cosines,
+    * so this is the knob that trades pruning sharpness (smaller cells
+    * compare less, and miss more borderline cross-cell pairs) against
+    * per-cell cost; the CHOICE that matters for scale is that cell size
+    * is held constant — cell COUNT grows with the corpus. */
+  val DefaultCellSize: Long = 128L
+
+  /** Ceiling on auto-derived cell counts: the centroid set is a
+    * driver-resident plan constant (nCells × dim doubles) and the
+    * flat argmax assignment is O(nCells) per row, so past this point
+    * a bigger corpus should raise `targetCellSize` (or train a
+    * coarser quantizer explicitly) rather than widen the plan. */
+  val MaxAutoCells: Int = 1 << 16
+
+  /** Effectively to-fixpoint for [[Dedup.clusters]]: label propagation
+    * needs component-diameter iterations and stops early on
+    * convergence, so a large bound only ever pays for real diameter. */
+  val FixpointIters: Int = 1000
+
+  /** Occupancy-preserving cell count: `n / targetCellSize`, clamped to
+    * [1, [[MaxAutoCells]]]. The semantic-family analog of
+    * [[autoBitsPerBand]] — holding cell SIZE constant as the corpus
+    * grows keeps within-cell candidate work linear in rows (n · size)
+    * where any fixed cell count is quadratic (n² / k). */
+  def autoNCells(n: Long, targetCellSize: Long = DefaultCellSize): Int = {
+    require(n > 0 && targetCellSize > 0, "counts must be positive")
+    val k = (n + targetCellSize - 1) / targetCellSize
+    if (k > MaxAutoCells)
+      // stderr, not stdout — Bench's stdout must stay one JSON line
+      System.err.println(s"[graft.Similarity] autoNCells($n) clamped to " +
+        s"$MaxAutoCells; expected cell size is ${n / MaxAutoCells}, not " +
+        s"$targetCellSize — raise targetCellSize or train a quantizer")
+    math.min(MaxAutoCells.toLong, math.max(1L, k)).toInt
+  }
+
+  /** Occupancy distribution of a quantizer/bucketing column — the
+    * telemetry behind the auto-sizing decisions. `sumSqOcc` (Σ occ²)
+    * IS the candidate-pair work a same-cell self-join generates, so a
+    * skewed corpus is loud here instead of silently slow; p50/p99 are
+    * exact percentiles over the per-cell counts (at most one row per
+    * cell reaches the agg — bounded by the cell-count clamps, never by
+    * corpus size). */
+  case class CellStats(cells: Long, rows: Long, p50Occ: Double,
+      p99Occ: Double, maxOcc: Long, sumSqOcc: Long)
+
+  /** One-row DataFrame form of [[cellStats]] — query-shaped, so the
+    * telemetry itself sits under the SQL oracle. */
+  def cellStatsDf(assigned: DataFrame, cellCol: String): DataFrame =
+    assigned.groupBy(col(cellCol)).agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("cells"),
+        coalesce(sum(col("occ")), lit(0L)).as("rows"),
+        coalesce(expr("percentile(occ, 0.5d)"), lit(0.0)).as("p50_occ"),
+        coalesce(expr("percentile(occ, 0.99d)"), lit(0.0)).as("p99_occ"),
+        coalesce(max(col("occ")), lit(0L)).as("max_occ"),
+        coalesce(sum(col("occ") * col("occ")), lit(0L)).as("sum_sq_occ"))
+
+  def cellStats(assigned: DataFrame, cellCol: String): CellStats = {
+    val r = cellStatsDf(assigned, cellCol).first()
+    CellStats(r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4), r.getLong(5))
+  }
+
+  /** `bitsPerBand = None` (the default) derives the band width from a
+    * one-off ids-only corpus count via [[autoBitsPerBand]] — constant
+    * expected bucket occupancy, so candidate work stays linear in rows.
+    * Callers that already track corpus counts (or need the pinned-
+    * oracle literals) pass `Some(bits)` and pay nothing. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 4, bitsPerBand: Int = 8,
-      maxDim: Int = 512, flipBits: Int = 0): DataFrame = {
-    require(flipBits >= 0 && flipBits <= bitsPerBand,
+      threshold: Double, bands: Int = 4,
+      bitsPerBand: Option[Int] = None,
+      maxDim: Int = 512, flipBits: Int = 0,
+      targetOccupancy: Long = 16L): DataFrame = {
+    val resolvedBits = bitsPerBand.getOrElse(autoBitsPerBand(
+      df.select(col(idCol)).count(), targetOccupancy))
+    require(flipBits >= 0 && flipBits <= resolvedBits,
       "flipBits must be in [0, bitsPerBand]")
     val vd = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__n2").as("n2"))
     val withSig = vd.withColumn("bkeys", array((0 until bands).map { b =>
-      (0 until bitsPerBand).map(i =>
-        signBit(col("v"), b * bitsPerBand + i, maxDim) * lit(1L << i))
+      (0 until resolvedBits).map(i =>
+        signBit(col("v"), b * resolvedBits + i, maxDim) * lit(1L << i))
         .reduce(_ + _) + lit(b.toLong << 32)
     }: _*))
     // candidate generation moves (id, bkey) only; vectors re-attach by id

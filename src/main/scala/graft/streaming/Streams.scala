@@ -335,21 +335,43 @@ object Streams {
     * corpus, not against earlier batches (cross-batch dups are
     * [[graft.ext.Similarity.semanticDedup]]'s job on the compacted
     * output). StreamingSpec asserts each batch's appended rows ≡ the
-    * batch `semanticAdmit` on that batch alone. */
+    * batch `semanticAdmit` on that batch alone.
+    *
+    * `crossBatch = true` opts into an admitted-rows ledger: each batch
+    * is judged against the existing corpus PLUS everything already
+    * admitted, so two near-identical documents arriving in different
+    * micro-batches no longer both land (the second is refused — no
+    * compaction pass needed). The quantizer is still trained ONCE on
+    * the original existing corpus and passed by value, so the ledger
+    * grows the judging side without ever moving the cell boundaries.
+    * State is the admitted (id, vector) rows, localCheckpointed per
+    * batch — linear in what was admitted, the honest cost of exact
+    * cross-batch cosine semantics (a cells-only ledger would refuse any
+    * same-cell arrival, which is a different, coarser operator). */
   def semanticAdmitSink(incomingStream: DataFrame, existing: DataFrame,
       idCol: String, vecCol: String, nCells: Int, threshold: Double,
-      outPath: String, checkpoint: String)
+      outPath: String, checkpoint: String, crossBatch: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // materialize the existing side once — every batch re-joins it
     val ex = existing.localCheckpoint()
+    // fixed quantizer for the life of the query: boundaries must not
+    // move when the ledger grows
+    val cent = graft.ext.Ivf.train(ex, idCol, vecCol, nCells)
+    // existing ∪ admitted-so-far, id+vector only (all the judge needs)
+    var judge = ex.select(col(idCol), col(vecCol)).localCheckpoint()
     incomingStream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ext.Similarity.semanticAdmit(ex, batch, idCol, vecCol,
-            nCells, threshold)
-          .withColumn("_batch", lit(batchId))
+        val raw = graft.ext.Similarity.semanticAdmit(judge, batch,
+          idCol, vecCol, threshold, centroids = Some(cent))
+        // settle survivors before the ledger moves (ledger mode only)
+        val admitted = if (crossBatch) raw.localCheckpoint() else raw
+        admitted.withColumn("_batch", lit(batchId))
           .write.mode("append").parquet(outPath)
+        if (crossBatch)
+          judge = judge.union(admitted.select(col(idCol), col(vecCol)))
+            .localCheckpoint()
       }
       .start()
   }

@@ -249,7 +249,7 @@ class ExtSpec extends SparkSpec {
     import graft.ext.Similarity
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = rows(Similarity.semanticDedup(emb, "vec_id", "embedding",
-        nCells = 8, threshold = 0.45))
+        threshold = 0.45, nCells = Some(8)))
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // total: one verdict per input row
     assert(out.size == emb.count())
@@ -276,7 +276,7 @@ class ExtSpec extends SparkSpec {
     val existing = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
     val incoming = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
     val admitted = Similarity.semanticAdmit(existing, incoming, "vec_id",
-      "embedding", nCells = 8, threshold = 0.45)
+      "embedding", threshold = 0.45, nCells = Some(8))
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       rows(df.select(col("vec_id"))).map(_.getLong(0)).toSet
     val adm = ids(admitted)
@@ -297,7 +297,7 @@ class ExtSpec extends SparkSpec {
       s"dropped $i has no existing near-dup even globally"))
     // idempotent: re-admitting the admitted batch changes nothing
     val again = ids(Similarity.semanticAdmit(existing, admitted, "vec_id",
-      "embedding", nCells = 8, threshold = 0.45))
+      "embedding", threshold = 0.45, nCells = Some(8)))
     assert(again == adm)
   }
 
@@ -318,7 +318,7 @@ class ExtSpec extends SparkSpec {
     val corpus = emb.unionByName(dup)
     val bits = Similarity.autoBitsPerBand(corpus.count())
     val pairs = rows(Similarity.lshNearDupPairs(corpus, "vec_id",
-        "embedding", threshold = 0.999, bitsPerBand = bits)
+        "embedding", threshold = 0.999, bitsPerBand = Some(bits))
       .select(col("id_a"), col("id_b")))
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 100001L)))
@@ -552,7 +552,7 @@ class ExtSpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(flip: Int) = rows(graft.ext.Similarity.lshNearDupPairs(
         emb, "vec_id", "embedding", threshold = 0.2,
-        bands = 2, bitsPerBand = 8, flipBits = flip))
+        bands = 2, bitsPerBand = Some(8), flipBits = flip))
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val single = pairs(0)
     val multi = pairs(8)

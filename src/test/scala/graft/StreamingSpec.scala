@@ -478,7 +478,7 @@ class StreamingSpec extends SparkSpec {
           .select($"vec_id").collect().map(_.getLong(0)).toSet
       def exp(rows: Seq[QV]): Set[Long] =
         Similarity.semanticAdmit(existing, rows.toDF(), "vec_id",
-            "embedding", nCells = 4, threshold = 0.999)
+            "embedding", threshold = 0.999, nCells = Some(4))
           .select($"vec_id").collect().map(_.getLong(0)).toSet
       assert(got(0) == exp(b1))
       assert(got(1) == exp(b2))
@@ -489,6 +489,47 @@ class StreamingSpec extends SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
+  }
+
+  test("semanticAdmitSink crossBatch: the second copy across micro-batches is refused") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Long): Array[Float] = Array((i % 5).toFloat,
+      ((i * 3) % 7).toFloat, ((i * 5) % 11).toFloat, ((i * 7) % 13).toFloat)
+    val existing = (1L to 32L).map(i => QV(i, vec(i))).toDF()
+    // b1 brings a NOVEL pattern; b2 brings an exact copy of it (plus a
+    // genuinely novel row). Per-batch independence admits both copies;
+    // the cross-batch ledger must refuse the second.
+    val novel = Array(9f, 8f, 7f, 6f)
+    val b1 = Seq(QV(101L, novel))
+    val b2 = Seq(QV(201L, novel.clone()), QV(202L, Array(6f, 7f, 8f, 9f)))
+    def run(crossBatch: Boolean): (Set[Long], Set[Long]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_xbatch")
+      val out = dir.resolve("admitted").toString
+      try {
+        val mem = MemoryStream[QV]
+        mem.addData(b1: _*)
+        val q = Streams.semanticAdmitSink(mem.toDF(), existing, "vec_id",
+          "embedding", nCells = 4, threshold = 0.999,
+          out, dir.resolve("ckpt").toString, crossBatch = crossBatch)
+        q.processAllAvailable()
+        mem.addData(b2: _*)
+        q.processAllAvailable()
+        q.stop()
+        def got(batch: Long): Set[Long] =
+          spark.read.parquet(out).where($"_batch" === batch)
+            .select($"vec_id").collect().map(_.getLong(0)).toSet
+        (got(0), got(1))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      }
+    }
+    val (on1, on2) = run(crossBatch = true)
+    assert(on1 == Set(101L)) // novel vs existing → admitted
+    assert(on2 == Set(202L), // the cross-batch copy 201 is refused
+      s"ledger failed to refuse the cross-batch duplicate: $on2")
+    val (off1, off2) = run(crossBatch = false)
+    assert(off1 == Set(101L))
+    assert(off2 == Set(201L, 202L)) // old behavior: batches independent
   }
 
   test("adcScoreSink refuses an oversized replay batch (LUT guard stays on)") {
