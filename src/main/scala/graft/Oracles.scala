@@ -902,6 +902,92 @@ object Oracles {
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
 
+    // x59: SemDeDup under the TRAINED quantizer — x25's one-Lloyd-step
+    // refined-centroid CTE (exact-decimal per-cell means, cells that
+    // lose every member drop out) composed with x57's within-cell
+    // pairs + recursive reachability
+    "x59_semantic_trained" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a0 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent0 c) WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, list(centroid ORDER BY pos) AS cv FROM (
+        |    SELECT cid, i AS pos,
+        |      CAST(CAST(sum(CAST(v[i] AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*) AS centroid
+        |    FROM a0, range(1, 65) t(i) GROUP BY 1, 2) m
+        |  GROUP BY cid),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_dot_product(ea.v, eb.v) /
+        |    (sqrt(list_dot_product(ea.v, ea.v)) *
+        |     sqrt(list_dot_product(eb.v, eb.v))) >= 0.45),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        |keep AS (
+        |  SELECT src AS id, least(src, min(dst)) AS keep_id
+        |  FROM reach GROUP BY src)
+        |SELECT e.vec_id AS id, coalesce(k.keep_id, e.vec_id) AS keep_id
+        |FROM e LEFT JOIN keep k ON k.id = e.vec_id
+        |ORDER BY id""".stripMargin,
+
+    // x60: occupancy telemetry of x57's 16-cell quantizer — discrete
+    // inverse-CDF percentiles (the occupancy at sorted rank
+    // ceil(p*cells), computed in DOUBLE on both engines so the rank
+    // arithmetic is bit-identical); sum_sq_occ is the within-cell
+    // candidate-pair volume
+    "x60_cell_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |occ AS (SELECT cid, count(*) AS occ FROM assigned GROUP BY cid),
+        |ranked AS (
+        |  SELECT occ, row_number() OVER (ORDER BY occ) AS rn,
+        |    count(*) OVER () AS total
+        |  FROM occ)
+        |SELECT
+        |  CAST(coalesce(max(total), 0) AS BIGINT) AS cells,
+        |  CAST(coalesce(sum(occ), 0) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(max(CASE WHEN rn = CAST(ceil(total * CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    THEN occ END), 0) AS BIGINT) AS p50_occ,
+        |  CAST(coalesce(max(CASE WHEN rn = CAST(ceil(total * CAST(0.99 AS DOUBLE)) AS BIGINT)
+        |    THEN occ END), 0) AS BIGINT) AS p99_occ,
+        |  CAST(coalesce(max(occ), 0) AS BIGINT) AS max_occ,
+        |  CAST(coalesce(sum(occ * occ), 0) AS BIGINT) AS sum_sq_occ
+        |FROM ranked""".stripMargin,
+
     "x54_salted_join" ->
       """SELECT p.p_type,
         |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR)

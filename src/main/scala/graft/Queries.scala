@@ -1237,6 +1237,36 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** x59 — SemDeDup under a TRAINED quantizer: one Lloyd refinement of
+    * the 8 seed cells (the x24/x25 exact-decimal means, so the refined
+    * centroids are bit-identical in any engine) balances the cells
+    * before the x57 within-cell prune. This is the published SemDeDup
+    * shape — cluster first, then dedup inside clusters — and the scale
+    * path: balanced cells bound the per-cell candidate constant that
+    * seed cells leave to luck. Oracle recomputes the refinement AND the
+    * dedup in DuckDB (x25's centroid CTE composed with x57's
+    * reachability). */
+  val x59SemanticDedupTrained: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cent = Ivf.train(emb, "vec_id", "embedding", nlist = 8,
+      refineIters = 1)
+    Similarity.semanticDedup(emb, "vec_id", "embedding", threshold = 0.45,
+        centroids = Some(cent))
+      .orderBy("id")
+  }
+
+  /** x60 — quantizer occupancy telemetry as a query: the cell-size
+    * distribution (count, discrete p50/p99, max, Σocc²) of x57's
+    * 16-cell assignment. Σocc² is exactly the candidate-pair volume the
+    * within-cell self-join generates, so this one row is the
+    * scale-health check an operator run at 100 TB would be gated on. */
+  val x60CellStats: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cent = Ivf.train(emb, "vec_id", "embedding", nlist = 16)
+    Similarity.cellStatsDf(
+      Ivf.assignWith(emb, "vec_id", "embedding", cent), "cid")
+  }
+
   /** Big-endian hex of the low `nBytes` bytes of a long column (zero
     * padded) — codegen building blocks for binary fixtures. */
   private def hexBe(c: Column, nBytes: Int): Column =
@@ -1673,6 +1703,8 @@ object Queries {
     "x56_media_meta" -> x56MediaMeta,
     "x57_semantic_dedup" -> x57SemanticDedup,
     "x58_semantic_admit" -> x58SemanticAdmit,
+    "x59_semantic_trained" -> x59SemanticDedupTrained,
+    "x60_cell_stats" -> x60CellStats,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -62,6 +62,16 @@ object Pq {
     df.select(col(idCol),
         VectorExpressions.pqEncode(VectorOps.toDouble(col(vecCol)), cb)
           .as("codes"))
+      // materialize (id, codes) before the explode: Catalyst's
+      // InferFiltersFromGenerate otherwise plants `size(codes) > 0`
+      // under the Generate, and alias substitution pushes the full
+      // encode — including any upstream O(d²) OPQ rotation — into the
+      // scan FILTER while keeping it in the projection, evaluating it
+      // twice per row. Cutting lineage here makes the inferred filter
+      // consume the already-computed codes column. Codes are m bytes
+      // per row (≪ the vectors), so the checkpoint is cheap at any
+      // scale and the encode provably runs once.
+      .localCheckpoint()
       .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
       .select(col(idCol), col("sub").cast("long").as("sub"), col("code"))
 

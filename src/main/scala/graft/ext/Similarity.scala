@@ -214,10 +214,15 @@ object Similarity {
     * quadratic. Clamped to [4, 30] bits; pure function of the
     * already-known corpus count, so callers pay no extra job if they
     * track row counts (or one ids-only count if not). */
+  /** Overflow-safe ⌈n / d⌉ — `n + d - 1` wraps negative near
+    * Long.MaxValue and would silently size for a corpus of 1. */
+  private def ceilDiv(n: Long, d: Long): Long =
+    n / d + (if (n % d == 0) 0L else 1L)
+
   def autoBitsPerBand(n: Long, targetOccupancy: Long = 16L): Int = {
     require(n > 0 && targetOccupancy > 0, "counts must be positive")
     val needed = 64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(1L, (n + targetOccupancy - 1) / targetOccupancy) - 1)
+      math.max(1L, ceilDiv(n, targetOccupancy)) - 1)
     math.min(30, math.max(4, needed))
   }
 
@@ -248,7 +253,7 @@ object Similarity {
     * where any fixed cell count is quadratic (n² / k). */
   def autoNCells(n: Long, targetCellSize: Long = DefaultCellSize): Int = {
     require(n > 0 && targetCellSize > 0, "counts must be positive")
-    val k = (n + targetCellSize - 1) / targetCellSize
+    val k = ceilDiv(n, targetCellSize)
     if (k > MaxAutoCells)
       // stderr, not stdout — Bench's stdout must stay one JSON line
       System.err.println(s"[graft.Similarity] autoNCells($n) clamped to " +
@@ -260,27 +265,37 @@ object Similarity {
   /** Occupancy distribution of a quantizer/bucketing column — the
     * telemetry behind the auto-sizing decisions. `sumSqOcc` (Σ occ²)
     * IS the candidate-pair work a same-cell self-join generates, so a
-    * skewed corpus is loud here instead of silently slow; p50/p99 are
-    * exact percentiles over the per-cell counts (at most one row per
-    * cell reaches the agg — bounded by the cell-count clamps, never by
-    * corpus size). */
-  case class CellStats(cells: Long, rows: Long, p50Occ: Double,
-      p99Occ: Double, maxOcc: Long, sumSqOcc: Long)
+    * skewed corpus is loud here instead of silently slow. p50/p99 are
+    * DISCRETE inverse-CDF percentiles (the occupancy at sorted rank
+    * ⌈p·cells⌉) — integer-exact, so the telemetry itself sits under a
+    * cross-engine oracle with no interpolation to disagree about. At
+    * most one row per cell reaches the agg, bounded by the cell-count
+    * clamps, never by corpus size; the single-partition rank window is
+    * over those ≤[[MaxAutoCells]] rows only. */
+  case class CellStats(cells: Long, rows: Long, p50Occ: Long,
+      p99Occ: Long, maxOcc: Long, sumSqOcc: Long)
 
   /** One-row DataFrame form of [[cellStats]] — query-shaped, so the
     * telemetry itself sits under the SQL oracle. */
-  def cellStatsDf(assigned: DataFrame, cellCol: String): DataFrame =
-    assigned.groupBy(col(cellCol)).agg(count(lit(1)).as("occ"))
-      .agg(count(lit(1)).as("cells"),
-        coalesce(sum(col("occ")), lit(0L)).as("rows"),
-        coalesce(expr("percentile(occ, 0.5d)"), lit(0.0)).as("p50_occ"),
-        coalesce(expr("percentile(occ, 0.99d)"), lit(0.0)).as("p99_occ"),
-        coalesce(max(col("occ")), lit(0L)).as("max_occ"),
-        coalesce(sum(col("occ") * col("occ")), lit(0L)).as("sum_sq_occ"))
+  def cellStatsDf(assigned: DataFrame, cellCol: String): DataFrame = {
+    val ranked = assigned.groupBy(col(cellCol)).agg(count(lit(1)).as("occ"))
+      .select(col("occ"),
+        row_number().over(Window.orderBy(col("occ"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("total"))
+    ranked.agg(
+      coalesce(max(col("total")), lit(0L)).as("cells"),
+      coalesce(sum(col("occ")), lit(0L)).as("n_rows"),
+      coalesce(max(when(col("rn") === ceil(col("total") * lit(0.5d)),
+        col("occ"))), lit(0L)).as("p50_occ"),
+      coalesce(max(when(col("rn") === ceil(col("total") * lit(0.99d)),
+        col("occ"))), lit(0L)).as("p99_occ"),
+      coalesce(max(col("occ")), lit(0L)).as("max_occ"),
+      coalesce(sum(col("occ") * col("occ")), lit(0L)).as("sum_sq_occ"))
+  }
 
   def cellStats(assigned: DataFrame, cellCol: String): CellStats = {
     val r = cellStatsDf(assigned, cellCol).first()
-    CellStats(r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+    CellStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5))
   }
 

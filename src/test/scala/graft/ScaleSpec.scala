@@ -197,6 +197,63 @@ class ScaleSpec extends SparkSpec {
       (4L, "unknown", None, None)))
   }
 
+  test("auto-sized quantizer holds cell size constant as the corpus grows 10x") {
+    import graft.ext.{Ivf, Similarity}
+    // deterministic synthetic embeddings: 8 dims of sin-scrambled id
+    def corpus(n: Int) = spark.range(n).selectExpr("id AS vec_id",
+      "transform(sequence(1, 8), j -> CAST(sin(id * j * 0.7 + j) AS FLOAT)) AS embedding")
+    def statsAuto(n: Int): Similarity.CellStats = {
+      val df = corpus(n)
+      val k = Similarity.autoNCells(n, targetCellSize = 32)
+      Similarity.cellStats(
+        Ivf.assignWith(df, "vec_id", "embedding",
+          Ivf.train(df, "vec_id", "embedding", k)), "cid")
+    }
+    val small = statsAuto(2000)
+    val big = statsAuto(20000)
+    // candidate work per row = sumSqOcc / rows ≈ expected cell size;
+    // auto sizing must keep it BOUNDED as rows grow 10x (the fixed-k
+    // analog grows ~10x). Seed cells are unbalanced on purpose — allow
+    // a generous constant, but not a linear one.
+    val perRowSmall = small.sumSqOcc.toDouble / small.rows
+    val perRowBig = big.sumSqOcc.toDouble / big.rows
+    assert(big.cells >= small.cells * 8, s"cells did not grow: $small -> $big")
+    assert(perRowBig <= perRowSmall * 3.0,
+      s"per-row candidate work grew super-linearly: $perRowSmall -> $perRowBig")
+    // the FIXED-k contrast on the same data: per-row work ~10x
+    def statsFixed(n: Int): Similarity.CellStats = {
+      val df = corpus(n)
+      Similarity.cellStats(
+        Ivf.assignWith(df, "vec_id", "embedding",
+          Ivf.train(df, "vec_id", "embedding", 16)), "cid")
+    }
+    val fs = statsFixed(2000); val fb = statsFixed(20000)
+    val fixedGrowth = (fb.sumSqOcc.toDouble / fb.rows) /
+      (fs.sumSqOcc.toDouble / fs.rows)
+    assert(fixedGrowth >= 5.0,
+      s"expected the fixed-k control to grow ~10x, got $fixedGrowth")
+  }
+
+  test("cellStats: exact values on a known occupancy distribution") {
+    import graft.ext.Similarity
+    // cells with occupancies 1..5 (15 rows, sumSq=55); discrete
+    // inverse-CDF: p50 at rank ceil(0.5*5)=3 -> occ 3, p99 at rank 5 -> 5
+    val assigned = (1 to 5).flatMap(c => Seq.fill(c)(c)).toDF("cid")
+    val s = Similarity.cellStats(assigned, "cid")
+    assert(s == Similarity.CellStats(5, 15, 3, 5, 5, 55))
+    // occupancy-sorted ranks are value-deterministic under ties
+    val tied = Seq(1, 1, 2, 2, 3, 3).toDF("cid") // three cells of 2
+    assert(Similarity.cellStats(tied, "cid") ==
+      Similarity.CellStats(3, 6, 2, 2, 2, 12))
+    // autoNCells: 10x rows -> ~10x cells, clamped at the extremes
+    assert(Similarity.autoNCells(1, 128) == 1)
+    assert(Similarity.autoNCells(1280, 128) == 10)
+    assert(Similarity.autoNCells(12800, 128) == 100)
+    assert(Similarity.autoNCells(Long.MaxValue, 128) == Similarity.MaxAutoCells)
+    // ceil-div near Long.MaxValue must not wrap (n + d - 1 overflows)
+    assert(Similarity.autoBitsPerBand(Long.MaxValue, 16) == 30)
+  }
+
   test("multimodal: per-partition feature extraction, deterministic stub") {
     implicit val s = spark
     val recs = Seq(
