@@ -73,13 +73,15 @@ object Similarity {
       m.toDouble / Long.MaxValue.toDouble
     }
 
-  /** Sign bit of v · plane_p — one codegen'd dot product against a
-    * literal plane vector. */
-  private def signBit(vec: Column, p: Int, maxDim: Int): Column = {
-    val proj = graft.functions.expressions.VectorExpressions.dotProduct(
-      vec, typedLit(plane(p, maxDim)))
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
+  /** The full plane matrix for `bands` bands of `bits` sign bits — rows
+    * feed [[graft.functions.expressions.LshBandKeys]], ONE compact
+    * codegen loop per row instead of bands×bits inlined dot-product
+    * expressions (which blow the whole-stage-codegen method budget at
+    * auto-sized widths and silently fall back to interpreted
+    * evaluation — measured ~7 s vs sub-second for 80k keys). */
+  private def planeMatrix(bands: Int, bits: Int,
+      maxDim: Int): Array[Array[Double]] =
+    Array.tabulate(bands * bits)(p => plane(p, maxDim).toArray)
 
   /** LSH-bucketed approximate neighbor pairs: `bands` signatures of
     * `bitsPerBand` hyperplane sign bits each; pairs sharing any band
@@ -299,6 +301,18 @@ object Similarity {
       r.getLong(4), r.getLong(5))
   }
 
+  /** The (id, bkey) banded signature rows [[lshNearDupPairs]] joins on —
+    * exposed for occupancy telemetry ([[cellStats]] over `bkey` measures
+    * the REAL bucket distribution, which on clustered embeddings is
+    * skew-dominated and can sit far from the uniform expectation the
+    * bits sizing assumes). */
+  private[graft] def bandKeysFor(df: DataFrame, idCol: String,
+      vecCol: String, bands: Int, bits: Int, maxDim: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.expressions.VectorExpressions.lshBandKeys(
+          VectorOps.toDouble(col(vecCol)),
+          planeMatrix(bands, bits, maxDim), bands, bits)).as("bkey"))
+
   /** `bitsPerBand = None` (the default) derives the band width from a
     * one-off ids-only corpus count via [[autoBitsPerBand]] — constant
     * expected bucket occupancy, so candidate work stays linear in rows.
@@ -315,13 +329,12 @@ object Similarity {
       "flipBits must be in [0, bitsPerBand]")
     val vd = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__n2").as("n2"))
-    val withSig = vd.withColumn("bkeys", array((0 until bands).map { b =>
-      (0 until resolvedBits).map(i =>
-        signBit(col("v"), b * resolvedBits + i, maxDim) * lit(1L << i))
-        .reduce(_ + _) + lit(b.toLong << 32)
-    }: _*))
-    // candidate generation moves (id, bkey) only; vectors re-attach by id
-    val banded = withSig.select(col("id"), explode(col("bkeys")).as("bkey"))
+    // candidate generation moves (id, bkey) only; vectors re-attach by
+    // id. The banded frame is 16 bytes × bands × rows — materialize it
+    // so the self-join (and the probe expansion) reads signatures once
+    // instead of recomputing every projection on both sides
+    val banded = bandKeysFor(df, idCol, vecCol, bands, resolvedBits, maxDim)
+      .localCheckpoint()
     // probe side: the key itself plus its single-bit-flip neighbors
     // (band tag lives above bit 32, untouched by the low-bit flips)
     val probed =

@@ -506,4 +506,84 @@ object VectorExpressions {
     column(PqEncode(expression(vec), codebooks))
   def matVecT(vec: Column, matrix: Array[Array[Double]]): Column =
     column(MatVecT(expression(vec), matrix))
+  def lshBandKeys(vec: Column, planes: Array[Array[Double]],
+      bands: Int, bits: Int): Column =
+    column(LshBandKeys(expression(vec), planes, bands, bits))
+}
+
+/** All `bands` LSH band keys of a vector in ONE compact codegen loop:
+  * key(b) = Σ_i [v · plane(b·bits+i) ≥ 0] · 2^i + (b << 32).
+  *
+  * Replaces bands×bits separate [[DotProduct]]-against-literal
+  * expressions — at 4×11 planes the inlined per-plane loops blow the
+  * whole-stage-codegen method budget and the projection silently falls
+  * back to interpreted evaluation (measured ~7 s for 20k rows where this
+  * loop takes well under one). Numeric contract: each projection
+  * accumulates left-to-right over min(|v|, |plane|) elements — exactly
+  * [[DotProduct]] — so band keys (and the golden-pinned x07 corpus
+  * entry) are bit-identical to the composed form. */
+case class LshBandKeys(vec: Expression, planes: Array[Array[Double]],
+    bands: Int, bits: Int) extends UnaryExpression {
+
+  require(bands > 0 && bits > 0 && planes.length == bands * bits,
+    "planes must hold bands*bits rows")
+
+  override def child: Expression = vec
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = b.toLong << 32
+      var i = 0
+      while (i < bits) {
+        val row = planes(b * bits + i)
+        val n = math.min(v.numElements(), row.length)
+        var acc = 0.0
+        var k = 0
+        while (k < n) { acc += v.getDouble(k) * row(k); k += 1 }
+        if (acc >= 0) key += 1L << i
+        i += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val key = ctx.freshName("key")
+      val row = ctx.freshName("row")
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = ((long) $b) << 32;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    double[] $row = $p[$b * $bits + $i];
+         |    int $n = java.lang.Math.min($a.numElements(), $row.length);
+         |    double $acc = 0.0;
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      $acc += $a.getDouble($k) * $row[$k];
+         |    }
+         |    if ($acc >= 0) $key += 1L << $i;
+         |  }
+         |  $out[$b] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(vec = newChild)
 }

@@ -56,6 +56,28 @@ class ExtSpec extends SparkSpec {
     assert(starved.subsetOf(uncapped) && !starved.contains((1L, 4L, 1.0)))
   }
 
+  test("jaccardPairsPrefix: exact recall by construction, equals the uncapped pair set") {
+    val sh = docs.select($"doc_id", TextAnalysis.shingles($"text", 3).as("sh"))
+    val uncapped = rows(Dedup.jaccardPairs(sh, "doc_id", "sh", 0.6))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefixed = rows(Dedup.jaccardPairsPrefix(sh, "doc_id", "sh", 0.6))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefixed == uncapped)
+    // the fixture the df-cap provably LOSES (every shared shingle hot —
+    // ExtSpec's maxDocFreq=1 starvation case) is still found here: the
+    // prefix lemma guarantees the smallest common shingle sits in both
+    // prefixes no matter how hot it is
+    assert(prefixed.contains((1L, 4L, 1.0)))
+    // real corpus, threshold variety: identical sets at t=0.8 too
+    val sf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", TextAnalysis.shingles($"text", 3).as("sh"))
+    val u8 = rows(Dedup.jaccardPairs(sf, "doc_id", "sh", 0.8))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p8 = rows(Dedup.jaccardPairsPrefix(sf, "doc_id", "sh", 0.8))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(p8 == u8)
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs absent") {
     val tok = docs.select($"doc_id", TextAnalysis.tokens(lower($"text")).as("t"))
     val got = rows(Dedup.simhashPairs(tok, "doc_id", "t", maxHamming = 3)
