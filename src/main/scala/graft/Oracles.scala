@@ -988,6 +988,51 @@ object Oracles {
         |  CAST(coalesce(sum(occ * occ), 0) AS BIGINT) AS sum_sq_occ
         |FROM ranked""".stripMargin,
 
+    // x61: two-level quantizer assignment — coarse argmax (x21's
+    // row_number discipline) over the 4 seed cells, fine seeds = per
+    // OCCUPIED coarse cell the 4 smallest-id members, then a second
+    // argmax over the winning cell's fine seeds. Coarse re-assignment
+    // runs over the occupied cells only (the engine drops empty cells
+    // from the trained model)
+    "x61_two_level_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS ccid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
+        |a0 AS (
+        |  SELECT vec_id, v, ccid FROM (
+        |    SELECT e.vec_id, e.v, c.ccid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.ccid) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |fine AS (
+        |  SELECT ccid, vec_id AS fid, v AS fv FROM (
+        |    SELECT ccid, vec_id, v,
+        |      row_number() OVER (PARTITION BY ccid ORDER BY vec_id) AS rn
+        |    FROM a0) WHERE rn <= 4),
+        |c1 AS (
+        |  SELECT c0.ccid, c0.cv FROM c0
+        |  WHERE ccid IN (SELECT DISTINCT ccid FROM fine)),
+        |acoarse AS (
+        |  SELECT vec_id, v, ccid FROM (
+        |    SELECT e.vec_id, e.v, c.ccid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.ccid) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |afine AS (
+        |  SELECT vec_id, fid FROM (
+        |    SELECT a.vec_id, f.fid,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.v, f.fv) /
+        |          (sqrt(list_dot_product(a.v, a.v)) *
+        |           sqrt(list_dot_product(f.fv, f.fv))) DESC, f.fid) AS rn
+        |    FROM acoarse a JOIN fine f ON a.ccid = f.ccid) WHERE rn = 1)
+        |SELECT vec_id AS id, fid AS cid FROM afine ORDER BY id""".stripMargin,
+
     "x54_salted_join" ->
       """SELECT p.p_type,
         |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR)

@@ -1259,6 +1259,24 @@ object Queries {
       .orderBy("id")
   }
 
+  /** x61 — TWO-LEVEL quantizer assignment: coarse seed cells (4
+    * smallest ids) → per occupied cell, fine seed cells (4 smallest
+    * members) → each vector lands in the cosine-nearest fine cell of
+    * its cosine-nearest coarse cell, all in ONE zero-exchange codegen
+    * argmax per row. Per-row cost is O(√K) centroid dots for K total
+    * cells — the scale path past the flat quantizer's 65536-cell plan
+    * clamp ([[graft.ext.Similarity.MaxAutoCells]]); plugs into
+    * semanticDedup via its `assignment` parameter. Oracle: the same
+    * nested argmax as two chained x21 row_number pipelines. */
+  val x61TwoLevelAssign: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val model = Ivf.trainTwoLevel(emb, "vec_id", "embedding",
+      nCoarse = 4, nFine = 4)
+    Ivf.assignTwoLevel(emb, "vec_id", "embedding", model)
+      .select(col("neighbor_id").as("id"), col("cid"))
+      .orderBy("id")
+  }
+
   /** x60 — quantizer occupancy telemetry as a query: the cell-size
     * distribution (count, discrete p50/p99, max, Σocc²) of x57's
     * 16-cell assignment. Σocc² is exactly the candidate-pair volume the
@@ -1709,6 +1727,7 @@ object Queries {
     "x58_semantic_admit" -> x58SemanticAdmit,
     "x59_semantic_trained" -> x59SemanticDedupTrained,
     "x60_cell_stats" -> x60CellStats,
+    "x61_two_level_assign" -> x61TwoLevelAssign,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -82,6 +82,58 @@ object Ivf {
       cent: Centroids): DataFrame =
     assignCells(df, idCol, vecCol, cent)
 
+  /** A two-level coarse→fine quantizer as a value: `coarse*` arrays are
+    * the OCCUPIED coarse seed cells (ascending id), `fine(j)` the fine
+    * centroids of coarse index j. For K total cells sized
+    * nCoarse = nFine = √K, per-row assignment is O(2·√K) centroid dots
+    * instead of the flat quantizer's O(K), and the plan constant is
+    * (nCoarse + K)·dim doubles — the path past [[Similarity
+    * .MaxAutoCells]], where the flat argmax and the embedded centroid
+    * constant both stop scaling. */
+  case class TwoLevel(coarseVecs: Array[Array[Double]],
+      coarseNorms: Array[Double], coarseIds: Array[Long],
+      fine: Array[Centroids])
+
+  /** Train the two-level quantizer: coarse seed cells (the `nCoarse`
+    * smallest ids), then per OCCUPIED coarse cell the `nFine`
+    * smallest-id members as its fine seeds. Coarse cells that attract
+    * no member drop out (their seed lost even itself to a duplicate
+    * vector with a smaller id — the x25 GROUP BY discipline), so every
+    * retained cell has ≥ 1 fine centroid and assignment is total.
+    * Deterministic end to end; one assignment scan + one bounded
+    * (≤ nCoarse·nFine rows) collect. */
+  def trainTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+      nCoarse: Int, nFine: Int): TwoLevel = {
+    val coarse = seedCentroids(corpus, idCol, vecCol, nCoarse)
+    val w = Window.partitionBy(col("cid")).orderBy(col("neighbor_id"))
+    val fineRows = assignCells(corpus, idCol, vecCol, coarse)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= nFine)
+      .select(col("cid"), col("neighbor_id").cast("long").as("fid"),
+        col("v"), col("n2"))
+      .collect()
+    val byCid = fineRows.groupBy(_.getLong(0))
+    val occupied = coarse.filter { case (cid, _, _) => byCid.contains(cid) }
+    TwoLevel(
+      occupied.map(_._2), occupied.map(_._3), occupied.map(_._1),
+      occupied.map { case (cid, _, _) =>
+        byCid(cid).map(r => (r.getLong(1), r.getSeq[Double](2).toArray,
+          r.getDouble(3))).sortBy(_._1)
+      })
+  }
+
+  /** Zero-exchange two-level assignment: one codegen argmax per row
+    * ([[VectorExpressions.nearestCellTwoLevel]]); `cid` is the winning
+    * FINE seed's id. Same output shape as [[assignWith]]. */
+  def assignTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+      model: TwoLevel): DataFrame =
+    df.select(col(idCol).as("neighbor_id"),
+        VectorOps.toDouble(col(vecCol)).as("v"),
+        VectorOps.norm2(col(vecCol)).as("n2"))
+      .withColumn("cid", VectorExpressions.nearestCellTwoLevel(
+        col("v"), col("n2"), model.coarseVecs, model.coarseNorms,
+        model.fine.map(_.map(_._2)), model.fine.map(_.map(_._3)),
+        model.fine.map(_.map(_._1))))
+
   /** Exposed for plan assertions in ScalaTest: the assignment subtree
     * must stay exchange-free. */
   private[graft] def assignedForPlanCheck(corpus: DataFrame, idCol: String,

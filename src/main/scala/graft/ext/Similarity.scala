@@ -133,12 +133,19 @@ object Similarity {
       threshold: Double, nCells: Option[Int] = None,
       centroids: Option[Ivf.Centroids] = None,
       targetCellSize: Long = DefaultCellSize,
-      maxIters: Int = FixpointIters): DataFrame = {
-    val cent = centroids.getOrElse(Ivf.train(emb, idCol, vecCol,
-      nCells.getOrElse(autoNCells(
-        emb.select(col(idCol)).count(), targetCellSize))))
-    val assigned = Ivf.assignWith(emb, idCol, vecCol, cent)
-      .select(col("neighbor_id").as("id"), col("cid"))
+      maxIters: Int = FixpointIters,
+      assignment: Option[DataFrame] = None): DataFrame = {
+    // `assignment` ((id, cid), e.g. from Ivf.assignTwoLevel past the
+    // flat-quantizer clamp) wins over everything — the operator only
+    // ever needs the cell partition, not how it was drawn
+    val assigned = assignment.map(_.select(col("id"), col("cid")))
+      .getOrElse {
+        val cent = centroids.getOrElse(Ivf.train(emb, idCol, vecCol,
+          nCells.getOrElse(autoNCells(
+            emb.select(col(idCol)).count(), targetCellSize))))
+        Ivf.assignWith(emb, idCol, vecCol, cent)
+          .select(col("neighbor_id").as("id"), col("cid"))
+      }
     val cand = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

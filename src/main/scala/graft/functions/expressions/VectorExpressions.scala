@@ -323,6 +323,133 @@ case class NearestCell(vec: Expression, norm2: Expression,
       : Expression = copy(vec = l, norm2 = r)
 }
 
+/** Two-level (coarse → fine) nearest-cell assignment in one per-row
+  * codegen map: argmax cosine over the coarse centroids picks an index,
+  * then argmax cosine over THAT cell's fine centroids returns the fine
+  * cell id. Per-row cost is O(nCoarse + nFine) centroid dots — for K
+  * total cells sized nCoarse = nFine = √K, O(2·√K) instead of the flat
+  * [[NearestCell]]'s O(K) — the path past the flat quantizer's
+  * plan-size clamp. Tie-breaking and cosine arithmetic are exactly
+  * [[NearestCell]]'s (first index wins on ties ⇔ ascending-id order ⇔
+  * `row_number() OVER (ORDER BY cos DESC, id)` = 1), so the assignment
+  * is oracle-checkable with the same nested-row_number SQL.
+  *
+  * `coarse*` arrays are ascending-id aligned; `fine*(j)` are the fine
+  * centroids of coarse index j, each ascending by `fineIds(j)`. */
+case class NearestCellTwoLevel(vec: Expression, norm2: Expression,
+    coarseVecs: Array[Array[Double]], coarseNorms: Array[Double],
+    fineVecs: Array[Array[Array[Double]]], fineNorms: Array[Array[Double]],
+    fineIds: Array[Array[Long]]) extends BinaryExpression {
+
+  require(coarseVecs.nonEmpty &&
+    coarseVecs.length == coarseNorms.length &&
+    coarseVecs.length == fineVecs.length &&
+    coarseVecs.length == fineNorms.length &&
+    coarseVecs.length == fineIds.length &&
+    fineIds.forall(_.nonEmpty),
+    "coarse/fine centroid arrays must be non-empty and aligned")
+
+  override def left: Expression = vec
+  override def right: Expression = norm2
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell_two_level"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val sq = math.sqrt(b.asInstanceOf[Double])
+    var bestCos = 0.0
+    var bestJ = 0
+    var j = 0
+    while (j < coarseVecs.length) {
+      val cv = coarseVecs(j)
+      val n = math.min(v.numElements(), cv.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
+      val cos = dot / (sq * math.sqrt(coarseNorms(j)))
+      if (j == 0 || java.lang.Double.compare(cos, bestCos) > 0) {
+        bestCos = cos; bestJ = j
+      }
+      j += 1
+    }
+    val fv = fineVecs(bestJ)
+    val fn = fineNorms(bestJ)
+    val fi = fineIds(bestJ)
+    var bestF = 0.0
+    var bestId = 0L
+    var k = 0
+    while (k < fi.length) {
+      val cv = fv(k)
+      val n = math.min(v.numElements(), cv.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
+      val cos = dot / (sq * math.sqrt(fn(k)))
+      if (k == 0 || java.lang.Double.compare(cos, bestF) > 0) {
+        bestF = cos; bestId = fi(k)
+      }
+      k += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cvs = ctx.addReferenceObj("coarseVecs", coarseVecs, "double[][]")
+      val cns = ctx.addReferenceObj("coarseNorms", coarseNorms, "double[]")
+      val fvs = ctx.addReferenceObj("fineVecs", fineVecs, "double[][][]")
+      val fns = ctx.addReferenceObj("fineNorms", fineNorms, "double[][]")
+      val fis = ctx.addReferenceObj("fineIds", fineIds, "long[][]")
+      val sq = ctx.freshName("sq")
+      val bestCos = ctx.freshName("bestCos")
+      val bestJ = ctx.freshName("bestJ")
+      val bestF = ctx.freshName("bestF")
+      val bestId = ctx.freshName("bestId")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val cos = ctx.freshName("cos")
+      s"""
+         |double $sq = java.lang.Math.sqrt($b);
+         |double $bestCos = 0.0;
+         |int $bestJ = 0;
+         |for (int $j = 0; $j < $cvs.length; $j++) {
+         |  double[] $cv = $cvs[$j];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $cv[$i];
+         |  }
+         |  double $cos = $dot / ($sq * java.lang.Math.sqrt($cns[$j]));
+         |  if ($j == 0 || java.lang.Double.compare($cos, $bestCos) > 0) {
+         |    $bestCos = $cos; $bestJ = $j;
+         |  }
+         |}
+         |double $bestF = 0.0;
+         |long $bestId = 0L;
+         |for (int $k = 0; $k < $fis[$bestJ].length; $k++) {
+         |  double[] $cv = $fvs[$bestJ][$k];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $cv[$i];
+         |  }
+         |  double $cos = $dot / ($sq * java.lang.Math.sqrt($fns[$bestJ][$k]));
+         |  if ($k == 0 || java.lang.Double.compare($cos, $bestF) > 0) {
+         |    $bestF = $cos; $bestId = $fis[$bestJ][$k];
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(vec = l, norm2 = r)
+}
+
 /** Product-quantization encoder: split the input vector into
   * `codebooks.length` contiguous subspaces and emit, per subspace, the
   * index of the L2-nearest codeword — all m codes in ONE per-row codegen
@@ -509,6 +636,12 @@ object VectorExpressions {
   def lshBandKeys(vec: Column, planes: Array[Array[Double]],
       bands: Int, bits: Int): Column =
     column(LshBandKeys(expression(vec), planes, bands, bits))
+  def nearestCellTwoLevel(vec: Column, norm2: Column,
+      coarseVecs: Array[Array[Double]], coarseNorms: Array[Double],
+      fineVecs: Array[Array[Array[Double]]], fineNorms: Array[Array[Double]],
+      fineIds: Array[Array[Long]]): Column =
+    column(NearestCellTwoLevel(expression(vec), expression(norm2),
+      coarseVecs, coarseNorms, fineVecs, fineNorms, fineIds))
 }
 
 /** All `bands` LSH band keys of a vector in ONE compact codegen loop:

@@ -347,10 +347,21 @@ object Streams {
     * State is the admitted (id, vector) rows, localCheckpointed per
     * batch — linear in what was admitted, the honest cost of exact
     * cross-batch cosine semantics (a cells-only ledger would refuse any
-    * same-cell arrival, which is a different, coarser operator). */
+    * same-cell arrival, which is a different, coarser operator).
+    *
+    * `dedupWithinBatch = true` additionally runs [[graft.ext.Similarity
+    * .semanticDedup]] on each batch (under the SAME fixed quantizer)
+    * before admission, keeping only component-minimum survivors — so
+    * two near-identical docs arriving in the SAME micro-batch no longer
+    * both land. With both options on, the ledger is pairwise
+    * non-near-duplicate at the threshold by construction (every batch
+    * is internally deduped, and every survivor was cosine-far from the
+    * whole ledger when admitted), which is what makes the ledger
+    * NEVER need compaction. */
   def semanticAdmitSink(incomingStream: DataFrame, existing: DataFrame,
       idCol: String, vecCol: String, nCells: Int, threshold: Double,
-      outPath: String, checkpoint: String, crossBatch: Boolean = false)
+      outPath: String, checkpoint: String, crossBatch: Boolean = false,
+      dedupWithinBatch: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // materialize the existing side once — every batch re-joins it
     val ex = existing.localCheckpoint()
@@ -363,7 +374,16 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val raw = graft.ext.Similarity.semanticAdmit(judge, batch,
+        val pre =
+          if (!dedupWithinBatch) batch
+          else {
+            val keep = graft.ext.Similarity.semanticDedup(batch, idCol,
+                vecCol, threshold, centroids = Some(cent))
+              .where(col("id") === col("keep_id"))
+              .select(col("id").as(idCol))
+            batch.join(keep, Seq(idCol), "left_semi")
+          }
+        val raw = graft.ext.Similarity.semanticAdmit(judge, pre,
           idCol, vecCol, threshold, centroids = Some(cent))
         // settle survivors before the ledger moves (ledger mode only)
         val admitted = if (crossBatch) raw.localCheckpoint() else raw

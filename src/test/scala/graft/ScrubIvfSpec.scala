@@ -79,6 +79,53 @@ class ScrubIvfSpec extends SparkSpec {
     assert(!plan.contains("Window"), "assignment uses a window:\n" + plan.take(600))
   }
 
+  test("two-level assignment: exchange-free, total, coarse-consistent, dedup-pluggable") {
+    import graft.ext.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Ivf.trainTwoLevel(emb, "vec_id", "embedding",
+      nCoarse = 3, nFine = 3)
+    val assigned = Ivf.assignTwoLevel(emb, "vec_id", "embedding", model)
+    // same 100 TB contract as the flat quantizer: one scan, no exchange
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "two-level assignment shuffles:\n" +
+      plan.take(600))
+    // total: every row lands in some fine cell, and every cid is a
+    // trained fine seed id
+    val fineIds = model.fine.flatMap(_.map(_._1)).toSet
+    val got = rows(assigned.select($"neighbor_id", $"cid"))
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.size == emb.count())
+    assert(got.forall { case (_, cid) => fineIds.contains(cid) })
+    // coarse-consistent: a row's fine cell belongs to the fine set of
+    // its coarse winner (the hierarchy actually constrains the argmax)
+    val coarseOf = model.coarseIds.zipWithIndex.toMap
+    val flatCoarse = rows(Ivf.assignWith(emb, "vec_id", "embedding",
+        model.coarseIds.indices.map(j => (model.coarseIds(j),
+          model.coarseVecs(j), model.coarseNorms(j))).toArray)
+      .select($"neighbor_id", $"cid"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, cid) =>
+      val fineSet = model.fine(coarseOf(flatCoarse(id))).map(_._1).toSet
+      assert(fineSet.contains(cid), s"row $id: fine $cid outside its coarse cell")
+    }
+    // a fine seed assigns to itself (cosine 1 in its own cell)
+    model.fine.flatMap(_.map(_._1)).foreach { fid =>
+      assert(got.toMap.get(fid).contains(fid), s"seed $fid not self-assigned")
+    }
+    // plugs into semanticDedup: an explicit flat assignment reproduces
+    // the centroids path exactly
+    val cent = Ivf.train(emb, "vec_id", "embedding", 8)
+    val viaCent = rows(Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.45, centroids = Some(cent)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAssign = rows(Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.45, assignment = Some(
+          Ivf.assignWith(emb, "vec_id", "embedding", cent)
+            .select($"neighbor_id".as("id"), $"cid"))))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAssign == viaCent)
+  }
+
   test("ivfTopK with Lloyd refinement: recall >= seed-centroid recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.where($"vec_id" < 10)

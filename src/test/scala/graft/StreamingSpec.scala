@@ -532,6 +532,38 @@ class StreamingSpec extends SparkSpec {
     assert(off2 == Set(201L, 202L)) // old behavior: batches independent
   }
 
+  test("semanticAdmitSink dedupWithinBatch: same-batch duplicates collapse to the smallest id") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Long): Array[Float] = Array((i % 5).toFloat,
+      ((i * 3) % 7).toFloat, ((i * 5) % 11).toFloat, ((i * 7) % 13).toFloat)
+    val existing = (1L to 32L).map(i => QV(i, vec(i))).toDF()
+    // one batch: two exact copies of a novel pattern + one distinct row
+    val novel = Array(9f, 8f, 7f, 6f)
+    val b = Seq(QV(101L, novel), QV(102L, novel.clone()),
+      QV(103L, Array(6f, 7f, 8f, 9f)))
+    def run(dedup: Boolean): Set[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_wbatch")
+      val out = dir.resolve("admitted").toString
+      try {
+        val mem = MemoryStream[QV]
+        mem.addData(b: _*)
+        val q = Streams.semanticAdmitSink(mem.toDF(), existing, "vec_id",
+          "embedding", nCells = 4, threshold = 0.999,
+          out, dir.resolve("ckpt").toString, dedupWithinBatch = dedup)
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(out).select($"vec_id")
+          .collect().map(_.getLong(0)).toSet
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      }
+    }
+    // off: both copies pass (within-batch dups are documented as the
+    // caller's problem); on: only the smallest id of the pair survives
+    assert(run(dedup = false) == Set(101L, 102L, 103L))
+    assert(run(dedup = true) == Set(101L, 103L))
+  }
+
   test("adcScoreSink refuses an oversized replay batch (LUT guard stays on)") {
     implicit val sqlCtx = spark.sqlContext
     // "micro-batches are bounded" is a rate-limit property, not a
