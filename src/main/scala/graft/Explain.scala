@@ -24,7 +24,14 @@ object Explain {
         // matVecT map; q36's date list must broadcast (nested loop, no
         // shuffle of the roster); x56's payload build stays in codegen
         // up to the single mapPartitions parse
-        "x55_opq_encode", "q36_weeklies_asof", "x56_media_meta")
+        "x55_opq_encode", "q36_weeklies_asof", "x56_media_meta",
+        // round 7: encode scans read the checkpointed (id, codes) frame
+        // (single pq_encode); x02's prefix-filter candidates stay
+        // ids-only; x07 reads checkpointed band keys; x61/x62's
+        // two-level assignment must stay exchange-free
+        "x02_ngram_jaccard", "x07_lsh_ann", "x57_semantic_dedup",
+        "x59_semantic_trained", "x61_two_level_assign",
+        "x62_two_level_dedup")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

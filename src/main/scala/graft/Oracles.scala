@@ -1033,6 +1033,67 @@ object Oracles {
         |    FROM acoarse a JOIN fine f ON a.ccid = f.ccid) WHERE rn = 1)
         |SELECT vec_id AS id, fid AS cid FROM afine ORDER BY id""".stripMargin,
 
+    // x62: hierarchical SemDeDup — x61's two-level assignment (nested
+    // argmax CTEs) composed with x57's within-cell pairs + recursive
+    // reachability; keep_id = min id of the semantic component
+    "x62_two_level_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS ccid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
+        |a0 AS (
+        |  SELECT vec_id, v, ccid FROM (
+        |    SELECT e.vec_id, e.v, c.ccid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.ccid) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |fine AS (
+        |  SELECT ccid, vec_id AS fid, v AS fv FROM (
+        |    SELECT ccid, vec_id, v,
+        |      row_number() OVER (PARTITION BY ccid ORDER BY vec_id) AS rn
+        |    FROM a0) WHERE rn <= 4),
+        |c1 AS (
+        |  SELECT c0.ccid, c0.cv FROM c0
+        |  WHERE ccid IN (SELECT DISTINCT ccid FROM fine)),
+        |acoarse AS (
+        |  SELECT vec_id, v, ccid FROM (
+        |    SELECT e.vec_id, e.v, c.ccid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.ccid) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |assigned AS (
+        |  SELECT vec_id, fid AS cid FROM (
+        |    SELECT a.vec_id, f.fid,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.v, f.fv) /
+        |          (sqrt(list_dot_product(a.v, a.v)) *
+        |           sqrt(list_dot_product(f.fv, f.fv))) DESC, f.fid) AS rn
+        |    FROM acoarse a JOIN fine f ON a.ccid = f.ccid) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_dot_product(ea.v, eb.v) /
+        |    (sqrt(list_dot_product(ea.v, ea.v)) *
+        |     sqrt(list_dot_product(eb.v, eb.v))) >= 0.45),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        |keep AS (
+        |  SELECT src AS id, least(src, min(dst)) AS keep_id
+        |  FROM reach GROUP BY src)
+        |SELECT e.vec_id AS id, coalesce(k.keep_id, e.vec_id) AS keep_id
+        |FROM e LEFT JOIN keep k ON k.id = e.vec_id
+        |ORDER BY id""".stripMargin,
+
     "x54_salted_join" ->
       """SELECT p.p_type,
         |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR)

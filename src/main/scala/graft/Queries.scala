@@ -1277,6 +1277,24 @@ object Queries {
       .orderBy("id")
   }
 
+  /** x62 — hierarchical SemDeDup: the x61 two-level assignment feeding
+    * [[graft.ext.Similarity.semanticDedup]] through its `assignment`
+    * hook — within-FINE-cell cosine pruning + component-minimum
+    * survivors. The full 100 TB shape: O(√K)-per-row quantization and
+    * K-independent plan size on the way in, the x57 prune/cluster
+    * machinery unchanged on the way out. Oracle: x61's nested argmax
+    * composed with x57's pairs + recursive reachability. */
+  val x62TwoLevelDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val model = Ivf.trainTwoLevel(emb, "vec_id", "embedding",
+      nCoarse = 4, nFine = 4)
+    val assigned = Ivf.assignTwoLevel(emb, "vec_id", "embedding", model)
+      .select(col("neighbor_id").as("id"), col("cid"))
+    Similarity.semanticDedup(emb, "vec_id", "embedding", threshold = 0.45,
+        assignment = Some(assigned))
+      .orderBy("id")
+  }
+
   /** x60 — quantizer occupancy telemetry as a query: the cell-size
     * distribution (count, discrete p50/p99, max, Σocc²) of x57's
     * 16-cell assignment. Σocc² is exactly the candidate-pair volume the
@@ -1728,6 +1746,7 @@ object Queries {
     "x59_semantic_trained" -> x59SemanticDedupTrained,
     "x60_cell_stats" -> x60CellStats,
     "x61_two_level_assign" -> x61TwoLevelAssign,
+    "x62_two_level_dedup" -> x62TwoLevelDedup,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
