@@ -134,17 +134,25 @@ object Similarity {
       centroids: Option[Ivf.Centroids] = None,
       targetCellSize: Long = DefaultCellSize,
       maxIters: Int = FixpointIters,
-      assignment: Option[DataFrame] = None): DataFrame = {
-    // `assignment` ((id, cid), e.g. from Ivf.assignTwoLevel past the
-    // flat-quantizer clamp) wins over everything — the operator only
-    // ever needs the cell partition, not how it was drawn
+      assignment: Option[DataFrame] = None,
+      flatAutoCells: Int = FlatAutoCells): DataFrame = {
+    // `assignment` ((id, cid), any precomputed partition) wins over
+    // everything — the operator only ever needs the cell partition,
+    // not how it was drawn; then explicit centroids/nCells (the pinned
+    // forms); the DEFAULT auto-sizes K and trains flat or two-level by
+    // [[autoAssign]]
     val assigned = assignment.map(_.select(col("id"), col("cid")))
       .getOrElse {
-        val cent = centroids.getOrElse(Ivf.train(emb, idCol, vecCol,
-          nCells.getOrElse(autoNCells(
-            emb.select(col(idCol)).count(), targetCellSize))))
-        Ivf.assignWith(emb, idCol, vecCol, cent)
-          .select(col("neighbor_id").as("id"), col("cid"))
+        val explicit = centroids.orElse(
+          nCells.map(k => Ivf.train(emb, idCol, vecCol, k)))
+        val raw = explicit match {
+          case Some(cent) => Ivf.assignWith(emb, idCol, vecCol, cent)
+          case None =>
+            val k = autoNCells(
+              emb.select(col(idCol)).count(), targetCellSize)
+            autoAssign(emb, Seq(emb), idCol, vecCol, k, flatAutoCells).head
+        }
+        raw.select(col("neighbor_id").as("id"), col("cid"))
       }
     val cand = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
@@ -187,14 +195,22 @@ object Similarity {
       idCol: String, vecCol: String, threshold: Double,
       nCells: Option[Int] = None,
       centroids: Option[Ivf.Centroids] = None,
-      targetCellSize: Long = DefaultCellSize): DataFrame = {
-    val cent = centroids.getOrElse(Ivf.train(existing, idCol, vecCol,
-      nCells.getOrElse(autoNCells(
-        existing.select(col(idCol)).count(), targetCellSize))))
-    val exA = Ivf.assignWith(existing, idCol, vecCol, cent)
-      .select(col("neighbor_id").as("ex_id"), col("cid"))
-    val inA = Ivf.assignWith(incoming, idCol, vecCol, cent)
-      .select(col("neighbor_id").as("in_id"), col("cid"))
+      targetCellSize: Long = DefaultCellSize,
+      flatAutoCells: Int = FlatAutoCells): DataFrame = {
+    val explicit = centroids.orElse(
+      nCells.map(k => Ivf.train(existing, idCol, vecCol, k)))
+    val (exRaw, inRaw) = explicit match {
+      case Some(cent) => (Ivf.assignWith(existing, idCol, vecCol, cent),
+        Ivf.assignWith(incoming, idCol, vecCol, cent))
+      case None =>
+        val k = autoNCells(
+          existing.select(col(idCol)).count(), targetCellSize)
+        val both = autoAssign(existing, Seq(existing, incoming),
+          idCol, vecCol, k, flatAutoCells)
+        (both(0), both(1))
+    }
+    val exA = exRaw.select(col("neighbor_id").as("ex_id"), col("cid"))
+    val inA = inRaw.select(col("neighbor_id").as("in_id"), col("cid"))
     val cand = inA.join(exA, Seq("cid")).select(col("in_id"), col("ex_id"))
     val ex = withNorm(existing, idCol, vecCol)
       .select(col(idCol).as("ex_id"), col(vecCol).as("ve"),
@@ -254,6 +270,32 @@ object Similarity {
     * needs component-diameter iterations and stops early on
     * convergence, so a large bound only ever pays for real diameter. */
   val FixpointIters: Int = 1000
+
+  /** Above this auto-derived cell count, the AUTO path trains the
+    * TWO-LEVEL quantizer ([[Ivf.trainTwoLevel]], nCoarse = nFine = ⌈√K⌉)
+    * instead of the flat one: per-row assignment stays O(√K) centroid
+    * dots instead of O(K), so growing the corpus (and with it K) no
+    * longer grows the scan cost super-linearly. The K·dim centroid plan
+    * constant is what [[MaxAutoCells]] still bounds. */
+  val FlatAutoCells: Int = 4096
+
+  /** Assign `targets` under the auto-sized quantizer trained on
+    * `source`: flat seed cells up to [[FlatAutoCells]] cells, the
+    * two-level coarse→fine quantizer above (`flatLimit` overridable per
+    * call). One trained model is applied to every target — the
+    * admission shape requires the judged side and the judging side to
+    * share cell boundaries. */
+  private def autoAssign(source: DataFrame, targets: Seq[DataFrame],
+      idCol: String, vecCol: String, k: Int,
+      flatLimit: Int): Seq[DataFrame] =
+    if (k <= flatLimit) {
+      val cent = Ivf.train(source, idCol, vecCol, k)
+      targets.map(t => Ivf.assignWith(t, idCol, vecCol, cent))
+    } else {
+      val side = math.ceil(math.sqrt(k.toDouble)).toInt
+      val model = Ivf.trainTwoLevel(source, idCol, vecCol, side, side)
+      targets.map(t => Ivf.assignTwoLevel(t, idCol, vecCol, model))
+    }
 
   /** Occupancy-preserving cell count: `n / targetCellSize`, clamped to
     * [1, [[MaxAutoCells]]]. The semantic-family analog of

@@ -323,6 +323,52 @@ class ExtSpec extends SparkSpec {
     assert(again == adm)
   }
 
+  test("auto quantizer escalates to two-level past flatAutoCells; identical to manual composition") {
+    import graft.ext.{Ivf, Similarity}
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    // targetCellSize 4 -> k = ceil(n/4); flatAutoCells = 1 forces the
+    // two-level branch with nCoarse = nFine = ceil(sqrt(k))
+    val k = Similarity.autoNCells(n, targetCellSize = 4)
+    val side = math.ceil(math.sqrt(k.toDouble)).toInt
+    val auto = rows(Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.45, targetCellSize = 4, flatAutoCells = 1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = rows(Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.45, assignment = Some(
+          Ivf.assignTwoLevel(emb, "vec_id", "embedding",
+            Ivf.trainTwoLevel(emb, "vec_id", "embedding", side, side))
+            .select(col("neighbor_id").as("id"), col("cid")))))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == manual)
+    // under flatAutoCells the same call stays flat — also well-formed
+    val flat = rows(Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.45, targetCellSize = 4,
+        flatAutoCells = Similarity.FlatAutoCells))
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    flat.foreach { case (id, keep) =>
+      assert(keep <= id && flat(keep) == keep)
+    }
+    // semanticAdmit's auto two-level path: one-sided, idempotent, and
+    // exact copies of existing rows are refused
+    val existing = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
+    val copies = existing.limit(3)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val incoming = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
+      .unionByName(copies)
+    val admitted = Similarity.semanticAdmit(existing, incoming, "vec_id",
+      "embedding", threshold = 0.999, targetCellSize = 4,
+      flatAutoCells = 1)
+    val adm = rows(admitted.select(col("vec_id"))).map(_.getLong(0)).toSet
+    assert(adm.forall(_ < 100000L), s"exact copies admitted: $adm")
+    val again = rows(Similarity.semanticAdmit(existing, admitted, "vec_id",
+        "embedding", threshold = 0.999, targetCellSize = 4,
+        flatAutoCells = 1).select(col("vec_id")))
+      .map(_.getLong(0)).toSet
+    assert(again == adm)
+  }
+
   test("autoBitsPerBand: constant expected occupancy as the corpus scales") {
     import graft.ext.Similarity
     assert(Similarity.autoBitsPerBand(16) == 4) // clamp floor
