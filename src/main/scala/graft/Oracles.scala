@@ -1033,6 +1033,65 @@ object Oracles {
         |    FROM acoarse a JOIN fine f ON a.ccid = f.ccid) WHERE rn = 1)
         |SELECT vec_id AS id, fid AS cid FROM afine ORDER BY id""".stripMargin,
 
+    // x63: two-level quantizer, fine level refined by one Lloyd step —
+    // x61's nested argmax, then the fine centroids are replaced by the
+    // exact-decimal member means of the seed assignment (x25's CTE
+    // discipline; cells that lose every member drop out) and the
+    // corpus re-assigns against the refined fine cells
+    "x63_two_level_refined" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS ccid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
+        |a0 AS (
+        |  SELECT vec_id, v, ccid FROM (
+        |    SELECT e.vec_id, e.v, c.ccid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.ccid) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |fine AS (
+        |  SELECT ccid, vec_id AS fid, v AS fv FROM (
+        |    SELECT ccid, vec_id, v,
+        |      row_number() OVER (PARTITION BY ccid ORDER BY vec_id) AS rn
+        |    FROM a0) WHERE rn <= 4),
+        |c1 AS (
+        |  SELECT c0.ccid, c0.cv FROM c0
+        |  WHERE ccid IN (SELECT DISTINCT ccid FROM fine)),
+        |acoarse AS (
+        |  SELECT vec_id, v, ccid FROM (
+        |    SELECT e.vec_id, e.v, c.ccid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.ccid) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |afine0 AS (
+        |  SELECT vec_id, v, fid FROM (
+        |    SELECT a.vec_id, a.v, f.fid,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.v, f.fv) /
+        |          (sqrt(list_dot_product(a.v, a.v)) *
+        |           sqrt(list_dot_product(f.fv, f.fv))) DESC, f.fid) AS rn
+        |    FROM acoarse a JOIN fine f ON a.ccid = f.ccid) WHERE rn = 1),
+        |fm AS (
+        |  SELECT fid, list(centroid ORDER BY pos) AS fv FROM (
+        |    SELECT fid, i AS pos,
+        |      CAST(CAST(sum(CAST(v[i] AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*) AS centroid
+        |    FROM afine0, range(1, 65) t(i) GROUP BY 1, 2) m
+        |  GROUP BY fid),
+        |fine2 AS (SELECT f.ccid, fm.fid, fm.fv FROM fm JOIN fine f ON f.fid = fm.fid),
+        |afine2 AS (
+        |  SELECT vec_id, fid FROM (
+        |    SELECT a.vec_id, f.fid,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.v, f.fv) /
+        |          (sqrt(list_dot_product(a.v, a.v)) *
+        |           sqrt(list_dot_product(f.fv, f.fv))) DESC, f.fid) AS rn
+        |    FROM acoarse a JOIN fine2 f ON a.ccid = f.ccid) WHERE rn = 1)
+        |SELECT vec_id AS id, fid AS cid FROM afine2 ORDER BY id""".stripMargin,
+
     // x62: hierarchical SemDeDup — x61's two-level assignment (nested
     // argmax CTEs) composed with x57's within-cell pairs + recursive
     // reachability; keep_id = min id of the semantic component

@@ -1295,6 +1295,22 @@ object Queries {
       .orderBy("id")
   }
 
+  /** x63 — two-level quantizer with one Lloyd refinement of the FINE
+    * level: fine centroids become the exact-decimal member means of the
+    * seed assignment (coarse boundaries never move), then the corpus
+    * re-assigns. x59's trained-quantizer discipline applied to the
+    * hierarchical shape — balanced fine cells bound the per-cell
+    * constant the seeds leave to luck. Oracle: x61's nested argmax with
+    * an x25-style refinement CTE between the two assignment passes. */
+  val x63TwoLevelRefined: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val model = Ivf.trainTwoLevel(emb, "vec_id", "embedding",
+      nCoarse = 4, nFine = 4, refineIters = 1)
+    Ivf.assignTwoLevel(emb, "vec_id", "embedding", model)
+      .select(col("neighbor_id").as("id"), col("cid"))
+      .orderBy("id")
+  }
+
   /** x60 — quantizer occupancy telemetry as a query: the cell-size
     * distribution (count, discrete p50/p99, max, Σocc²) of x57's
     * 16-cell assignment. Σocc² is exactly the candidate-pair volume the
@@ -1747,6 +1763,7 @@ object Queries {
     "x60_cell_stats" -> x60CellStats,
     "x61_two_level_assign" -> x61TwoLevelAssign,
     "x62_two_level_dedup" -> x62TwoLevelDedup,
+    "x63_two_level_refined" -> x63TwoLevelRefined,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

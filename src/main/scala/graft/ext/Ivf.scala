@@ -101,9 +101,17 @@ object Ivf {
     * vector with a smaller id — the x25 GROUP BY discipline), so every
     * retained cell has ≥ 1 fine centroid and assignment is total.
     * Deterministic end to end; one assignment scan + one bounded
-    * (≤ nCoarse·nFine rows) collect. */
+    * (≤ nCoarse·nFine rows) collect.
+    *
+    * `refineIters` Lloyd steps sharpen the FINE level (the x24/x25
+    * exact-decimal member means, so the refined model is bit-identical
+    * in any engine): each iteration runs one two-level assignment scan
+    * + one map-side-combined (cid, dim) mean agg; fine cells that lose
+    * every member drop (GROUP BY semantics), cell ids stay the seed
+    * ids. Coarse boundaries never move — refinement balances the cells
+    * a row searches, not which coarse cell it reaches. */
   def trainTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
-      nCoarse: Int, nFine: Int): TwoLevel = {
+      nCoarse: Int, nFine: Int, refineIters: Int = 0): TwoLevel = {
     val coarse = seedCentroids(corpus, idCol, vecCol, nCoarse)
     val w = Window.partitionBy(col("cid")).orderBy(col("neighbor_id"))
     val fineRows = assignCells(corpus, idCol, vecCol, coarse)
@@ -113,12 +121,36 @@ object Ivf {
       .collect()
     val byCid = fineRows.groupBy(_.getLong(0))
     val occupied = coarse.filter { case (cid, _, _) => byCid.contains(cid) }
-    TwoLevel(
+    var model = TwoLevel(
       occupied.map(_._2), occupied.map(_._3), occupied.map(_._1),
       occupied.map { case (cid, _, _) =>
         byCid(cid).map(r => (r.getLong(1), r.getSeq[Double](2).toArray,
           r.getDouble(3))).sortBy(_._1)
       })
+    var it = 0
+    while (it < refineIters) {
+      // which coarse slot owns each fine id (fine ids are vec_ids of
+      // members, so they are unique across coarse cells)
+      val slotOf = model.fine.zipWithIndex
+        .flatMap { case (cents, j) => cents.map(c => c._1 -> j) }.toMap
+      val means = cellMeans(assignTwoLevel(corpus, idCol, vecCol, model))
+        .select(col("cid"), col("pos"), col("centroid"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (fid, rows) =>
+          val cv = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          var cn = 0.0
+          var i = 0
+          while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
+          fid -> ((fid, cv, cn))
+        }
+      model = model.copy(fine = model.fine.indices.map { j =>
+        means.collect { case (fid, c) if slotOf(fid) == j => c }
+          .toArray.sortBy(_._1)
+      }.toArray)
+      it += 1
+    }
+    model
   }
 
   /** Zero-exchange two-level assignment: one codegen argmax per row

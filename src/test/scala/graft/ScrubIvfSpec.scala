@@ -126,6 +126,33 @@ class ScrubIvfSpec extends SparkSpec {
     assert(viaAssign == viaCent)
   }
 
+  test("two-level refinement: fine means move, ids survive, assignment stays total") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seed = Ivf.trainTwoLevel(emb, "vec_id", "embedding", 3, 3)
+    val refined = Ivf.trainTwoLevel(emb, "vec_id", "embedding", 3, 3,
+      refineIters = 1)
+    // coarse level is untouched by fine refinement
+    assert(refined.coarseIds.sameElements(seed.coarseIds))
+    refined.coarseVecs.zip(seed.coarseVecs).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    // fine ids can only shrink (empty cells drop), never appear
+    val seedIds = seed.fine.flatMap(_.map(_._1)).toSet
+    val refinedIds = refined.fine.flatMap(_.map(_._1)).toSet
+    assert(refinedIds.subsetOf(seedIds) && refinedIds.nonEmpty)
+    // at least one fine centroid actually moved to its members' mean
+    val moved = refined.fine.flatten.zip(
+      seed.fine.flatten.filter(c => refinedIds.contains(c._1)))
+      .exists { case (r, s) => !r._2.sameElements(s._2) }
+    assert(moved, "refinement changed nothing")
+    // refined assignment is still total and lands in refined cells only
+    val got = rows(Ivf.assignTwoLevel(emb, "vec_id", "embedding", refined)
+      .select($"neighbor_id", $"cid"))
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.size == emb.count())
+    assert(got.forall { case (_, cid) => refinedIds.contains(cid) })
+  }
+
   test("ivfTopK with Lloyd refinement: recall >= seed-centroid recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.where($"vec_id" < 10)
