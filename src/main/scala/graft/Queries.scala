@@ -1311,6 +1311,18 @@ object Queries {
       .orderBy("id")
   }
 
+  /** x64 — model-based quality score (the CCNet/Gopher perplexity-
+    * filtering step, LM-free): corpus-trained bigram conditional
+    * frequencies, each document scored by its mean P(w₂|w₁). Joins are
+    * linear in bigram occurrences; probabilities quantize to
+    * DECIMAL(28,12) before the per-doc sum so the oracle reproduces
+    * the double bit-for-bit. */
+  val x64BigramScore: Q = (s, dir) => {
+    TextAnalysis.bigramScore(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x60 — quantizer occupancy telemetry as a query: the cell-size
     * distribution (count, discrete p50/p99, max, Σocc²) of x57's
     * 16-cell assignment. Σocc² is exactly the candidate-pair volume the
@@ -1764,6 +1776,7 @@ object Queries {
     "x61_two_level_assign" -> x61TwoLevelAssign,
     "x62_two_level_dedup" -> x62TwoLevelDedup,
     "x63_two_level_refined" -> x63TwoLevelRefined,
+    "x64_bigram_score" -> x64BigramScore,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

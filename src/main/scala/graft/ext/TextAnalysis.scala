@@ -81,6 +81,49 @@ object TextAnalysis {
       org.apache.spark.sql.expressions.Window
         .partitionBy(group).orderBy(score, id)))
 
+  /** Model-based quality scoring WITHOUT an external LM (the
+    * CCNet/Gopher-style perplexity-filtering step, from the public
+    * recipe): train bigram conditional frequencies on the corpus
+    * itself and score each document by the MEAN maximum-likelihood
+    * P(w₂ | w₁) of its bigrams — fluent, corpus-typical text scores
+    * high, token salad and boilerplate-free noise score low; the score
+    * then feeds [[calibrate]] for per-group thresholds exactly like
+    * any other quality signal. Output: (id, n_bigrams, bigram_score),
+    * score null when a document has no bigram (< 2 tokens).
+    *
+    * Determinism: counts are exact longs; each conditional probability
+    * is one IEEE double division quantized to DECIMAL(28,12) (the
+    * x24/x25 mean discipline), so the per-document sum is
+    * order-independent and the DuckDB oracle reproduces the score
+    * bit-for-bit. At 100 TB: two map-side-combined count aggregations
+    * plus two equi-joins of the bigram stream against them — linear in
+    * bigram occurrences, no quadratic stage; stopword-grade `w1` keys
+    * skew the join shuffle, which is [[graft.operators.Skew]]'s salted
+    * join territory, not a redesign. */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("t"))
+    val bi = toks.select(col("id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+    val agg = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("p", (col("cnt2").cast("double") /
+        col("cnt1").cast("double")).cast(DecimalType(28, 12)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p")).cast("double") / count(lit(1)))
+          .as("bigram_score"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_score"))
+  }
+
   /** Canonical-form fingerprint: lowercase, collapse non-alphanumerics,
     * hash. Used for exact dedup robust to formatting noise. */
   def fingerprint(text: Column): Column =

@@ -323,6 +323,28 @@ class ExtSpec extends SparkSpec {
     assert(again == adm)
   }
 
+  test("bigramScore: hand-computed MLE conditionals, short docs null, case-folded") {
+    import graft.ext.TextAnalysis
+    // corpus bigrams: d1 "a b a c" -> (a,b)(b,a)(a,c); d2 "A b" -> (a,b)
+    // counts: c2(a,b)=2 c2(b,a)=1 c2(a,c)=1; c1(a)=3 c1(b)=1
+    val docs = Seq((1L, "a b a c"), (2L, "A b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = rows(TextAnalysis.bigramScore(docs, "doc_id", "text")
+      .orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.map(g => (g._1, g._2)) == Seq((1L, 3L), (2L, 1L), (3L, 0L)))
+    // d1: mean(2/3, 1/1, 1/3) = 2/3; d2: 2/3 (case-folded "A" counts
+    // with "a"); d3: no bigram -> null
+    assert(math.abs(got(0)._3.get - 2.0 / 3) < 1e-9)
+    assert(math.abs(got(1)._3.get - 2.0 / 3) < 1e-9)
+    assert(got(2)._3.isEmpty)
+    // corpus-typical text outscores token salad on real data
+    val sf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val scored = TextAnalysis.bigramScore(sf, "doc_id", "text")
+    assert(scored.where(col("bigram_score").isNotNull).count() > 0)
+  }
+
   test("auto quantizer escalates to two-level past flatAutoCells; identical to manual composition") {
     import graft.ext.{Ivf, Similarity}
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
