@@ -102,18 +102,48 @@ object TextAnalysis {
     * join territory, not a redesign. */
   def bigramScore(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val toks = docs.select(col(idCol).as("id"),
-      tokens(lower(col(textCol))).as("t"))
-    val bi = toks.select(col("id"), explode(expr(
+    val (c1, c2) = bigramModel(docs, idCol, textCol)
+    bigramScoreWith(docs, idCol, textCol, c1, c2)
+  }
+
+  /** One (id, w1, w2) row per bigram occurrence. */
+  private def bigrams(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        tokens(lower(col(textCol))).as("t"))
+      .select(col("id"), explode(expr(
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
           "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("cnt1"))
-    val agg = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .withColumn("p", (col("cnt2").cast("double") /
-        col("cnt1").cast("double")).cast(DecimalType(28, 12)))
+
+  /** The trained model as two count tables: (w1 → cnt1, (w1,w2) →
+    * cnt2). A value the serving side can checkpoint once and join many
+    * batches against — the counts are corpus-sized data, NOT a
+    * broadcastable constant, which is exactly why the streaming form
+    * joins rather than broadcasts. */
+  def bigramModel(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val bi = bigrams(docs, idCol, textCol)
+    (bi.groupBy("w1").agg(count(lit(1)).as("cnt1")),
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2")))
+  }
+
+  /** Score `docs` under an already-trained model. Bigrams the model
+    * never saw contribute probability 0 (and still count in
+    * `n_bigrams`) — out-of-domain text scores LOW, the behavior a
+    * quality gate wants; when `docs` is the training corpus itself
+    * every bigram is known, so this reduces exactly to the self-scored
+    * [[bigramScore]]. */
+  def bigramScoreWith(docs: DataFrame, idCol: String, textCol: String,
+      c1: DataFrame, c2: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val agg = bigrams(docs, idCol, textCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("p", coalesce(
+        (col("cnt2").cast("double") / col("cnt1").cast("double"))
+          .cast(DecimalType(28, 12)),
+        lit(0).cast(DecimalType(28, 12))))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("p")).cast("double") / count(lit(1)))

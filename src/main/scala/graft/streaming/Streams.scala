@@ -257,6 +257,36 @@ object Streams {
       }
       .start()
 
+  /** Streaming model-based quality scorer: score a document STREAM
+    * under bigram conditional frequencies trained ONCE on a fixed
+    * corpus ([[graft.ext.TextAnalysis.bigramModel]]), appending
+    * (id, n_bigrams, bigram_score, _batch) per micro-batch. The counts
+    * are corpus-sized DATA (checkpointed once, joined per batch —
+    * never broadcast), so the model can be arbitrarily large; bigrams
+    * the corpus never saw score 0, so drifting or junk streams sink in
+    * score instead of erroring. StreamingSpec asserts each batch ≡ the
+    * batch [[graft.ext.TextAnalysis.bigramScoreWith]] on that batch
+    * alone. */
+  def bigramScoreSink(docStream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, outPath: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (c1, c2) = graft.ext.TextAnalysis.bigramModel(corpus, idCol,
+      textCol)
+    val c1c = c1.localCheckpoint()
+    val c2c = c2.localCheckpoint()
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.TextAnalysis.bigramScoreWith(batch, idCol, textCol,
+            c1c, c2c)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming ADC scorer: score a query STREAM against a fixed
     * PQ-encoded corpus, appending per-batch top-k rows to `outPath`.
     * The serving shape of [[graft.ext.Pq.adcTopK]]: the corpus is

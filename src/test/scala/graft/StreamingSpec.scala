@@ -7,6 +7,7 @@ import graft.streaming.Streams
 case class Ev(pk: Long, ts: java.sql.Timestamp, v: String)
 case class DiffRow(pk: Long, change: String, old_v: String, new_v: String)
 case class QV(vec_id: Long, embedding: Array[Float])
+case class TDoc(doc_id: Long, text: String)
 
 /** Streaming forms agree with the batch operators: replayed duplicates
   * insert nothing (A5 in streaming terms), windowed counts match the
@@ -562,6 +563,45 @@ class StreamingSpec extends SparkSpec {
     // caller's problem); on: only the smallest id of the pair survives
     assert(run(dedup = false) == Set(101L, 102L, 103L))
     assert(run(dedup = true) == Set(101L, 103L))
+  }
+
+  test("bigramScoreSink: per-batch scores equal the batch model scorer; unseen bigrams score 0") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.TextAnalysis
+    val corpus = Seq(TDoc(1L, "the cat sat"), TDoc(2L, "the cat ran"),
+      TDoc(3L, "a dog ran")).toDF()
+    // b1: in-domain text; b2: one doc of entirely unseen bigrams (must
+    // score exactly 0.0, not null) and one short doc (null score)
+    val b1 = Seq(TDoc(101L, "the cat sat"), TDoc(102L, "a dog sat"))
+    val b2 = Seq(TDoc(201L, "zz qq zz"), TDoc(202L, "solo"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bgs")
+    val out = dir.resolve("scored").toString
+    try {
+      val mem = MemoryStream[TDoc]
+      mem.addData(b1: _*)
+      val q = Streams.bigramScoreSink(mem.toDF(), corpus, "doc_id", "text",
+        out, dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val (c1, c2) = TextAnalysis.bigramModel(corpus, "doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Option[Double])] =
+        df.select($"id", $"n_bigrams", $"bigram_score").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      def got(batch: Long) = canon(
+        spark.read.parquet(out).where($"_batch" === batch))
+      assert(got(0) == canon(TextAnalysis.bigramScoreWith(
+        b1.toDF(), "doc_id", "text", c1, c2)))
+      assert(got(1) == canon(TextAnalysis.bigramScoreWith(
+        b2.toDF(), "doc_id", "text", c1, c2)))
+      // the all-unseen doc scored EXACTLY zero; the short doc is null
+      assert(got(1).contains((201L, 2L, Some(0.0))))
+      assert(got(1).contains((202L, 0L, None)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
   }
 
   test("adcScoreSink refuses an oversized replay batch (LUT guard stays on)") {
