@@ -31,7 +31,10 @@ object Explain {
         // two-level assignment must stay exchange-free
         "x02_ngram_jaccard", "x07_lsh_ann", "x57_semantic_dedup",
         "x59_semantic_trained", "x61_two_level_assign",
-        "x62_two_level_dedup")
+        "x62_two_level_dedup",
+        // x64's count joins must stay linear equi-joins of the bigram
+        // stream (no broadcast of the corpus-sized model)
+        "x64_bigram_score")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
