@@ -166,6 +166,47 @@ object Ivf {
         model.fine.map(_.map(_._2)), model.fine.map(_.map(_._3)),
         model.fine.map(_.map(_._1))))
 
+  /** The two-level FINE set as a DataFrame (ccid, fid, fv, fn) — the
+    * model-as-DATA form for cell counts too large to embed in the
+    * plan. */
+  def fineTable(spark: org.apache.spark.sql.SparkSession,
+      model: TwoLevel): DataFrame = {
+    import spark.implicits._
+    model.coarseIds.indices.flatMap { j =>
+      model.fine(j).map { case (fid, fv, fn) =>
+        (model.coarseIds(j), fid, fv.toSeq, fn)
+      }
+    }.toDF("ccid", "fid", "fv", "fn")
+  }
+
+  /** Two-level assignment with the fine centroids as DATA instead of a
+    * plan constant — the shape for K past what a plan can embed
+    * (all K×dim fine centroids otherwise ride along with EVERY task):
+    * the coarse level stays a zero-exchange codegen argmax (√K-sized
+    * constant), then rows join the (ccid → fine centroids) TABLE on
+    * their coarse cell and take the per-row cosine argmax. Costs one
+    * shuffle of the rows by ccid plus nFine candidate rows per input
+    * row — the price of unbounded K; below that, prefer
+    * [[assignTwoLevel]]'s scan-speed map. Same output and identical
+    * tie-breaking (`row_number OVER (ORDER BY cos DESC, fid)` ⇔ the
+    * expression's first-wins Double.compare), spec-asserted equal. */
+  def assignTwoLevelAsData(df: DataFrame, idCol: String, vecCol: String,
+      model: TwoLevel, fine: DataFrame): DataFrame = {
+    val coarseOnly = df.select(col(idCol).as("neighbor_id"),
+        VectorOps.toDouble(col(vecCol)).as("v"),
+        VectorOps.norm2(col(vecCol)).as("n2"))
+      .withColumn("ccid", VectorExpressions.nearestCell(col("v"),
+        col("n2"), model.coarseVecs, model.coarseNorms, model.coarseIds))
+    val w = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("__cos").desc, col("fid").asc)
+    coarseOnly.join(fine, Seq("ccid"))
+      .withColumn("__cos", VectorOps.cosineWithNorms(
+        VectorOps.dot(col("v"), col("fv")), col("n2"), col("fn")))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("neighbor_id"), col("v"), col("n2"),
+        col("fid").as("cid"))
+  }
+
   /** Exposed for plan assertions in ScalaTest: the assignment subtree
     * must stay exchange-free. */
   private[graft] def assignedForPlanCheck(corpus: DataFrame, idCol: String,

@@ -153,6 +153,23 @@ class ScrubIvfSpec extends SparkSpec {
     assert(got.forall { case (_, cid) => refinedIds.contains(cid) })
   }
 
+  test("two-level fine-as-data assignment equals the plan-constant form") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (iters <- Seq(0, 1)) {
+      val model = Ivf.trainTwoLevel(emb, "vec_id", "embedding", 3, 3,
+        refineIters = iters)
+      val fine = Ivf.fineTable(spark, model)
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        rows(df.select($"neighbor_id", $"cid").orderBy("neighbor_id"))
+          .map(r => (r.getLong(0), r.getLong(1)))
+      val asData = canon(
+        Ivf.assignTwoLevelAsData(emb, "vec_id", "embedding", model, fine))
+      val asConst = canon(
+        Ivf.assignTwoLevel(emb, "vec_id", "embedding", model))
+      assert(asData == asConst, s"iters=$iters mismatch")
+    }
+  }
+
   test("ivfTopK with Lloyd refinement: recall >= seed-centroid recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.where($"vec_id" < 10)
