@@ -1060,6 +1060,36 @@ object Oracles {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // x65: x64 with add-k (Lidstone) smoothing, k = 0.5 — the formula
+    // runs in DOUBLE on exact counts in both engines; V is the distinct
+    // continuation-token count of the training bigrams
+    "x65_bigram_smoothed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS cnt1 FROM bi GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vv FROM bi),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST((CAST(c2.cnt2 AS DOUBLE) + 0.5) /
+        |         (CAST(c1.cnt1 AS DOUBLE) + 0.5 * v.vv)
+        |      AS DECIMAL(28,12)) AS p
+        |  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) / count(*) AS bigram_score
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  a.bigram_score
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // x63: two-level quantizer, fine level refined by one Lloyd step —
     // x61's nested argmax, then the fine centroids are replaced by the
     // exact-decimal member means of the seed assignment (x25's CTE

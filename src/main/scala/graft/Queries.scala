@@ -1323,6 +1323,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x65 — add-k smoothed bigram score (Lidstone, k = 0.5): the
+    * cross-corpus-robust form of x64 — every conditional gets
+    * P = (cnt2 + k)/(cnt1 + k·V), so rare-but-real continuations are
+    * not zeroed. Same decimal-quantized double discipline; V is the
+    * training vocabulary (one distinct count). */
+  val x65BigramSmoothed: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val (c1, c2) = TextAnalysis.bigramModel(docs, "doc_id", "text")
+    TextAnalysis.bigramScoreWith(docs, "doc_id", "text", c1, c2,
+        smoothK = 0.5, vocab = TextAnalysis.bigramVocab(c2))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x60 — quantizer occupancy telemetry as a query: the cell-size
     * distribution (count, discrete p50/p99, max, Σocc²) of x57's
     * 16-cell assignment. Σocc² is exactly the candidate-pair volume the
@@ -1777,6 +1791,7 @@ object Queries {
     "x62_two_level_dedup" -> x62TwoLevelDedup,
     "x63_two_level_refined" -> x63TwoLevelRefined,
     "x64_bigram_score" -> x64BigramScore,
+    "x65_bigram_smoothed" -> x65BigramSmoothed,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

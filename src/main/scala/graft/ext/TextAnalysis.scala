@@ -128,22 +128,49 @@ object TextAnalysis {
       bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2")))
   }
 
-  /** Score `docs` under an already-trained model. Bigrams the model
-    * never saw contribute probability 0 (and still count in
-    * `n_bigrams`) — out-of-domain text scores LOW, the behavior a
-    * quality gate wants; when `docs` is the training corpus itself
-    * every bigram is known, so this reduces exactly to the self-scored
-    * [[bigramScore]]. */
+  /** Training-corpus vocabulary size (distinct continuation tokens) —
+    * the add-k smoothing denominator term; one count, collected once
+    * alongside the model. */
+  def bigramVocab(c2: DataFrame): Long =
+    c2.select(col("w2")).distinct().count()
+
+  /** Score `docs` under an already-trained model.
+    *
+    * `smoothK = 0` (default): pure MLE — bigrams the model never saw
+    * contribute probability 0 (and still count in `n_bigrams`), so
+    * out-of-domain text scores LOW; when `docs` is the training corpus
+    * itself every bigram is known and this reduces exactly to the
+    * self-scored [[bigramScore]].
+    *
+    * `smoothK > 0` with `vocab` = [[bigramVocab]]: add-k smoothing
+    * (Lidstone, from the standard LM recipe) —
+    * P = (cnt2 + k) / (cnt1 + k·V), so unseen continuations of a known
+    * prefix get a small floor and a wholly unknown prefix scores 1/V
+    * instead of 0, the robustness cross-corpus scoring wants. All
+    * arithmetic is IEEE double on exact counts, quantized to
+    * DECIMAL(28,12) before the per-document sum — engine-exact either
+    * way. */
   def bigramScoreWith(docs: DataFrame, idCol: String, textCol: String,
-      c1: DataFrame, c2: DataFrame): DataFrame = {
+      c1: DataFrame, c2: DataFrame, smoothK: Double = 0.0,
+      vocab: Long = 0L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    require(smoothK == 0.0 || vocab > 0,
+      "add-k smoothing needs the training vocabulary size (bigramVocab)")
+    val p =
+      if (smoothK == 0.0)
+        coalesce(
+          (col("cnt2").cast("double") / col("cnt1").cast("double"))
+            .cast(DecimalType(28, 12)),
+          lit(0).cast(DecimalType(28, 12)))
+      else
+        ((coalesce(col("cnt2"), lit(0L)).cast("double") + lit(smoothK)) /
+          (coalesce(col("cnt1"), lit(0L)).cast("double") +
+            lit(smoothK) * lit(vocab.toDouble)))
+          .cast(DecimalType(28, 12))
     val agg = bigrams(docs, idCol, textCol)
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
-      .withColumn("p", coalesce(
-        (col("cnt2").cast("double") / col("cnt1").cast("double"))
-          .cast(DecimalType(28, 12)),
-        lit(0).cast(DecimalType(28, 12))))
+      .withColumn("p", p)
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("p")).cast("double") / count(lit(1)))

@@ -343,6 +343,24 @@ class ExtSpec extends SparkSpec {
     val sf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val scored = TextAnalysis.bigramScore(sf, "doc_id", "text")
     assert(scored.where(col("bigram_score").isNotNull).count() > 0)
+    // add-k smoothing: V = |{b, a, c}| = 3, k = 0.5; hand-computed
+    // conditionals, and a wholly-unknown prefix floors at k/(kV) = 1/3
+    val (c1, c2) = TextAnalysis.bigramModel(docs, "doc_id", "text")
+    val v = TextAnalysis.bigramVocab(c2)
+    assert(v == 3L)
+    val sm = rows(TextAnalysis.bigramScoreWith(
+        Seq((1L, "a b a c"), (9L, "zz qq")).toDF("doc_id", "text"),
+        "doc_id", "text", c1, c2, smoothK = 0.5, vocab = v)
+      .orderBy("id"))
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val d1 = (2.5 / 4.5 + 1.5 / 2.5 + 1.5 / 4.5) / 3
+    assert(math.abs(sm(0)._2 - d1) < 1e-9)
+    assert(math.abs(sm(1)._2 - 1.0 / 3) < 1e-9)
+    // k = 0 requires the vocab only when it matters
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramScoreWith(docs, "doc_id", "text", c1, c2,
+        smoothK = 0.5)
+    }
   }
 
   test("auto quantizer escalates to two-level past flatAutoCells; identical to manual composition") {
