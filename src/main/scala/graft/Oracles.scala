@@ -985,7 +985,7 @@ object Oracles {
         |  CAST(coalesce(max(CASE WHEN rn = CAST(ceil(total * CAST(0.99 AS DOUBLE)) AS BIGINT)
         |    THEN occ END), 0) AS BIGINT) AS p99_occ,
         |  CAST(coalesce(max(occ), 0) AS BIGINT) AS max_occ,
-        |  CAST(coalesce(sum(occ * occ), 0) AS BIGINT) AS sum_sq_occ
+        |  CAST(coalesce(sum(occ * occ), 0) AS DOUBLE) AS sum_sq_occ
         |FROM ranked""".stripMargin,
 
     // x61: two-level quantizer assignment — coarse argmax (x21's

@@ -271,9 +271,18 @@ object Dedup {
       explode(col("hs")).as("h"))
     val dfc = tok.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    // ⌈t·s⌉ in EXACT decimal arithmetic, with t rounded DOWN at scale
+    // 12: the binary double for e.g. 0.55 sits a hair ABOVE its decimal
+    // value, so double ceil(t*s) can round past the true integer bound,
+    // shortening the prefix by one and silently dropping true pairs.
+    // Rounding t down errs only toward a LONGER prefix (more
+    // candidates, all still exact-verified) — recall stays 1 by
+    // construction for every (threshold, set-size) combination.
+    val tDec = new java.math.BigDecimal(threshold)
+      .setScale(12, java.math.RoundingMode.FLOOR)
     val prefix = tok.join(dfc, "h")
       .withColumn("r", row_number().over(w))
-      .where(col("r") <= col("s") - ceil(lit(threshold) * col("s")) + 1)
+      .where(col("r") <= col("s") - ceil(lit(tDec) * col("s")) + 1)
       .select(col("id"), col("h"))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))

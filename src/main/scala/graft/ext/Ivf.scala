@@ -38,6 +38,19 @@ object Ivf {
     * value, not a recomputation. */
   type Centroids = Array[(Long, Array[Double], Double)]
 
+  /** The quantizer-model family, one value the whole semantic-dedup /
+    * admission surface can carry: [[FlatModel]] (K centroids as a plan
+    * constant, O(K) per-row argmax), [[TwoLevel]] (coarse+fine plan
+    * constants, O(√K) per row), [[TwoLevelData]] (coarse constant +
+    * fine level as a TABLE — the unbounded-K shape: nothing
+    * proportional to K ever sits in a plan or on the driver).
+    * [[assignModel]] dispatches; all three produce the same
+    * (neighbor_id, v, n2, cid) shape with identical tie-breaking. */
+  sealed trait Model
+
+  /** A flat trained quantizer as a model value. */
+  final case class FlatModel(cent: Centroids) extends Model
+
   /** The deterministic seed centroids: embeddings of the `nlist`
     * smallest ids. nlist rows — a driver-side constant, like collecting
     * a broadcast side. */
@@ -92,7 +105,26 @@ object Ivf {
     * constant both stop scaling. */
   case class TwoLevel(coarseVecs: Array[Array[Double]],
       coarseNorms: Array[Double], coarseIds: Array[Long],
-      fine: Array[Centroids])
+      fine: Array[Centroids]) extends Model
+
+  /** The two-level quantizer with the FINE level as DATA: `fine` is a
+    * (ccid, fid, fv, fn) DataFrame ([[fineTable]] shape), so the model
+    * holds only √K coarse centroids on the driver / in the plan — the
+    * form for cell counts past [[Similarity.MaxAutoCells]], where the
+    * flat and plan-constant two-level models stop scaling. Built by
+    * [[trainTwoLevelAsData]]; assigned by [[assignWithData]]. */
+  final case class TwoLevelData(coarseVecs: Array[Array[Double]],
+      coarseNorms: Array[Double], coarseIds: Array[Long],
+      fine: DataFrame) extends Model
+
+  /** Nearest-cell assignment under any [[Model]] — one dispatch, same
+    * (neighbor_id, v, n2, cid) output and tie-breaking everywhere. */
+  def assignModel(df: DataFrame, idCol: String, vecCol: String,
+      m: Model): DataFrame = m match {
+    case FlatModel(cent) => assignCells(df, idCol, vecCol, cent)
+    case t: TwoLevel => assignTwoLevel(df, idCol, vecCol, t)
+    case d: TwoLevelData => assignWithData(df, idCol, vecCol, d)
+  }
 
   /** Train the two-level quantizer: coarse seed cells (the `nCoarse`
     * smallest ids), then per OCCUPIED coarse cell the `nFine`
@@ -191,12 +223,26 @@ object Ivf {
     * tie-breaking (`row_number OVER (ORDER BY cos DESC, fid)` ⇔ the
     * expression's first-wins Double.compare), spec-asserted equal. */
   def assignTwoLevelAsData(df: DataFrame, idCol: String, vecCol: String,
-      model: TwoLevel, fine: DataFrame): DataFrame = {
+      model: TwoLevel, fine: DataFrame): DataFrame =
+    assignCoarseThenJoin(df, idCol, vecCol, model.coarseVecs,
+      model.coarseNorms, model.coarseIds, fine)
+
+  /** [[assignTwoLevelAsData]] for the self-contained [[TwoLevelData]]
+    * model value. */
+  def assignWithData(df: DataFrame, idCol: String, vecCol: String,
+      m: TwoLevelData): DataFrame =
+    assignCoarseThenJoin(df, idCol, vecCol, m.coarseVecs, m.coarseNorms,
+      m.coarseIds, m.fine)
+
+  private def assignCoarseThenJoin(df: DataFrame, idCol: String,
+      vecCol: String, coarseVecs: Array[Array[Double]],
+      coarseNorms: Array[Double], coarseIds: Array[Long],
+      fine: DataFrame): DataFrame = {
     val coarseOnly = df.select(col(idCol).as("neighbor_id"),
         VectorOps.toDouble(col(vecCol)).as("v"),
         VectorOps.norm2(col(vecCol)).as("n2"))
       .withColumn("ccid", VectorExpressions.nearestCell(col("v"),
-        col("n2"), model.coarseVecs, model.coarseNorms, model.coarseIds))
+        col("n2"), coarseVecs, coarseNorms, coarseIds))
     val w = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("__cos").desc, col("fid").asc)
     coarseOnly.join(fine, Seq("ccid"))
@@ -205,6 +251,75 @@ object Ivf {
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select(col("neighbor_id"), col("v"), col("n2"),
         col("fid").as("cid"))
+  }
+
+  /** Train the two-level quantizer with the fine level kept as DATA end
+    * to end — the unbounded-K training shape ([[trainTwoLevel]] collects
+    * all K fine seeds to the driver; past [[Similarity.MaxAutoCells]]
+    * that is the scale bottleneck). Driver traffic here is bounded by
+    * nCoarse·dim (the coarse seeds) + nCoarse longs (the occupied-cell
+    * ids); the fine seeds, each Lloyd refinement, and the finished model
+    * live in DataFrames.
+    *
+    * Bitwise-identical to [[trainTwoLevel]] + [[fineTable]] (spec-
+    * asserted): the seeds are the same per-coarse-cell smallest-id
+    * members, each refinement runs the same exact-decimal per-(cell,
+    * dim) means ([[cellMeans]] — order-independent under any
+    * partitioning), the refreshed norm is the same left-to-right
+    * `acc + x·x` fold as [[VectorOps.norm2]], and fine cells that lose
+    * every member drop with the same GROUP BY semantics. The fine table
+    * is localCheckpointed per iteration, so the returned model reads a
+    * settled table instead of replaying the training lineage. */
+  def trainTwoLevelAsData(corpus: DataFrame, idCol: String,
+      vecCol: String, nCoarse: Int, nFine: Int,
+      refineIters: Int = 0): TwoLevelData = {
+    val coarseAll = seedCentroids(corpus, idCol, vecCol, nCoarse)
+    val assigned0 = assignCells(corpus, idCol, vecCol, coarseAll)
+      .localCheckpoint()
+    // occupied coarse cells: ids only — ≤ nCoarse longs to the driver.
+    // A coarse cell with no members must leave the argmax constant, or
+    // future rows (admission batches) could land in a cell with no fine
+    // centroids and silently drop out of the assignment inner join.
+    val occIds = assigned0.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val occupied = coarseAll.filter(c => occIds.contains(c._1))
+    // fine seeds: per occupied coarse cell the nFine smallest-id
+    // members — same discipline as trainTwoLevel, never collected.
+    // (Dropping unoccupied cells cannot move any row's coarse winner.)
+    val w = Window.partitionBy(col("cid")).orderBy(col("neighbor_id"))
+    var fine = assigned0
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= nFine)
+      .select(col("cid").as("ccid"),
+        col("neighbor_id").cast("long").as("fid"),
+        col("v").as("fv"), col("n2").as("fn"))
+      .localCheckpoint()
+    var model = TwoLevelData(occupied.map(_._2), occupied.map(_._3),
+      occupied.map(_._1), fine)
+    var it = 0
+    while (it < refineIters) {
+      // fid → ccid carried as data (fine ids are member vec_ids, unique
+      // across coarse cells); coarse boundaries never move
+      val slot = fine.select(col("fid"), col("ccid"))
+      val means = cellMeans(assignWithData(corpus, idCol, vecCol, model))
+      val refined = means
+        .groupBy(col("cid"))
+        // struct sorts by its first field: ascending pos — the vector
+        // reassembled in dimension order
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+          .as("pc"))
+        .select(col("cid").as("fid"),
+          expr("transform(pc, x -> x.centroid)").as("fv"))
+        // left-to-right fold, the exact accumulation of VectorOps.norm2
+        // and of trainTwoLevel's in-driver loop
+        .withColumn("fn",
+          expr("aggregate(fv, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+        .join(slot, Seq("fid"))
+        .select(col("ccid"), col("fid"), col("fv"), col("fn"))
+      fine = refined.localCheckpoint()
+      model = model.copy(fine = fine)
+      it += 1
+    }
+    model
   }
 
   /** Exposed for plan assertions in ScalaTest: the assignment subtree

@@ -135,22 +135,28 @@ object Similarity {
       targetCellSize: Long = DefaultCellSize,
       maxIters: Int = FixpointIters,
       assignment: Option[DataFrame] = None,
-      flatAutoCells: Int = FlatAutoCells): DataFrame = {
+      flatAutoCells: Int = FlatAutoCells,
+      model: Option[Ivf.Model] = None,
+      maxPlanCells: Int = MaxAutoCells): DataFrame = {
     // `assignment` ((id, cid), any precomputed partition) wins over
     // everything — the operator only ever needs the cell partition,
-    // not how it was drawn; then explicit centroids/nCells (the pinned
-    // forms); the DEFAULT auto-sizes K and trains flat or two-level by
-    // [[autoAssign]]
+    // not how it was drawn; then an explicit `model` (any quantizer
+    // shape), then centroids/nCells (the pinned flat forms); the
+    // DEFAULT auto-sizes K UNCLAMPED and escalates flat → two-level →
+    // fine-as-data by [[autoAssign]]
     val assigned = assignment.map(_.select(col("id"), col("cid")))
       .getOrElse {
-        val explicit = centroids.orElse(
-          nCells.map(k => Ivf.train(emb, idCol, vecCol, k)))
-        val raw = explicit match {
-          case Some(cent) => Ivf.assignWith(emb, idCol, vecCol, cent)
+        val resolved: Option[Ivf.Model] = model
+          .orElse(centroids.map(Ivf.FlatModel))
+          .orElse(nCells.map(k =>
+            Ivf.FlatModel(Ivf.train(emb, idCol, vecCol, k))))
+        val raw = resolved match {
+          case Some(m) => Ivf.assignModel(emb, idCol, vecCol, m)
           case None =>
-            val k = autoNCells(
+            val k = ceilDiv(
               emb.select(col(idCol)).count(), targetCellSize)
-            autoAssign(emb, Seq(emb), idCol, vecCol, k, flatAutoCells).head
+            autoAssign(emb, Seq(emb), idCol, vecCol, k, flatAutoCells,
+              maxPlanCells).head
         }
         raw.select(col("neighbor_id").as("id"), col("cid"))
       }
@@ -196,17 +202,21 @@ object Similarity {
       nCells: Option[Int] = None,
       centroids: Option[Ivf.Centroids] = None,
       targetCellSize: Long = DefaultCellSize,
-      flatAutoCells: Int = FlatAutoCells): DataFrame = {
-    val explicit = centroids.orElse(
-      nCells.map(k => Ivf.train(existing, idCol, vecCol, k)))
-    val (exRaw, inRaw) = explicit match {
-      case Some(cent) => (Ivf.assignWith(existing, idCol, vecCol, cent),
-        Ivf.assignWith(incoming, idCol, vecCol, cent))
+      flatAutoCells: Int = FlatAutoCells,
+      model: Option[Ivf.Model] = None,
+      maxPlanCells: Int = MaxAutoCells): DataFrame = {
+    val resolved: Option[Ivf.Model] = model
+      .orElse(centroids.map(Ivf.FlatModel))
+      .orElse(nCells.map(k =>
+        Ivf.FlatModel(Ivf.train(existing, idCol, vecCol, k))))
+    val (exRaw, inRaw) = resolved match {
+      case Some(m) => (Ivf.assignModel(existing, idCol, vecCol, m),
+        Ivf.assignModel(incoming, idCol, vecCol, m))
       case None =>
-        val k = autoNCells(
+        val k = ceilDiv(
           existing.select(col(idCol)).count(), targetCellSize)
         val both = autoAssign(existing, Seq(existing, incoming),
-          idCol, vecCol, k, flatAutoCells)
+          idCol, vecCol, k, flatAutoCells, maxPlanCells)
         (both(0), both(1))
     }
     val exA = exRaw.select(col("neighbor_id").as("ex_id"), col("cid"))
@@ -279,29 +289,58 @@ object Similarity {
     * constant is what [[MaxAutoCells]] still bounds. */
   val FlatAutoCells: Int = 4096
 
-  /** Assign `targets` under the auto-sized quantizer trained on
-    * `source`: flat seed cells up to [[FlatAutoCells]] cells, the
-    * two-level coarse→fine quantizer above (`flatLimit` overridable per
-    * call). One trained model is applied to every target — the
-    * admission shape requires the judged side and the judging side to
-    * share cell boundaries. */
-  private def autoAssign(source: DataFrame, targets: Seq[DataFrame],
-      idCol: String, vecCol: String, k: Int,
-      flatLimit: Int): Seq[DataFrame] =
-    if (k <= flatLimit) {
-      val cent = Ivf.train(source, idCol, vecCol, k)
-      targets.map(t => Ivf.assignWith(t, idCol, vecCol, cent))
-    } else {
+  /** The auto-sized quantizer for an UNCLAMPED cell count `k`, trained
+    * on `source` — three tiers, each the cheapest shape that still
+    * scales at that K:
+    *  - k ≤ `flatLimit` ([[FlatAutoCells]]): flat seed cells — O(K)
+    *    per-row argmax, K·dim plan constant.
+    *  - k ≤ `maxPlanCells` ([[MaxAutoCells]]): plan-constant two-level
+    *    quantizer — O(√K) per-row dots, (√K + K)·dim plan constant.
+    *  - k > `maxPlanCells`: [[Ivf.trainTwoLevelAsData]] — the fine
+    *    level lives in a TABLE (one ccid-join per assignment), so
+    *    neither the plan nor the driver ever holds K·dim values and
+    *    expected cell size stays at target INSTEAD of clamping upward.
+    * One trained model serves every target — the admission shape
+    * requires judged and judging sides to share cell boundaries. */
+  def autoModel(source: DataFrame, idCol: String, vecCol: String,
+      k: Long, flatLimit: Int = FlatAutoCells,
+      maxPlanCells: Int = MaxAutoCells): Ivf.Model =
+    if (k <= flatLimit)
+      Ivf.FlatModel(Ivf.train(source, idCol, vecCol,
+        math.max(1L, k).toInt))
+    else {
       val side = math.ceil(math.sqrt(k.toDouble)).toInt
-      val model = Ivf.trainTwoLevel(source, idCol, vecCol, side, side)
-      targets.map(t => Ivf.assignTwoLevel(t, idCol, vecCol, model))
+      if (k <= maxPlanCells)
+        Ivf.trainTwoLevel(source, idCol, vecCol, side, side)
+      else
+        Ivf.trainTwoLevelAsData(source, idCol, vecCol, side, side)
     }
 
+  /** [[autoModel]] trained on the existing corpus with the default
+    * occupancy sizing — the one-call form the streaming admission sink
+    * uses at query start. */
+  def autoModelFor(source: DataFrame, idCol: String, vecCol: String,
+      targetCellSize: Long = DefaultCellSize,
+      flatLimit: Int = FlatAutoCells,
+      maxPlanCells: Int = MaxAutoCells): Ivf.Model =
+    autoModel(source, idCol, vecCol,
+      ceilDiv(source.select(col(idCol)).count(), targetCellSize),
+      flatLimit, maxPlanCells)
+
+  private def autoAssign(source: DataFrame, targets: Seq[DataFrame],
+      idCol: String, vecCol: String, k: Long, flatLimit: Int,
+      maxPlanCells: Int): Seq[DataFrame] = {
+    val m = autoModel(source, idCol, vecCol, k, flatLimit, maxPlanCells)
+    targets.map(t => Ivf.assignModel(t, idCol, vecCol, m))
+  }
+
   /** Occupancy-preserving cell count: `n / targetCellSize`, clamped to
-    * [1, [[MaxAutoCells]]]. The semantic-family analog of
-    * [[autoBitsPerBand]] — holding cell SIZE constant as the corpus
-    * grows keeps within-cell candidate work linear in rows (n · size)
-    * where any fixed cell count is quadratic (n² / k). */
+    * [1, [[MaxAutoCells]]] — the PLAN-CONSTANT-sized helper for callers
+    * that need an Int cell count to embed. The semantic family's auto
+    * path no longer routes through this clamp: past [[MaxAutoCells]],
+    * [[autoModel]] escalates to the fine-as-data two-level quantizer
+    * ([[Ivf.trainTwoLevelAsData]]), which keeps expected cell size at
+    * target with no K-sized plan constant at any K. */
   def autoNCells(n: Long, targetCellSize: Long = DefaultCellSize): Int = {
     require(n > 0 && targetCellSize > 0, "counts must be positive")
     val k = ceilDiv(n, targetCellSize)
@@ -309,7 +348,8 @@ object Similarity {
       // stderr, not stdout — Bench's stdout must stay one JSON line
       System.err.println(s"[graft.Similarity] autoNCells($n) clamped to " +
         s"$MaxAutoCells; expected cell size is ${n / MaxAutoCells}, not " +
-        s"$targetCellSize — raise targetCellSize or train a quantizer")
+        s"$targetCellSize — use autoModel/semanticDedup's auto path, " +
+        "which escalates to the fine-as-data two-level quantizer instead")
     math.min(MaxAutoCells.toLong, math.max(1L, k)).toInt
   }
 
@@ -324,11 +364,18 @@ object Similarity {
     * clamps, never by corpus size; the single-partition rank window is
     * over those ≤[[MaxAutoCells]] rows only. */
   case class CellStats(cells: Long, rows: Long, p50Occ: Long,
-      p99Occ: Long, maxOcc: Long, sumSqOcc: Long)
+      p99Occ: Long, maxOcc: Long, sumSqOcc: BigInt)
 
   /** One-row DataFrame form of [[cellStats]] — query-shaped, so the
-    * telemetry itself sits under the SQL oracle. */
-  def cellStatsDf(assigned: DataFrame, cellCol: String): DataFrame = {
+    * telemetry itself sits under the SQL oracle. `sum_sq_occ` crosses
+    * the query boundary as DOUBLE (exact to 2^53 — decimal columns at
+    * the oracle boundary are a known cross-engine hash hazard); the
+    * [[cellStats]] value form keeps the full DECIMAL(38,0) exactness. */
+  def cellStatsDf(assigned: DataFrame, cellCol: String): DataFrame =
+    cellStatsExact(assigned, cellCol)
+      .withColumn("sum_sq_occ", col("sum_sq_occ").cast("double"))
+
+  private def cellStatsExact(assigned: DataFrame, cellCol: String): DataFrame = {
     val ranked = assigned.groupBy(col(cellCol)).agg(count(lit(1)).as("occ"))
       .select(col("occ"),
         row_number().over(Window.orderBy(col("occ"))).as("rn"),
@@ -341,13 +388,20 @@ object Similarity {
       coalesce(max(when(col("rn") === ceil(col("total") * lit(0.99d)),
         col("occ"))), lit(0L)).as("p99_occ"),
       coalesce(max(col("occ")), lit(0L)).as("max_occ"),
-      coalesce(sum(col("occ") * col("occ")), lit(0L)).as("sum_sq_occ"))
+      // occ² in DECIMAL(38,0): a single cell past ~3.04e9 rows would
+      // overflow long·long silently — exactly the skew-dominated
+      // regime this telemetry gates on. occ ≤ Long.Max ⇒ occ² < 8.5e37
+      // fits precision 38 exactly, and Σocc² ≤ (Σocc)² stays inside it
+      coalesce(sum(col("occ").cast(org.apache.spark.sql.types
+          .DecimalType(38, 0)) * col("occ")),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("sum_sq_occ"))
   }
 
   def cellStats(assigned: DataFrame, cellCol: String): CellStats = {
-    val r = cellStatsDf(assigned, cellCol).first()
+    val r = cellStatsExact(assigned, cellCol).first()
     CellStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getLong(4), r.getLong(5))
+      r.getLong(4), BigInt(r.getDecimal(5).toBigInteger))
   }
 
   /** The (id, bkey) banded signature rows [[lshNearDupPairs]] joins on —

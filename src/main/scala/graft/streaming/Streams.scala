@@ -374,10 +374,20 @@ object Streams {
     * compaction pass needed). The quantizer is still trained ONCE on
     * the original existing corpus and passed by value, so the ledger
     * grows the judging side without ever moving the cell boundaries.
-    * State is the admitted (id, vector) rows, localCheckpointed per
-    * batch — linear in what was admitted, the honest cost of exact
-    * cross-batch cosine semantics (a cells-only ledger would refuse any
-    * same-cell arrival, which is a different, coarser operator).
+    * The ledger IS the admitted parquet at `outPath`: each batch writes
+    * to its own `_batch=<id>` partition with dynamic partition
+    * OVERWRITE, and is judged against existing ∪ the partitions BELOW
+    * its batch id. That makes the sink restart-safe by construction —
+    * a batch replayed from the checkpoint after a crash is judged
+    * against exactly what preceded it (never its own half-written
+    * output) and overwrites its own partition instead of
+    * double-appending — and it holds no per-batch executor storage
+    * (nothing accumulates in memory as the query ages; the admitted
+    * rows are read back from columnar parquet, the same linear scan the
+    * in-memory ledger would pay). Judging cost stays linear in what was
+    * admitted — the honest cost of exact cross-batch cosine semantics
+    * (a cells-only ledger would refuse any same-cell arrival, which is
+    * a different, coarser operator).
     *
     * `dedupWithinBatch = true` additionally runs [[graft.ext.Similarity
     * .semanticDedup]] on each batch (under the SAME fixed quantizer)
@@ -387,19 +397,40 @@ object Streams {
     * non-near-duplicate at the threshold by construction (every batch
     * is internally deduped, and every survivor was cosine-far from the
     * whole ledger when admitted), which is what makes the ledger
-    * NEVER need compaction. */
+    * NEVER need compaction.
+    *
+    * Sizing follows the batch family: an explicit `model` (any
+    * [[graft.ext.Ivf.Model]] shape — flat, two-level, or fine-as-data)
+    * wins over `nCells` (train a flat quantizer of that size) wins over
+    * the DEFAULT — [[graft.ext.Similarity.autoModelFor]] on the
+    * existing corpus, which holds expected cell size at
+    * `targetCellSize` and escalates flat → two-level → fine-as-data as
+    * the corpus demands. A long-running ingestion stream is exactly
+    * where a fixed flat cell count rots; the auto default sizes once,
+    * at stream start, against the corpus the fixed-boundary contract
+    * pins anyway. */
   def semanticAdmitSink(incomingStream: DataFrame, existing: DataFrame,
-      idCol: String, vecCol: String, nCells: Int, threshold: Double,
-      outPath: String, checkpoint: String, crossBatch: Boolean = false,
+      idCol: String, vecCol: String, threshold: Double,
+      outPath: String, checkpoint: String,
+      nCells: Option[Int] = None,
+      model: Option[graft.ext.Ivf.Model] = None,
+      targetCellSize: Long = graft.ext.Similarity.DefaultCellSize,
+      crossBatch: Boolean = false,
       dedupWithinBatch: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // materialize the existing side once — every batch re-joins it
     val ex = existing.localCheckpoint()
     // fixed quantizer for the life of the query: boundaries must not
     // move when the ledger grows
-    val cent = graft.ext.Ivf.train(ex, idCol, vecCol, nCells)
-    // existing ∪ admitted-so-far, id+vector only (all the judge needs)
-    var judge = ex.select(col(idCol), col(vecCol)).localCheckpoint()
+    val m: graft.ext.Ivf.Model = model.getOrElse(nCells match {
+      case Some(k) =>
+        graft.ext.Ivf.FlatModel(graft.ext.Ivf.train(ex, idCol, vecCol, k))
+      case None =>
+        graft.ext.Similarity.autoModelFor(ex, idCol, vecCol,
+          targetCellSize)
+    })
+    val exIdVec = ex.select(col(idCol), col(vecCol)).localCheckpoint()
+    val spark = existing.sparkSession
     incomingStream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -408,20 +439,32 @@ object Streams {
           if (!dedupWithinBatch) batch
           else {
             val keep = graft.ext.Similarity.semanticDedup(batch, idCol,
-                vecCol, threshold, centroids = Some(cent))
+                vecCol, threshold, model = Some(m))
               .where(col("id") === col("keep_id"))
               .select(col("id").as(idCol))
             batch.join(keep, Seq(idCol), "left_semi")
           }
-        val raw = graft.ext.Similarity.semanticAdmit(judge, pre,
-          idCol, vecCol, threshold, centroids = Some(cent))
-        // settle survivors before the ledger moves (ledger mode only)
-        val admitted = if (crossBatch) raw.localCheckpoint() else raw
+        // the admitted parquet below this batch id IS the ledger: on a
+        // replay the current batch's own partition is excluded, so the
+        // rows are never judged against their previous write of
+        // themselves (which would refuse them all and lose the batch)
+        val judge =
+          if (!crossBatch) exIdVec
+          else {
+            val fs = new org.apache.hadoop.fs.Path(outPath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(new org.apache.hadoop.fs.Path(outPath))) exIdVec
+            else exIdVec.union(spark.read.parquet(outPath)
+              .where(col("_batch").cast("long") < lit(batchId))
+              .select(col(idCol), col(vecCol)))
+          }
+        val admitted = graft.ext.Similarity.semanticAdmit(judge, pre,
+          idCol, vecCol, threshold, model = Some(m))
         admitted.withColumn("_batch", lit(batchId))
-          .write.mode("append").parquet(outPath)
-        if (crossBatch)
-          judge = judge.union(admitted.select(col(idCol), col(vecCol)))
-            .localCheckpoint()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(outPath)
       }
       .start()
   }

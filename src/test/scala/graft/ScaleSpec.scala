@@ -254,6 +254,53 @@ class ScaleSpec extends SparkSpec {
     assert(Similarity.autoBitsPerBand(Long.MaxValue, 16) == 30)
   }
 
+  test("auto path escalates past maxPlanCells to fine-as-data instead of clamping") {
+    import graft.ext.{Ivf, Similarity}
+    def corpus(n: Int) = spark.range(n).selectExpr("id AS vec_id",
+      "transform(sequence(1, 8), j -> CAST(sin(id * j * 0.7 + j) AS FLOAT)) AS embedding")
+    val n = 4096
+    val df = corpus(n)
+    // k = 256 target cells with tiny tier limits: flat stops at 8,
+    // plan-constant two-level at 64 — the auto model MUST take the
+    // fine-as-data tier (before this round it clamped to maxPlanCells
+    // and let cell size drift upward)
+    val m = Similarity.autoModel(df, "vec_id", "embedding", k = 256,
+      flatLimit = 8, maxPlanCells = 64)
+    assert(m.isInstanceOf[Ivf.TwoLevelData], s"wrong tier: ${m.getClass}")
+    val assigned = Ivf.assignModel(df, "vec_id", "embedding", m)
+    val stats = Similarity.cellStats(assigned, "cid")
+    // unclamped: the model offers ~256 cells, far beyond the 64-cell
+    // plan budget — occupied-cell count must cross it decisively
+    assert(stats.rows == n)
+    assert(stats.cells > 64,
+      s"still clamped to the plan budget: ${stats.cells} cells")
+    // expected cell size stays at ~n/k = 16 (seeds are unbalanced, so
+    // bound the mean, not the max)
+    assert(stats.rows / stats.cells <= 16 * 3,
+      s"cell size drifted: ${stats.rows / stats.cells}")
+    // the fine level is DATA: the executed plan joins on ccid instead
+    // of embedding a K-sized constant
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("ccid"), "no ccid join in the as-data plan:\n" +
+      plan.take(600))
+    // and the whole composition still plugs into semanticDedup: the
+    // auto path (forced to the as-data tier) equals the explicit
+    // assignment form
+    val viaAuto = rows(Similarity.semanticDedup(df.limit(512), "vec_id",
+        "embedding", threshold = 0.95, targetCellSize = 16,
+        flatAutoCells = 8, maxPlanCells = 16))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mSmall = Similarity.autoModel(df.limit(512), "vec_id", "embedding",
+      k = 32, flatLimit = 8, maxPlanCells = 16)
+    assert(mSmall.isInstanceOf[Ivf.TwoLevelData])
+    val viaAssign = rows(Similarity.semanticDedup(df.limit(512), "vec_id",
+        "embedding", threshold = 0.95, assignment = Some(
+          Ivf.assignModel(df.limit(512), "vec_id", "embedding", mSmall)
+            .select(col("neighbor_id").as("id"), col("cid")))))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAuto == viaAssign)
+  }
+
   test("multimodal: per-partition feature extraction, deterministic stub") {
     implicit val s = spark
     val recs = Seq(

@@ -170,6 +170,39 @@ class ScrubIvfSpec extends SparkSpec {
     }
   }
 
+  test("trainTwoLevelAsData: bitwise-equal to trainTwoLevel + fineTable, seed and refined") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (iters <- Seq(0, 1, 2)) {
+      val planForm = Ivf.trainTwoLevel(emb, "vec_id", "embedding", 3, 3,
+        refineIters = iters)
+      val dataForm = Ivf.trainTwoLevelAsData(emb, "vec_id", "embedding",
+        3, 3, refineIters = iters)
+      // coarse level: identical arrays (the only driver-resident part
+      // of the data form)
+      assert(dataForm.coarseIds.sameElements(planForm.coarseIds))
+      dataForm.coarseVecs.zip(planForm.coarseVecs).foreach { case (a, b) =>
+        assert(a.sameElements(b))
+      }
+      assert(dataForm.coarseNorms.sameElements(planForm.coarseNorms))
+      // fine level: the distributed table holds bit-identical rows to
+      // the collected model's fineTable (exact-decimal means + the same
+      // left-to-right norm fold ⇒ equality is ==, not ≈)
+      def canonFine(df: org.apache.spark.sql.DataFrame) =
+        rows(df.select($"ccid", $"fid", $"fv", $"fn").orderBy("fid"))
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Double](2).toList, r.getDouble(3)))
+      assert(canonFine(dataForm.fine) ==
+        canonFine(Ivf.fineTable(spark, planForm)), s"iters=$iters fine")
+      // and the assignments they induce are bitwise equal
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        rows(df.select($"neighbor_id", $"cid").orderBy("neighbor_id"))
+          .map(r => (r.getLong(0), r.getLong(1)))
+      assert(canon(Ivf.assignWithData(emb, "vec_id", "embedding", dataForm))
+        == canon(Ivf.assignTwoLevel(emb, "vec_id", "embedding", planForm)),
+        s"iters=$iters assignment")
+    }
+  }
+
   test("ivfTopK with Lloyd refinement: recall >= seed-centroid recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.where($"vec_id" < 10)

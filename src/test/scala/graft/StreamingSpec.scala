@@ -468,8 +468,8 @@ class StreamingSpec extends SparkSpec {
       val mem = MemoryStream[QV]
       mem.addData(b1: _*)
       val q = Streams.semanticAdmitSink(mem.toDF(), existing, "vec_id",
-        "embedding", nCells = 4, threshold = 0.999,
-        out, dir.resolve("ckpt").toString)
+        "embedding", threshold = 0.999,
+        out, dir.resolve("ckpt").toString, nCells = Some(4))
       q.processAllAvailable()
       mem.addData(b2: _*)
       q.processAllAvailable()
@@ -510,8 +510,9 @@ class StreamingSpec extends SparkSpec {
         val mem = MemoryStream[QV]
         mem.addData(b1: _*)
         val q = Streams.semanticAdmitSink(mem.toDF(), existing, "vec_id",
-          "embedding", nCells = 4, threshold = 0.999,
-          out, dir.resolve("ckpt").toString, crossBatch = crossBatch)
+          "embedding", threshold = 0.999,
+          out, dir.resolve("ckpt").toString, nCells = Some(4),
+          crossBatch = crossBatch)
         q.processAllAvailable()
         mem.addData(b2: _*)
         q.processAllAvailable()
@@ -549,8 +550,9 @@ class StreamingSpec extends SparkSpec {
         val mem = MemoryStream[QV]
         mem.addData(b: _*)
         val q = Streams.semanticAdmitSink(mem.toDF(), existing, "vec_id",
-          "embedding", nCells = 4, threshold = 0.999,
-          out, dir.resolve("ckpt").toString, dedupWithinBatch = dedup)
+          "embedding", threshold = 0.999,
+          out, dir.resolve("ckpt").toString, nCells = Some(4),
+          dedupWithinBatch = dedup)
         q.processAllAvailable()
         q.stop()
         spark.read.parquet(out).select($"vec_id")
@@ -563,6 +565,96 @@ class StreamingSpec extends SparkSpec {
     // caller's problem); on: only the smallest id of the pair survives
     assert(run(dedup = false) == Set(101L, 102L, 103L))
     assert(run(dedup = true) == Set(101L, 103L))
+  }
+
+  test("semanticAdmitSink crossBatch: the ledger survives a checkpoint restart") {
+    import graft.ext.Similarity
+    def vec(i: Long): Array[Float] = Array((i % 5).toFloat,
+      ((i * 3) % 7).toFloat, ((i * 5) % 11).toFloat, ((i * 7) % 13).toFloat)
+    val existing = (1L to 32L).map(i => QV(i, vec(i))).toDF()
+    val novel = Array(9f, 8f, 7f, 6f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart")
+    val src = dir.resolve("src").toString
+    val out = dir.resolve("admitted").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val schema = Seq.empty[QV].toDF().schema
+    def startSink() = Streams.semanticAdmitSink(
+      spark.readStream.schema(schema).parquet(src), existing,
+      "vec_id", "embedding", threshold = 0.999, out, ckpt,
+      nCells = Some(4), crossBatch = true)
+    try {
+      // batch 0: one novel row — admitted; then the query STOPS (a
+      // restart, not a rescale: same checkpoint, same outPath)
+      Seq(QV(101L, novel)).toDF()
+        .write.mode("append").parquet(src)
+      val q1 = startSink(); q1.processAllAvailable(); q1.stop()
+      // batch 1 arrives after the restart: an exact copy of the row
+      // admitted BEFORE the restart plus a genuinely novel row. The
+      // pre-restart in-memory ledger is gone — only a ledger rebuilt
+      // from the admitted parquet can refuse the copy.
+      Seq(QV(201L, novel.clone()), QV(202L, Array(6f, 7f, 8f, 9f))).toDF()
+        .write.mode("append").parquet(src)
+      val q2 = startSink(); q2.processAllAvailable(); q2.stop()
+      def got(batch: Long): Set[Long] =
+        spark.read.parquet(out).where($"_batch".cast("long") === batch)
+          .select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(got(0) == Set(101L))
+      assert(got(1) == Set(202L),
+        s"restart lost the ledger — the cross-restart copy landed: ${got(1)}")
+      // total across all partitions: no double-append anywhere
+      val all = spark.read.parquet(out).select($"vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(all.sorted == Seq(101L, 202L), s"unexpected rows: $all")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("semanticAdmitSink sizing: auto default and explicit two-level models match batch semanticAdmit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Ivf, Similarity}
+    def vec(i: Long): Array[Float] = Array((i % 5).toFloat,
+      ((i * 3) % 7).toFloat, ((i * 5) % 11).toFloat, ((i * 7) % 13).toFloat)
+    val existing = (1L to 48L).map(i => QV(i, vec(i))).toDF()
+    val b1 = (101L to 105L).map(i => QV(i, vec(i - 100))) ++
+      (106L to 110L).map(i => QV(i, vec(i * 17 + 1)))
+    // the three sizing shapes VERDICT r7 asked for: the auto default
+    // (no nCells anywhere), a plan-constant two-level model, and the
+    // fine-as-data model — streamed per-batch output must equal the
+    // batch operator under the SAME sizing in every case
+    val twoLevel = Ivf.trainTwoLevel(existing, "vec_id", "embedding", 3, 3)
+    val asData = Ivf.trainTwoLevelAsData(existing, "vec_id", "embedding", 3, 3)
+    val cases: Seq[(String, Option[Ivf.Model],
+        org.apache.spark.sql.DataFrame => Set[Long])] = Seq(
+      ("auto", None, b => Similarity.semanticAdmit(existing, b, "vec_id",
+        "embedding", threshold = 0.999, targetCellSize = 8)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet),
+      ("twoLevel", Some(twoLevel), b => Similarity.semanticAdmit(existing,
+        b, "vec_id", "embedding", threshold = 0.999, model = Some(twoLevel))
+        .select($"vec_id").collect().map(_.getLong(0)).toSet),
+      ("asData", Some(asData), b => Similarity.semanticAdmit(existing,
+        b, "vec_id", "embedding", threshold = 0.999, model = Some(asData))
+        .select($"vec_id").collect().map(_.getLong(0)).toSet))
+    cases.foreach { case (label, model, batchForm) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_size_$label")
+      val out = dir.resolve("admitted").toString
+      try {
+        val mem = MemoryStream[QV]
+        mem.addData(b1: _*)
+        val q = Streams.semanticAdmitSink(mem.toDF(), existing, "vec_id",
+          "embedding", threshold = 0.999, out,
+          dir.resolve("ckpt").toString, model = model, targetCellSize = 8)
+        q.processAllAvailable()
+        q.stop()
+        val got = spark.read.parquet(out).select($"vec_id")
+          .collect().map(_.getLong(0)).toSet
+        assert(got == batchForm(b1.toDF()), s"$label: stream != batch")
+        // the exact copies must drop — admission is doing work
+        assert((got & (101L to 105L).toSet).isEmpty, s"$label: copies survived")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      }
+    }
   }
 
   test("bigramScoreSink: per-batch scores equal the batch model scorer; unseen bigrams score 0") {
