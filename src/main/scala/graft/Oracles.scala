@@ -21,9 +21,10 @@ object Oracles {
     * unless the scale dir is sf0.01. (The d* fixture goldens are
     * scale-independent: they read bundled fixtures, not sf tables.) */
   val pinnedToSf001: Set[String] =
-    Set("x04_simhash", "x07_lsh_ann", "x55_opq_encode")
+    Set("x04_simhash", "x07_lsh_ann", "x55_opq_encode",
+      "x66_adaptive_lsh")
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "q01_union_universe" ->
       """SELECT custkey FROM (
@@ -2000,5 +2001,38 @@ object Oracles {
         | ('RDS.A','2024-01-05','2024-01-15')
         |) t(act_symbol, e, l)
         |ORDER BY act_symbol""".stripMargin
+  ) ++ Map(
+    // x66: skew-adaptive LSH pairs — random-hyperplane signatures are
+    // hash-specific, so this is a deterministic golden pinned at
+    // sf0.01 (the x04/x07 discipline; regenerate with
+    // `runMain graft.AdaptPin`). The adaptive behavior itself —
+    // clustered-corpus candidate collapse and recall vs base LSH — is
+    // asserted hash-free in ScaleSpec
+    "x66_adaptive_lsh" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(cosine AS DOUBLE) AS cosine
+        |FROM (VALUES
+        | (7, 340, 0.4927657135003488e0),
+        | (24, 298, 0.42270265113884714e0),
+        | (44, 301, 0.4596665428707692e0),
+        | (75, 256, 0.4563095159142706e0),
+        | (150, 152, 0.41825457548289297e0),
+        | (159, 202, 0.4031424785766e0),
+        | (191, 431, 0.4420580850530819e0),
+        | (195, 317, 0.4494482735608698e0),
+        | (203, 414, 0.40983146997672093e0),
+        | (262, 291, 0.41742628101030044e0),
+        | (338, 406, 0.4826603508971818e0),
+        | (350, 479, 0.4429217489751484e0),
+        | (355, 417, 0.4007295896794913e0)
+        |) t(id_a, id_b, cosine) ORDER BY id_a, id_b""".stripMargin
   )
+
+  // x67: the fine-as-data two-level training/assignment path is
+  // bitwise-equal to the plan-constant x63 by construction (spec-
+  // asserted), so it answers to x63's full SQL recomputation — the
+  // shared oracle IS the claim that the unbounded-K scale path
+  // changes nothing but the execution shape
+  val all: Map[String, String] =
+    base + ("x67_fine_data_assign" -> base("x63_two_level_refined"))
 }

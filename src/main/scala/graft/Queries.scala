@@ -1311,6 +1311,40 @@ object Queries {
       .orderBy("id")
   }
 
+  /** x66 — skew-ADAPTIVE LSH near-dup pairs: the x60-style occupancy
+    * telemetry ACTING — buckets measured past hotFactor×target gain
+    * extra hyperplane sign bits (hot buckets only; cold rows carry a
+    * sentinel), with one-sided single-bit multi-probe holding recall.
+    * `hotFactor = 1` forces engagement at this scale so the adaptive
+    * key path itself sits under the gate. Signatures are hash-specific
+    * (no SQL engine reproduces them), so the oracle is a deterministic
+    * golden pinned at sf0.01 — the x04/x07 discipline — and the
+    * clustered-corpus behavior (candidate volume within ~2x uniform
+    * where naive keys are 13x) is ScalaTest-asserted in ScaleSpec. */
+  val x66AdaptiveLsh: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshNearDupPairsAdaptive(emb, "vec_id", "embedding",
+        threshold = 0.4, bands = 4, bitsPerBand = Some(5), hotFactor = 1L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** x67 — the x63 two-level refined assignment via the FINE-AS-DATA
+    * training and assignment path ([[Ivf.trainTwoLevelAsData]] /
+    * [[Ivf.assignWithData]]): the unbounded-K form — fine seeds, Lloyd
+    * refinement and the finished model all live in DataFrames, driver
+    * traffic bounded by nCoarse·dim. Bitwise-equal to the plan-constant
+    * x63 by construction (spec-asserted), so it shares x63's oracle
+    * recomputation — the equality IS the point: the scale path answers
+    * to the same SQL as the collected form. */
+  val x67FineDataAssign: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val model = Ivf.trainTwoLevelAsData(emb, "vec_id", "embedding",
+      nCoarse = 4, nFine = 4, refineIters = 1)
+    Ivf.assignWithData(emb, "vec_id", "embedding", model)
+      .select(col("neighbor_id").as("id"), col("cid"))
+      .orderBy("id")
+  }
+
   /** x64 — model-based quality score (the CCNet/Gopher perplexity-
     * filtering step, LM-free): corpus-trained bigram conditional
     * frequencies, each document scored by its mean P(w₂|w₁). Joins are
@@ -1792,6 +1826,8 @@ object Queries {
     "x63_two_level_refined" -> x63TwoLevelRefined,
     "x64_bigram_score" -> x64BigramScore,
     "x65_bigram_smoothed" -> x65BigramSmoothed,
+    "x66_adaptive_lsh" -> x66AdaptiveLsh,
+    "x67_fine_data_assign" -> x67FineDataAssign,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -416,6 +416,115 @@ object Similarity {
           VectorOps.toDouble(col(vecCol)),
           planeMatrix(bands, bits, maxDim), bands, bits)).as("bkey"))
 
+  /** Skew-adaptive band keys: measure the REAL bucket occupancy of the
+    * base signature, then extend the keys of rows in HOT buckets
+    * (measured occupancy > hotFactor × target) with extra sign bits —
+    * hot buckets only, sized from the measured maximum. This is the
+    * observe→adapt closure over [[cellStats]]-style telemetry: the
+    * uniform expectation behind [[autoBitsPerBand]] under-splits
+    * clustered corpora (the builder's own skew-dominated caveat), and
+    * extra GLOBAL bits would tax every row for a few buckets' sin.
+    *
+    * Returns (keyed rows (id, bkey, ext), extraBits, engaged): cold
+    * rows carry the sentinel ext = -1 (all-ones — unreachable by any
+    * extraBits-wide signature or its probes), hot rows their extra-
+    * plane signature, so sub-bucketing applies exactly where the
+    * measurement demanded it. Deterministic end to end (planes are
+    * splitmix64-derived; hotness is a pure function of the corpus).
+    *
+    * Cost: one ids+keys occupancy agg and (if anything is hot) one
+    * extra codegen scan for the ext signature — both linear; the agg
+    * is over bucket COUNTS, bounded by distinct keys, not rows. */
+  private[graft] def adaptiveBandKeys(df: DataFrame, idCol: String,
+      vecCol: String, bands: Int, bits: Int, maxDim: Int,
+      targetOccupancy: Long, hotFactor: Long,
+      maxExtraBits: Int): (DataFrame, Int, Boolean) = {
+    val banded = bandKeysFor(df, idCol, vecCol, bands, bits, maxDim)
+      .localCheckpoint()
+    val occ = banded.groupBy(col("bkey")).agg(count(lit(1)).as("occ"))
+      .localCheckpoint()
+    val hotCut = hotFactor * targetOccupancy
+    val maxOcc = occ.agg(coalesce(max(col("occ")), lit(0L)))
+      .first().getLong(0)
+    if (maxOcc <= hotCut)
+      (banded.withColumn("ext", lit(-1L)), 0, false)
+    else {
+      // a UNIFORMLY-splitting hot bucket needs log2(maxOcc/target)
+      // bits to land back at target — but a hot bucket is hot BECAUSE
+      // its members correlate, so each extra plane splits it by its
+      // pairwise sign-agreement (measured ~0.8 on blob corpora), not
+      // by 1/2. Size 2x the uniform-sufficient bits; the cap bounds
+      // the linear probe cost, the probes bound the recall cost
+      val uniformBits = math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, ceilDiv(maxOcc, targetOccupancy)) - 1))
+      val extraBits = math.min(maxExtraBits, 2 * uniformBits)
+      val extPlanes = Array.tabulate(extraBits)(i =>
+        plane(bands * bits + i, maxDim).toArray)
+      val ext = df.select(col(idCol).as("id"),
+        graft.functions.expressions.VectorExpressions.lshBandKeys(
+          VectorOps.toDouble(col(vecCol)), extPlanes, 1, extraBits)
+          .getItem(0).as("ext"))
+      val hot = occ.where(col("occ") > hotCut).select(col("bkey"))
+      val keyed = banded
+        .join(hot.withColumn("__hot", lit(true)), Seq("bkey"), "left")
+        .join(ext, Seq("id"))
+        .select(col("id"), col("bkey"),
+          when(col("__hot").isNotNull, col("ext"))
+            .otherwise(lit(-1L)).as("ext"))
+        .localCheckpoint()
+      (keyed, extraBits, true)
+    }
+  }
+
+  /** [[lshNearDupPairs]] with the skew-adaptive keys: identical to the
+    * base operator when nothing is hot (it delegates), and otherwise
+    * sub-buckets ONLY the hot buckets on `extraBits` extra hyperplane
+    * sign bits, with one-sided single-bit multi-probe over those bits
+    * so a hot-bucket pair survives any single extra-bit disagreement.
+    * Precision is untouched (every candidate is exact-verified);
+    * recall inside a split bucket is that of an (extraBits−1)-bit
+    * agreement requirement under probing — the standard multi-probe
+    * trade (Lv et al., VLDB'07, public technique) paid only where the
+    * corpus measured hot. */
+  def lshNearDupPairsAdaptive(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bands: Int = 4,
+      bitsPerBand: Option[Int] = None, maxDim: Int = 512,
+      targetOccupancy: Long = 16L, hotFactor: Long = 8L,
+      maxExtraBits: Int = 16): DataFrame = {
+    val resolvedBits = bitsPerBand.getOrElse(autoBitsPerBand(
+      df.select(col(idCol)).count(), targetOccupancy))
+    val (keyed, extraBits, engaged) = adaptiveBandKeys(df, idCol, vecCol,
+      bands, resolvedBits, maxDim, targetOccupancy, hotFactor,
+      maxExtraBits)
+    if (!engaged)
+      lshNearDupPairs(df, idCol, vecCol, threshold, bands,
+        Some(resolvedBits), maxDim)
+    else {
+      val vd = withNorm(df, idCol, vecCol)
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          col("__n2").as("n2"))
+      val probed = keyed.select(col("id"), col("bkey"), explode(
+        when(col("ext") === lit(-1L), array(col("ext")))
+          .otherwise(array(col("ext") +: (0 until extraBits).map(i =>
+            col("ext").bitwiseXOR(lit(1L << i))): _*))).as("ext"))
+      val cand = probed.as("a").join(keyed.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.ext") === col("b.ext")
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val va = vd.select(col("id").as("id_a"), col("v").as("va"),
+        col("n2").as("na"))
+      val vb = vd.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n2").as("nb"))
+      cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", VectorOps.cosineWithNorms(
+          VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+  }
+
   /** `bitsPerBand = None` (the default) derives the band width from a
     * one-off ids-only corpus count via [[autoBitsPerBand]] — constant
     * expected bucket occupancy, so candidate work stays linear in rows.

@@ -301,6 +301,86 @@ class ScaleSpec extends SparkSpec {
     assert(viaAuto == viaAssign)
   }
 
+  test("adaptive LSH: clustered-corpus candidate volume collapses toward the uniform baseline") {
+    import graft.ext.Similarity
+    val n = 16384
+    val target = 16L
+    // uniform control: iid per-(id, dim) hash noise — actually uniform
+    // in sign space (the sin-scramble correlates dims and trips the hot
+    // cut on its own)
+    // 512 dims: at low dimension the random planes correlate (pairwise
+    // cos ~ 1/sqrt(d)) and bucket masses are unequal even for uniform
+    // data — 8- and 32-dim controls tripped the hot cut on their own.
+    // At 512 the planes are near-orthogonal and the uniform control
+    // behaves like its expectation.
+    def uniform(rows: Int) = spark.range(rows).selectExpr("id AS vec_id",
+      "transform(sequence(1, 512), j -> CAST(pmod(xxhash64(id, j), 2000) " +
+        "/ 1000.0 - 1.0 AS FLOAT)) AS embedding")
+    // clustered: 8 well-separated centers (one dominant dimension each,
+    // magnitude ~1.7x the iid jitter norm) — members mostly share base
+    // band keys (the skew) while straddling enough extra hyperplanes
+    // to sub-bucket
+    def clustered(rows: Int) = spark.range(rows).selectExpr("id AS vec_id",
+      "transform(sequence(1, 512), j -> CAST((CASE WHEN j - 1 = id % 8 " +
+        "THEN 16.0 ELSE 0.0 END) + 0.8 * (pmod(xxhash64(id, j), 2000) " +
+        "/ 1000.0 - 1.0) AS FLOAT)) AS embedding")
+    val bits = Similarity.autoBitsPerBand(n, target)
+    def fullStats(keyed: org.apache.spark.sql.DataFrame) =
+      Similarity.cellStats(
+        keyed.withColumn("ck", struct(col("bkey"), col("ext"))), "ck")
+    def perRow(keyed: org.apache.spark.sql.DataFrame): Double = {
+      val s = fullStats(keyed)
+      s.sumSqOcc.toDouble / s.rows
+    }
+    val (uniKeys, _, uniEngaged) = Similarity.adaptiveBandKeys(uniform(n),
+      "vec_id", "embedding", 4, bits, 512, target, 8L, 16)
+    val (cluKeys, cluBits, cluEngaged) = Similarity.adaptiveBandKeys(
+      clustered(n), "vec_id", "embedding", 4, bits, 512, target, 8L, 16)
+    // naive = the same corpus under base keys only (ext pinned cold)
+    val naive = Similarity.bandKeysFor(clustered(n), "vec_id", "embedding",
+      4, bits, 512).withColumn("ext", lit(-1L))
+    val (u, c, nv) = (perRow(uniKeys), perRow(cluKeys), perRow(naive))
+    info(f"per-row candidate volume: uniform=$u%.1f adaptive=$c%.1f " +
+      f"naive=$nv%.1f extraBits=$cluBits engaged=$cluEngaged")
+    info(s"uniform stats: ${fullStats(uniKeys)}")
+    info(s"naive clustered stats: ${fullStats(naive)}")
+    // the failure is real: expectation-sized keys on clustered data
+    // carry several times the uniform candidate bill
+    assert(!uniEngaged, "uniform corpus should not trip the hot cut")
+    assert(cluEngaged, "clustered corpus must trip the hot cut")
+    assert(nv >= u * 3.0, f"clustered naive $nv%.1f not skewed vs uniform $u%.1f")
+    // ...and the adaptive keys act on the measurement: within ~3x of
+    // the uniform bill where the naive keys measurably are not
+    assert(c <= u * 3.0, f"adaptive $c%.1f above 3x uniform $u%.1f")
+    // recall: on a corpus small enough to compare, the adaptive pairs
+    // recover near-all of the base-LSH pairs (probing absorbs the
+    // extra-bit disagreements) — precision is exact on both sides
+    val small = 2048
+    val bitsS = Similarity.autoBitsPerBand(small, target)
+    // pairwise cosine inside a blob sits around 0.75 (center² over
+    // center² + jitter²), so 0.7 is the regime with real pairs
+    def pairs(df: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.DataFrame, String, String, Double) =>
+          org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      rows(f(df, "vec_id", "embedding", 0.7))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(clustered(small), (d, i, v, t) =>
+      Similarity.lshNearDupPairs(d, i, v, t, bands = 4,
+        bitsPerBand = Some(bitsS)))
+    val adapt = pairs(clustered(small), (d, i, v, t) =>
+      Similarity.lshNearDupPairsAdaptive(d, i, v, t, bands = 4,
+        bitsPerBand = Some(bitsS)))
+    info(s"recall check: base=${base.size} adaptive=${adapt.size} " +
+      s"common=${(base & adapt).size}")
+    assert(base.nonEmpty)
+    // measured trade on this corpus: ~7x less candidate volume for
+    // ~0.89 of the base pairs retained (probing absorbs single extra-
+    // bit disagreements; deeper disagreement is the split working).
+    // `bands` stays the recall knob, unchanged by adaptation.
+    assert((base & adapt).size.toDouble / base.size >= 0.85,
+      s"adaptive recall ${(base & adapt).size}/${base.size} below 0.85")
+  }
+
   test("multimodal: per-partition feature extraction, deterministic stub") {
     implicit val s = spark
     val recs = Seq(
