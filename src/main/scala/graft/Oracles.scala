@@ -2000,7 +2000,34 @@ object Oracles {
         | ('OLD','2023-01-01','2023-01-01'),
         | ('RDS.A','2024-01-05','2024-01-15')
         |) t(act_symbol, e, l)
-        |ORDER BY act_symbol""".stripMargin
+        |ORDER BY act_symbol""".stripMargin,
+    "x68_bigram_jm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS cnt1 FROM bi GROUP BY 1),
+        |u AS (SELECT w2, sum(cnt2) AS cntu FROM c2 GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt2) AS DOUBLE) AS nn FROM c2),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(0.75e0 * (CAST(c2.cnt2 AS DOUBLE) / CAST(c1.cnt1 AS DOUBLE))
+        |       + 0.25e0 * (CAST(u.cntu AS DOUBLE) / n.nn)
+        |      AS DECIMAL(28,12)) AS p
+        |  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  JOIN u USING (w2) CROSS JOIN n),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) / count(*) AS bigram_score
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  a.bigram_score
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   ) ++ Map(
     // x66: skew-adaptive LSH pairs — random-hyperplane signatures are
     // hash-specific, so this is a deterministic golden pinned at

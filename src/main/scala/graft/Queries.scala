@@ -1371,6 +1371,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x68 — Jelinek-Mercer interpolated bigram score (λ = 0.75): the
+    * backoff form of x65 — an unseen continuation inherits its GLOBAL
+    * unigram frequency scaled by 1−λ instead of add-k's flat floor, so
+    * plausible-but-unseen word pairs outscore gibberish. Unigram model
+    * and total derive from the bigram counts (no second corpus pass);
+    * all three count joins salted; same DECIMAL(28,12) quantization so
+    * the interpolated double is hash-exact under the oracle. */
+  val x68BigramJm: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val (c1, c2) = TextAnalysis.bigramModel(docs, "doc_id", "text")
+    TextAnalysis.bigramScoreJmWith(docs, "doc_id", "text", c1, c2,
+        TextAnalysis.unigramModel(c2), TextAnalysis.bigramTotal(c2),
+        lambda = 0.75)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x60 — quantizer occupancy telemetry as a query: the cell-size
     * distribution (count, discrete p50/p99, max, Σocc²) of x57's
     * 16-cell assignment. Σocc² is exactly the candidate-pair volume the
@@ -1828,6 +1845,7 @@ object Queries {
     "x65_bigram_smoothed" -> x65BigramSmoothed,
     "x66_adaptive_lsh" -> x66AdaptiveLsh,
     "x67_fine_data_assign" -> x67FineDataAssign,
+    "x68_bigram_jm" -> x68BigramJm,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -45,11 +45,29 @@ object ScaleProbe {
 
     val queries = Seq("x01_dedup_exact", "x02_ngram_jaccard",
       "x03_minhash_lsh", "x07_lsh_ann", "x16_dedup_corpus",
-      "x52_canonical", "q05_trunc_export", "q13_keep_first")
+      "x52_canonical", "q05_trunc_export", "q13_keep_first",
+      // round-7/8 additions: trained-quantizer dedup, two-level
+      // (plan-constant and fine-as-data) assignment, bigram LM
+      // scoring (salted joins), skew-adaptive LSH
+      "x59_semantic_trained", "x62_two_level_dedup",
+      "x64_bigram_score", "x65_bigram_smoothed",
+      "x66_adaptive_lsh", "x67_fine_data_assign")
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
     // are probed here as direct operator calls
+    def docShingles(dir: String) =
+      graft.sources.Tables.documents(spark, dir).select(col("doc_id"),
+        graft.ext.TextAnalysis.shingles(col("text"), 3).as("sh"))
     val ops: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      // same-JVM A/B of the PPJoin positional filter vs the plain
+      // prefix filter (environment drift between separate probe runs
+      // was 2x on untouched queries — only a back-to-back pair is fair)
+      "x02_prefix_plain" -> (dir =>
+        graft.ext.Dedup.jaccardPairsPrefix(docShingles(dir), "doc_id",
+          "sh", 0.6)),
+      "x02_prefix_positional" -> (dir =>
+        graft.ext.Dedup.jaccardPairsPrefix(docShingles(dir), "doc_id",
+          "sh", 0.6, positional = true)),
       "x07_lsh_ann_auto" -> (dir =>
         graft.ext.Similarity.lshNearDupPairs(
           graft.sources.Tables.embeddings(spark, dir), "vec_id",

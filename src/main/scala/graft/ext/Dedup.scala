@@ -264,7 +264,8 @@ object Dedup {
     * rank window (all linear in postings) against a quadratic-stage
     * saving; verification is unchanged (exact, full sets). */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String,
-      shinglesCol: String, threshold: Double): DataFrame = {
+      shinglesCol: String, threshold: Double,
+      positional: Boolean = false): DataFrame = {
     val base = docs
       .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
     val tok = base.select(col("id"), size(col("hs")).as("s"),
@@ -280,15 +281,46 @@ object Dedup {
     // construction for every (threshold, set-size) combination.
     val tDec = new java.math.BigDecimal(threshold)
       .setScale(12, java.math.RoundingMode.FLOOR)
-    val prefix = tok.join(dfc, "h")
+    val pruned = tok.join(dfc, "h")
       .withColumn("r", row_number().over(w))
       .where(col("r") <= col("s") - ceil(lit(tDec) * col("s")) + 1)
-      .select(col("id"), col("h"))
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"))
-      .dropDuplicates("d1", "d2")
-    verifyPairs(base, candidates, threshold)
+    if (!positional) {
+      val prefix = pruned.select(col("id"), col("h"))
+      val candidates = prefix.as("a").join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"))
+        .dropDuplicates("d1", "d2")
+      verifyPairs(base, candidates, threshold)
+    } else {
+      // PPJoin's POSITIONAL filter (Xiao WWW'08 §3.2) on top of the
+      // prefix filter: a match at ranks (r_a, r_b) bounds the overlap
+      // at 1 + min(s_a − r_a, s_b − r_b) — when this is the pair's
+      // globally-smallest common shingle, every other common shingle
+      // sits strictly after it in BOTH suffixes. J ≥ t needs
+      // O·(1+t) ≥ t·(s_a+s_b), so rows whose bound can't reach that
+      // drop BEFORE the pair-dedup and verify join; the same algebra
+      // gives the size filter t·max(s) ≤ min(s), applied first.
+      // Recall stays 1: a true pair's first-common-shingle row always
+      // passes (its bound ≥ the real overlap), and t rounded down
+      // only widens the keep side (spec-asserted equal to the plain
+      // path). Opt-in, not the default: carrying (r, s) through the
+      // candidate join widens the df²-stage rows 3×, and on
+      // near-dup-heavy corpora (high-overlap pairs the bound can't
+      // kill) the width costs more than the prune saves — measured
+      // round 8, ARCHITECTURE.md.
+      val prefix = pruned.select(col("id"), col("h"), col("r"), col("s"))
+      val oneT = java.math.BigDecimal.ONE.add(tDec)
+      val candidates = prefix.as("a").join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id")
+            && lit(tDec) * greatest(col("a.s"), col("b.s"))
+              <= least(col("a.s"), col("b.s"))
+            && lit(tDec) * (col("a.s") + col("b.s"))
+              <= lit(oneT) * (lit(1) +
+                least(col("a.s") - col("a.r"), col("b.s") - col("b.r"))))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"))
+        .dropDuplicates("d1", "d2")
+      verifyPairs(base, candidates, threshold)
+    }
   }
 
   /** Exact-Jaccard verification of an ids-only candidate set against the

@@ -208,6 +208,73 @@ object TextAnalysis {
         col("bigram_score"))
   }
 
+  /** Unigram continuation model derived FROM the bigram counts:
+    * cntu(w) = Σ_{w1} cnt2(w1, w) — how often `w` occurs as a
+    * continuation anywhere in the training stream. Model-sized input,
+    * model-sized output; no second pass over the corpus. */
+  def unigramModel(c2: DataFrame): DataFrame =
+    c2.groupBy("w2").agg(sum(col("cnt2")).as("cntu"))
+
+  /** Total bigram occurrences in the training corpus — the unigram
+    * probability denominator; one scalar agg over the count table. */
+  def bigramTotal(c2: DataFrame): Long =
+    c2.agg(coalesce(sum(col("cnt2")), lit(0L))).first().getLong(0)
+
+  /** Jelinek-Mercer interpolated scoring (the standard LM smoothing
+    * recipe, public): P = λ·P_MLE(w₂|w₁) + (1−λ)·P_uni(w₂). Where
+    * add-k gives every unseen continuation of a prefix the same flat
+    * floor k/(cnt1+kV), JM backs off to how common the CONTINUATION is
+    * globally — "the san" (unseen bigram, frequent unigram) outscores
+    * "the qxzt", which is what cross-corpus robustness actually wants.
+    * A wholly out-of-vocabulary continuation scores (1−λ)·0 = 0 and a
+    * known-word unseen pair (1−λ)·cntu/N; λ = 1 reduces exactly to the
+    * MLE path (spec-asserted).
+    *
+    * Same determinism discipline as [[bigramScoreWith]]: both terms
+    * are IEEE double on exact counts, interpolated as
+    * λ·mle + (1−λ)·uni in that association, quantized to
+    * DECIMAL(28,12) before the per-document sum. Same skew discipline:
+    * all three count joins (the `w2` unigram join is stopword-skewed
+    * exactly like `w1`) run salted; the unigram table is model-sized
+    * so its `salt`× replication is noise next to the occurrence
+    * stream. */
+  def bigramScoreJmWith(docs: DataFrame, idCol: String, textCol: String,
+      c1: DataFrame, c2: DataFrame, uni: DataFrame, total: Long,
+      lambda: Double = 0.75, salt: Int = DefaultScoreSalt): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(total > 0, "empty training corpus")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0,1]")
+    val mle = coalesce(
+      col("cnt2").cast("double") / col("cnt1").cast("double"), lit(0.0))
+    val uniP = coalesce(
+      col("cntu").cast("double") / lit(total.toDouble), lit(0.0))
+    val p = (lit(lambda) * mle + lit(1.0 - lambda) * uniP)
+      .cast(DecimalType(28, 12))
+    val bg = bigrams(docs, idCol, textCol)
+    val saltCols = Seq(col("id"), col("w1"), col("w2"))
+    val withCounts =
+      if (salt <= 1)
+        bg.join(c2, Seq("w1", "w2"), "left").join(c1, Seq("w1"), "left")
+          .join(uni, Seq("w2"), "left")
+      else
+        graft.operators.Skew.saltedJoin(
+          graft.operators.Skew.saltedJoin(
+            graft.operators.Skew.saltedJoin(bg, c2, Seq("w1", "w2"),
+              salt, "left", saltOn = saltCols),
+            c1, Seq("w1"), salt, "left", saltOn = saltCols),
+          uni, Seq("w2"), salt, "left", saltOn = saltCols)
+    val agg = withCounts
+      .withColumn("p", p)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p")).cast("double") / count(lit(1)))
+          .as("bigram_score"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_score"))
+  }
+
   /** Default salt width for [[bigramScoreWith]]'s skewed count joins:
     * spreads the hottest stopword key over 16 reducers (the measured
     * Zipf head of English puts ~5-7% of all bigram occurrences on the

@@ -76,6 +76,16 @@ class ExtSpec extends SparkSpec {
     val p8 = rows(Dedup.jaccardPairsPrefix(sf, "doc_id", "sh", 0.8))
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(p8 == u8)
+    // the PPJoin positional filter is a pure candidate prune — the
+    // exact pair set is unchanged at both thresholds
+    for (t <- Seq(0.6, 0.8)) {
+      val pos = rows(Dedup.jaccardPairsPrefix(sf, "doc_id", "sh", t,
+          positional = true))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = rows(Dedup.jaccardPairsPrefix(sf, "doc_id", "sh", t))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pos == plain, s"positional filter changed the pair set at t=$t")
+    }
   }
 
   test("simhash: identical docs at hamming 0, unrelated docs absent") {
@@ -361,6 +371,51 @@ class ExtSpec extends SparkSpec {
       TextAnalysis.bigramScoreWith(docs, "doc_id", "text", c1, c2,
         smoothK = 0.5)
     }
+  }
+
+  test("bigramScoreJm: interpolated backoff, hand-computed; lambda=1 is exactly MLE") {
+    import graft.ext.TextAnalysis
+    // same corpus as above: c2(a,b)=2 (b,a)=1 (a,c)=1; c1(a)=3 c1(b)=1;
+    // unigram continuations u(b)=2 u(a)=1 u(c)=1; N=4
+    val docs = Seq((1L, "a b a c"), (2L, "A b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val (c1, c2) = TextAnalysis.bigramModel(docs, "doc_id", "text")
+    val uni = TextAnalysis.unigramModel(c2)
+    val total = TextAnalysis.bigramTotal(c2)
+    assert(total == 4L)
+    assert(rows(uni.orderBy("w2")).map(r => (r.getString(0), r.getLong(1)))
+      == Seq(("a", 1L), ("b", 2L), ("c", 1L)))
+    // JM on "a b" (seen) and "c a" (unseen pair, known words) and
+    // "zz qq" (out of vocabulary): the backoff ladder add-k flattens
+    val jm = rows(TextAnalysis.bigramScoreJmWith(
+        Seq((1L, "a b"), (2L, "c a"), (3L, "zz qq")).toDF("doc_id", "text"),
+        "doc_id", "text", c1, c2, uni, total, lambda = 0.75)
+      .orderBy("id")).map(r => (r.getLong(0), r.getDouble(2)))
+    // seen: 0.75*(2/3) + 0.25*(2/4); unseen pair: MLE term 0, backoff
+    // 0.25*(1/4); OOV continuation: 0
+    assert(math.abs(jm(0)._2 - (0.75 * 2.0 / 3 + 0.25 * 0.5)) < 1e-9)
+    assert(math.abs(jm(1)._2 - 0.0625) < 1e-9)
+    assert(jm(2)._2 == 0.0)
+    // the point of JM over add-k: a frequent-continuation unseen pair
+    // outscores a rare-continuation one ("plausible" beats "gibberish")
+    val pair = rows(TextAnalysis.bigramScoreJmWith(
+        Seq((1L, "c b"), (2L, "b c")).toDF("doc_id", "text"),
+        "doc_id", "text", c1, c2, uni, total, lambda = 0.75)
+      .orderBy("id")).map(_.getDouble(2))
+    assert(pair(0) > pair(1), s"u(b)=2 backoff ${pair(0)} should beat u(c)=1 ${pair(1)}")
+    // lambda = 1 reduces bit-for-bit to the MLE scorer
+    val viaJm = rows(TextAnalysis.bigramScoreJmWith(docs, "doc_id", "text",
+      c1, c2, uni, total, lambda = 1.0).orderBy("id"))
+      .map(r => (r.getLong(0), Option(r.get(2))))
+    val viaMle = rows(TextAnalysis.bigramScoreWith(docs, "doc_id", "text",
+      c1, c2).orderBy("id")).map(r => (r.getLong(0), Option(r.get(2))))
+    assert(viaJm == viaMle)
+    // salt invariance: salted and plain plans agree row for row
+    val salted = rows(TextAnalysis.bigramScoreJmWith(docs, "doc_id",
+      "text", c1, c2, uni, total, salt = 8).orderBy("id"))
+    val plain = rows(TextAnalysis.bigramScoreJmWith(docs, "doc_id",
+      "text", c1, c2, uni, total, salt = 1).orderBy("id"))
+    assert(salted.toString == plain.toString)
   }
 
   test("auto quantizer escalates to two-level past flatAutoCells; identical to manual composition") {
