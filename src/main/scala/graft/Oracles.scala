@@ -2027,7 +2027,49 @@ object Oracles {
         |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  a.bigram_score
         |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // x69: one hot-cell split round over the 4-seed flat assignment —
+    // x61's assignment CTE, then occupancy, per-hot-cell smallest-id
+    // sub-seeds (least(64, ceil-div by 16)), cosine-argmax reassignment
+    // with the identical rn tie-break, cold cells at sub = -1
+    "x69_split_hot_cells" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
+        |a0 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |occ AS (SELECT cid, count(*) AS o FROM a0 GROUP BY 1),
+        |hot AS (SELECT cid, least(64, (o + 15) // 16) AS nsub
+        |  FROM occ WHERE o > 32),
+        |seeds AS (
+        |  SELECT cid, vec_id AS fid, v AS fv FROM (
+        |    SELECT a0.cid, a0.vec_id, a0.v, h.nsub,
+        |      row_number() OVER (PARTITION BY a0.cid ORDER BY a0.vec_id) AS rn
+        |    FROM a0 JOIN hot h USING (cid))
+        |  WHERE rn <= nsub),
+        |split AS (
+        |  SELECT vec_id, cid, fid AS sub FROM (
+        |    SELECT a.vec_id, a.cid, s.fid,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.v, s.fv) /
+        |          (sqrt(list_dot_product(a.v, a.v)) *
+        |           sqrt(list_dot_product(s.fv, s.fv))) DESC, s.fid) AS rn
+        |    FROM a0 a JOIN seeds s ON a.cid = s.cid) WHERE rn = 1),
+        |cold AS (
+        |  SELECT vec_id, cid, CAST(-1 AS BIGINT) AS sub FROM a0
+        |  WHERE cid NOT IN (SELECT cid FROM hot))
+        |SELECT vec_id AS id, CAST(cid AS BIGINT) AS cid,
+        |  CAST(sub AS BIGINT) AS sub
+        |FROM (SELECT * FROM split UNION ALL SELECT * FROM cold)
+        |ORDER BY id""".stripMargin
   ) ++ Map(
     // x66: skew-adaptive LSH pairs — random-hyperplane signatures are
     // hash-specific, so this is a deterministic golden pinned at

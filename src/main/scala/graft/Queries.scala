@@ -1388,6 +1388,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x69 — hot-CELL splitting (one pinned round): the x60 occupancy
+    * telemetry ACTING on the quantizer family the way x66 acts on LSH
+    * buckets — cells measured past hotFactor×target are sub-quantized
+    * by their own smallest-id members (cosine argmax, fid tie-break),
+    * cold cells untouched (sub = -1). The refined key is the pair
+    * (cid, sub), collision-free by member disjointness. maxRounds = 1
+    * so the SQL oracle recomputes exactly one round; the to-fixpoint
+    * form and the clustered-corpus Σocc² collapse are ScaleSpec's. */
+  val x69SplitHotCells: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val assigned = Ivf.assignWith(emb, "vec_id", "embedding",
+      Ivf.train(emb, "vec_id", "embedding", nlist = 4))
+    Ivf.splitHotCells(assigned, targetCellSize = 16, hotFactor = 2,
+        maxSubCells = 64, maxRounds = 1)
+      .select(col("neighbor_id").as("id"), col("cid"), col("sub"))
+      .orderBy("id")
+  }
+
   /** x60 — quantizer occupancy telemetry as a query: the cell-size
     * distribution (count, discrete p50/p99, max, Σocc²) of x57's
     * 16-cell assignment. Σocc² is exactly the candidate-pair volume the
@@ -1846,6 +1864,7 @@ object Queries {
     "x66_adaptive_lsh" -> x66AdaptiveLsh,
     "x67_fine_data_assign" -> x67FineDataAssign,
     "x68_bigram_jm" -> x68BigramJm,
+    "x69_split_hot_cells" -> x69SplitHotCells,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

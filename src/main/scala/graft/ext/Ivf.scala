@@ -329,6 +329,96 @@ object Ivf {
     assignCells(corpus, idCol, vecCol,
       seedCentroids(corpus, idCol, vecCol, nlist))
 
+  /** Hot-CELL splitting — the observe→adapt closure for the quantizer
+    * family, the same move [[Similarity.lshNearDupPairsAdaptive]] makes
+    * for LSH buckets: measure the REAL per-cell occupancy of an
+    * assignment and sub-quantize ONLY the cells the measurement says
+    * are hot (occ > hotFactor × targetCellSize). Expectation-based
+    * sizing holds the MEAN cell at target; on clustered real-world
+    * corpora the mass concentrates (the skew-dominated caveat on
+    * [[Similarity.autoBitsPerBand]]) and the within-cell candidate
+    * bill Σocc² is carried by a few giant cells — splitting exactly
+    * those restores it without re-quantizing the cold majority.
+    *
+    * Each round gives every hot cell min(maxSubCells, ⌈occ/target⌉)
+    * sub-seeds — its smallest-id members, the seed discipline used
+    * everywhere — and reassigns the cell's members to their nearest
+    * sub-seed (cosine argmax, `row_number` tie-break by fid, identical
+    * to [[assignTwoLevelAsData]]'s). Bounding the per-round fan-out at
+    * `maxSubCells` keeps the reassignment join at occ × maxSubCells
+    * rows per hot cell — LINEAR per round, never the occ²/target a
+    * one-shot full split would cost on a monster cell — and rounds
+    * recurse on still-hot sub-cells, so depth is log_maxSubCells of
+    * the worst ratio. Runs to fixpoint by default; `maxRounds = 1`
+    * is the oracle-pinned bounded form (the x62/x63 discipline: SQL
+    * recomputes one round, ScalaTest owns the fixpoint claim).
+    *
+    * Input and output are the assignment shape every `assign*` method
+    * produces — (neighbor_id, v, n2, cid) plus an output `sub` column
+    * (-1 for members of never-split cells). The refined cell key is
+    * the PAIR (cid, sub): sub-seed ids are member ids and member sets
+    * are disjoint, so the pair is collision-free by construction where
+    * a flattened single label could collide with an unsplit cell's
+    * seed id. Compose with [[Similarity.semanticDedup]] via
+    * `assignment = out.select(col("neighbor_id").as("id"),
+    * struct(col("cid"), col("sub")).as("cid"))`. Deterministic end to
+    * end; per round one (cid)-count agg, one per-hot-cell rank window
+    * and one bounded-fanout join — no driver collect at any size. */
+  def splitHotCells(assigned: DataFrame, targetCellSize: Long,
+      hotFactor: Long = 8L, maxSubCells: Int = 64,
+      maxRounds: Int = 64): DataFrame = {
+    require(targetCellSize > 0 && hotFactor > 0 && maxSubCells > 1,
+      "need targetCellSize > 0, hotFactor > 0, maxSubCells > 1")
+    val hotCut = hotFactor * targetCellSize
+    var out = assigned.withColumn("sub", lit(-1L))
+    var round = 0
+    var anyHot = true
+    while (anyHot && round < maxRounds) {
+      val occ = out.groupBy(col("cid"), col("sub"))
+        .agg(count(lit(1)).as("__occ"))
+      val hot = occ.where(col("__occ") > hotCut)
+        .select(col("cid"), col("sub"), least(lit(maxSubCells.toLong),
+          expr(s"(__occ + ${targetCellSize - 1}) div $targetCellSize"))
+          .as("__nsub"))
+      // a split round is worth a checkpoint of the (still small) label
+      // frame; checking hotness first keeps the no-op path one agg
+      anyHot = !hot.isEmpty
+      if (anyHot) {
+        val marked = out.join(hot, Seq("cid", "sub"), "left")
+        val cold = marked.where(col("__nsub").isNull)
+          .select(col("neighbor_id"), col("v"), col("n2"), col("cid"),
+            col("sub"))
+        val hotRows = marked.where(col("__nsub").isNotNull)
+          .select(col("neighbor_id"), col("v"), col("n2"), col("cid"),
+            col("sub"), col("__nsub"))
+          .localCheckpoint()
+        val wSeed = Window.partitionBy(col("cid"), col("sub"))
+          .orderBy(col("neighbor_id"))
+        val seeds = hotRows
+          .withColumn("__rn", row_number().over(wSeed))
+          .where(col("__rn") <= col("__nsub"))
+          .select(col("cid"), col("sub"),
+            col("neighbor_id").as("fid"), col("v").as("fv"),
+            col("n2").as("fn"))
+        val wPick = Window.partitionBy(col("neighbor_id"))
+          .orderBy(col("__cos").desc, col("fid").asc)
+        val split = hotRows
+          .select(col("neighbor_id"), col("v"), col("n2"), col("cid"),
+            col("sub"))
+          .join(seeds, Seq("cid", "sub"))
+          .withColumn("__cos", VectorOps.cosineWithNorms(
+            VectorOps.dot(col("v"), col("fv")), col("n2"), col("fn")))
+          .withColumn("__rn", row_number().over(wPick))
+          .where(col("__rn") === 1)
+          .select(col("neighbor_id"), col("v"), col("n2"), col("cid"),
+            col("fid").as("sub"))
+        out = cold.unionByName(split).localCheckpoint()
+      }
+      round += 1
+    }
+    out
+  }
+
   /** Per-cell elementwise means of the assigned vectors, computed through
     * exact decimal sums (order-independent under any partitioning — the
     * same engine-stable mean as the label-centroid operator) and cast to

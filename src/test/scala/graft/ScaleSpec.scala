@@ -381,6 +381,63 @@ class ScaleSpec extends SparkSpec {
       s"adaptive recall ${(base & adapt).size}/${base.size} below 0.85")
   }
 
+  test("splitHotCells: fixpoint bounds occupancy on a clustered corpus, cold cells untouched") {
+    import graft.ext.{Ivf, Similarity}
+    val n = 4096
+    val target = 16L
+    // seeds (ids 0-7) cover eight distinct blobs, but 6/8 of the
+    // REMAINING rows pile into blob 0 — cell 0 becomes a giant hot
+    // cell, cells 1-5 near-empty (the cold control), 6/7 mid-sized
+    val emb = spark.range(n).selectExpr("id AS vec_id",
+      "transform(sequence(1, 64), j -> CAST((CASE WHEN j - 1 = " +
+        "(CASE WHEN id < 8 THEN id " +
+        "WHEN id % 8 < 6 THEN 0 ELSE id % 8 END) " +
+        "THEN 16.0 ELSE 0.0 END) + 0.8 * (pmod(xxhash64(id, j), 2000) " +
+        "/ 1000.0 - 1.0) AS FLOAT)) AS embedding")
+    val assigned = Ivf.assignWith(emb, "vec_id", "embedding",
+      Ivf.train(emb, "vec_id", "embedding", nlist = 8))
+      .localCheckpoint()
+    val naive = Similarity.cellStats(assigned, "cid")
+    val out = Ivf.splitHotCells(assigned, target, hotFactor = 8L,
+      maxSubCells = 8).localCheckpoint()
+    val refined = Similarity.cellStats(
+      out.withColumn("ck", struct(col("cid"), col("sub"))), "ck")
+    info(s"naive: $naive refined: $refined")
+    // the fixture is genuinely skewed, and the fixpoint leaves nothing
+    // above the hot cut
+    assert(naive.maxOcc > 8L * target, "fixture must be skewed")
+    assert(refined.maxOcc <= 8L * target)
+    // the within-cell candidate bill collapses by >= an order of
+    // magnitude (giant cells carried almost all of Sum occ^2)
+    assert(refined.sumSqOcc * 10 <= naive.sumSqOcc,
+      s"refined ${refined.sumSqOcc} not << naive ${naive.sumSqOcc}")
+    // refinement PARTITIONS the original cells: cid never changes and
+    // no row is lost or duplicated
+    assert(out.count() == n)
+    assert(out.join(assigned.select(col("neighbor_id"),
+        col("cid").as("cid0")), "neighbor_id")
+      .where(col("cid") =!= col("cid0")).isEmpty)
+    // cold cells ride through with sub = -1 as entire cells
+    val coldCids = rows(out.where(col("sub") === -1L)
+      .select(col("cid")).distinct()).map(_.getLong(0)).toSet
+    val occ0 = rows(assigned.groupBy("cid").count())
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(coldCids.forall(c => occ0(c) <= 8L * target))
+    // deterministic: the oracle-pinned one-round form reruns bitwise
+    def r1() = rows(Ivf.splitHotCells(assigned, target, hotFactor = 8L,
+        maxSubCells = 8, maxRounds = 1)
+      .select(col("neighbor_id"), col("cid"), col("sub"))
+      .orderBy("neighbor_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(r1() == r1())
+    // and composes with semanticDedup as a (cid, sub) struct key
+    val dd = graft.ext.Similarity.semanticDedup(emb, "vec_id",
+      "embedding", threshold = 0.9, assignment = Some(out.select(
+        col("neighbor_id").as("id"),
+        struct(col("cid"), col("sub")).as("cid"))))
+    assert(dd.count() == n)
+  }
+
   test("multimodal: per-partition feature extraction, deterministic stub") {
     implicit val s = spark
     val recs = Seq(
