@@ -2029,6 +2029,50 @@ object Oracles {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // x70: DSIR importance score — target model trained on lang='en'
+    // bigrams, background on all; add-k (0.5) smoothed conditionals
+    // quantized DECIMAL(28,12) and summed SEPARATELY per doc (a
+    // per-bigram ratio re-quantized hits HALF_UP-vs-HALF_EVEN ties —
+    // the measured 0.9062457291125 case); one boundary division
+    "x70_importance_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c2b AS (SELECT w1, w2, count(*) AS cnt2_b FROM bi GROUP BY 1, 2),
+        |c1b AS (SELECT w1, count(*) AS cnt1_b FROM bi GROUP BY 1),
+        |c2t AS (SELECT w1, w2, count(*) AS cnt2_t FROM bi
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |c1t AS (SELECT w1, count(*) AS cnt1_t FROM bi
+        |  WHERE lang = 'en' GROUP BY 1),
+        |vb AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bi),
+        |vt AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bi
+        |  WHERE lang = 'en'),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST((CAST(coalesce(c2t.cnt2_t, 0) AS DOUBLE) + 0.5) /
+        |         (CAST(coalesce(c1t.cnt1_t, 0) AS DOUBLE) + 0.5 * vt.v)
+        |      AS DECIMAL(28,12)) AS pt,
+        |    CAST((CAST(coalesce(c2b.cnt2_b, 0) AS DOUBLE) + 0.5) /
+        |         (CAST(coalesce(c1b.cnt1_b, 0) AS DOUBLE) + 0.5 * vb.v)
+        |      AS DECIMAL(28,12)) AS pb
+        |  FROM bi b
+        |  LEFT JOIN c2t USING (w1, w2) LEFT JOIN c1t USING (w1)
+        |  LEFT JOIN c2b USING (w1, w2) LEFT JOIN c1b USING (w1)
+        |  CROSS JOIN vt CROSS JOIN vb),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(CAST(sum(pt) AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(sum(pb) AS VARCHAR) AS DOUBLE) AS importance
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  a.importance
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // x69: one hot-cell split round over the 4-seed flat assignment —
     // x61's assignment CTE, then occupancy, per-hot-cell smallest-id
     // sub-seeds (least(64, ceil-div by 16)), cosine-argmax reassignment

@@ -1388,6 +1388,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x70 — DSIR-style importance scoring (Xie et al. NeurIPS'23,
+    * log-free form): English documents as the target domain, the
+    * whole corpus as background; each document scored by
+    * Σp_en(w₂|w₁) / Σp_all(w₂|w₁) over its bigrams under add-k (0.5)
+    * smoothed models. High scorers are what importance resampling
+    * would keep to tilt a pretraining mixture toward the target. All
+    * four count joins salted; the two probability sums stay in exact
+    * decimal and only the final division is double, so the oracle
+    * matches bit-for-bit. */
+  val x70ImportanceRatio: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.importanceRatioScore(docs, "doc_id", "text",
+        target = docs.where(col("lang") === "en"), smoothK = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x69 — hot-CELL splitting (one pinned round): the x60 occupancy
     * telemetry ACTING on the quantizer family the way x66 acts on LSH
     * buckets — cells measured past hotFactor×target are sub-quantized
@@ -1865,6 +1882,7 @@ object Queries {
     "x67_fine_data_assign" -> x67FineDataAssign,
     "x68_bigram_jm" -> x68BigramJm,
     "x69_split_hot_cells" -> x69SplitHotCells,
+    "x70_importance_ratio" -> x70ImportanceRatio,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

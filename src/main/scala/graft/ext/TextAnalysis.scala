@@ -275,6 +275,71 @@ object TextAnalysis {
         col("bigram_score"))
   }
 
+  /** DSIR-style importance scoring (Xie et al., NeurIPS 2023 "Data
+    * Selection for Language Models via Importance Resampling" — public
+    * recipe): score each document by how much more likely its text is
+    * under a TARGET-domain n-gram model than under the background
+    * corpus model; selecting high scorers tilts a pretraining mixture
+    * toward the target domain. Both models are add-k smoothed bigram
+    * conditionals ([[bigramScoreWith]]'s k > 0 form — smoothing is
+    * mandatory here so the background probability is never 0). The
+    * per-document score is Σp_target / Σp_background over its bigrams
+    * (the ratio of mean conditional likelihoods) rather than the
+    * paper's summed log-ratio: ln() is libm-dependent and would break
+    * cross-engine hash parity, and a per-bigram ratio CANNOT be
+    * re-quantized safely — ratios of two scale-12 decimals routinely
+    * have shortest double representations terminating exactly one
+    * digit past the scale (a measured example: 0.9062457291125), a
+    * rounding TIE where Spark's double→decimal cast rounds HALF_UP
+    * and DuckDB's HALF_EVEN. Summing the two quantized probabilities
+    * separately keeps every aggregate inside the exact-decimal
+    * discipline; the single boundary division is one IEEE op on two
+    * exactly-agreed doubles. Output: (id, n_bigrams, importance),
+    * null importance for documents with no bigram.
+    *
+    * The same salt discipline as [[bigramScoreWith]] covers all four
+    * count joins; the two models ride each salted shuffle at
+    * model-size × salt, the occurrence stream scatters once. */
+  def importanceRatioScore(docs: DataFrame, idCol: String,
+      textCol: String, target: DataFrame, smoothK: Double = 0.5,
+      salt: Int = DefaultScoreSalt): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(smoothK > 0, "importance ratio needs smoothK > 0 (the " +
+      "background probability must never be 0)")
+    val (c1t0, c2t0) = bigramModel(target, idCol, textCol)
+    val (c1b0, c2b0) = bigramModel(docs, idCol, textCol)
+    val vt = bigramVocab(c2t0)
+    val vb = bigramVocab(c2b0)
+    val c2t = c2t0.withColumnRenamed("cnt2", "cnt2_t")
+    val c1t = c1t0.withColumnRenamed("cnt1", "cnt1_t")
+    val c2b = c2b0.withColumnRenamed("cnt2", "cnt2_b")
+    val c1b = c1b0.withColumnRenamed("cnt1", "cnt1_b")
+    def smoothed(cnt2: Column, cnt1: Column, v: Long): Column =
+      ((coalesce(cnt2, lit(0L)).cast("double") + lit(smoothK)) /
+        (coalesce(cnt1, lit(0L)).cast("double") +
+          lit(smoothK) * lit(v.toDouble)))
+        .cast(DecimalType(28, 12))
+    val bg = bigrams(docs, idCol, textCol)
+    val saltCols = Seq(col("id"), col("w1"), col("w2"))
+    def j(l: DataFrame, m: DataFrame, keys: Seq[String]): DataFrame =
+      if (salt <= 1) l.join(m, keys, "left")
+      else graft.operators.Skew.saltedJoin(l, m, keys, salt, "left",
+        saltOn = saltCols)
+    val withCounts = j(j(j(j(bg, c2t, Seq("w1", "w2")),
+      c1t, Seq("w1")), c2b, Seq("w1", "w2")), c1b, Seq("w1"))
+    val agg = withCounts
+      .withColumn("pt", smoothed(col("cnt2_t"), col("cnt1_t"), vt))
+      .withColumn("pb", smoothed(col("cnt2_b"), col("cnt1_b"), vb))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("pt")).cast("double") / sum(col("pb")).cast("double"))
+          .as("importance"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("importance"))
+  }
+
   /** Default salt width for [[bigramScoreWith]]'s skewed count joins:
     * spreads the hottest stopword key over 16 reducers (the measured
     * Zipf head of English puts ~5-7% of all bigram occurrences on the

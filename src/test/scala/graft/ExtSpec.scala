@@ -373,6 +373,57 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("importanceRatioScore: target-domain docs outscore background, hand-checked ratio") {
+    import graft.ext.TextAnalysis
+    // target domain: "a b" prose; background adds "x y" noise docs
+    val docs = Seq((1L, "a b a b", "t"), (2L, "a b", "t"),
+      (3L, "x y x y", "n"), (4L, "solo", "n")).toDF("doc_id", "text", "d")
+    val scored = rows(TextAnalysis.importanceRatioScore(docs, "doc_id",
+        "text", target = docs.where($"d" === "t"), smoothK = 0.5)
+      .orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))
+        .map(_.asInstanceOf[Double])))
+    assert(scored.map(s => (s._1, s._2)) ==
+      Seq((1L, 3L), (2L, 1L), (3L, 3L), (4L, 0L)))
+    // target bigrams: c2t(a,b)=3 c2t(b,a)=1, c1t(a)=3 c1t(b)=1,
+    // vt=|{a,b}|=2; background adds (x,y)x2,(y,x) -> c1b(a)=3,
+    // vb=|{a,b,x,y}|=4. doc2 "a b": importance = sum pt / sum pb =
+    // ((3+.5)/(3+.5*2)) / ((3+.5)/(3+.5*4)) = 0.875/0.7 = 1.25
+    val pt = q12((3 + 0.5) / (3 + 0.5 * 2))
+    val pb = q12((3 + 0.5) / (3 + 0.5 * 4))
+    assert(math.abs(scored(1)._3.get - pt / pb) < 1e-9)
+    // no-bigram doc is null, and target-domain docs outscore the
+    // out-of-domain ones (the DSIR selection signal)
+    assert(scored(3)._3.isEmpty)
+    assert(scored(0)._3.get > scored(2)._3.get)
+    // real corpus: mean importance of en docs exceeds the others under
+    // an en target
+    val sf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val imp = TextAnalysis.importanceRatioScore(sf, "doc_id", "text",
+      target = sf.where(col("lang") === "en"))
+    val byLang = rows(imp.join(sf.select(col("doc_id").as("id"),
+        col("lang")), "id")
+      .groupBy(expr("lang = 'en'").as("en")).agg(avg("importance"))
+      .orderBy("en")).map(_.getDouble(1))
+    assert(byLang(1) > byLang(0),
+      s"en mean ${byLang(1)} should exceed non-en ${byLang(0)}")
+    // salt invariance
+    val s1 = rows(TextAnalysis.importanceRatioScore(docs, "doc_id",
+      "text", docs.where($"d" === "t"), salt = 1).orderBy("id"))
+    val s8 = rows(TextAnalysis.importanceRatioScore(docs, "doc_id",
+      "text", docs.where($"d" === "t"), salt = 8).orderBy("id"))
+    assert(s1.toString == s8.toString)
+    // smoothK = 0 must refuse (background probability could be 0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.importanceRatioScore(docs, "doc_id", "text", docs,
+        smoothK = 0.0)
+    }
+  }
+
+  private def q12(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+
   test("bigramScoreJm: interpolated backoff, hand-computed; lambda=1 is exactly MLE") {
     import graft.ext.TextAnalysis
     // same corpus as above: c2(a,b)=2 (b,a)=1 (a,c)=1; c1(a)=3 c1(b)=1;
