@@ -137,13 +137,22 @@ object Similarity {
       assignment: Option[DataFrame] = None,
       flatAutoCells: Int = FlatAutoCells,
       model: Option[Ivf.Model] = None,
-      maxPlanCells: Int = MaxAutoCells): DataFrame = {
+      maxPlanCells: Int = MaxAutoCells,
+      hotFactor: Option[Long] = None): DataFrame = {
+    require(hotFactor.isEmpty || assignment.isEmpty,
+      "hotFactor splits the quantizer's cells; a precomputed " +
+        "assignment carries no vectors to split on — compose " +
+        "Ivf.splitHotCells yourself and pass its struct(cid, sub) key")
     // `assignment` ((id, cid), any precomputed partition) wins over
     // everything — the operator only ever needs the cell partition,
     // not how it was drawn; then an explicit `model` (any quantizer
     // shape), then centroids/nCells (the pinned flat forms); the
     // DEFAULT auto-sizes K UNCLAMPED and escalates flat → two-level →
-    // fine-as-data by [[autoAssign]]
+    // fine-as-data by [[autoAssign]]. `hotFactor = Some(f)` closes
+    // observe→adapt in ONE call: the chosen quantizer's assignment is
+    // post-processed by [[Ivf.splitHotCells]] (cells measured past
+    // f × targetCellSize sub-quantize to fixpoint), so a clustered
+    // corpus pays Σ cell² on the MEASURED cells, not the expectation
     val assigned = assignment.map(_.select(col("id"), col("cid")))
       .getOrElse {
         val resolved: Option[Ivf.Model] = model
@@ -158,7 +167,14 @@ object Similarity {
             autoAssign(emb, Seq(emb), idCol, vecCol, k, flatAutoCells,
               maxPlanCells).head
         }
-        raw.select(col("neighbor_id").as("id"), col("cid"))
+        hotFactor match {
+          case Some(f) =>
+            Ivf.splitHotCells(raw, targetCellSize, f)
+              .select(col("neighbor_id").as("id"),
+                struct(col("cid"), col("sub")).as("cid"))
+          case None =>
+            raw.select(col("neighbor_id").as("id"), col("cid"))
+        }
       }
     val cand = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))

@@ -269,18 +269,38 @@ object Streams {
     * alone. */
   def bigramScoreSink(docStream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, outPath: String,
-      checkpoint: String)
+      checkpoint: String, smoothK: Double = 0.0,
+      jmLambda: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val (c1, c2) = graft.ext.TextAnalysis.bigramModel(corpus, idCol,
       textCol)
     val c1c = c1.localCheckpoint()
     val c2c = c2.localCheckpoint()
+    // the whole scorer family serves through the same train-once /
+    // stream-static-join shape — every model piece (counts, unigram
+    // table, vocab size, total) is fixed before start, so per-batch
+    // output is a pure function of the batch: jmLambda selects
+    // Jelinek-Mercer backoff, else smoothK > 0 add-k, else MLE
+    val scorer: DataFrame => DataFrame = jmLambda match {
+      case Some(l) =>
+        val uni = graft.ext.TextAnalysis.unigramModel(c2c)
+          .localCheckpoint()
+        val total = graft.ext.TextAnalysis.bigramTotal(c2c)
+        b => graft.ext.TextAnalysis.bigramScoreJmWith(b, idCol,
+          textCol, c1c, c2c, uni, total, l)
+      case None if smoothK > 0 =>
+        val v = graft.ext.TextAnalysis.bigramVocab(c2c)
+        b => graft.ext.TextAnalysis.bigramScoreWith(b, idCol, textCol,
+          c1c, c2c, smoothK, v)
+      case None =>
+        b => graft.ext.TextAnalysis.bigramScoreWith(b, idCol, textCol,
+          c1c, c2c)
+    }
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ext.TextAnalysis.bigramScoreWith(batch, idCol, textCol,
-            c1c, c2c)
+        scorer(batch)
           .withColumn("_batch", lit(batchId))
           .write.mode("append").parquet(outPath)
       }

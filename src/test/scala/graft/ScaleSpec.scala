@@ -436,6 +436,26 @@ class ScaleSpec extends SparkSpec {
         col("neighbor_id").as("id"),
         struct(col("cid"), col("sub")).as("cid"))))
     assert(dd.count() == n)
+    // the one-call adaptive form (hotFactor option) IS that
+    // composition: same quantizer, default split, identical output
+    val oneCall = rows(Similarity.semanticDedup(emb, "vec_id",
+      "embedding", threshold = 0.9, nCells = Some(8),
+      targetCellSize = 16, hotFactor = Some(8L)).orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val manual = rows(Similarity.semanticDedup(emb, "vec_id",
+      "embedding", threshold = 0.9, assignment = Some(
+        Ivf.splitHotCells(assigned, 16, 8L)
+          .select(col("neighbor_id").as("id"),
+            struct(col("cid"), col("sub")).as("cid")))).orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(oneCall == manual)
+    // hotFactor with a precomputed assignment is refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, assignment = Some(out.select(
+          col("neighbor_id").as("id"), col("cid"))),
+        hotFactor = Some(8L))
+    }
   }
 
   test("multimodal: per-partition feature extraction, deterministic stub") {

@@ -696,6 +696,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bigramScoreSink: JM and add-k modes serve per-batch equal to their batch scorers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.TextAnalysis
+    val corpus = Seq(TDoc(1L, "the cat sat"), TDoc(2L, "the cat ran"),
+      TDoc(3L, "a dog ran")).toDF()
+    // unseen-pair-of-known-words is where JM and add-k diverge
+    val b1 = Seq(TDoc(101L, "the dog sat"), TDoc(102L, "zz qq"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bgsjm")
+    try {
+      val (c1, c2) = TextAnalysis.bigramModel(corpus, "doc_id", "text")
+      val uni = TextAnalysis.unigramModel(c2)
+      val total = TextAnalysis.bigramTotal(c2)
+      val v = TextAnalysis.bigramVocab(c2)
+      def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Option[Double])] =
+        df.select($"id", $"n_bigrams", $"bigram_score").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      for ((mode, expect) <- Seq[(String, org.apache.spark.sql.DataFrame)](
+        "jm" -> TextAnalysis.bigramScoreJmWith(b1.toDF(), "doc_id",
+          "text", c1, c2, uni, total, lambda = 0.75),
+        "addk" -> TextAnalysis.bigramScoreWith(b1.toDF(), "doc_id",
+          "text", c1, c2, smoothK = 0.5, vocab = v))) {
+        val out = dir.resolve(s"scored_$mode").toString
+        val mem = MemoryStream[TDoc]
+        mem.addData(b1: _*)
+        val q =
+          if (mode == "jm")
+            Streams.bigramScoreSink(mem.toDF(), corpus, "doc_id",
+              "text", out, dir.resolve(s"ckpt_$mode").toString,
+              jmLambda = Some(0.75))
+          else
+            Streams.bigramScoreSink(mem.toDF(), corpus, "doc_id",
+              "text", out, dir.resolve(s"ckpt_$mode").toString,
+              smoothK = 0.5)
+        q.processAllAvailable()
+        q.stop()
+        assert(canon(spark.read.parquet(out)) == canon(expect),
+          s"mode $mode diverged from its batch scorer")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("adcScoreSink refuses an oversized replay batch (LUT guard stays on)") {
     implicit val sqlCtx = spark.sqlContext
     // "micro-batches are bounded" is a rate-limit property, not a
