@@ -2073,6 +2073,53 @@ object Oracles {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // x71: trigram JM backoff chain — trigram/bigram/unigram models
+    // from the same token stream; the lambda1 coefficient must be
+    // COMPUTED as 1e0 - 0.5e0 - 0.3e0 (the double 0.19999999999999998,
+    // what Scala's 1.0 - lambda3 - lambda2 produces), never written as
+    // the literal 0.2
+    "x71_trigram_jm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS cnt3 FROM tri GROUP BY 1, 2, 3),
+        |cctx AS (SELECT w1, w2, sum(cnt3) AS cctx FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS cnt1 FROM bi GROUP BY 1),
+        |u AS (SELECT w2, sum(cnt2) AS cntu FROM c2 GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt2) AS DOUBLE) AS nn FROM c2),
+        |scored AS (
+        |  SELECT tr.doc_id,
+        |    CAST(0.5e0 * coalesce(
+        |        CAST(c3.cnt3 AS DOUBLE) / CAST(cc.cctx AS DOUBLE), 0e0)
+        |      + 0.3e0 * coalesce(
+        |        CAST(b2.cnt2 AS DOUBLE) / CAST(b1.cnt1 AS DOUBLE), 0e0)
+        |      + (1e0 - 0.5e0 - 0.3e0) * coalesce(
+        |        CAST(u.cntu AS DOUBLE) / n.nn, 0e0)
+        |      AS DECIMAL(28,12)) AS p
+        |  FROM tri tr
+        |  LEFT JOIN c3 ON c3.w1 = tr.w1 AND c3.w2 = tr.w2 AND c3.w3 = tr.w3
+        |  LEFT JOIN cctx cc ON cc.w1 = tr.w1 AND cc.w2 = tr.w2
+        |  LEFT JOIN c2 b2 ON b2.w1 = tr.w2 AND b2.w2 = tr.w3
+        |  LEFT JOIN c1 b1 ON b1.w1 = tr.w2
+        |  LEFT JOIN u ON u.w2 = tr.w3
+        |  CROSS JOIN n),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_trigrams,
+        |    CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) / count(*) AS trigram_score
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  a.trigram_score
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // x69: one hot-cell split round over the 4-seed flat assignment —
     // x61's assignment CTE, then occupancy, per-hot-cell smallest-id
     // sub-seeds (least(64, ceil-div by 16)), cosine-argmax reassignment

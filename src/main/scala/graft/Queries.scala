@@ -1405,6 +1405,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x71 — trigram quality score with the full Jelinek-Mercer backoff
+    * CHAIN: P = 0.5·P(w₃|w₁w₂) + 0.3·P(w₃|w₂) + (1−0.5−0.3)·P_uni(w₃)
+    * — unseen trigrams degrade to bigram evidence, unseen bigrams to
+    * global continuation frequency. Trigram + bigram + unigram models
+    * all train on the corpus in two tokenize passes; five salted count
+    * joins; interpolation left-to-right in double, quantized once (the
+    * λ₁ coefficient is the DOUBLE result of 1−0.5−0.3, which both
+    * engines must compute, not the literal 0.2). */
+  val x71TrigramJm: Q = (s, dir) => {
+    TextAnalysis.trigramScoreJm(Tables.documents(s, dir), "doc_id",
+        "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x69 — hot-CELL splitting (one pinned round): the x60 occupancy
     * telemetry ACTING on the quantizer family the way x66 acts on LSH
     * buckets — cells measured past hotFactor×target are sub-quantized
@@ -1883,6 +1898,7 @@ object Queries {
     "x68_bigram_jm" -> x68BigramJm,
     "x69_split_hot_cells" -> x69SplitHotCells,
     "x70_importance_ratio" -> x70ImportanceRatio,
+    "x71_trigram_jm" -> x71TrigramJm,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

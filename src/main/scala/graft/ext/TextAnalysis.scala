@@ -275,6 +275,104 @@ object TextAnalysis {
         col("bigram_score"))
   }
 
+  /** One (id, w1, w2, w3) row per trigram occurrence. */
+  private def trigrams(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        tokens(lower(col(textCol))).as("t"))
+      .select(col("id"), explode(expr(
+        "zip_with(zip_with(slice(t, 1, greatest(size(t) - 2, 0)), " +
+          "slice(t, 2, greatest(size(t) - 2, 0)), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b)), " +
+          "slice(t, 3, greatest(size(t) - 2, 0)), " +
+          "(p, c) -> named_struct('w1', p.w1, 'w2', p.w2, 'w3', c))"))
+        .as("tg"))
+      .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+
+  /** The trained trigram model: ((w1,w2) → cctx context counts,
+    * (w1,w2,w3) → cnt3). cctx is Σ_w3 cnt3 — the number of trigram
+    * occurrences with that context — derived from c3, so the whole
+    * model comes from one tokenize+explode pass. */
+  def trigramModel(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val c3 = trigrams(docs, idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
+    (c3.groupBy("w1", "w2").agg(sum(col("cnt3")).as("cctx")), c3)
+  }
+
+  /** Trigram scoring with the full Jelinek-Mercer backoff CHAIN (the
+    * standard interpolated n-gram recipe, public):
+    * P = λ₃·P_MLE(w₃|w₁w₂) + λ₂·P_MLE(w₃|w₂) + (1−λ₃−λ₂)·P_uni(w₃) —
+    * an unseen trigram backs off to the bigram evidence, an unseen
+    * bigram to the global continuation frequency, so the score
+    * degrades gracefully along the whole ladder instead of cliffing
+    * at the trigram table. The bigram and unigram terms come from the
+    * SAME corpus's [[bigramModel]]/[[unigramModel]].
+    *
+    * Determinism: every term is an IEEE double division of exact
+    * counts; the three-way interpolation is computed left to right
+    * and quantized ONCE to DECIMAL(28,12) before the per-document sum
+    * (raw count divisions essentially never terminate at the tie
+    * digit — the x70 re-quantization hazard does not apply). All five
+    * count joins run salted against the Zipf head. Output:
+    * (id, n_trigrams, trigram_score), null for documents with fewer
+    * than three tokens. */
+  def trigramScoreJmWith(docs: DataFrame, idCol: String,
+      textCol: String, cctx: DataFrame, c3: DataFrame, c1: DataFrame,
+      c2: DataFrame, uni: DataFrame, total: Long,
+      lambda3: Double = 0.5, lambda2: Double = 0.3,
+      salt: Int = DefaultScoreSalt): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(total > 0, "empty training corpus")
+    require(lambda3 >= 0 && lambda2 >= 0 && lambda3 + lambda2 <= 1,
+      s"lambdas ($lambda3, $lambda2) must be non-negative and sum <= 1")
+    val p3 = coalesce(
+      col("cnt3").cast("double") / col("cctx").cast("double"), lit(0.0))
+    val p2 = coalesce(
+      col("bcnt2").cast("double") / col("bcnt1").cast("double"),
+      lit(0.0))
+    val p1 = coalesce(
+      col("cntu").cast("double") / lit(total.toDouble), lit(0.0))
+    val p = (lit(lambda3) * p3 + lit(lambda2) * p2 +
+      lit(1.0 - lambda3 - lambda2) * p1).cast(DecimalType(28, 12))
+    // the bigram terms attach on (w2, w3) / (w2): rename so the join
+    // keys line up with the trigram stream's continuation position
+    val b2 = c2.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("cnt2").as("bcnt2"))
+    val b1 = c1.select(col("w1").as("w2"), col("cnt1").as("bcnt1"))
+    val u3 = uni.select(col("w2").as("w3"), col("cntu"))
+    val tg = trigrams(docs, idCol, textCol)
+    val saltCols = Seq(col("id"), col("w1"), col("w2"), col("w3"))
+    def j(l: DataFrame, m: DataFrame, keys: Seq[String]): DataFrame =
+      if (salt <= 1) l.join(m, keys, "left")
+      else graft.operators.Skew.saltedJoin(l, m, keys, salt, "left",
+        saltOn = saltCols)
+    val withCounts = j(j(j(j(j(tg, c3, Seq("w1", "w2", "w3")),
+      cctx, Seq("w1", "w2")), b2, Seq("w2", "w3")), b1, Seq("w2")),
+      u3, Seq("w3"))
+    val agg = withCounts
+      .withColumn("p", p)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (sum(col("p")).cast("double") / count(lit(1)))
+          .as("trigram_score"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("trigram_score"))
+  }
+
+  /** [[trigramScoreJmWith]] trained on the scoring corpus itself. */
+  def trigramScoreJm(docs: DataFrame, idCol: String, textCol: String,
+      lambda3: Double = 0.5, lambda2: Double = 0.3,
+      salt: Int = DefaultScoreSalt): DataFrame = {
+    val (cctx, c3) = trigramModel(docs, idCol, textCol)
+    val (c1, c2) = bigramModel(docs, idCol, textCol)
+    trigramScoreJmWith(docs, idCol, textCol, cctx, c3, c1, c2,
+      unigramModel(c2), bigramTotal(c2), lambda3, lambda2, salt)
+  }
+
   /** DSIR-style importance scoring (Xie et al., NeurIPS 2023 "Data
     * Selection for Language Models via Importance Resampling" — public
     * recipe): score each document by how much more likely its text is

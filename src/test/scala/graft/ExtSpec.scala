@@ -424,6 +424,48 @@ class ExtSpec extends SparkSpec {
     new java.math.BigDecimal(x)
       .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  test("trigramScoreJm: backoff chain hand-computed; pure-MLE reduction; OOV floors at 0") {
+    import graft.ext.TextAnalysis
+    // d1 trigrams: (a,b,c)x2 (b,c,a) (c,a,b); cctx(a,b)=3; bigrams
+    // c2(a,b)=3 (b,c)=2 (c,a)=1 (b,d)=1; c1(b)=3; u(b)=3 (c)=2 (a)=1
+    // (d)=1; N=7
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val (cctx, c3) = TextAnalysis.trigramModel(docs, "doc_id", "text")
+    val (c1, c2) = TextAnalysis.bigramModel(docs, "doc_id", "text")
+    val uni = TextAnalysis.unigramModel(c2)
+    val total = TextAnalysis.bigramTotal(c2)
+    assert(total == 7L)
+    def score(text: String, l3: Double = 0.5, l2: Double = 0.3) =
+      rows(TextAnalysis.trigramScoreJmWith(
+          Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          cctx, c3, c1, c2, uni, total, l3, l2))
+        .map(r => (r.getLong(1), Option(r.get(2))
+          .map(_.asInstanceOf[Double]))).head
+    // seen trigram "a b c": full chain
+    val expected = q12(0.5 * (2.0 / 3) + 0.3 * (2.0 / 3) +
+      (1.0 - 0.5 - 0.3) * (2.0 / 7))
+    val (n1, s1) = score("a b c")
+    assert(n1 == 1L && math.abs(s1.get - expected) < 1e-9)
+    // unseen trigram, seen bigram "c a b" -> wait, (c,a,b) IS seen;
+    // use "d a b": p3 = 0 (no (d,a,*) context), p2 = c2(a,b)/c1(a),
+    // p1 = u(b)/7 — the ladder degrades instead of cliffing
+    val (_, s2) = score("d a b")
+    assert(math.abs(s2.get - q12(0.3 * (3.0 / 3) +
+      (1.0 - 0.5 - 0.3) * (3.0 / 7))) < 1e-9)
+    // wholly OOV floors at exactly 0; short doc is null
+    assert(score("zz qq yy")._2.get == 0.0)
+    assert(score("zz qq") == (0L, None))
+    // lambda3 = 1 is the pure trigram MLE
+    assert(math.abs(score("a b c", l3 = 1.0, l2 = 0.0)._2.get
+      - q12(2.0 / 3)) < 1e-9)
+    // salt invariance on the full corpus
+    val sPlain = rows(TextAnalysis.trigramScoreJm(docs, "doc_id",
+      "text", salt = 1).orderBy("id"))
+    val sSalted = rows(TextAnalysis.trigramScoreJm(docs, "doc_id",
+      "text", salt = 8).orderBy("id"))
+    assert(sPlain.toString == sSalted.toString)
+  }
+
   test("bigramScoreJm: interpolated backoff, hand-computed; lambda=1 is exactly MLE") {
     import graft.ext.TextAnalysis
     // same corpus as above: c2(a,b)=2 (b,a)=1 (a,c)=1; c1(a)=3 c1(b)=1;
