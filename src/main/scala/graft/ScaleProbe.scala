@@ -51,7 +51,9 @@ object ScaleProbe {
       // scoring (salted joins), skew-adaptive LSH
       "x59_semantic_trained", "x62_two_level_dedup",
       "x64_bigram_score", "x65_bigram_smoothed",
-      "x66_adaptive_lsh", "x67_fine_data_assign")
+      "x66_adaptive_lsh", "x67_fine_data_assign",
+      "x68_bigram_jm", "x69_split_hot_cells",
+      "x70_importance_ratio", "x71_trigram_jm")
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
     // are probed here as direct operator calls
