@@ -2073,6 +2073,29 @@ object Oracles {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // x72: duplicate-span fraction — set semantics on STRING shingles
+    // (the x02 discipline: the statistic depends only on membership,
+    // so the oracle needs no hash parity)
+    "x72_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |dfc AS (SELECT s, count(*) AS docfreq FROM sh GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_windows,
+        |    CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS dup_fraction
+        |  FROM sh JOIN dfc USING (s) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows,
+        |  a.dup_fraction
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // x71: trigram JM backoff chain — trigram/bigram/unigram models
     // from the same token stream; the lambda1 coefficient must be
     // COMPUTED as 1e0 - 0.5e0 - 0.3e0 (the double 0.19999999999999998,

@@ -1405,6 +1405,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x72 — duplicate-span fraction (Lee et al. 2022 / the
+    * RefinedWeb-style trimming statistic): per document, the share of
+    * its distinct 3-token windows that occur in at least one OTHER
+    * document — the "how much of this doc is corpus boilerplate"
+    * signal, orthogonal to pairwise near-dup detection. Linear
+    * postings⋈df shape, no pairwise stage. */
+  val x72DupSpans: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+    Dedup.duplicateSpanFraction(docs, "doc_id", "sh")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x71 — trigram quality score with the full Jelinek-Mercer backoff
     * CHAIN: P = 0.5·P(w₃|w₁w₂) + 0.3·P(w₃|w₂) + (1−0.5−0.3)·P_uni(w₃)
     * — unseen trigrams degrade to bigram evidence, unseen bigrams to
@@ -1899,6 +1913,7 @@ object Queries {
     "x69_split_hot_cells" -> x69SplitHotCells,
     "x70_importance_ratio" -> x70ImportanceRatio,
     "x71_trigram_jm" -> x71TrigramJm,
+    "x72_dup_spans" -> x72DupSpans,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

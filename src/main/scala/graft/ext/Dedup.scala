@@ -228,6 +228,42 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Duplicate-span fraction — the exact-substring duplication signal
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better", windowed form; the trimming statistic the
+    * RefinedWeb/SlimPajama recipes gate on): the share of a document's
+    * distinct k-token windows that also occur in at least one OTHER
+    * document. Where pairwise Jaccard ([[jaccardPairs]]) asks "which
+    * documents are near-copies", this asks the per-document question
+    * "how much of THIS document is boilerplate the corpus already
+    * has" — a doc can be 40% duplicated spans without any single
+    * near-dup partner. Output: (id, n_windows, dup_fraction), null
+    * fraction for documents too short to have a window.
+    *
+    * Scale shape: [[hashedShingles]] posting rows (already distinct
+    * per doc, so the per-hash count IS the document frequency), one
+    * map-side-combined df agg, one postings⋈df equi-join and one
+    * per-doc agg — all linear in postings, no pairwise stage at all.
+    * The fraction is one double division of exact longs at the
+    * boundary. */
+  def duplicateSpanFraction(docs: DataFrame, idCol: String,
+      shinglesCol: String): DataFrame = {
+    val posts = docs.select(col(idCol).as("id"),
+      explode(hashedShingles(col(shinglesCol))).as("h"))
+    val dfc = posts.groupBy("h").agg(count(lit(1)).as("docfreq"))
+    val agg = posts.join(dfc, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id"), col("n_windows"),
+        (col("n_dup").cast("double") / col("n_windows"))
+          .as("dup_fraction"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        col("dup_fraction"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs via a posting-list join on
     * HASHED shingles (8-byte join keys, not strings) — the
     * oracle-checkable exact counterpart of [[minhashLsh]].

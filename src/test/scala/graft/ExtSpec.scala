@@ -88,6 +88,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpanFraction: per-doc boilerplate share, hand-computed") {
+    // d1/d2 share window "a b c" (half of each); d3 shares nothing;
+    // d4 too short for a window
+    val toy = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "q w e r t"),
+      (4L, "a b")).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.shingles($"text", 3).as("sh"))
+    val got = rows(Dedup.duplicateSpanFraction(toy, "doc_id", "sh")
+      .orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got == Seq((1L, 2L, Some(0.5)), (2L, 2L, Some(0.5)),
+      (3L, 3L, Some(0.0)), (4L, 0L, None)))
+    // exact duplicates sit at fraction 1.0 on the shared fixture
+    val full = docs.select($"doc_id",
+      TextAnalysis.shingles($"text", 3).as("sh"))
+    val m = rows(Dedup.duplicateSpanFraction(full, "doc_id", "sh"))
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(m(1L) == Some(1.0) && m(4L) == Some(1.0),
+      "identical docs 1 and 4 must be fully duplicated spans")
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs absent") {
     val tok = docs.select($"doc_id", TextAnalysis.tokens(lower($"text")).as("t"))
     val got = rows(Dedup.simhashPairs(tok, "doc_id", "t", maxHamming = 3)
