@@ -34,7 +34,13 @@ object Explain {
         "x62_two_level_dedup",
         // x64's count joins must stay linear equi-joins of the bigram
         // stream (no broadcast of the corpus-sized model)
-        "x64_bigram_score")
+        "x64_bigram_score",
+        // round 8: salted score joins replicate only the count tables
+        // (explode of salt literals on the model side, hash scatter on
+        // the occurrence side); x69's reassignment join is bounded by
+        // the seeds side; x72 stays a linear postings⋈df equi-join
+        "x68_bigram_jm", "x69_split_hot_cells", "x70_importance_ratio",
+        "x71_trigram_jm", "x72_dup_spans")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -2073,6 +2073,51 @@ object Oracles {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // x73: the DSIR selection pipeline — x70's scoring CTEs, then
+    // per-source percent_rank (the x50 calibration formula, (rank−1)/
+    // (n−1) with (importance, doc_id) tie-break) and the top-half cut
+    "x73_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c2b AS (SELECT w1, w2, count(*) AS cnt2_b FROM bi GROUP BY 1, 2),
+        |c1b AS (SELECT w1, count(*) AS cnt1_b FROM bi GROUP BY 1),
+        |c2t AS (SELECT w1, w2, count(*) AS cnt2_t FROM bi
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |c1t AS (SELECT w1, count(*) AS cnt1_t FROM bi
+        |  WHERE lang = 'en' GROUP BY 1),
+        |vb AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bi),
+        |vt AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bi
+        |  WHERE lang = 'en'),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST((CAST(coalesce(c2t.cnt2_t, 0) AS DOUBLE) + 0.5) /
+        |         (CAST(coalesce(c1t.cnt1_t, 0) AS DOUBLE) + 0.5 * vt.v)
+        |      AS DECIMAL(28,12)) AS pt,
+        |    CAST((CAST(coalesce(c2b.cnt2_b, 0) AS DOUBLE) + 0.5) /
+        |         (CAST(coalesce(c1b.cnt1_b, 0) AS DOUBLE) + 0.5 * vb.v)
+        |      AS DECIMAL(28,12)) AS pb
+        |  FROM bi b
+        |  LEFT JOIN c2t USING (w1, w2) LEFT JOIN c1t USING (w1)
+        |  LEFT JOIN c2b USING (w1, w2) LEFT JOIN c1b USING (w1)
+        |  CROSS JOIN vt CROSS JOIN vb),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(sum(pt) AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(sum(pb) AS VARCHAR) AS DOUBLE) AS importance
+        |  FROM scored GROUP BY 1),
+        |cal AS (
+        |  SELECT d.doc_id, d.source, a.importance,
+        |    percent_rank() OVER (PARTITION BY d.source
+        |      ORDER BY a.importance, d.doc_id) AS pct
+        |  FROM documents d JOIN agg a USING (doc_id))
+        |SELECT doc_id, source, importance, pct FROM cal
+        |WHERE pct >= 0.5 ORDER BY doc_id""".stripMargin,
+
     // x72: duplicate-span fraction — set semantics on STRING shingles
     // (the x02 discipline: the statistic depends only on membership,
     // so the oracle needs no hash parity)

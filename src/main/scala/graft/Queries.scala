@@ -1405,6 +1405,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x73 — the DSIR selection pipeline end to end: importance-score
+    * every document against the English target (x70), CALIBRATE the
+    * raw scores per source (x50's percent_rank discipline — raw
+    * importance is not comparable across sources whose base rates
+    * differ), and keep each source's top half. This is the actual
+    * data-selection step the scoring exists for: the output is the
+    * reweighted training mixture. Pure composition of oracle-checked
+    * pieces; one window per source on top of x70's plan. */
+  val x73DsirSelect: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val imp = TextAnalysis.importanceRatioScore(docs, "doc_id", "text",
+      target = docs.where(col("lang") === "en"), smoothK = 0.5)
+    val withSrc = imp
+      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      .where(col("importance").isNotNull)
+      .select(col("id"), col("source"), col("importance"))
+    TextAnalysis.calibrate(withSrc, col("source"), col("importance"),
+        col("id"))
+      .where(col("pct") >= 0.5)
+      .select(col("id").as("doc_id"), col("source"), col("importance"),
+        col("pct"))
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -1914,6 +1938,7 @@ object Queries {
     "x70_importance_ratio" -> x70ImportanceRatio,
     "x71_trigram_jm" -> x71TrigramJm,
     "x72_dup_spans" -> x72DupSpans,
+    "x73_dsir_select" -> x73DsirSelect,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

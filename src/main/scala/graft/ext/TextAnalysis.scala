@@ -401,17 +401,47 @@ object TextAnalysis {
   def importanceRatioScore(docs: DataFrame, idCol: String,
       textCol: String, target: DataFrame, smoothK: Double = 0.5,
       salt: Int = DefaultScoreSalt): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     require(smoothK > 0, "importance ratio needs smoothK > 0 (the " +
       "background probability must never be 0)")
-    val (c1t0, c2t0) = bigramModel(target, idCol, textCol)
-    val (c1b0, c2b0) = bigramModel(docs, idCol, textCol)
-    val vt = bigramVocab(c2t0)
-    val vb = bigramVocab(c2b0)
-    val c2t = c2t0.withColumnRenamed("cnt2", "cnt2_t")
-    val c1t = c1t0.withColumnRenamed("cnt1", "cnt1_t")
-    val c2b = c2b0.withColumnRenamed("cnt2", "cnt2_b")
-    val c1b = c1b0.withColumnRenamed("cnt1", "cnt1_b")
+    val (c1t, c2t) = bigramModel(target, idCol, textCol)
+    val (c1b, c2b) = bigramModel(docs, idCol, textCol)
+    importanceScoreWith(docs, idCol, textCol,
+      c2t.withColumnRenamed("cnt2", "cnt2_t"),
+      c1t.withColumnRenamed("cnt1", "cnt1_t"),
+      c2b.withColumnRenamed("cnt2", "cnt2_b"),
+      c1b.withColumnRenamed("cnt1", "cnt1_b"),
+      bigramVocab(c2t), bigramVocab(c2b), smoothK, salt)
+  }
+
+  /** Train-once serving form of [[importanceRatioScore]]: both models
+    * (target on `target`, background on `background`) are built and
+    * checkpointed NOW, vocabulary sizes counted once, and the returned
+    * closure scores any document frame against them — the shape
+    * [[graft.streaming.Streams.importanceScoreSink]] applies per
+    * micro-batch. Unseen-prefix arrivals score through the smoothing
+    * floors, never error. */
+  def importanceScorer(background: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, smoothK: Double = 0.5,
+      salt: Int = DefaultScoreSalt): DataFrame => DataFrame = {
+    require(smoothK > 0, "importance ratio needs smoothK > 0 (the " +
+      "background probability must never be 0)")
+    val (c1t, c2t) = bigramModel(target, idCol, textCol)
+    val (c1b, c2b) = bigramModel(background, idCol, textCol)
+    val c2tr = c2t.withColumnRenamed("cnt2", "cnt2_t").localCheckpoint()
+    val c1tr = c1t.withColumnRenamed("cnt1", "cnt1_t").localCheckpoint()
+    val c2br = c2b.withColumnRenamed("cnt2", "cnt2_b").localCheckpoint()
+    val c1br = c1b.withColumnRenamed("cnt1", "cnt1_b").localCheckpoint()
+    val vt = bigramVocab(c2tr.withColumnRenamed("cnt2_t", "cnt2"))
+    val vb = bigramVocab(c2br.withColumnRenamed("cnt2_b", "cnt2"))
+    docs => importanceScoreWith(docs, idCol, textCol, c2tr, c1tr,
+      c2br, c1br, vt, vb, smoothK, salt)
+  }
+
+  private def importanceScoreWith(docs: DataFrame, idCol: String,
+      textCol: String, c2t: DataFrame, c1t: DataFrame, c2b: DataFrame,
+      c1b: DataFrame, vt: Long, vb: Long, smoothK: Double,
+      salt: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     def smoothed(cnt2: Column, cnt1: Column, v: Long): Column =
       ((coalesce(cnt2, lit(0L)).cast("double") + lit(smoothK)) /
         (coalesce(cnt1, lit(0L)).cast("double") +

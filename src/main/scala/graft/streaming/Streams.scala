@@ -307,6 +307,32 @@ object Streams {
       .start()
   }
 
+  /** Streaming DSIR importance scorer: score a document STREAM against
+    * models trained ONCE — target-domain and background bigram counts
+    * both fixed before start — appending (id, n_bigrams, importance,
+    * _batch) per micro-batch. The serving shape of
+    * [[graft.ext.TextAnalysis.importanceRatioScore]]: arriving
+    * documents are scored by how target-like their text is, the
+    * admission signal an importance-resampling ingest gate runs on.
+    * Per-batch output ≡ the batch scorer on that batch alone
+    * (StreamingSpec). */
+  def importanceScoreSink(docStream: DataFrame, background: DataFrame,
+      target: DataFrame, idCol: String, textCol: String,
+      outPath: String, checkpoint: String, smoothK: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scorer = graft.ext.TextAnalysis.importanceScorer(
+      background, target, idCol, textCol, smoothK)
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scorer(batch)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming ADC scorer: score a query STREAM against a fixed
     * PQ-encoded corpus, appending per-batch top-k rows to `outPath`.
     * The serving shape of [[graft.ext.Pq.adcTopK]]: the corpus is

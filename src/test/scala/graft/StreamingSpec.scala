@@ -740,6 +740,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("importanceScoreSink: per-batch DSIR scores equal the batch scorer under fixed models") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.TextAnalysis
+    val background = Seq(TDoc(1L, "the cat sat"), TDoc(2L, "the cat ran"),
+      TDoc(3L, "le chat noir"), TDoc(4L, "le chien brun")).toDF()
+    val target = background.where($"doc_id" <= 2L)
+    // 102 is fully background-covered but target-unseen (the clean
+    // off-domain case; a both-unseen bigram would instead score a
+    // ratio of smoothing floors, which favors the larger background
+    // vocabulary's smaller denominator)
+    val b1 = Seq(TDoc(101L, "the cat sat"), TDoc(102L, "le chat noir"))
+    val b2 = Seq(TDoc(201L, "zz qq"), TDoc(202L, "solo"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_imps")
+    val out = dir.resolve("scored").toString
+    try {
+      val mem = MemoryStream[TDoc]
+      mem.addData(b1: _*)
+      val q = Streams.importanceScoreSink(mem.toDF(), background, target,
+        "doc_id", "text", out, dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val scorer = TextAnalysis.importanceScorer(background, target,
+        "doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Option[Double])] =
+        df.select($"id", $"n_bigrams", $"importance").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      def got(batch: Long) = canon(
+        spark.read.parquet(out).where($"_batch" === batch))
+      assert(got(0) == canon(scorer(b1.toDF())))
+      assert(got(1) == canon(scorer(b2.toDF())))
+      // target-like arrival outscores the off-domain one; the scores
+      // are a pure function of the FIXED models, so every batch agrees
+      val s = got(0).map(t => t._1 -> t._3).toMap
+      assert(s(101L).get > s(102L).get,
+        s"en doc ${s(101L)} should outscore fr doc ${s(102L)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("adcScoreSink refuses an oversized replay batch (LUT guard stays on)") {
     implicit val sqlCtx = spark.sqlContext
     // "micro-batches are bounded" is a rate-limit property, not a
