@@ -370,27 +370,35 @@ object Ivf {
     require(targetCellSize > 0 && hotFactor > 0 && maxSubCells > 1,
       "need targetCellSize > 0, hotFactor > 0, maxSubCells > 1")
     val hotCut = hotFactor * targetCellSize
-    var out = assigned.withColumn("sub", lit(-1L))
+    // the VECTOR payload is materialized exactly once; per round only
+    // the (id, cid, sub) LABEL frame is checkpointed (12–24 B/row vs
+    // dim doubles — on a 100 TB corpus the difference between one
+    // resident copy and one per round)
+    val vecs = assigned
+      .select(col("neighbor_id"), col("v"), col("n2"), col("cid"))
+      .localCheckpoint()
+    var labels = vecs.select(col("neighbor_id"), col("cid"))
+      .withColumn("sub", lit(-1L))
     var round = 0
     var anyHot = true
     while (anyHot && round < maxRounds) {
-      val occ = out.groupBy(col("cid"), col("sub"))
+      val occ = labels.groupBy(col("cid"), col("sub"))
         .agg(count(lit(1)).as("__occ"))
       val hot = occ.where(col("__occ") > hotCut)
         .select(col("cid"), col("sub"), least(lit(maxSubCells.toLong),
           expr(s"(__occ + ${targetCellSize - 1}) div $targetCellSize"))
           .as("__nsub"))
-      // a split round is worth a checkpoint of the (still small) label
-      // frame; checking hotness first keeps the no-op path one agg
+      // checking hotness first keeps the converged path to one agg
       anyHot = !hot.isEmpty
       if (anyHot) {
-        val marked = out.join(hot, Seq("cid", "sub"), "left")
+        val marked = labels.join(hot, Seq("cid", "sub"), "left")
         val cold = marked.where(col("__nsub").isNull)
-          .select(col("neighbor_id"), col("v"), col("n2"), col("cid"),
-            col("sub"))
+          .select(col("neighbor_id"), col("cid"), col("sub"))
         val hotRows = marked.where(col("__nsub").isNotNull)
-          .select(col("neighbor_id"), col("v"), col("n2"), col("cid"),
-            col("sub"), col("__nsub"))
+          .select(col("neighbor_id"), col("cid"), col("sub"),
+            col("__nsub"))
+          .join(vecs.select(col("neighbor_id"), col("v"), col("n2")),
+            Seq("neighbor_id"))
           .localCheckpoint()
         val wSeed = Window.partitionBy(col("cid"), col("sub"))
           .orderBy(col("neighbor_id"))
@@ -410,13 +418,16 @@ object Ivf {
             VectorOps.dot(col("v"), col("fv")), col("n2"), col("fn")))
           .withColumn("__rn", row_number().over(wPick))
           .where(col("__rn") === 1)
-          .select(col("neighbor_id"), col("v"), col("n2"), col("cid"),
+          .select(col("neighbor_id"), col("cid"),
             col("fid").as("sub"))
-        out = cold.unionByName(split).localCheckpoint()
+        labels = cold.unionByName(split).localCheckpoint()
       }
       round += 1
     }
-    out
+    labels.join(vecs.select(col("neighbor_id"), col("v"), col("n2")),
+        Seq("neighbor_id"))
+      .select(col("neighbor_id"), col("v"), col("n2"), col("cid"),
+        col("sub"))
   }
 
   /** Per-cell elementwise means of the assigned vectors, computed through
