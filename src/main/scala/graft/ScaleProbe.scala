@@ -53,7 +53,8 @@ object ScaleProbe {
       "x64_bigram_score", "x65_bigram_smoothed",
       "x66_adaptive_lsh", "x67_fine_data_assign",
       "x68_bigram_jm", "x69_split_hot_cells",
-      "x70_importance_ratio", "x71_trigram_jm")
+      "x70_importance_ratio", "x71_trigram_jm",
+      "x72_dup_spans", "x73_dsir_select")
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
     // are probed here as direct operator calls

@@ -301,7 +301,7 @@ object Dedup {
     * saving; verification is unchanged (exact, full sets). */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String,
       shinglesCol: String, threshold: Double,
-      positional: Boolean = false): DataFrame = {
+      positional: Boolean = true): DataFrame = {
     val base = docs
       .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
     val tok = base.select(col("id"), size(col("hs")).as("s"),
@@ -339,11 +339,11 @@ object Dedup {
       // Recall stays 1: a true pair's first-common-shingle row always
       // passes (its bound ≥ the real overlap), and t rounded down
       // only widens the keep side (spec-asserted equal to the plain
-      // path). Opt-in, not the default: carrying (r, s) through the
-      // candidate join widens the df²-stage rows 3×, and on
-      // near-dup-heavy corpora (high-overlap pairs the bound can't
-      // kill) the width costs more than the prune saves — measured
-      // round 8, ARCHITECTURE.md.
+      // path). The DEFAULT since round 8: across six paired same-JVM
+      // A/B points it won five (1.4-1.9×) — the pairs killed before
+      // the dedup and verify stages repay the 3×-wider df²-stage rows
+      // (measurements in ARCHITECTURE.md); `positional = false` keeps
+      // the narrower ids-only plan.
       val prefix = pruned.select(col("id"), col("h"), col("r"), col("s"))
       val oneT = java.math.BigDecimal.ONE.add(tDec)
       val candidates = prefix.as("a").join(prefix.as("b"),
