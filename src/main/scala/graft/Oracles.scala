@@ -22,7 +22,7 @@ object Oracles {
     * scale-independent: they read bundled fixtures, not sf tables.) */
   val pinnedToSf001: Set[String] =
     Set("x04_simhash", "x07_lsh_ann", "x55_opq_encode",
-      "x66_adaptive_lsh")
+      "x66_adaptive_lsh", "x74_lsh_corpus_dedup", "x75_semantic_canonical")
 
   private val base: Map[String, String] = Map(
 
@@ -2229,31 +2229,76 @@ object Oracles {
         |  CAST(sub AS BIGINT) AS sub
         |FROM (SELECT * FROM split UNION ALL SELECT * FROM cold)
         |ORDER BY id""".stripMargin
-  ) ++ Map(
-    // x66: skew-adaptive LSH pairs — random-hyperplane signatures are
-    // hash-specific, so this is a deterministic golden pinned at
-    // sf0.01 (the x04/x07 discipline; regenerate with
-    // `runMain graft.AdaptPin`). The adaptive behavior itself —
-    // clustered-corpus candidate collapse and recall vs base LSH — is
-    // asserted hash-free in ScaleSpec
+  )
+
+  // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures
+  // are hash-specific (no SQL engine reproduces them), so the PAIRS are
+  // a deterministic golden at sf0.01 (the x04/x07 discipline; regenerate
+  // with `runMain graft.AdaptPin`). x66 checks the pairs themselves with
+  // exact cosines; x74/x75 recompute the connected-component clustering
+  // and survivor rules in SQL FROM these pairs (the x16 recursive-CTE
+  // discipline), so only the hash-specific pair set is pinned while
+  // every derivation stays oracle-recomputed. The adaptive behavior —
+  // clustered-corpus candidate collapse and recall vs base LSH — is
+  // asserted hash-free in ScaleSpec.
+  private val adaptiveLshPairRows: String =
+    """ (7, 340, 0.4927657135003488e0),
+      | (24, 298, 0.42270265113884714e0),
+      | (44, 301, 0.4596665428707692e0),
+      | (75, 256, 0.4563095159142706e0),
+      | (150, 152, 0.41825457548289297e0),
+      | (159, 202, 0.4031424785766e0),
+      | (191, 431, 0.4420580850530819e0),
+      | (195, 317, 0.4494482735608698e0),
+      | (203, 414, 0.40983146997672093e0),
+      | (262, 291, 0.41742628101030044e0),
+      | (338, 406, 0.4826603508971818e0),
+      | (350, 479, 0.4429217489751484e0),
+      | (355, 417, 0.4007295896794913e0)""".stripMargin
+
+  // pinned pairs → undirected edges → transitive reach → per-source min
+  private val adaptiveLshReach: String =
+    s"""pinned(id_a, id_b, cosine) AS (VALUES
+       |$adaptiveLshPairRows),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pinned
+       |          UNION SELECT id_b, id_a FROM pinned),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
+
+  private val adaptiveLsh: Map[String, String] = Map(
     "x66_adaptive_lsh" ->
-      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-        |  CAST(cosine AS DOUBLE) AS cosine
-        |FROM (VALUES
-        | (7, 340, 0.4927657135003488e0),
-        | (24, 298, 0.42270265113884714e0),
-        | (44, 301, 0.4596665428707692e0),
-        | (75, 256, 0.4563095159142706e0),
-        | (150, 152, 0.41825457548289297e0),
-        | (159, 202, 0.4031424785766e0),
-        | (191, 431, 0.4420580850530819e0),
-        | (195, 317, 0.4494482735608698e0),
-        | (203, 414, 0.40983146997672093e0),
-        | (262, 291, 0.41742628101030044e0),
-        | (338, 406, 0.4826603508971818e0),
-        | (350, 479, 0.4429217489751484e0),
-        | (355, 417, 0.4007295896794913e0)
-        |) t(id_a, id_b, cosine) ORDER BY id_a, id_b""".stripMargin
+      s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         |  CAST(cosine AS DOUBLE) AS cosine
+         |FROM (VALUES
+         |$adaptiveLshPairRows
+         |) t(id_a, id_b, cosine) ORDER BY id_a, id_b""".stripMargin,
+
+    "x74_lsh_corpus_dedup" ->
+      s"""WITH RECURSIVE $adaptiveLshReach,
+         |dropped AS (
+         |  SELECT src AS id FROM reach GROUP BY src HAVING min(dst) < src)
+         |SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY id""".stripMargin,
+
+    "x75_semantic_canonical" ->
+      s"""WITH RECURSIVE $adaptiveLshReach,
+         |comp AS (
+         |  SELECT e.vec_id,
+         |    least(e.vec_id, coalesce(r.m, e.vec_id)) AS cluster
+         |  FROM embeddings e
+         |  LEFT JOIN (SELECT src, min(dst) AS m FROM reach GROUP BY src) r
+         |    ON e.vec_id = r.src),
+         |scored AS (
+         |  SELECT c.vec_id, c.cluster, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY d.n_chars DESC, c.vec_id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.vec_id)
+         |SELECT CAST(vec_id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(n_chars AS BIGINT) AS n_chars
+         |FROM scored WHERE rn = 1 ORDER BY id""".stripMargin
   )
 
   // x67: the fine-as-data two-level training/assignment path is
@@ -2262,5 +2307,6 @@ object Oracles {
   // shared oracle IS the claim that the unbounded-K scale path
   // changes nothing but the execution shape
   val all: Map[String, String] =
-    base + ("x67_fine_data_assign" -> base("x63_two_level_refined"))
+    base ++ adaptiveLsh +
+      ("x67_fine_data_assign" -> base("x63_two_level_refined"))
 }

@@ -1429,6 +1429,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x74 — end-to-end embedding-space corpus dedup: the x66 adaptive-
+    * LSH pairs (same parameters, so the same pinned-deterministic pair
+    * set) → x16-style connected-component label propagation → smallest
+    * id per cluster survives. Closes the loop between the skew-adaptive
+    * pair source and the corpus-level dedup it exists to feed. Only the
+    * hash-specific PAIR set is pinned in the oracle; the clustering and
+    * survivor derivation are recomputed in SQL from those pairs (the
+    * x16 recursive-CTE discipline). */
+  val x74LshCorpusDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.dedupCorpusEmbeddings(emb, "vec_id", "embedding",
+        threshold = 0.4, bands = 4, bitsPerBand = Some(5), hotFactor = 1L)
+      .select(col("vec_id").as("id"))
+      .orderBy("id")
+  }
+
+  /** x75 — quality-aware canonical selection in embedding space: the
+    * x74 clustering with the x52 survivor rule — per near-dup cluster
+    * keep the member whose DOCUMENT is longest (n_chars via the
+    * vec_id = doc_id cross-modal join, ties to the smallest id), not
+    * the accidentally-smallest id. Output is the surviving rows with
+    * their cluster label and the score that won. */
+  val x75SemanticCanonical: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("n_chars")), Seq("vec_id"))
+    Similarity.canonicalSelectEmbeddings(emb, "vec_id", "embedding",
+        score = col("n_chars"), threshold = 0.4, bands = 4,
+        bitsPerBand = Some(5), hotFactor = 1L)
+      .select(col("vec_id").as("id"), col("cluster"), col("n_chars"))
+      .orderBy("id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -1939,6 +1972,8 @@ object Queries {
     "x71_trigram_jm" -> x71TrigramJm,
     "x72_dup_spans" -> x72DupSpans,
     "x73_dsir_select" -> x73DsirSelect,
+    "x74_lsh_corpus_dedup" -> x74LshCorpusDedup,
+    "x75_semantic_canonical" -> x75SemanticCanonical,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

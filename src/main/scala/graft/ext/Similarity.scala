@@ -582,4 +582,52 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** End-to-end embedding-space corpus dedup: [[lshNearDupPairsAdaptive]]
+    * pairs → connected components ([[Dedup.clusters]] label propagation)
+    * → keep the smallest id per cluster. The embedding-space closure of
+    * [[Dedup.dedupCorpus]] (which does the same over MinHash+LSH shingle
+    * pairs): the pair source is the skew-adaptive path, so hot buckets on
+    * clustered corpora are sub-split before the quadratic stage, and the
+    * component merge shuffles (id, label) pairs only. Returns surviving
+    * ids (singletons survive by definition). */
+  def dedupCorpusEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 4, bitsPerBand: Option[Int] = None,
+      maxDim: Int = 512, targetOccupancy: Long = 16L, hotFactor: Long = 8L,
+      maxExtraBits: Int = 16): DataFrame = {
+    val pairs = lshNearDupPairsAdaptive(df, idCol, vecCol, threshold,
+      bands, bitsPerBand, maxDim, targetOccupancy, hotFactor, maxExtraBits)
+    val losers = Dedup.clusters(pairs)
+      .where(col("id") =!= col("cluster")).select(col("id"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(losers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+  }
+
+  /** Quality-aware canonical selection in embedding space: the
+    * [[dedupCorpusEmbeddings]] clustering with [[Dedup.canonicalSelect]]'s
+    * survivor rule — per near-dup cluster keep the row with the highest
+    * `score` (ties to the smallest id) instead of the smallest id, so the
+    * cleanest copy survives, not the accidentally-first one. Returns the
+    * surviving rows of `df` with their `cluster` label (singletons are
+    * their own cluster and always survive).
+    *
+    * Scale shape: adaptive-LSH pairs + (id, label)-only propagation, then
+    * one row_number window per cluster — WindowGroupLimit truncates it
+    * map-side and near-dup clusters are small by construction. */
+  def canonicalSelectEmbeddings(df: DataFrame, idCol: String,
+      vecCol: String, score: Column, threshold: Double, bands: Int = 4,
+      bitsPerBand: Option[Int] = None, maxDim: Int = 512,
+      targetOccupancy: Long = 16L, hotFactor: Long = 8L,
+      maxExtraBits: Int = 16): DataFrame = {
+    val pairs = lshNearDupPairsAdaptive(df, idCol, vecCol, threshold,
+      bands, bitsPerBand, maxDim, targetOccupancy, hotFactor, maxExtraBits)
+    val comp = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
+    val assigned = df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(score.desc, col(idCol))
+    assigned.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
 }

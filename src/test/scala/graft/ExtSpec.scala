@@ -204,6 +204,38 @@ class ExtSpec extends SparkSpec {
     assert(minId == Set(1L, 5L))
   }
 
+  test("embedding-space corpus dedup ≡ pairs→clusters composition; canonical keeps the best-scored copy") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.2f, 0.1f), 10L),
+      (2L, Array(0.99f, 0.01f, 0.2f, 0.1f), 25L), // near-dup of 1, higher score
+      (4L, Array(0.98f, 0.02f, 0.21f, 0.1f), 5L), // near-dup of 1 and 2
+      (7L, Array(-0.5f, 0.8f, 0.0f, 0.3f), 50L),
+      (9L, Array(0.0f, 0.0f, -1.0f, 0.4f), 3L)
+    ).toDF("vec_id", "v", "score")
+    val survivors = rows(Similarity.dedupCorpusEmbeddings(vecs, "vec_id",
+        "v", threshold = 0.95, bands = 4, bitsPerBand = Some(4))
+      .orderBy("vec_id")).map(_.getLong(0))
+    // {1,2,4} is one near-dup cluster (min id 1 kept); 7 and 9 singletons
+    assert(survivors == Seq(1L, 7L, 9L))
+    // the one-call form is exactly the pair-source → label-propagation
+    // → anti-join composition it documents
+    val pairs = Similarity.lshNearDupPairsAdaptive(vecs, "vec_id", "v",
+      threshold = 0.95, bands = 4, bitsPerBand = Some(4))
+    val losers = Dedup.clusters(pairs)
+      .where(col("id") =!= col("cluster")).select(col("id"))
+    val manual = rows(vecs.select(col("vec_id").as("id"))
+      .join(losers, Seq("id"), "left_anti").orderBy("id")).map(_.getLong(0))
+    assert(survivors == manual)
+    // quality rule keeps the highest-scored member (2), labeled with the
+    // component's min id; singletons survive as their own cluster
+    val canon = rows(Similarity.canonicalSelectEmbeddings(vecs, "vec_id",
+        "v", score = col("score"), threshold = 0.95, bands = 4,
+        bitsPerBand = Some(4))
+      .select(col("vec_id"), col("cluster")).orderBy("vec_id"))
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(canon == Seq(2L -> 1L, 7L -> 7L, 9L -> 9L))
+  }
+
   test("stratifiedSample: WindowGroupLimit plan, exact per-stratum sizes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val sampled = graft.ext.Sampling.stratifiedSample(
