@@ -2228,7 +2228,48 @@ object Oracles {
         |SELECT vec_id AS id, CAST(cid AS BIGINT) AS cid,
         |  CAST(sub AS BIGINT) AS sub
         |FROM (SELECT * FROM split UNION ALL SELECT * FROM cold)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    // x76: BM25 — ln quantized per TERM to DECIMAL(28,12) (the only
+    // transcendental; a handful of values, no cross-engine tie on this
+    // corpus); every other step is IEEE double arithmetic written in
+    // the same left-to-right order as the Spark projection, including
+    // the constants 2.2 = k1+1, 0.3 = k1(1-b), 0.8999999999999999 =
+    // k1*b as the exact doubles the JVM computes. dl/avgdl is expanded
+    // to dl*N/Σdl so no derived ratio is ever re-quantized
+    "x76_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'spark')) AS tf0,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'join')) AS tf1,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'window')) AS tf2,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'dup')) AS tf3
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS s,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM tf)
+        |SELECT t.doc_id, CAST(t.dl AS BIGINT) AS n_tokens,
+        |  CAST(
+        |    CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df0 + 0.5e0)/(df0 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf0 * st.s) / (st.s * (tf0 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df1 + 0.5e0)/(df1 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf1 * st.s) / (st.s * (tf1 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df2 + 0.5e0)/(df2 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf2 * st.s) / (st.s * (tf2 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df3 + 0.5e0)/(df3 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf3 * st.s) / (st.s * (tf3 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  AS DOUBLE) AS bm25
+        |FROM tf t CROSS JOIN stats st
+        |ORDER BY doc_id""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

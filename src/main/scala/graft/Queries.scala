@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.{AsOf, NearestSelect, Upsert}
 import graft.functions.{Cleansing, Occ}
-import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Opq, Pq, Quantiles, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Opq, Pq, Quantiles, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
   * the LLM-pipeline extension operators. Every query is deterministic
@@ -1462,6 +1462,21 @@ object Queries {
       .orderBy("id")
   }
 
+  /** x76 — BM25 retrieval scoring against a fixed query-term profile
+    * (Okapi BM25, Robertson et al. TREC-3): the targeted-curation step
+    * next to DSIR — score every document for a topic profile, here
+    * {spark, join, window, dup} (df 25..394 at sf0.01, so the rare-term
+    * idf dominates where it appears). tf counts are codegen'd HOF
+    * filters (no explode); N/Σdl/df come from ONE one-row broadcast
+    * agg; ln is quantized per TERM and every other step is IEEE
+    * double arithmetic in a fixed order the oracle mirrors. */
+  val x76Bm25: Q = (s, dir) => {
+    Retrieval.bm25Score(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "join", "window", "dup"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -1974,6 +1989,7 @@ object Queries {
     "x73_dsir_select" -> x73DsirSelect,
     "x74_lsh_corpus_dedup" -> x74LshCorpusDedup,
     "x75_semantic_canonical" -> x75SemanticCanonical,
+    "x76_bm25" -> x76Bm25,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

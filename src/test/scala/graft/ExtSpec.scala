@@ -236,6 +236,50 @@ class ExtSpec extends SparkSpec {
     assert(canon == Seq(2L -> 1L, 7L -> 7L, 9L -> 9L))
   }
 
+  test("bm25Score: bit-equal to an independent scalar reference; no-term docs score exactly zero") {
+    val texts = Seq(
+      1L -> "spark join window spark",
+      2L -> "the quick brown fox",
+      3L -> "dup join dup dup scan filter",
+      4L -> "window")
+    val docs = texts.toDF("doc_id", "text")
+    val terms = Seq("spark", "dup")
+    val got = rows(graft.ext.Retrieval.bm25Score(docs, "doc_id", "text",
+        terms).orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // plain-Scala reference with the operator's exact arithmetic: the
+    // same constant expressions, left-to-right order, and the HALF_UP
+    // shortest-string decimal quantization Spark's double→decimal cast
+    // uses (BigDecimal.valueOf + setScale)
+    val toks = texts.toMap.map { case (k, v) =>
+      k -> v.toLowerCase.trim.split("\\s+").toSeq }
+    val n = toks.size.toDouble
+    val s = toks.values.map(_.size).sum.toDouble
+    val (k1, b) = (1.2, 0.75)
+    def q12(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+    def ref(id: Long): Double = {
+      val dl = toks(id).size.toDouble
+      terms.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        val dfv = toks.values.count(_.contains(t)).toDouble
+        val idf = q12(math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5)))
+        idf * (((k1 + 1) * tf * s) /
+          (s * (tf + k1 * (1 - b)) + k1 * b * dl * n))
+      }.reduceLeft(_ + _)
+    }
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    got.foreach { case (id, dl, bm25) =>
+      assert(dl == toks(id).size.toLong)
+      assert(bm25 == ref(id), s"doc $id")
+    }
+    // a doc with none of the query terms contributes tf=0 to every
+    // term: the score is exactly 0.0, not merely small
+    assert(got.find(_._1 == 2L).get._3 == 0.0d)
+    // the rare term dominates: doc 3 (dup-heavy) outscores doc 1
+    assert(got.find(_._1 == 3L).get._3 > got.find(_._1 == 1L).get._3)
+  }
+
   test("stratifiedSample: WindowGroupLimit plan, exact per-stratum sizes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val sampled = graft.ext.Sampling.stratifiedSample(
