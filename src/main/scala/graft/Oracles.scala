@@ -2269,7 +2269,94 @@ object Oracles {
         |      * ((2.2e0 * tf3 * st.s) / (st.s * (tf3 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
         |  AS DOUBLE) AS bm25
         |FROM tf t CROSS JOIN stats st
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // x77: RRF fusion of the x76 BM25 list and an exact-cosine
+    // query-by-example list. Both ranks are total orders over
+    // bit-equal doubles (x76's bm25 discipline, x05/x06's cosine
+    // contract), so the top-100 cuts and the integer ranks match;
+    // rrf itself is two IEEE divisions summed left-to-right
+    "x77_hybrid_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'spark')) AS tf0,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'join')) AS tf1,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'window')) AS tf2,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'dup')) AS tf3
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS s,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM tf),
+        |bm AS (
+        |  SELECT t.doc_id,
+        |    CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df0 + 0.5e0)/(df0 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf0 * st.s) / (st.s * (tf0 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df1 + 0.5e0)/(df1 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf1 * st.s) / (st.s * (tf1 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df2 + 0.5e0)/(df2 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf2 * st.s) / (st.s * (tf2 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df3 + 0.5e0)/(df3 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf3 * st.s) / (st.s * (tf3 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |    AS bm25
+        |  FROM tf t CROSS JOIN stats st),
+        |bt AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rb
+        |  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |cs AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings c CROSS JOIN
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE c.vec_id != 0),
+        |ct AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS rs
+        |  FROM cs ORDER BY cos DESC, doc_id LIMIT 100),
+        |fused AS (
+        |  SELECT coalesce(bt.doc_id, ct.doc_id) AS doc_id,
+        |    coalesce(1e0/(60 + rb), 0e0) + coalesce(1e0/(60 + rs), 0e0) AS rrf,
+        |    rb, rs
+        |  FROM bt FULL OUTER JOIN ct ON bt.doc_id = ct.doc_id)
+        |SELECT * FROM (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rrf_rank,
+        |    rb AS bm25_rank, rs AS cos_rank, rrf
+        |  FROM fused) t
+        |WHERE rrf_rank <= 20 ORDER BY rrf_rank""".stripMargin,
+
+    // x78: TF-IDF keywords — idf = ln(N/df) quantized to DECIMAL(28,12)
+    // per term (the only transcendental), score = tf·idf as an EXACT
+    // decimal product, so the (score DESC, term) ranking never compares
+    // cross-engine doubles; the double cast happens once at the boundary
+    "x78_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    CAST(t.tf AS DECIMAL(9,0)) *
+        |      CAST(ln(CAST(n.n AS DOUBLE) / d.df) AS DECIMAL(28,12)) AS score
+        |  FROM tf t JOIN dfc d USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(score AS DOUBLE) AS tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rank
+        |      FROM scored) s
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

@@ -1477,6 +1477,32 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x77 — hybrid retrieval with reciprocal-rank fusion (Cormack et
+    * al. 2009): the x76 BM25 list fused with an exact-cosine
+    * query-by-example list (query = vec 0's embedding) by
+    * rrf = 1/(60+rank_lex) + 1/(60+rank_sem). Each side truncates via
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * fuse itself touches ≤ 2·kPer rows. */
+  val x77HybridRrf: Q = (s, dir) => {
+    Retrieval.hybridRrfTopK(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("spark", "join", "window", "dup"), queryVecId = 0L,
+        kPer = 100, kOut = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("rrf_rank")
+  }
+
+  /** x78 — per-document TF-IDF keyword extraction (tf·ln(N/df), top-3
+    * per doc): the corpus-level inverse of x76's fixed query profile —
+    * EVERY term is scored, with the vocabulary-keyed df join bounding
+    * the wide shuffle and the idf quantized to exact decimal so the
+    * per-doc ranking compares decimals, never cross-engine doubles. */
+  val x78TfidfKeywords: Q = (s, dir) => {
+    Retrieval.tfidfKeywords(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "rank")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -1990,6 +2016,8 @@ object Queries {
     "x74_lsh_corpus_dedup" -> x74LshCorpusDedup,
     "x75_semantic_canonical" -> x75SemanticCanonical,
     "x76_bm25" -> x76Bm25,
+    "x77_hybrid_rrf" -> x77HybridRrf,
+    "x78_tfidf_keywords" -> x78TfidfKeywords,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1,8 +1,10 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.functions.VectorOps
 
 /** Retrieval scoring over the document corpus — the targeted-curation
   * primitive: score every document against a fixed query-term profile
@@ -34,25 +36,30 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Retrieval {
 
-  /** Per-document BM25 of a literal query-term set.
-    * Output: (id, n_tokens, bm25); a document containing none of the
-    * terms scores exactly 0. */
-  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** (id, dl, tf_0..tf_k): per-term tf as codegen'd HOF filters. */
+  private def withTf(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "terms must be a non-empty distinct list")
     val base = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-    val tf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+    terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
       d.withColumn(s"tf_$i",
         size(filter(col("toks"), w => w === lit(t))).cast("long"))
     }.drop("toks")
-    val stats = tf.agg(
+  }
+
+  /** One-row (n, s, df_0..df_k) corpus-stats frame over a tf frame. */
+  private def statsOf(tf: DataFrame, terms: Seq[String]): DataFrame =
+    tf.agg(
       count(lit(1)).cast("long").as("n"),
       sum(col("dl")).cast("long").as("s") +:
         terms.indices.map(i =>
           sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+
+  private def bm25Against(tf: DataFrame, stats: DataFrame,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val scored = tf.crossJoin(broadcast(stats))
     def idf(i: Int) =
       log(lit(1.0d) + (col("n").cast("double") - col(s"df_$i") + lit(0.5d))
@@ -64,5 +71,122 @@ object Retrieval {
           lit(k1 * b) * col("dl") * col("n"))
     val score = terms.indices.map(i => idf(i) * part(i)).reduceLeft(_ + _)
     scored.select(col("id"), col("dl").as("n_tokens"), score.as("bm25"))
+  }
+
+  /** Per-document BM25 of a literal query-term set.
+    * Output: (id, n_tokens, bm25); a document containing none of the
+    * terms scores exactly 0. */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = withTf(docs, idCol, textCol, terms)
+    bm25Against(tf, statsOf(tf, terms), terms, k1, b)
+  }
+
+  /** Train-once BM25 serving closure: corpus statistics (N, Σdl,
+    * per-term df) are computed ONCE from `corpus` and checkpointed, so
+    * every scored frame — e.g. each streaming micro-batch — pays one
+    * scan of ITSELF and a 1-row broadcast, never a corpus re-read.
+    * Incoming documents are scored against the fixed corpus stats (dl
+    * is the incoming document's own length, per the BM25 formula). */
+  def bm25Scorer(corpus: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame => DataFrame = {
+    val stats =
+      statsOf(withTf(corpus, idCol, textCol, terms), terms).localCheckpoint()
+    docs => bm25Against(withTf(docs, idCol, textCol, terms), stats, terms,
+      k1, b)
+  }
+
+  /** Per-document top-`k` TF-IDF keywords (the classic
+    * tf·ln(N/df) weighting; Salton & Buckley 1988). The per-term idf —
+    * the only transcendental — is quantized to DECIMAL(28,12) and the
+    * score is the EXACT decimal product tf·idf, so the (score DESC,
+    * term ASC) ranking compares decimals, not doubles: cross-engine
+    * ties cannot exist (the x70 lesson applied to ordering).
+    *
+    * Scale shape: explode → (id, term) count → term-keyed df join —
+    * shuffles linear in token count, bounded by vocabulary on the df
+    * side; the per-doc top-k is a keyed window that Spark truncates
+    * map-side (WindowGroupLimit) under the rank ≤ k filter.
+    * Output: (id, rank, term, tf, tfidf). */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val idf = dfc.crossJoin(broadcast(n))
+      .select(col("term"),
+        log(col("n").cast("double") / col("df"))
+          .cast(DecimalType(28, 12)).as("idf"))
+    // tf at DECIMAL(9,0): 9+28+1 = 38 keeps Spark's multiply result at
+    // scale 12 EXACTLY — at (10,0) the result precision would be 39 >
+    // 38 and Spark silently rounds the scale down to 11, diverging
+    // from engines (DuckDB) that keep the full product
+    val scored = tf.join(idf, Seq("term"))
+      .withColumn("score", col("tf").cast(DecimalType(9, 0)) * col("idf"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"),
+        col("score").cast("double").as("tfidf"))
+  }
+
+  /** Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    * (Cormack et al., SIGIR 2009: rrf(d) = Σ_lists 1/(k + rank_d)).
+    * The lexical list is [[bm25Score]] top-`kPer`; the semantic list is
+    * exact-cosine top-`kPer` against the embedding of `queryVecId`
+    * (query-by-example). A document missing from one list contributes 0
+    * for that list — the standard RRF treatment of truncated lists.
+    *
+    * Scale shape: each side truncates with orderBy(score).limit(kPer) —
+    * Spark plans TakeOrderedAndProject (per-partition top-k heaps, one
+    * tiny driver merge), NOT a global sort; the un-partitioned
+    * row_number windows and the full-outer fuse join then run over ≤
+    * 2·kPer rows. The cosine side is one broadcast query vector dotted
+    * per corpus row at scan speed. At 100 TB: two linear scans, no
+    * wide shuffle of anything larger than kPer rows.
+    *
+    * Determinism: both rank orders are total ((score DESC, id ASC)) and
+    * both score families are bit-equal cross-engine (bm25 per x76's
+    * discipline, cosine per the x05/x06 dot-product contract); ranks
+    * are then integers, and rrf = 1/(k+rb) + 1/(k+rs) is evaluated
+    * left-to-right in both engines.
+    *
+    * Output: (id, rrf_rank, bm25_rank, cos_rank, rrf) — the fused
+    * top-`kOut`, rank columns null where a side did not retrieve. */
+  def hybridRrfTopK(docs: DataFrame, embeds: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String, vecCol: String,
+      terms: Seq[String], queryVecId: Long,
+      kPer: Int = 100, kOut: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lexTop = bm25Score(docs, idCol, textCol, terms)
+      .orderBy(col("bm25").desc, col("id").asc).limit(kPer)
+    val lex = lexTop.select(col("id"), row_number()
+      .over(Window.orderBy(col("bm25").desc, col("id").asc)).as("rb"))
+
+    val e = embeds.select(col(vecIdCol).as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"),
+      VectorOps.norm2(col(vecCol)).as("n2"))
+    val q = e.where(col("id") === queryVecId)
+      .select(col("v").as("qv"), col("n2").as("qn"))
+    val cosTop = e.where(col("id") =!= queryVecId).crossJoin(broadcast(q))
+      .select(col("id"), (graft.functions.expressions.VectorExpressions
+        .dotProduct(col("v"), col("qv")) / (sqrt(col("n2")) * sqrt(col("qn"))))
+        .as("cos"))
+      .orderBy(col("cos").desc, col("id").asc).limit(kPer)
+    val sem = cosTop.select(col("id"), row_number()
+      .over(Window.orderBy(col("cos").desc, col("id").asc)).as("rs"))
+
+    val fused = lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0d) / (lit(rrfK) + col("rb")), lit(0.0d)) +
+         coalesce(lit(1.0d) / (lit(rrfK) + col("rs")), lit(0.0d))).as("rrf"),
+        col("rb"), col("rs"))
+    fused.select(col("id"),
+        row_number().over(Window.orderBy(col("rrf").desc, col("id").asc))
+          .as("rrf_rank"),
+        col("rb").as("bm25_rank"), col("rs").as("cos_rank"), col("rrf"))
+      .where(col("rrf_rank") <= kOut)
   }
 }

@@ -333,6 +333,29 @@ object Streams {
       .start()
   }
 
+  /** Streaming BM25 scorer: score a document STREAM against a fixed
+    * query-term profile with corpus statistics (N, Σdl, per-term df)
+    * trained ONCE from `corpus` and checkpointed — the serving shape
+    * of [[graft.ext.Retrieval.bm25Score]]. Each micro-batch pays one
+    * scan of itself plus a 1-row broadcast; appends
+    * (id, n_tokens, bm25, _batch). Per-batch output ≡ the train-once
+    * closure applied to that batch (StreamingSpec). */
+  def bm25ScoreSink(docStream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, terms: Seq[String],
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scorer = graft.ext.Retrieval.bm25Scorer(corpus, idCol, textCol, terms)
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scorer(batch)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming ADC scorer: score a query STREAM against a fixed
     * PQ-encoded corpus, appending per-batch top-k rows to `outPath`.
     * The serving shape of [[graft.ext.Pq.adcTopK]]: the corpus is

@@ -280,6 +280,54 @@ class ExtSpec extends SparkSpec {
     assert(got.find(_._1 == 3L).get._3 > got.find(_._1 == 1L).get._3)
   }
 
+  test("hybridRrfTopK: fuses known lexical+semantic lists, nulls the missing side") {
+    val docs = Seq(1L -> "spark spark spark", 2L -> "nothing here",
+      3L -> "spark join").toDF("doc_id", "text")
+    val embeds = Seq(
+      0L -> Array(1.0f, 0.0f),   // the query vector
+      1L -> Array(0.0f, 1.0f),   // orthogonal: cosine 0
+      2L -> Array(1.0f, 0.1f),   // cosine ≈ 0.995
+      3L -> Array(1.0f, 1.0f))   // cosine ≈ 0.707
+      .toDF("vec_id", "embedding")
+    val got = rows(graft.ext.Retrieval.hybridRrfTopK(docs, embeds,
+        "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("spark", "join"), queryVecId = 0L, kPer = 2, kOut = 3)
+      .orderBy("rrf_rank"))
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getDouble(4)))
+    // lexical top-2: doc 3 first (BM25 tf saturation + the rare-term
+    // 'join' idf beat doc 1's thrice-repeated 'spark'), doc 1 second;
+    // semantic top-2: doc 2 (rs=1), doc 3 (rs=2). Fused: doc 3 appears
+    // in both lists and wins; docs 2 and 1 each miss one side (null
+    // rank there) and order by their single reciprocal rank
+    assert(got == Seq(
+      (3L, 1, 1, 2, 1.0 / 61 + 1.0 / 62),
+      (2L, 2, -1, 1, 1.0 / 61),
+      (1L, 3, 2, -1, 1.0 / 62)))
+  }
+
+  test("tfidfKeywords: hand-computed scores; exact-decimal score tie broken by term") {
+    val docs = Seq(1L -> "cat cat dog", 2L -> "cat fish", 3L -> "dog bird",
+      4L -> "cat dog").toDF("doc_id", "text")
+    val got = rows(graft.ext.Retrieval.tfidfKeywords(docs, "doc_id", "text",
+        k = 3).orderBy("id", "rank"))
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    // N=4; df: cat 3, dog 3, fish 1, bird 1. idf quantized like the
+    // operator (HALF_UP scale 12), score = exact decimal tf·idf
+    def sc(tf: Long, ratio: Double): Double =
+      new java.math.BigDecimal(tf).multiply(
+        java.math.BigDecimal.valueOf(math.log(ratio))
+          .setScale(12, java.math.RoundingMode.HALF_UP)).doubleValue
+    assert(got == Seq(
+      (1L, 1, "cat", 2L, sc(2, 4.0 / 3)), (1L, 2, "dog", 1L, sc(1, 4.0 / 3)),
+      (2L, 1, "fish", 1L, sc(1, 4.0)), (2L, 2, "cat", 1L, sc(1, 4.0 / 3)),
+      (3L, 1, "bird", 1L, sc(1, 4.0)), (3L, 2, "dog", 1L, sc(1, 4.0 / 3)),
+      // doc 4: cat and dog score the SAME exact decimal → term breaks it
+      (4L, 1, "cat", 1L, sc(1, 4.0 / 3)), (4L, 2, "dog", 1L, sc(1, 4.0 / 3))))
+  }
+
   test("stratifiedSample: WindowGroupLimit plan, exact per-stratum sizes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val sampled = graft.ext.Sampling.stratifiedSample(

@@ -696,6 +696,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bm25ScoreSink: per-batch scores equal the train-once batch scorer; no-term docs score zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(TDoc(1L, "spark join window"), TDoc(2L, "the quick fox"),
+      TDoc(3L, "spark spark shuffle")).toDF()
+    val b1 = Seq(TDoc(101L, "spark scan"), TDoc(102L, "no match here"))
+    val b2 = Seq(TDoc(201L, "join join spark"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25s")
+    val out = dir.resolve("scored").toString
+    try {
+      val mem = MemoryStream[TDoc]
+      mem.addData(b1: _*)
+      val q = Streams.bm25ScoreSink(mem.toDF(), corpus, "doc_id", "text",
+        Seq("spark", "join"), out, dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val scorer = graft.ext.Retrieval.bm25Scorer(corpus, "doc_id", "text",
+        Seq("spark", "join"))
+      def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+        df.select($"id", $"n_tokens", $"bm25").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def got(b: Long) = canon(
+        spark.read.parquet(out).where($"_batch" === b))
+      assert(got(0) == canon(scorer(b1.toDF())))
+      assert(got(1) == canon(scorer(b2.toDF())))
+      // a doc with none of the profile terms scores exactly 0 against
+      // the fixed corpus stats
+      assert(got(0).exists(t => t._1 == 102L && t._3 == 0.0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("bigramScoreSink: JM and add-k modes serve per-batch equal to their batch scorers") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.TextAnalysis
