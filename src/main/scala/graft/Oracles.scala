@@ -2356,7 +2356,50 @@ object Oracles {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, term) AS rank
         |      FROM scored) s
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // x79: sliding-window chunking — pure integer/string arithmetic;
+    // chunk_id = start/stride since starts are exact stride multiples;
+    // list_slice clamps the tail like Spark's slice(length) does
+    "x79_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |base AS (SELECT doc_id, arr, len(arr) AS dl FROM toks)
+        |SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_id,
+        |  CAST(len(list_slice(arr, s + 1, least(s + 64, dl))) AS INTEGER)
+        |    AS n_tokens,
+        |  array_to_string(list_slice(arr, s + 1, least(s + 64, dl)), ' ')
+        |    AS chunk_text
+        |FROM base, unnest(generate_series(0, dl - 1, 48)) AS t(s)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // x80: PMI collocations — the ln argument is the same fixed IEEE
+    // division chain as the Spark projection (never one big product,
+    // which could pass 2^53); ln quantized once to DECIMAL(28,12) so
+    // the (pmi, w1, w2) ranking compares exact decimals
+    "x80_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |uni AS (SELECT unnest(arr) AS w FROM toks),
+        |c1 AS (SELECT w, count(*) AS cnt1 FROM uni GROUP BY 1),
+        |bi AS (
+        |  SELECT arr[i] AS w1, arr[i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY 1, 2),
+        |t1 AS (SELECT CAST(sum(cnt1) AS BIGINT) AS t1 FROM c1),
+        |t2 AS (SELECT CAST(sum(cnt2) AS BIGINT) AS t2 FROM c2),
+        |scored AS (
+        |  SELECT c2.w1, c2.w2, c2.cnt2,
+        |    CAST(ln(((CAST(cnt2 AS DOUBLE) / t2.t2) /
+        |             (CAST(a.cnt1 AS DOUBLE) / t1.t1)) /
+        |            (CAST(b.cnt1 AS DOUBLE) / t1.t1)) AS DECIMAL(28,12)) AS pmi
+        |  FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w
+        |  CROSS JOIN t1 CROSS JOIN t2
+        |  WHERE cnt2 >= 5)
+        |SELECT w1, w2, CAST(cnt2 AS BIGINT) AS n_pair, CAST(pmi AS DOUBLE) AS pmi
+        |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

@@ -1503,6 +1503,29 @@ object Queries {
       .orderBy("doc_id", "rank")
   }
 
+  /** x79 — sliding-window token chunking (64-token windows advancing
+    * by 48): the RAG-passage / training-window preprocessing split.
+    * Zero-shuffle — one scan, per-row sequence/slice HOFs, a generator
+    * explode; at 100 TB the output is a constant factor of the input
+    * with no exchange anywhere. */
+  val x79ChunkTokens: Q = (s, dir) => {
+    TextAnalysis.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** x80 — PMI collocation mining (Church & Hanks 1990), pairs seen
+    * ≥ 5 times, top 30: the phrase-discovery signal behind tokenizer /
+    * vocab induction. Counts are map-side-combined; the unigram joins
+    * key on the AGGREGATED bigram table (one row per distinct pair);
+    * the top-k truncates via TakeOrderedAndProject. */
+  val x80PmiCollocations: Q = (s, dir) => {
+    TextAnalysis.pmiCollocations(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 5, k = 30)
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2018,6 +2041,8 @@ object Queries {
     "x76_bm25" -> x76Bm25,
     "x77_hybrid_rrf" -> x77HybridRrf,
     "x78_tfidf_keywords" -> x78TfidfKeywords,
+    "x79_chunk_tokens" -> x79ChunkTokens,
+    "x80_pmi_collocations" -> x80PmiCollocations,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -488,4 +488,70 @@ object TextAnalysis {
     * inside the lambda). */
   def shingles(text: Column, n: Int): Column =
     graft.functions.expressions.VectorExpressions.shingles(tokens(lower(text)), n)
+
+  /** Sliding-window token chunking — the context-window preprocessing
+    * step (RAG passage splitting / long-document training windows):
+    * each document becomes overlapping chunks of `chunkSize` tokens
+    * whose starts advance by `stride`. Window starts are
+    * 0, stride, 2·stride, … < n_tokens, so the tail is always covered
+    * and the final chunk may be short (the return_overflowing_tokens
+    * convention). Case is preserved — chunking must not rewrite text.
+    *
+    * Scale shape: one scan, per-row sequence/slice HOFs, a generator
+    * explode — no shuffle at all; output rows ≈ input tokens / stride.
+    * Output: (id, chunk_id, n_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .withColumn("dl", size(col("t")))
+      .select(col("id"), posexplode(
+          transform(sequence(lit(0), col("dl") - 1, lit(stride)),
+            s => slice(col("t"), s + 1, lit(chunkSize))))
+        .as(Seq("chunk_id", "c")))
+      .select(col("id"), col("chunk_id"), size(col("c")).as("n_tokens"),
+        array_join(col("c"), " ").as("chunk_text"))
+  }
+
+  /** Corpus-level PMI collocation mining (Church & Hanks 1990) — the
+    * phrase-discovery step behind tokenizer/vocabulary induction:
+    * pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2))), bigram probability
+    * against independent unigram occurrence, keeping pairs seen at
+    * least `minCount` times and returning the top `k`.
+    *
+    * Determinism: the ln argument is evaluated as the FIXED division
+    * chain ((c2/T2) / (c1/T1)) / (c1'/T1) — IEEE doubles on exact
+    * counts, never a single product that could exceed 2^53 — and the
+    * ln is quantized once to DECIMAL(28,12), so the (pmi, w1, w2)
+    * ranking compares exact decimals with a total tie-break.
+    *
+    * Scale shape: counts are map-side-combined aggs; the two unigram
+    * joins are VOCABULARY-keyed against the already-aggregated bigram
+    * table (one row per distinct pair, not per occurrence), so stopword
+    * skew is bounded by distinct continuations; the top-k truncates via
+    * TakeOrderedAndProject. Output: (w1, w2, n_pair, pmi). */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toksDf = docs.select(
+      explode(tokens(lower(col(textCol)))).as("w"))
+    val c1 = toksDf.groupBy("w").agg(count(lit(1)).as("cnt1"))
+    val c2 = bigrams(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val t1 = c1.agg(sum(col("cnt1")).cast("long").as("t1"))
+    val t2 = c2.agg(sum(col("cnt2")).cast("long").as("t2"))
+    val scored = c2.where(col("cnt2") >= minCount)
+      .join(c1.select(col("w").as("w1"), col("cnt1").as("c1a")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("cnt1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .withColumn("pmi",
+        log(((col("cnt2").cast("double") / col("t2")) /
+             (col("c1a").cast("double") / col("t1"))) /
+            (col("c1b").cast("double") / col("t1")))
+          .cast(DecimalType(28, 12)))
+    scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(k)
+      .select(col("w1"), col("w2"), col("cnt2").as("n_pair"),
+        col("pmi").cast("double").as("pmi"))
+  }
 }

@@ -328,6 +328,42 @@ class ExtSpec extends SparkSpec {
       (4L, 1, "cat", 1L, sc(1, 4.0 / 3)), (4L, 2, "dog", 1L, sc(1, 4.0 / 3))))
   }
 
+  test("chunkTokens: covering overlapped windows, short tail, case preserved") {
+    val docs = Seq(1L -> "T0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10",  // 11 tokens
+      2L -> "a b").toDF("doc_id", "text")
+    val got = rows(graft.ext.TextAnalysis.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3).orderBy("id", "chunk_id"))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got == Seq(
+      (1L, 0, 4, "T0 t1 t2 t3"), (1L, 1, 4, "t3 t4 t5 t6"),
+      (1L, 2, 4, "t6 t7 t8 t9"), (1L, 3, 2, "t9 t10"),
+      (2L, 0, 2, "a b")))
+    // every token index is inside some window (coverage)
+    assert(got.filter(_._1 == 1L).map(c => (c._2 * 3, c._2 * 3 + c._3))
+      .sliding(2).forall { case Seq((_, e), (s, _)) => s <= e; case _ => true })
+  }
+
+  test("pmiCollocations: hand-computed pmi; exact quantized tie broken by words") {
+    val docs = Seq(1L -> "a b a b", 2L -> "a c").toDF("doc_id", "text")
+    val got = rows(graft.ext.TextAnalysis.pmiCollocations(docs, "doc_id",
+        "text", minCount = 1, k = 10)
+        .orderBy(col("pmi").desc, col("w1"), col("w2")))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // unigrams a:3 b:2 c:1 (T1=6); bigrams (a,b):2 (b,a):1 (a,c):1
+    // (T2=4). Same division chain and HALF_UP scale-12 quantization as
+    // the operator; (a,b) and (a,c) quantize IDENTICALLY (both ln 3) →
+    // w2 breaks the tie
+    def pmi(c2: Double, ca: Double, cb: Double): Double =
+      java.math.BigDecimal.valueOf(
+          math.log(((c2 / 4) / (ca / 6)) / (cb / 6)))
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(got == Seq(
+      ("a", "b", 2L, pmi(2, 3, 2)),
+      ("a", "c", 1L, pmi(1, 3, 1)),
+      ("b", "a", 1L, pmi(1, 2, 3))))
+    assert(pmi(2, 3, 2) == pmi(1, 3, 1))
+  }
+
   test("stratifiedSample: WindowGroupLimit plan, exact per-stratum sizes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val sampled = graft.ext.Sampling.stratifiedSample(
