@@ -458,6 +458,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("retrieval family plans: chunking is exchange-free, top-k lists truncate via TakeOrdered, bm25 stats broadcast") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val embeds = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // x79 shape: one scan + generator, NO exchange anywhere — the plan
+    // that stays linear at 100 TB
+    val chunkPlan = graft.ext.TextAnalysis.chunkTokens(docs, "doc_id",
+      "text", 64, 48).queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      "chunkTokens shuffled:\n" + chunkPlan.take(600))
+    // x77 shape: both per-retriever cuts are TakeOrderedAndProject
+    // (per-partition heaps), never a global Sort over the corpus
+    val rrfPlan = graft.ext.Retrieval.hybridRrfTopK(docs, embeds,
+        "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("spark", "join"), queryVecId = 0L)
+      .queryExecution.executedPlan.toString
+    assert(rrfPlan.contains("TakeOrderedAndProject"),
+      "no TakeOrderedAndProject in the RRF plan:\n" + rrfPlan.take(600))
+    assert(!rrfPlan.contains("Sort [bm25"),
+      "global sort on bm25 leaked into the RRF plan")
+    // x76 shape: the corpus stats come back as ONE broadcast row
+    val bm25Plan = graft.ext.Retrieval.bm25Score(docs, "doc_id", "text",
+      Seq("spark")).queryExecution.executedPlan.toString
+    assert(bm25Plan.contains("BroadcastNestedLoopJoin") ||
+      bm25Plan.contains("BroadcastExchange"),
+      "bm25 stats are not broadcast:\n" + bm25Plan.take(600))
+  }
+
   test("multimodal: per-partition feature extraction, deterministic stub") {
     implicit val s = spark
     val recs = Seq(
