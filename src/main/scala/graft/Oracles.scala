@@ -2399,7 +2399,87 @@ object Oracles {
         |  CROSS JOIN t1 CROSS JOIN t2
         |  WHERE cnt2 >= 5)
         |SELECT w1, w2, CAST(cnt2 AS BIGINT) AS n_pair, CAST(pmi AS DOUBLE) AS pmi
-        |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
+        |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // x81: multi-query BM25 — the x76 arithmetic per profile over the
+    // union-of-terms tf/stats (term order within each profile fixes
+    // the score's left-to-right sum); union order: spark shuffle join
+    // window dup filter → tf0..tf5
+    "x81_bm25_multi" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'spark')) AS tf0,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'shuffle')) AS tf1,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'join')) AS tf2,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'window')) AS tf3,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'dup')) AS tf4,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'filter')) AS tf5
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS s,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+        |    sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4,
+        |    sum(CASE WHEN tf5 > 0 THEN 1 ELSE 0 END) AS df5
+        |  FROM tf),
+        |scored AS (
+        |  SELECT t.doc_id, 'q_spark' AS query_id, t.dl,
+        |    CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df0 + 0.5e0)/(df0 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf0 * st.s) / (st.s * (tf0 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df1 + 0.5e0)/(df1 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf1 * st.s) / (st.s * (tf1 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |    AS bm25
+        |  FROM tf t CROSS JOIN stats st
+        |  UNION ALL
+        |  SELECT t.doc_id, 'q_rel' AS query_id, t.dl,
+        |    CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df2 + 0.5e0)/(df2 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf2 * st.s) / (st.s * (tf2 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df3 + 0.5e0)/(df3 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf3 * st.s) / (st.s * (tf3 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |    AS bm25
+        |  FROM tf t CROSS JOIN stats st
+        |  UNION ALL
+        |  SELECT t.doc_id, 'q_dedup' AS query_id, t.dl,
+        |    CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df4 + 0.5e0)/(df4 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf4 * st.s) / (st.s * (tf4 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df5 + 0.5e0)/(df5 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf5 * st.s) / (st.s * (tf5 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |    AS bm25
+        |  FROM tf t CROSS JOIN stats st)
+        |SELECT doc_id, query_id, CAST(dl AS BIGINT) AS n_tokens,
+        |  CAST(bm25 AS DOUBLE) AS bm25
+        |FROM scored ORDER BY doc_id, query_id""".stripMargin,
+
+    // x82: passage dedup per doc — first occurrence of each distinct
+    // non-overlapping 32-token window by (doc_id, chunk_id); pure
+    // integer output
+    "x82_passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |base AS (SELECT doc_id, arr, len(arr) AS dl FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, CAST(s // 32 AS INTEGER) AS chunk_id,
+        |    array_to_string(list_slice(arr, s + 1, least(s + 32, dl)), ' ')
+        |      AS chunk_text
+        |  FROM base, unnest(generate_series(0, dl - 1, 32)) AS t(s)),
+        |ranked AS (
+        |  SELECT doc_id, chunk_id,
+        |    row_number() OVER (PARTITION BY chunk_text
+        |      ORDER BY doc_id, chunk_id) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

@@ -1526,6 +1526,36 @@ object Queries {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
   }
 
+  /** x81 — batch retrieval evaluation: three query profiles scored in
+    * ONE corpus scan (union-of-terms tf columns, one 1-row stats
+    * broadcast, per-query scores fanned out through a single
+    * generator). Q queries = one scan + Q projections, never Q scans. */
+  val x81Bm25Multi: Q = (s, dir) => {
+    Retrieval.bm25ScoreMulti(Tables.documents(s, dir), "doc_id", "text",
+        queries = Seq(
+          "q_spark" -> Seq("spark", "shuffle"),
+          "q_rel" -> Seq("join", "window"),
+          "q_dedup" -> Seq("dup", "filter")))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "query_id")
+  }
+
+  /** x82 — C4-style passage-level exact dedup (non-overlapping
+    * 32-token windows; first occurrence by (doc, chunk) wins),
+    * aggregated per document: how many of my passages survive. The
+    * winner is a map-side-combinable min-struct agg keyed by passage
+    * text — boilerplate repeated millions of times costs one combiner
+    * per partition, not a hot-key window sort. */
+  val x82PassageDedup: Q = (s, dir) => {
+    Dedup.dedupPassages(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 32)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept").cast("long")).as("n_kept"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2043,6 +2073,8 @@ object Queries {
     "x78_tfidf_keywords" -> x78TfidfKeywords,
     "x79_chunk_tokens" -> x79ChunkTokens,
     "x80_pmi_collocations" -> x80PmiCollocations,
+    "x81_bm25_multi" -> x81Bm25Multi,
+    "x82_passage_dedup" -> x82PassageDedup,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

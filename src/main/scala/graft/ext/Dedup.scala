@@ -394,4 +394,30 @@ object Dedup {
       .dropDuplicates("d1", "d2")
     verifyPairs(base, candidates, threshold)
   }
+
+  /** C4-style passage-level exact dedup (Raffel et al. 2020 removed
+    * repeated three-sentence spans; here the unit is a non-overlapping
+    * `chunkSize`-token window from [[TextAnalysis.chunkTokens]]): the
+    * FIRST occurrence of each distinct passage — smallest (id,
+    * chunk_id) — is kept, every later copy is marked dropped.
+    *
+    * Scale shape: the first-occurrence winner is a map-side-combinable
+    * min(struct(id, chunk_id)) aggregate keyed by the passage text —
+    * NOT a window — so a passage repeated millions of times (site
+    * boilerplate) costs one combiner per partition, never a
+    * single-reducer sort of the hot key; the join back is
+    * passage-keyed with the same combiner-bounded skew.
+    * Output: (id, chunk_id, n_tokens, chunk_text, kept). */
+  def dedupPassages(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    val chunks = TextAnalysis.chunkTokens(docs, idCol, textCol,
+      chunkSize, chunkSize)
+    val first = chunks.groupBy("chunk_text")
+      .agg(min(struct(col("id"), col("chunk_id"))).as("f"))
+    chunks.join(first, Seq("chunk_text"))
+      .withColumn("kept", col("id") === col("f.id") &&
+        col("chunk_id") === col("f.chunk_id"))
+      .select(col("id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_text"), col("kept"))
+  }
 }

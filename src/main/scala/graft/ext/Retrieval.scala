@@ -58,19 +58,25 @@ object Retrieval {
         terms.indices.map(i =>
           sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
 
+  /** Per-term idf, quantized once (the only transcendental). */
+  private def idfCol(i: Int) =
+    log(lit(1.0d) + (col("n").cast("double") - col(s"df_$i") + lit(0.5d))
+        / (col(s"df_$i") + lit(0.5d)))
+      .cast(DecimalType(28, 12)).cast("double")
+
+  /** The tf-saturation factor with dl/avgdl expanded to dl·N/Σdl —
+    * IEEE doubles on exact values in a fixed order. */
+  private def partCol(i: Int, k1: Double, b: Double) =
+    (lit(k1 + 1) * col(s"tf_$i") * col("s")) /
+      (col("s") * (col(s"tf_$i") + lit(k1 * (1 - b))) +
+        lit(k1 * b) * col("dl") * col("n"))
+
   private def bm25Against(tf: DataFrame, stats: DataFrame,
       terms: Seq[String], k1: Double, b: Double): DataFrame = {
-    val scored = tf.crossJoin(broadcast(stats))
-    def idf(i: Int) =
-      log(lit(1.0d) + (col("n").cast("double") - col(s"df_$i") + lit(0.5d))
-          / (col(s"df_$i") + lit(0.5d)))
-        .cast(DecimalType(28, 12)).cast("double")
-    def part(i: Int) =
-      (lit(k1 + 1) * col(s"tf_$i") * col("s")) /
-        (col("s") * (col(s"tf_$i") + lit(k1 * (1 - b))) +
-          lit(k1 * b) * col("dl") * col("n"))
-    val score = terms.indices.map(i => idf(i) * part(i)).reduceLeft(_ + _)
-    scored.select(col("id"), col("dl").as("n_tokens"), score.as("bm25"))
+    val score = terms.indices.map(i => idfCol(i) * partCol(i, k1, b))
+      .reduceLeft(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col("id"), col("dl").as("n_tokens"), score.as("bm25"))
   }
 
   /** Per-document BM25 of a literal query-term set.
@@ -80,6 +86,38 @@ object Retrieval {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = withTf(docs, idCol, textCol, terms)
     bm25Against(tf, statsOf(tf, terms), terms, k1, b)
+  }
+
+  /** Batch retrieval evaluation: score every document against SEVERAL
+    * query-term profiles in ONE scan. The tf columns cover the union
+    * of all profiles' terms, the stats agg is still a single 1-row
+    * broadcast, and the per-query scores fan out through one generator
+    * (explode of an array of (query_id, bm25) structs) — so Q queries
+    * cost one corpus scan plus Q projections, not Q scans. Each
+    * query's score sums its own terms left-to-right (the x76
+    * determinism discipline, per profile).
+    * Output: (id, query_id, n_tokens, bm25). */
+  def bm25ScoreMulti(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.map(_._1).distinct == queries.map(_._1),
+      "query ids must be non-empty and distinct")
+    val allTerms = queries.flatMap(_._2).distinct
+    val termIdx = allTerms.zipWithIndex.toMap
+    val tf = withTf(docs, idCol, textCol, allTerms)
+    val stats = statsOf(tf, allTerms)
+    val perQuery = queries.map { case (qid, terms) =>
+      require(terms.nonEmpty && terms.distinct == terms,
+        s"terms of $qid must be a non-empty distinct list")
+      val score = terms.map(t => idfCol(termIdx(t)) *
+        partCol(termIdx(t), k1, b)).reduceLeft(_ + _)
+      struct(lit(qid).as("query_id"), score.as("bm25"))
+    }
+    tf.crossJoin(broadcast(stats))
+      .select(col("id"), col("dl").as("n_tokens"),
+        explode(array(perQuery: _*)).as("q"))
+      .select(col("id"), col("q.query_id").as("query_id"),
+        col("n_tokens"), col("q.bm25").as("bm25"))
   }
 
   /** Train-once BM25 serving closure: corpus statistics (N, Σdl,

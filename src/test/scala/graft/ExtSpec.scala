@@ -364,6 +364,36 @@ class ExtSpec extends SparkSpec {
     assert(pmi(2, 3, 2) == pmi(1, 3, 1))
   }
 
+  test("bm25ScoreMulti: each profile bitwise equals its single-query bm25Score") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val profiles = Seq("a" -> Seq("spark", "shuffle"), "b" -> Seq("join"),
+      "c" -> Seq("zzz_absent_term"))
+    val multi = rows(graft.ext.Retrieval.bm25ScoreMulti(docs, "doc_id",
+        "text", profiles).orderBy("query_id", "id"))
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getDouble(3)))
+    for ((qid, terms) <- profiles) {
+      val single = rows(graft.ext.Retrieval.bm25Score(docs, "doc_id",
+          "text", terms).orderBy("id"))
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(multi.filter(_._1 == qid) == single, s"profile $qid diverged")
+    }
+    // an absent term: df=0 handled (idf finite), tf=0 → exactly 0.0
+    assert(multi.filter(_._1 == "c").forall(_._4 == 0.0d))
+  }
+
+  test("dedupPassages: first (doc, chunk) occurrence wins; later copies marked dropped") {
+    val docs = Seq(1L -> "a b c d", 2L -> "a b x", 3L -> "c d")
+      .toDF("doc_id", "text")
+    val got = rows(graft.ext.Dedup.dedupPassages(docs, "doc_id", "text",
+        chunkSize = 2).orderBy("id", "chunk_id"))
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3), r.getBoolean(4)))
+    // "a b" first at (1,0); "c d" first at (1,1); copies in docs 2/3 drop
+    assert(got == Seq(
+      (1L, 0, "a b", true), (1L, 1, "c d", true),
+      (2L, 0, "a b", false), (2L, 1, "x", true),
+      (3L, 0, "c d", false)))
+  }
+
   test("stratifiedSample: WindowGroupLimit plan, exact per-stratum sizes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val sampled = graft.ext.Sampling.stratifiedSample(
