@@ -54,7 +54,13 @@ object ScaleProbe {
       "x66_adaptive_lsh", "x67_fine_data_assign",
       "x68_bigram_jm", "x69_split_hot_cells",
       "x70_importance_ratio", "x71_trigram_jm",
-      "x72_dup_spans", "x73_dsir_select")
+      "x72_dup_spans", "x73_dsir_select",
+      // late round-8: the retrieval family — scan-shaped (x76/x79/x81),
+      // TakeOrdered cuts (x77/x80), vocabulary-keyed joins (x78),
+      // passage-keyed min-struct agg (x82)
+      "x76_bm25", "x77_hybrid_rrf", "x78_tfidf_keywords",
+      "x79_chunk_tokens", "x80_pmi_collocations",
+      "x81_bm25_multi", "x82_passage_dedup")
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
     // are probed here as direct operator calls
