@@ -2479,7 +2479,25 @@ object Oracles {
         |  FROM chunks)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x83: temperature mixture — pow (the only transcendental) is
+    // quantized once per GROUP to DECIMAL(28,12); the threshold is the
+    // exact decimal ×1e6 floored; the row predicate is the integer
+    // multiplicative hash with multiplier 0x51ed2701 % (1e9+7)
+    "x83_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (
+        |  SELECT lang,
+        |    floor(CAST(power(CAST(n AS DOUBLE) / m.nmin, -0.5e0)
+        |          AS DECIMAL(28,12)) * 1000000) AS keep_ppm
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (((doc_id % 1000000007) * 374496506) % 1000000007) % 1000000
+        |  < keep_ppm
+        |ORDER BY doc_id""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

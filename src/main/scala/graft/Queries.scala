@@ -1556,6 +1556,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x83 — temperature-rebalanced language mixture (Conneau et al.
+    * 2020 p^α flattening, α = 0.5): the smallest language keeps
+    * everything (its keep rate is pow(1, ·) = 1 exactly — no floating
+    * boundary) and larger languages are hash-downsampled toward the
+    * flattened shares. One tiny broadcast rate table; the keep
+    * predicate composes into the scan. */
+  val x83TemperatureMix: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Sampling.temperatureMixture(d.select("doc_id", "lang"),
+        col("doc_id"), col("lang"), alpha = 0.5)
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2075,6 +2088,7 @@ object Queries {
     "x80_pmi_collocations" -> x80PmiCollocations,
     "x81_bm25_multi" -> x81Bm25Multi,
     "x82_passage_dedup" -> x82PassageDedup,
+    "x83_temperature_mix" -> x83TemperatureMix,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -231,6 +231,45 @@ object Sampling {
     df.where(b < ratePerMille)
   }
 
+  /** Temperature-rebalanced mixture (the multilingual p^α flattening
+    * of Conneau et al. 2020 / mT5; public recipe): with α < 1 the
+    * group distribution flattens toward uniform. Downsample-only
+    * framing — the SMALLEST group binds: its keep rate is
+    * pow(n_min/n_min, α−1) = pow(1, ·) = 1.0 EXACTLY (no floating
+    * boundary), and every larger group keeps (n_g/n_min)^(α−1) of its
+    * rows through the same salted multiplicative-hash predicate as
+    * [[weightedSample]], at per-million resolution.
+    *
+    * Determinism: the single transcendental pow is quantized once to
+    * DECIMAL(28,12) (the x76 ln discipline — one quantization per
+    * GROUP, a handful of values); the per-million threshold is then
+    * the exact decimal product ×10⁶ floored, and the row predicate is
+    * pure integer arithmetic.
+    *
+    * Scale shape: one map-side-combined group count (+1-row min),
+    * broadcast back as a tiny rate table; the keep decision composes
+    * into the scan. No RNG, no wide shuffle; re-sharding cannot move
+    * a row in or out of the mixture. */
+  def temperatureMixture(df: DataFrame, id: Column, group: Column,
+      alpha: Double, salt: Long = 0x51ed2701L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    import org.apache.spark.sql.types.DecimalType
+    val mult = salt % HashPrime
+    require(mult != 0, "salt must be nonzero mod HashPrime")
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("__g"),
+        floor(pow(col("__n").cast("double") / col("__nmin"),
+            lit(alpha - 1)).cast(DecimalType(28, 12)) * lit(1000000L))
+          .as("__keep_ppm"))
+    val b = pmod(pmod(pmod(id, lit(HashPrime)) * lit(mult),
+      lit(HashPrime)), lit(1000000L))
+    df.join(broadcast(rates), group === col("__g"))
+      .where(b < col("__keep_ppm"))
+      .drop("__g", "__keep_ppm")
+  }
+
   /** Concat-then-chunk sequence packing (the GPT-style pretraining
     * layout): documents are laid end to end in (shard, id) order and the
     * token stream is cut every `chunkTokens`; each document reports the

@@ -394,6 +394,26 @@ class ExtSpec extends SparkSpec {
       (3L, 0, "c d", false)))
   }
 
+  test("temperatureMixture: min group exactly fully kept; 4:1 at alpha=0.5 halves the big group's rate; alpha=1 keeps all") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"))
+      .toDF("id", "g")
+    val kept = rows(graft.ext.Sampling.temperatureMixture(df, col("id"),
+        col("g"), alpha = 0.5).orderBy("id"))
+      .map(r => (r.getLong(0), r.getString(1)))
+    // pow(4/1, -0.5) = 0.5 EXACTLY (correctly-rounded libm) →
+    // keep_ppm 500000 for group a; group b binds at exactly 1.0.
+    // Expected membership recomputed with the same integer hash
+    val mult = 0x51ed2701L % 1000000007L
+    def bucket(id: Long): Long =
+      (((id % 1000000007L) * mult) % 1000000007L) % 1000000L
+    val expA = Seq(1L, 2L, 3L, 4L).filter(id => bucket(id) < 500000L)
+    assert(kept == (expA.map(_ -> "a") :+ (5L -> "b")).sortBy(_._1))
+    assert(kept.contains((5L, "b")), "binding group must keep everything")
+    val all = rows(graft.ext.Sampling.temperatureMixture(df, col("id"),
+        col("g"), alpha = 1.0)).map(_.getLong(0)).sorted
+    assert(all == Seq(1L, 2L, 3L, 4L, 5L), "alpha=1 must keep all rows")
+  }
+
   test("stratifiedSample: WindowGroupLimit plan, exact per-stratum sizes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val sampled = graft.ext.Sampling.stratifiedSample(
