@@ -2497,7 +2497,62 @@ object Oracles {
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE (((doc_id % 1000000007) * 374496506) % 1000000007) % 1000000
         |  < keep_ppm
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // x84: BM25-MaxP — the x76 arithmetic over 64/48 chunks (stats over
+    // CHUNKS), per-doc argmax by (bm25 DESC, chunk_id), top-20 docs.
+    // bm25 doubles are bit-equal per the x76 discipline, so the argmax
+    // and the final cut order identically
+    "x84_bm25_maxp" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |base AS (SELECT doc_id, arr, len(arr) AS dl FROM toksrc),
+        |chunks AS (
+        |  SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_id,
+        |    array_to_string(list_slice(arr, s + 1, least(s + 64, dl)), ' ')
+        |      AS chunk_text
+        |  FROM base, unnest(generate_series(0, dl - 1, 48)) AS t(s)),
+        |tf AS (
+        |  SELECT doc_id, chunk_id,
+        |    len(regexp_split_to_array(trim(lower(chunk_text)), '\s+')) AS cdl,
+        |    len(list_filter(regexp_split_to_array(trim(lower(chunk_text)), '\s+'),
+        |        x -> x = 'spark')) AS tf0,
+        |    len(list_filter(regexp_split_to_array(trim(lower(chunk_text)), '\s+'),
+        |        x -> x = 'join')) AS tf1,
+        |    len(list_filter(regexp_split_to_array(trim(lower(chunk_text)), '\s+'),
+        |        x -> x = 'window')) AS tf2,
+        |    len(list_filter(regexp_split_to_array(trim(lower(chunk_text)), '\s+'),
+        |        x -> x = 'dup')) AS tf3
+        |  FROM chunks),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(cdl) AS s,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM tf),
+        |scored AS (
+        |  SELECT t.doc_id, t.chunk_id,
+        |    CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df0 + 0.5e0)/(df0 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf0 * st.s) / (st.s * (tf0 + 0.3e0) + 0.8999999999999999e0 * t.cdl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df1 + 0.5e0)/(df1 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf1 * st.s) / (st.s * (tf1 + 0.3e0) + 0.8999999999999999e0 * t.cdl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df2 + 0.5e0)/(df2 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf2 * st.s) / (st.s * (tf2 + 0.3e0) + 0.8999999999999999e0 * t.cdl * st.n))
+        |  + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df3 + 0.5e0)/(df3 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf3 * st.s) / (st.s * (tf3 + 0.3e0) + 0.8999999999999999e0 * t.cdl * st.n))
+        |    AS bm25
+        |  FROM tf t CROSS JOIN stats st),
+        |best AS (
+        |  SELECT doc_id, chunk_id, bm25,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY bm25 DESC, chunk_id) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS best_chunk,
+        |  CAST(bm25 AS DOUBLE) AS maxp
+        |FROM best WHERE rn = 1
+        |ORDER BY maxp DESC, doc_id LIMIT 20""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

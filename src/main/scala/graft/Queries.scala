@@ -1569,6 +1569,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x84 — BM25-MaxP passage retrieval (Dai & Callan 2019): documents
+    * ranked by their best 64-token passage for the x76 profile —
+    * long-document retrieval where one on-topic passage should not be
+    * diluted by surrounding text. Chunking is exchange-free, scoring
+    * is the x76 plan over chunks, the per-doc argmax is a keyed
+    * window, and the final cut is TakeOrderedAndProject. */
+  val x84Bm25MaxP: Q = (s, dir) => {
+    Retrieval.bm25MaxP(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "join", "window", "dup"),
+        chunkSize = 64, stride = 48, k = 20)
+      .orderBy(col("maxp").desc, col("doc_id").asc)
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2089,6 +2102,7 @@ object Queries {
     "x81_bm25_multi" -> x81Bm25Multi,
     "x82_passage_dedup" -> x82PassageDedup,
     "x83_temperature_mix" -> x83TemperatureMix,
+    "x84_bm25_maxp" -> x84Bm25MaxP,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -120,6 +120,36 @@ object Retrieval {
         col("n_tokens"), col("q.bm25").as("bm25"))
   }
 
+  /** BM25-MaxP passage retrieval (Dai & Callan 2019, public recipe):
+    * long documents are scored by their BEST passage — the corpus is
+    * re-chunked with [[TextAnalysis.chunkTokens]], each chunk is
+    * BM25-scored as its own retrieval unit (N, Σdl, df over CHUNKS),
+    * and a document's score is the max over its chunks (ties to the
+    * earliest chunk). The composite (doc, chunk) key rides through
+    * the scoring pipeline as ONE struct column, so the whole path is
+    * the [[bm25Score]] plan unchanged.
+    *
+    * Scale shape: chunking is exchange-free, scoring is two scans +
+    * a 1-row broadcast, the per-doc argmax is a doc-keyed window
+    * (truncated map-side under rank = 1), and the final document cut
+    * is TakeOrderedAndProject.
+    * Output: top-`k` (doc_id, best_chunk, maxp). */
+  def bm25MaxP(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], chunkSize: Int = 64, stride: Int = 48,
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val chunks = TextAnalysis.chunkTokens(docs, idCol, textCol,
+        chunkSize, stride)
+      .select(struct(col("id").as("doc_id"), col("chunk_id")).as("cid"),
+        col("chunk_text"))
+    val scored = bm25Score(chunks, "cid", "chunk_text", terms, k1, b)
+    val w = Window.partitionBy(col("id.doc_id"))
+      .orderBy(col("bm25").desc, col("id.chunk_id").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id.doc_id").as("doc_id"),
+        col("id.chunk_id").as("best_chunk"), col("bm25").as("maxp"))
+      .orderBy(col("maxp").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Train-once BM25 serving closure: corpus statistics (N, Σdl,
     * per-term df) are computed ONCE from `corpus` and checkpointed, so
     * every scored frame — e.g. each streaming micro-batch — pays one

@@ -414,6 +414,25 @@ class ExtSpec extends SparkSpec {
     assert(all == Seq(1L, 2L, 3L, 4L, 5L), "alpha=1 must keep all rows")
   }
 
+  test("bm25MaxP: the short on-topic passage wins its document; docs rank by best passage") {
+    val docs = Seq(1L -> "spark x y z spark", 2L -> "a b c d")
+      .toDF("doc_id", "text")
+    val got = rows(graft.ext.Retrieval.bm25MaxP(docs, "doc_id", "text",
+        terms = Seq("spark"), chunkSize = 4, stride = 4, k = 10))
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def q12(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+    // chunks: d1 → ("spark x y z", tf1 dl4) and ("spark", tf1 dl1);
+    // d2 → ("a b c d", tf0). N=3 chunks, Σdl=9, df=2. The dl-1 chunk
+    // saturates less than the dl-4 chunk, so MaxP picks the SHORT
+    // on-topic passage (chunk 1) — the dilution whole-doc BM25 can't
+    // avoid is exactly what this operator removes
+    val idf = q12(math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5)))
+    val maxp1 = idf *
+      ((2.2 * 1 * 9) / (9.0 * (1 + 0.3) + 0.8999999999999999 * 1 * 3))
+    assert(got == Seq((1L, 1, maxp1), (2L, 0, 0.0)))
+  }
+
   test("stratifiedSample: WindowGroupLimit plan, exact per-stratum sizes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val sampled = graft.ext.Sampling.stratifiedSample(
