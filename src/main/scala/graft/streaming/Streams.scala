@@ -340,6 +340,54 @@ object Streams {
     * scan of itself plus a 1-row broadcast; appends
     * (id, n_tokens, bm25, _batch). Per-batch output ≡ the train-once
     * closure applied to that batch (StreamingSpec). */
+  /** Streaming passage admission: the x82 passage-level exact dedup
+    * as an ingest gate. Each micro-batch is chunked into
+    * non-overlapping `chunkSize`-token windows; a chunk is ADMITTED
+    * iff its text was not already admitted — by an earlier batch (the
+    * admitted parquet at `outPath` below this batch id IS the ledger,
+    * re-read per batch — the restart-safe discipline shared with
+    * [[semanticAdmitSink]]) or earlier within the batch (first
+    * (id, chunk_id) wins, the [[graft.ext.Dedup.dedupPassages]]
+    * rule). Dynamic partition overwrite by batch id makes a replayed
+    * batch idempotent: a batch's own partition is excluded from its
+    * judge set, so rows are never refused against their own previous
+    * write. The ledger probe is a text-keyed anti join — AQE handles
+    * a hot boilerplate passage the same way the batch operator's
+    * combiner does. Appends (id, chunk_id, n_tokens, chunk_text,
+    * _batch). */
+  def passageAdmitSink(docStream: DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, outPath: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark0 = docStream.sparkSession
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val chunks = graft.ext.Dedup.dedupPassages(batch, idCol,
+            textCol, chunkSize)
+          .where(col("kept")).drop("kept")
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark0.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(outPath))) chunks
+          else {
+            val seen = spark0.read.parquet(outPath)
+              .where(col("_batch").cast("long") < lit(batchId))
+              .select(col("chunk_text"))
+            chunks.join(seen, Seq("chunk_text"), "left_anti")
+          }
+        fresh.select(col("id"), col("chunk_id"), col("n_tokens"),
+            col("chunk_text"))
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(outPath)
+      }
+      .start()
+  }
+
   def bm25ScoreSink(docStream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, terms: Seq[String],
       outPath: String, checkpoint: String)

@@ -730,6 +730,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("passageAdmitSink: cross-batch + within-batch passage admission equals batch dedupPassages") {
+    implicit val sqlCtx = spark.sqlContext
+    // within b1, doc 2 repeats doc 1's "a b" chunk; b2's doc 3 repeats
+    // "c d" from b1 and brings a fresh "e f"
+    val b1 = Seq(TDoc(1L, "a b c d"), TDoc(2L, "a b"))
+    val b2 = Seq(TDoc(3L, "c d e f"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pas")
+    val out = dir.resolve("admitted").toString
+    try {
+      val mem = MemoryStream[TDoc]
+      mem.addData(b1: _*)
+      val q = Streams.passageAdmitSink(mem.toDF(), "doc_id", "text",
+        chunkSize = 2, out, dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out)
+        .select($"id", $"chunk_id", $"chunk_text", $"_batch").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      // streamed admission ≡ the batch operator over the union (ids
+      // increase with batch order, so first-occurrence agrees)
+      val batchKept = graft.ext.Dedup.dedupPassages(
+          (b1 ++ b2).toDF(), "doc_id", "text", chunkSize = 2)
+        .where($"kept")
+        .select($"id", $"chunk_id", $"chunk_text").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == batchKept)
+      assert(got == Set((1L, 0, "a b"), (1L, 1, "c d"), (3L, 1, "e f")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("bigramScoreSink: JM and add-k modes serve per-batch equal to their batch scorers") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.TextAnalysis
