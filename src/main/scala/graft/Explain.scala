@@ -40,7 +40,15 @@ object Explain {
         // the occurrence side); x69's reassignment join is bounded by
         // the seeds side; x72 stays a linear postings⋈df equi-join
         "x68_bigram_jm", "x69_split_hot_cells", "x70_importance_ratio",
-        "x71_trigram_jm", "x72_dup_spans")
+        "x71_trigram_jm", "x72_dup_spans",
+        // late round-8 retrieval family: x76/x81 are scans + one 1-row
+        // broadcast; x77's cuts must be TakeOrderedAndProject, never a
+        // corpus Sort; x79 must show NO exchange; x78/x80 join only
+        // AGGREGATED vocab/pair tables; x82's winner is a combiner agg,
+        // not a window; x84 rides the x76 plan over chunks
+        "x76_bm25", "x77_hybrid_rrf", "x78_tfidf_keywords",
+        "x79_chunk_tokens", "x80_pmi_collocations", "x81_bm25_multi",
+        "x82_passage_dedup", "x83_temperature_mix", "x84_bm25_maxp")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
