@@ -41,6 +41,10 @@ object Retrieval {
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "terms must be a non-empty distinct list")
+    // the document side is lowercased before matching — an uppercase
+    // query term would silently never match, so refuse it loudly
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      s"query terms must be non-empty and lowercase, got: $terms")
     val base = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
@@ -223,7 +227,9 @@ object Retrieval {
     * left-to-right in both engines.
     *
     * Output: (id, rrf_rank, bm25_rank, cos_rank, rrf) — the fused
-    * top-`kOut`, rank columns null where a side did not retrieve. */
+    * top-`kOut`, rank columns null where a side did not retrieve.
+    * If `queryVecId` has no embedding row the semantic side is empty
+    * and the fusion degrades to the lexical ranking alone. */
   def hybridRrfTopK(docs: DataFrame, embeds: DataFrame,
       idCol: String, textCol: String, vecIdCol: String, vecCol: String,
       terms: Seq[String], queryVecId: Long,
