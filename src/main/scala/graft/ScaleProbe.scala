@@ -71,9 +71,11 @@ object ScaleProbe {
       // same-JVM A/B of the PPJoin positional filter vs the plain
       // prefix filter (environment drift between separate probe runs
       // was 2x on untouched queries — only a back-to-back pair is fair)
+      // positional's default flipped to true in round 8 — the plain
+      // arm must opt OUT explicitly or both arms measure the same path
       "x02_prefix_plain" -> (dir =>
         graft.ext.Dedup.jaccardPairsPrefix(docShingles(dir), "doc_id",
-          "sh", 0.6)),
+          "sh", 0.6, positional = false)),
       "x02_prefix_positional" -> (dir =>
         graft.ext.Dedup.jaccardPairsPrefix(docShingles(dir), "doc_id",
           "sh", 0.6, positional = true)),

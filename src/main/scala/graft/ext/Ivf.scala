@@ -56,13 +56,41 @@ object Ivf {
     * a broadcast side. */
   private def seedCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nlist: Int): Centroids =
+    seedCentroidsDF(corpus, idCol, vecCol, nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** The seed centroids as a DataFrame (cid, cv, cn) — the un-collected
+    * form [[refinedCentroids]] chains its Lloyd iterations from. */
+  private def seedCentroidsDF(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int): DataFrame =
     corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).cast("long").as("cid"),
         VectorOps.toDouble(col(vecCol)).as("cv"),
         VectorOps.norm2(col(vecCol)).as("cn"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
+
+  /** Flat nearest-cell assignment with the centroids as DATA: the
+    * (cid, cv, cn) table folds into ONE cid-ascending struct-array row
+    * (struct sort orders by its first field) that broadcasts to every
+    * task, and the per-row argmax is the [[VectorExpressions
+    * .nearestCellData]] codegen loop — [[assignCells]]'s scan-speed map
+    * without a driver-resident centroid array, so training loops can
+    * stay in DataFrames end to end. Bit-equal to [[assignCells]] under
+    * the same centroid set (spec-asserted). */
+  private def assignCellsData(corpus: DataFrame, idCol: String,
+      vecCol: String, cent: DataFrame): DataFrame = {
+    val centArr = cent
+      .select(struct(col("cid"), col("cv"), col("cn")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("__cents"))
+    corpus.select(col(idCol).as("neighbor_id"),
+        VectorOps.toDouble(col(vecCol)).as("v"),
+        VectorOps.norm2(col(vecCol)).as("n2"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("cid", VectorExpressions.nearestCellData(col("v"),
+        col("n2"), col("__cents")))
+      .drop("__cents")
+  }
 
   /** Nearest centroid by cosine per corpus row (ties to the smallest
     * cid) — a zero-exchange scan-speed map over the constant centroid
@@ -141,48 +169,27 @@ object Ivf {
     * + one map-side-combined (cid, dim) mean agg; fine cells that lose
     * every member drop (GROUP BY semantics), cell ids stay the seed
     * ids. Coarse boundaries never move — refinement balances the cells
-    * a row searches, not which coarse cell it reaches. */
+    * a row searches, not which coarse cell it reaches.
+    *
+    * Training runs the [[trainTwoLevelAsData]] DataFrame chain — seeds
+    * and every Lloyd refinement live in DataFrames — and collects the
+    * finished fine table exactly ONCE into the plan-constant form, so
+    * driver traffic is one K×dim transfer regardless of `refineIters`
+    * (the historical per-iteration collect is retained only as the
+    * IvfTrainSpec reference implementation). */
   def trainTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
       nCoarse: Int, nFine: Int, refineIters: Int = 0): TwoLevel = {
-    val coarse = seedCentroids(corpus, idCol, vecCol, nCoarse)
-    val w = Window.partitionBy(col("cid")).orderBy(col("neighbor_id"))
-    val fineRows = assignCells(corpus, idCol, vecCol, coarse)
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= nFine)
-      .select(col("cid"), col("neighbor_id").cast("long").as("fid"),
-        col("v"), col("n2"))
+    val m = trainTwoLevelAsData(corpus, idCol, vecCol, nCoarse, nFine,
+      refineIters)
+    val byC = m.fine.select(col("ccid"), col("fid"), col("fv"), col("fn"))
       .collect()
-    val byCid = fineRows.groupBy(_.getLong(0))
-    val occupied = coarse.filter { case (cid, _, _) => byCid.contains(cid) }
-    var model = TwoLevel(
-      occupied.map(_._2), occupied.map(_._3), occupied.map(_._1),
-      occupied.map { case (cid, _, _) =>
-        byCid(cid).map(r => (r.getLong(1), r.getSeq[Double](2).toArray,
-          r.getDouble(3))).sortBy(_._1)
-      })
-    var it = 0
-    while (it < refineIters) {
-      // which coarse slot owns each fine id (fine ids are vec_ids of
-      // members, so they are unique across coarse cells)
-      val slotOf = model.fine.zipWithIndex
-        .flatMap { case (cents, j) => cents.map(c => c._1 -> j) }.toMap
-      val means = cellMeans(assignTwoLevel(corpus, idCol, vecCol, model))
-        .select(col("cid"), col("pos"), col("centroid"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (fid, rows) =>
-          val cv = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-          var cn = 0.0
-          var i = 0
-          while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
-          fid -> ((fid, cv, cn))
-        }
-      model = model.copy(fine = model.fine.indices.map { j =>
-        means.collect { case (fid, c) if slotOf(fid) == j => c }
-          .toArray.sortBy(_._1)
-      }.toArray)
-      it += 1
-    }
-    model
+      .groupBy(_.getLong(0))
+    TwoLevel(m.coarseVecs, m.coarseNorms, m.coarseIds,
+      m.coarseIds.map(cid =>
+        byC.getOrElse(cid, Array.empty[org.apache.spark.sql.Row])
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray,
+            r.getDouble(3)))
+          .sortBy(_._1)))
   }
 
   /** Zero-exchange two-level assignment: one codegen argmax per row
@@ -455,34 +462,42 @@ object Ivf {
     cellMeans(assignCells(corpus, idCol, vecCol,
       seedCentroids(corpus, idCol, vecCol, nlist)))
 
-  /** `iters` Lloyd refinements of the seed quantizer. Each iteration runs
-    * one zero-exchange assignment scan plus one map-side-combined
-    * (cid, dim) mean agg; only nlist×dim rows return to the driver. Cells
-    * that lose all members drop out (their cid disappears), matching the
-    * GROUP BY semantics of the SQL oracle. The refreshed norm is a
-    * left-to-right fold in element order — the same accumulation as
-    * [[VectorOps.norm2]] and DuckDB's `list_dot_product`. */
+  /** `iters` Lloyd refinements of the seed quantizer, chained entirely
+    * in DataFrames: each iteration is one broadcast-argmax assignment
+    * scan ([[assignCellsData]] — the centroids ride as a 1-row struct
+    * array, never as a re-collected plan constant) plus one
+    * map-side-combined (cid, dim) exact-decimal mean agg, and the ONLY
+    * driver transfer is the final K×dim collect of the finished model —
+    * unavoidable for a plan constant, and paid exactly once regardless
+    * of `iters`. Cells that lose all members drop out (their cid
+    * disappears), matching the GROUP BY semantics of the SQL oracle.
+    * The refreshed norm is a left-to-right `acc + x·x` fold in element
+    * order — the same accumulation as [[VectorOps.norm2]] and DuckDB's
+    * `list_dot_product`; each iteration's values are bit-identical to
+    * the historical collect-per-iteration form (IvfTrainSpec asserts
+    * against an in-driver reference at 0/1/2 iters). */
   private def refinedCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nlist: Int, iters: Int): Centroids = {
-    var cent = seedCentroids(corpus, idCol, vecCol, nlist)
+    var cent = seedCentroidsDF(corpus, idCol, vecCol, nlist)
+      .localCheckpoint()
     var it = 0
     while (it < iters) {
-      cent = cellMeans(assignCells(corpus, idCol, vecCol, cent))
-        .select(col("cid"), col("pos"), col("centroid"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          val cv = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-          var cn = 0.0
-          var i = 0
-          while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
-          (cid, cv, cn)
-        }
-        .toArray
-        .sortBy(_._1)
+      cent = cellMeans(assignCellsData(corpus, idCol, vecCol, cent))
+        .groupBy(col("cid"))
+        // struct sorts by its first field: ascending pos — the vector
+        // reassembled in dimension order
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+          .as("pc"))
+        .select(col("cid"),
+          expr("transform(pc, x -> x.centroid)").as("cv"))
+        .withColumn("cn",
+          expr("aggregate(cv, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+        .localCheckpoint()
       it += 1
     }
-    cent
+    cent.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
   }
 
   /** IVF-PQ: the full 100 TB index shape — coarse cells prune the

@@ -159,7 +159,14 @@ object Retrieval {
     * every scored frame — e.g. each streaming micro-batch — pays one
     * scan of ITSELF and a 1-row broadcast, never a corpus re-read.
     * Incoming documents are scored against the fixed corpus stats (dl
-    * is the incoming document's own length, per the BM25 formula). */
+    * is the incoming document's own length, per the BM25 formula).
+    *
+    * FROZEN-STATS CONTRACT: the stats never move after this call —
+    * scores from one closure are mutually comparable forever, and
+    * drift from a fresh corpus fit as the true corpus grows. To
+    * refresh, build a NEW closure over the grown corpus (e.g.
+    * `bm25Scorer(corpus.unionByName(admitted), …)`); the new closure
+    * is ≡ batch [[bm25Score]] on that union (StreamingSpec). */
   def bm25Scorer(corpus: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
       : DataFrame => DataFrame = {
@@ -195,9 +202,19 @@ object Retrieval {
     // tf at DECIMAL(9,0): 9+28+1 = 38 keeps Spark's multiply result at
     // scale 12 EXACTLY — at (10,0) the result precision would be 39 >
     // 38 and Spark silently rounds the scale down to 11, diverging
-    // from engines (DuckDB) that keep the full product
+    // from engines (DuckDB) that keep the full product. The cast bound
+    // (tf < 1e9, i.e. one billion occurrences of ONE term in ONE
+    // document) is enforced LOUDLY: under non-ANSI the overflow would
+    // cast to null and silently drop the term from its doc's ranking.
     val scored = tf.join(idf, Seq("term"))
-      .withColumn("score", col("tf").cast(DecimalType(9, 0)) * col("idf"))
+      .withColumn("score",
+        when(col("tf") < lit(1000000000L), col("tf").cast(DecimalType(9, 0)))
+          .otherwise(raise_error(concat(
+            lit("tfidfKeywords: per-document term frequency "),
+            col("tf").cast("string"),
+            lit(" overflows the DECIMAL(9,0) tf bound (term "),
+            col("term"), lit(")"))).cast(DecimalType(9, 0)))
+          * col("idf"))
     val w = Window.partitionBy("id")
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -228,8 +245,10 @@ object Retrieval {
     *
     * Output: (id, rrf_rank, bm25_rank, cos_rank, rrf) — the fused
     * top-`kOut`, rank columns null where a side did not retrieve.
-    * If `queryVecId` has no embedding row the semantic side is empty
-    * and the fusion degrades to the lexical ranking alone. */
+    * If `queryVecId` has no embedding row — or a zero-norm one, whose
+    * cosine is undefined — the semantic side is empty and the fusion
+    * degrades to the lexical ranking alone; zero-norm corpus rows are
+    * likewise excluded (their NaN cosine would otherwise sort first). */
   def hybridRrfTopK(docs: DataFrame, embeds: DataFrame,
       idCol: String, textCol: String, vecIdCol: String, vecCol: String,
       terms: Seq[String], queryVecId: Long,
@@ -239,9 +258,16 @@ object Retrieval {
     val lex = lexTop.select(col("id"), row_number()
       .over(Window.orderBy(col("bm25").desc, col("id").asc)).as("rb"))
 
+    // zero-norm guard: cosine against a zero vector is 0/0 = NaN, and
+    // Spark orders NaN ABOVE every real double — an unfiltered zero-norm
+    // row would outrank every genuine neighbor. Zero-norm corpus rows are
+    // excluded from the semantic list; a zero-norm QUERY empties the
+    // broadcast side and the fusion degrades to lexical-only, the same
+    // contract as a missing query vector (scaladoc above).
     val e = embeds.select(col(vecIdCol).as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"),
       VectorOps.norm2(col(vecCol)).as("n2"))
+      .where(col("n2") > lit(0.0d))
     val q = e.where(col("id") === queryVecId)
       .select(col("v").as("qv"), col("n2").as("qn"))
     val cosTop = e.where(col("id") =!= queryVecId).crossJoin(broadcast(q))

@@ -249,7 +249,12 @@ object Sampling {
     * Scale shape: one map-side-combined group count (+1-row min),
     * broadcast back as a tiny rate table; the keep decision composes
     * into the scan. No RNG, no wide shuffle; re-sharding cannot move
-    * a row in or out of the mixture. */
+    * a row in or out of the mixture.
+    *
+    * A NULL group is a group like any other: the rate table counts it
+    * and the probe joins null-safely (`<=>`), so null-group rows are
+    * rebalanced — never silently dropped — and may themselves be the
+    * binding smallest group. */
   def temperatureMixture(df: DataFrame, id: Column, group: Column,
       alpha: Double, salt: Long = 0x51ed2701L): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
@@ -265,7 +270,11 @@ object Sampling {
           .as("__keep_ppm"))
     val b = pmod(pmod(pmod(id, lit(HashPrime)) * lit(mult),
       lit(HashPrime)), lit(1000000L))
-    df.join(broadcast(rates), group === col("__g"))
+    // null-safe join: the rate table counts a NULL group as a group of
+    // its own (groupBy does), so the probe must match it too — a plain
+    // equi-join would silently drop every null-group row, and if that
+    // group were the smallest it would skew every OTHER group's rate
+    df.join(broadcast(rates), group <=> col("__g"))
       .where(b < col("__keep_ppm"))
       .drop("__g", "__keep_ppm")
   }

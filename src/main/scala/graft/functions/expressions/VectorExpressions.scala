@@ -323,6 +323,85 @@ case class NearestCell(vec: Expression, norm2: Expression,
       : Expression = copy(vec = l, norm2 = r)
 }
 
+/** Flat nearest-cell assignment with the centroid set as DATA: the third
+  * child is a COLUMN of (cid, cv, cn) structs in ascending-cid order —
+  * in practice one `collect_list` row broadcast to every task — so a
+  * Lloyd training loop can chain iterations entirely in DataFrames: no
+  * centroid ever returns to the driver to be re-embedded as a plan
+  * constant. Per-row cost, cosine arithmetic, and tie-breaking are
+  * exactly [[NearestCell]]'s (first index wins on ties ⇔ ascending-cid
+  * ⇔ `row_number() OVER (ORDER BY cos DESC, cid)` = 1); spec-asserted
+  * bit-equal to [[NearestCell]] under the same centroid set. */
+case class NearestCellData(vec: Expression, norm2: Expression,
+    cents: Expression) extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = norm2
+  override def third: Expression = cents
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell_data"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val sq = math.sqrt(b.asInstanceOf[Double])
+    val cs = c.asInstanceOf[ArrayData]
+    var best = 0.0
+    var bestId = 0L
+    var j = 0
+    while (j < cs.numElements()) {
+      val cRow = cs.getStruct(j, 3)
+      val cv = cRow.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * cv.getDouble(i); i += 1 }
+      val cos = dot / (sq * math.sqrt(cRow.getDouble(2)))
+      if (j == 0 || java.lang.Double.compare(cos, best) > 0) {
+        best = cos; bestId = cRow.getLong(0)
+      }
+      j += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val sq = ctx.freshName("sq")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val j = ctx.freshName("j")
+      val cRow = ctx.freshName("cRow")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val cos = ctx.freshName("cos")
+      s"""
+         |double $sq = java.lang.Math.sqrt($b);
+         |double $best = 0.0;
+         |long $bestId = 0L;
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $cRow = $c.getStruct($j, 3);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cRow.getArray(1);
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $cv.getDouble($i);
+         |  }
+         |  double $cos = $dot / ($sq * java.lang.Math.sqrt($cRow.getDouble(2)));
+         |  if ($j == 0 || java.lang.Double.compare($cos, $best) > 0) {
+         |    $best = $cos; $bestId = $cRow.getLong(0);
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression =
+    copy(vec = f, norm2 = s, cents = t)
+}
+
 /** Two-level (coarse → fine) nearest-cell assignment in one per-row
   * codegen map: argmax cosine over the coarse centroids picks an index,
   * then argmax cosine over THAT cell's fine centroids returns the fine
@@ -629,6 +708,9 @@ object VectorExpressions {
       centNorms: Array[Double], centIds: Array[Long]): Column =
     column(NearestCell(expression(vec), expression(norm2),
       centVecs, centNorms, centIds))
+  def nearestCellData(vec: Column, norm2: Column, cents: Column): Column =
+    column(NearestCellData(expression(vec), expression(norm2),
+      expression(cents)))
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(vec), codebooks))
   def matVecT(vec: Column, matrix: Array[Array[Double]]): Column =

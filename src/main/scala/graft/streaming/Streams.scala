@@ -333,13 +333,6 @@ object Streams {
       .start()
   }
 
-  /** Streaming BM25 scorer: score a document STREAM against a fixed
-    * query-term profile with corpus statistics (N, Σdl, per-term df)
-    * trained ONCE from `corpus` and checkpointed — the serving shape
-    * of [[graft.ext.Retrieval.bm25Score]]. Each micro-batch pays one
-    * scan of itself plus a 1-row broadcast; appends
-    * (id, n_tokens, bm25, _batch). Per-batch output ≡ the train-once
-    * closure applied to that batch (StreamingSpec). */
   /** Streaming passage admission: the x82 passage-level exact dedup
     * as an ingest gate. Each micro-batch is chunked into
     * non-overlapping `chunkSize`-token windows; a chunk is ADMITTED
@@ -388,6 +381,25 @@ object Streams {
       .start()
   }
 
+  /** Streaming BM25 scorer: score a document STREAM against a fixed
+    * query-term profile with corpus statistics (N, Σdl, per-term df)
+    * trained ONCE from `corpus` and checkpointed — the serving shape
+    * of [[graft.ext.Retrieval.bm25Score]]. Each micro-batch pays one
+    * scan of itself plus a 1-row broadcast; appends
+    * (id, n_tokens, bm25, _batch). Per-batch output ≡ the train-once
+    * closure applied to that batch (StreamingSpec).
+    *
+    * FROZEN-STATS CONTRACT: every score this sink ever writes is
+    * against the TRAIN-TIME corpus statistics — N, Σdl and df never
+    * move as batches accumulate, so a long-lived stream's scores
+    * drift from what a fresh corpus fit would give (by design: scores
+    * stay mutually comparable across the stream's whole lifetime, and
+    * a restart retrains against the pinned corpus, reproducing the
+    * same closure). To refresh, stop the stream and restart with
+    * `corpus` = the grown corpus — e.g. the original union this
+    * sink's own scored output, the [[semanticAdmitSink]] discipline;
+    * the restarted sink is ≡ batch [[graft.ext.Retrieval.bm25Score]]
+    * on that corpus (StreamingSpec "refresh retrains"). */
   def bm25ScoreSink(docStream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, terms: Seq[String],
       outPath: String, checkpoint: String)

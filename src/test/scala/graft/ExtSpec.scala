@@ -307,6 +307,37 @@ class ExtSpec extends SparkSpec {
       (1L, 3, 2, -1, 1.0 / 62)))
   }
 
+  test("hybridRrfTopK: zero-norm embeddings are excluded, not NaN-ranked first; zero-norm query degrades to lexical-only") {
+    val docs = Seq(1L -> "spark spark spark", 2L -> "nothing here",
+      3L -> "spark join").toDF("doc_id", "text")
+    // doc 2's embedding is the zero vector: cosine would be 0/0 = NaN,
+    // and Spark sorts NaN above every real double — unguarded it would
+    // take semantic rank 1
+    val embeds = Seq(
+      0L -> Array(1.0f, 0.0f),
+      1L -> Array(0.0f, 1.0f),
+      2L -> Array(0.0f, 0.0f),
+      3L -> Array(1.0f, 1.0f))
+      .toDF("vec_id", "embedding")
+    val got = rows(graft.ext.Retrieval.hybridRrfTopK(docs, embeds,
+        "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("spark", "join"), queryVecId = 0L, kPer = 2, kOut = 3)
+      .orderBy("rrf_rank"))
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1 else r.getInt(3)))
+    // semantic top-2 is docs 3 then 1 (doc 2 excluded); doc 2 appears
+    // only through its lexical rank — which it also lacks here
+    assert(got.map(_._1).toSet == Set(1L, 3L))
+    assert(got.find(_._1 == 3L).get._2 == 1)
+    // zero-norm QUERY: semantic side empties, fusion = lexical ranking
+    val lexOnly = rows(graft.ext.Retrieval.hybridRrfTopK(docs, embeds,
+        "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("spark", "join"), queryVecId = 2L, kPer = 2, kOut = 3)
+      .orderBy("rrf_rank"))
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(lexOnly.map(_._1) == Seq(3L, 1L) &&
+      lexOnly.forall(_._2 == -1), "zero-norm query must degrade to lexical")
+  }
+
   test("tfidfKeywords: hand-computed scores; exact-decimal score tie broken by term") {
     val docs = Seq(1L -> "cat cat dog", 2L -> "cat fish", 3L -> "dog bird",
       4L -> "cat dog").toDF("doc_id", "text")
@@ -412,6 +443,23 @@ class ExtSpec extends SparkSpec {
     val all = rows(graft.ext.Sampling.temperatureMixture(df, col("id"),
         col("g"), alpha = 1.0)).map(_.getLong(0)).sorted
     assert(all == Seq(1L, 2L, 3L, 4L, 5L), "alpha=1 must keep all rows")
+  }
+
+  test("temperatureMixture: a NULL group is a group — rebalanced, not dropped, and can be the binding smallest") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+      (4L, Some("a")), (5L, None: Option[String]))
+      .toDF("id", "g")
+    val kept = rows(graft.ext.Sampling.temperatureMixture(df, col("id"),
+        col("g"), alpha = 0.5).orderBy("id"))
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "<null>" else r.getString(1)))
+    // the null group (size 1) binds at rate exactly 1; group a keeps
+    // the same 500000-ppm slice as the non-null variant of this test
+    val mult = 0x51ed2701L % 1000000007L
+    def bucket(id: Long): Long =
+      (((id % 1000000007L) * mult) % 1000000007L) % 1000000L
+    val expA = Seq(1L, 2L, 3L, 4L).filter(id => bucket(id) < 500000L)
+    assert(kept == (expA.map(_ -> "a") :+ (5L -> "<null>")).sortBy(_._1),
+      "null-group row must survive via the null-safe join")
   }
 
   test("bm25MaxP: the short on-topic passage wins its document; docs rank by best passage") {

@@ -730,6 +730,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bm25Scorer refresh contract: frozen stats drift as the corpus grows; a refreshed closure over the union equals batch bm25Score") {
+    val corpus = Seq(TDoc(1L, "spark join window"), TDoc(2L, "the quick fox"),
+      TDoc(3L, "spark spark shuffle")).toDF()
+    val admitted = Seq(TDoc(10L, "join scan plan"), TDoc(11L, "fox den")).toDF()
+    val grown = corpus.unionByName(admitted)
+    val terms = Seq("spark", "join")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select($"id", $"n_tokens", $"bm25").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val frozen = graft.ext.Retrieval.bm25Scorer(corpus, "doc_id", "text", terms)
+    val refreshed = graft.ext.Retrieval.bm25Scorer(grown, "doc_id", "text", terms)
+    val batch = graft.ext.Retrieval.bm25Score(grown, "doc_id", "text", terms)
+    // the refresh path: a NEW closure over the grown corpus IS the
+    // fresh batch fit — bit-equal, not approximately
+    assert(canon(refreshed(grown)) == canon(batch))
+    // and the frozen closure demonstrably drifts once the corpus grows
+    // (N, Σdl, df all moved) — the documented contract, made visible
+    assert(canon(frozen(grown)) != canon(batch))
+  }
+
   test("passageAdmitSink: cross-batch + within-batch passage admission equals batch dedupPassages") {
     implicit val sqlCtx = spark.sqlContext
     // within b1, doc 2 repeats doc 1's "a b" chunk; b2's doc 3 repeats
