@@ -2552,7 +2552,149 @@ object Oracles {
         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS best_chunk,
         |  CAST(bm25 AS DOUBLE) AS maxp
         |FROM best WHERE rn = 1
-        |ORDER BY maxp DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY maxp DESC, doc_id LIMIT 20""".stripMargin,
+
+    // x85: chunk-grain near-dedup — non-overlapping 32-token windows
+    // (the x82 chunking), 3-gram Jaccard >= 0.6 over LOWERCASED chunk
+    // text (the x02 pair discipline, exact double division of exact
+    // counts), connected components (the x16 recursive reach), and the
+    // smallest composite doc-major key (doc_id*1e6 + chunk_id) wins —
+    // so survivors agree with the engine's smallest-ckey rule
+    "x85_chunk_near_dedup" ->
+      """WITH RECURSIVE toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |base AS (SELECT doc_id, arr, len(arr) AS dl FROM toksrc),
+        |chunks AS (
+        |  SELECT doc_id, CAST(s // 32 AS INTEGER) AS chunk_id,
+        |    doc_id * 1000000 + CAST(s // 32 AS INTEGER) AS ckey,
+        |    array_to_string(list_slice(arr, s + 1, least(s + 32, dl)), ' ')
+        |      AS chunk_text
+        |  FROM base, unnest(generate_series(0, dl - 1, 32)) AS t(s)),
+        |sh AS (
+        |  SELECT DISTINCT ckey,
+        |    unnest(list_transform(range(1, len(carr) - 1),
+        |      i -> concat(carr[i], ' ', carr[i+1], ' ', carr[i+2]))) AS s
+        |  FROM (SELECT ckey,
+        |          regexp_split_to_array(trim(lower(chunk_text)), '\s+') AS carr
+        |        FROM chunks)),
+        |sizes AS (SELECT ckey, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.ckey AS k1, b.ckey AS k2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.ckey < b.ckey
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT k1, k2 FROM (
+        |    SELECT k1, k2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |    FROM inter
+        |    JOIN sizes sa ON k1 = sa.ckey
+        |    JOIN sizes sb ON k2 = sb.ckey) t
+        |  WHERE jaccard >= 0.6),
+        |edges AS (SELECT k1 AS a, k2 AS b FROM pairs
+        |          UNION SELECT k2, k1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |dropped AS (
+        |  SELECT src AS ckey FROM reach GROUP BY src HAVING min(dst) < src)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN ckey IN (SELECT ckey FROM dropped)
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x86: BM25 top-15 — the x76 score column cut by
+    // (bm25 DESC, doc_id); scores are bit-equal per the x76 discipline
+    // so the cut and the integer ranks match exactly
+    "x86_bm25_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'spark')) AS tf0,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'join')) AS tf1,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'window')) AS tf2,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> x = 'dup')) AS tf3
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS s,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM tf),
+        |scored AS (
+        |  SELECT t.doc_id, t.dl,
+        |    CAST(
+        |      CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df0 + 0.5e0)/(df0 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |        * ((2.2e0 * tf0 * st.s) / (st.s * (tf0 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |    + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df1 + 0.5e0)/(df1 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |        * ((2.2e0 * tf1 * st.s) / (st.s * (tf1 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |    + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df2 + 0.5e0)/(df2 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |        * ((2.2e0 * tf2 * st.s) / (st.s * (tf2 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |    + CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df3 + 0.5e0)/(df3 + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |        * ((2.2e0 * tf3 * st.s) / (st.s * (tf3 + 0.3e0) + 0.8999999999999999e0 * t.dl * st.n))
+        |    AS DOUBLE) AS bm25
+        |  FROM tf t CROSS JOIN stats st)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+        |    AS rank,
+        |  CAST(dl AS BIGINT) AS n_tokens, bm25
+        |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
+    // x87: ANN recall@5 — the x21 IVF pipeline and the x06 exact
+    // ground truth joined per query; recall is one double division of
+    // exact counts
+    "x87_ann_recall" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM emb e CROSS JOIN cent c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, v AS qv, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM emb e CROSS JOIN cent c WHERE e.vec_id < 10) t WHERE rn <= 2),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY list_dot_product(qv, v) /
+        |          (sqrt(list_dot_product(qv, qv)) *
+        |           sqrt(list_dot_product(v, v))) DESC, neighbor_id) AS rank
+        |    FROM probes JOIN assigned USING (cid)
+        |    WHERE query_id <> neighbor_id) t WHERE rank <= 5),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) *
+        |           sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rank
+        |    FROM emb q JOIN emb c ON q.vec_id < 10 AND c.vec_id != q.vec_id) t
+        |  WHERE rank <= 5)
+        |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS recall
+        |FROM exact e LEFT JOIN ivf i
+        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

@@ -1582,6 +1582,49 @@ object Queries {
       .orderBy(col("maxp").desc, col("doc_id").asc)
   }
 
+  /** x85 — chunk-grain NEAR-dedup (x82's passage dedup by n-gram
+    * Jaccard instead of exact equality — the RefinedWeb trimming step
+    * at retrieval granularity): non-overlapping 32-token passages,
+    * 3-gram Jaccard ≥ 0.6 pairs (x02's prefix+positional machinery
+    * over bounded chunk shingle sets) → connected components (x16's
+    * propagation) → doc-major-earliest passage survives. Aggregated
+    * per document like x82: how many of my passages survive once
+    * near-copies count as copies. */
+  val x85ChunkNearDedup: Q = (s, dir) => {
+    Dedup.dedupPassagesNear(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 32)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept").cast("long")).as("n_kept"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** x86 — BM25 top-k serving: the ranked lexical cut for the x76
+    * profile — rows are exactly the lexical prefix of x77's fused
+    * list (same bit-stable scores, same (bm25 DESC, id) total order).
+    * The cut plans as TakeOrderedAndProject: per-partition heaps, one
+    * driver merge of k rows, never a global corpus sort. */
+  val x86Bm25TopK: Q = (s, dir) => {
+    Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "join", "window", "dup"), k = 15)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("rank")
+  }
+
+  /** x87 — query-set ANN evaluation: recall@5 of the x21 IVF index
+    * (nlist 8, nprobe 2) against the x06 exact ground truth for the
+    * ten-query sample, per query in one pass each — the measurement
+    * that justifies (or indicts) an index's nprobe/nlist sizing before
+    * production serving. recall is one double division of exact
+    * longs. */
+  val x87AnnRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.annRecallAtK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2)
+      .orderBy("query_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2103,6 +2146,9 @@ object Queries {
     "x82_passage_dedup" -> x82PassageDedup,
     "x83_temperature_mix" -> x83TemperatureMix,
     "x84_bm25_maxp" -> x84Bm25MaxP,
+    "x85_chunk_near_dedup" -> x85ChunkNearDedup,
+    "x86_bm25_topk" -> x86Bm25TopK,
+    "x87_ann_recall" -> x87AnnRecall,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

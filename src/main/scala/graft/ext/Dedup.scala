@@ -420,4 +420,51 @@ object Dedup {
       .select(col("id"), col("chunk_id"), col("n_tokens"),
         col("chunk_text"), col("kept"))
   }
+
+  /** Chunk-grain NEAR-dedup — [[dedupPassages]]'s question asked with
+    * n-gram Jaccard instead of exact text equality (the RefinedWeb-
+    * style trimming step at retrieval granularity): documents are cut
+    * into non-overlapping `chunkSize`-token passages, passages whose
+    * `shingleN`-gram Jaccard ≥ `threshold` form near-dup clusters
+    * (connected components, like document-grain [[dedupCorpus]]), and
+    * the doc-major-earliest passage of each cluster survives — the
+    * same first-occurrence rule as the exact operator, extended to
+    * near-copies that exact matching misses (reflowed boilerplate,
+    * one-word edits).
+    *
+    * Scale shape: chunking is exchange-free; the pair stage is
+    * [[jaccardPairsPrefix]] (prefix + positional filters) over chunk
+    * shingle sets — BOUNDED sets (≤ chunkSize − shingleN + 1), so the
+    * quadratic verify stage works on uniformly small payloads; label
+    * propagation shuffles (key, label) pairs only.
+    *
+    * The passage key is the composite doc-major long
+    * id·maxChunksPerDoc + chunk_id (so "smallest key" = earliest doc,
+    * then earliest passage — the [[dedupPassages]] tie rule); a
+    * document with ≥ `maxChunksPerDoc` passages fails LOUDLY rather
+    * than alias another document's key space.
+    * Output: one row per passage — (id, chunk_id, n_tokens,
+    * chunk_text, kept). */
+  def dedupPassagesNear(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, shingleN: Int = 3, threshold: Double = 0.6,
+      maxChunksPerDoc: Long = 1000000L): DataFrame = {
+    val chunks = TextAnalysis.chunkTokens(docs, idCol, textCol,
+        chunkSize, chunkSize)
+      .withColumn("ckey",
+        when(col("chunk_id") < lit(maxChunksPerDoc),
+          col("id").cast("long") * lit(maxChunksPerDoc) + col("chunk_id"))
+          .otherwise(raise_error(concat(
+            lit("dedupPassagesNear: chunk_id "), col("chunk_id"),
+            lit(s" overflows maxChunksPerDoc=$maxChunksPerDoc for doc "),
+            col("id").cast("string"))).cast("long")))
+    val sh = chunks.select(col("ckey"),
+      TextAnalysis.shingles(col("chunk_text"), shingleN).as("sh"))
+    val pairs = jaccardPairsPrefix(sh, "ckey", "sh", threshold)
+    val losers = clusters(pairs, idA = "d1", idB = "d2")
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("ckey"), lit(true).as("__lost"))
+    chunks.join(losers, Seq("ckey"), "left")
+      .select(col("id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_text"), col("__lost").isNull.as("kept"))
+  }
 }

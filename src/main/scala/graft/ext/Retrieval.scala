@@ -176,6 +176,25 @@ object Retrieval {
       k1, b)
   }
 
+  /** BM25 top-`k` serving: the ranked-list cut of [[bm25Score]] — the
+    * lexical half of [[hybridRrfTopK]] as its own surface (rows are
+    * exactly that operator's lexical prefix under the same
+    * (bm25 DESC, id ASC) total order). The cut plans as
+    * TakeOrderedAndProject — per-partition top-k heaps and one tiny
+    * driver merge, never a global corpus sort (plan-asserted in
+    * ScaleSpec with the other retrieval cuts). Output:
+    * top-`k` (id, rank, n_tokens, bm25). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val top = bm25Score(docs, idCol, textCol, terms, k1, b)
+      .orderBy(col("bm25").desc, col("id").asc).limit(k)
+    top.select(col("id"),
+      row_number().over(Window.orderBy(col("bm25").desc, col("id").asc))
+        .as("rank"),
+      col("n_tokens"), col("bm25"))
+  }
+
   /** Per-document top-`k` TF-IDF keywords (the classic
     * tf·ln(N/df) weighting; Salton & Buckley 1988). The per-term idf —
     * the only transcendental — is quantized to DECIMAL(28,12) and the

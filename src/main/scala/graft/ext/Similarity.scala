@@ -49,6 +49,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Query-set ANN evaluation: recall@k of the IVF index
+    * ([[Ivf.ivfTopK]]) against exact brute-force ground truth
+    * ([[bruteTopK]]) for a whole query TABLE in one pass each — the
+    * index-quality measurement a production ANN deployment runs before
+    * trusting its nprobe/nlist sizing. Per query: the exact top-k set,
+    * how many of its members the index retrieved, and their ratio.
+    *
+    * Scale shape: the approximate side is one corpus scan (cell
+    * assignment) + the probe join; the exact side is the |Q|×N
+    * brute-force pair scan — ground truth is inherently exact, so the
+    * evaluation is for SMALL query samples (|Q| ≪ N), exactly how
+    * recall is estimated in practice. The hit join and per-query agg
+    * move k·|Q| rows. `recall` is one double division of exact longs
+    * at the boundary (the x64 rule: count ratios don't tie).
+    * Output: (query_id, n_exact, n_hit, recall). */
+  def annRecallAtK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val approx = Ivf.ivfTopK(queries, corpus, idCol, vecCol, k, nlist, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    val exact = bruteTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
+
   /** Exact cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
@@ -502,12 +531,25 @@ object Similarity {
     * recall inside a split bucket is that of an (extraBits−1)-bit
     * agreement requirement under probing — the standard multi-probe
     * trade (Lv et al., VLDB'07, public technique) paid only where the
-    * corpus measured hot. */
+    * corpus measured hot.
+    *
+    * `probeRadius` is the RECALL knob: a hot-bucket pair survives iff
+    * its extra-bit signatures are within Hamming distance
+    * `probeRadius` (one-sided probing — only the probe side fans out).
+    * The default 1 is the historical single-bit probe; raising it
+    * widens recall monotonically (each radius' probe set contains the
+    * last's) at a probe fan-out of Σ_{i≤r} C(extraBits, i) rows per
+    * hot (id, band) — e.g. 17 at r=1, 137 at r=2 with 16 extra bits —
+    * so callers who need a recall floor buy it with a measured, bounded
+    * candidate cost (ScaleSpec asserts the monotone recall curve on a
+    * clustered corpus). Cold buckets never pay. */
   def lshNearDupPairsAdaptive(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, bands: Int = 4,
       bitsPerBand: Option[Int] = None, maxDim: Int = 512,
       targetOccupancy: Long = 16L, hotFactor: Long = 8L,
-      maxExtraBits: Int = 16): DataFrame = {
+      maxExtraBits: Int = 16, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 1 && probeRadius <= 4,
+      "probeRadius must be in [1, 4] (probe fan-out is sum_{i<=r} C(extraBits, i))")
     val resolvedBits = bitsPerBand.getOrElse(autoBitsPerBand(
       df.select(col(idCol)).count(), targetOccupancy))
     val (keyed, extraBits, engaged) = adaptiveBandKeys(df, idCol, vecCol,
@@ -520,10 +562,18 @@ object Similarity {
       val vd = withNorm(df, idCol, vecCol)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
           col("__n2").as("n2"))
+      // XOR masks of Hamming weight <= probeRadius, weight-major then
+      // numeric: mask 0 first, then the single bits ascending (the
+      // historical r=1 order, so default output is byte-identical),
+      // then pairs, ... — each radius' set is a prefix of the next's
+      val masks: Seq[Long] = (0 to probeRadius).flatMap(w =>
+        if (w == 0) Seq(0L)
+        else (0 until extraBits).combinations(w)
+          .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))).toSeq)
       val probed = keyed.select(col("id"), col("bkey"), explode(
         when(col("ext") === lit(-1L), array(col("ext")))
-          .otherwise(array(col("ext") +: (0 until extraBits).map(i =>
-            col("ext").bitwiseXOR(lit(1L << i))): _*))).as("ext"))
+          .otherwise(array(masks.map(m =>
+            col("ext").bitwiseXOR(lit(m))): _*))).as("ext"))
       val cand = probed.as("a").join(keyed.as("b"),
           col("a.bkey") === col("b.bkey") && col("a.ext") === col("b.ext")
             && col("a.id") < col("b.id"))

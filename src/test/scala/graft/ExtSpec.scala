@@ -412,6 +412,57 @@ class ExtSpec extends SparkSpec {
     assert(multi.filter(_._1 == "c").forall(_._4 == 0.0d))
   }
 
+  test("dedupPassagesNear: near-copy passages cluster and the doc-major-earliest survives; exact copies too; unrelated passages untouched") {
+    // one 8-token passage per doc; doc 2 edits one word (shingle
+    // jaccard 5/7 ≈ 0.71 ≥ 0.6 — a near-copy exact matching misses),
+    // doc 3 is an exact copy, doc 4 unrelated
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",
+      3L -> "a b c d e f g h",
+      4L -> "p q r s t u v w")
+      .toDF("doc_id", "text")
+    val got = rows(graft.ext.Dedup.dedupPassagesNear(docs, "doc_id",
+        "text", chunkSize = 8, shingleN = 3, threshold = 0.6)
+        .orderBy("id", "chunk_id"))
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
+    // shingles of doc1/doc3: {abc..fgh} (6), doc2: 5 shared + bcx-ish:
+    // |∩|=5, |∪|=7 → 0.714 ≥ 0.6 → near-copy clusters with (1,0);
+    // (1,0) is the smallest composite key and survives alone
+    assert(got == Seq((1L, 0, true), (2L, 0, false), (3L, 0, false),
+      (4L, 0, true)))
+  }
+
+  test("bm25TopK: the ranked cut equals the full scoring sorted and truncated") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("spark", "join")
+    val viaTopK = rows(graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        terms, k = 10).orderBy("rank"))
+      .map(r => (r.getInt(1), r.getLong(0), r.getDouble(3)))
+    val viaFull = rows(graft.ext.Retrieval.bm25Score(docs, "doc_id", "text",
+        terms).orderBy(col("bm25").desc, col("id").asc).limit(10))
+      .map(r => (r.getLong(0), r.getDouble(2))).zipWithIndex
+      .map { case ((id, s), i) => (i + 1, id, s) }
+    assert(viaTopK == viaFull)
+  }
+
+  test("annRecallAtK: probing every cell recovers exact recall 1.0; fewer probes can only lower it") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where(col("vec_id") < 8)
+    def recalls(nprobe: Int): Seq[(Long, Long, Long, Double)] =
+      rows(graft.ext.Similarity.annRecallAtK(q, emb, "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = nprobe).orderBy("query_id"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val full = recalls(8)
+    // nprobe = nlist searches every cell: the index IS brute force
+    assert(full.forall { case (_, nExact, nHit, rec) =>
+      nExact == 5 && nHit == 5 && rec == 1.0 })
+    val partial = recalls(2)
+    assert(partial.map(_._1) == full.map(_._1))
+    assert(partial.forall { case (_, nExact, nHit, rec) =>
+      nHit <= nExact && rec <= 1.0 && rec == nHit.toDouble / nExact })
+  }
+
   test("dedupPassages: first (doc, chunk) occurrence wins; later copies marked dropped") {
     val docs = Seq(1L -> "a b c d", 2L -> "a b x", 3L -> "c d")
       .toDF("doc_id", "text")

@@ -379,6 +379,21 @@ class ScaleSpec extends SparkSpec {
     // `bands` stays the recall knob, unchanged by adaptation.
     assert((base & adapt).size.toDouble / base.size >= 0.85,
       s"adaptive recall ${(base & adapt).size}/${base.size} below 0.85")
+    // probeRadius is the recall knob: radius-2 probes are a superset of
+    // radius-1's, so the pair set can only grow — and on this corpus it
+    // measurably buys back the pairs radius 1 dropped
+    val adapt2 = pairs(clustered(small), (d, i, v, t) =>
+      Similarity.lshNearDupPairsAdaptive(d, i, v, t, bands = 4,
+        bitsPerBand = Some(bitsS), probeRadius = 2))
+    val (r1, r2) = ((base & adapt).size.toDouble / base.size,
+      (base & adapt2).size.toDouble / base.size)
+    info(f"probe-radius recall: r=1 $r1%.3f  r=2 $r2%.3f " +
+      s"(pairs ${adapt.size} -> ${adapt2.size})")
+    assert(adapt.subsetOf(adapt2),
+      "radius-2 pair set must contain the radius-1 set")
+    assert(r2 >= r1, "recall must be monotone in probe radius")
+    assert(r2 >= 0.95,
+      f"radius-2 recall $r2%.3f below 0.95 on the clustered corpus")
   }
 
   test("splitHotCells: fixpoint bounds occupancy on a clustered corpus, cold cells untouched") {
@@ -483,6 +498,15 @@ class ScaleSpec extends SparkSpec {
     assert(bm25Plan.contains("BroadcastNestedLoopJoin") ||
       bm25Plan.contains("BroadcastExchange"),
       "bm25 stats are not broadcast:\n" + bm25Plan.take(600))
+    // x86 shape: the serving cut is TakeOrderedAndProject too — never
+    // a global corpus sort
+    val topkPlan = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join"), k = 10).queryExecution.executedPlan.toString
+    assert(topkPlan.contains("TakeOrderedAndProject"),
+      "no TakeOrderedAndProject in the bm25TopK plan:\n" +
+        topkPlan.take(600))
+    assert(!topkPlan.contains("Sort [bm25"),
+      "global sort on bm25 leaked into the bm25TopK plan")
   }
 
   test("multimodal: per-partition feature extraction, deterministic stub") {
