@@ -2694,7 +2694,135 @@ object Oracles {
         |    AS DOUBLE) / count(*) AS recall
         |FROM exact e LEFT JOIN ivf i
         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    // x88: greedy MMR re-ranking as a recursive CTE — the state row
+    // carries the selected-id list; each recursion picks the argmax of
+    // λ·rel − (1−λ)·max-cos-to-selected via a LATERAL top-1. The (1−λ)
+    // coefficient is the DOUBLE result of 1 − 0.7 (the x71 lesson: both
+    // engines compute it, neither reads a 0.3 literal) and the first
+    // pick's max-sim term is literal 0.
+    "x88_mmr_topk" ->
+      """WITH RECURSIVE
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[])) AS qn
+        |  FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT id, v, n2,
+        |    list_dot_product(v, qv) / (sqrt(n2) * sqrt(qn)) AS rel
+        |  FROM (
+        |    SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+        |      list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[])) AS n2, q.qv, q.qn
+        |    FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0) t
+        |  WHERE n2 > 0
+        |  ORDER BY rel DESC, id LIMIT 50),
+        |sel AS (
+        |  SELECT 1 AS rk, p.id, p.rel,
+        |    CAST(0.7 AS DOUBLE) * p.rel
+        |      - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(0 AS DOUBLE)
+        |      AS mmr,
+        |    [p.id] AS chosen
+        |  FROM (SELECT id, rel FROM pool ORDER BY rel DESC, id LIMIT 1) p
+        |  UNION ALL
+        |  SELECT sel.rk + 1, pick.id, pick.rel, pick.mmr,
+        |    list_append(sel.chosen, pick.id)
+        |  FROM sel, LATERAL (
+        |    SELECT c.id, c.rel,
+        |      CAST(0.7 AS DOUBLE) * c.rel
+        |        - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+        |          (SELECT max(list_dot_product(c.v, s.v)
+        |                      / (sqrt(c.n2) * sqrt(s.n2)))
+        |           FROM pool s WHERE list_contains(sel.chosen, s.id)) AS mmr
+        |    FROM pool c WHERE NOT list_contains(sel.chosen, c.id)
+        |    ORDER BY mmr DESC, c.id LIMIT 1) pick
+        |  WHERE sel.rk < 10)
+        |SELECT id AS vec_id, CAST(rk AS INTEGER) AS mmr_rank,
+        |  rel AS relevance, mmr
+        |FROM sel ORDER BY mmr_rank""".stripMargin,
+
+    // x89: cross-corpus contamination — x72's span statistic across the
+    // eval/training split; the oracle recomputes with string shingles
+    // (the engine joins on xxhash64 of the same strings)
+    "x89_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+        |agg AS (
+        |  SELECT sh.doc_id, count(*) AS n_windows,
+        |    CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS contamination
+        |  FROM sh LEFT JOIN bench b ON sh.s = b.s
+        |  WHERE sh.doc_id >= 20 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows,
+        |  a.contamination
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id >= 20
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // x90: systematic PPS sampling — the oracle recomputes the
+    // hash-ordered cumulative weight line and the same integer cut
+    // predicate (// is BIGINT floor division, identical to Spark's
+    // `div` for the non-negative values here)
+    "x90_systematic_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    (((doc_id % 1000000007) * 654435747) % 1000000007) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+        |    sum(n_tokens) OVER () AS total
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST((cum * 200) // total AS BIGINT) AS pick_idx
+        |FROM c
+        |WHERE (cum * 200) // total > (cum_prev * 200) // total
+        |ORDER BY doc_id""".stripMargin,
+
+    // x91: x64's bigram score wrapped in per-language NTILE(3) — null
+    // placement EXPLICIT (engines disagree on default null order under
+    // DESC); ntile cast to INTEGER to match Spark's type
+    "x91_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS cnt1 FROM bi GROUP BY 1),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(CAST(c2.cnt2 AS DOUBLE) / c1.cnt1 AS DECIMAL(28,12)) AS p
+        |  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) / count(*) AS bigram_score
+        |  FROM scored GROUP BY 1),
+        |alldocs AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |    a.bigram_score
+        |  FROM documents d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, lang, n_bigrams, bigram_score,
+        |  CAST(ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY bigram_score DESC NULLS LAST, doc_id) AS INTEGER)
+        |    AS bucket
+        |FROM alldocs ORDER BY doc_id""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

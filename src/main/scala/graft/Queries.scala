@@ -1625,6 +1625,68 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** x88 — MMR-diversified top-k (Carbonell & Goldstein 1998): the
+    * x77 semantic list re-ranked for diversity — greedy
+    * λ·rel − (1−λ)·max-cos-to-selected over the 50-candidate relevance
+    * pool of query vec 0 (λ = 0.7, k = 10), so near-duplicates of an
+    * already-picked result stop crowding the list. The cluster work is
+    * one scan + the TakeOrdered pool cut; the inherently-sequential
+    * greedy runs on the clamp-bounded collected pool (the k-Spark-jobs
+    * formulation is rejected in the operator scaladoc). */
+  val x88MmrTopK: Q = (s, dir) => {
+    Retrieval.mmrTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVecId = 0L, k = 10, poolSize = 50, lambda = 0.7)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("mmr_rank")
+  }
+
+  /** x89 — benchmark decontamination audit: the documents table split
+    * into a pseudo-eval suite (doc_id < 20) and the training corpus
+    * (the rest); per training document, the share of its distinct
+    * 3-gram windows that occur anywhere in the eval suite — x72's
+    * span question asked ACROSS corpora, with the small eval span set
+    * broadcast so the training postings never shuffle. */
+  val x89Contamination: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+    Dedup.contaminationFraction(d.where(col("doc_id") >= 20),
+        d.where(col("doc_id") < 20), "doc_id", "sh")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** x90 — exactly-k weighted sample (systematic PPS): 200 documents
+    * selected with probability proportional to token count, entirely in
+    * 64-bit integer arithmetic — the hash-ordered weight line is cut at
+    * the 200 multiples of total/k and whichever document's interval
+    * contains each cut is picked. No RNG, no pow/ln: DuckDB re-derives
+    * the identical sample from the same cumsum. */
+  val x90SystematicSample: Q = (s, dir) => {
+    Sampling.systematicWeightedSample(Tables.documents(s, dir),
+        col("doc_id"), TextAnalysis.tokenCount(col("text")), k = 200)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        col("pick_idx"))
+      .orderBy("doc_id")
+  }
+
+  /** x91 — CCNet head/middle/tail quality tiers (Wenzek et al. 2020):
+    * the corpus-trained bigram LM score (x64) cut into three
+    * equal-count tiers PER LANGUAGE — the discrete form of x50's
+    * percentile calibration, feeding a per-tier sampling policy.
+    * Unscored (< 2 token) documents rank after every scored one and
+    * fill the tail tier. */
+  val x91CcnetBuckets: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val scored = TextAnalysis.bigramScore(d, "doc_id", "text")
+      .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    TextAnalysis.scoreBuckets(scored, col("lang"),
+        col("bigram_score"), col("id"), nBuckets = 3)
+      .select(col("id").as("doc_id"), col("lang"), col("n_bigrams"),
+        col("bigram_score"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2149,6 +2211,10 @@ object Queries {
     "x85_chunk_near_dedup" -> x85ChunkNearDedup,
     "x86_bm25_topk" -> x86Bm25TopK,
     "x87_ann_recall" -> x87AnnRecall,
+    "x88_mmr_topk" -> x88MmrTopK,
+    "x89_contamination" -> x89Contamination,
+    "x90_systematic_sample" -> x90SystematicSample,
+    "x91_ccnet_buckets" -> x91CcnetBuckets,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

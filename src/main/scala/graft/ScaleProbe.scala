@@ -27,12 +27,17 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line per (query, scale) with min-of-2 seconds; the
   * table in ARCHITECTURE.md is derived from this output.
   *
-  * Usage: `runMain graft.ScaleProbe [copies]` (default 10).
+  * Usage: `runMain graft.ScaleProbe [copies] [q1,q2,...]` (default 10,
+  * all arms). The optional filter restricts which arms run — every
+  * requested arm still runs at ALL scales in this one process, so
+  * per-query scale factors stay same-JVM comparable.
   */
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.drop(1).headOption.map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -60,14 +65,22 @@ object ScaleProbe {
       // passage-keyed min-struct agg (x82)
       "x76_bm25", "x77_hybrid_rrf", "x78_tfidf_keywords",
       "x79_chunk_tokens", "x80_pmi_collocations",
-      "x81_bm25_multi", "x82_passage_dedup")
+      "x81_bm25_multi", "x82_passage_dedup",
+      // round-9: the last unmeasured round-8 operators (x74/x75
+      // compose adaptive LSH + propagation + per-cluster window —
+      // exactly the composition class the x07 lesson says to measure)
+      // plus the round-9 additions
+      "x74_lsh_corpus_dedup", "x75_semantic_canonical",
+      "x83_temperature_mix", "x84_bm25_maxp",
+      "x85_chunk_near_dedup", "x86_bm25_topk", "x87_ann_recall")
+      .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
     // are probed here as direct operator calls
     def docShingles(dir: String) =
       graft.sources.Tables.documents(spark, dir).select(col("doc_id"),
         graft.ext.TextAnalysis.shingles(col("text"), 3).as("sh"))
-    val ops: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+    val opsAll: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       // same-JVM A/B of the PPJoin positional filter vs the plain
       // prefix filter (environment drift between separate probe runs
       // was 2x on untouched queries — only a back-to-back pair is fair)
@@ -87,6 +100,7 @@ object ScaleProbe {
         graft.ext.Similarity.semanticDedup(
           graft.sources.Tables.embeddings(spark, dir), "vec_id",
           "embedding", threshold = 0.45)))
+    val ops = opsAll.filter { case (name, _) => only.forall(_.contains(name)) }
     // JIT/scan warm-up
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (dir <- Seq("/root/testdata/sf0.01", base, out)) {

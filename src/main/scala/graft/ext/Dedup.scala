@@ -264,6 +264,49 @@ object Dedup {
         col("dup_fraction"))
   }
 
+  /** Cross-corpus contamination audit — benchmark DEcontamination (the
+    * GPT-3 appendix-C / PaLM eval-overlap discipline; public recipes):
+    * for every corpus document, the share of its distinct k-token
+    * windows that occur ANYWHERE in a benchmark/eval corpus. This is
+    * [[duplicateSpanFraction]]'s question asked across two tables —
+    * "how much of this training document is text the eval suite also
+    * contains" — the signal a pipeline gates on so eval n-grams never
+    * leak into training data. The output is the per-document fraction
+    * rather than a boolean so callers pick the trimming policy (drop
+    * at > 0, quarantine above a threshold, …).
+    *
+    * Scale shape: the benchmark side collapses to its DISTINCT hashed
+    * spans. Eval suites are tiny next to a training corpus, so the
+    * default BROADCASTS them — the corpus postings never shuffle: one
+    * scan of each side and a map-side hash probe. For a benchmark too
+    * large to broadcast, pass `broadcastBench = false` and the probe
+    * degrades to a plain equi-join, linear in postings. Either way
+    * there is no pairwise stage.
+    * Output: (id, n_windows, contamination), null fraction for corpus
+    * documents too short to have a window. */
+  def contaminationFraction(corpus: DataFrame, bench: DataFrame,
+      idCol: String, shinglesCol: String,
+      broadcastBench: Boolean = true): DataFrame = {
+    val posts = corpus.select(col(idCol).as("id"),
+      explode(hashedShingles(col(shinglesCol))).as("h"))
+    val benchSpans0 = bench
+      .select(explode(hashedShingles(col(shinglesCol))).as("h"))
+      .distinct().withColumn("hit", lit(1L))
+    val benchSpans =
+      if (broadcastBench) broadcast(benchSpans0) else benchSpans0
+    val agg = posts.join(benchSpans, Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("id"), col("n_windows"),
+        (col("n_hit").cast("double") / col("n_windows"))
+          .as("contamination"))
+    corpus.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        col("contamination"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs via a posting-list join on
     * HASHED shingles (8-byte join keys, not strings) — the
     * oracle-checkable exact counterpart of [[minhashLsh]].

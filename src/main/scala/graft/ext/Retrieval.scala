@@ -308,4 +308,111 @@ object Retrieval {
         col("rb").as("bm25_rank"), col("rs").as("cos_rank"), col("rrf"))
       .where(col("rrf_rank") <= kOut)
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR 1998 — public formula): greedily select k rows
+    * maximizing  mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s),
+    * where rel is exact cosine to the query embedding (query by
+    * example, as [[hybridRrfTopK]]'s semantic side) and S is the
+    * already-selected set — near-duplicates of an already-picked
+    * result are pushed down the list instead of crowding it.
+    *
+    * Scale shape — greedy MMR is inherently sequential (each pick
+    * depends on all previous picks), so the operator is split at that
+    * boundary: the DISTRIBUTED work is one corpus scan and a
+    * TakeOrderedAndProject relevance cut to a clamp-bounded candidate
+    * pool (`poolSize` ≤ 4096, enforced); the greedy selection then
+    * runs driver-side over the collected pool in O(poolSize·k·dim).
+    * At 100 TB the cluster executes exactly the scan-and-cut, and the
+    * driver holds poolSize rows — the same constant-size-collect
+    * discipline as the codebook/centroid trainers. The alternative
+    * formulation (k rounds of TakeOrdered, one Spark job per pick)
+    * was REJECTED: it re-scans the corpus k times to re-rank a pool
+    * that cannot change after the relevance cut, since every MMR pick
+    * is by construction inside the top-poolSize relevance set it
+    * started from.
+    *
+    * Determinism: rel and the pairwise cosines follow the x05/x06
+    * dot-product contract (left-to-right, min-length accumulation ≡
+    * DuckDB's list_dot_product — the driver-side loop below is the
+    * same arithmetic as the codegen DotProduct); the combine
+    * λ·rel − (1−λ)·maxsim evaluates in that fixed order with (1−λ)
+    * computed as a DOUBLE by both engines (the x71 coefficient
+    * lesson), the first pick's maxsim is literal 0, and ties break to
+    * the smaller id. Zero-norm rows are excluded as in
+    * [[hybridRrfTopK]]; a missing or zero-norm query yields an empty
+    * result.
+    * Output: (id, mmr_rank, relevance, mmr), mmr_rank 1..k. */
+  def mmrTopK(embeds: DataFrame, idCol: String, vecCol: String,
+      queryVecId: Long, k: Int = 10, poolSize: Int = 50,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= poolSize, s"need 1 <= k <= poolSize, got k=$k")
+    require(poolSize <= 4096,
+      s"poolSize $poolSize exceeds the 4096 driver-side pool clamp")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]")
+    val spark = embeds.sparkSession
+    val e = embeds.select(col(idCol).as("id"),
+        VectorOps.toDouble(col(vecCol)).as("v"),
+        VectorOps.norm2(col(vecCol)).as("n2"))
+      .where(col("n2") > lit(0.0d))
+    val q = e.where(col("id") === queryVecId)
+      .select(col("v").as("qv"), col("n2").as("qn"))
+    val poolRows = e.where(col("id") =!= queryVecId).crossJoin(broadcast(q))
+      .select(col("id"), col("v"), col("n2"),
+        (graft.functions.expressions.VectorExpressions
+            .dotProduct(col("v"), col("qv"))
+          / (sqrt(col("n2")) * sqrt(col("qn")))).as("rel"))
+      .orderBy(col("rel").desc, col("id").asc).limit(poolSize)
+      .collect()
+
+    val ids = poolRows.map(_.getLong(0))
+    val vs = poolRows.map(_.getSeq[Double](1).toArray)
+    val n2s = poolRows.map(_.getDouble(2))
+    val rels = poolRows.map(_.getDouble(3))
+    val n = poolRows.length
+    // cos(i, j) with the exact arithmetic of the distributed plan
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < m) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosD(i: Int, j: Int): Double =
+      dotD(vs(i), vs(j)) / (math.sqrt(n2s(i)) * math.sqrt(n2s(j)))
+
+    val taken = new Array[Boolean](n)
+    // max cosine to the selected set so far; -inf until S is non-empty
+    // (a max over genuine cosines may be NEGATIVE, so 0 must not floor it)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = Seq.newBuilder[(Long, Int, Double, Double)]
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1; var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val ms = if (step == 0) 0.0 else maxSim(i)
+          val m = lambda * rels(i) - (1.0 - lambda) * ms
+          if (best < 0 || m > bestScore ||
+              (m == bestScore && ids(i) < ids(best))) {
+            best = i; bestScore = m
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out += ((ids(best), step + 1, rels(best), bestScore))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val c = cosD(j, best)
+          if (c > maxSim(j)) maxSim(j) = c
+        }
+        j += 1
+      }
+      step += 1
+    }
+    spark.createDataFrame(out.result())
+      .toDF("id", "mmr_rank", "relevance", "mmr")
+  }
 }

@@ -279,6 +279,77 @@ object Sampling {
       .drop("__g", "__keep_ppm")
   }
 
+  /** Exactly-k weighted sampling WITHOUT replacement — systematic
+    * (Madow 1949) probability-proportional-to-size selection, the
+    * "sample k documents with probability ∝ token count" step of a
+    * mixture builder, with zero RNG and zero transcendentals:
+    * rows are laid end to end in hash order (ties by id) as weight
+    * intervals [cum_prev, cum), and a row is selected iff its interval
+    * contains a multiple of total/k — i.e. iff
+    * floor(cum·k/total) > floor(cum_prev·k/total), ALL in 64-bit
+    * integer arithmetic (`div`), so any engine re-derives the same
+    * sample bit-identically (pow/ln-based Efraimidis–Spirakis keys
+    * were REJECTED for the oracle-hashed path: exponentiated doubles
+    * rank-swap across engines at ulp distance; the x70 tie lesson).
+    *
+    * Inclusion probability is exactly w·k/total for every row with
+    * w ≤ total/k (the systematic-sampling guarantee under the
+    * hash-scrambled order); a HEAVY row (w > total/k) is selected with
+    * certainty, and each such row absorbs every multiple in its
+    * interval, so the output has exactly k rows when no weight exceeds
+    * total/k and correspondingly fewer when heavy rows absorb several
+    * pick points each (documented, not hidden: `pick_idx` jumps show
+    * exactly where).
+    *
+    * Scale shape: the same HIERARCHICAL prefix sum as
+    * [[tokenBudgetBucketed]], minus the group key — per-bucket totals
+    * (≤ nBuckets rows, always broadcast-safe) carry the cross-bucket
+    * prefix, within-bucket windows run nBuckets-wide in parallel, so
+    * no single reducer ever walks the corpus. Overflow is guarded
+    * loudly: cum·k stays < 2⁶³ iff total ≤ Long.MaxValue/k, checked
+    * against the MEASURED total, and negative weights are refused
+    * (they would silently corrupt every downstream interval).
+    *
+    * Adds `pick_idx` (1-based index of the pick point hit, strictly
+    * increasing in hash order); every input column passes through. */
+  def systematicWeightedSample(df: DataFrame, id: Column, weight: Column,
+      k: Int, nBuckets: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireFresh(df, "pick_idx", "__h", "__b", "__w", "__tb", "__before",
+      "__cum_prev", "__cum")
+    val width = (HashPrime + nBuckets - 1) / nBuckets
+    val withB = df.withColumn("__h", hashValue(id))
+      .withColumn("__b", (col("__h") / lit(width)).cast("long"))
+      .withColumn("__w", weight.cast("long"))
+    val totals = withB.groupBy(col("__b").as("__tb"))
+      .agg(sum(col("__w")).as("__t"), min(col("__w")).as("__minw"))
+      .localCheckpoint()
+    val Array(total, minW) = totals
+      .select(coalesce(sum(col("__t")), lit(0L)),
+        coalesce(min(col("__minw")), lit(0L)))
+      .first().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(minW >= 0, s"negative weight $minW: weights must be >= 0")
+    require(total > 0, "total weight must be positive")
+    require(total <= Long.MaxValue / k,
+      s"cum*k overflows 64 bits: total weight $total exceeds " +
+        s"Long.MaxValue/$k — reduce k or rescale the weight unit")
+    val before = totals
+      .withColumn("__before", coalesce(sum(col("__t")).over(
+        Window.orderBy(col("__tb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__tb"), col("__before"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(before), col("__b") === col("__tb"))
+      .withColumn("__cum_prev", col("__before") +
+        coalesce(sum(col("__w")).over(wIn), lit(0L)))
+      .withColumn("__cum", col("__cum_prev") + col("__w"))
+      .where(expr(s"__cum * ${k}L div ${total}L") >
+        expr(s"__cum_prev * ${k}L div ${total}L"))
+      .withColumn("pick_idx", expr(s"__cum * ${k}L div ${total}L"))
+      .drop("__h", "__b", "__w", "__tb", "__before", "__cum_prev", "__cum")
+  }
+
   /** Concat-then-chunk sequence packing (the GPT-style pretraining
     * layout): documents are laid end to end in (shard, id) order and the
     * token stream is cut every `chunkTokens`; each document reports the

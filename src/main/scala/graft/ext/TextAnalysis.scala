@@ -81,6 +81,32 @@ object TextAnalysis {
       org.apache.spark.sql.expressions.Window
         .partitionBy(group).orderBy(score, id)))
 
+  /** Discrete quality-tier assignment — the CCNet head/middle/tail
+    * split (Wenzek et al., LREC 2020; public recipe): within each
+    * group (CCNet partitions per LANGUAGE) rank rows by quality score
+    * and cut the ranking into `nBuckets` equal-count tiers; bucket 1
+    * is the best-scoring "head" slice a pipeline trains on first. The
+    * continuous sibling is [[calibrate]] (percent_rank); this is the
+    * form that feeds a per-tier sampling policy directly.
+    *
+    * Determinism: NTILE over the total order (score DESC NULLS LAST,
+    * id) — standard SQL tile semantics (the first n mod b tiles take
+    * the extra row) that every engine shares, and the null placement
+    * is EXPLICIT because engines disagree on default null order under
+    * DESC. Unscored rows (null score — e.g. < 2 tokens for a bigram
+    * score) thus rank after every scored row and fill the tail tier,
+    * which is where a quality split wants them.
+    *
+    * Scale shape: one window per group, parallelism = |groups|
+    * (languages — bounded); no other exchange. Adds `bucket`. */
+  def scoreBuckets(df: DataFrame, group: Column, score: Column,
+      id: Column, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    df.withColumn("bucket", ntile(nBuckets).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(group).orderBy(score.desc_nulls_last, id)))
+  }
+
   /** Model-based quality scoring WITHOUT an external LM (the
     * CCNet/Gopher-style perplexity-filtering step, from the public
     * recipe): train bigram conditional frequencies on the corpus

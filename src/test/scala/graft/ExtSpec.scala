@@ -446,6 +446,93 @@ class ExtSpec extends SparkSpec {
     assert(viaTopK == viaFull)
   }
 
+  test("contaminationFraction: eval-set span hits counted per training doc; broadcast and shuffle paths agree; bench side broadcast in the plan") {
+    val all = Seq(
+      (1L, "a b c d e"),    // the eval suite
+      (10L, "a b c x y z"), // shares window "a b c" → 1 of 4
+      (11L, "p q r s"),     // disjoint → 0 of 2
+      (12L, "a"))           // too short → 0 windows, null fraction
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+    val bench = all.where(col("doc_id") === 1L)
+    val corpus = all.where(col("doc_id") > 1L)
+    def run(b: Boolean) =
+      rows(Dedup.contaminationFraction(corpus, bench, "doc_id", "sh",
+          broadcastBench = b).orderBy("id"))
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val got = run(b = true)
+    assert(got == Seq((10L, 4L, Some(0.25)), (11L, 2L, Some(0.0)),
+      (12L, 0L, None)))
+    assert(run(b = false) == got)
+    val plan = Dedup.contaminationFraction(corpus, bench, "doc_id", "sh")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench probe should broadcast, got:\n$plan")
+  }
+
+  test("mmrTopK: lambda=1 is pure relevance; lower lambda defers the near-duplicate; zero-norm rows excluded") {
+    // 2-d geometry: 1 and 2 are near-duplicates pointing almost at the
+    // query, 3 is a distinct direction, 4 is zero-norm (excluded)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(1.0f, 0.11f)),
+      (3L, Array(0.5f, 0.5f)),
+      (4L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def ids(lambda: Double): Seq[Long] =
+      rows(graft.ext.Retrieval.mmrTopK(emb, "vec_id", "embedding",
+        queryVecId = 0L, k = 3, poolSize = 4, lambda = lambda)
+        .orderBy("mmr_rank")).map(_.getLong(0))
+    // λ=1: the diversity term is weighted 0 — relevance order, and the
+    // zero-norm row never appears
+    assert(ids(1.0) == Seq(1L, 2L, 3L))
+    // λ=0.3: 2's ~0.9999 cosine to the already-picked 1 outweighs its
+    // relevance edge over 3 — the near-dup drops to last
+    assert(ids(0.3) == Seq(1L, 3L, 2L))
+  }
+
+  test("mmrTopK: equals an independent brute-force greedy on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (k, pool, lam) = (8, 25, 0.7)
+    val got = rows(graft.ext.Retrieval.mmrTopK(emb, "vec_id", "embedding",
+        queryVecId = 0L, k = k, poolSize = pool, lambda = lam)
+        .orderBy("mmr_rank"))
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    // reference: plain-Scala recomputation from the raw vectors — pool
+    // cut, then greedy with the max-over-selected recomputed from
+    // scratch each round (vs the operator's incremental max)
+    val raw = rows(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>")))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qv = raw(0L); val qn = dot(qv, qv)
+    val cands = raw.toSeq
+      .collect { case (id, v) if id != 0L && dot(v, v) > 0 =>
+        (id, v, dot(v, v), dot(v, qv) / (math.sqrt(dot(v, v)) * math.sqrt(qn))) }
+      .sortBy { case (id, _, _, rel) => (-rel, id) }.take(pool)
+    var chosen = Vector.empty[(Long, Array[Double], Double)]
+    var rest = cands
+    val ref = (1 to math.min(k, cands.size)).map { step =>
+      val scored = rest.map { case (id, v, n2, rel) =>
+        val ms = if (chosen.isEmpty) 0.0
+          else chosen.map { case (_, cv, cn2) =>
+            dot(v, cv) / (math.sqrt(n2) * math.sqrt(cn2)) }.max
+        (id, v, n2, rel, lam * rel - (1.0 - lam) * ms)
+      }
+      val best = scored.minBy { case (id, _, _, _, m) => (-m, id) }
+      chosen :+= ((best._1, best._2, best._3))
+      rest = rest.filterNot(_._1 == best._1)
+      (best._1, step, best._4, best._5)
+    }
+    assert(got == ref)
+  }
+
   test("annRecallAtK: probing every cell recovers exact recall 1.0; fewer probes can only lower it") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.where(col("vec_id") < 8)
@@ -572,6 +659,63 @@ class ExtSpec extends SparkSpec {
         assert(ids(bucketed) == ids(plain), s"budget=$b nBuckets=$nb")
       }
     }
+  }
+
+  test("systematicWeightedSample: exactly k picks under light weights; heavy rows certain; matches a plain-Scala reference; bucket count irrelevant") {
+    val P = graft.ext.Sampling.HashPrime
+    val M = graft.ext.Sampling.HashMult
+    def href(id: Long): Long = ((id % P) * M) % P
+    // plain-Scala reference of the documented semantics
+    def ref(ws: Seq[(Long, Long)], k: Int): Seq[(Long, Long)] = {
+      val total = ws.map(_._2).sum
+      var cum = 0L
+      ws.sortBy { case (id, _) => (href(id), id) }.flatMap { case (id, w) =>
+        val prev = cum; cum += w
+        if (cum * k / total > prev * k / total)
+          Some((id, cum * k / total)) else None
+      }
+    }
+    def run(ws: Seq[(Long, Long)], k: Int, nb: Int): Seq[(Long, Long)] =
+      rows(graft.ext.Sampling.systematicWeightedSample(
+          ws.toDF("doc_id", "w"), col("doc_id"), col("w"), k, nb)
+        .select(col("doc_id"), col("pick_idx")).orderBy("pick_idx"))
+        .map(r => (r.getLong(0), r.getLong(1)))
+    // uniform weights: exactly k picks, pick_idx = 1..k
+    val uniform = (1L to 100L).map((_, 7L))
+    val got = run(uniform, 10, 1024)
+    assert(got.size == 10 && got.map(_._2) == (1L to 10L))
+    assert(got == ref(uniform, 10))
+    assert(run(uniform, 10, 3) == got, "bucket count must not change picks")
+    // a heavy row (w > total/k) is picked with certainty and absorbs
+    // pick points: output < k but the heavy id is always in
+    val skewed = (1L to 50L).map((_, 1L)) :+ (99L, 500L)
+    val gotSkew = run(skewed, 10, 1024)
+    assert(gotSkew.map(_._1).contains(99L))
+    assert(gotSkew.size < 10 && gotSkew == ref(skewed, 10))
+    // zero-weight rows are never picked
+    val withZero = Seq((1L, 0L), (2L, 10L), (3L, 0L), (4L, 10L))
+    assert(run(withZero, 2, 8).map(_._1).toSet.subsetOf(Set(2L, 4L)))
+    // negative weights refused loudly
+    val err = intercept[IllegalArgumentException] {
+      run(Seq((1L, 5L), (2L, -1L)), 1, 8)
+    }
+    assert(err.getMessage.contains("negative weight"))
+  }
+
+  test("scoreBuckets: per-group desc tiers, nulls fill the tail, first tiles take the extra row, tiles cap at group size") {
+    val df = Seq(
+      (1L, "en", Some(0.9)), (2L, "en", Some(0.8)), (3L, "en", Some(0.7)),
+      (4L, "en", Some(0.6)), (5L, "en", Option.empty[Double]),
+      (6L, "fr", Some(0.5)), (7L, "fr", Option.empty[Double])
+    ).toDF("id", "lang", "score")
+    val got = rows(TextAnalysis.scoreBuckets(df, col("lang"),
+        col("score"), col("id"), nBuckets = 3)
+      .select(col("id"), col("bucket")).orderBy("id"))
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // en (5 rows / 3 tiles → sizes 2,2,1): null ranks LAST → tier 3;
+    // fr (2 rows / 3 tiles): tiles cap at one row each
+    assert(got == Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2), (5L, 3),
+      (6L, 1), (7L, 2)))
   }
 
   test("tokenBudgetBucketed keeps null-group rows (null-safe totals join)") {
