@@ -510,4 +510,87 @@ object Dedup {
       .select(col("id"), col("chunk_id"), col("n_tokens"),
         col("chunk_text"), col("__lost").isNull.as("kept"))
   }
+
+  /** Engine-portable polynomial string hash: fold `acc·31 + ascii(char)
+    * mod 1e9+7` over the characters, seeded with the first character's
+    * code. Chosen over xxhash64/simhash64 precisely because any SQL
+    * engine can recompute it (`list_reduce(list_transform(range(1,
+    * length(s)+1), i -> ascii(substring(s,i,1))), (acc,x) ->
+    * (acc*31+x) % 1000000007)` in DuckDB) — the x04 lesson was that
+    * engine-native hashes force golden-pinned oracles; this one keeps
+    * the winnowing family fully recomputable. Pure HOF fold, no UDF. */
+  def polyHash(s: Column): Column = {
+    val P = 1000000007L
+    when(length(s) <= 1, ascii(s).cast("long"))
+      .otherwise(aggregate(
+        transform(sequence(lit(2), length(s)),
+          i => ascii(s.substr(i, lit(1))).cast("long")),
+        ascii(s.substr(lit(1), lit(1))).cast("long"),
+        (acc, x) => (acc * lit(31L) + x) % lit(P)))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm), at
+    * word-level k-gram grain: every window of `w` consecutive k-gram
+    * hashes contributes its minimum hash, and the distinct chosen
+    * hashes are the document's fingerprints. The winnowing guarantee:
+    * any two documents sharing a verbatim run of ≥ w + k − 1 tokens
+    * share at least one fingerprint, at an expected density of
+    * 2/(w+1) of positions — a tunable-size sketch with a hard recall
+    * floor, which MinHash does not give. Documents shorter than `w`
+    * k-grams contribute the minimum of what they have (one whole-doc
+    * window), so no document is unrepresented.
+    *
+    * Hashes are [[polyHash]], so the selection is oracle-recomputable.
+    * Output: (id, fp) distinct.
+    * Scale: shingling + hashing at scan speed; ONE shuffle (the
+    * per-document window sort on (id, pos)); fingerprints leave as
+    * 8-byte longs, never strings. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k=$k, w=$w must be >= 1")
+    val posed = docs
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.shingles(col(textCol), k)).as(Seq("pos", "s")))
+      .withColumn("h", polyHash(col("s")))
+    val frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    posed
+      .withColumn("wmin", min("h").over(frame))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("id")))
+      .where(col("pos") <= greatest(lit(0), col("m").cast("int") - lit(w)))
+      .select(col("id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  /** MOSS-style fingerprint overlap: document pairs sharing ≥
+    * `minShared` winnowing fingerprints, with the shared count and the
+    * containment-style fraction |shared| / min(|fpA|, |fpB|). `maxDf`
+    * drops fingerprints occurring in more than that many documents
+    * BEFORE pair generation — the boilerplate guard that keeps one
+    * corpus-wide hot fingerprint from exploding into O(df²) pairs (the
+    * same skew discipline as [[jaccardPairs]]' maxDocFreq); 0 disables.
+    * Output: (id_a, id_b, n_shared, nfp_a, nfp_b, overlap).
+    * Scale: the pair join moves (id, fp) longs only; `overlap` is one
+    * double division of exact integer counts. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxDf: Long = 0L): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+    val kept = if (maxDf <= 0L) fp else fp.join(
+      fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > maxDf).select("fp"),
+      Seq("fp"), "left_anti")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("nfp"))
+    kept.select(col("id").as("id_a"), col("fp"))
+      .join(kept.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(sizes.select(col("id").as("id_a"), col("nfp").as("nfp_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nfp").as("nfp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("nfp_a"),
+        col("nfp_b"),
+        (col("n_shared").cast("double") / least(col("nfp_a"), col("nfp_b")))
+          .as("overlap"))
+  }
 }

@@ -680,4 +680,44 @@ object Similarity {
     assigned.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }
+
+  /** SSL-prototype / D4 prototypicality ranking (Sorscher et al. 2022
+    * "Beyond neural scaling laws"; Tirumala et al. 2023 "D4"): each
+    * vector's cosine to its OWN quantizer centroid, ranked within the
+    * cell — rank 1 = most prototypical (closest to the prototype, the
+    * easy/redundant example data-pruning removes first). `kept` marks
+    * the least-prototypical keepNum/keepDen fraction of each cell: a
+    * row survives iff proto_rank·keepDen > n_cell·(keepDen − keepNum),
+    * pure integer arithmetic so the cut is engine-exact (ceil-free —
+    * the keep count is ⌈n·num/den⌉ by construction).
+    *
+    * Only ranks cross the output boundary, never raw cosines — rank
+    * order is exactly the per-cell argmax order the x57/x59 oracles
+    * already pin as engine-reproducible.
+    * Output: (id, cid, n_cell, proto_rank, kept).
+    * Scale: one zero-exchange assignment scan + one window sort keyed
+    * by cid; cell sizes are bounded by the quantizer's target occupancy
+    * ([[autoNCells]] / [[Ivf.splitHotCells]]), so no global sort and no
+    * unbounded partition appears. */
+  def prototypicality(emb: DataFrame, idCol: String, vecCol: String,
+      cent: Ivf.Centroids, keepNum: Int = 1, keepDen: Int = 2): DataFrame = {
+    require(keepDen > 0 && keepNum >= 0 && keepNum <= keepDen,
+      s"prototypicality: keep fraction $keepNum/$keepDen must be in [0,1]")
+    val s = emb.sparkSession
+    import s.implicits._
+    val centDf = cent.toSeq.toDF("cid", "cv", "cn")
+    val assigned = Ivf.assignWith(emb, idCol, vecCol, cent)
+      .join(broadcast(centDf), Seq("cid"))
+      .withColumn("__cos", VectorOps.cosineWithNorms(
+        VectorOps.dot(col("v"), col("cv")), col("n2"), col("cn")))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    assigned
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cid")))
+      .select(col("neighbor_id").as("id"), col("cid"), col("n_cell"),
+        col("proto_rank"),
+        (col("proto_rank") * keepDen > col("n_cell") * (keepDen - keepNum))
+          .as("kept"))
+  }
 }

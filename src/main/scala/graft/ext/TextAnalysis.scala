@@ -580,4 +580,57 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("cnt2").as("n_pair"),
         col("pmi").cast("double").as("pmi"))
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1): word-count bounds, mean-word-length
+    * bounds, minimum distinct-stopword coverage, and top-word dominance
+    * (the cheapest member of the repetition family — Gopher's
+    * most-frequent-word fraction). Emits the raw statistics AND each
+    * rule's verdict plus the conjunction, so a downstream policy can
+    * re-cut thresholds without recomputing the scan.
+    *
+    * All fractions are one double division of exact integer counts
+    * (NULL for an empty document rather than an engine-dependent ÷0) —
+    * engine-reproducible bit for bit.
+    * Output: (id, n_words, mean_wl, stop_hits, top_word_frac,
+    * ok_words, ok_wl, ok_stop, ok_top, gopher_pass).
+    * Scale: one scan for the per-row stats; the dominant-token count is
+    * a map-side-combinable (id, token) agg — never a per-row O(n·|V|)
+    * loop, never a window sort. */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] =
+        Seq("the", "a", "of", "to", "and", "in", "is", "for"),
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWl: Double = 3.0, maxMeanWl: Double = 10.0,
+      minStopHits: Int = 2, maxTopFrac: Double = 0.1): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val base = docs.select(
+      col(idCol).as("id"),
+      toks.as("__t"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("__chars"),
+      size(array_intersect(array_distinct(toks),
+        array(stopwords.map(lit): _*))).as("stop_hits"))
+    val top = base.select(col("id"), explode(col("__t")).as("__w"))
+      .groupBy("id", "__w").agg(count(lit(1)).as("__c"))
+      .groupBy("id").agg(max("__c").as("__top"))
+    val meanWl = when(col("n_words") > 0,
+      col("__chars").cast("double") / col("n_words"))
+    val topFrac = when(col("n_words") > 0,
+      col("__top").cast("double") / col("n_words"))
+    val okWords = col("n_words").between(minWords, maxWords)
+    val okWl = col("mean_wl").isNotNull &&
+      col("mean_wl").between(minMeanWl, maxMeanWl)
+    val okStop = col("stop_hits") >= minStopHits
+    val okTop = col("top_word_frac").isNotNull &&
+      col("top_word_frac") <= maxTopFrac
+    base.join(top, Seq("id"))
+      .select(col("id"), col("n_words"), meanWl.as("mean_wl"),
+        col("stop_hits"), topFrac.as("top_word_frac"))
+      .select(col("*"), okWords.as("ok_words"), okWl.as("ok_wl"),
+        okStop.as("ok_stop"), okTop.as("ok_top"))
+      .withColumn("gopher_pass",
+        col("ok_words") && col("ok_wl") && col("ok_stop") && col("ok_top"))
+  }
 }
