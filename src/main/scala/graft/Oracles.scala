@@ -2822,7 +2822,166 @@ object Oracles {
         |  CAST(ntile(3) OVER (PARTITION BY lang
         |    ORDER BY bigram_score DESC NULLS LAST, doc_id) AS INTEGER)
         |    AS bucket
-        |FROM alldocs ORDER BY doc_id""".stripMargin
+        |FROM alldocs ORDER BY doc_id""".stripMargin,
+
+    // x92: the whole winnowing derivation recomputes in SQL — the
+    // polynomial hash is chosen for exactly that (see Dedup.polyHash);
+    // the lambda casts acc to BIGINT because acc*31 overflows INT32
+    "x92_winnow_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]) AS s
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i
+        |        FROM toks)),
+        |hashed AS (
+        |  SELECT doc_id, pos,
+        |    CAST(list_reduce(list_transform(range(1, length(s) + 1),
+        |        j -> ascii(substring(s, j, 1))),
+        |      (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |      AS BIGINT) AS h
+        |  FROM sh),
+        |win AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM hashed),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, wmin AS fp FROM win
+        |  WHERE pos <= greatest(0, CAST(m AS INTEGER) - 4)),
+        |kept AS (
+        |  SELECT f.doc_id, f.fp FROM fp f
+        |  JOIN (SELECT fp, count(*) AS dfc FROM fp GROUP BY 1) d USING (fp)
+        |  WHERE d.dfc <= 50),
+        |sizes AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(sa.nfp AS BIGINT) AS nfp_a, CAST(sb.nfp AS BIGINT) AS nfp_b,
+        |  CAST(n_shared AS DOUBLE) / least(sa.nfp, sb.nfp) AS overlap
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // x93: every fraction is one double division of exact integer
+    // counts; stop_hits counts DISTINCT stopword types (array_intersect
+    // semantics), not occurrences
+    "x93_gopher_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words FROM toks),
+        |words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |chars AS (SELECT doc_id, sum(length(w)) AS chars FROM words GROUP BY 1),
+        |stopc AS (
+        |  SELECT doc_id, count(DISTINCT w) AS stop_hits FROM words
+        |  WHERE w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'for')
+        |  GROUP BY 1),
+        |topw AS (
+        |  SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |stats AS (
+        |  SELECT b.doc_id, b.n_words,
+        |    CASE WHEN b.n_words > 0
+        |      THEN CAST(c.chars AS DOUBLE) / b.n_words END AS mean_wl,
+        |    CAST(coalesce(s.stop_hits, 0) AS INTEGER) AS stop_hits,
+        |    CASE WHEN b.n_words > 0
+        |      THEN CAST(t.topc AS DOUBLE) / b.n_words END AS top_word_frac
+        |  FROM base b
+        |  LEFT JOIN chars c USING (doc_id)
+        |  LEFT JOIN stopc s USING (doc_id)
+        |  LEFT JOIN topw t USING (doc_id)),
+        |flags AS (
+        |  SELECT *,
+        |    n_words BETWEEN 50 AND 100000 AS ok_words,
+        |    mean_wl IS NOT NULL AND mean_wl BETWEEN 3.0e0 AND 10.0e0 AS ok_wl,
+        |    stop_hits >= 2 AS ok_stop,
+        |    top_word_frac IS NOT NULL AND top_word_frac <= 0.1e0 AS ok_top
+        |  FROM stats)
+        |SELECT doc_id, n_words, mean_wl, stop_hits, top_word_frac,
+        |  ok_words, ok_wl, ok_stop, ok_top,
+        |  ok_words AND ok_wl AND ok_stop AND ok_top AS gopher_pass
+        |FROM flags ORDER BY doc_id""".stripMargin,
+
+    // x94: 2·median and 4·MAD as exact sums of middle order statistics
+    // (ties among equal values leave the order-statistic VALUE
+    // unchanged, so row_number nondeterminism is harmless); the only
+    // floating point is the final multiply-divide
+    "x94_robust_z" ->
+      """WITH v AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM v),
+        |med AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn * 2 = n + (n % 2) THEN n_tokens END) +
+        |    max(CASE WHEN rn * 2 = n + 2 - (n % 2) THEN n_tokens END) AS med2
+        |  FROM r GROUP BY 1),
+        |a AS (
+        |  SELECT v.doc_id, v.lang, v.n_tokens, m.med2,
+        |    abs(v.n_tokens * 2 - m.med2) AS ad
+        |  FROM v JOIN med m USING (lang)),
+        |r2 AS (
+        |  SELECT lang, ad,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ad) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM a),
+        |mad AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn * 2 = n + (n % 2) THEN ad END) +
+        |    max(CASE WHEN rn * 2 = n + 2 - (n % 2) THEN ad END) AS mad4
+        |  FROM r2 GROUP BY 1)
+        |SELECT a.doc_id, a.lang, a.n_tokens,
+        |  CASE WHEN m.mad4 > 0
+        |    THEN CAST(a.n_tokens * 2 - a.med2 AS DOUBLE) * 2
+        |      / (1.4826e0 * m.mad4) END AS z,
+        |  coalesce(CASE WHEN m.mad4 > 0
+        |    THEN abs(CAST(a.n_tokens * 2 - a.med2 AS DOUBLE) * 2
+        |      / (1.4826e0 * m.mad4)) > 3.5e0 END, false) AS outlier
+        |FROM a JOIN mad m USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
+    // x95: the x21 assignment skeleton (first-8 seeds, cosine argmax,
+    // cid tie-break) + a within-cell rank; kept is integer arithmetic
+    "x95_prototypicality" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT vec_id AS id, cid, cos FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) *
+        |         sqrt(list_dot_product(c.cv, c.cv))) AS cos,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        |    FROM emb e CROSS JOIN cent c) t WHERE rn = 1),
+        |ranked AS (
+        |  SELECT id, cid,
+        |    count(*) OVER (PARTITION BY cid) AS n_cell,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY cos DESC, id) AS proto_rank
+        |  FROM assigned)
+        |SELECT id AS vec_id, cid, CAST(n_cell AS BIGINT) AS n_cell,
+        |  CAST(proto_rank AS BIGINT) AS proto_rank,
+        |  proto_rank * 2 > n_cell AS kept
+        |FROM ranked ORDER BY vec_id""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

@@ -1687,6 +1687,59 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x92 — MOSS winnowing overlap pairs (Schleimer, Wilkerson & Aiken
+    * SIGMOD 2003): document pairs sharing ≥ 2 winnowing fingerprints
+    * (word 3-grams, window 4), with the containment-style overlap
+    * fraction — the local-fingerprint family's answer to x02/x03,
+    * carrying a hard guarantee MinHash lacks: any verbatim run of
+    * ≥ w+k−1 = 6 tokens IS detected. The engine-portable polynomial
+    * hash keeps the whole derivation oracle-recomputable (no pinned
+    * literals); maxDf = 50 is the boilerplate-fingerprint guard. */
+  val x92WinnowPairs: Q = (s, dir) => {
+    Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, w = 4, minShared = 2L, maxDf = 50L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** x93 — Gopher quality rules (Rae et al. 2021, MassiveText §A1.1):
+    * per-document word count, mean word length, stopword-hit and
+    * dominant-token-share gates, each surfaced as its own boolean plus
+    * the conjunction — rule-based quality filtering that re-cuts
+    * without recomputing the scan. */
+  val x93GopherQuality: Q = (s, dir) => {
+    TextAnalysis.gopherQuality(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** x94 — robust per-language length outliers (median/MAD z, the
+    * Iglewicz–Hoaglin rule): token-count outliers judged against the
+    * language's own median and MAD, which heavy-tailed web corpora
+    * need where mean/stddev clipping chases its own outliers. All
+    * medians are exact-integer order statistics; the only floating
+    * point is the final one-multiply-one-divide z. */
+  val x94RobustZ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Quantiles.robustZ(d, Seq("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** x95 — SSL-prototype / D4 prototypicality pruning (Sorscher et al.
+    * 2022; Tirumala et al. 2023): each vector's within-cell rank by
+    * cosine to its own x21-style quantizer centroid, keeping the
+    * least-prototypical half of every cell — the data-pruning policy
+    * that drops easy/redundant examples first. The keep cut is pure
+    * integer arithmetic (rank·2 > n_cell). */
+  val x95Prototypicality: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.prototypicality(emb, "vec_id", "embedding",
+        Ivf.train(emb, "vec_id", "embedding", nlist = 8))
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2215,6 +2268,10 @@ object Queries {
     "x89_contamination" -> x89Contamination,
     "x90_systematic_sample" -> x90SystematicSample,
     "x91_ccnet_buckets" -> x91CcnetBuckets,
+    "x92_winnow_pairs" -> x92WinnowPairs,
+    "x93_gopher_quality" -> x93GopherQuality,
+    "x94_robust_z" -> x94RobustZ,
+    "x95_prototypicality" -> x95Prototypicality,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

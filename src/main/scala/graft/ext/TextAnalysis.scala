@@ -625,7 +625,10 @@ object TextAnalysis {
     val okStop = col("stop_hits") >= minStopHits
     val okTop = col("top_word_frac").isNotNull &&
       col("top_word_frac") <= maxTopFrac
-    base.join(top, Seq("id"))
+    // LEFT join: a NULL-text row tokenizes to a NULL array, explodes to
+    // nothing, and would silently vanish under an inner join — every
+    // input document must appear in the verdict table.
+    base.join(top, Seq("id"), "left")
       .select(col("id"), col("n_words"), meanWl.as("mean_wl"),
         col("stop_hits"), topFrac.as("top_word_frac"))
       .select(col("*"), okWords.as("ok_words"), okWl.as("ok_wl"),

@@ -1352,4 +1352,103 @@ class ExtSpec extends SparkSpec {
     val sids = rows(got.orderBy("event_id").select("sid")).map(_.getLong(0))
     assert(sids == Seq(1L, 1L, 1L, 2L, 1L))
   }
+
+  test("polyHash matches a reference fold; winnowing guarantee holds") {
+    // reference: acc seeded with the first char code, acc*31+c mod 1e9+7
+    def ref(s: String): Long =
+      s.drop(1).foldLeft(s.head.toLong)((acc, c) =>
+        (acc * 31 + c.toLong) % 1000000007L)
+    val got = rows(Seq("a", "ab", "the quick brown", "zz zz zz")
+      .toDF("s").select(Dedup.polyHash($"s").as("h"), $"s"))
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    for (s <- got.keys) assert(got(s) == ref(s), s"polyHash($s)")
+
+    // guarantee: docs 1 and 2 share a verbatim run of 12 tokens
+    // >= w + k - 1 = 6, so they MUST share at least one fingerprint
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    val byDoc = rows(fp).groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert(byDoc(1L) == byDoc(4L)) // identical docs: identical sketches
+    // density: the sketch is a small fraction of the shingle count, and
+    // every document with >= 1 shingle is represented
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // pair query surfaces the near-dup cluster with overlap 1 for twins
+    val pairs = rows(Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1L))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L ||
+      a == 5L || b == 5L }) // unrelated docs share nothing
+  }
+
+  test("gopherQuality: each rule gates independently; no row vanishes") {
+    // 52 distinct tokens (no token above the 10% dominance cut), mean
+    // word length ~4, two stopword types
+    val good = "the a " + (1 to 50).map(i => f"word$i%02d").mkString(" ")
+    val gq = Seq(
+      (1L, good),                        // passes every rule
+      (2L, "too short to pass"),         // fails ok_words
+      (3L, ("dup " * 60).trim),          // fails ok_top (one dominant token)
+      (4L, ""),                          // empty: must still appear
+      (5L, ("xx " * 60).trim)            // fails ok_stop + ok_wl (wl=2)
+    ).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.gopherQuality(gq, "doc_id", "text")
+      .orderBy("id"))
+    assert(got.size == 5) // the empty doc did not vanish
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("gopher_pass"))
+    assert(!byId(2L).getAs[Boolean]("ok_words"))
+    assert(!byId(3L).getAs[Boolean]("ok_top"))
+    assert(byId(3L).getAs[Double]("top_word_frac") == 1.0)
+    assert(!byId(5L).getAs[Boolean]("ok_stop"))
+    assert(!byId(5L).getAs[Boolean]("ok_wl"))
+    // empty text tokenizes to one zero-length token: wl 0, fails cleanly
+    assert(byId(4L).getAs[Long]("n_words") == 1L)
+    assert(!byId(4L).getAs[Boolean]("gopher_pass"))
+  }
+
+  test("robustZ: exact integer median/MAD; MAD=0 yields null z, not Inf") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 14L), ("a", 4L, 16L),
+      ("a", 5L, 18L), ("a", 6L, 1000L), // median 15, MAD 3
+      ("b", 7L, 5L), ("b", 8L, 5L), ("b", 9L, 5L) // MAD = 0
+    ).toDF("g", "id", "v")
+    val got = rows(graft.ext.Quantiles.robustZ(df, Seq("g"), col("v"))
+      .orderBy("id"))
+    val byId = got.map(r => r.getLong(1) -> r).toMap
+    // group a: med2 = 14+16 = 30, |2v-30| sorted = 2,6,6,2,... MAD4 via
+    // order stats; spot-check the outlier and a center point
+    assert(byId(6L).getAs[Boolean]("outlier")) // 1000 is wildly out
+    assert(!byId(3L).getAs[Boolean]("outlier"))
+    val z3 = byId(3L).getAs[Double]("z") // v=14: (28-30)*2/(1.4826*mad4)
+    assert(z3 < 0 && math.abs(z3) < 1.0)
+    // group b: all identical -> MAD 0 -> null z, outlier false
+    assert(byId(7L).isNullAt(byId(7L).fieldIndex("z")))
+    assert(!byId(7L).getAs[Boolean]("outlier"))
+  }
+
+  test("prototypicality: rank 1 is nearest the centroid; keep cut is exact") {
+    // two tight clusters around orthogonal axes; seeds = first 2 ids
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.3f)),
+      (4L, Array(0.1f, 0.9f)), (5L, Array(0.2f, 0.8f)), (6L, Array(0.3f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cent = graft.ext.Ivf.train(emb, "vec_id", "embedding", nlist = 2)
+    val got = rows(Similarity.prototypicality(emb, "vec_id", "embedding",
+      cent).orderBy("id"))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // the seed vectors themselves are maximally prototypical (cos 1)
+    assert(byId(0L).getAs[Long]("proto_rank") == 1L)
+    assert(byId(1L).getAs[Long]("proto_rank") == 1L)
+    // keep 1/2: a cell of n keeps ceil(n/2) least-prototypical rows
+    val kept = got.groupBy(_.getLong(1)).view.mapValues { rs =>
+      (rs.size, rs.count(_.getAs[Boolean]("kept")))
+    }.toMap
+    for ((_, (n, k)) <- kept) assert(k == (n + 1) / 2, s"cell n=$n kept=$k")
+    // seeds are never kept (most prototypical = dropped first)
+    assert(!byId(0L).getAs[Boolean]("kept"))
+  }
 }
