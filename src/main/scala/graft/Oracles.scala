@@ -2981,7 +2981,179 @@ object Oracles {
         |SELECT id AS vec_id, cid, CAST(n_cell AS BIGINT) AS n_cell,
         |  CAST(proto_rank AS BIGINT) AS proto_rank,
         |  proto_rank * 2 > n_cell AS kept
-        |FROM ranked ORDER BY vec_id""".stripMargin
+        |FROM ranked ORDER BY vec_id""".stripMargin,
+
+    // x96: the five stage oracles (x93 quality, x11-style fingerprint,
+    // x92 winnowing + x16 reach, x89 contamination, x94 robust z)
+    // composed SEQUENTIALLY — each stage's CTE restricted to the
+    // previous stage's survivor set, exactly as the engine runs them
+    "x96_corpus_prep" ->
+      """WITH RECURSIVE
+        |train AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id >= 20),
+        |ntk AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM train),
+        |gtoks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM train),
+        |gbase AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words FROM gtoks),
+        |gwords AS (SELECT doc_id, unnest(t) AS w FROM gtoks),
+        |gchars AS (SELECT doc_id, sum(length(w)) AS chars FROM gwords
+        |           GROUP BY 1),
+        |gstop AS (
+        |  SELECT doc_id, count(DISTINCT w) AS stop_hits FROM gwords
+        |  WHERE w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'for')
+        |  GROUP BY 1),
+        |gtop AS (
+        |  SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM gwords GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |quality AS (
+        |  SELECT doc_id,
+        |    (n_words BETWEEN 50 AND 100000)
+        |    AND (mean_wl IS NOT NULL AND mean_wl BETWEEN 3.0e0 AND 10.0e0)
+        |    AND (stop_hits >= 2)
+        |    AND (top_word_frac IS NOT NULL AND top_word_frac <= 0.1e0)
+        |      AS ok_quality
+        |  FROM (
+        |    SELECT b.doc_id, b.n_words,
+        |      CASE WHEN b.n_words > 0
+        |        THEN CAST(c.chars AS DOUBLE) / b.n_words END AS mean_wl,
+        |      coalesce(s.stop_hits, 0) AS stop_hits,
+        |      CASE WHEN b.n_words > 0
+        |        THEN CAST(t.topc AS DOUBLE) / b.n_words END AS top_word_frac
+        |    FROM gbase b
+        |    LEFT JOIN gchars c USING (doc_id)
+        |    LEFT JOIN gstop s USING (doc_id)
+        |    LEFT JOIN gtop t USING (doc_id))),
+        |s1 AS (SELECT doc_id FROM quality WHERE ok_quality),
+        |fps AS (
+        |  SELECT t.doc_id,
+        |    md5(trim(regexp_replace(lower(t.text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS fp
+        |  FROM train t JOIN s1 USING (doc_id)),
+        |keepfp AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY 1),
+        |exactflag AS (
+        |  SELECT doc_id, doc_id <> keeper AS exact_dup
+        |  FROM fps JOIN keepfp USING (fp)),
+        |s2 AS (SELECT doc_id FROM exactflag WHERE NOT exact_dup),
+        |wsh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]) AS s
+        |  FROM (SELECT g.doc_id, g.t AS arr, unnest(range(1, len(g.t) - 1))
+        |          AS i
+        |        FROM gtoks g JOIN s2 USING (doc_id))),
+        |whash AS (
+        |  SELECT doc_id, pos,
+        |    CAST(list_reduce(list_transform(range(1, length(s) + 1),
+        |        j -> ascii(substring(s, j, 1))),
+        |      (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |      AS BIGINT) AS h
+        |  FROM wsh),
+        |wwin AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM whash),
+        |wfp AS (
+        |  SELECT DISTINCT doc_id, wmin AS fp FROM wwin
+        |  WHERE pos <= greatest(0, CAST(m AS INTEGER) - 4)),
+        |wkept AS (
+        |  SELECT f.doc_id, f.fp FROM wfp f
+        |  JOIN (SELECT fp, count(*) AS dfc FROM wfp GROUP BY 1) d USING (fp)
+        |  WHERE d.dfc <= 50),
+        |wpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM wpairs
+        |          UNION SELECT d2, d1 FROM wpairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |neardrop AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) < src),
+        |nearflag AS (
+        |  SELECT doc_id,
+        |    doc_id IN (SELECT doc_id FROM neardrop) AS near_dup
+        |  FROM s2),
+        |s3 AS (SELECT doc_id FROM nearflag WHERE NOT near_dup),
+        |csh AS (
+        |  SELECT DISTINCT g.doc_id,
+        |    unnest(list_transform(range(1, len(g.t) - 1),
+        |      i -> concat(g.t[i], ' ', g.t[i+1], ' ', g.t[i+2]))) AS s
+        |  FROM gtoks g JOIN s3 USING (doc_id)),
+        |btoks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id < 20),
+        |bsp AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+        |  FROM btoks),
+        |contflag AS (
+        |  SELECT s3.doc_id, a.contamination,
+        |    coalesce(a.contamination > 0.2e0, false) AS contaminated
+        |  FROM s3 LEFT JOIN (
+        |    SELECT c.doc_id,
+        |      CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS DOUBLE) / count(*) AS contamination
+        |    FROM csh c LEFT JOIN bsp b ON c.s = b.s GROUP BY 1) a
+        |  USING (doc_id)),
+        |s4 AS (SELECT doc_id FROM contflag WHERE NOT contaminated),
+        |zv AS (
+        |  SELECT n.doc_id, t.lang, n.n_tokens
+        |  FROM ntk n JOIN train t USING (doc_id) JOIN s4 USING (doc_id)),
+        |zr AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM zv),
+        |zmed AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn * 2 = n + (n % 2) THEN n_tokens END) +
+        |    max(CASE WHEN rn * 2 = n + 2 - (n % 2) THEN n_tokens END) AS med2
+        |  FROM zr GROUP BY 1),
+        |za AS (
+        |  SELECT v.doc_id, v.lang, v.n_tokens, m.med2,
+        |    abs(v.n_tokens * 2 - m.med2) AS ad
+        |  FROM zv v JOIN zmed m USING (lang)),
+        |zr2 AS (
+        |  SELECT lang, ad,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ad) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM za),
+        |zmad AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn * 2 = n + (n % 2) THEN ad END) +
+        |    max(CASE WHEN rn * 2 = n + 2 - (n % 2) THEN ad END) AS mad4
+        |  FROM zr2 GROUP BY 1),
+        |zflag AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN m.mad4 > 0
+        |      THEN CAST(a.n_tokens * 2 - a.med2 AS DOUBLE) * 2
+        |        / (1.4826e0 * m.mad4) END AS z,
+        |    coalesce(CASE WHEN m.mad4 > 0
+        |      THEN abs(CAST(a.n_tokens * 2 - a.med2 AS DOUBLE) * 2
+        |        / (1.4826e0 * m.mad4)) > 3.5e0 END, false) AS len_outlier
+        |  FROM za a JOIN zmad m USING (lang))
+        |SELECT t.doc_id, t.lang, n.n_tokens,
+        |  q.ok_quality, e.exact_dup, nf.near_dup,
+        |  cf.contamination, cf.contaminated, zf.z, zf.len_outlier,
+        |  coalesce(q.ok_quality AND NOT e.exact_dup AND NOT nf.near_dup
+        |    AND NOT cf.contaminated AND NOT zf.len_outlier, false) AS kept
+        |FROM train t
+        |JOIN ntk n USING (doc_id)
+        |JOIN quality q USING (doc_id)
+        |LEFT JOIN exactflag e USING (doc_id)
+        |LEFT JOIN nearflag nf USING (doc_id)
+        |LEFT JOIN contflag cf USING (doc_id)
+        |LEFT JOIN zflag zf USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

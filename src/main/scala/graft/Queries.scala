@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.{AsOf, NearestSelect, Upsert}
 import graft.functions.{Cleansing, Occ}
-import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Opq, Pq, Quantiles, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Opq, Pipeline, Pq, Quantiles, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
   * the LLM-pipeline extension operators. Every query is deterministic
@@ -1740,6 +1740,24 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** x96 — the END-TO-END corpus-prep manifest (the RefinedWeb /
+    * MassiveText recipe as one query): Gopher quality gate → exact
+    * fingerprint dedup → winnowing near-dedup → benchmark
+    * decontamination (vs the doc_id < 20 pseudo-eval suite) → robust
+    * per-language length outliers, each stage judged only among the
+    * previous stage's survivors. One row per training document with
+    * every stage's verdict — the audit table a production pipeline
+    * re-cuts thresholds from. Composes five already-oracle-proven
+    * operators; every stage flag is NULL for documents an earlier
+    * stage dropped. */
+  val x96CorpusPrep: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Pipeline.corpusPrep(d.where(col("doc_id") >= 20),
+        d.where(col("doc_id") < 20), "doc_id", "text", "lang")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2272,6 +2290,7 @@ object Queries {
     "x93_gopher_quality" -> x93GopherQuality,
     "x94_robust_z" -> x94RobustZ,
     "x95_prototypicality" -> x95Prototypicality,
+    "x96_corpus_prep" -> x96CorpusPrep,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the RefinedWeb/MassiveText
+  * recipe as ONE composable manifest query (Rae et al. 2021 §A1;
+  * Penedo et al. 2023): quality gate → exact dedup → near-dedup →
+  * benchmark decontamination → robust length-outlier cut, each stage
+  * judged ONLY among the previous stage's survivors (the production
+  * ordering: don't pay near-dup pair generation for documents quality
+  * already rejected).
+  *
+  * The output is an audit MANIFEST, not a filtered corpus: one row per
+  * training document with every stage's verdict, so a pipeline owner
+  * can re-cut any threshold and attribute every loss. Stage flags are
+  * NULL for documents an earlier stage already dropped (that stage
+  * never evaluated them) — `kept` itself is never NULL.
+  *
+  * Scale shape: every stage is an already-probed operator —
+  * [[TextAnalysis.gopherQuality]] (scan + combiner agg),
+  * [[TextAnalysis.fingerprint]] exact dedup (hash groupBy),
+  * [[Dedup.winnowPairs]] + [[Dedup.clusters]] (bounded-df pair join +
+  * (id, label)-only propagation), [[Dedup.contaminationFraction]]
+  * (broadcast bench spans), [[Quantiles.robustZ]] (per-language window
+  * medians). Later stages run on strictly shrinking survivor sets.
+  */
+object Pipeline {
+
+  /** The per-document survival manifest. `train`/`bench` must share
+    * `idCol`/`textCol`; `bench` is only read for its contamination
+    * spans. Output: (id, lang, n_tokens, ok_quality, exact_dup,
+    * near_dup, contamination, contaminated, z, len_outlier, kept). */
+  def corpusPrep(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, langCol: String, contaminationMax: Double = 0.2,
+      winnowMinShared: Long = 2L, winnowMaxDf: Long = 50L): DataFrame = {
+    val base = train.select(col(idCol).as("id"), col(langCol).as("lang"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      col(textCol).as("__text"))
+
+    // stage 1 — rule-based quality
+    val quality = TextAnalysis.gopherQuality(train, idCol, textCol)
+      .select(col("id"), col("gopher_pass").as("ok_quality"))
+    val s1 = base.join(quality.where(col("ok_quality")), Seq("id"))
+
+    // stage 2 — exact dedup on the canonical-form fingerprint
+    val fp = s1.select(col("id"),
+      TextAnalysis.fingerprint(col("__text")).as("__fp"))
+    val keeper = fp.groupBy("__fp").agg(min("id").as("__keep"))
+    val exactFlag = fp.join(keeper, Seq("__fp"))
+      .select(col("id"), (col("id") =!= col("__keep")).as("exact_dup"))
+    val s2 = s1.join(exactFlag.where(!col("exact_dup")), Seq("id"))
+
+    // stage 3 — winnowing near-dedup, smallest id per component survives
+    val pairs = Dedup.winnowPairs(
+      s2.select(col("id").as(idCol), col("__text").as(textCol)),
+      idCol, textCol, k = 3, w = 4, minShared = winnowMinShared,
+      maxDf = winnowMaxDf)
+    val comp = Dedup.clusters(pairs)
+    val nearFlag = s2.select(col("id"))
+      .join(comp.select(col("id"), col("cluster")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("id") =!= col("cluster"), lit(false)).as("near_dup"))
+    val s3 = s2.join(nearFlag.where(!col("near_dup")), Seq("id"))
+
+    // stage 4 — benchmark decontamination (distinct 3-gram spans)
+    val contFlag = Dedup.contaminationFraction(
+        s3.select(col("id"),
+          TextAnalysis.shingles(col("__text"), 3).as("__sh")),
+        bench.select(TextAnalysis.shingles(col(textCol), 3).as("__sh")),
+        "id", "__sh")
+      .select(col("id"), col("contamination"),
+        coalesce(col("contamination") > contaminationMax, lit(false))
+          .as("contaminated"))
+    val s4 = s3.join(contFlag.where(!col("contaminated")), Seq("id"))
+
+    // stage 5 — per-language robust length outliers among survivors
+    val zFlag = Quantiles.robustZ(
+        s4.select(col("id"), col("lang"), col("n_tokens")),
+        Seq("lang"), col("n_tokens"))
+      .select(col("id"), col("z"), col("outlier").as("len_outlier"))
+
+    base.select(col("id"), col("lang"), col("n_tokens"))
+      .join(quality, Seq("id"))
+      .join(exactFlag, Seq("id"), "left")
+      .join(nearFlag, Seq("id"), "left")
+      .join(contFlag, Seq("id"), "left")
+      .join(zFlag, Seq("id"), "left")
+      .withColumn("kept", coalesce(
+        col("ok_quality") && !col("exact_dup") && !col("near_dup") &&
+          !col("contaminated") && !col("len_outlier"),
+        lit(false)))
+  }
+}

@@ -1429,6 +1429,45 @@ class ExtSpec extends SparkSpec {
     assert(!byId(7L).getAs[Boolean]("outlier"))
   }
 
+  test("corpusPrep: each stage drops its own casualty, flags stay NULL past the drop") {
+    def words(stem: String, n: Int) =
+      "the a " + (1 to n).map(i => f"$stem$i%02d").mkString(" ")
+    val aTxt = words("aw", 50)              // 52 tokens, unique — kept
+    val cTxt = words("cw", 51)              // 53 tokens — kept
+    val zTxt = words("zw", 60)              // the bench/eval doc
+    val train = Seq(
+      (20L, aTxt, "en"),
+      (21L, "too short", "en"),             // fails quality
+      (22L, cTxt, "en"),
+      (23L, cTxt, "en"),                    // exact dup of 22
+      (24L, aTxt + " tail tokens trailing here", "en"), // near-dup of 20
+      (25L, zTxt + " minor change end", "en"), // contaminated by bench
+      (26L, words("gw", 500), "en"),        // 502 tokens — length outlier
+      (27L, words("hw", 52), "en")          // 54 tokens — kept
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((1L, zTxt, "en")).toDF("doc_id", "text", "lang")
+    val got = rows(graft.ext.Pipeline.corpusPrep(train, bench,
+      "doc_id", "text", "lang").orderBy("id"))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = byId(id).getAs[Boolean](c)
+    def isNull(id: Long, c: String) = byId(id).isNullAt(byId(id).fieldIndex(c))
+
+    assert(got.size == 8)
+    for (id <- Seq(20L, 22L, 27L)) assert(b(id, "kept"), s"doc $id kept")
+    assert(!b(21L, "ok_quality") && !b(21L, "kept"))
+    assert(isNull(21L, "exact_dup")) // never reached stage 2
+    assert(b(23L, "exact_dup") && !b(23L, "kept"))
+    assert(isNull(23L, "near_dup"))
+    assert(b(24L, "near_dup") && !b(24L, "kept"))
+    assert(isNull(24L, "contaminated"))
+    assert(b(25L, "contaminated") && !b(25L, "kept"))
+    assert(byId(25L).getAs[Double]("contamination") > 0.5)
+    assert(isNull(25L, "len_outlier"))
+    assert(b(26L, "len_outlier") && !b(26L, "kept"))
+    // survivors' audit values are populated, not NULL
+    assert(!isNull(20L, "z") && !b(20L, "len_outlier"))
+  }
+
   test("prototypicality: rank 1 is nearest the centroid; keep cut is exact") {
     // two tight clusters around orthogonal axes; seeds = first 2 ids
     val emb = Seq(
