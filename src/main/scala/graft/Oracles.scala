@@ -3153,7 +3153,59 @@ object Oracles {
         |LEFT JOIN nearflag nf USING (doc_id)
         |LEFT JOIN contflag cf USING (doc_id)
         |LEFT JOIN zflag zf USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // x97: the hashing-trick vectorization recomputes end to end — the
+    // polynomial hash is the x92 expression; a zero-length token (the
+    // empty-document tokenization artifact) hashes to 0 by definition
+    "x97_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |h AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(w, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) % 64 AS bucket
+        |  FROM words)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS tf
+        |FROM h GROUP BY 1, 2
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    // x98: ascending-capacity waterfilling as a sequential recursive
+    // CTE — step rn of n allocates min(cap, remaining // (n - rn + 1));
+    // // is BIGINT floor division, identical to the engine's Long /
+    "x98_unimax_mix" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT CAST(source AS VARCHAR) AS source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |ord AS (
+        |  SELECT source, n_docs, n_tokens, n_tokens * 1 AS cap_tokens,
+        |    row_number() OVER (ORDER BY n_tokens * 1, source) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM src),
+        |walk(rn, remaining, alloc_tokens) AS (
+        |  SELECT 0, CAST(25000 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    w.remaining - least(o.cap_tokens,
+        |      w.remaining // (o.n - o.rn + 1)),
+        |    least(o.cap_tokens, w.remaining // (o.n - o.rn + 1))
+        |  FROM walk w JOIN ord o ON o.rn = w.rn + 1)
+        |SELECT o.source, o.n_docs, o.n_tokens, o.cap_tokens,
+        |  w.alloc_tokens,
+        |  CAST(CASE WHEN o.n_tokens <= 0 THEN 0
+        |    ELSE least(1000000, w.alloc_tokens * 1000000 // o.n_tokens)
+        |    END AS BIGINT) AS rate_ppm
+        |FROM walk w JOIN ord o USING (rn)
+        |ORDER BY o.source""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

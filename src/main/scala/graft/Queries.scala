@@ -1758,6 +1758,34 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x97 — feature-hashed document vectors (the hashing trick,
+    * Weinberger et al. 2009): per-document term frequencies bucketed by
+    * `polyHash(token) mod 64`, in sparse (doc, bucket, tf) triples —
+    * vocabulary-free vectorization for corpora with no pretrained
+    * embedding, the input the cosine/ANN family then consumes. The
+    * engine-portable hash keeps the entire vectorization
+    * oracle-recomputed, not just its shape. */
+  val x97FeatureHash: Q = (s, dir) => {
+    TextAnalysis.featureHashTf(Tables.documents(s, dir), "doc_id",
+        "text", dim = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** x98 — UniMax mixture allocation (Chung et al. ICLR 2023): a
+    * 25k-token budget waterfilled across sources, capped at one epoch
+    * per source — ascending-capacity integer floor-division
+    * allocation, so the two smallest sources bind at their caps and
+    * the rest split the remainder evenly (the last source absorbs the
+    * integer remainder). Pure 64-bit arithmetic; the driver-side loop
+    * runs over one row per source (bounded, like languages). */
+  val x98UnimaxMix: Q = (s, dir) => {
+    Sampling.unimaxAllocation(Tables.documents(s, dir), col("source"),
+        TextAnalysis.tokenCount(col("text")), budget = 25000L,
+        maxEpochs = 1L)
+      .orderBy("source")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2291,6 +2319,8 @@ object Queries {
     "x94_robust_z" -> x94RobustZ,
     "x95_prototypicality" -> x95Prototypicality,
     "x96_corpus_prep" -> x96CorpusPrep,
+    "x97_feature_hash" -> x97FeatureHash,
+    "x98_unimax_mix" -> x98UnimaxMix,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -72,7 +72,15 @@ object ScaleProbe {
       // plus the round-9 additions
       "x74_lsh_corpus_dedup", "x75_semantic_canonical",
       "x83_temperature_mix", "x84_bm25_maxp",
-      "x85_chunk_near_dedup", "x86_bm25_topk", "x87_ann_recall")
+      "x85_chunk_near_dedup", "x86_bm25_topk", "x87_ann_recall",
+      // round-10: MMR pool cut, span-set contamination, integer PPS
+      // line, per-lang tiers, winnowing pairs, per-row quality rules,
+      // per-lang exact-median windows, quantizer-rank pruning, and the
+      // five-stage sequential manifest
+      "x88_mmr_topk", "x89_contamination", "x90_systematic_sample",
+      "x91_ccnet_buckets", "x92_winnow_pairs", "x93_gopher_quality",
+      "x94_robust_z", "x95_prototypicality", "x96_corpus_prep",
+      "x97_feature_hash", "x98_unimax_mix")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

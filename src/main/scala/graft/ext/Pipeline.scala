@@ -38,9 +38,16 @@ object Pipeline {
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
       col(textCol).as("__text"))
 
+    // Each stage's verdict is a TINY (id, flag) table consumed by both
+    // the next stage and the final manifest join — checkpoint it so the
+    // heavy text-scan subtree behind it executes ONCE, not once per
+    // downstream consumer (uncheckpointed, the manifest plan re-derives
+    // the quality scan ~6x and the probe measured a scale-INDEPENDENT
+    // ~15 s of pure recompute+latency).
     // stage 1 — rule-based quality
     val quality = TextAnalysis.gopherQuality(train, idCol, textCol)
       .select(col("id"), col("gopher_pass").as("ok_quality"))
+      .localCheckpoint(true)
     val s1 = base.join(quality.where(col("ok_quality")), Seq("id"))
 
     // stage 2 — exact dedup on the canonical-form fingerprint
@@ -49,6 +56,7 @@ object Pipeline {
     val keeper = fp.groupBy("__fp").agg(min("id").as("__keep"))
     val exactFlag = fp.join(keeper, Seq("__fp"))
       .select(col("id"), (col("id") =!= col("__keep")).as("exact_dup"))
+      .localCheckpoint(true)
     val s2 = s1.join(exactFlag.where(!col("exact_dup")), Seq("id"))
 
     // stage 3 — winnowing near-dedup, smallest id per component survives
@@ -61,6 +69,7 @@ object Pipeline {
       .join(comp.select(col("id"), col("cluster")), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("id") =!= col("cluster"), lit(false)).as("near_dup"))
+      .localCheckpoint(true)
     val s3 = s2.join(nearFlag.where(!col("near_dup")), Seq("id"))
 
     // stage 4 — benchmark decontamination (distinct 3-gram spans)
@@ -72,6 +81,7 @@ object Pipeline {
       .select(col("id"), col("contamination"),
         coalesce(col("contamination") > contaminationMax, lit(false))
           .as("contaminated"))
+      .localCheckpoint(true)
     val s4 = s3.join(contFlag.where(!col("contaminated")), Seq("id"))
 
     // stage 5 — per-language robust length outliers among survivors
@@ -79,6 +89,7 @@ object Pipeline {
         s4.select(col("id"), col("lang"), col("n_tokens")),
         Seq("lang"), col("n_tokens"))
       .select(col("id"), col("z"), col("outlier").as("len_outlier"))
+      .localCheckpoint(true)
 
     base.select(col("id"), col("lang"), col("n_tokens"))
       .join(quality, Seq("id"))

@@ -383,4 +383,53 @@ object Sampling {
       .withColumn("shard", col("__shard"))
       .drop("__shard", "__n")
   }
+
+  /** UniMax mixture allocation (Chung et al. ICLR 2023; public recipe):
+    * spread a token `budget` as uniformly as possible across sources,
+    * but never take more than `maxEpochs` passes over any source —
+    * ascending-capacity waterfilling. Sources are processed smallest
+    * cap first; step i of n gets min(cap, remaining div (n − i)), so
+    * small sources are never oversampled and the budget left by capped
+    * sources flows to the big ones (the last source absorbs the
+    * integer remainder).
+    *
+    * All arithmetic is 64-bit integer (floor division) — any engine
+    * re-derives the identical allocation. The per-source reduction is
+    * distributed (map-side-combined sum); only the ALLOCATION LOOP runs
+    * on the driver, over one row per source — source cardinality is
+    * bounded (it is a mixture-design axis, like languages), the same
+    * legitimacy as a centroid table. The `rate_ppm` column is the
+    * downsample rate a [[temperatureMixture]]-style ppm hash predicate
+    * applies (1e6 = keep everything).
+    *
+    * Output: (source, n_docs, n_tokens, cap_tokens, alloc_tokens,
+    * rate_ppm), one row per source. */
+  def unimaxAllocation(df: DataFrame, source: Column, weight: Column,
+      budget: Long, maxEpochs: Long = 1L): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1,
+      s"unimaxAllocation: budget=$budget, maxEpochs=$maxEpochs")
+    val spark = df.sparkSession
+    val per = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(weight).as("n_tokens"))
+      .select(col("source").cast("string"), col("n_docs"),
+        col("n_tokens").cast("long"),
+        (col("n_tokens").cast("long") * maxEpochs).as("cap_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (s, _, _, cap) => (cap, s) }
+    var remaining = budget
+    val n = per.length
+    val rows = per.zipWithIndex.map { case ((s, docs, toks, cap), i) =>
+      val fair = remaining / (n - i) // n - i > 0; integer floor division
+      val alloc = math.min(cap, fair)
+      remaining -= alloc
+      val ratePpm = // BigInt: alloc·1e6 overflows a Long past ~9.2e12 tokens
+        if (toks <= 0L) 0L
+        else math.min(1000000L, (BigInt(alloc) * 1000000L / toks).toLong)
+      (s, docs, toks, cap, alloc, ratePpm)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("source", "n_docs", "n_tokens", "cap_tokens",
+      "alloc_tokens", "rate_ppm")
+  }
 }

@@ -597,6 +597,41 @@ object TextAnalysis {
     * Scale: one scan for the per-row stats; the dominant-token count is
     * a map-side-combinable (id, token) agg — never a per-row O(n·|V|)
     * loop, never a window sort. */
+  /** Feature hashing (the hashing trick, Weinberger et al. ICML 2009):
+    * each lowercased token lands in bucket `polyHash(token) mod dim`,
+    * and the document's feature vector is the per-bucket term-frequency
+    * count — text vectorized WITHOUT a vocabulary pass, the classic
+    * first step when no pretrained embedding exists. Returned sparse,
+    * as (id, bucket, tf) triples — the relational form downstream joins
+    * and the oracle both want; [[featureHashVector]] densifies.
+    *
+    * The hash is [[Dedup.polyHash]] — engine-portable, so the whole
+    * vectorization (not just its shape) is oracle-recomputable.
+    * Scale: tokenize + hash at scan speed, one (id, bucket) partial
+    * agg; output ≤ min(tokens, dim) rows per document. */
+  def featureHashTf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"featureHashTf: dim=$dim must be positive")
+    docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("__w"))
+      .select(col("id"), pmod(Dedup.polyHash(col("__w")), lit(dim.toLong))
+        .as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
+  }
+
+  /** [[featureHashTf]] densified to a fixed `array<double>` of length
+    * `dim` — the form [[Similarity]]'s cosine machinery consumes. One
+    * map_from_entries per document + a constant-length rebuild; never a
+    * dim-wide fold per token. */
+  def featureHashVector(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame =
+    featureHashTf(docs, idCol, textCol, dim)
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf"))))
+        .as("__m"))
+      .select(col("id"), transform(sequence(lit(0L), lit(dim - 1L)),
+        b => coalesce(col("__m")(b), lit(0L)).cast("double")).as("vec"))
+
   def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] =
         Seq("the", "a", "of", "to", "and", "in", "is", "for"),

@@ -1468,6 +1468,51 @@ class ExtSpec extends SparkSpec {
     assert(!isNull(20L, "z") && !b(20L, "len_outlier"))
   }
 
+  test("featureHashTf: buckets match the reference hash; dense form is consistent") {
+    def refHash(s: String): Long =
+      if (s.isEmpty) 0L
+      else s.drop(1).foldLeft(s.head.toLong)((acc, c) =>
+        (acc * 31 + c.toLong) % 1000000007L)
+    // ba/ca land in distinct buckets mod 8 (hash = 7*c1 + c2 mod 8)
+    val d = Seq((1L, "ab ba ab ca"), (2L, "")).toDF("doc_id", "text")
+    val trip = rows(TextAnalysis.featureHashTf(d, "doc_id", "text", dim = 8)
+      .orderBy("id", "bucket"))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(trip((1L, refHash("ab") % 8)) == 2L)
+    assert(trip((1L, refHash("ba") % 8)) == 1L)
+    assert(trip((2L, 0L)) == 1L) // empty text -> one zero-length token
+    // dense form: vec[bucket] = tf, zeros elsewhere, fixed length
+    val vec = rows(TextAnalysis.featureHashVector(d, "doc_id", "text",
+      dim = 8).orderBy("id")).map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vec(1L).length == 8 && vec(2L).length == 8)
+    assert(vec(1L)(refHash("ab").toInt % 8) == 2.0)
+    assert(vec(1L).sum == 4.0) // total mass = token count
+  }
+
+  test("unimaxAllocation: ascending waterfill, caps bind, remainder to the last") {
+    val d = Seq.tabulate(10)(i => ("small", i.toLong, 10L)) ++
+      Seq.tabulate(10)(i => ("mid", 100L + i, 30L)) ++
+      Seq.tabulate(10)(i => ("big", 200L + i, 100L))
+    val df = d.toDF("src", "id", "w")
+    // caps (1 epoch): small 100, mid 300, big 1000; budget 600:
+    // small: min(100, 600/3=200) = 100; mid: min(300, 500/2=250) = 250;
+    // big: min(1000, 250/1) = 250
+    val got = rows(graft.ext.Sampling.unimaxAllocation(df, col("src"),
+      col("w"), budget = 600L).orderBy("source"))
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("small").getAs[Long]("alloc_tokens") == 100L)
+    assert(got("mid").getAs[Long]("alloc_tokens") == 250L)
+    assert(got("big").getAs[Long]("alloc_tokens") == 250L)
+    assert(got("small").getAs[Long]("rate_ppm") == 1000000L) // kept whole
+    assert(got("big").getAs[Long]("rate_ppm") == 250000L)
+    // budget above the cap sum: everything capped, nothing above 1 epoch
+    val all = rows(graft.ext.Sampling.unimaxAllocation(df, col("src"),
+      col("w"), budget = 10000L))
+    assert(all.forall(r =>
+      r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap_tokens")))
+  }
+
   test("prototypicality: rank 1 is nearest the centroid; keep cut is exact") {
     // two tight clusters around orthogonal axes; seeds = first 2 ids
     val emb = Seq(
