@@ -381,6 +381,59 @@ object Streams {
       .start()
   }
 
+  /** Streaming corpus-intake gate: the x96 manifest's first two stages
+    * — Gopher rule-based quality + canonical-fingerprint exact dedup —
+    * as a restart-safe ingest sink. A document is ADMITTED iff it
+    * passes every quality rule AND its canonical fingerprint was not
+    * already admitted, by an earlier batch (the admitted parquet at
+    * `outPath` below this batch id IS the ledger, re-read per batch —
+    * the [[semanticAdmitSink]]/[[passageAdmitSink]] discipline) or
+    * earlier within the batch (smallest id per fingerprint wins, a
+    * combiner-bounded min agg — a hot boilerplate text costs one
+    * combiner per partition, never a window sort). Dynamic partition
+    * overwrite by batch id keeps a replayed batch idempotent: the
+    * batch's own partition is excluded from its judge set.
+    * Appends (id, text, fp, n_tokens, _batch). */
+  def qualityAdmitSink(docStream: DataFrame, idCol: String,
+      textCol: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark0 = docStream.sparkSession
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val quality = graft.ext.TextAnalysis
+          .gopherQuality(batch, idCol, textCol)
+          .where(col("gopher_pass")).select(col("id"))
+        val passed = batch
+          .select(col(idCol).as("id"), col(textCol).as("text"))
+          .join(quality, Seq("id"))
+          .withColumn("fp", graft.ext.TextAnalysis.fingerprint(col("text")))
+          .withColumn("n_tokens",
+            graft.ext.TextAnalysis.tokenCount(col("text")))
+        val first = passed.groupBy("fp").agg(min(col("id")).as("__keep"))
+        val inBatch = passed.join(first, Seq("fp"))
+          .where(col("id") === col("__keep")).drop("__keep")
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark0.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(outPath))) inBatch
+          else {
+            val seen = spark0.read.parquet(outPath)
+              .where(col("_batch").cast("long") < lit(batchId))
+              .select(col("fp"))
+            inBatch.join(seen, Seq("fp"), "left_anti")
+          }
+        fresh.select(col("id"), col("text"), col("fp"), col("n_tokens"))
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming BM25 scorer: score a document STREAM against a fixed
     * query-term profile with corpus statistics (N, Σdl, per-term df)
     * trained ONCE from `corpus` and checkpointed — the serving shape

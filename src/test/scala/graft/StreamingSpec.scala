@@ -784,6 +784,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("qualityAdmitSink: quality gate + fingerprint ledger equals the batch x96 stage-1/2 gate") {
+    implicit val sqlCtx = spark.sqlContext
+    def words(stem: String, n: Int) =
+      "the a " + (1 to n).map(i => f"$stem$i%02d").mkString(" ")
+    val goodA = words("aw", 50)
+    val goodC = words("cw", 51)
+    val goodE = words("ew", 52)
+    // b1: good A, dup pair 3/4 (same text), quality reject 2
+    val b1 = Seq(TDoc(1L, goodA), TDoc(2L, "too short"),
+      TDoc(3L, goodC), TDoc(4L, goodC))
+    // b2: re-delivery of A's text under a new id (ledger refusal) + fresh E
+    val b2 = Seq(TDoc(5L, goodA), TDoc(6L, goodE))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qas")
+    val out = dir.resolve("admitted").toString
+    try {
+      val mem = MemoryStream[TDoc]
+      mem.addData(b1: _*)
+      val q = Streams.qualityAdmitSink(mem.toDF(), "doc_id", "text",
+        out, dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out).select($"id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L, 6L))
+      // ≡ the batch gate over the union (ids rise with batch order, so
+      // smallest-id-wins agrees with first-batch-wins)
+      val union = (b1 ++ b2).toDF()
+      val quality = graft.ext.TextAnalysis
+        .gopherQuality(union, "doc_id", "text")
+        .where($"gopher_pass").select($"id")
+      val batchKept = union.select($"doc_id".as("id"), $"text")
+        .join(quality, Seq("id"))
+        .withColumn("fp", graft.ext.TextAnalysis.fingerprint($"text"))
+        .groupBy($"fp").agg(min($"id").as("id"))
+        .select($"id").collect().map(_.getLong(0)).toSet
+      assert(got == batchKept)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("bigramScoreSink: JM and add-k modes serve per-batch equal to their batch scorers") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.TextAnalysis
