@@ -3205,7 +3205,66 @@ object Oracles {
         |    ELSE least(1000000, w.alloc_tokens * 1000000 // o.n_tokens)
         |    END AS BIGINT) AS rate_ppm
         |FROM walk w JOIN ord o USING (rn)
-        |ORDER BY o.source""".stripMargin
+        |ORDER BY o.source""".stripMargin,
+
+    // x99: the weighted-SimHash derivation recomputes END TO END —
+    // idf is the one transcendental (quantized once, the x78 recipe),
+    // each signature bit is the sign of an exact DECIMAL(38,12) sum,
+    // and the term hash is the portable polynomial composite
+    "x99_weighted_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |tfq AS (
+        |  SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(ln(CAST(n.n AS DOUBLE) / dfc.df) AS DECIMAL(28,12)) AS idf
+        |  FROM dfc CROSS JOIN n),
+        |ph AS (
+        |  SELECT term,
+        |    (CASE WHEN length(term) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(term) + 1),
+        |         j -> ascii(substring(term, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 1073741824 +
+        |    (CASE WHEN length(term) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(term) + 1),
+        |         j -> ascii(substring(reverse(term), j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) AS h
+        |  FROM dfc),
+        |wgt AS (
+        |  SELECT tfq.doc_id, ph.h,
+        |    CAST(tfq.tf AS DECIMAL(9,0)) * idf.idf AS w
+        |  FROM tfq JOIN idf USING (term) JOIN ph USING (term)),
+        |bitsums AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS s
+        |  FROM wgt CROSS JOIN (SELECT unnest(range(0, 32)) AS j) bits
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j
+        |      ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bitsums GROUP BY 1),
+        |bandrows AS (
+        |  SELECT doc_id, b, (sig >> (8 * b)) & 255 AS v
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+        |FROM cand c
+        |JOIN sig sa ON c.id_a = sa.doc_id
+        |JOIN sig sb ON c.id_b = sb.doc_id
+        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        |ORDER BY c.id_a, c.id_b""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

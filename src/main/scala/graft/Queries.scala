@@ -1786,6 +1786,19 @@ object Queries {
       .orderBy("source")
   }
 
+  /** x99 — weighted-SimHash near-dup pairs (Charikar 2002 / Manku et
+    * al. WWW 2007): tf-idf-weighted 32-bit signatures over the
+    * engine-portable composite hash, Manku 4-band candidate
+    * generation (recall 1 for Hamming ≤ 3 by pigeonhole), exact
+    * Hamming verification. Unlike the golden-pinned x04, the ORACLE
+    * RECOMPUTES the signatures themselves — idf quantized once, every
+    * bit a sign of an exact decimal sum. */
+  val x99WeightedSimhash: Q = (s, dir) => {
+    Dedup.weightedSimhashPairs(Tables.documents(s, dir), "doc_id",
+        "text", bits = 32, bands = 4, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2321,6 +2334,7 @@ object Queries {
     "x96_corpus_prep" -> x96CorpusPrep,
     "x97_feature_hash" -> x97FeatureHash,
     "x98_unimax_mix" -> x98UnimaxMix,
+    "x99_weighted_simhash" -> x99WeightedSimhash,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -529,6 +529,105 @@ object Dedup {
         (acc, x) => (acc * lit(31L) + x) % lit(P)))
   }
 
+  /** Weighted SimHash signatures (Charikar STOC 2002, as deployed for
+    * web near-dup detection in Manku et al. WWW 2007): every distinct
+    * term pushes its tf·idf weight onto each signature bit — positive
+    * where the term's hash bit is 1, negative where 0 — and the
+    * signature takes the SIGN of each bit's total. Near-identical
+    * documents differ in few bits; the tf-idf weighting (vs [[simhash]]'s
+    * unweighted tokens) keeps rare discriminative terms in control of
+    * the signature instead of stopwords.
+    *
+    * Engine-exactness: idf = ln(N/df) is the single transcendental,
+    * quantized once per term to DECIMAL(28,12) (the x76/x78
+    * discipline); weights are exact decimal products (tf at
+    * DECIMAL(9,0) so the multiply stays ≤ 38 precision — the x78
+    * bound); per-bit totals are exact decimal SUMS (order-independent),
+    * so the sign — and therefore every signature bit — is
+    * engine-reproducible. The term hash is the 60-bit composite
+    * `polyHash(term)·2³⁰ + polyHash(reverse(term))` — engine-portable
+    * like everything else in this family, so the oracle recomputes the
+    * signatures themselves, unlike the golden-pinned x04.
+    *
+    * Scale shape: tf/df/idf are map-side-combined aggs + one
+    * vocabulary-keyed join; the signature is ONE groupBy(id) carrying
+    * `bits` decimal sum buffers — no per-(doc, term, bit) shuffle
+    * explosion. Output: (id, simhash). */
+  def weightedSimhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"weightedSimhash: bits=$bits not in [1,60]")
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val idf = dfc.crossJoin(broadcast(n))
+      .select(col("term"),
+        log(col("n").cast("double") / col("df"))
+          .cast(DecimalType(28, 12)).as("idf"))
+    val wgt = tf.join(idf, Seq("term"))
+      .select(col("id"),
+        (polyHash(col("term")) * lit(1073741824L) +
+          polyHash(reverse(col("term")))).as("__h"),
+        (when(col("tf") < lit(1000000000L), col("tf").cast(DecimalType(9, 0)))
+          .otherwise(raise_error(concat(
+            lit("weightedSimhash: term frequency "),
+            col("tf").cast("string"),
+            lit(" overflows the DECIMAL(9,0) tf bound")))
+            .cast(DecimalType(9, 0)))
+          * col("idf")).as("__w"))
+    val sums = (0 until bits).map(j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1,
+        col("__w")).otherwise(-col("__w"))).as(s"__s$j"))
+    wgt.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(j =>
+          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Weighted-SimHash near-dup pairs via Manku banding: the `bits`-bit
+    * signature splits into `bands` equal slices; documents sharing ANY
+    * slice value become candidates, verified by exact Hamming distance.
+    * With maxHamming ≤ bands − 1, recall is 1 BY PIGEONHOLE: ≤
+    * bands−1 differing bits cannot touch every band. Candidate volume
+    * is governed by slice width (bits/bands random bits ≈ 2^-width
+    * collision rate per band) — widen `bits` as the corpus grows, the
+    * same width-vs-df trade as [[bandKeys]].
+    * Output: (id_a, id_b, hamming); only (id, band-slice) longs and
+    * (id, signature) longs ever shuffle. */
+  def weightedSimhashPairs(docs: DataFrame, idCol: String,
+      textCol: String, bits: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"weightedSimhashPairs: bits=$bits must divide into bands=$bands")
+    require(maxHamming < bands,
+      s"weightedSimhashPairs: maxHamming=$maxHamming needs bands > it " +
+        "for the pigeonhole recall guarantee")
+    val width = bits / bands
+    val mask = (1L << width) - 1L
+    val sig = weightedSimhash(docs, idCol, textCol, bits)
+      .localCheckpoint(true) // candidates + verification both read it
+    val bandRows = sig.select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
+      .as(Seq("band", "v")))
+    val cand = bandRows.select(col("id").as("id_a"), col("band"), col("v"))
+      .join(bandRows.select(col("id").as("id_b"), col("band"), col("v")),
+        Seq("band", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sig.select(col("id").as("id_a"), col("simhash").as("__sa")),
+        Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("simhash").as("__sb")),
+        Seq("id_b"))
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local fingerprinting algorithm), at
     * word-level k-gram grain: every window of `w` consecutive k-gram

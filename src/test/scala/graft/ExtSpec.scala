@@ -1513,6 +1513,22 @@ class ExtSpec extends SparkSpec {
       r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap_tokens")))
   }
 
+  test("weightedSimhash: identical docs collide at hamming 0; signatures are stable") {
+    val sig1 = rows(Dedup.weightedSimhash(docs, "doc_id", "text"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sig2 = rows(Dedup.weightedSimhash(docs, "doc_id", "text"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig1 == sig2) // deterministic under re-execution
+    assert(sig1(1L) == sig1(4L)) // identical text -> identical signature
+    assert(sig1(3L) != sig1(5L)) // unrelated docs diverge
+    val pairs = rows(Dedup.weightedSimhashPairs(docs, "doc_id", "text"))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.values.forall(_ <= 3))
+    // near-dup 2 differs from 1/4 by one appended token: few bits move
+    assert(pairs.get((1L, 2L)).forall(_ <= 3))
+  }
+
   test("prototypicality: rank 1 is nearest the centroid; keep cut is exact") {
     // two tight clusters around orthogonal axes; seeds = first 2 ids
     val emb = Seq(
