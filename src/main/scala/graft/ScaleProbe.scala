@@ -80,7 +80,7 @@ object ScaleProbe {
       "x88_mmr_topk", "x89_contamination", "x90_systematic_sample",
       "x91_ccnet_buckets", "x92_winnow_pairs", "x93_gopher_quality",
       "x94_robust_z", "x95_prototypicality", "x96_corpus_prep",
-      "x97_feature_hash", "x98_unimax_mix")
+      "x97_feature_hash", "x98_unimax_mix", "x99_weighted_simhash")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
