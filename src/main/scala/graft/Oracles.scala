@@ -3264,7 +3264,63 @@ object Oracles {
         |JOIN sig sa ON c.id_a = sa.doc_id
         |JOIN sig sb ON c.id_b = sb.doc_id
         |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
-        |ORDER BY c.id_a, c.id_b""".stripMargin
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    // x100: three BPE rounds chained — each round's argmax pair feeds
+    // the next round's rewrite; the rewrite is the SAME seeded left
+    // fold the engine runs (list_reduce seeds with the first element,
+    // matching Spark's aggregate(slice(2..), first, ...)), so greedy
+    // left-to-right non-overlap agrees symbol for symbol
+    "x100_bpe_merges" ->
+      """WITH w0 AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |s0 AS (
+        |  SELECT freq, list_transform(range(1, length(w) + 1),
+        |    i -> substring(w, i, 1)) AS syms
+        |  FROM w0),
+        |p0 AS (
+        |  SELECT syms[i] AS p1, syms[i+1] AS p2,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s0)
+        |  GROUP BY 1, 2),
+        |b0 AS (SELECT p1, p2, cnt FROM p0 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |s1 AS (
+        |  SELECT s0.freq, string_split(list_reduce(s0.syms, (acc, x) ->
+        |    CASE WHEN regexp_extract(acc, '[^ ]+$') = b0.p1 AND x = b0.p2
+        |      THEN substring(acc, 1, length(acc) - length(b0.p1))
+        |        || b0.p1 || b0.p2
+        |      ELSE acc || ' ' || x END), ' ') AS syms
+        |  FROM s0 CROSS JOIN b0),
+        |p1c AS (
+        |  SELECT syms[i] AS p1, syms[i+1] AS p2,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s1)
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT p1, p2, cnt FROM p1c ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |s2 AS (
+        |  SELECT s1.freq, string_split(list_reduce(s1.syms, (acc, x) ->
+        |    CASE WHEN regexp_extract(acc, '[^ ]+$') = b1.p1 AND x = b1.p2
+        |      THEN substring(acc, 1, length(acc) - length(b1.p1))
+        |        || b1.p1 || b1.p2
+        |      ELSE acc || ' ' || x END), ' ') AS syms
+        |  FROM s1 CROSS JOIN b1),
+        |p2c AS (
+        |  SELECT syms[i] AS p1, syms[i+1] AS p2,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s2)
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT p1, p2, cnt FROM p2c ORDER BY cnt DESC, p1, p2 LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS round, p1, p2, p1 || p2 AS merged, cnt
+        |FROM b0
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), p1, p2, p1 || p2, cnt FROM b1
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), p1, p2, p1 || p2, cnt FROM b2
+        |ORDER BY round""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

@@ -1799,6 +1799,19 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** x100 — BPE merge mining (Sennrich et al. 2016): the first three
+    * byte-pair-encoding merges learned from the corpus — distributed
+    * vocabulary induction. Each round is one corpus-wide adjacent-pair
+    * count plus a one-row argmax collect; the merge rewrite is a
+    * seeded left fold (left-to-right non-overlapping, the reference
+    * greedy) that DuckDB's list_reduce expresses identically, so the
+    * whole sequential derivation recomputes under the oracle. */
+  val x100BpeMerges: Q = (s, dir) => {
+    TextAnalysis.bpeMerges(Tables.documents(s, dir), "doc_id", "text",
+        k = 3)
+      .orderBy("round")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2335,6 +2348,7 @@ object Queries {
     "x97_feature_hash" -> x97FeatureHash,
     "x98_unimax_mix" -> x98UnimaxMix,
     "x99_weighted_simhash" -> x99WeightedSimhash,
+    "x100_bpe_merges" -> x100BpeMerges,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

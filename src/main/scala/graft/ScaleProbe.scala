@@ -80,7 +80,8 @@ object ScaleProbe {
       "x88_mmr_topk", "x89_contamination", "x90_systematic_sample",
       "x91_ccnet_buckets", "x92_winnow_pairs", "x93_gopher_quality",
       "x94_robust_z", "x95_prototypicality", "x96_corpus_prep",
-      "x97_feature_hash", "x98_unimax_mix", "x99_weighted_simhash")
+      "x97_feature_hash", "x98_unimax_mix", "x99_weighted_simhash",
+      "x100_bpe_merges")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
@@ -107,7 +108,12 @@ object ScaleProbe {
       "x57_semantic_auto" -> (dir =>
         graft.ext.Similarity.semanticDedup(
           graft.sources.Tables.embeddings(spark, dir), "vec_id",
-          "embedding", threshold = 0.45)))
+          "embedding", threshold = 0.45)),
+      // the x99 scale path: auto band width vs the query's pinned
+      // 32-bit signature (fixed width measured 35x wall at 10x rows)
+      "x99_simhash_auto" -> (dir =>
+        graft.ext.Dedup.weightedSimhashPairsAuto(
+          graft.sources.Tables.documents(spark, dir), "doc_id", "text")))
     val ops = opsAll.filter { case (name, _) => only.forall(_.contains(name)) }
     // JIT/scan warm-up
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -597,6 +597,24 @@ object Dedup {
     * same width-vs-df trade as [[bandKeys]].
     * Output: (id_a, id_b, hamming); only (id, band-slice) longs and
     * (id, signature) longs ever shuffle. */
+  /** [[weightedSimhashPairs]] with the band width AUTO-SIZED to the
+    * corpus: width ≈ log2(n / targetOccupancy) keeps expected
+    * same-band occupancy — and therefore the n²/2^width candidate
+    * bill — CONSTANT as the corpus grows (the [[Similarity
+    * .autoBitsPerBand]] discipline; a fixed 32-bit signature measured
+    * 35× wall at 10× rows, pure band-bucket crowding). Width is
+    * clamped to [4, 15] so bands × width ≤ 60 composite-hash bits. */
+  def weightedSimhashPairsAuto(docs: DataFrame, idCol: String,
+      textCol: String, bands: Int = 4, maxHamming: Int = 3,
+      targetOccupancy: Long = 4L): DataFrame = {
+    val n = docs.count()
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n + targetOccupancy - 1) / targetOccupancy) - 1)
+    val width = math.min(15, math.max(4, needed))
+    weightedSimhashPairs(docs, idCol, textCol, bits = bands * width,
+      bands = bands, maxHamming = maxHamming)
+  }
+
   def weightedSimhashPairs(docs: DataFrame, idCol: String,
       textCol: String, bits: Int = 32, bands: Int = 4,
       maxHamming: Int = 3): DataFrame = {

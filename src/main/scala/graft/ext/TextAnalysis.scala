@@ -597,6 +597,71 @@ object TextAnalysis {
     * Scale: one scan for the per-row stats; the dominant-token count is
     * a map-side-combinable (id, token) agg — never a per-row O(n·|V|)
     * loop, never a window sort. */
+  /** The first `k` merges of byte-pair encoding (Sennrich et al. ACL
+    * 2016; public algorithm) over the corpus — distributed vocabulary
+    * induction. Words are lowercased whitespace tokens weighted by
+    * corpus frequency; each round counts adjacent symbol pairs
+    * (multiplicity × word frequency), picks the most frequent pair
+    * (ties: smaller (p1, p2)), and rewrites every word by the
+    * LEFT-TO-RIGHT NON-OVERLAPPING merge — "aaa" under (a,a) becomes
+    * [aa, a], the reference greedy.
+    *
+    * The rewrite is a seeded left fold over the symbol list with the
+    * accumulator a space-joined string (state: "last symbol" =
+    * trailing token) — the SAME fold shape DuckDB's `list_reduce`
+    * expresses, which is what makes the whole k-round derivation
+    * oracle-recomputable. BPE is inherently sequential across rounds:
+    * each round is one distributed count + a ONE-ROW argmax collect
+    * (the merge pair), k small by design. The word-type table is
+    * checkpointed per round so lineage stays flat.
+    * Output: (round, p1, p2, merged, cnt), `k` rows. */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 50, s"bpeMerges: k=$k out of [1,50]")
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"),
+        col("freq"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (round <- 1 to k) {
+      val pairs = words.select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p.0").as("p1"), col("p.1").as("p2"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val p1: String = top(0).getString(0)
+        val p2: String = top(0).getString(1)
+        val cnt = top(0).getLong(2)
+        out += ((round, p1, p2, p1 + p2, cnt))
+        // left-to-right greedy: if the accumulator's trailing symbol is
+        // p1 and the next symbol is p2, replace the tail with the
+        // merged symbol; else append. Seeded with the first symbol —
+        // the exact shape DuckDB's list_reduce folds.
+        val mergedStr = aggregate(
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          element_at(col("syms"), 1),
+          (acc, x) => when(
+            regexp_extract(acc, "[^ ]+$", 0) === lit(p1) && x === lit(p2),
+            concat(acc.substr(lit(1), length(acc) - lit(p1.length)),
+              lit(p1 + p2)))
+            .otherwise(concat(acc, lit(" "), x)))
+        words = words
+          .select(split(mergedStr, " ").as("syms"), col("freq"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("round", "p1", "p2", "merged", "cnt")
+  }
+
   /** Feature hashing (the hashing trick, Weinberger et al. ICML 2009):
     * each lowercased token lands in bucket `polyHash(token) mod dim`,
     * and the document's feature vector is the per-bucket term-frequency

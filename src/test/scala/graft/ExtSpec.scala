@@ -1529,6 +1529,22 @@ class ExtSpec extends SparkSpec {
     assert(pairs.get((1L, 2L)).forall(_ <= 3))
   }
 
+  test("bpeMerges: hand-traced greedy merges, left-to-right non-overlap") {
+    // words: "aaab" x2, "ab" x1
+    // r1: (a,a)=4 beats (a,b)=3 -> merge aa; aaab => [aa,a,b]
+    // r2: (a,b)=3 beats (aa,a)=2 -> merge ab; => [aa,ab] / [ab]
+    // r3: (aa,ab)=2 -> merge aaab
+    val d = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.bpeMerges(d, "doc_id", "text", k = 3)
+      .orderBy("round"))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
   test("prototypicality: rank 1 is nearest the centroid; keep cut is exact") {
     // two tight clusters around orthogonal axes; seeds = first 2 ids
     val emb = Seq(
