@@ -3320,7 +3320,44 @@ object Oracles {
         |SELECT CAST(2 AS INTEGER), p1, p2, p1 || p2, cnt FROM b1
         |UNION ALL
         |SELECT CAST(3 AS INTEGER), p1, p2, p1 || p2, cnt FROM b2
-        |ORDER BY round""".stripMargin
+        |ORDER BY round""".stripMargin,
+
+    // x101: sparse dot via the shared-bucket join — all-integer until
+    // the final sqrt-divide; double accumulation of integer-valued
+    // terms is exact on both engines, so the cosine is one IEEE chain
+    "x101_hashed_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |h AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(w, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) % 64 AS bucket
+        |  FROM words),
+        |tfb AS (SELECT doc_id, bucket, count(*) AS tf FROM h GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        |        FROM tfb GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM tfb a JOIN tfb b
+        |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |      AS cosine
+        |  FROM dots d
+        |  JOIN nrm na ON d.id_a = na.doc_id
+        |  JOIN nrm nb ON d.id_b = nb.doc_id)
+        |SELECT id_a, id_b, cosine FROM scored
+        |WHERE cosine >= 0.95e0
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

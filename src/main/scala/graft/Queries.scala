@@ -1812,6 +1812,21 @@ object Queries {
       .orderBy("round")
   }
 
+  /** x101 — vocabulary-free near-dup: x97's feature-hashed tf vectors
+    * fed to exact cosine pairing (threshold 0.95) — near-duplicate
+    * detection with NO pretrained embedding, every stage (hash,
+    * bucketing, dot, norm) oracle-recomputed. Exact integer dot
+    * products via the shared-bucket join; the only floating point is
+    * the final sqrt-divide. The brute-force form is the x05-style
+    * baseline; the scale path composes the same vectors with the LSH
+    * family (probed as an auto arm, rows-only). */
+  val x101HashedNearDup: Q = (s, dir) => {
+    val vecs = TextAnalysis.featureHashVector(Tables.documents(s, dir),
+      "doc_id", "text", dim = 64)
+    Similarity.nearDupPairs(vecs, "id", "vec", threshold = 0.95)
+      .orderBy("id_a", "id_b")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2349,6 +2364,7 @@ object Queries {
     "x98_unimax_mix" -> x98UnimaxMix,
     "x99_weighted_simhash" -> x99WeightedSimhash,
     "x100_bpe_merges" -> x100BpeMerges,
+    "x101_hashed_neardup" -> x101HashedNearDup,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -102,4 +102,22 @@ object Pipeline {
           !col("contaminated") && !col("len_outlier"),
         lit(false)))
   }
+
+  /** Per-stage yield report over a [[corpusPrep]] manifest — the one
+    * row a pipeline owner actually watches: how many documents each
+    * stage dropped and how many survived. NULL stage flags (documents
+    * an earlier stage already dropped) count toward their dropping
+    * stage only, so the columns sum to n_docs exactly:
+    * n_docs = n_quality_fail + n_exact_dup + n_near_dup +
+    * n_contaminated + n_len_outlier + n_kept. One combiner-bounded
+    * aggregate; no second pipeline run. */
+  def stageReport(manifest: DataFrame): DataFrame =
+    manifest.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(!col("ok_quality"), 1L).otherwise(0L)).as("n_quality_fail"),
+      sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+      sum(when(col("near_dup"), 1L).otherwise(0L)).as("n_near_dup"),
+      sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+      sum(when(col("len_outlier"), 1L).otherwise(0L)).as("n_len_outlier"),
+      sum(col("kept").cast("long")).as("n_kept"))
 }

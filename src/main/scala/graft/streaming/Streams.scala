@@ -434,6 +434,49 @@ object Streams {
       .start()
   }
 
+  /** Streaming UniMax re-planning: after each micro-batch of arriving
+    * documents, recompute the [[graft.ext.Sampling.unimaxAllocation]]
+    * table over EVERYTHING seen so far (the arrivals parquet at
+    * `seenPath` below this batch id IS the ledger — the admission-sink
+    * discipline applied to a planning output) and append the fresh
+    * allocation stamped with the batch id. The latest `_batch`
+    * partition is the current mixture plan; the history is the plan's
+    * evolution as sources grow. Per-batch output ≡ the batch allocator
+    * over the union of batches (StreamingSpec). Dynamic partition
+    * overwrite keeps replays idempotent on both paths.
+    * Appends (source, n_docs, n_tokens, cap_tokens, alloc_tokens,
+    * rate_ppm, _batch) to `outPath`; raw (source, n_tokens_doc) rows
+    * to `seenPath`. */
+  def unimaxPlanSink(docStream: DataFrame, sourceCol: String,
+      weight: org.apache.spark.sql.Column, budget: Long,
+      maxEpochs: Long, outPath: String, seenPath: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark0 = docStream.sparkSession
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrivals = batch.select(col(sourceCol).as("source"),
+          weight.cast("long").as("n_tokens_doc"))
+        arrivals.withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch").parquet(seenPath)
+        // everything at or below this batch id: earlier batches from
+        // the ledger + this batch's own (just-overwritten) partition
+        val seen = spark0.read.parquet(seenPath)
+          .where(col("_batch").cast("long") <= lit(batchId))
+        val plan = graft.ext.Sampling.unimaxAllocation(seen,
+          col("source"), col("n_tokens_doc"), budget, maxEpochs)
+        plan.withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming BM25 scorer: score a document STREAM against a fixed
     * query-term profile with corpus statistics (N, Σdl, per-term df)
     * trained ONCE from `corpus` and checkpointed — the serving shape

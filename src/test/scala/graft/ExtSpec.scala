@@ -1466,6 +1466,18 @@ class ExtSpec extends SparkSpec {
     assert(b(26L, "len_outlier") && !b(26L, "kept"))
     // survivors' audit values are populated, not NULL
     assert(!isNull(20L, "z") && !b(20L, "len_outlier"))
+
+    // the yield report: one row, columns partition the input exactly
+    val rep = rows(graft.ext.Pipeline.stageReport(
+      graft.ext.Pipeline.corpusPrep(train, bench,
+        "doc_id", "text", "lang"))).head
+    assert(rep.getAs[Long]("n_docs") == 8L)
+    assert(rep.getAs[Long]("n_quality_fail") == 1L)
+    assert(rep.getAs[Long]("n_exact_dup") == 1L)
+    assert(rep.getAs[Long]("n_near_dup") == 1L)
+    assert(rep.getAs[Long]("n_contaminated") == 1L)
+    assert(rep.getAs[Long]("n_len_outlier") == 1L)
+    assert(rep.getAs[Long]("n_kept") == 3L)
   }
 
   test("featureHashTf: buckets match the reference hash; dense form is consistent") {

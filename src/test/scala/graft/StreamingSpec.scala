@@ -8,6 +8,7 @@ case class Ev(pk: Long, ts: java.sql.Timestamp, v: String)
 case class DiffRow(pk: Long, change: String, old_v: String, new_v: String)
 case class QV(vec_id: Long, embedding: Array[Float])
 case class TDoc(doc_id: Long, text: String)
+case class TSrc(id: Long, src: String, w: Long)
 
 /** Streaming forms agree with the batch operators: replayed duplicates
   * insert nothing (A5 in streaming terms), windowed counts match the
@@ -822,6 +823,46 @@ class StreamingSpec extends SparkSpec {
         .groupBy($"fp").agg(min($"id").as("id"))
         .select($"id").collect().map(_.getLong(0)).toSet
       assert(got == batchKept)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("unimaxPlanSink: each batch's plan equals the batch allocator over all arrivals so far") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(TSrc(1L, "small", 60L), TSrc(2L, "big", 200L))
+    val b2 = Seq(TSrc(3L, "small", 40L), TSrc(4L, "mid", 150L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ump")
+    val out = dir.resolve("plan").toString
+    val seen = dir.resolve("seen").toString
+    try {
+      val mem = MemoryStream[TSrc]
+      mem.addData(b1: _*)
+      val q = Streams.unimaxPlanSink(mem.toDF(), "src", $"w",
+        budget = 300L, maxEpochs = 1L, out, seen,
+        dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def planAt(batch: Long) = spark.read.parquet(out)
+        .where($"_batch".cast("long") === batch)
+        .select($"source", $"alloc_tokens").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch 0: caps small 60, big 200; fair 300/2=150 -> small 60,
+      // big min(200, 240) = 200
+      assert(planAt(0L) == Map("small" -> 60L, "big" -> 200L))
+      // batch 1 re-plans over the union: caps small 100, mid 150,
+      // big 200; fair 100 -> small 100, mid min(150,100)=100, big 100
+      assert(planAt(1L) == Map("small" -> 100L, "mid" -> 100L,
+        "big" -> 100L))
+      // ≡ the batch allocator over all arrivals
+      val union = (b1 ++ b2).toDF()
+      val batchPlan = graft.ext.Sampling.unimaxAllocation(union,
+        $"src", $"w", budget = 300L, maxEpochs = 1L)
+        .select($"source", $"alloc_tokens").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(planAt(1L) == batchPlan)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
