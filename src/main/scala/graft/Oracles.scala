@@ -3357,7 +3357,37 @@ object Oracles {
         |  JOIN nrm nb ON d.id_b = nb.doc_id)
         |SELECT id_a, id_b, cosine FROM scored
         |WHERE cosine >= 0.95e0
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // x102: H = lnT - (Σ c·ln c)/T — each ln quantized to
+    // DECIMAL(28,12); decimal→double crossings go through the exact
+    // decimal STRING (the x64 pairing: Spark's decimal→double cast ≡
+    // DuckDB's via-VARCHAR); the final combination is a fixed-order
+    // IEEE chain, never a decimal ADD (Spark would rescale (38,12)
+    // sums silently — the x78 lesson applies to addition too)
+    "x102_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(lower(text)) + 1),
+        |      i -> substring(lower(text), i, 1))) AS c
+        |  FROM documents),
+        |cnts AS (SELECT doc_id, c, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t,
+        |    sum(CAST(cnt AS DECIMAL(9,0)) *
+        |      CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,12))) AS s
+        |  FROM cnts GROUP BY 1),
+        |h AS (
+        |  SELECT doc_id, t,
+        |    CAST(CAST(CAST(ln(CAST(t AS DOUBLE)) AS DECIMAL(28,12))
+        |      AS VARCHAR) AS DOUBLE) -
+        |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(t AS DOUBLE)
+        |      AS entropy
+        |  FROM terms)
+        |SELECT d.doc_id, CAST(coalesce(h.t, 0) AS BIGINT) AS n_chars,
+        |  h.entropy
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

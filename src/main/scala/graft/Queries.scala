@@ -1827,6 +1827,18 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** x102 — character-entropy junk signal: per-document Shannon
+    * entropy of the lowercased character distribution — low tail
+    * catches repeated-character padding, high tail catches
+    * base64/binary spill; natural language sits ~2.5-3.2 nats. Each
+    * ln quantized once, Σ c·ln(c) an exact decimal sum, the final
+    * combination a fixed-order IEEE chain (x70 discipline). */
+  val x102CharEntropy: Q = (s, dir) => {
+    TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2365,6 +2377,7 @@ object Queries {
     "x99_weighted_simhash" -> x99WeightedSimhash,
     "x100_bpe_merges" -> x100BpeMerges,
     "x101_hashed_neardup" -> x101HashedNearDup,
+    "x102_char_entropy" -> x102CharEntropy,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

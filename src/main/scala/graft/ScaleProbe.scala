@@ -113,7 +113,16 @@ object ScaleProbe {
       // 32-bit signature (fixed width measured 35x wall at 10x rows)
       "x99_simhash_auto" -> (dir =>
         graft.ext.Dedup.weightedSimhashPairsAuto(
-          graft.sources.Tables.documents(spark, dir), "doc_id", "text")))
+          graft.sources.Tables.documents(spark, dir), "doc_id", "text")),
+      // the x101 scale path: the exact pairwise form is the x05-class
+      // quadratic baseline by DESIGN (not probed past sf0.1); at scale
+      // the same hashed-tf vectors feed the LSH pair family
+      "x101_hashed_lsh_auto" -> (dir =>
+        graft.ext.Similarity.lshNearDupPairs(
+          graft.ext.TextAnalysis.featureHashVector(
+            graft.sources.Tables.documents(spark, dir), "doc_id", "text",
+            dim = 64),
+          "id", "vec", 0.95, bands = 4, maxDim = 64)))
     val ops = opsAll.filter { case (name, _) => only.forall(_.contains(name)) }
     // JIT/scan warm-up
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -662,6 +662,44 @@ object TextAnalysis {
     out.result().toDF("round", "p1", "p2", "merged", "cnt")
   }
 
+  /** Shannon character entropy per document (nats, over the lowercased
+    * character distribution) — the junk detector that catches what
+    * token-level rules miss: binary spill, base64 blobs and repeated-
+    * character padding sit far from natural-language entropy (~2.5-3.2
+    * nats) on both tails.
+    *
+    * Exactness: H = ln(T) − (Σ c·ln(c))/T. Each ln is quantized once
+    * to DECIMAL(28,12) (the x70/x76 recipe); Σ c·ln(c) is an exact
+    * decimal sum; the FINAL combination runs in IEEE doubles in a
+    * fixed order (lnT − s/T) — deliberately NOT a decimal subtraction,
+    * whose (38,12)−(38,12) result Spark silently rescales to
+    * (38,11) while DuckDB does not (the x78 multiply lesson applies
+    * to ADD too). Decimal→double crossings go through the exact
+    * decimal string on the oracle side (the x64 pairing).
+    * Scale: one char explode (linear in corpus bytes) + two
+    * combiner-bounded aggs. Output: (id, n_chars, entropy); empty
+    * documents get n_chars 0 and NULL entropy. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val chars = docs.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "")).as("c"))
+      .where(length(col("c")) > 0)
+    val cnts = chars.groupBy("id", "c").agg(count(lit(1)).as("cnt"))
+    val lnq = log(col("cnt").cast("double")).cast(DecimalType(28, 12))
+    val terms = cnts.groupBy("id").agg(
+      sum(col("cnt")).as("__t"),
+      sum(col("cnt").cast(DecimalType(9, 0)) * lnq).as("__s"))
+    val lnT = log(col("__t").cast("double")).cast(DecimalType(28, 12))
+    val ent = lnT.cast("double") -
+      col("__s").cast("double") / col("__t").cast("double")
+    docs.select(col(idCol).as("id"))
+      .join(terms.select(col("id"), col("__t"), ent.as("entropy")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__t"), lit(0L)).as("n_chars"),
+        col("entropy"))
+  }
+
   /** Feature hashing (the hashing trick, Weinberger et al. ICML 2009):
     * each lowercased token lands in bucket `polyHash(token) mod dim`,
     * and the document's feature vector is the per-bucket term-frequency

@@ -1557,6 +1557,24 @@ class ExtSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 2L)))
   }
 
+  test("charEntropy: hand-computed values; degenerate and empty docs behave") {
+    val d = Seq((1L, "aab"), (2L, "aaaa"), (3L, ""), (4L, "abcd"))
+      .toDF("doc_id", "text")
+    val got = rows(TextAnalysis.charEntropy(d, "doc_id", "text")
+      .orderBy("id"))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // "aab": ln3 - (2 ln2 + 0)/3
+    val h1 = byId(1L).getAs[Double]("entropy")
+    assert(math.abs(h1 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-9)
+    // single repeated char: exactly 0 (ln1 quantizes to 0 exactly)
+    assert(byId(2L).getAs[Double]("entropy") == 0.0)
+    // empty text: no characters, NULL entropy, row still present
+    assert(byId(3L).getAs[Long]("n_chars") == 0L)
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("entropy")))
+    // uniform 4 chars: ln4
+    assert(math.abs(byId(4L).getAs[Double]("entropy") - math.log(4)) < 1e-9)
+  }
+
   test("prototypicality: rank 1 is nearest the centroid; keep cut is exact") {
     // two tight clusters around orthogonal axes; seeds = first 2 ids
     val emb = Seq(
