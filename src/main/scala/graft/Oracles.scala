@@ -3387,7 +3387,64 @@ object Oracles {
         |SELECT d.doc_id, CAST(coalesce(h.t, 0) AS BIGINT) AS n_chars,
         |  h.entropy
         |FROM documents d LEFT JOIN h USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // x103: the x92 pair CTEs + the x16 reachability discipline; a
+    // node's component label is the least id it can reach (incl self)
+    "x103_dedup_histogram" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]) AS s
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i
+        |        FROM toks)),
+        |hashed AS (
+        |  SELECT doc_id, pos,
+        |    CAST(list_reduce(list_transform(range(1, length(s) + 1),
+        |        j -> ascii(substring(s, j, 1))),
+        |      (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |      AS BIGINT) AS h
+        |  FROM sh),
+        |win AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM hashed),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, wmin AS fp FROM win
+        |  WHERE pos <= greatest(0, CAST(m AS INTEGER) - 4)),
+        |kept AS (
+        |  SELECT f.doc_id, f.fp FROM fp f
+        |  JOIN (SELECT fp, count(*) AS dfc FROM fp GROUP BY 1) d USING (fp)
+        |  WHERE d.dfc <= 50),
+        |wpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM wpairs
+        |          UNION SELECT d2, d1 FROM wpairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |lab AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src),
+        |sizes AS (SELECT cluster, count(*) AS cluster_size FROM lab
+        |          GROUP BY 1),
+        |hist AS (SELECT cluster_size, count(*) AS n_clusters FROM sizes
+        |         GROUP BY 1),
+        |singles AS (
+        |  SELECT 1 AS cluster_size, count(*) AS n_clusters FROM documents
+        |  WHERE doc_id NOT IN (SELECT id FROM lab))
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+        |GROUP BY 1 HAVING sum(n_clusters) > 0
+        |ORDER BY cluster_size""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

@@ -1839,6 +1839,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x103 — near-dup cluster-size histogram over the x92 winnowing
+    * pair graph: how many clusters of each size (singletons bucket 1)
+    * — the dedup observability alarm (mass at high sizes = boilerplate
+    * or a broken threshold) read before trusting any survivor set. */
+  val x103DedupHistogram: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Dedup.clusterSizeHistogram(
+        Dedup.winnowPairs(d, "doc_id", "text", k = 3, w = 4,
+          minShared = 2L, maxDf = 50L),
+        d, "doc_id")
+      .orderBy("cluster_size")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2378,6 +2391,7 @@ object Queries {
     "x100_bpe_merges" -> x100BpeMerges,
     "x101_hashed_neardup" -> x101HashedNearDup,
     "x102_char_entropy" -> x102CharEntropy,
+    "x103_dedup_histogram" -> x103DedupHistogram,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

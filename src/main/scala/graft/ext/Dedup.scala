@@ -529,6 +529,27 @@ object Dedup {
         (acc, x) => (acc * lit(31L) + x) % lit(P)))
   }
 
+  /** Near-dup cluster-size HISTOGRAM — the dedup observability row a
+    * pipeline owner reads before trusting a survivor set: how many
+    * clusters of each size the pair graph produces (singletons = docs
+    * untouched by any pair, bucket 1). A sudden mass at high sizes
+    * means boilerplate or a broken threshold; the histogram is the
+    * cheap alarm. Shuffles (id, label) pairs + two bounded aggs.
+    * Output: (cluster_size, n_clusters), empty buckets omitted. */
+  def clusterSizeHistogram(pairs: DataFrame, universe: DataFrame,
+      idCol: String): DataFrame = {
+    val comp = clusters(pairs)
+    val hist = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = universe.select(col(idCol).as("id")).distinct()
+      .join(comp.select(col("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.unionByName(singles)
+      .groupBy("cluster_size").agg(sum(col("n_clusters")).as("n_clusters"))
+      .where(col("n_clusters") > 0)
+  }
+
   /** Weighted SimHash signatures (Charikar STOC 2002, as deployed for
     * web near-dup detection in Manku et al. WWW 2007): every distinct
     * term pushes its tf·idf weight onto each signature bit — positive

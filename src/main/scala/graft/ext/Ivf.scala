@@ -616,4 +616,28 @@ object Ivf {
       .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Persist a trained quantizer as a (cid, cv, cn) parquet — train
+    * once, serve from any later session (the production index
+    * lifecycle: the ingest job trains, every reader [[loadModel]]s).
+    * The on-disk form is exactly the DataFrame shape the fine-as-data
+    * family already uses, so a saved model is also directly joinable. */
+  def saveModel(cent: Centroids, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    cent.toSeq.toDF("cid", "cv", "cn")
+      .coalesce(1) // nlist rows — one file, not one per shuffle partition
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] quantizer; cid-ascending like [[train]], so
+    * assignment under a loaded model is bit-identical to assignment
+    * under the freshly trained one (spec-asserted). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Centroids =
+    spark.read.parquet(path)
+      .select(col("cid"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
 }

@@ -164,4 +164,31 @@ class IvfTrainSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(viaData == viaConst)
   }
+
+  test("saveModel/loadModel: round-trip is exact; assignment is bit-identical") {
+    val emb = graft.sources.Tables.embeddings(spark,
+      "/root/testdata/sf0.001")
+    val cents = Ivf.train(emb, "vec_id", "embedding", nlist = 8,
+      refineIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfm")
+    try {
+      val path = dir.resolve("model").toString
+      Ivf.saveModel(cents, path, spark)
+      val loaded = Ivf.loadModel(spark, path)
+      assert(loaded.length == cents.length)
+      for (((c1, v1, n1), (c2, v2, n2)) <- cents.zip(loaded)) {
+        assert(c1 == c2 && n1 == n2)
+        assert(java.util.Arrays.equals(v1, v2))
+      }
+      val a = rows(Ivf.assignWith(emb, "vec_id", "embedding", cents)
+        .select($"neighbor_id", $"cid").orderBy("neighbor_id"))
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val b = rows(Ivf.assignWith(emb, "vec_id", "embedding", loaded)
+        .select($"neighbor_id", $"cid").orderBy("neighbor_id"))
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(a == b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
