@@ -3444,7 +3444,43 @@ object Oracles {
         |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters
         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
         |GROUP BY 1 HAVING sum(n_clusters) > 0
-        |ORDER BY cluster_size""".stripMargin
+        |ORDER BY cluster_size""".stripMargin,
+
+    // x104: the x98 waterfill + the x83 salted ppm predicate
+    // (374496506 = 0x51ed2701 % 1000000007)
+    "x104_unimax_sample" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT CAST(source AS VARCHAR) AS source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |ord AS (
+        |  SELECT source, n_docs, n_tokens, n_tokens * 1 AS cap_tokens,
+        |    row_number() OVER (ORDER BY n_tokens * 1, source) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM src),
+        |walk(rn, remaining, alloc_tokens) AS (
+        |  SELECT 0, CAST(25000 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    w.remaining - least(o.cap_tokens,
+        |      w.remaining // (o.n - o.rn + 1)),
+        |    least(o.cap_tokens, w.remaining // (o.n - o.rn + 1))
+        |  FROM walk w JOIN ord o ON o.rn = w.rn + 1),
+        |rates AS (
+        |  SELECT o.source,
+        |    CAST(CASE WHEN o.n_tokens <= 0 THEN 0
+        |      ELSE least(1000000, w.alloc_tokens * 1000000 // o.n_tokens)
+        |      END AS BIGINT) AS rate_ppm
+        |  FROM walk w JOIN ord o USING (rn))
+        |SELECT d.doc_id, d.source,
+        |  CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE (((d.doc_id % 1000000007) * 374496506) % 1000000007)
+        |  % 1000000 < r.rate_ppm
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

@@ -1852,6 +1852,20 @@ object Queries {
       .orderBy("cluster_size")
   }
 
+  /** x104 — executed UniMax sample: the x98 allocation table applied
+    * as a per-source ppm hash predicate (the x83 machinery) — plan to
+    * sample in one composition. Capped sources keep everything
+    * (rate 1e6 exactly); fair-bound sources downsample to their
+    * allocated share. */
+  val x104UnimaxSample: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Sampling.unimaxSample(d, col("doc_id"), col("source"),
+        col("n_tokens"), budget = 25000L, maxEpochs = 1L)
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2392,6 +2406,7 @@ object Queries {
     "x101_hashed_neardup" -> x101HashedNearDup,
     "x102_char_entropy" -> x102CharEntropy,
     "x103_dedup_histogram" -> x103DedupHistogram,
+    "x104_unimax_sample" -> x104UnimaxSample,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

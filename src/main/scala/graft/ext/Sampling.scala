@@ -384,6 +384,27 @@ object Sampling {
       .drop("__shard", "__n")
   }
 
+  /** EXECUTE a [[unimaxAllocation]] plan: keep each source's rows at
+    * its allocated rate through the same salted multiplicative-hash
+    * ppm predicate as [[temperatureMixture]] — no RNG, re-sharding
+    * cannot move a row in or out, and a fully-allocated source
+    * (rate_ppm = 1e6) is kept verbatim. The plan broadcasts (one row
+    * per source); the keep decision composes into the scan. */
+  def unimaxSample(df: DataFrame, id: Column, source: Column,
+      weight: Column, budget: Long, maxEpochs: Long = 1L,
+      salt: Long = 0x51ed2701L): DataFrame = {
+    val plan = unimaxAllocation(df, source, weight, budget, maxEpochs)
+    val mult = salt % HashPrime
+    require(mult != 0, "salt must be nonzero mod HashPrime")
+    val b = pmod(pmod(pmod(id, lit(HashPrime)) * lit(mult),
+      lit(HashPrime)), lit(1000000L))
+    df.join(broadcast(plan.select(col("source").as("__src"),
+        col("rate_ppm"))),
+        source.cast("string") <=> col("__src"))
+      .where(b < col("rate_ppm"))
+      .drop("__src", "rate_ppm")
+  }
+
   /** UniMax mixture allocation (Chung et al. ICLR 2023; public recipe):
     * spread a token `budget` as uniformly as possible across sources,
     * but never take more than `maxEpochs` passes over any source —

@@ -1523,6 +1523,18 @@ class ExtSpec extends SparkSpec {
       col("w"), budget = 10000L))
     assert(all.forall(r =>
       r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap_tokens")))
+
+    // executing the plan: a fully-allocated source keeps EVERY row
+    // (rate_ppm exactly 1e6 -> predicate always true), downsampled
+    // sources keep a deterministic strict subset
+    val sampled = rows(graft.ext.Sampling.unimaxSample(df, col("id"),
+      col("src"), col("w"), budget = 600L))
+    val bySrc = sampled.groupBy(_.getString(0)).view.mapValues(_.size).toMap
+    assert(bySrc("small") == 10) // rate 1e6: all rows survive
+    assert(bySrc.getOrElse("big", 0) < 10) // rate 250000: strict subset
+    val again = rows(graft.ext.Sampling.unimaxSample(df, col("id"),
+      col("src"), col("w"), budget = 600L))
+    assert(sampled.map(_.toString).toSet == again.map(_.toString).toSet)
   }
 
   test("weightedSimhash: identical docs collide at hamming 0; signatures are stable") {
