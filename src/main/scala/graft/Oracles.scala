@@ -3480,6 +3480,75 @@ object Oracles {
         |FROM documents d JOIN rates r ON d.source = r.source
         |WHERE (((d.doc_id % 1000000007) * 374496506) % 1000000007)
         |  % 1000000 < r.rate_ppm
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // x105: the x100 three-round derivation carrying the WORD through
+    // every fold, then per-document pre/post symbol counts
+    "x105_bpe_encode" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0),
+        |t0 AS (SELECT w, count(*) AS freq FROM w0 GROUP BY 1),
+        |s0 AS (
+        |  SELECT w, freq, list_transform(range(1, length(w) + 1),
+        |    i -> substring(w, i, 1)) AS syms
+        |  FROM t0),
+        |p0 AS (
+        |  SELECT syms[i] AS p1, syms[i+1] AS p2,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s0)
+        |  GROUP BY 1, 2),
+        |b0 AS (SELECT p1, p2 FROM p0 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |s1 AS (
+        |  SELECT s0.w, s0.freq, string_split(list_reduce(s0.syms, (acc, x) ->
+        |    CASE WHEN regexp_extract(acc, '[^ ]+$') = b0.p1 AND x = b0.p2
+        |      THEN substring(acc, 1, length(acc) - length(b0.p1))
+        |        || b0.p1 || b0.p2
+        |      ELSE acc || ' ' || x END), ' ') AS syms
+        |  FROM s0 CROSS JOIN b0),
+        |p1c AS (
+        |  SELECT syms[i] AS p1, syms[i+1] AS p2,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s1)
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT p1, p2 FROM p1c ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |s2 AS (
+        |  SELECT s1.w, s1.freq, string_split(list_reduce(s1.syms, (acc, x) ->
+        |    CASE WHEN regexp_extract(acc, '[^ ]+$') = b1.p1 AND x = b1.p2
+        |      THEN substring(acc, 1, length(acc) - length(b1.p1))
+        |        || b1.p1 || b1.p2
+        |      ELSE acc || ' ' || x END), ' ') AS syms
+        |  FROM s1 CROSS JOIN b1),
+        |p2c AS (
+        |  SELECT syms[i] AS p1, syms[i+1] AS p2,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s2)
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT p1, p2 FROM p2c ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |s3 AS (
+        |  SELECT s2.w, string_split(list_reduce(s2.syms, (acc, x) ->
+        |    CASE WHEN regexp_extract(acc, '[^ ]+$') = b2.p1 AND x = b2.p2
+        |      THEN substring(acc, 1, length(acc) - length(b2.p1))
+        |        || b2.p1 || b2.p2
+        |      ELSE acc || ' ' || x END), ' ') AS syms
+        |  FROM s2 CROSS JOIN b2),
+        |cnts AS (
+        |  SELECT w, CAST(length(w) AS BIGINT) AS chars,
+        |    CAST(len(syms) AS BIGINT) AS post
+        |  FROM s3),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(chars) AS BIGINT) AS n_syms_char,
+        |    CAST(sum(post) AS BIGINT) AS n_syms_bpe
+        |  FROM w0 JOIN cnts USING (w) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(a.n_syms_char, 0) AS BIGINT) AS n_syms_char,
+        |  CAST(coalesce(a.n_syms_bpe, 0) AS BIGINT) AS n_syms_bpe
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
   )
 

@@ -1866,6 +1866,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x105 — BPE encode compression: the x100 merge table applied back
+    * to the corpus; per document, symbols before (characters) vs after
+    * the three greedy merges — the tokenizer-fit signal. The folds run
+    * once over the vocabulary-bounded word-type table; documents join
+    * their word counts back. */
+  val x105BpeEncode: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val merges = TextAnalysis.bpeMerges(d, "doc_id", "text", k = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeEncodeCounts(d, "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2407,6 +2422,7 @@ object Queries {
     "x102_char_entropy" -> x102CharEntropy,
     "x103_dedup_histogram" -> x103DedupHistogram,
     "x104_unimax_sample" -> x104UnimaxSample,
+    "x105_bpe_encode" -> x105BpeEncode,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

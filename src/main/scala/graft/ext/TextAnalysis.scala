@@ -700,6 +700,49 @@ object TextAnalysis {
         col("entropy"))
   }
 
+  /** Apply [[bpeMerges]]' learned merge table to the corpus and report
+    * per-document compression: symbols before (= characters of its
+    * words) vs after the k greedy merges — the signal tokenizer work
+    * reads to judge a merge table's fit on new data. The k folds run
+    * over the DISTINCT word-type table once (vocabulary-bounded) and
+    * documents join their word counts back — no per-document fold.
+    * Output: (id, n_words, n_syms_char, n_syms_bpe). */
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docWords = docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .where(length(col("w")) > 0)
+    var types = docWords.select(col("w")).distinct()
+      .select(col("w"), transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("syms"))
+    for ((p1, p2) <- merges) {
+      val mergedStr = aggregate(
+        slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+        element_at(col("syms"), 1),
+        (acc, x) => when(
+          regexp_extract(acc, "[^ ]+$", 0) === lit(p1) && x === lit(p2),
+          concat(acc.substr(lit(1), length(acc) - lit(p1.length)),
+            lit(p1 + p2)))
+          .otherwise(concat(acc, lit(" "), x)))
+      types = types.select(col("w"), split(mergedStr, " ").as("syms"))
+    }
+    val counts = types.select(col("w"),
+      length(col("w")).cast("long").as("__chars"),
+      size(col("syms")).cast("long").as("__post"))
+    val agg = docWords.join(counts, Seq("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("__nw"),
+        sum(col("__chars")).as("__nc"),
+        sum(col("__post")).as("__np"))
+    // LEFT join back: a document whose tokens are all empty (blank
+    // text) must keep its row with zero counts, not vanish
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__nw"), lit(0L)).as("n_words"),
+        coalesce(col("__nc"), lit(0L)).as("n_syms_char"),
+        coalesce(col("__np"), lit(0L)).as("n_syms_bpe"))
+  }
+
   /** Feature hashing (the hashing trick, Weinberger et al. ICML 2009):
     * each lowercased token lands in bucket `polyHash(token) mod dim`,
     * and the document's feature vector is the per-bucket term-frequency

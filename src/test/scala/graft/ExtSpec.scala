@@ -1567,6 +1567,13 @@ class ExtSpec extends SparkSpec {
       (1, "a", "a", "aa", 4L),
       (2, "a", "b", "ab", 3L),
       (3, "aa", "ab", "aaab", 2L)))
+
+    // encode under the learned table: both word types collapse to one
+    // symbol after the three merges
+    val enc = rows(TextAnalysis.bpeEncodeCounts(d, "doc_id", "text",
+      got.map(m => (m._2, m._3))).orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(enc == Seq((1L, 2L, 8L, 2L), (2L, 1L, 2L, 1L)))
   }
 
   test("charEntropy: hand-computed values; degenerate and empty docs behave") {
