@@ -81,7 +81,8 @@ object ScaleProbe {
       "x91_ccnet_buckets", "x92_winnow_pairs", "x93_gopher_quality",
       "x94_robust_z", "x95_prototypicality", "x96_corpus_prep",
       "x97_feature_hash", "x98_unimax_mix", "x99_weighted_simhash",
-      "x100_bpe_merges", "x102_char_entropy")
+      "x100_bpe_merges", "x102_char_entropy", "x103_dedup_histogram",
+      "x104_unimax_sample", "x105_bpe_encode")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -640,4 +640,33 @@ object Ivf {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
+
+  /** Persist a [[TwoLevelData]] model: the √K coarse centroids as one
+    * small parquet, the fine level — already a DataFrame — as another.
+    * The unbounded-K index survives sessions without ever collecting
+    * the fine table. */
+  def saveModelTwoLevel(m: TwoLevelData, dir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    m.coarseIds.indices
+      .map(i => (m.coarseIds(i), m.coarseVecs(i).toSeq, m.coarseNorms(i)))
+      .toDF("cid", "cv", "cn")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    m.fine.select(col("ccid"), col("fid"), col("fv"), col("fn"))
+      .write.mode("overwrite").parquet(s"$dir/fine")
+  }
+
+  /** Load a [[saveModelTwoLevel]] model; coarse arrays id-ascending
+    * like [[trainTwoLevelAsData]], fine level stays a DataFrame. */
+  def loadModelTwoLevel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): TwoLevelData = {
+    val c = spark.read.parquet(s"$dir/coarse")
+      .select(col("cid"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    TwoLevelData(c.map(_._2), c.map(_._3), c.map(_._1),
+      spark.read.parquet(s"$dir/fine")
+        .select(col("ccid"), col("fid"), col("fv"), col("fn")))
+  }
 }

@@ -187,6 +187,21 @@ class IvfTrainSpec extends SparkSpec {
         .select($"neighbor_id", $"cid").orderBy("neighbor_id"))
         .map(r => (r.getLong(0), r.getLong(1)))
       assert(a == b)
+
+      // two-level fine-as-DATA round-trip: fine level never collected
+      val m = Ivf.trainTwoLevelAsData(emb, "vec_id", "embedding",
+        nCoarse = 4, nFine = 4, refineIters = 1)
+      val p2 = dir.resolve("model2").toString
+      Ivf.saveModelTwoLevel(m, p2, spark)
+      val m2 = Ivf.loadModelTwoLevel(spark, p2)
+      assert(m2.coarseIds.toSeq == m.coarseIds.toSeq)
+      val a2 = rows(Ivf.assignWithData(emb, "vec_id", "embedding", m)
+        .select($"neighbor_id", $"cid").orderBy("neighbor_id"))
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val b2 = rows(Ivf.assignWithData(emb, "vec_id", "embedding", m2)
+        .select($"neighbor_id", $"cid").orderBy("neighbor_id"))
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(a2 == b2)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
