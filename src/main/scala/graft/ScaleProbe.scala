@@ -123,7 +123,19 @@ object ScaleProbe {
           graft.ext.TextAnalysis.featureHashVector(
             graft.sources.Tables.documents(spark, dir), "doc_id", "text",
             dim = 64),
-          "id", "vec", 0.95, bands = 4, maxDim = 64)))
+          "id", "vec", 0.95, bands = 4, maxDim = 64)),
+      // winnowing boilerplate-guard A/B: the x92 query's FIXED maxDf=50
+      // vs a width that scales with the corpus (1% of docs) — same-JVM
+      // back-to-back, the paired-run discipline
+      "x92_winnow_df_fixed" -> (dir =>
+        graft.ext.Dedup.winnowPairs(
+          graft.sources.Tables.documents(spark, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = 2L, maxDf = 50L)),
+      "x92_winnow_df_scaled" -> (dir => {
+        val d = graft.sources.Tables.documents(spark, dir)
+        graft.ext.Dedup.winnowPairs(d, "doc_id", "text", k = 3, w = 4,
+          minShared = 2L, maxDf = math.max(50L, d.count() / 100L))
+      }))
     val ops = opsAll.filter { case (name, _) => only.forall(_.contains(name)) }
     // JIT/scan warm-up
     spark.range(1000000).selectExpr("sum(id)").collect()

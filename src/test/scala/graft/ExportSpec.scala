@@ -155,4 +155,33 @@ class ExportSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     }
   }
+
+  test("manifest-driven export: corpusPrep kept set round-trips through JSONL shards") {
+    import graft.ext.Pipeline
+    def words(stem: String, n: Int) =
+      "the a " + (1 to n).map(i => f"$stem$i%02d").mkString(" ")
+    val train = Seq(
+      (20L, words("aw", 50), "en"), (21L, "junk", "en"),
+      (22L, words("cw", 51), "en"), (23L, words("cw", 51), "en"),
+      (24L, words("hw", 52), "en"), (25L, words("iw", 53), "en"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq((1L, words("zw", 60), "en")).toDF("doc_id", "text", "lang")
+    val manifest = Pipeline.corpusPrep(train, bench, "doc_id", "text", "lang")
+    val kept = train.join(
+      manifest.where($"kept").select($"id".as("doc_id")), Seq("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mex")
+    try {
+      val path = dir.resolve("shards").toString
+      graft.operators.Export.writeJsonl(kept, path, n = 2, keys = Seq("doc_id"))
+      val (good, bad) = graft.operators.Export.readJsonlRestore(spark,
+        path, kept.schema)
+      assert(bad.count() == 0)
+      // the restored training shards ARE the kept set, row for row
+      assert(rows(good.orderBy("doc_id")).map(_.toString) ==
+        rows(kept.orderBy("doc_id")).map(_.toString))
+      assert(good.count() == 4) // 21 fails quality, 23 is the exact dup
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
