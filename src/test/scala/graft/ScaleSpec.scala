@@ -525,4 +525,34 @@ class ScaleSpec extends SparkSpec {
     assert(feats(0).features.toSeq == feats(2).features.toSeq)
     assert(feats(0).digest != feats(1).digest)
   }
+
+  test("round-10 operator plans: broadcast plan join, scan-composed predicates, no stray wide joins") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    // x104 shape: the allocation table joins as a BROADCAST — a
+    // sort-merge join against a 20-row plan would be a planning bug
+    val samplePlan = graft.ext.Sampling.unimaxSample(
+        docs.select(col("doc_id"), col("source"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), col("source"), col("n_tokens"), budget = 5000L)
+      .queryExecution.executedPlan.toString
+    assert(samplePlan.contains("BroadcastHashJoin") ||
+      samplePlan.contains("BroadcastExchange"),
+      "unimax plan not broadcast:\n" + samplePlan.take(600))
+    assert(!samplePlan.contains("SortMergeJoin"),
+      "unimax sample picked a sort-merge join:\n" + samplePlan.take(600))
+    // x102 shape: char entropy is two aggs — no join at all
+    val entPlan = graft.ext.TextAnalysis.charEntropy(docs, "doc_id",
+      "text").queryExecution.executedPlan.toString
+    assert(!entPlan.contains("SortMergeJoin") ||
+      entPlan.contains("BroadcastHashJoin"),
+      "charEntropy joined wide:\n" + entPlan.take(600))
+    // x97 shape: the sparse triples are ONE partial-aggregated groupBy
+    val fhPlan = graft.ext.TextAnalysis.featureHashTf(docs, "doc_id",
+      "text", 64).queryExecution.executedPlan.toString
+    assert(fhPlan.contains("HashAggregate"),
+      "featureHashTf lost its partial agg:\n" + fhPlan.take(600))
+    assert(!fhPlan.contains("Join"),
+      "featureHashTf grew a join:\n" + fhPlan.take(600))
+  }
 }
