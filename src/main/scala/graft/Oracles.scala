@@ -3549,7 +3549,165 @@ object Oracles {
         |  CAST(coalesce(a.n_syms_char, 0) AS BIGINT) AS n_syms_char,
         |  CAST(coalesce(a.n_syms_bpe, 0) AS BIGINT) AS n_syms_bpe
         |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // x108: full span-removal recomputation — windows hashed with the
+    // same mixed composite hash (same collision behavior), first
+    // occurrence = rn 1 over (doc_id, wpos), coverage exploded ×k,
+    // text rebuilt with string_agg ordered by position
+    "x108_span_removal" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS larr
+        |  FROM documents),
+        |tok2 AS (
+        |  SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |      i -> {'pos': i - 1, 'tok': arr[i]})) AS s
+        |    FROM arrs)),
+        |win2 AS (
+        |  SELECT doc_id, s['wpos'] AS wpos, s['w'] AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(larr) - 1),
+        |      i -> {'wpos': i - 1,
+        |            'w': concat(larr[i], ' ', larr[i+1], ' ', larr[i+2])})) AS s
+        |    FROM arrs)),
+        |hw AS (
+        |  SELECT doc_id, wpos,
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(w, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2654435761 + 17) % 1000000007)
+        |      * 1073741824 +
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(reverse(w), j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2246822519 + 31) % 1000000007) AS hv
+        |  FROM win2),
+        |occ AS (
+        |  SELECT doc_id, wpos,
+        |    count(*) OVER (PARTITION BY hv) AS cnt,
+        |    row_number() OVER (PARTITION BY hv ORDER BY doc_id, wpos) AS rn
+        |  FROM hw),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, wpos + j AS pos
+        |  FROM (SELECT doc_id, wpos FROM occ WHERE cnt >= 2 AND rn > 1)
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js),
+        |cnts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tok2 GROUP BY 1),
+        |rem AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM cov GROUP BY 1),
+        |agg AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos)
+        |    AS cleaned_text
+        |  FROM tok2 t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(cnts.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CASE WHEN coalesce(cnts.n_tokens, 0) > 0
+        |    THEN coalesce(agg.cleaned_text, '') END AS cleaned_text
+        |FROM documents d LEFT JOIN cnts USING (doc_id)
+        |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // x106: the whole KMV derivation recomputes — portable composite
+    // hash, distinct hashes, row_number rank k, and the one double
+    // chain (k-1)·U/h_k in the engine's own IEEE arithmetic
+    "x106_kmv_distinct" ->
+      """WITH arrs AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |toks AS (
+        |  SELECT source, unnest(list_transform(range(1, len(arr)),
+        |    i -> concat(arr[i], ' ', arr[i+1]))) AS w
+        |  FROM arrs),
+        |dv AS (SELECT DISTINCT source, w FROM toks),
+        |h AS (
+        |  SELECT source,
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(w, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2654435761 + 17) % 1000000007)
+        |      * 1073741824 +
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(reverse(w), j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2246822519 + 31) % 1000000007) AS hv
+        |  FROM dv),
+        |dh AS (SELECT DISTINCT source, hv FROM h),
+        |kth AS (
+        |  SELECT source, hv AS kth_hash FROM (
+        |    SELECT source, hv,
+        |      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |    FROM dh) WHERE rn = 64),
+        |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+        |       FROM dv GROUP BY 1),
+        |nh AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hashes
+        |       FROM dh GROUP BY 1)
+        |SELECT ex.source, exact_distinct, n_hashes,
+        |  CAST(kth_hash AS BIGINT) AS kth_hash,
+        |  CASE WHEN kth_hash IS NOT NULL
+        |    THEN CAST(63 AS DOUBLE) * CAST(1073741832516192775 AS DOUBLE)
+        |      / CAST(kth_hash AS DOUBLE)
+        |    ELSE CAST(n_hashes AS DOUBLE) END AS kmv_est
+        |FROM ex JOIN nh USING (source) LEFT JOIN kth USING (source)
+        |ORDER BY ex.source""".stripMargin,
+
+    // x107: registers recompute from the portable hash (rho via bin()
+    // string length — pure integer/string, no log2); the harmonic sum
+    // stays in BIGINT shifts; the single double chain mirrors the
+    // engine's fixed operand order
+    "x107_hll_distinct" ->
+      """WITH arrs AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |toks AS (
+        |  SELECT source, unnest(list_transform(range(1, len(arr)),
+        |    i -> concat(arr[i], ' ', arr[i+1]))) AS w
+        |  FROM arrs),
+        |h AS (
+        |  SELECT source,
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(w, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2654435761 + 17) % 1000000007) AS w1,
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(reverse(w), j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2246822519 + 31) % 1000000007) AS w2
+        |  FROM toks),
+        |regs AS (
+        |  SELECT source, w2 % 256 AS bucket,
+        |    max(CASE WHEN w1 = 0 THEN 31
+        |        ELSE 31 - length(bin(w1)) END) AS reg
+        |  FROM h GROUP BY 1, 2),
+        |fold AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(max(reg) AS BIGINT) AS r_max,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(31 - reg AS INTEGER))
+        |      AS BIGINT) AS s2_occ
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+        |  FROM (SELECT DISTINCT source, w FROM toks) GROUP BY 1)
+        |SELECT f.source, CAST(256 - n_occ AS BIGINT) AS n_zero, r_max,
+        |  CAST(s2_occ + (256 - n_occ) * 2147483648 AS BIGINT) AS s2,
+        |  CAST(0.7213 AS DOUBLE)
+        |    / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+        |    * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+        |    * CAST(2147483648 AS DOUBLE)
+        |    / CAST(s2_occ + (256 - n_occ) * 2147483648 AS DOUBLE) AS hll_est,
+        |  exact_distinct
+        |FROM fold f JOIN ex USING (source)
+        |ORDER BY f.source""".stripMargin
   )
 
   // The x66 pinned adaptive-LSH pair set: random-hyperplane signatures

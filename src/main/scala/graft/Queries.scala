@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.{AsOf, NearestSelect, Upsert}
 import graft.functions.{Cleansing, Occ}
-import graft.ext.{CountMin, Dedup, EventWindows, Ivf, Multimodal, Opq, Pipeline, Pq, Quantiles, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, DistinctSketch, EventWindows, Ivf, Multimodal, Opq, Pipeline, Pq, Quantiles, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** The engine's query corpus — one entry per operator of SURVEY.md §2 plus
   * the LLM-pipeline extension operators. Every query is deterministic
@@ -1881,6 +1881,51 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x106 — KMV distinct-bigram estimate per source (Bar-Yossef et al.
+    * 2002): the k-th smallest portable hash estimates vocabulary size
+    * as (k-1)·U/h_k — the bounded-state cardinality sketch, with the
+    * exact distinct count alongside as the sketch's ground truth. The
+    * per-source k-th min rides Spark's rank-limit pushdown
+    * (WindowGroupLimit), so no partition ever holds more than k
+    * hashes per source before the shuffle. */
+  val x106KmvDistinct: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
+    DistinctSketch.kmv(toks, "source", col("tok"), k = 64)
+      .orderBy("source")
+  }
+
+  /** x107 — HyperLogLog distinct-bigram estimate per source (Flajolet
+    * et al. 2007) at p=8: 256 max-of-leading-zero registers, folded
+    * through an INTEGER harmonic sum (Σ 2^(31-reg), overflow-free) so
+    * the only floating point is one constant·2³¹/s2 chain. Registers
+    * are cell-wise MAX-mergeable — the same fold-per-day-into-month
+    * shape as the CountMin sketch, at 256 longs per source. The
+    * ln()-based small-range correction is deliberately not applied
+    * (libm-dependent); n_zero and the exact count ride along so the
+    * caller applies policy. */
+  val x107HllDistinct: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
+    DistinctSketch.hll(toks, "source", col("tok"), p = 8)
+      .orderBy("source")
+  }
+
+  /** x108 — exact duplicate-span REMOVAL (Lee et al. 2022 ExactSubstr,
+    * windowed): x72's statistic turned into the transform — every
+    * 3-token window the corpus repeats is stripped everywhere but its
+    * corpus-wide first occurrence, and the text is rebuilt from the
+    * surviving tokens. Linear postings shapes keyed on the portable
+    * 60-bit hash; the only per-document work is the final rebuild. */
+  val x108SpanRemoval: Q = (s, dir) => {
+    Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2423,6 +2468,9 @@ object Queries {
     "x103_dedup_histogram" -> x103DedupHistogram,
     "x104_unimax_sample" -> x104UnimaxSample,
     "x105_bpe_encode" -> x105BpeEncode,
+    "x106_kmv_distinct" -> x106KmvDistinct,
+    "x107_hll_distinct" -> x107HllDistinct,
+    "x108_span_removal" -> x108SpanRemoval,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

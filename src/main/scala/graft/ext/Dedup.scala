@@ -731,4 +731,70 @@ object Dedup {
         (col("n_shared").cast("double") / least(col("nfp_a"), col("nfp_b")))
           .as("overlap"))
   }
+
+  /** Exact duplicate-span REMOVAL — the transform counterpart of
+    * [[duplicateSpanFraction]] (Lee et al. 2022 ExactSubstr, windowed
+    * form): every k-token window that occurs more than once in the
+    * corpus is stripped from every document EXCEPT its corpus-wide
+    * first occurrence (least (id, wpos)), and each document's text is
+    * rebuilt from its surviving tokens. Where x72 reports how much of
+    * a document is corpus boilerplate, this actually removes it —
+    * "feed survivors, don't materialize pair lists" applied at the
+    * SPAN level rather than the document level.
+    *
+    * Semantics: matching is case-insensitive (windows over the
+    * lowercased token stream, the x72 convention); the rebuilt text
+    * keeps original token case and normalizes inter-token whitespace
+    * to single spaces. A token is removed when ANY duplicated
+    * non-first window covers its position — so the first occurrence
+    * of span A can still lose tokens to an overlapping removed span B
+    * (the standard overlap behavior of span-level dedup). Documents
+    * whose every token is covered come back with cleaned_text = '';
+    * null-text documents keep a row with n_tokens = 0 and null text.
+    *
+    * Scale shape: windows and tokens are linear scans; the global
+    * window stats are ONE map-side-combinable agg keyed on the 60-bit
+    * portable hash (8-byte shuffle keys, never window strings —
+    * [[DistinctSketch.compositeHash]], so the oracle recomputes the
+    * same keys with the same collision behavior); coverage explodes
+    * ×k (bounded); the rebuild is one per-document sort-free
+    * collect_list + array_sort over surviving tokens. No pairwise
+    * stage anywhere.
+    *
+    * Output: (id, n_tokens, n_removed, cleaned_text). */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 2, s"removeDuplicateSpans: k=$k must be >= 2")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val wins = docs.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.shingles(col(textCol), k))
+          .as(Seq("wpos", "w")))
+      .select(col("id"), col("wpos"),
+        DistinctSketch.compositeHash(col("w")).as("hv"))
+    val stats = wins.groupBy("hv").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("id"), col("wpos"))).as("first"))
+    val dupOcc = wins.join(stats.where(col("cnt") >= 2), Seq("hv"))
+      .where(!(col("id") === col("first.id") &&
+        col("wpos") === col("first.wpos")))
+    val covered = dupOcc.select(col("id"),
+        explode(sequence(col("wpos"), col("wpos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val counts = toks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+    val removed = covered.groupBy("id").agg(count(lit(1)).as("n_removed"))
+    val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("cleaned_text"))
+    docs.select(col(idCol).as("id")).join(counts, Seq("id"), "left")
+      .join(removed, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          coalesce(col("cleaned_text"), lit(""))).as("cleaned_text"))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, EventWindows, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DistinctSketch, EventWindows, Similarity, TextAnalysis}
 
 /** Extension operators: dedup family consistency (MinHash candidates must
   * cover what exact Jaccard finds), similarity recall, text analysis,
@@ -1615,5 +1615,81 @@ class ExtSpec extends SparkSpec {
     for ((_, (n, k)) <- kept) assert(k == (n + 1) / 2, s"cell n=$n kept=$k")
     // seeds are never kept (most prototypical = dropped first)
     assert(!byId(0L).getAs[Boolean]("kept"))
+  }
+
+  test("span removal: first occurrence survives, later copies stripped, " +
+      "text rebuilt in order") {
+    val got = rows(Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("id"))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // doc 1 is the corpus-wide first occurrence of every shared window
+    assert(byId(1L).getAs[Long]("n_removed") == 0L)
+    assert(byId(1L).getAs[String]("cleaned_text") ==
+      "the quick brown fox jumps over the lazy dog again and again")
+    // doc 2 = doc 1 + " today": its first 10 windows duplicate doc 1,
+    // covering positions 0..11; only the final token survives
+    assert(byId(2L).getAs[Long]("n_removed") == 12L)
+    assert(byId(2L).getAs[String]("cleaned_text") == "today")
+    // doc 4 is an exact copy of doc 1 — fully stripped, empty but
+    // non-null text
+    assert(byId(4L).getAs[Long]("n_removed") == 12L)
+    assert(byId(4L).getAs[String]("cleaned_text") == "")
+    // untouched docs keep their text verbatim (single-space rebuild)
+    assert(byId(3L).getAs[Long]("n_removed") == 0L)
+    assert(byId(5L).getAs[String]("cleaned_text") ==
+      "unrelated words entirely for this one document here now")
+  }
+
+  test("kmv: exact counts right; small groups estimate exactly; " +
+      "estimate tracks cardinality") {
+    val vals = (1 to 5000).map(i => ("big", s"tok$i")) ++
+      Seq(("small", "a"), ("small", "b"), ("small", "a"))
+    val df = vals.toDF("g", "v")
+    val got = rows(DistinctSketch.kmv(df, "g", col("v"), k = 64)
+      .orderBy("g"))
+    val byG = got.map(r => r.getString(0) -> r).toMap
+    assert(byG("big").getAs[Long]("exact_distinct") == 5000L)
+    assert(byG("small").getAs[Long]("exact_distinct") == 2L)
+    // under k distinct hashes: est falls back to the exact hash count
+    assert(byG("small").isNullAt(byG("small").fieldIndex("kth_hash")))
+    assert(byG("small").getAs[Double]("kmv_est") == 2.0)
+    // KMV sigma at k=64 is ~1/sqrt(63) ~ 12.6%; allow ~3 sigma plus
+    // the mixed polynomial hash's residual non-uniformity
+    val est = byG("big").getAs[Double]("kmv_est")
+    assert(est > 3200 && est < 7500, s"kmv est $est for true 5000")
+  }
+
+  test("hll: registers are cell-wise MAX-mergeable and the estimate " +
+      "tracks cardinality") {
+    val a = (1 to 3000).map(i => ("s", s"alpha$i")).toDF("g", "v")
+    val b = (2000 to 6000).map(i => ("s", s"alpha$i")).toDF("g", "v")
+    val union = a.unionByName(b)
+    // merge = cell-wise max of the two register sets
+    val ra = DistinctSketch.hllRegisters(a, "g", col("v"))
+      .withColumnRenamed("reg", "reg_a")
+    val rb = DistinctSketch.hllRegisters(b, "g", col("v"))
+      .withColumnRenamed("reg", "reg_b")
+    val merged = ra.join(rb, Seq("g", "bucket"), "full")
+      .select(col("g"), col("bucket"),
+        greatest(coalesce(col("reg_a"), lit(0L)),
+          coalesce(col("reg_b"), lit(0L))).as("reg"))
+    val direct = DistinctSketch.hllRegisters(union, "g", col("v"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merged registers != union registers")
+    // estimate within HLL's expected error envelope (sigma ~6.5% at p=8;
+    // allow 4 sigma plus hash imperfection)
+    val est = rows(DistinctSketch.hll(union, "g", col("v")))
+      .head.getAs[Double]("hll_est")
+    assert(est > 4000 && est < 8500, s"hll est $est for true 6000")
+  }
+
+  test("hll: rho is the 30-bit leading-zero rank (bin-length identity)") {
+    // polyHash("a") = 97; mixed = (97·2654435761 + 17) mod P — rho must
+    // equal 31 - bit-length of that mixed value
+    val mixed = (97L * 2654435761L + 17L) % 1000000007L
+    val df = Seq(("g", "a")).toDF("g", "v")
+    val r = rows(DistinctSketch.hllRegisters(df, "g", col("v"))).head
+    assert(r.getAs[Long]("reg") == 31L - java.lang.Long
+      .toBinaryString(mixed).length)
   }
 }
