@@ -3614,6 +3614,67 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x110: Kneser-Ney bigram score — on the training corpus every
+    // count is present, so the joins are inner; the formula is the
+    // engine's exact operand order (discount 0.75 is an exact binary
+    // fraction; decimal sum → varchar → double at the boundary)
+    "x110_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS cnt1 FROM bi GROUP BY 1),
+        |f AS (SELECT w1, count(*) AS n1f FROM c2 GROUP BY 1),
+        |bwd AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+        |np AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM c2),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(greatest(CAST(c2.cnt2 AS DOUBLE) - 0.75e0, 0.0e0)
+        |        / CAST(c1.cnt1 AS DOUBLE)
+        |      + 0.75e0 * CAST(f.n1f AS DOUBLE) / CAST(c1.cnt1 AS DOUBLE)
+        |        * (CAST(bwd.n1b AS DOUBLE) / np.np)
+        |      AS DECIMAL(28,12)) AS p
+        |  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  JOIN f USING (w1) JOIN bwd USING (w2) CROSS JOIN np),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) / count(*)
+        |      AS bigram_score
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  a.bigram_score
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // x109: positional phrase evaluation — slot-normalized starts,
+    // a match iff all distinct slots present at one start (the
+    // repeated-term phrase makes distinct-slot counting load-bearing)
+    "x109_phrase_search" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |posts0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |    i -> {'pos': i - 1, 'term': arr[i]})) AS s
+        |  FROM arrs),
+        |posts AS (
+        |  SELECT doc_id, s['pos'] AS pos, s['term'] AS term FROM posts0
+        |  WHERE s['term'] IN ('table')),
+        |slots(term, slot) AS (VALUES ('table', 0), ('table', 1)),
+        |starts AS (
+        |  SELECT doc_id, pos - slot AS start, slot
+        |  FROM posts JOIN slots USING (term) WHERE pos - slot >= 0),
+        |m AS (
+        |  SELECT doc_id, start FROM starts GROUP BY 1, 2
+        |  HAVING count(DISTINCT slot) = 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(start) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // x106: the whole KMV derivation recomputes — portable composite
     // hash, distinct hashes, row_number rank k, and the one double
     // chain (k-1)·U/h_k in the engine's own IEEE arithmetic

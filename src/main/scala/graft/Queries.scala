@@ -1926,6 +1926,36 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x109 — positional phrase search: documents containing the exact
+    * token sequence "table table" with match count and first match
+    * position — classic positional-postings evaluation in ONE
+    * slot-normalization pass (no L−1 self-joins), and deliberately a
+    * REPEATED-term phrase so the distinct-slot logic is what the
+    * oracle certifies. Work is linear in occurrences of the phrase's
+    * terms (the isin filter reaches the scan), never corpus size. */
+  val x109PhraseSearch: Q = (s, dir) => {
+    Retrieval.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("table", "table"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** x110 — interpolated Kneser-Ney bigram quality score (Kneser & Ney
+    * 1995 / Chen & Goodman 1998): completes the smoothing ladder next
+    * to MLE (x64), add-k (x65), JM (x68) — absolute discounting plus
+    * the distinct-CONTEXT continuation model, the default smoother in
+    * production n-gram stacks. Same salted-join and exact-decimal
+    * aggregation discipline as the rest of the LM family. */
+  val x110KneserNey: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val (c1, c2) = TextAnalysis.bigramModel(d, "doc_id", "text")
+    val (n1f, n1b, np) = TextAnalysis.knModels(c2)
+    TextAnalysis.bigramScoreKnWith(d, "doc_id", "text", c1, c2, n1f, n1b,
+        np)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2471,6 +2501,8 @@ object Queries {
     "x106_kmv_distinct" -> x106KmvDistinct,
     "x107_hll_distinct" -> x107HllDistinct,
     "x108_span_removal" -> x108SpanRemoval,
+    "x109_phrase_search" -> x109PhraseSearch,
+    "x110_kneser_ney" -> x110KneserNey,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -415,4 +415,46 @@ object Retrieval {
     spark.createDataFrame(out.result())
       .toDF("id", "mmr_rank", "relevance", "mmr")
   }
+
+  /** Exact phrase search over a positional index — the boolean-
+    * retrieval primitive BM25 can't express (BM25 is bag-of-words;
+    * "spark query engine" as a PHRASE needs token adjacency). Classic
+    * positional-postings evaluation (Manning et al., IR book ch. 2):
+    * a match at start position p means phrase term i sits at p + i
+    * for every i.
+    *
+    * Implementation is a single slot-normalization pass rather than
+    * L-1 self-joins: postings are filtered to the phrase's terms AT
+    * THE SCAN (a tiny isin literal — the selective predicate reaches
+    * the parquet reader), each surviving (doc, pos, term) emits
+    * (doc, start = pos − slot) for every phrase slot holding that
+    * term (repeated terms fan out to each of their slots), and a
+    * start position with ALL |phrase| distinct slots present is a
+    * match. One groupBy on (id, start) — work linear in occurrences
+    * of the phrase's terms, never in corpus size; no join whose width
+    * depends on phrase length.
+    *
+    * Output: (id, n_matches, first_pos), matched documents only. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    require(phrase.forall(t => t.nonEmpty && t == t.toLowerCase),
+      s"phrase terms must be non-empty and lowercase, got: $phrase")
+    val slots = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+    val slotDf = broadcast(
+      docs.sparkSession.createDataFrame(slots).toDF("term", "slot"))
+    val posts = docs.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.tokens(lower(col(textCol))))
+          .as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct: _*))
+    posts.join(slotDf, Seq("term"))
+      .select(col("id"), (col("pos") - col("slot")).as("start"),
+        col("slot"))
+      .where(col("start") >= 0)
+      .groupBy("id", "start")
+      .agg(countDistinct(col("slot")).as("nslots"))
+      .where(col("nslots") === phrase.length)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+  }
 }

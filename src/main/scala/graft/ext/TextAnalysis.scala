@@ -301,6 +301,79 @@ object TextAnalysis {
         col("bigram_score"))
   }
 
+  /** The Kneser-Ney auxiliary tables, all derived from the bigram
+    * count table (model-sized, no second corpus pass): the forward
+    * type-count n1f(w1) = |{w2 : cnt2(w1,w2) > 0}| (how many distinct
+    * continuations a prefix has), the backward type-count n1b(w2) =
+    * |{w1}| (in how many distinct contexts a word appears — KN's
+    * "novel-continuation" signal), and the distinct-pair total. */
+  def knModels(c2: DataFrame): (DataFrame, DataFrame, Long) = (
+    c2.groupBy("w1").agg(count(lit(1)).as("n1f")),
+    c2.groupBy("w2").agg(count(lit(1)).as("n1b")),
+    c2.count())
+
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney ICASSP'95 /
+    * Chen & Goodman 1998, the standard formulation):
+    *   P = max(cnt2 − D, 0)/cnt1 + (D·n1f(w1)/cnt1) · P_cont(w2)
+    *   P_cont(w2) = n1b(w2) / |distinct pairs|
+    * Where JM backs off to how OFTEN a word occurs, KN backs off to
+    * in how many distinct CONTEXTS it occurs — "francisco" is
+    * frequent but occurs after almost nothing except "san", so its
+    * continuation probability is tiny; that asymmetry is what makes
+    * KN the default smoother in every serious n-gram stack. A wholly
+    * unseen prefix scores P_cont(w2) alone (the standard backoff).
+    *
+    * Determinism: D = 0.75 is an exact binary fraction, so
+    * max(cnt2 − D, 0) is exact; the three divisions and one product
+    * are IEEE doubles in fixed left-to-right order, quantized to
+    * DECIMAL(28,12) before the per-document mean (the x68 recipe).
+    * Skew: same Zipf-head discipline as the JM family — the prefix
+    * side (cnt1 ⋈ n1f pre-joined into ONE model table) and c2 and n1b
+    * joins all run salted. */
+  def bigramScoreKnWith(docs: DataFrame, idCol: String, textCol: String,
+      c1: DataFrame, c2: DataFrame, n1f: DataFrame, n1b: DataFrame,
+      nPairs: Long, discount: Double = 0.75,
+      salt: Int = DefaultScoreSalt): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nPairs > 0, "empty training corpus")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount $discount outside (0,1)")
+    val prefix = c1.join(n1f, Seq("w1"))
+    val pcont = coalesce(
+      col("n1b").cast("double") / lit(nPairs.toDouble), lit(0.0))
+    val term1 = greatest(
+      coalesce(col("cnt2"), lit(0L)).cast("double") - lit(discount),
+      lit(0.0)) / col("cnt1").cast("double")
+    val lam = lit(discount) * col("n1f").cast("double") /
+      col("cnt1").cast("double")
+    val p = when(col("cnt1").isNull, pcont)
+      .otherwise(term1 + lam * pcont)
+      .cast(DecimalType(28, 12))
+    val bg = bigrams(docs, idCol, textCol)
+    val saltCols = Seq(col("id"), col("w1"), col("w2"))
+    val withCounts =
+      if (salt <= 1)
+        bg.join(c2, Seq("w1", "w2"), "left").join(prefix, Seq("w1"), "left")
+          .join(n1b, Seq("w2"), "left")
+      else
+        graft.operators.Skew.saltedJoin(
+          graft.operators.Skew.saltedJoin(
+            graft.operators.Skew.saltedJoin(bg, c2, Seq("w1", "w2"),
+              salt, "left", saltOn = saltCols),
+            prefix, Seq("w1"), salt, "left", saltOn = saltCols),
+          n1b, Seq("w2"), salt, "left", saltOn = saltCols)
+    val agg = withCounts
+      .withColumn("p", p)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p")).cast("double") / count(lit(1)))
+          .as("bigram_score"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_score"))
+  }
+
   /** One (id, w1, w2, w3) row per trigram occurrence. */
   private def trigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

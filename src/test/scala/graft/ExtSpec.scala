@@ -1640,6 +1640,45 @@ class ExtSpec extends SparkSpec {
       "unrelated words entirely for this one document here now")
   }
 
+  test("phrase search: adjacency required, repeated terms need all " +
+      "slots, overlapping matches counted") {
+    import graft.ext.Retrieval
+    val got = rows(Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("the", "lazy", "dog")).orderBy("id"))
+    assert(got.map(_.getLong(0)) == Seq(1L, 2L, 4L))
+    assert(got.forall(r => r.getAs[Long]("n_matches") == 1L &&
+      r.getAs[Long]("first_pos") == 6L))
+    // bag-of-words presence is NOT enough: doc 3 has none of these
+    // adjacent; "quick lazy" never appears adjacent anywhere
+    assert(rows(Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("quick", "lazy"))).isEmpty)
+    // repeated-term phrase over "a a a": overlapping starts 0 and 1
+    val rep = Seq((1L, "a a a"), (2L, "a b a")).toDF("doc_id", "text")
+    val got2 = rows(Retrieval.phraseSearch(rep, "doc_id", "text",
+      Seq("a", "a")).orderBy("id"))
+    assert(got2.map(r => (r.getLong(0), r.getAs[Long]("n_matches"))) ==
+      Seq((1L, 2L)))
+  }
+
+  test("kneser-ney: hand-computed probabilities; unseen prefix backs " +
+      "off to the continuation model") {
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val (c1, c2) = TextAnalysis.bigramModel(d, "doc_id", "text")
+    val (n1f, n1b, np) = TextAnalysis.knModels(c2)
+    assert(np == 3L) // (a,b), (b,a), (a,c)
+    val got = rows(TextAnalysis.bigramScoreKnWith(d, "doc_id", "text",
+      c1, c2, n1f, n1b, np).orderBy("id"))
+    // P(b|a) = 1.25/3 + (.75·2/3)·(1/3); P(a|b) = .25 + .75·(1/3)
+    // doc1 mean = (7/12 + 1/2 + 7/12)/3 = 5/9; doc2 = P(c|a) = 1/4
+    assert(math.abs(got(0).getAs[Double]("bigram_score") - 5.0 / 9) < 1e-9)
+    assert(math.abs(got(1).getAs[Double]("bigram_score") - 0.25) < 1e-9)
+    // unseen prefix "z": pure continuation probability n1b(b)/np = 1/3
+    val probe = Seq((9L, "z b")).toDF("doc_id", "text")
+    val g2 = rows(TextAnalysis.bigramScoreKnWith(probe, "doc_id", "text",
+      c1, c2, n1f, n1b, np)).head
+    assert(math.abs(g2.getAs[Double]("bigram_score") - 1.0 / 3) < 1e-9)
+  }
+
   test("kmv: exact counts right; small groups estimate exactly; " +
       "estimate tracks cardinality") {
     val vals = (1 to 5000).map(i => ("big", s"tok$i")) ++
