@@ -3614,6 +3614,29 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x111: bigram novelty — distinct bigrams per doc, first
+    // occurrence = min doc_id per bigram, one double division
+    "x111_bigram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bgd AS (
+        |  SELECT DISTINCT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks))),
+        |fd AS (SELECT w1, w2, min(doc_id) AS first_id FROM bgd GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT b.doc_id, count(*) AS n_distinct,
+        |    sum(CASE WHEN f.first_id = b.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM bgd b JOIN fd f USING (w1, w2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(a.n_novel AS DOUBLE) / a.n_distinct AS novelty
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // x110: Kneser-Ney bigram score — on the training corpus every
     // count is present, so the joins are inner; the formula is the
     // engine's exact operand order (discount 0.75 is an exact binary

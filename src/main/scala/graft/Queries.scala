@@ -1956,6 +1956,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x111 — per-document bigram novelty: the share of a document's
+    * distinct bigrams seen in NO smaller-id document — the marginal-
+    * contribution signal next to dedup (a near-copy of earlier
+    * material scores ~0 without any pair detector firing). Linear
+    * postings + min-id map join, salted on the Zipf-head bigram key. */
+  val x111BigramNovelty: Q = (s, dir) => {
+    TextAnalysis.bigramNovelty(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2503,6 +2514,7 @@ object Queries {
     "x108_span_removal" -> x108SpanRemoval,
     "x109_phrase_search" -> x109PhraseSearch,
     "x110_kneser_ney" -> x110KneserNey,
+    "x111_bigram_novelty" -> x111BigramNovelty,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -138,23 +138,29 @@ object DistinctSketch {
     * Output: (group, n_zero, r_max, s2, hll_est, exact_distinct). */
   def hll(df: DataFrame, groupCol: String, value: Column, p: Int = 8)
       : DataFrame = {
-    val m = 1L << p
-    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
-    val regs = hllRegisters(df, groupCol, value, p)
-    val folded = regs.groupBy("g").agg(
-      count(lit(1)).as("n_occupied"),
-      max(col("reg")).as("r_max"),
-      sum(expr("shiftleft(1L, cast(31 - reg as int))")).as("s2_occ"))
     val exact = df.select(col(groupCol).as("g"), value.as("v"))
       .where(col("v").isNotNull).distinct()
       .groupBy("g").agg(count(lit(1)).as("exact_distinct"))
-    folded.join(exact, "g")
-      .select(col("g").as(groupCol),
+    hllEstimate(hllRegisters(df, groupCol, value, p), p)
+      .withColumnRenamed("g", groupCol)
+      .join(exact.withColumnRenamed("g", groupCol), groupCol)
+  }
+
+  /** Fold a register table (g, bucket, reg) — from [[hllRegisters]] or
+    * a MAX-merge of many of them — to the per-group estimate row. The
+    * shared tail of the batch path and the streaming view. */
+  def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    regs.groupBy("g").agg(
+        count(lit(1)).as("n_occupied"),
+        max(col("reg")).as("r_max"),
+        sum(expr("shiftleft(1L, cast(31 - reg as int))")).as("s2_occ"))
+      .select(col("g"),
         (lit(m) - col("n_occupied")).as("n_zero"),
         col("r_max"),
         (col("s2_occ") + (lit(m) - col("n_occupied")) * lit(1L << 31))
-          .as("s2"),
-        col("exact_distinct"))
+          .as("s2"))
       .withColumn("hll_est",
         lit(alpha * m.toDouble * m.toDouble) * lit((1L << 31).toDouble) /
           col("s2").cast("double"))

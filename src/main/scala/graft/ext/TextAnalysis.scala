@@ -374,6 +374,42 @@ object TextAnalysis {
         col("bigram_score"))
   }
 
+  /** Per-document bigram NOVELTY — the marginal-contribution signal a
+    * curation pipeline reads next to dedup: the share of a document's
+    * DISTINCT bigrams whose corpus-wide first occurrence (smallest
+    * doc id) is this document. A near-duplicate of earlier material
+    * scores ~0 even if no single pair-detector fires; a document
+    * introducing new phrasing scores high. Ordering is by the id
+    * column, so an ingestion-ordered id gives "new relative to
+    * everything ingested before me".
+    *
+    * Scale shape: distinct (id, bigram) postings, one min-id agg per
+    * bigram (map-side combinable), and one postings⋈first-map join —
+    * linear, no pairwise stage. The join key is Zipf-skewed exactly
+    * like every bigram join here, so it runs salted by default.
+    * Output: (id, n_distinct, n_novel, novelty), novelty null for
+    * documents with no bigram. */
+  def bigramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      salt: Int = DefaultScoreSalt): DataFrame = {
+    val bgd = bigrams(docs, idCol, textCol)
+      .select(col("id"), col("w1"), col("w2")).distinct()
+    val firstDoc = bgd.groupBy("w1", "w2").agg(min(col("id")).as("first_id"))
+    val joined =
+      if (salt <= 1) bgd.join(firstDoc, Seq("w1", "w2"))
+      else graft.operators.Skew.saltedJoin(bgd, firstDoc, Seq("w1", "w2"),
+        salt, "inner", saltOn = Seq(col("id"), col("w1"), col("w2")))
+    val agg = joined.groupBy("id").agg(
+      count(lit(1)).as("n_distinct"),
+      sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+        .as("n_novel"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (col("n_novel").cast("double") / col("n_distinct"))
+          .as("novelty"))
+  }
+
   /** One (id, w1, w2, w3) row per trigram occurrence. */
   private def trigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

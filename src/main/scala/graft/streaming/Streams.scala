@@ -207,6 +207,40 @@ object Streams {
         .agg(sum(col("_psum")).as("_psum"), sum(col("_pcount")).as("_pcount"),
           max(col("_batch")).as("_batch")))
 
+  /** Streaming distinct-count maintenance — the cardinality member of
+    * the incremental-view family: each micro-batch appends its PARTIAL
+    * HyperLogLog registers (per-(group, bucket) max-of-rho,
+    * [[graft.ext.DistinctSketch.hllRegisters]]) to the log, and
+    * [[hllView]] folds the log with the same MAX monoid. MAX is
+    * commutative AND idempotent, so batch replays are harmless even
+    * BEFORE the (key, _batch) dedup, appends commute, and compaction
+    * is the reader's own fold — strictly easier than the additive
+    * sink's sum monoid. State per group is bounded at 2^p rows no
+    * matter how long the stream runs, which is the whole point: exact
+    * streaming distinct would grow state with every novel value. */
+  def hllSink(stream: DataFrame, groupCol: String, value: Column,
+      tablePath: String, checkpoint: String, p: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.DistinctSketch.hllRegisters(batch, groupCol, value, p)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+      .start()
+
+  /** Current estimate from an [[hllSink]] log: MAX-fold the register
+    * partials, then the shared estimate tail — identical to what the
+    * batch path would compute over everything ingested so far
+    * (StreamingSpec asserts register-for-register equality). */
+  def hllView(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      p: Int = 8): DataFrame =
+    graft.ext.DistinctSketch.hllEstimate(
+      spark.read.parquet(tablePath)
+        .groupBy("g", "bucket").agg(max(col("reg")).as("reg")), p)
+
   /** Diff→CDC bridge: maintain a parquet table by APPLYING a stream of
     * [[graft.operators.Diff.snapshotDiff]] rows incrementally — the
     * missing half of the snapshot-diff story (diffs as a CHANGE FEED,

@@ -1679,6 +1679,24 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(g2.getAs[Double]("bigram_score") - 1.0 / 3) < 1e-9)
   }
 
+  test("bigram novelty: first document owns its bigrams, copies score " +
+      "zero, one new token scores 1/n") {
+    val got = rows(TextAnalysis.bigramNovelty(docs, "doc_id", "text")
+      .orderBy("id"))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Double]("novelty") == 1.0)
+    // doc 4 is an exact copy of doc 1: nothing novel
+    assert(byId(4L).getAs[Long]("n_novel") == 0L)
+    assert(byId(4L).getAs[Double]("novelty") == 0.0)
+    // doc 2 adds a single trailing token: exactly one novel bigram
+    assert(byId(2L).getAs[Long]("n_distinct") == 12L)
+    assert(byId(2L).getAs[Long]("n_novel") == 1L)
+    assert(byId(2L).getAs[Double]("novelty") == 1.0 / 12)
+    // unrelated docs are wholly novel
+    assert(byId(3L).getAs[Double]("novelty") == 1.0 &&
+      byId(5L).getAs[Double]("novelty") == 1.0)
+  }
+
   test("kmv: exact counts right; small groups estimate exactly; " +
       "estimate tracks cardinality") {
     val vals = (1 to 5000).map(i => ("big", s"tok$i")) ++

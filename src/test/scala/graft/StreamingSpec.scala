@@ -9,6 +9,7 @@ case class DiffRow(pk: Long, change: String, old_v: String, new_v: String)
 case class QV(vec_id: Long, embedding: Array[Float])
 case class TDoc(doc_id: Long, text: String)
 case class TSrc(id: Long, src: String, w: Long)
+case class GV(g: String, v: String)
 
 /** Streaming forms agree with the batch operators: replayed duplicates
   * insert nothing (A5 in streaming terms), windowed counts match the
@@ -168,6 +169,33 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(state() == expected.updated("b", (8.0, 2L)))
+  }
+
+  test("hllSink: streamed register view equals the batch sketch; " +
+      "replayed values are free under the MAX monoid") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (1 to 400).map(i => GV("s", s"tok$i"))
+    val b2 = (300 to 700).map(i => GV("s", s"tok$i")) // 300-400 replayed
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[GV]
+    mem.addData(b1: _*)
+    val q = Streams.hllSink(mem.toDF(), "g", col("v"), table,
+      dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val everything = (b1 ++ b2).toDF("g", "v")
+    // the streamed view's registers fold to EXACTLY the batch sketch
+    val streamed = Streams.hllView(spark, table).collect().head
+    val batch = graft.ext.DistinctSketch.hllEstimate(
+      graft.ext.DistinctSketch.hllRegisters(everything, "g", col("v")), 8)
+      .collect().head
+    assert(streamed == batch)
+    // and the estimate is the one the batch sketch gives for 700 truth
+    assert(streamed.getAs[Double]("hll_est") ==
+      batch.getAs[Double]("hll_est"))
   }
 
   test("keepFirstSink survives a table dir with no part files") {
