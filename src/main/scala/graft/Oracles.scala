@@ -3614,6 +3614,52 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x113: vocabulary growth — doc-offset prefix sum, first global
+    // position per token, 10-cut grid; // is floor division like the
+    // engine's nonnegative Long division
+    "x113_vocab_growth" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |      i -> {'pos': i - 1, 'tok': arr[i]})) AS s
+        |    FROM arrs)),
+        |perdoc AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |offs AS (
+        |  SELECT doc_id, coalesce(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM perdoc),
+        |firsts AS (
+        |  SELECT tok, min(off + pos) AS first
+        |  FROM tok JOIN offs USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM perdoc),
+        |grid AS (
+        |  SELECT i, (i * t) // 10 AS n_prefix
+        |  FROM (SELECT unnest(range(1, 11)) AS i) CROSS JOIN tot)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(n_prefix AS BIGINT) AS n_prefix,
+        |  CAST(count(*) AS BIGINT) AS vocab
+        |FROM firsts JOIN grid ON firsts.first < grid.n_prefix
+        |GROUP BY 1, 2 ORDER BY i""".stripMargin,
+
+    // x112: range join — the oracle is the PLAIN non-equi BETWEEN
+    // join; the engine's bin bucketing must reproduce it exactly
+    "x112_range_join" ->
+      """WITH p AS (
+        |  SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS ship_day,
+        |    l_quantity
+        |  FROM lineitem),
+        |iv AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s
+        |  FROM orders WHERE o_totalprice > 400000)
+        |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_ship,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_qty
+        |FROM p JOIN iv ON p.ship_day BETWEEN iv.s AND iv.s + 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // x111: bigram novelty — distinct bigrams per doc, first
     // occurrence = min doc_id per bigram, one double division
     "x111_bigram_novelty" ->

@@ -1967,6 +1967,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x112 — bin-bucketed RANGE JOIN: per high-value order, shipments
+    * whose ship day falls in the order's 4-day window — a join whose
+    * ONLY predicate is a range condition, which naive Spark plans as
+    * BroadcastNestedLoopJoin (O(|P|·|I|)); the bin bucketing turns it
+    * into an equi-join on the bin id (plan-asserted: no nested-loop
+    * operator). Work linear in points + interval replication + true
+    * pairs. */
+  val x112RangeJoin: Q = (s, dir) => {
+    val epoch = to_date(lit("1970-01-01"))
+    val points = Tables.lineitem(s, dir).select(
+      datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"),
+      col("l_quantity"))
+    val iv = Tables.orders(s, dir).where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("win_start"))
+      .withColumn("win_end", col("win_start") + lit(3L))
+    graft.operators.RangeJoin.pointInInterval(points, col("ship_day"),
+        iv, col("win_start"), col("win_end"), binSize = 4L)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_ship"),
+        sum(col("l_quantity").cast(D2)).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** x113 — Heaps-law vocabulary growth: distinct-token count at ten
+    * evenly spaced corpus prefixes (docs in id order) — the
+    * saturation curve tokenizer/vocab planning reads. Doc-offset
+    * prefix sum over per-doc rows, one min-position agg per token,
+    * broadcast 10-row grid join. */
+  val x113VocabGrowth: Q = (s, dir) => {
+    TextAnalysis.vocabularyGrowth(Tables.documents(s, dir), "doc_id",
+        "text", points = 10)
+      .orderBy("i")
+  }
+
   /** x72 — duplicate-span fraction (Lee et al. 2022 / the
     * RefinedWeb-style trimming statistic): per document, the share of
     * its distinct 3-token windows that occur in at least one OTHER
@@ -2515,6 +2550,8 @@ object Queries {
     "x109_phrase_search" -> x109PhraseSearch,
     "x110_kneser_ney" -> x110KneserNey,
     "x111_bigram_novelty" -> x111BigramNovelty,
+    "x112_range_join" -> x112RangeJoin,
+    "x113_vocab_growth" -> x113VocabGrowth,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -82,7 +82,13 @@ object ScaleProbe {
       "x94_robust_z", "x95_prototypicality", "x96_corpus_prep",
       "x97_feature_hash", "x98_unimax_mix", "x99_weighted_simhash",
       "x100_bpe_merges", "x102_char_entropy", "x103_dedup_histogram",
-      "x104_unimax_sample", "x105_bpe_encode")
+      "x104_unimax_sample", "x105_bpe_encode",
+      // round-10 (restart): distinct sketches (rank-k window + bounded
+      // register folds), span removal (linear postings + ×k coverage
+      // explode + per-doc rebuild), phrase postings, the KN and
+      // novelty salted-join families
+      "x106_kmv_distinct", "x107_hll_distinct", "x108_span_removal",
+      "x109_phrase_search", "x110_kneser_ney", "x111_bigram_novelty")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -410,6 +410,46 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Heaps-law vocabulary-growth curve — the tokenizer/vocab planning
+    * observability row: after the first N tokens of the corpus (docs
+    * taken in id order, tokens in document order), how many DISTINCT
+    * tokens have been seen? Emitted at `points` evenly spaced prefix
+    * cuts N_i = ⌊i·T/points⌋. A flattening curve says the vocabulary
+    * is saturating (more data ≠ more types); a straight line on
+    * log-log is Heaps' law V ∝ N^β.
+    *
+    * Scale shape: one tokenize pass; per-doc counts; the document
+    * OFFSET prefix sum is a window over per-DOC rows (corpus/1000s
+    * smaller than tokens; for corpora where even doc rows overwhelm
+    * one reducer, the [[Sampling.tokenBudgetBucketed]] hierarchical
+    * decomposition applies verbatim with id-range buckets); token
+    * first-positions are one min agg; the curve is a broadcast join
+    * of the V-row firsts table against a `points`-row grid. Output:
+    * (i, n_prefix, vocab). */
+  def vocabularyGrowth(docs: DataFrame, idCol: String, textCol: String,
+      points: Int = 10): DataFrame = {
+    require(points >= 1, s"vocabularyGrowth: points=$points must be >= 1")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val perDoc = toks.groupBy("id").agg(count(lit(1)).as("__n"))
+    val offs = perDoc.withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("id")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      .select(col("id"), col("__off"))
+    val firsts = toks.join(offs, Seq("id"))
+      .select(col("tok"), (col("__off") + col("pos")).as("__g"))
+      .groupBy("tok").agg(min(col("__g")).as("__first"))
+    val total = perDoc.agg(coalesce(sum(col("__n")), lit(0L)))
+      .first().getLong(0)
+    val grid = broadcast(docs.sparkSession.createDataFrame(
+      (1 to points).map(i => (i.toLong, i.toLong * total / points)))
+      .toDF("i", "n_prefix"))
+    firsts.join(grid, col("__first") < col("n_prefix"))
+      .groupBy("i", "n_prefix").agg(count(lit(1)).as("vocab"))
+  }
+
   /** One (id, w1, w2, w3) row per trigram occurrence. */
   private def trigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bin-bucketed range join — point-in-interval matching WITHOUT an
+  * equi-key. Spark plans a join whose only predicate is a range
+  * condition as BroadcastNestedLoopJoin: every point compared against
+  * every interval, O(|P|·|I|) — the plan that works at sf0.01 and
+  * melts at 100 TB. Bucketing both sides on fixed-width bins of the
+  * point domain turns it into an EQUI-join:
+  *
+  *  - each interval replicates to the ceil(len/bin)+1 bins it touches;
+  *  - each point lands in exactly ONE bin;
+  *  - bin-mates are then filtered by the exact range predicate.
+  *
+  * Work = |P| + Σᵢ(lenᵢ/bin + 1) + |true pairs| — linear when interval
+  * lengths are bounded, and the join itself shuffles (or broadcasts)
+  * on a Long key like any other equi-join, with AQE/skew handling
+  * available. `binSize` trades interval replication (big bins → few
+  * copies) against bin-mate filtering (small bins → fewer false
+  * bin-mates); the sweet spot is the typical interval length.
+  *
+  * This is the same idea as Databricks' range-join bin optimization
+  * and the bucketed interval joins in genomics engines (public
+  * technique); here it is expressed purely in DataFrame ops, so it
+  * needs no session hints.
+  *
+  * The bin id is the bin's START value, a − pmod(a, b) — pure Long
+  * arithmetic (no division, so no double round-trip), sign-correct
+  * for any Long domain, negatives included. Inputs must have disjoint
+  * column names; every input column passes through. */
+object RangeJoin {
+
+  /** Start of the bin containing `a`: sign-correct floor(a/b)·b. */
+  private def binStart(a: Column, b: Long): Column =
+    a - pmod(a, lit(b))
+
+  /** Inner-join `points` to every interval containing them:
+    * startCol <= pointCol <= endCol (both ends inclusive). All columns
+    * of both inputs survive. */
+  def pointInInterval(points: DataFrame, pointCol: Column,
+      intervals: DataFrame, startCol: Column, endCol: Column,
+      binSize: Long): DataFrame = {
+    require(binSize >= 1, s"binSize $binSize must be >= 1")
+    val p = points.withColumn("__bin", binStart(pointCol.cast("long"), binSize))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(binStart(startCol.cast("long"), binSize),
+        binStart(endCol.cast("long"), binSize), lit(binSize))))
+    p.join(iv, Seq("__bin"))
+      .where(pointCol >= startCol && pointCol <= endCol)
+      .drop("__bin")
+  }
+}

@@ -1697,6 +1697,17 @@ class ExtSpec extends SparkSpec {
       byId(5L).getAs[Double]("novelty") == 1.0)
   }
 
+  test("vocabulary growth: hand-computed curve over an ordered corpus") {
+    val d = Seq((1L, "a b"), (2L, "b c"), (3L, "c d")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.vocabularyGrowth(d, "doc_id", "text",
+      points = 3).orderBy("i"))
+    // global stream: a b b c c d (T=6); firsts a:0 b:1 c:3 d:5
+    // cuts N = 2, 4, 6 -> vocab 2, 3, 4
+    assert(got.map(r => (r.getLong(0), r.getAs[Long]("n_prefix"),
+      r.getAs[Long]("vocab"))) == Seq((1L, 2L, 2L), (2L, 4L, 3L),
+      (3L, 6L, 4L)))
+  }
+
   test("kmv: exact counts right; small groups estimate exactly; " +
       "estimate tracks cardinality") {
     val vals = (1 to 5000).map(i => ("big", s"tok$i")) ++

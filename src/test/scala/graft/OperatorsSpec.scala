@@ -98,4 +98,32 @@ class OperatorsSpec extends SparkSpec {
     // diff of identical snapshots is empty (idempotence fixpoint)
     assert(rows(Diff.snapshotDiff(nw, nw, Seq("pk"))).isEmpty)
   }
+
+  test("range join: equals the naive non-equi join, plans WITHOUT a " +
+      "nested loop, handles negatives and bin edges") {
+    import graft.operators.RangeJoin
+    // points at bin edges, inside, outside, negative domain
+    val points = Seq(-7L, -5L, -1L, 0L, 3L, 4L, 5L, 9L, 10L, 23L)
+      .map(Tuple1(_)).toDF("p")
+    val iv = Seq((1L, -6L, -2L), (2L, 0L, 4L), (3L, 4L, 9L),
+      (4L, 20L, 21L)).toDF("ivid", "lo", "hi")
+    for (bin <- Seq(1L, 3L, 4L, 100L)) {
+      val got = RangeJoin.pointInInterval(points, col("p"), iv,
+        col("lo"), col("hi"), bin)
+      val naive = points.join(iv, col("p") >= col("lo") &&
+        col("p") <= col("hi"))
+      assert(rows(got.orderBy("ivid", "p")).map(_.toString) ==
+        rows(naive.orderBy("ivid", "p")).map(_.toString),
+        s"bin=$bin mismatch")
+    }
+    // the point of the operator: the physical plan is an equi-join on
+    // the bin id, never BroadcastNestedLoopJoin
+    val plan = RangeJoin.pointInInterval(points, col("p"), iv,
+      col("lo"), col("hi"), 4L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    val naivePlan = points.join(iv, col("p") >= col("lo") &&
+      col("p") <= col("hi")).queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoop"),
+      "baseline should be the nested-loop plan this operator avoids")
+  }
 }
