@@ -3614,6 +3614,22 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x114: interval overlap — the oracle is the plain overlap
+    // predicate join; the engine's bin ownership must reproduce it
+    "x114_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_orderkey,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS a_s
+        |  FROM orders WHERE o_totalprice > 400000),
+        |b AS (
+        |  SELECT o_orderkey AS b_orderkey,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS b_s
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT a_orderkey, CAST(count(*) AS BIGINT) AS n_overlap,
+        |  CAST(min(b_orderkey) AS BIGINT) AS first_b
+        |FROM a JOIN b ON a.a_s <= b.b_s + 2 AND b.b_s <= a.a_s + 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // x113: vocabulary growth — doc-offset prefix sum, first global
     // position per token, 10-cut grid; // is floor division like the
     // engine's nonnegative Long division

@@ -1991,6 +1991,29 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** x114 — interval-OVERLAP join via the bin-ownership rule: high-
+    * value order windows × urgent order windows, each overlapping pair
+    * emitted from exactly ONE bin (the one containing the later
+    * start) — dedup as a codegen comparison per bin-mate, never a
+    * distinct shuffle over the pair set. */
+  val x114IntervalOverlap: Q = (s, dir) => {
+    val epoch = to_date(lit("1970-01-01"))
+    val o = Tables.orders(s, dir)
+    val a = o.where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("a_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("a_s"))
+      .withColumn("a_e", col("a_s") + lit(3L))
+    val b = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("b_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("b_s"))
+      .withColumn("b_e", col("b_s") + lit(2L))
+    graft.operators.RangeJoin.intervalOverlap(a, col("a_s"), col("a_e"),
+        b, col("b_s"), col("b_e"), binSize = 4L)
+      .groupBy("a_orderkey")
+      .agg(count(lit(1)).as("n_overlap"), min(col("b_orderkey")).as("first_b"))
+      .orderBy("a_orderkey")
+  }
+
   /** x113 — Heaps-law vocabulary growth: distinct-token count at ten
     * evenly spaced corpus prefixes (docs in id order) — the
     * saturation curve tokenizer/vocab planning reads. Doc-offset
@@ -2552,6 +2575,7 @@ object Queries {
     "x111_bigram_novelty" -> x111BigramNovelty,
     "x112_range_join" -> x112RangeJoin,
     "x113_vocab_growth" -> x113VocabGrowth,
+    "x114_interval_overlap" -> x114IntervalOverlap,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

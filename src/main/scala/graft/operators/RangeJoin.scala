@@ -51,4 +51,30 @@ object RangeJoin {
       .where(pointCol >= startCol && pointCol <= endCol)
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: every (a, b) pair with
+    * aStart <= bEnd AND bStart <= aEnd (closed intervals). Both sides
+    * replicate to their covered bins; two overlapping intervals share
+    * at least the bin containing max(aStart, bStart), and possibly
+    * many more — so a naive bin join double-counts. The BIN-OWNERSHIP
+    * rule kills the duplicates WITHOUT a distinct shuffle: each pair
+    * is emitted only from the single bin that contains
+    * max(aStart, bStart) (the first bin where both are present). Same
+    * linear work envelope as [[pointInInterval]]; the dedup costs one
+    * codegen comparison per bin-mate instead of an O(pairs) shuffle.
+    * Inputs must have disjoint column names. */
+  def intervalOverlap(a: DataFrame, aStart: Column, aEnd: Column,
+      b: DataFrame, bStart: Column, bEnd: Column,
+      binSize: Long): DataFrame = {
+    require(binSize >= 1, s"binSize $binSize must be >= 1")
+    def binned(df: DataFrame, s: Column, e: Column): DataFrame =
+      df.withColumn("__bin",
+        explode(sequence(binStart(s.cast("long"), binSize),
+          binStart(e.cast("long"), binSize), lit(binSize))))
+    binned(a, aStart, aEnd).join(binned(b, bStart, bEnd), Seq("__bin"))
+      .where(aStart <= bEnd && bStart <= aEnd &&
+        col("__bin") === binStart(greatest(aStart, bStart).cast("long"),
+          binSize))
+      .drop("__bin")
+  }
 }

@@ -126,4 +126,28 @@ class OperatorsSpec extends SparkSpec {
     assert(naivePlan.contains("BroadcastNestedLoop"),
       "baseline should be the nested-loop plan this operator avoids")
   }
+
+  test("interval overlap: bin ownership emits each pair exactly once " +
+      "across bin sizes, long intervals and negatives included") {
+    import graft.operators.RangeJoin
+    val a = Seq((1L, -10L, 30L), (2L, 0L, 2L), (3L, 5L, 6L),
+      (4L, 100L, 101L)).toDF("aid", "as_", "ae")
+    val b = Seq((10L, -4L, -1L), (11L, 2L, 9L), (12L, 28L, 40L),
+      (13L, 50L, 60L)).toDF("bid", "bs", "be")
+    for (bin <- Seq(1L, 4L, 7L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(a, col("as_"), col("ae"),
+        b, col("bs"), col("be"), bin)
+      val naive = a.join(b, col("as_") <= col("be") &&
+        col("bs") <= col("ae"))
+      assert(rows(got.orderBy("aid", "bid")).map(_.toString) ==
+        rows(naive.orderBy("aid", "bid")).map(_.toString),
+        s"bin=$bin mismatch")
+    }
+    // interval 1 spans many bins and overlaps b=11 across several of
+    // them at bin=4 — still exactly one output row for the pair
+    val one = RangeJoin.intervalOverlap(a, col("as_"), col("ae"),
+      b, col("bs"), col("be"), 4L)
+      .where(col("aid") === 1L && col("bid") === 11L)
+    assert(one.count() == 1L)
+  }
 }
