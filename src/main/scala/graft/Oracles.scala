@@ -3614,6 +3614,64 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x115: TextRank — three fixed rounds as chained CTEs; every
+    // contribution r·w/wdeg quantized by integer FLOOR into 1e-12
+    // micro-units (truncation has no rounding ties — early-round
+    // ranks are dyadic rationals that land exactly on scale-12
+    // HALF_UP-vs-HALF_EVEN ties, a measured 1-ulp corpus mismatch)
+    "x115_textrank" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi0 AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |bic AS (
+        |  SELECT w1, w2, count(*) AS w FROM bi0 WHERE w1 <> w2
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        |    SELECT w1 AS src, w2 AS dst, w FROM bic
+        |    UNION ALL SELECT w2 AS src, w1 AS dst, w FROM bic)
+        |  GROUP BY 1, 2),
+        |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+        |         FROM edges GROUP BY 1),
+        |r0 AS (SELECT src AS term, CAST(1 AS DOUBLE) AS rank FROM wdeg),
+        |c1 AS (
+        |  SELECT e.dst AS term,
+        |    CAST(floor(r.rank * CAST(e.w AS DOUBLE)
+        |      / CAST(d.wdeg AS DOUBLE) * 1e12) AS BIGINT) AS c
+        |  FROM edges e JOIN r0 r ON e.src = r.term
+        |  JOIN wdeg d ON e.src = d.src),
+        |r1 AS (
+        |  SELECT term,
+        |    0.25e0 + 0.75e0 * (CAST(sum(c) AS DOUBLE) / 1e12) AS rank
+        |  FROM c1 GROUP BY 1),
+        |c2 AS (
+        |  SELECT e.dst AS term,
+        |    CAST(floor(r.rank * CAST(e.w AS DOUBLE)
+        |      / CAST(d.wdeg AS DOUBLE) * 1e12) AS BIGINT) AS c
+        |  FROM edges e JOIN r1 r ON e.src = r.term
+        |  JOIN wdeg d ON e.src = d.src),
+        |r2 AS (
+        |  SELECT term,
+        |    0.25e0 + 0.75e0 * (CAST(sum(c) AS DOUBLE) / 1e12) AS rank
+        |  FROM c2 GROUP BY 1),
+        |c3 AS (
+        |  SELECT e.dst AS term,
+        |    CAST(floor(r.rank * CAST(e.w AS DOUBLE)
+        |      / CAST(d.wdeg AS DOUBLE) * 1e12) AS BIGINT) AS c
+        |  FROM edges e JOIN r2 r ON e.src = r.term
+        |  JOIN wdeg d ON e.src = d.src),
+        |r3 AS (
+        |  SELECT term,
+        |    0.25e0 + 0.75e0 * (CAST(sum(c) AS DOUBLE) / 1e12) AS rank
+        |  FROM c3 GROUP BY 1)
+        |SELECT r3.term, d.wdeg, r3.rank
+        |FROM r3 JOIN wdeg d ON r3.term = d.src
+        |ORDER BY r3.term""".stripMargin,
+
     // x114: interval overlap — the oracle is the plain overlap
     // predicate join; the engine's bin ownership must reproduce it
     "x114_interval_overlap" ->

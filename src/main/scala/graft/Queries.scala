@@ -2014,6 +2014,18 @@ object Queries {
       .orderBy("a_orderkey")
   }
 
+  /** x115 — TextRank keyword salience (Mihalcea & Tarau 2004):
+    * 3 rounds of weighted PageRank over the token co-occurrence
+    * graph — vocabulary-bounded iterations (model-sized joins, never
+    * a corpus scan past the first pass), each contribution quantized
+    * to exact decimal before the order-independent sum. d = 0.75, the
+    * exact-binary-fraction damping. */
+  val x115TextRank: Q = (s, dir) => {
+    TextAnalysis.textRank(Tables.documents(s, dir), "doc_id", "text",
+        iters = 3)
+      .orderBy("term")
+  }
+
   /** x113 — Heaps-law vocabulary growth: distinct-token count at ten
     * evenly spaced corpus prefixes (docs in id order) — the
     * saturation curve tokenizer/vocab planning reads. Doc-offset
@@ -2576,6 +2588,7 @@ object Queries {
     "x112_range_join" -> x112RangeJoin,
     "x113_vocab_growth" -> x113VocabGrowth,
     "x114_interval_overlap" -> x114IntervalOverlap,
+    "x115_textrank" -> x115TextRank,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -450,6 +450,62 @@ object TextAnalysis {
       .groupBy("i", "n_prefix").agg(count(lit(1)).as("vocab"))
   }
 
+  /** TextRank keyword scores (Mihalcea & Tarau, EMNLP 2004): weighted
+    * PageRank over the token co-occurrence graph — edges are ADJACENT
+    * token pairs (the bigram stream, undirected, weight = occurrence
+    * count), rank update
+    *   r'(v) = (1−d) + d · Σ_u r(u) · w(u,v) / wdeg(u)
+    * run a FIXED `iters` rounds from r₀ = 1. Graph-global keyword
+    * salience with no training signal — the corpus-level complement
+    * of per-document tf-idf (x78).
+    *
+    * Scale shape: the graph is VOCABULARY-bounded (edges = distinct
+    * bigrams), so after one corpus tokenize pass every iteration is a
+    * model-sized join+agg, never a corpus scan; ranks stay a
+    * DataFrame throughout (nothing collects).
+    *
+    * Determinism: d = 0.75 (an exact binary fraction, deliberately
+    * not the customary 0.85 = inexact); each incoming contribution
+    * r·w/wdeg is one IEEE chain quantized by integer FLOOR into
+    * 1e-12 micro-units (a Long) before the order-independent sum.
+    * Floor, not decimal rounding, on purpose: early-round ranks are
+    * DYADIC rationals (r₀ = 1, binary-fraction quotients), which land
+    * exactly on scale-12 rounding ties where Spark rounds HALF_UP and
+    * DuckDB HALF_EVEN — a measured 1-ulp corpus mismatch. Truncation
+    * has no ties; both engines compute the identical product chain
+    * and the identical floor. The oracle replays the same `iters`
+    * rounds as chained CTEs.
+    * Output: (term, wdeg, rank) for every graph node. */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int = 3, damping: Double = 0.75): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters $iters outside [1,10]")
+    val bi = bigrams(docs, idCol, textCol)
+      .where(col("w1") =!= col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("w"))
+    // undirected: each pair contributes both directions
+    val edges = bi.select(col("w1").as("src"), col("w2").as("dst"), col("w"))
+      .unionByName(
+        bi.select(col("w2").as("src"), col("w1").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val wdeg = edges.groupBy("src").agg(sum(col("w")).as("wdeg"))
+      .localCheckpoint()
+    var rank = wdeg.select(col("src").as("term"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("term", "src"), Seq("src"))
+        .join(wdeg, Seq("src"))
+        .select(col("dst").as("term"),
+          floor(col("rank") * col("w").cast("double") /
+            col("wdeg").cast("double") * lit(1e12)).cast("long").as("c"))
+      rank = contrib.groupBy("term")
+        .agg((lit(1.0 - damping) + lit(damping) *
+          (sum(col("c")).cast("double") / lit(1e12))).as("rank"))
+    }
+    rank.join(wdeg.withColumnRenamed("src", "term"), Seq("term"))
+      .select(col("term"), col("wdeg"), col("rank"))
+  }
+
   /** One (id, w1, w2, w3) row per trigram occurrence. */
   private def trigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

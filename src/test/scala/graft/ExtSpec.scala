@@ -1697,6 +1697,21 @@ class ExtSpec extends SparkSpec {
       byId(5L).getAs[Double]("novelty") == 1.0)
   }
 
+  test("textrank: regular graph is a fixpoint at 1, hubs outrank " +
+      "leaves, total rank mass is conserved") {
+    // two-node symmetric graph: every round maps 1 -> 0.25 + 0.75 = 1
+    val sym = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val rsym = rows(TextAnalysis.textRank(sym, "doc_id", "text", iters = 3))
+    assert(rsym.forall(_.getAs[Double]("rank") == 1.0))
+    // star graph: the hub has degree 3, leaves 1 — hub must outrank
+    val star = Seq((1L, "hub x hub y hub z")).toDF("doc_id", "text")
+    val byT = rows(TextAnalysis.textRank(star, "doc_id", "text"))
+      .map(r => r.getString(0) -> r.getAs[Double]("rank")).toMap
+    assert(byT("hub") > byT("x") && byT("hub") > byT("z"))
+    // PageRank mass conservation: sum of ranks ~ node count
+    assert(math.abs(byT.values.sum - 4.0) < 1e-6, byT.toString)
+  }
+
   test("vocabulary growth: hand-computed curve over an ordered corpus") {
     val d = Seq((1L, "a b"), (2L, "b c"), (3L, "c d")).toDF("doc_id", "text")
     val got = rows(TextAnalysis.vocabularyGrowth(d, "doc_id", "text",
