@@ -88,7 +88,9 @@ object ScaleProbe {
       // explode + per-doc rebuild), phrase postings, the KN and
       // novelty salted-join families
       "x106_kmv_distinct", "x107_hll_distinct", "x108_span_removal",
-      "x109_phrase_search", "x110_kneser_ney", "x111_bigram_novelty")
+      "x109_phrase_search", "x110_kneser_ney", "x111_bigram_novelty",
+      "x112_range_join", "x113_vocab_growth", "x114_interval_overlap",
+      "x115_textrank")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
@@ -168,7 +170,10 @@ object ScaleProbe {
       copies: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_OKv2"))) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_OKv2"))) {
+      buildOrdersIfAbsent(spark, base, out, copies)
+      return
+    }
 
     val docs = graft.sources.Tables.documents(spark, base)
     val docMax = docs.agg(max("doc_id")).first().getLong(0) + 1
@@ -209,6 +214,24 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    buildOrdersIfAbsent(spark, base, out, copies)
     fs.create(new org.apache.hadoop.fs.Path(s"$out/_OKv2")).close()
+  }
+
+  /** orders was added to the synthetic build later (the range-join
+    * arms read it) — materialize it independently so existing _OKv2
+    * dirs upgrade in place. Same id-offset recipe as lineitem. */
+  private def buildOrdersIfAbsent(spark: SparkSession, base: String,
+      out: String, copies: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/orders.parquet")))
+      return
+    val o = graft.sources.Tables.orders(spark, base)
+    val oMax = o.agg(max("o_orderkey")).first().getLong(0) + 1
+    (0 until copies).map { k =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(k * oMax))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
   }
 }
