@@ -3614,6 +3614,45 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x116: Cavnar-Trenkle rank profiles — all integer; row_number
+    // rank over (count DESC, gram), out-of-place distance with miss
+    // cost k, arg-min via (dist, lang) ordering
+    "x116_langid_trained" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+        |      i -> substring(t, i, 3))) AS g
+        |  FROM g0),
+        |lp AS (
+        |  SELECT lang, g, lr FROM (
+        |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, g) AS lr
+        |    FROM grams GROUP BY lang, g) WHERE lr <= 50),
+        |dp AS (
+        |  SELECT doc_id, g, dr FROM (
+        |    SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, g) AS dr
+        |    FROM grams GROUP BY doc_id, g) WHERE dr <= 50),
+        |langs AS (SELECT DISTINCT lang FROM lp),
+        |scored AS (
+        |  SELECT dp.doc_id, langs.lang,
+        |    CAST(sum(CASE WHEN lp.lr IS NULL THEN 50
+        |      ELSE abs(dp.dr - lp.lr) END) AS BIGINT) AS dist
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.g = dp.g
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, lang AS pred_lang, dist AS distance FROM (
+        |    SELECT doc_id, lang, dist, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY dist, lang) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT d.doc_id, b.pred_lang, b.distance,
+        |  b.pred_lang = d.lang AS is_correct
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // x115: TextRank — three fixed rounds as chained CTEs; every
     // contribution r·w/wdeg quantized by integer FLOOR into 1e-12
     // micro-units (truncation has no rounding ties — early-round

@@ -2014,6 +2014,18 @@ object Queries {
       .orderBy("a_orderkey")
   }
 
+  /** x116 — trained Cavnar-Trenkle language ID: top-50 char-trigram
+    * rank profiles per language, out-of-place distance, arg-min
+    * classification with a training-set accuracy audit column. All
+    * integer — ranks, |Δrank| sums — so oracle parity is exact by
+    * construction. */
+  val x116LangIdTrained: Q = (s, dir) => {
+    TextAnalysis.langIdTrained(Tables.documents(s, dir), "doc_id", "text",
+        "lang", k = 50)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x115 — TextRank keyword salience (Mihalcea & Tarau 2004):
     * 3 rounds of weighted PageRank over the token co-occurrence
     * graph — vocabulary-bounded iterations (model-sized joins, never
@@ -2589,6 +2601,7 @@ object Queries {
     "x113_vocab_growth" -> x113VocabGrowth,
     "x114_interval_overlap" -> x114IntervalOverlap,
     "x115_textrank" -> x115TextRank,
+    "x116_langid_trained" -> x116LangIdTrained,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -506,6 +506,61 @@ object TextAnalysis {
       .select(col("term"), col("wdeg"), col("rank"))
   }
 
+  /** TRAINED language identification (Cavnar & Trenkle 1994, the
+    * n-gram rank-profile classic): per-language profiles are the top-k
+    * character trigrams ranked by frequency; a document is scored
+    * against each profile with the OUT-OF-PLACE measure — Σ over the
+    * document's own top-k trigrams of |doc rank − profile rank|, with
+    * a miss costing k — and classified to the arg-min language
+    * (lexicographic tie-break). Complements the x08 stopword
+    * heuristic with a model trained from the corpus's own labels;
+    * `is_correct` makes the query double as a training-set accuracy
+    * audit.
+    *
+    * Everything is INTEGER (counts, row_number ranks, |Δrank| sums) —
+    * no floating point anywhere, so oracle parity is exact by
+    * construction. Scale shape: one char-trigram explode; language
+    * profiles are (langs·k)-bounded and BROADCAST; per-doc top-k
+    * ranks ride WindowGroupLimit; scoring is |docs|·k·|langs| rows
+    * through one combiner agg and a min-struct arg-min. Documents too
+    * short for a trigram keep a row with null prediction. */
+  def langIdTrained(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, k: Int = 50): DataFrame = {
+    require(k >= 1, s"langIdTrained: k=$k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+        lower(col(textCol)).as("t"))
+      // the length guard matters: Spark's sequence(1, 0) DESCENDS
+      // ([1, 0]) instead of being empty, so an unguarded transform
+      // would fabricate grams for sub-trigram texts
+      .where(length(col("t")) >= 3)
+      .select(col("id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(t) - 2), " +
+          "i -> substring(t, i, 3))")).as("g"))
+    val lp = grams.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("lr", row_number().over(
+        w.partitionBy("lang").orderBy(col("c").desc, col("g"))))
+      .where(col("lr") <= k).select(col("lang"), col("g"), col("lr"))
+    val dp = grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("dr", row_number().over(
+        w.partitionBy("id").orderBy(col("c").desc, col("g"))))
+      .where(col("dr") <= k).select(col("id"), col("g"), col("dr"))
+    val langs = lp.select("lang").distinct()
+    val best = dp.crossJoin(broadcast(langs))
+      .join(broadcast(lp), Seq("lang", "g"), "left")
+      .groupBy("id", "lang")
+      .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(k)).cast("long"))
+        .as("dist"))
+      .groupBy("id")
+      .agg(min(struct(col("dist"), col("lang"))).as("b"))
+      .select(col("id"), col("b.lang").as("pred_lang"),
+        col("b.dist").as("distance"))
+    docs.select(col(idCol).as("id"), col(langCol).as("__true"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"), col("pred_lang"), col("distance"),
+        (col("pred_lang") === col("__true")).as("is_correct"))
+  }
+
   /** One (id, w1, w2, w3) row per trigram occurrence. */
   private def trigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

@@ -1712,6 +1712,24 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(byT.values.sum - 4.0) < 1e-6, byT.toString)
   }
 
+  test("trained lang-id: training docs classify to their own language; " +
+      "too-short docs predict null") {
+    val d = Seq(
+      (1L, "en", "the cat sat on the mat and the dog ran"),
+      (2L, "en", "the rat and the bat sat on the hat"),
+      (3L, "fr", "le chat est sur le tapis et le chien aussi"),
+      (4L, "fr", "le rat et le chapeau sont sur la table"),
+      (5L, "en", "xy")
+    ).toDF("doc_id", "lang", "text")
+    val got = rows(TextAnalysis.langIdTrained(d, "doc_id", "text", "lang",
+      k = 20).orderBy("id"))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    for (i <- 1L to 4L)
+      assert(byId(i).getAs[Boolean]("is_correct"), s"doc $i misclassified")
+    // two chars -> no trigram -> no profile -> null prediction
+    assert(byId(5L).isNullAt(byId(5L).fieldIndex("pred_lang")))
+  }
+
   test("vocabulary growth: hand-computed curve over an ordered corpus") {
     val d = Seq((1L, "a b"), (2L, "b c"), (3L, "c d")).toDF("doc_id", "text")
     val got = rows(TextAnalysis.vocabularyGrowth(d, "doc_id", "text",
