@@ -3614,6 +3614,33 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x117: containment pairs — x02's intersection machinery with
+    // both directional ratios; qualifies on either direction
+    "x117_containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared, n_a, n_b, c_a_in_b, c_b_in_a FROM (
+        |  SELECT id_a, id_b, CAST(i AS BIGINT) AS shared,
+        |    CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |    CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_a_in_b,
+        |    CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_b_in_a
+        |  FROM inter
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id) t
+        |WHERE greatest(c_a_in_b, c_b_in_a) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // x116: Cavnar-Trenkle rank profiles — all integer; row_number
     // rank over (count DESC, gram), out-of-place distance with miss
     // cost k, arg-min via (dist, lang) ordering

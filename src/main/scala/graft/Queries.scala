@@ -2014,6 +2014,18 @@ object Queries {
       .orderBy("a_orderkey")
   }
 
+  /** x117 — asymmetric containment pairs (Broder 1997's containment
+    * next to x02's resemblance): quote-inclusion detection — a short
+    * doc swallowed by a long one scores ~1 here while its Jaccard is
+    * diluted past any threshold. Same posting-join candidates as x02,
+    * exact verification, one double division per direction. */
+  val x117ContainmentPairs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+    Dedup.containmentPairs(docs, "doc_id", "sh", threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** x116 — trained Cavnar-Trenkle language ID: top-50 char-trigram
     * rank profiles per language, out-of-place distance, arg-min
     * classification with a training-set accuracy audit column. All
@@ -2602,6 +2614,7 @@ object Queries {
     "x114_interval_overlap" -> x114IntervalOverlap,
     "x115_textrank" -> x115TextRank,
     "x116_langid_trained" -> x116LangIdTrained,
+    "x117_containment_pairs" -> x117ContainmentPairs,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -438,6 +438,53 @@ object Dedup {
     verifyPairs(base, candidates, threshold)
   }
 
+  /** ASYMMETRIC containment pairs — the near-dup signal Jaccard
+    * structurally misses: a short document quoted wholesale inside a
+    * long one has tiny Jaccard (|A∩B|/|A∪B| is diluted by the long
+    * side) but containment |A∩B|/|A| ≈ 1. The quote-inclusion /
+    * superset-page case every curation pipeline meets (Broder 1997
+    * introduced containment alongside resemblance for exactly this).
+    *
+    * Emits each unordered pair once (id_a < id_b) with BOTH
+    * directional containments; the pair qualifies when either
+    * direction reaches `threshold`. Candidate generation and the
+    * maxDocFreq boilerplate cap are [[jaccardPairs]]'s posting-join
+    * machinery (same recall caveat: a qualifying pair is missed only
+    * if every shared shingle is above the cap); verification is exact
+    * over the full hashed-shingle sets, each containment one double
+    * division of exact longs.
+    * Output: (id_a, id_b, shared, n_a, n_b, c_a_in_b, c_b_in_a). */
+  def containmentPairs(docs: DataFrame, idCol: String, shinglesCol: String,
+      threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
+    val tok = base.select(col("id"), explode(col("hs")).as("h"))
+    val capped =
+      if (maxDocFreq == Long.MaxValue) tok
+      else {
+        val hot = tok.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq).select("h")
+        tok.join(hot, Seq("h"), "left_anti")
+      }
+    val candidates = capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sa = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val sb = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    candidates.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("shared"),
+        size(col("hs_a")).cast("long").as("n_a"),
+        size(col("hs_b")).cast("long").as("n_b"))
+      .withColumn("c_a_in_b",
+        col("shared").cast("double") / col("n_a").cast("double"))
+      .withColumn("c_b_in_a",
+        col("shared").cast("double") / col("n_b").cast("double"))
+      .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+  }
+
   /** C4-style passage-level exact dedup (Raffel et al. 2020 removed
     * repeated three-sentence spans; here the unit is a non-overlapping
     * `chunkSize`-token window from [[TextAnalysis.chunkTokens]]): the

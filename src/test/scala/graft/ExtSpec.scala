@@ -1712,6 +1712,27 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(byT.values.sum - 4.0) < 1e-6, byT.toString)
   }
 
+  test("containment: a quoted-inside document scores ~1 where jaccard " +
+      "is diluted below threshold") {
+    import graft.ext.TextAnalysis
+    // doc 1 is wholly quoted inside the much longer doc 2
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon one two three four five six " +
+        "seven eight nine ten eleven twelve thirteen fourteen fifteen"),
+      (3L, "unrelated content entirely here okay fine")
+    ).toDF("doc_id", "text")
+    val sh = d.select(col("doc_id"), TextAnalysis.shingles(col("text"), 3)
+      .as("sh"))
+    val got = rows(Dedup.containmentPairs(sh, "doc_id", "sh", 0.9))
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+    assert(got.head.getAs[Double]("c_a_in_b") == 1.0)
+    // jaccard for the same pair is 3/19 — far below any dedup cut
+    val jac = rows(Dedup.jaccardPairs(sh, "doc_id", "sh", 0.15))
+    assert(jac.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+    assert(jac.head.getAs[Double]("jaccard") < 0.2)
+  }
+
   test("trained lang-id: training docs classify to their own language; " +
       "too-short docs predict null") {
     val d = Seq(
