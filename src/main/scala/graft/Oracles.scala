@@ -3614,6 +3614,40 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x118: total-variation drift — integer numerators in sized
+    // decimals (18,0)x(18,0) -> 37 precision, absent-token mass in
+    // closed form, one boundary division
+    "x118_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |ct AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS big_c
+        |           FROM ct GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+        |       FROM ct GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM ns),
+        |present AS (
+        |  SELECT ct.source,
+        |    sum(abs(CAST(ct.c AS DECIMAL(18,0))
+        |        * CAST(n.n_total AS DECIMAL(18,0))
+        |      - CAST(corpus.big_c AS DECIMAL(18,0))
+        |        * CAST(ns.n_tokens AS DECIMAL(18,0)))) AS diff_present,
+        |    CAST(sum(corpus.big_c) AS BIGINT) AS c_present
+        |  FROM ct JOIN corpus USING (tok) JOIN ns USING (source)
+        |  CROSS JOIN n GROUP BY 1)
+        |SELECT p.source, ns.n_tokens,
+        |  CAST(CAST(p.diff_present
+        |      + CAST(ns.n_tokens AS DECIMAL(18,0))
+        |        * CAST(n.n_total - p.c_present AS DECIMAL(18,0))
+        |    AS VARCHAR) AS DOUBLE)
+        |  / (CAST(2 AS DOUBLE) * CAST(ns.n_tokens AS DOUBLE)
+        |    * CAST(n.n_total AS DOUBLE)) AS tv_distance
+        |FROM present p JOIN ns USING (source) CROSS JOIN n
+        |ORDER BY p.source""".stripMargin,
+
     // x117: containment pairs — x02's intersection machinery with
     // both directional ratios; qualifies on either direction
     "x117_containment_pairs" ->

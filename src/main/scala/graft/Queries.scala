@@ -2014,6 +2014,16 @@ object Queries {
       .orderBy("a_orderkey")
   }
 
+  /** x118 — per-source distribution drift: exact total-variation
+    * distance between each source's token distribution and the whole
+    * corpus — integer numerators |c·N − C·N_s| in sized decimals,
+    * absent tokens in closed form, ONE boundary division. The
+    * mixture-auditing alarm next to per-document quality scores. */
+  val x118SourceDrift: Q = (s, dir) => {
+    TextAnalysis.sourceDrift(Tables.documents(s, dir), "source", "text")
+      .orderBy("source")
+  }
+
   /** x117 — asymmetric containment pairs (Broder 1997's containment
     * next to x02's resemblance): quote-inclusion detection — a short
     * doc swallowed by a long one scores ~1 here while its Jaccard is
@@ -2615,6 +2625,7 @@ object Queries {
     "x115_textrank" -> x115TextRank,
     "x116_langid_trained" -> x116LangIdTrained,
     "x117_containment_pairs" -> x117ContainmentPairs,
+    "x118_source_drift" -> x118SourceDrift,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -561,6 +561,53 @@ object TextAnalysis {
         (col("pred_lang") === col("__true")).as("is_correct"))
   }
 
+  /** Per-group distribution DRIFT: exact total-variation distance
+    * between each group's token distribution and the whole corpus —
+    * TV(p, q) = ½·Σ_t |p_t − q_t| — the one-number "is this source
+    * statistically unlike the rest" alarm (mixture auditing, crawl
+    * drift detection, the aggregate complement of per-document
+    * quality scores). TV is in [0, 1]; a source sampled from the
+    * corpus distribution sits near 0, a disjoint-vocabulary source at
+    * ~1 − N_s/N.
+    *
+    * Exactness: the comparison runs on INTEGER numerators —
+    * |c_t·N − C_t·N_s| summed in exact decimal (operands sized
+    * DECIMAL(18,0) so the product precision 37 never hits Spark's
+    * silent ≥ 39 rescale, the x78 lesson) — and tokens ABSENT from a
+    * group contribute in closed form (N_s·(N − ΣC_present)), so
+    * nothing materializes the |vocab|×|groups| dense grid. ONE double
+    * division at the boundary.
+    *
+    * Scale shape: per-(group, token) counts; the corpus-wide token
+    * table derives from them (model-sized agg, no second corpus
+    * pass); one model-sized join + a 1-row broadcast of N. Output:
+    * (group, n_tokens, tv_distance). */
+  def sourceDrift(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(18, 0)
+    val ct = docs.select(col(groupCol).as("g"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    val corpus = ct.groupBy("tok").agg(sum(col("c")).as("big_c"))
+    val ns = ct.groupBy("g").agg(sum(col("c")).as("n_tokens"))
+    val nRow = broadcast(ns.agg(sum(col("n_tokens")).as("n_total")))
+    val present = ct.join(corpus, Seq("tok"))
+      .join(ns, Seq("g")).crossJoin(nRow)
+      .groupBy("g")
+      .agg(
+        sum(abs(col("c").cast(D) * col("n_total").cast(D) -
+          col("big_c").cast(D) * col("n_tokens").cast(D))).as("diff_present"),
+        sum(col("big_c")).as("c_present"))
+    present.join(ns, Seq("g")).crossJoin(nRow)
+      .select(col("g").as(groupCol), col("n_tokens"),
+        ((col("diff_present") +
+          col("n_tokens").cast(D) *
+            (col("n_total") - col("c_present")).cast(D)).cast("double") /
+          (lit(2.0) * col("n_tokens").cast("double") *
+            col("n_total").cast("double"))).as("tv_distance"))
+  }
+
   /** One (id, w1, w2, w3) row per trigram occurrence. */
   private def trigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

@@ -1712,6 +1712,24 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(byT.values.sum - 4.0) < 1e-6, byT.toString)
   }
 
+  test("source drift: hand-computed TV distance; disjoint vocabulary " +
+      "approaches 1 - share") {
+    val d = Seq(("A", "a a b"), ("B", "a b b")).toDF("source", "text")
+    val got = rows(TextAnalysis.sourceDrift(d, "source", "text")
+      .orderBy("source"))
+    // p_A=(2/3,1/3), q=(1/2,1/2): TV = 1/6 for both sources
+    for (r <- got)
+      assert(math.abs(r.getAs[Double]("tv_distance") - 1.0 / 6) < 1e-15)
+    // a disjoint-vocabulary source: TV = 1 - N_s/N
+    val d2 = Seq(("A", "a a a a a a a a"), ("Z", "z z")).toDF("source", "text")
+    val got2 = rows(TextAnalysis.sourceDrift(d2, "source", "text")
+      .orderBy("source"))
+    val byS = got2.map(r => r.getString(0) -> r.getAs[Double]("tv_distance"))
+      .toMap
+    assert(math.abs(byS("Z") - 0.8) < 1e-15 &&
+      math.abs(byS("A") - 0.2) < 1e-15, byS.toString)
+  }
+
   test("containment: a quoted-inside document scores ~1 where jaccard " +
       "is diluted below threshold") {
     import graft.ext.TextAnalysis
