@@ -90,7 +90,8 @@ object ScaleProbe {
       "x106_kmv_distinct", "x107_hll_distinct", "x108_span_removal",
       "x109_phrase_search", "x110_kneser_ney", "x111_bigram_novelty",
       "x112_range_join", "x113_vocab_growth", "x114_interval_overlap",
-      "x115_textrank")
+      "x115_textrank", "x116_langid_trained", "x117_containment_pairs",
+      "x118_source_drift")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

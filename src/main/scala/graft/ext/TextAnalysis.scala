@@ -608,6 +608,49 @@ object TextAnalysis {
             col("n_total").cast("double"))).as("tv_distance"))
   }
 
+  /** Corpus token distribution — the PINNED model side of the drift
+    * monitor: (tok, big_c) counts. Pair with its summed total. */
+  def tokenDistribution(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("big_c"))
+
+  /** One-row exact TV distance of `batch`'s token distribution against
+    * a pinned corpus distribution — [[sourceDrift]]'s arithmetic with
+    * the corpus side FROZEN (the train-once contract): batch-only
+    * tokens contribute c·N, corpus-only tokens fold in closed form
+    * N_b·(N − ΣC_matched). The per-micro-batch scoring core of
+    * [[graft.streaming.Streams.driftMonitorSink]].
+    * Output: one row (n_tokens, tv_distance); n_tokens = 0 and null
+    * distance for an empty batch. */
+  def tvAgainstCorpus(batch: DataFrame, textCol: String,
+      corpusCounts: DataFrame, corpusTotal: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(corpusTotal > 0, "empty pinned corpus")
+    val D = DecimalType(18, 0)
+    val ct = batch.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    // the batch total rides an unpartitioned window over the batch's
+    // own (vocab-bounded) count table — a micro-batch-sized sort slice,
+    // not a corpus operation
+    val withNb = ct.join(corpusCounts, Seq("tok"), "left")
+      .withColumn("__nb", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val folded = withNb.agg(
+      max(col("__nb")).as("n_tokens"),
+      sum(abs(col("c").cast(D) * lit(corpusTotal).cast(D) -
+        coalesce(col("big_c"), lit(0L)).cast(D) * col("__nb").cast(D)))
+        .as("__diff"),
+      sum(coalesce(col("big_c"), lit(0L))).as("__c_matched"))
+    folded.select(
+      coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+      when(col("n_tokens").isNotNull,
+        (col("__diff") +
+          col("n_tokens").cast(D) *
+            (lit(corpusTotal) - col("__c_matched")).cast(D)).cast("double") /
+          (lit(2.0) * col("n_tokens").cast("double") *
+            lit(corpusTotal.toDouble))).as("tv_distance"))
+  }
+
   /** One (id, w1, w2, w3) row per trigram occurrence. */
   private def trigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

@@ -241,6 +241,33 @@ object Streams {
       spark.read.parquet(tablePath)
         .groupBy("g", "bucket").agg(max(col("reg")).as("reg")), p)
 
+  /** Streaming distribution-drift monitor: score every micro-batch's
+    * token distribution against a PINNED training-corpus distribution
+    * (the train-once contract of the score/BM25 sinks — the model is
+    * `TextAnalysis.tokenDistribution` + its total, fit once before the
+    * stream starts) and append one
+    * (n_tokens, tv_distance, _batch) row per batch to the monitor
+    * table. The alarm a long-running ingestion wants: a rising TV
+    * series says arriving data no longer looks like what the quality/
+    * LM models were fit on — re-train before the frozen-stats scores
+    * drift into garbage. Replay-safe by construction: a re-run batch
+    * re-appends an identical row under the same _batch id (readers
+    * dedup on _batch like every ledger here). */
+  def driftMonitorSink(stream: DataFrame, textCol: String,
+      corpusCounts: DataFrame, corpusTotal: Long, tablePath: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.TextAnalysis
+          .tvAgainstCorpus(batch, textCol, corpusCounts, corpusTotal)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+      .start()
+
   /** Diff→CDC bridge: maintain a parquet table by APPLYING a stream of
     * [[graft.operators.Diff.snapshotDiff]] rows incrementally — the
     * missing half of the snapshot-diff story (diffs as a CHANGE FEED,

@@ -198,6 +198,38 @@ class StreamingSpec extends SparkSpec {
       batch.getAs[Double]("hll_est"))
   }
 
+  test("driftMonitorSink: per-batch TV rows equal the batch-mode " +
+      "computation; a corpus-identical batch scores exactly 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(TDoc(1L, "a a b c"), TDoc(2L, "b c d")).toDF()
+    val counts = graft.ext.TextAnalysis.tokenDistribution(corpus, "text")
+      .localCheckpoint()
+    val total = counts.agg(sum("big_c")).first().getLong(0)
+    assert(total == 7L)
+    val b1 = Seq(TDoc(10L, "a a b c"), TDoc(11L, "b c d"))   // = corpus
+    val b2 = Seq(TDoc(12L, "z z z"))                          // disjoint
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[TDoc]
+    mem.addData(b1: _*)
+    val q = Streams.driftMonitorSink(mem.toDF(), "text", counts, total,
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(table).orderBy("_batch").collect()
+    assert(got.length == 2)
+    // corpus-identical batch: exact 0 (integer numerators cancel)
+    assert(got(0).getAs[Double]("tv_distance") == 0.0)
+    // disjoint batch: matches the batch-mode computation bit for bit
+    val expect = graft.ext.TextAnalysis.tvAgainstCorpus(
+      b2.toDF(), "text", counts, total).collect().head
+    assert(got(1).getAs[Double]("tv_distance") ==
+      expect.getAs[Double]("tv_distance"))
+    assert(got(1).getAs[Long]("n_tokens") == 3L)
+  }
+
   test("keepFirstSink survives a table dir with no part files") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_empty")
