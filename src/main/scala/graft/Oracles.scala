@@ -3614,6 +3614,30 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x119: rate anomaly — ROWS frame over observed hours; the
+    // z-score denominator n·Q−S² stays integer-exact in doubles
+    "x119_rate_anomaly" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT ws, key, c,
+        |    count(*) OVER w AS n,
+        |    sum(c) OVER w AS s,
+        |    sum(c * c) OVER w AS q
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY key ORDER BY ws
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT ws, key, c, CAST(coalesce(n, 0) AS BIGINT) AS n_prior,
+        |  CASE WHEN n >= 8
+        |      AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0.0
+        |    THEN (CAST(c AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+        |      / sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) END AS z
+        |FROM m ORDER BY ws, key""".stripMargin,
+
     // x118: total-variation drift — integer numerators in sized
     // decimals (18,0)x(18,0) -> 37 precision, absent-token mass in
     // closed form, one boundary division

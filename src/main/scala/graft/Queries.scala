@@ -2014,6 +2014,17 @@ object Queries {
       .orderBy("a_orderkey")
   }
 
+  /** x119 — trailing-window rate anomaly: per event type, the z-score
+    * of each hour's event count against its preceding 24 observed
+    * hours, computed tie-free as (c·n−S)/sqrt(n·Q−S²) — exact-integer
+    * doubles and one exactly-rounded sqrt, zero transcendental
+    * hazard. The ingestion-health alarm beside the drift monitor. */
+  val x119RateAnomaly: Q = (s, dir) => {
+    EventWindows.rateAnomaly(Tables.events(s, dir), col("ts"), "1 hour",
+        col("event_type"), lookback = 24, minPeriods = 8)
+      .orderBy("ws", "key")
+  }
+
   /** x118 — per-source distribution drift: exact total-variation
     * distance between each source's token distribution and the whole
     * corpus — integer numerators |c·N − C·N_s| in sized decimals,
@@ -2626,6 +2637,7 @@ object Queries {
     "x116_langid_trained" -> x116LangIdTrained,
     "x117_containment_pairs" -> x117ContainmentPairs,
     "x118_source_drift" -> x118SourceDrift,
+    "x119_rate_anomaly" -> x119RateAnomaly,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

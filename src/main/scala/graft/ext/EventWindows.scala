@@ -23,6 +23,55 @@ object EventWindows {
     df.groupBy((window(ts, width, slide).getField("start").as("ws") +: keys): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Trailing-window RATE ANOMALY: per key, the z-score of each
+    * period's event count against the preceding `lookback` observed
+    * periods — the ingestion-health alarm (a crawler going dark, a
+    * source suddenly flooding) in the same family as the drift
+    * monitor. z = (c − μ)/σ over the trailing frame, computed
+    * tie-free:
+    *   z = (c·n − S) / sqrt(n·Q − S²)
+    * with S = Σc, Q = Σc² over the frame — every intermediate an
+    * exact-integer-valued DOUBLE in fixed operand order (exact below
+    * 2^53, the bm25 envelope: counts to ~3·10^8 per period with a
+    * 24-period frame), and sqrt is IEEE-754 exactly rounded, so the
+    * score is bit-deterministic with zero transcendental hazard.
+    * Null z while the frame holds < `minPeriods` periods or when the
+    * trailing variance is 0.
+    *
+    * Frame semantics: ROWS over OBSERVED periods — a key silent for a
+    * while compares against its last `lookback` ACTIVE periods (gap
+    * periods are zero-information here; compose with the x31 gap-fill
+    * first for calendar-frame semantics).
+    *
+    * Scale shape: one (key, period) combiner agg, then per-key ROWS
+    * windows — partition-parallel across keys, frame-bounded state.
+    * Output: (ws, key, c, n_prior, z). */
+  def rateAnomaly(df: DataFrame, ts: Column, width: String, keyCol: Column,
+      lookback: Int = 24, minPeriods: Int = 8): DataFrame = {
+    require(lookback >= 2 && minPeriods >= 2 && minPeriods <= lookback,
+      s"need 2 <= minPeriods ($minPeriods) <= lookback ($lookback)")
+    val counts = df
+      .groupBy(window(ts, width).getField("start").as("ws"),
+        keyCol.as("key"))
+      .agg(count(lit(1)).as("c"))
+    val frame = Window.partitionBy("key").orderBy("ws")
+      .rowsBetween(-lookback, -1)
+    val withMoments = counts
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__s", sum(col("c")).over(frame))
+      .withColumn("__q", sum(col("c") * col("c")).over(frame))
+    withMoments.select(col("ws"), col("key"), col("c"),
+      coalesce(col("__n"), lit(0L)).as("n_prior"),
+      when(col("__n") >= minPeriods &&
+          col("__n").cast("double") * col("__q").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") > 0.0,
+        (col("c").cast("double") * col("__n").cast("double") -
+          col("__s").cast("double")) /
+          sqrt(col("__n").cast("double") * col("__q").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double")))
+        .as("z"))
+  }
+
   /** Batch sessionization: a session breaks when the gap to the previous
     * event of the same key exceeds `gap`. One shuffle on the key; the
     * lag/cumsum pair is two passes over the same partitioning (no extra

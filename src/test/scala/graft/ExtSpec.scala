@@ -1712,6 +1712,35 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(byT.values.sum - 4.0) < 1e-6, byT.toString)
   }
 
+  test("rate anomaly: exact z on an alternating baseline; constant " +
+      "baseline (zero variance) and short history give null") {
+    // 10 hours alternating 4/6 events, then a 15-event spike hour
+    val evs = (0 until 10).flatMap { h =>
+      val cnt = if (h % 2 == 0) 4 else 6
+      (0 until cnt).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:0$i:00"), "a"))
+    } ++ (0 until 15).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 10:0$i:00"), "a")) ++
+      // type b: constant 5/hour for 10 hours
+      (0 until 10).flatMap(h => (0 until 5).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:1$i:00"), "b")))
+    val df = evs.toDF("ts", "event_type")
+    val got = rows(EventWindows.rateAnomaly(df, col("ts"), "1 hour",
+      col("event_type"), lookback = 24, minPeriods = 8)
+      .orderBy("key", "ws"))
+    val spike = got.filter(r => r.getString(1) == "a").last
+    // n=10, S=50, Q=260: z = (15*10-50)/sqrt(10*260-2500) = 100/10
+    assert(spike.getAs[Long]("c") == 15L)
+    assert(spike.getAs[Double]("z") == 10.0)
+    // first 8 hours: frame < minPeriods -> null z
+    val early = got.filter(r => r.getString(1) == "a").take(8)
+    assert(early.forall(_.isNullAt(early.head.fieldIndex("z"))))
+    // constant type b: zero trailing variance -> null even with history
+    val bLast = got.filter(r => r.getString(1) == "b").last
+    assert(bLast.getAs[Long]("n_prior") == 9L &&
+      bLast.isNullAt(bLast.fieldIndex("z")))
+  }
+
   test("source drift: hand-computed TV distance; disjoint vocabulary " +
       "approaches 1 - share") {
     val d = Seq(("A", "a a b"), ("B", "a b b")).toDF("source", "text")
