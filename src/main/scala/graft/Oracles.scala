@@ -3614,6 +3614,49 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x120: shard plan — id-order prefix sum, floor division to
+    // shard ids, per-shard manifest
+    "x120_shard_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS nt
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, nt,
+        |    coalesce(sum(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM d)
+        |SELECT CAST(cum_prev // 2000 AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM cum GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
+    // x121: source overlap — distinct string spans per source,
+    // directional shared counts, one double division
+    "x121_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sp AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT source, count(*) AS n FROM sp GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM sp a JOIN sp b ON a.s = b.s AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared, CAST(sizes.n AS BIGINT) AS n_a,
+        |  CAST(shared AS DOUBLE) / CAST(sizes.n AS DOUBLE) AS overlap
+        |FROM shared JOIN sizes ON src_a = sizes.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
     // x119: rate anomaly — ROWS frame over observed hours; the
     // z-score denominator n·Q−S² stays integer-exact in doubles
     "x119_rate_anomaly" ->

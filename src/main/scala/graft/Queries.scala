@@ -2014,6 +2014,32 @@ object Queries {
       .orderBy("a_orderkey")
   }
 
+  /** x120 — token-budgeted shard plan: documents in id order packed
+    * greedily into ~2000-token shards (never splitting a document),
+    * reported as the per-shard manifest — the export-layout step
+    * between curation and the JSONL sink. Integer prefix-sum
+    * arithmetic only. */
+  val x120ShardPlan: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("nt"))
+    Sampling.shardPlan(d, col("doc_id"), col("nt"), shardTokens = 2000L)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  /** x121 — cross-source span-overlap matrix: for every ordered source
+    * pair, the share of A's distinct 3-token spans that B also
+    * contains — mirror detection / provenance audit at source grain,
+    * |sources|²-bounded output. */
+  val x121SourceOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+    Dedup.sourceSpanOverlap(docs, "source", "sh")
+      .orderBy("src_a", "src_b")
+  }
+
   /** x119 — trailing-window rate anomaly: per event type, the z-score
     * of each hour's event count against its preceding 24 observed
     * hours, computed tie-free as (c·n−S)/sqrt(n·Q−S²) — exact-integer
@@ -2638,6 +2664,8 @@ object Queries {
     "x117_containment_pairs" -> x117ContainmentPairs,
     "x118_source_drift" -> x118SourceDrift,
     "x119_rate_anomaly" -> x119RateAnomaly,
+    "x120_shard_plan" -> x120ShardPlan,
+    "x121_source_overlap" -> x121SourceOverlap,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

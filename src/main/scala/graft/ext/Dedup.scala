@@ -485,6 +485,38 @@ object Dedup {
       .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
   }
 
+  /** Cross-SOURCE span-overlap matrix — the corpus-level contamination
+    * view: for every ordered source pair, how much of A's distinct
+    * span set also occurs in B. Where x89 audits documents against a
+    * benchmark, this audits sources against EACH OTHER — mirror-site
+    * detection, feed provenance ("is src7 just src3 re-crawled"),
+    * and the don't-double-count input to mixture weighting.
+    *
+    * Scale shape: distinct (source, span-hash) postings — |sources|·
+    * |spans| bounded, 8-byte keys; the self-join fan-out per span is
+    * bounded by |sources|² (a CONSTANT, unlike document-pair joins);
+    * output is the |sources|² matrix. Directional on purpose —
+    * containment is asymmetric (a subset source saturates its own
+    * row, not its column).
+    * Output: (src_a, src_b, shared, n_a, overlap), pairs with
+    * shared ≥ 1. */
+  def sourceSpanOverlap(docs: DataFrame, groupCol: String,
+      shinglesCol: String): DataFrame = {
+    val sp = docs.select(col(groupCol).as("g"),
+        explode(hashedShingles(col(shinglesCol))).as("h"))
+      .distinct()
+    val sizes = sp.groupBy("g").agg(count(lit(1)).as("n"))
+    sp.as("a").join(sp.as("b"),
+        col("a.h") === col("b.h") && col("a.g") =!= col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("g").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"),
+        (col("shared").cast("double") / col("n_a").cast("double"))
+          .as("overlap"))
+  }
+
   /** C4-style passage-level exact dedup (Raffel et al. 2020 removed
     * repeated three-sentence spans; here the unit is a non-overlapping
     * `chunkSize`-token window from [[TextAnalysis.chunkTokens]]): the

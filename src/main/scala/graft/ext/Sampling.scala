@@ -453,4 +453,33 @@ object Sampling {
     rows.toSeq.toDF("source", "n_docs", "n_tokens", "cap_tokens",
       "alloc_tokens", "rate_ppm")
   }
+
+  /** Token-budgeted SHARD PLAN — the export-layout step between
+    * curation and [[graft.operators.Export.writeJsonl]]: documents in
+    * id order are packed greedily into shards of ≈ `shardTokens`
+    * tokens (a document starts a new shard when the running total
+    * crosses the boundary — shards never split a document, so they
+    * overshoot by at most one document). Returns the per-document
+    * assignment; aggregate for the manifest view.
+    *
+    * shard_id = floor(tokens-before-this-doc / shardTokens) — pure
+    * integer arithmetic on the id-ordered prefix sum. The prefix sum
+    * here is the plain single-ordering window over per-DOC rows; for
+    * corpora where that is the bottleneck the
+    * [[tokenBudgetBucketed]] hierarchical decomposition applies
+    * verbatim with id-range buckets.
+    * Output: (id, n_tokens, shard_id). */
+  def shardPlan(df: DataFrame, id: Column, nTokens: Column,
+      shardTokens: Long): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens $shardTokens must be >= 1")
+    requireFresh(df, "__n", "__cum_prev")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    df.select(id.as("id"), nTokens.as("__n"))
+      .withColumn("__cum_prev", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col("id"), col("__n").as("n_tokens"),
+        ((col("__cum_prev") - pmod(col("__cum_prev"), lit(shardTokens))) /
+          lit(shardTokens)).cast("long").as("shard_id"))
+  }
 }

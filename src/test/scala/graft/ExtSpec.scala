@@ -1712,6 +1712,35 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(byT.values.sum - 4.0) < 1e-6, byT.toString)
   }
 
+  test("shard plan: greedy id-order packing never splits a document " +
+      "and overshoots by at most one") {
+    import graft.ext.Sampling
+    val d = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 2L), (5L, 9L))
+      .toDF("doc_id", "nt")
+    val got = rows(Sampling.shardPlan(d, col("doc_id"), col("nt"), 8L)
+      .orderBy("id"))
+    // cum_prev: 0,5,10,15,17 -> shards 0,0,1,1,2
+    assert(got.map(r => (r.getLong(0), r.getAs[Long]("shard_id"))) ==
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L)))
+  }
+
+  test("source overlap: a subset source saturates its own row only") {
+    import graft.ext.TextAnalysis
+    val d = Seq(
+      ("big", "one two three four five six seven eight"),
+      ("sub", "one two three four five"),
+      ("other", "completely different words here entirely")
+    ).toDF("source", "text")
+    val sh = d.select(col("source"),
+      TextAnalysis.shingles(col("text"), 3).as("sh"))
+    val got = rows(Dedup.sourceSpanOverlap(sh, "source", "sh"))
+    val m = got.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("overlap")).toMap
+    assert(m(("sub", "big")) == 1.0)        // all of sub's spans in big
+    assert(m(("big", "sub")) == 3.0 / 6)    // asymmetric
+    assert(!m.contains(("other", "big")))   // disjoint pairs absent
+  }
+
   test("rate anomaly: exact z on an alternating baseline; constant " +
       "baseline (zero variance) and short history give null") {
     // 10 hours alternating 4/6 events, then a 15-event spike hour
