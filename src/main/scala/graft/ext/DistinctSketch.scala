@@ -86,21 +86,43 @@ object DistinctSketch {
       .where(col("v").isNotNull)
     val dv = vals.distinct()
     val dh = dv.select(col("g"), compositeHash(col("v")).as("h")).distinct()
+    val stats = dv.groupBy("g").agg(count(lit(1)).as("exact_distinct"))
+    stats.join(kmvEstimate(dh, k), Seq("g"))
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** The estimate tail over a distinct (g, h) hash table — shared by
+    * the batch sketch and the streaming view (whose ledger holds the
+    * union of per-batch k-minima: the k smallest of that union IS the
+    * global k-th minimum, the KMV merge property). */
+  def kmvEstimate(dh: DataFrame, k: Int): DataFrame = {
     val kth = dh
       .withColumn("rn",
         row_number().over(Window.partitionBy("g").orderBy("h")))
       .where(col("rn") === k)
       .select(col("g"), col("h").as("kth_hash"))
-    val stats = dv.groupBy("g").agg(count(lit(1)).as("exact_distinct"))
-    val nh = dh.groupBy("g").agg(count(lit(1)).as("n_hashes"))
-    stats.join(nh, "g").join(kth, Seq("g"), "left")
-      .select(col("g").as(groupCol),
-        col("exact_distinct"), col("n_hashes"), col("kth_hash"),
+    dh.groupBy("g").agg(count(lit(1)).as("n_hashes"))
+      .join(kth, Seq("g"), "left")
+      .select(col("g"), col("n_hashes"), col("kth_hash"),
         when(col("kth_hash").isNotNull,
             lit((k - 1).toDouble) * lit(HashUniverse.toDouble) /
               col("kth_hash").cast("double"))
           .otherwise(col("n_hashes").cast("double")).as("kmv_est"))
   }
+
+  /** Per-group k smallest distinct hashes of a batch — the bounded
+    * per-batch partial the streaming sink appends (rank-limit
+    * pushdown keeps every partition at ≤ k rows per group before the
+    * shuffle). */
+  def kmvPartial(df: DataFrame, groupCol: String, value: Column, k: Int)
+      : DataFrame =
+    df.select(col(groupCol).as("g"), value.as("v"))
+      .where(col("v").isNotNull)
+      .select(col("g"), compositeHash(col("v")).as("h")).distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("h")))
+      .where(col("rn") <= k)
+      .select(col("g"), col("h"))
 
   /** HyperLogLog registers per group at precision p: bucket = reverse-
     * hash mod 2^p, register = max over the bucket's values of

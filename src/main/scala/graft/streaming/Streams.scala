@@ -241,6 +241,38 @@ object Streams {
       spark.read.parquet(tablePath)
         .groupBy("g", "bucket").agg(max(col("reg")).as("reg")), p)
 
+  /** Streaming KMV distinct-count maintenance — the exact-k-accuracy
+    * sibling of [[hllSink]]: each micro-batch appends its per-group k
+    * SMALLEST distinct hashes, and [[kmvView]] ranks the deduped
+    * union — whose k smallest are exactly the stream-wide k minima
+    * (the KMV merge property), so the view equals the batch sketch
+    * over everything ingested. Replay-idempotent after the (g, h)
+    * dedup (a re-run batch appends byte-identical hash rows). Ledger
+    * grows k rows per (group, batch) until compacted by re-ranking —
+    * the reader's own fold. */
+  def kmvSink(stream: DataFrame, groupCol: String, value: Column,
+      tablePath: String, checkpoint: String, k: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 2, s"kmvSink: k=$k must be >= 2")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.DistinctSketch.kmvPartial(batch, groupCol, value, k)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+      .start()
+  }
+
+  /** Current estimate from a [[kmvSink]] ledger: dedup (g, h), rank,
+    * same estimate tail as the batch sketch. */
+  def kmvView(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      k: Int = 64): DataFrame =
+    graft.ext.DistinctSketch.kmvEstimate(
+      spark.read.parquet(tablePath).select(col("g"), col("h"))
+        .dropDuplicates("g", "h"), k)
+
   /** Streaming distribution-drift monitor: score every micro-batch's
     * token distribution against a PINNED training-corpus distribution
     * (the train-once contract of the score/BM25 sinks — the model is

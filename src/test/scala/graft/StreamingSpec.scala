@@ -198,6 +198,32 @@ class StreamingSpec extends SparkSpec {
       batch.getAs[Double]("hll_est"))
   }
 
+  test("kmvSink: view over per-batch k-minima equals the batch sketch " +
+      "over everything ingested") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (1 to 400).map(i => GV("s", s"kv$i"))
+    val b2 = (300 to 900).map(i => GV("s", s"kv$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[GV]
+    mem.addData(b1: _*)
+    val q = Streams.kmvSink(mem.toDF(), "g", col("v"), table,
+      dir.resolve("ckpt").toString, k = 32)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = Streams.kmvView(spark, table, k = 32).collect().head
+    val batchDh = graft.ext.DistinctSketch.kmvPartial(
+      (b1 ++ b2).toDF("g", "v"), "g", col("v"), k = Int.MaxValue - 1)
+    val batch = graft.ext.DistinctSketch.kmvEstimate(batchDh, 32)
+      .collect().head
+    assert(streamed.getAs[Long]("kth_hash") == batch.getAs[Long]("kth_hash"))
+    assert(streamed.getAs[Double]("kmv_est") == batch.getAs[Double]("kmv_est"))
+    // ledger stays bounded: at most k rows per (group, batch)
+    assert(spark.read.parquet(table).count() <= 2 * 32)
+  }
+
   test("driftMonitorSink: per-batch TV rows equal the batch-mode " +
       "computation; a corpus-identical batch scores exactly 0") {
     implicit val sqlCtx = spark.sqlContext
