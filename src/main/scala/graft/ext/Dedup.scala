@@ -186,6 +186,65 @@ object Dedup {
     labels
   }
 
+  /** [[clusters]] with POINTER DOUBLING — the scale path for pair
+    * graphs whose components are chains rather than stars: each round
+    * combines the neighbor-min step with one shortcut hop
+    * (l'(v) := min(l'(v), l'(l'(v)))), so label reach roughly SQUARES
+    * per round and a diameter-d component converges in O(log d)
+    * rounds instead of d (Shiloach-Vishkin / the MapReduce
+    * connected-components family, public technique). Near-dup
+    * clusters are usually star-shaped (every copy pairs with the
+    * canonical), where plain propagation already takes 2 rounds — but
+    * winnowing/overlap graphs produce chains (A~B~C without A~C), and
+    * there the round count IS the wall-clock (each round is a
+    * checkpoint + action of sequential latency, the measured x96/x103
+    * cost shape). Labels are node ids throughout, so the shortcut is
+    * one self-join on (cluster = id). Same output contract and
+    * convergence detection as [[clusters]]; ScaleSpec asserts a
+    * 24-chain converges within 6 rounds here while plain propagation
+    * is still under-merged. */
+  def clustersDoubling(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    def progress(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("id") - col("cluster")), lit(0L)))
+        .first().getLong(0)
+    var prevProgress = -1L
+    var converged = false
+    var i = 0
+    while (i < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id2")).agg(min(col("cluster")).as("nmin"))
+      val stepped = labels
+        .join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+      val ptr = stepped.select(col("id").as("pid"),
+        col("cluster").as("pcluster"))
+      labels = stepped.join(ptr, stepped("cluster") === ptr("pid"), "left")
+        .select(stepped("id"),
+          least(stepped("cluster"),
+            coalesce(col("pcluster"), stepped("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val p = progress(labels)
+      converged = p == prevProgress
+      prevProgress = p
+      i += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft.Dedup] clustersDoubling() hit maxIters=$maxIters before " +
+          "the fixpoint; components with diameter > 2^maxIters are " +
+          "under-merged")
+    labels
+  }
+
   /** End-to-end near-dedup of a corpus: MinHash+LSH pairs → connected
     * components → keep the smallest id per cluster. Returns the surviving
     * ids (singletons survive by definition). */

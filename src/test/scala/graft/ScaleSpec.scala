@@ -555,4 +555,34 @@ class ScaleSpec extends SparkSpec {
     assert(!fhPlan.contains("Join"),
       "featureHashTf grew a join:\n" + fhPlan.take(600))
   }
+
+  test("pointer doubling: a 24-chain converges within 6 rounds where " +
+      "plain propagation is still under-merged; fixpoints agree") {
+    import graft.ext.Dedup
+    val pairs = (0L until 23L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // doubling squares reach per round: chain-24 needs ~5 rounds
+    val fast = Dedup.clustersDoubling(pairs, maxIters = 6).collect()
+    assert(fast.forall(_.getLong(1) == 0L),
+      "doubling did not converge in 6 rounds")
+    // plain propagation reaches ~1 hop per round: 6 rounds cannot
+    // close a 24-chain (this is exactly why the doubling arm exists)
+    val slow = Dedup.clusters(pairs, maxIters = 6).collect()
+    assert(slow.exists(_.getLong(1) != 0L),
+      "plain propagation unexpectedly converged — chain assumption broken")
+    // and at full convergence the two algorithms agree label for label
+    val a = Dedup.clusters(pairs, maxIters = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Dedup.clustersDoubling(pairs, maxIters = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    // star + random blobs: same labels both ways
+    val mixed = (Seq((100L, 101L), (100L, 102L), (100L, 103L)) ++
+      Seq((200L, 201L), (201L, 202L), (200L, 203L), (203L, 204L)))
+      .toDF("id_a", "id_b")
+    val am = Dedup.clusters(mixed, maxIters = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val bm = Dedup.clustersDoubling(mixed, maxIters = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(am == bm)
+  }
 }
