@@ -3614,6 +3614,44 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x122: funnel — chained conditional min-aggs; strictly-after
+    // semantics (a tie with the previous stage does not advance)
+    "x122_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS key, min(ts) AS t_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.key, s1.t_1,
+        |    min(CASE WHEN e.ts > s1.t_1 THEN e.ts END) AS t_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.key AND e.event_type = 'click'
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.key, s2.t_1, s2.t_2,
+        |    min(CASE WHEN e.ts > s2.t_2 THEN e.ts END) AS t_3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.key AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3)
+        |SELECT key, t_1, t_2, t_3,
+        |  CAST((CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS stage
+        |FROM s3 ORDER BY key""".stripMargin,
+
+    // x123: JSON props stats — schema-on-read extraction
+    "x123_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(k) AS BIGINT) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // x120: shard plan — id-order prefix sum, floor division to
     // shard ids, per-shard manifest
     "x120_shard_plan" ->

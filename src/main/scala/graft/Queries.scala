@@ -2040,6 +2040,31 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x122 — ordered funnel (view → click → purchase per user): first
+    * stage-n event strictly after the stage-(n−1) timestamp — one
+    * conditional min-agg per stage, never a per-user window sort.
+    * The product-analytics conversion query on the events table. */
+  val x122Funnel: Q = (s, dir) => {
+    EventWindows.funnel(Tables.events(s, dir), col("ts"), col("user_id"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("key")
+  }
+
+  /** x123 — semi-structured props extraction: per event type, stats of
+    * the JSON `props.k` field — the schema-on-read path
+    * (get_json_object) every event pipeline needs beside its typed
+    * columns. */
+  val x123JsonProps: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** x119 — trailing-window rate anomaly: per event type, the z-score
     * of each hour's event count against its preceding 24 observed
     * hours, computed tie-free as (c·n−S)/sqrt(n·Q−S²) — exact-integer
@@ -2666,6 +2691,8 @@ object Queries {
     "x119_rate_anomaly" -> x119RateAnomaly,
     "x120_shard_plan" -> x120ShardPlan,
     "x121_source_overlap" -> x121SourceOverlap,
+    "x122_funnel" -> x122Funnel,
+    "x123_json_props" -> x123JsonProps,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

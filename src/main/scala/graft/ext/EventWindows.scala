@@ -72,6 +72,41 @@ object EventWindows {
         .as("z"))
   }
 
+  /** Ordered FUNNEL analysis: per key, the timestamps of the first
+    * occurrence of stage 1, the first stage-2 event strictly AFTER
+    * it, the first stage-3 strictly after that, and so on — ordered
+    * but not adjacent, the product-analytics conversion query (and,
+    * for pipeline telemetry, "ingest → clean → export per shard").
+    *
+    * Scale shape: one conditional min-agg per stage plus one equi-join
+    * per stage boundary — every agg map-side combinable on the key, NO
+    * per-key window sort (the naive formulation sorts every key's
+    * whole event history; this touches each stage's events once).
+    * Events at exactly the same timestamp as the previous stage do NOT
+    * count (strictly-after semantics, deterministic under ties).
+    * Output: (key, t_1..t_n, stage) — stage = number of stages
+    * reached, rows for every key that reached stage 1. */
+  def funnel(df: DataFrame, ts: Column, keyCol: Column, typeCol: Column,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct, got $stages")
+    val base = df.select(keyCol.as("key"), ts.as("__ts"),
+      typeCol.as("__type"))
+    var acc = base.where(col("__type") === stages.head)
+      .groupBy("key").agg(min(col("__ts")).as("t_1"))
+    for (i <- 2 to stages.length) {
+      val prev = s"t_${i - 1}"
+      val next = base.where(col("__type") === stages(i - 1))
+        .select(col("key"), col("__ts"))
+      acc = acc.join(next, Seq("key"), "left")
+        .groupBy((col("key") +: (1 until i).map(j => col(s"t_$j"))): _*)
+        .agg(min(when(col("__ts") > col(prev), col("__ts"))).as(s"t_$i"))
+    }
+    val stageExpr = (1 to stages.length).map(i =>
+      when(col(s"t_$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    acc.withColumn("stage", stageExpr.cast("long"))
+  }
+
   /** Batch sessionization: a session breaks when the gap to the previous
     * event of the same key exceeds `gap`. One shuffle on the key; the
     * lag/cumsum pair is two passes over the same partitioning (no extra

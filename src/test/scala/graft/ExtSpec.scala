@@ -1741,6 +1741,34 @@ class ExtSpec extends SparkSpec {
     assert(!m.contains(("other", "big")))   // disjoint pairs absent
   }
 
+  test("funnel: strictly-after ordering, out-of-order stages don't " +
+      "count, partial progress reported") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      // user 1: full conversion in order
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:01:00"), "click"),
+      (1L, ts("2024-01-01 00:02:00"), "purchase"),
+      // user 2: purchase BEFORE click — stage 2 only
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:00:30"), "purchase"),
+      (2L, ts("2024-01-01 00:01:00"), "click"),
+      // user 3: click at the SAME instant as view — tie does not count
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:00:00"), "click"),
+      // user 4: never views — absent from the funnel
+      (4L, ts("2024-01-01 00:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = rows(EventWindows.funnel(evs, col("ts"), col("user_id"),
+      col("event_type"), Seq("view", "click", "purchase")).orderBy("key"))
+    assert(got.map(r => (r.getLong(0), r.getAs[Long]("stage"))) ==
+      Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    // user 2's t_2 is the click AFTER its view, purchase never after it
+    val u2 = got(1)
+    assert(u2.getAs[java.sql.Timestamp]("t_2") == ts("2024-01-01 00:01:00"))
+    assert(u2.isNullAt(u2.fieldIndex("t_3")))
+  }
+
   test("rate anomaly: exact z on an alternating baseline; constant " +
       "baseline (zero variance) and short history give null") {
     // 10 hours alternating 4/6 events, then a 15-event spike hour
