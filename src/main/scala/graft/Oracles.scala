@@ -3614,6 +3614,64 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x124: cohort retention — (user, day) distinct, min-day cohort,
+    // exact integer period offsets
+    "x124_cohort_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS key, CAST(date_trunc('day', ts) AS TIMESTAMP) AS p
+        |  FROM events),
+        |first AS (SELECT key, min(p) AS cohort FROM active GROUP BY 1)
+        |SELECT cohort,
+        |  CAST((epoch_us(p) - epoch_us(cohort)) // 86400000000 AS BIGINT)
+        |    AS "offset",
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM active JOIN first USING (key)
+        |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+
+    // x125: daily HLL users — the x107 register pipeline keyed by the
+    // event day over stringified user ids
+    "x125_daily_hll" ->
+      """WITH vals AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, CAST(user_id AS VARCHAR) AS w
+        |  FROM events),
+        |h AS (
+        |  SELECT d,
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(w, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2654435761 + 17) % 1000000007) AS w1,
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(reverse(w), j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2246822519 + 31) % 1000000007) AS w2
+        |  FROM vals),
+        |regs AS (
+        |  SELECT d, w2 % 256 AS bucket,
+        |    max(CASE WHEN w1 = 0 THEN 31
+        |        ELSE 31 - length(bin(w1)) END) AS reg
+        |  FROM h GROUP BY 1, 2),
+        |fold AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(max(reg) AS BIGINT) AS r_max,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(31 - reg AS INTEGER))
+        |      AS BIGINT) AS s2_occ
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS exact_distinct
+        |  FROM (SELECT DISTINCT d, w FROM vals) GROUP BY 1)
+        |SELECT f.d, CAST(256 - n_occ AS BIGINT) AS n_zero, r_max,
+        |  CAST(s2_occ + (256 - n_occ) * 2147483648 AS BIGINT) AS s2,
+        |  CAST(0.7213 AS DOUBLE)
+        |    / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+        |    * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+        |    * CAST(2147483648 AS DOUBLE)
+        |    / CAST(s2_occ + (256 - n_occ) * 2147483648 AS DOUBLE) AS hll_est,
+        |  exact_distinct
+        |FROM fold f JOIN ex USING (d)
+        |ORDER BY f.d""".stripMargin,
+
     // x122: funnel — chained conditional min-aggs; strictly-after
     // semantics (a tie with the previous stage does not advance)
     "x122_funnel" ->

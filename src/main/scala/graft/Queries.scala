@@ -2040,6 +2040,27 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x124 — cohort retention triangle: users bucketed by first-active
+    * day, counted in each later active day — one (user, day) distinct
+    * plus combiner aggs, the standard retention-curve table. */
+  val x124CohortRetention: Q = (s, dir) => {
+    EventWindows.cohortRetention(Tables.events(s, dir), col("ts"),
+        col("user_id"), "1 day", 86400000000L)
+      .orderBy("cohort", "offset")
+  }
+
+  /** x125 — daily distinct users by HyperLogLog: the sketch family
+    * composed over event-time windows (per-day registers MAX-merge
+    * into weeks/months without touching raw events), exact count
+    * alongside. */
+  val x125DailyHll: Q = (s, dir) => {
+    val daily = Tables.events(s, dir).select(
+      window(col("ts"), "1 day").getField("start").as("d"),
+      col("user_id").cast("string").as("u"))
+    DistinctSketch.hll(daily, "d", col("u"), p = 8)
+      .orderBy("d")
+  }
+
   /** x122 — ordered funnel (view → click → purchase per user): first
     * stage-n event strictly after the stage-(n−1) timestamp — one
     * conditional min-agg per stage, never a per-user window sort.
@@ -2693,6 +2714,8 @@ object Queries {
     "x121_source_overlap" -> x121SourceOverlap,
     "x122_funnel" -> x122Funnel,
     "x123_json_props" -> x123JsonProps,
+    "x124_cohort_retention" -> x124CohortRetention,
+    "x125_daily_hll" -> x125DailyHll,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -107,6 +107,32 @@ object EventWindows {
     acc.withColumn("stage", stageExpr.cast("long"))
   }
 
+  /** Cohort RETENTION triangle: keys grouped by their first-active
+    * period (the cohort), then counted in every later period they
+    * were active — the (cohort, offset, n_active) table every
+    * retention curve is drawn from. Periods are `window(width)`
+    * starts, offsets integer period counts (window starts are
+    * width-aligned in UTC, so the micros difference divides exactly).
+    *
+    * Scale shape: one (key, period) distinct, one min-agg for the
+    * cohort, one model-sized join back, one combiner agg — the
+    * (key, period) distinct is the only corpus-sized shuffle.
+    * Output: (cohort, offset, n_active). */
+  def cohortRetention(df: DataFrame, ts: Column, keyCol: Column,
+      width: String, widthMicros: Long): DataFrame = {
+    require(widthMicros > 0, "widthMicros must be positive")
+    val active = df.select(keyCol.as("key"),
+        window(ts, width).getField("start").as("p"))
+      .distinct()
+    val first = active.groupBy("key").agg(min(col("p")).as("cohort"))
+    active.join(first, Seq("key"))
+      .select(col("cohort"),
+        ((unix_micros(col("p")) - unix_micros(col("cohort"))) /
+          lit(widthMicros)).cast("long").as("offset"))
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Batch sessionization: a session breaks when the gap to the previous
     * event of the same key exceeds `gap`. One shuffle on the key; the
     * lag/cumsum pair is two passes over the same partitioning (no extra
