@@ -4252,7 +4252,12 @@ object Oracles {
   // asserted), so it answers to x63's full SQL recomputation — the
   // shared oracle IS the claim that the unbounded-K scale path
   // changes nothing but the execution shape
+  // x126: the postings-index BM25 path is bit-equal to the x76 scan
+  // path by construction (same tf frame rebuilt, same stats agg, same
+  // fixed-order score projection) — the shared oracle IS the claim
+  // that only the execution shape changed (the x67/x63 pattern)
   val all: Map[String, String] =
     base ++ adaptiveLsh +
-      ("x67_fine_data_assign" -> base("x63_two_level_refined"))
+      ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
+      ("x126_bm25_index" -> base("x76_bm25"))
 }

@@ -2040,6 +2040,20 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x126 — BM25 over the PREBUILT postings index: same terms, same
+    * formula, different execution shape (term-filtered index probe
+    * instead of a corpus text scan) — scored bit-equal to x76 by
+    * construction, so it answers to x76's oracle: the equality IS the
+    * claim (the x67/x63 pattern). */
+  val x126Bm25Index: Q = (s, dir) => {
+    val (postings, docStats) = Retrieval.buildPostings(
+      Tables.documents(s, dir), "doc_id", "text")
+    Retrieval.bm25FromPostings(postings, docStats,
+        terms = Seq("spark", "join", "window", "dup"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x124 — cohort retention triangle: users bucketed by first-active
     * day, counted in each later active day — one (user, day) distinct
     * plus combiner aggs, the standard retention-curve table. */
@@ -2716,6 +2730,7 @@ object Queries {
     "x123_json_props" -> x123JsonProps,
     "x124_cohort_retention" -> x124CohortRetention,
     "x125_daily_hll" -> x125DailyHll,
+    "x126_bm25_index" -> x126Bm25Index,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

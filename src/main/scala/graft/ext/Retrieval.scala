@@ -176,6 +176,65 @@ object Retrieval {
       k1, b)
   }
 
+  /** Build the PERSISTENT serving index: inverted postings
+    * (term, id, tf) + per-document stats (id, dl). The pair is the
+    * ad-hoc-query counterpart of the scan path — [[bm25Score]]'s HOF
+    * filters re-tokenize the corpus for every query-term set (right
+    * when queries are known at scan time), while an index pays one
+    * tokenize EVER and answers any later term set by a term-filtered
+    * postings probe. Both DataFrames are plain parquet-writable; see
+    * [[savePostingsIndex]]/[[loadPostingsIndex]]. */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+    val docStats = base.select(col("id"),
+      size(col("toks")).cast("long").as("dl"))
+    val postings = base.select(col("id"), explode(col("toks")).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    (postings, docStats)
+  }
+
+  /** BM25 over a PREBUILT index — bit-equal to [[bm25Score]] by
+    * construction: the term-filtered postings are pivoted back to the
+    * exact tf-column frame the scan path builds, then the SAME stats
+    * aggregate and score projection run (x76's fixed left-to-right
+    * term order included), so the index execution shape answers to
+    * the scan shape's oracle — the equality IS the claim (the
+    * x67-vs-x63 pattern). Scale: the probe touches only the queried
+    * terms' postings (a term-selective scan of the index, never the
+    * corpus text); the per-doc pivot is one combiner agg. */
+  def bm25FromPostings(postings: DataFrame, docStats: DataFrame,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "terms must be a non-empty distinct list")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      s"query terms must be non-empty and lowercase, got: $terms")
+    val filtered = postings.where(col("term").isin(terms: _*))
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("tf"))).as(s"tf_$i") }
+    val perDoc = filtered.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val tf = docStats.join(perDoc, Seq("id"), "left")
+      .select((col("id") +: col("dl") +:
+        terms.indices.map(i =>
+          coalesce(col(s"tf_$i"), lit(0L)).as(s"tf_$i"))): _*)
+    bm25Against(tf, statsOf(tf, terms), terms, k1, b)
+  }
+
+  /** Persist / restore the serving index (postings + doc stats as two
+    * parquet tables — the quantizer-persistence discipline applied to
+    * the retrieval family). */
+  def savePostingsIndex(postings: DataFrame, docStats: DataFrame,
+      path: String): Unit = {
+    postings.write.mode("overwrite").parquet(s"$path/postings.parquet")
+    docStats.write.mode("overwrite").parquet(s"$path/docstats.parquet")
+  }
+
+  def loadPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/postings.parquet"),
+      spark.read.parquet(s"$path/docstats.parquet"))
+
   /** BM25 top-`k` serving: the ranked-list cut of [[bm25Score]] — the
     * lexical half of [[hybridRrfTopK]] as its own surface (rows are
     * exactly that operator's lexical prefix under the same

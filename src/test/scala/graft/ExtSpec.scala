@@ -1741,6 +1741,30 @@ class ExtSpec extends SparkSpec {
     assert(!m.contains(("other", "big")))   // disjoint pairs absent
   }
 
+  test("bm25 postings index: bit-equal to the scan path, through " +
+      "save/load, and for ad-hoc second queries") {
+    import graft.ext.Retrieval
+    val (p, d) = Retrieval.buildPostings(docs, "doc_id", "text")
+    val terms = Seq("quick", "dog", "scale")
+    val scan = rows(Retrieval.bm25Score(docs, "doc_id", "text", terms)
+      .orderBy("id")).map(_.toString)
+    assert(rows(Retrieval.bm25FromPostings(p, d, terms).orderBy("id"))
+      .map(_.toString) == scan)
+    val path = java.nio.file.Files.createTempDirectory("graft_pidx")
+      .toString
+    Retrieval.savePostingsIndex(p, d, path)
+    val (p2, d2) = Retrieval.loadPostingsIndex(spark, path)
+    assert(rows(Retrieval.bm25FromPostings(p2, d2, terms).orderBy("id"))
+      .map(_.toString) == scan)
+    // a DIFFERENT term set against the same loaded index — the ad-hoc
+    // case the index exists for; still ≡ a fresh corpus scan
+    val t2 = Seq("unrelated", "words")
+    assert(rows(Retrieval.bm25FromPostings(p2, d2, t2).orderBy("id"))
+      .map(_.toString) ==
+      rows(Retrieval.bm25Score(docs, "doc_id", "text", t2).orderBy("id"))
+        .map(_.toString))
+  }
+
   test("funnel: strictly-after ordering, out-of-order stages don't " +
       "count, partial progress reported") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
