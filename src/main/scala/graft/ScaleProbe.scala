@@ -91,7 +91,9 @@ object ScaleProbe {
       "x109_phrase_search", "x110_kneser_ney", "x111_bigram_novelty",
       "x112_range_join", "x113_vocab_growth", "x114_interval_overlap",
       "x115_textrank", "x116_langid_trained", "x117_containment_pairs",
-      "x118_source_drift")
+      "x118_source_drift", "x119_rate_anomaly", "x120_shard_plan",
+      "x121_source_overlap", "x122_funnel", "x123_json_props",
+      "x124_cohort_retention", "x125_daily_hll", "x126_bm25_index")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
@@ -173,6 +175,7 @@ object ScaleProbe {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_OKv2"))) {
       buildOrdersIfAbsent(spark, base, out, copies)
+      buildEventsIfAbsent(spark, base, out, copies)
       return
     }
 
@@ -216,7 +219,28 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     buildOrdersIfAbsent(spark, base, out, copies)
+    buildEventsIfAbsent(spark, base, out, copies)
     fs.create(new org.apache.hadoop.fs.Path(s"$out/_OKv2")).close()
+  }
+
+  /** events joined the synthetic build with the analytics arms
+    * (funnel/cohort/anomaly): user ids offset per copy so each copy's
+    * per-user event structure is preserved exactly — the corpus gains
+    * ×copies USERS, not ×copies events per user. */
+  private def buildEventsIfAbsent(spark: SparkSession, base: String,
+      out: String, copies: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/events.parquet")))
+      return
+    val ev = graft.sources.Tables.events(spark, base)
+    val evMax = ev.agg(max("event_id")).first().getLong(0) + 1
+    val uMax = ev.agg(max("user_id")).first().getLong(0) + 1
+    (0 until copies).map { k =>
+      ev.withColumn("event_id", col("event_id") + lit(k * evMax))
+        .withColumn("user_id", col("user_id") + lit(k * uMax))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   /** orders was added to the synthetic build later (the range-join
