@@ -3614,6 +3614,25 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x127: last-touch attribution — the q02 as-of oracle shape on
+    // events; ties at equal click ts resolve to the greatest click id
+    // (the sorted-scan's greatest-tuple rule)
+    "x127_last_touch" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS asof_ts, event_id AS asof_event_id
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.asof_ts, c.asof_event_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.asof_ts DESC, c.asof_event_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id = p.user_id AND c.asof_ts <= p.ts)
+        |SELECT event_id, user_id, ts, asof_ts, asof_event_id
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     // x124: cohort retention — (user, day) distinct, min-day cohort,
     // exact integer period offsets
     "x124_cohort_retention" ->

@@ -2040,6 +2040,22 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x127 — last-touch attribution: every purchase joined to the
+    * latest click of the same user at-or-before it — the reference's
+    * flagship as-of semantics applied to the events table through the
+    * SORT-MERGE scale path (one shuffle per side, linear scan, no
+    * quadratic intermediate). Purchases with no prior click keep
+    * null attribution. */
+  val x127LastTouch: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOf.asOfJoinSorted(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .orderBy("event_id")
+  }
+
   /** x126 — BM25 over the PREBUILT postings index: same terms, same
     * formula, different execution shape (term-filtered index probe
     * instead of a corpus text scan) — scored bit-equal to x76 by
@@ -2731,6 +2747,7 @@ object Queries {
     "x124_cohort_retention" -> x124CohortRetention,
     "x125_daily_hll" -> x125DailyHll,
     "x126_bm25_index" -> x126Bm25Index,
+    "x127_last_touch" -> x127LastTouch,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -32,6 +32,62 @@ class CustomStateSpec extends SparkSpec {
     assert(rows == Seq((1L, 2L, 30.0), (1L, 3L, 60.0), (2L, 1L, 5.0)))
   }
 
+  test("streaming funnel: in-order batches agree with the batch " +
+      "operator; late cross-batch events cannot rewind (documented)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CustomState.FunnelEvent
+    val stages = Seq("view", "click", "purchase")
+    val b1 = Seq(
+      FunnelEvent(1L, ts("2024-01-01 00:00:00"), "view"),
+      FunnelEvent(1L, ts("2024-01-01 00:01:00"), "click"),
+      FunnelEvent(2L, ts("2024-01-01 00:00:00"), "view"))
+    val b2 = Seq(
+      FunnelEvent(1L, ts("2024-01-01 00:02:00"), "purchase"),
+      FunnelEvent(2L, ts("2024-01-01 00:03:00"), "click"))
+    val mem = MemoryStream[FunnelEvent]
+    val q = CustomState.funnelStages(mem.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // LAST snapshot per key is the converged state
+    val streamed = spark.sql(
+      """select key, stage from (
+        |  select key, stage, row_number() over (
+        |    partition by key order by stage desc) rn from funnel_out)
+        |where rn = 1 order by key""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // batch operator over the union
+    val all = (b1 ++ b2).map(e => (e.key, e.ts, e.etype))
+      .toDF("user_id", "ts", "event_type")
+    val batch = graft.ext.EventWindows.funnel(all, col("ts"),
+      col("user_id"), col("event_type"), stages)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("stage"))).toSeq
+    assert(streamed == batch && batch == Seq((1L, 3L), (2L, 2L)))
+    // the documented divergence: a click arriving in a LATER batch but
+    // with an EARLIER ts than an already-consumed purchase cannot
+    // advance retroactively the way a batch recomputation would
+    val mem2 = MemoryStream[FunnelEvent]
+    val q2 = CustomState.funnelStages(mem2.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_out2")
+      .outputMode("append").start()
+    mem2.addData(FunnelEvent(9L, ts("2024-01-01 00:00:00"), "view"))
+    q2.processAllAvailable()
+    // click LATE (ts before nothing — fine) then purchase in ts order
+    mem2.addData(FunnelEvent(9L, ts("2024-01-01 00:05:00"), "purchase"))
+    q2.processAllAvailable()
+    mem2.addData(FunnelEvent(9L, ts("2024-01-01 00:02:00"), "click"))
+    q2.processAllAvailable()
+    q2.stop()
+    val lastStage = spark.sql(
+      "select max(stage) from funnel_out2").collect().head.getLong(0)
+    // stream saw purchase before the out-of-order click: the click
+    // lands t_2 = 00:02 but the purchase is NOT retried — stage 2
+    assert(lastStage == 2L)
+  }
+
   test("typed top-k aggregator agrees with the window form") {
     val rnd = new scala.util.Random(7)
     val data = (1 to 2000).map(i =>
