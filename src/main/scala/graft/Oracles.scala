@@ -4271,12 +4271,45 @@ object Oracles {
   // asserted), so it answers to x63's full SQL recomputation — the
   // shared oracle IS the claim that the unbounded-K scale path
   // changes nothing but the execution shape
+  // x128: truncation-recall — one top-5 CTE per prefix dimension
+  // (generated; same cosine text as x06), ground truth = the full
+  // 64-dim selection, arms UNION ALL'd
+  private def truncCos(a: String, b: String, d: Int): String = {
+    def v(x: String) = s"CAST($x.embedding[1:$d] AS DOUBLE[])"
+    s"list_dot_product(${v(a)}, ${v(b)}) / " +
+      s"(sqrt(list_dot_product(${v(a)}, ${v(a)})) * " +
+      s"sqrt(list_dot_product(${v(b)}, ${v(b)})))"
+  }
+  private def truncSel(d: Int): String =
+    s"""sel$d AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${truncCos("q", "c", d)} DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < 10 AND c.vec_id != q.vec_id) t
+       |  WHERE rank <= 5)""".stripMargin
+  private def truncArm(d: Int): String =
+    s"""SELECT CAST($d AS BIGINT) AS dim,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(s.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(count(s.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS recall
+       |FROM sel64 f LEFT JOIN sel$d s
+       |  ON s.query_id = f.query_id AND s.neighbor_id = f.neighbor_id"""
+      .stripMargin
+  private val truncRecall: Map[String, String] = Map(
+    "x128_trunc_recall" ->
+      (s"WITH ${Seq(8, 16, 32, 64).map(truncSel).mkString(",\n")}\n" +
+        Seq(8, 16, 32, 64).map(truncArm).mkString("\nUNION ALL\n") +
+        "\nORDER BY dim"))
+
   // x126: the postings-index BM25 path is bit-equal to the x76 scan
   // path by construction (same tf frame rebuilt, same stats agg, same
   // fixed-order score projection) — the shared oracle IS the claim
   // that only the execution shape changed (the x67/x63 pattern)
   val all: Map[String, String] =
-    base ++ adaptiveLsh +
+    base ++ adaptiveLsh ++ truncRecall +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25"))
 }

@@ -2040,6 +2040,17 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x128 — Matryoshka truncation-recall curve: cosine recall@5 of
+    * prefix-truncated embeddings (8/16/32/64 dims) against full-dim
+    * ground truth for a 10-query sample — the dimension-budget curve
+    * that sizes indexes and scans; the full dimension anchors at
+    * exactly 1. */
+  val x128TruncRecall: Q = (s, dir) => {
+    Similarity.truncationRecall(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") < 10, dims = Seq(8, 16, 32, 64), k = 5)
+      .orderBy("dim")
+  }
+
   /** x127 — last-touch attribution: every purchase joined to the
     * latest click of the same user at-or-before it — the reference's
     * flagship as-of semantics applied to the events table through the
@@ -2748,6 +2759,7 @@ object Queries {
     "x125_daily_hll" -> x125DailyHll,
     "x126_bm25_index" -> x126Bm25Index,
     "x127_last_touch" -> x127LastTouch,
+    "x128_trunc_recall" -> x128TruncRecall,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

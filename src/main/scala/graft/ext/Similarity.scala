@@ -78,6 +78,38 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
 
+  /** Matryoshka truncation-recall curve (Kusupati et al. NeurIPS'22
+    * MRL, public evaluation shape): for each prefix dimension d, the
+    * recall@k of cosine search over vectors TRUNCATED to their first
+    * d components against full-dimension ground truth — the
+    * embedding-dimension budget curve ("how many dims do retrieval
+    * and near-dedup actually need") that decides index size and scan
+    * cost at 100 TB. Evaluation uses [[bruteTopK]] on both sides for
+    * a SMALL query sample (|Q| ≪ N, the x87 discipline); the
+    * production path runs the same sliced vectors through the IVF
+    * machinery. Output: (dim, n_exact, n_hit, recall) — recall is one
+    * double division of exact longs; the full dimension anchors at
+    * exactly 1. */
+  def truncationRecall(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad dims $dims")
+    val full = bruteTopK(emb.where(queryPred), emb, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    dims.map { d =>
+      val tq = emb.where(queryPred)
+        .select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val tc = emb.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val topd = bruteTopK(tq, tc, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      full.join(topd, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+        .select(lit(d.toLong).as("dim"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
