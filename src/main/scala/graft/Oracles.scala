@@ -3614,6 +3614,41 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x129: regression/correlation — exact decimal moments, the
+    // VARCHAR-double boundary trick per moment, fixed-order closed
+    // forms mirroring the engine's operand order exactly
+    "x129_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx0,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy0,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))
+        |      * CAST(l_quantity AS DECIMAL(19,4))) AS sxx0,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))
+        |      * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy0,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))
+        |      * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy0
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sxx0 AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(syy0 AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(sxy0 AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN nd * sxx - sx * sx > 0.0e0
+        |    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END AS slope,
+        |  CASE WHEN nd * sxx - sx * sx > 0.0e0
+        |    THEN (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx)
+        |      / nd END AS intercept,
+        |  CASE WHEN nd * sxx - sx * sx > 0.0e0
+        |      AND nd * syy - sy * sy > 0.0e0
+        |    THEN (nd * sxy - sx * sy)
+        |      / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END AS r
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
     // x127: last-touch attribution — the q02 as-of oracle shape on
     // events; ties at equal click ts resolve to the greatest click id
     // (the sorted-scan's greatest-tuple rule)

@@ -2040,6 +2040,16 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x129 — per-group OLS regression + Pearson r (price ~ quantity per
+    * return flag): exact decimal moments in one combiner agg, closed-
+    * form combination in fixed-order IEEE doubles — trend analytics
+    * with zero transcendental hazard (sqrt is exactly rounded). */
+  val x129Regression: Q = (s, dir) => {
+    graft.ext.Stats.regression(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_returnflag")
+  }
+
   /** x128 — Matryoshka truncation-recall curve: cosine recall@5 of
     * prefix-truncated embeddings (8/16/32/64 dims) against full-dim
     * ground truth for a 10-query sample — the dimension-budget curve
@@ -2760,6 +2770,7 @@ object Queries {
     "x126_bm25_index" -> x126Bm25Index,
     "x127_last_touch" -> x127LastTouch,
     "x128_trunc_recall" -> x128TruncRecall,
+    "x129_regression" -> x129Regression,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Classical per-group statistics from EXACT moments — the analytics
+  * rows (trend slope, correlation) a pipeline owner reads next to the
+  * quantile and anomaly families.
+  *
+  * Determinism discipline: the five moments (Σx, Σy, Σx², Σy², Σxy)
+  * are EXACT decimal sums (operands sized so products stay ≤ 38
+  * precision — (18,4)·(18,4) → (37,8), the x78 rule), so they are
+  * order-independent under any partitioning; the closed-form
+  * slope/intercept/r combinations then run in IEEE doubles in ONE
+  * fixed operand order (sqrt is exactly rounded), which both engines
+  * round identically. Zero-variance groups yield nulls, never ±Inf.
+  *
+  * Scale shape: one map-side-combinable aggregate per group — no
+  * second pass, no window, no join.
+  */
+object Stats {
+
+  private val D = DecimalType(18, 4)
+
+  /** Per-group simple linear regression y ~ x and Pearson correlation:
+    * (keys..., n, slope, intercept, r). slope/r null when x (or, for
+    * r, y) has zero variance in the group. */
+  def regression(df: DataFrame, keys: Seq[String], x: Column, y: Column)
+      : DataFrame = {
+    val xd = x.cast(D)
+    val yd = y.cast(D)
+    val m = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("__sx"), sum(yd).as("__sy"),
+      sum(xd * xd).as("__sxx"), sum(yd * yd).as("__syy"),
+      sum(xd * yd).as("__sxy"))
+    val nd = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val denX = nd * sxx - sx * sx
+    val denY = nd * syy - sy * sy
+    val num = nd * sxy - sx * sy
+    val slope = when(denX > 0.0, num / denX)
+    m.select((keys.map(col) :+ col("n") :+
+      slope.as("slope") :+
+      when(denX > 0.0, (sy - num / denX * sx) / nd).as("intercept") :+
+      when(denX > 0.0 && denY > 0.0, num / sqrt(denX * denY)).as("r")): _*)
+  }
+}

@@ -1741,6 +1741,26 @@ class ExtSpec extends SparkSpec {
     assert(!m.contains(("other", "big")))   // disjoint pairs absent
   }
 
+  test("regression: exact line recovered, r = ±1 on colinear data, " +
+      "zero-variance group nulls") {
+    import graft.ext.Stats
+    val d = Seq(
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),   // y = 2x + 1
+      ("b", 1.0, 9.0), ("b", 2.0, 7.0), ("b", 3.0, 5.0),   // y = -2x + 11
+      ("c", 4.0, 1.0), ("c", 4.0, 9.0)                      // x constant
+    ).toDF("g", "x", "y")
+    val got = rows(Stats.regression(d, Seq("g"), col("x"), col("y"))
+      .orderBy("g"))
+    val byG = got.map(r => r.getString(0) -> r).toMap
+    assert(byG("a").getAs[Double]("slope") == 2.0 &&
+      byG("a").getAs[Double]("intercept") == 1.0 &&
+      byG("a").getAs[Double]("r") == 1.0)
+    assert(byG("b").getAs[Double]("slope") == -2.0 &&
+      byG("b").getAs[Double]("r") == -1.0)
+    assert(byG("c").isNullAt(byG("c").fieldIndex("slope")) &&
+      byG("c").isNullAt(byG("c").fieldIndex("r")))
+  }
+
   test("bm25 postings index: bit-equal to the scan path, through " +
       "save/load, and for ad-hoc second queries") {
     import graft.ext.Retrieval
