@@ -93,7 +93,8 @@ object ScaleProbe {
       "x115_textrank", "x116_langid_trained", "x117_containment_pairs",
       "x118_source_drift", "x119_rate_anomaly", "x120_shard_plan",
       "x121_source_overlap", "x122_funnel", "x123_json_props",
-      "x124_cohort_retention", "x125_daily_hll", "x126_bm25_index")
+      "x124_cohort_retention", "x125_daily_hll", "x126_bm25_index",
+      "x127_last_touch", "x128_trunc_recall", "x129_regression")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
