@@ -3614,6 +3614,88 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x130: session-duration quantiles — the x14 session CTE feeding
+    // the x28 integer-rank quantile formula, corpus-wide
+    "x130_session_quantiles" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid,
+        |    epoch_us(ts) AS us
+        |  FROM flagged),
+        |durs AS (
+        |  SELECT CAST(max(us) - min(us) AS BIGINT) AS v
+        |  FROM sess GROUP BY user_id, sid),
+        |r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM durs)
+        |SELECT
+        |  max(CASE WHEN rn = greatest(1, (1*n + 1) // 2) THEN v END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, (9*n + 9) // 10) THEN v END) AS p90,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM r""".stripMargin,
+
+    // x131: similarity histogram — the x02 chain at threshold 0.3,
+    // bucketed by floor(jaccard*10)
+    "x131_sim_histogram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id)
+        |SELECT CAST(floor(jaccard * 10.0e0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j WHERE jaccard >= 0.3
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // x132: winsorized mean — exact rank bounds (the x28 formula),
+    // clip via least/greatest, decimal sum, one boundary division
+    "x132_winsorized" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |bounds AS (
+        |  SELECT l_returnflag,
+        |    max(CASE WHEN rn = greatest(1, (1*n + 19) // 20) THEN v END)
+        |      AS lo,
+        |    max(CASE WHEN rn = greatest(1, (19*n + 19) // 20) THEN v END)
+        |      AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  max(b.lo) AS lo, max(b.hi) AS hi,
+        |  CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hi,
+        |  CAST(CAST(sum(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi)
+        |      AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS win_mean
+        |FROM lineitem l JOIN bounds b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l.l_returnflag""".stripMargin,
+
     // x129: regression/correlation — exact decimal moments, the
     // VARCHAR-double boundary trick per moment, fixed-order closed
     // forms mirroring the engine's operand order exactly

@@ -2040,6 +2040,43 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x130 — session-duration quantiles: sessionize (30-min gap) →
+    * per-session duration in exact micros → corpus-wide exact p50/p90
+    * by integer rank — the x14 session machinery composed with the
+    * x28 quantile discipline. */
+  val x130SessionQuantiles: Q = (s, dir) => {
+    val sess = EventWindows.sessionize(Tables.events(s, dir), col("ts"),
+        col("user_id"), 1800000000L, col("event_id"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+        .as("dur"))
+    Quantiles.discrete(sess, Nil, col("dur"),
+      Seq((1, 2, "p50"), (9, 10, "p90")))
+  }
+
+  /** x131 — pair-similarity histogram: the x02 exact-Jaccard pairs at
+    * a low threshold bucketed by similarity decile — the dedup-
+    * threshold tuning view (where does the pair mass sit before you
+    * pick 0.6?). */
+  val x131SimHistogram: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+    Dedup.jaccardPairs(docs, "doc_id", "sh", threshold = 0.3)
+      .select(floor(col("jaccard") * lit(10.0)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  /** x132 — winsorized price mean per return flag: values clipped to
+    * the exact [p05, p95] rank quantiles then averaged through a
+    * decimal sum, with per-side clip counts — robust-stats cleaning
+    * next to x94's median/MAD scoring. */
+  val x132Winsorized: Q = (s, dir) => {
+    graft.ext.Stats.winsorized(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), col("l_extendedprice"), 1, 20, 19, 20)
+      .orderBy("l_returnflag")
+  }
+
   /** x129 — per-group OLS regression + Pearson r (price ~ quantity per
     * return flag): exact decimal moments in one combiner agg, closed-
     * form combination in fixed-order IEEE doubles — trend analytics
@@ -2771,6 +2808,9 @@ object Queries {
     "x127_last_touch" -> x127LastTouch,
     "x128_trunc_recall" -> x128TruncRecall,
     "x129_regression" -> x129Regression,
+    "x130_session_quantiles" -> x130SessionQuantiles,
+    "x131_sim_histogram" -> x131SimHistogram,
+    "x132_winsorized" -> x132Winsorized,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

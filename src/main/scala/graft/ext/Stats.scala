@@ -50,4 +50,35 @@ object Stats {
       when(denX > 0.0, (sy - num / denX * sx) / nd).as("intercept") :+
       when(denX > 0.0 && denY > 0.0, num / sqrt(denX * denY)).as("r")): _*)
   }
+
+  /** Per-group WINSORIZED mean (Tukey's robust-stats clip, the
+    * data-cleaning sibling of [[Quantiles.robustZ]]): values are
+    * clipped to the group's exact [p_lo, p_hi] rank quantiles
+    * ([[Quantiles.discrete]]'s integer-rank discipline — no
+    * interpolation, no ties), then averaged through an exact decimal
+    * sum with one boundary division. Reports how many values each
+    * side clipped — the outlier-mass observability a silent clip
+    * would hide.
+    *
+    * Scale shape: the quantile pass is [[Quantiles.discrete]]'s
+    * per-group window; the clip+mean is one scan + combiner agg
+    * against the broadcast-sized per-group bounds.
+    * Output: (keys..., n, lo, hi, n_lo, n_hi, win_mean). */
+  def winsorized(df: DataFrame, keys: Seq[String], value: Column,
+      loNum: Int, loDen: Int, hiNum: Int, hiDen: Int): DataFrame = {
+    require(loNum * hiDen < hiNum * loDen,
+      s"lower quantile $loNum/$loDen must be below upper $hiNum/$hiDen")
+    val bounds = Quantiles.discrete(df, keys, value,
+      Seq((loNum, loDen, "lo"), (hiNum, hiDen, "hi"))).drop("n")
+    df.select((keys.map(col) :+ value.as("__v")): _*)
+      .join(bounds, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("__v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("__v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        (sum(least(greatest(col("__v"), col("lo")), col("hi")).cast(D))
+          .cast("double") / count(lit(1)).cast("double")).as("win_mean"))
+  }
 }

@@ -1741,6 +1741,27 @@ class ExtSpec extends SparkSpec {
     assert(!m.contains(("other", "big")))   // disjoint pairs absent
   }
 
+  test("winsorized: outliers clipped to exact rank bounds, clip counts " +
+      "reported, clean groups unchanged") {
+    import graft.ext.Stats
+    // group a: 10 ordered values with one wild outlier each side
+    val d = ((Seq(-1000.0) ++ (2 to 9).map(_.toDouble) ++ Seq(1000.0))
+      .map(("a", _)) ++ Seq(("b", 5.0), ("b", 5.0))).toDF("g", "v")
+    val got = rows(Stats.winsorized(d, Seq("g"), col("v"), 1, 10, 9, 10)
+      .orderBy("g"))
+    val a = got.head
+    // p10 rank = ceil(10/10) = 1 -> lo = -1000?? no: sorted values are
+    // -1000,2..9,1000; rank1 = -1000 -> lo = -1000; hi rank = 9 -> 9
+    assert(a.getAs[Double]("lo") == -1000.0 && a.getAs[Double]("hi") == 9.0)
+    assert(a.getAs[Long]("n_hi") == 1L && a.getAs[Long]("n_lo") == 0L)
+    // mean with the high outlier clipped to 9: (-1000 + 2..9 + 9)/10
+    val expMean = ((-1000.0 +: (2 to 9).map(_.toDouble)).sum + 9.0) / 10
+    assert(math.abs(a.getAs[Double]("win_mean") - expMean) < 1e-9)
+    val b = got(1)
+    assert(b.getAs[Double]("win_mean") == 5.0 &&
+      b.getAs[Long]("n_lo") == 0L && b.getAs[Long]("n_hi") == 0L)
+  }
+
   test("regression: exact line recovered, r = ±1 on colinear data, " +
       "zero-variance group nulls") {
     import graft.ext.Stats
