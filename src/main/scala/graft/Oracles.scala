@@ -3614,6 +3614,44 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x133: Benford — exact integer scaling, leading digit as the
+    // decimal string head, one division per digit row
+    "x133_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0e0) AS BIGINT) AS n0
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substring(CAST(n0 AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM v WHERE n0 >= 1),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // x134: Gini — rank·value exact decimal sums, the closed form in
+    // one fixed-order double chain; ties don't matter (x·Σi)
+    "x134_gini" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS DECIMAL(19,0)) AS i
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS DECIMAL(18,4))) AS s0,
+        |    sum(i * CAST(v AS DECIMAL(19,4))) AS t0
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN CAST(CAST(s0 AS VARCHAR) AS DOUBLE) > 0.0e0
+        |    THEN 2.0e0 * CAST(CAST(t0 AS VARCHAR) AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(CAST(s0 AS VARCHAR) AS DOUBLE))
+        |      - (CAST(n AS DOUBLE) + 1.0e0) / CAST(n AS DOUBLE)
+        |  END AS gini
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
     // x130: session-duration quantiles — the x14 session CTE feeding
     // the x28 integer-rank quantile formula, corpus-wide
     "x130_session_quantiles" ->

@@ -2040,6 +2040,23 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x133 — Benford first-digit audit of order totals: leading-digit
+    * distribution via exact integer scaling + decimal-string head —
+    * no log10 anywhere; the organic-data forensics row. */
+  val x133Benford: Q = (s, dir) => {
+    graft.ext.Stats.benford(Tables.orders(s, dir), col("o_totalprice"))
+      .orderBy("digit")
+  }
+
+  /** x134 — Gini concentration of extended price per return flag
+    * (sorted-rank closed form, exact decimal sums, tie-independent):
+    * the inequality metric beside x129's correlation row. */
+  val x134Gini: Q = (s, dir) => {
+    graft.ext.Stats.gini(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        col("l_extendedprice"))
+      .orderBy("l_returnflag")
+  }
+
   /** x130 — session-duration quantiles: sessionize (30-min gap) →
     * per-session duration in exact micros → corpus-wide exact p50/p90
     * by integer rank — the x14 session machinery composed with the
@@ -2811,6 +2828,8 @@ object Queries {
     "x130_session_quantiles" -> x130SessionQuantiles,
     "x131_sim_histogram" -> x131SimHistogram,
     "x132_winsorized" -> x132Winsorized,
+    "x133_benford" -> x133Benford,
+    "x134_gini" -> x134Gini,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

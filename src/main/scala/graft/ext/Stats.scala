@@ -81,4 +81,57 @@ object Stats {
         (sum(least(greatest(col("__v"), col("lo")), col("hi")).cast(D))
           .cast("double") / count(lit(1)).cast("double")).as("win_mean"))
   }
+
+  /** Benford first-significant-digit audit (Newcomb 1881 / Benford
+    * 1938; the fraud/synthetic-data forensics classic): the observed
+    * distribution of leading digits of a positive numeric column.
+    * Natural multiplicative data follows log10(1+1/d); fabricated or
+    * truncated data doesn't — the cheap "is this column organic"
+    * alarm. Values are scaled to exact integer units (floor(v·scale))
+    * and the leading digit read as the first character of the decimal
+    * string — pure integer/string, no log10 anywhere; non-positive
+    * values are excluded and counted. `share` is one double division
+    * of exact longs. Output: (digit, n, share), digits 1-9. */
+  def benford(df: DataFrame, value: Column, scale: Long = 100L)
+      : DataFrame = {
+    require(scale >= 1, s"scale $scale must be >= 1")
+    val n0 = floor(value * lit(scale.toDouble)).cast("long")
+    val counts = df.select(n0.as("__n"))
+      .where(col("__n") >= 1L)
+      .select(substring(col("__n").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = broadcast(counts.agg(sum(col("n")).as("__t")))
+    counts.crossJoin(total)
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("share"))
+  }
+
+  /** Per-group GINI coefficient of a non-negative column (the
+    * inequality/concentration metric — "how skewed is token mass
+    * across sources" or price concentration): the sorted-rank closed
+    * form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. Σx and Σ(i·xᵢ) are exact
+    * decimal sums (rank as DECIMAL(10,0), value DECIMAL(18,4) —
+    * products at precision 29); the final combination is one
+    * fixed-order double chain. Ties contribute x·Σi regardless of
+    * which tied row gets which rank, so the result is deterministic
+    * under any tie order. One per-group window sort.
+    * Output: (keys..., n, gini), null for an all-zero group. */
+  def gini(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val R = DecimalType(10, 0)
+    val ranked = df.select((keys.map(col) :+ value.as("__v")): _*)
+      .withColumn("__i", row_number().over(w).cast(R))
+    val m = ranked.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__v").cast(D)).as("__s"),
+      sum(col("__i") * col("__v").cast(D)).as("__t"))
+    val nd = col("n").cast("double")
+    val sd = col("__s").cast("double")
+    val td = col("__t").cast("double")
+    m.select((keys.map(col) :+ col("n") :+
+      when(sd > 0.0,
+        lit(2.0) * td / (nd * sd) - (nd + lit(1.0)) / nd).as("gini")): _*)
+  }
 }

@@ -1741,6 +1741,29 @@ class ExtSpec extends SparkSpec {
     assert(!m.contains(("other", "big")))   // disjoint pairs absent
   }
 
+  test("benford: leading digits via integer scaling; non-positive " +
+      "values excluded") {
+    import graft.ext.Stats
+    val d = Seq(1.23, 12.0, 999.0, 0.05, -4.0, 0.0).map(Tuple1(_))
+      .toDF("v")
+    val got = rows(Stats.benford(d, col("v"), scale = 100L)
+      .orderBy("digit"))
+    // scaled: 123, 1200, 99900, 5 -> digits 1,1,9,5 (neg/zero dropped)
+    assert(got.map(r => (r.getLong(0), r.getAs[Long]("n"))) ==
+      Seq((1L, 2L), (5L, 1L), (9L, 1L)))
+    assert(got.head.getAs[Double]("share") == 0.5)
+  }
+
+  test("gini: 0 for equal values, (n-1)/n for total concentration") {
+    import graft.ext.Stats
+    val d = ((1 to 5).map(_ => ("eq", 7.0)) ++
+      (Seq(0.0, 0.0, 0.0, 10.0).map(("conc", _)))).toDF("g", "v")
+    val got = rows(Stats.gini(d, Seq("g"), col("v")).orderBy("g"))
+    val byG = got.map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(byG("eq") == 0.0)
+    assert(byG("conc") == 3.0 / 4)
+  }
+
   test("winsorized: outliers clipped to exact rank bounds, clip counts " +
       "reported, clean groups unchanged") {
     import graft.ext.Stats
