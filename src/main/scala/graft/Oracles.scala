@@ -3614,6 +3614,20 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x135: k-anonymity — quasi-id group sizes, bounded summary
+    "x135_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS sz
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(sz) AS BIGINT) AS min_size,
+        |  CAST(sum(CASE WHEN sz < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(sum(CASE WHEN sz < 50 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk
+        |FROM g""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

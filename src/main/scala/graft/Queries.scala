@@ -2040,6 +2040,15 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x135 — k-anonymity audit: group sizes over the quasi-identifier
+    * pair (event_type, day) with k=50 — the re-identification release
+    * gate next to PII scrubbing; one combiner aggregate + one bounded
+    * summary row. */
+  val x135KAnonymity: Q = (s, dir) => {
+    graft.ext.Scrub.kAnonymity(Tables.events(s, dir),
+      Seq(col("event_type"), date_trunc("day", col("ts"))), k = 50L)
+  }
+
   /** x133 — Benford first-digit audit of order totals: leading-digit
     * distribution via exact integer scaling + decimal-string head —
     * no log10 anywhere; the organic-data forensics row. */
@@ -2830,6 +2839,7 @@ object Queries {
     "x132_winsorized" -> x132Winsorized,
     "x133_benford" -> x133Benford,
     "x134_gini" -> x134Gini,
+    "x135_k_anonymity" -> x135KAnonymity,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -48,12 +48,21 @@ object EventWindows {
     * Output: (ws, key, c, n_prior, z). */
   def rateAnomaly(df: DataFrame, ts: Column, width: String, keyCol: Column,
       lookback: Int = 24, minPeriods: Int = 8): DataFrame = {
-    require(lookback >= 2 && minPeriods >= 2 && minPeriods <= lookback,
-      s"need 2 <= minPeriods ($minPeriods) <= lookback ($lookback)")
     val counts = df
       .groupBy(window(ts, width).getField("start").as("ws"),
         keyCol.as("key"))
       .agg(count(lit(1)).as("c"))
+    rateAnomalyFromCounts(counts, lookback, minPeriods)
+  }
+
+  /** The window + z tail of [[rateAnomaly]] over an already-built
+    * (ws, key, c) counts table — shared with the streaming view
+    * ([[graft.streaming.Streams.rateAnomalyView]]), whose counts come
+    * from the additive ledger instead of a scan. */
+  def rateAnomalyFromCounts(counts: DataFrame, lookback: Int = 24,
+      minPeriods: Int = 8): DataFrame = {
+    require(lookback >= 2 && minPeriods >= 2 && minPeriods <= lookback,
+      s"need 2 <= minPeriods ($minPeriods) <= lookback ($lookback)")
     val frame = Window.partitionBy("key").orderBy("ws")
       .rowsBetween(-lookback, -1)
     val withMoments = counts

@@ -55,4 +55,28 @@ object Scrub {
       .withColumn(textCol, coalesce(col("__text"), lit("")))
       .drop("__id", "__text")
   }
+
+  /** K-ANONYMITY audit (Sweeney 2002, the re-identification metric
+    * next to [[scrubPii]]'s masking): group the table by its
+    * quasi-identifier columns and report how much of it sits in
+    * groups smaller than k — rows in a small group are
+    * re-identifiable by anyone who knows those attributes. The
+    * release gate a privacy review reads before data leaves the
+    * pipeline.
+    *
+    * One combiner group-size aggregate + one bounded summary — no
+    * per-row state, scan-shaped at any scale. Output: one row
+    * (n_rows, n_groups, min_size, n_small_groups, rows_at_risk). */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[Column], k: Long)
+      : DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    df.groupBy(quasiIds: _*).agg(count(lit(1)).as("__sz"))
+      .agg(
+        sum(col("__sz")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__sz")).as("min_size"),
+        sum(when(col("__sz") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L))
+          .as("rows_at_risk"))
+  }
 }

@@ -273,6 +273,20 @@ object Streams {
       spark.read.parquet(tablePath).select(col("g"), col("h"))
         .dropDuplicates("g", "h"), k)
 
+  /** Rate-anomaly view over an [[additiveSink]] ledger keyed on
+    * (key, ws): fold the per-batch count partials, then run the exact
+    * x119 z-score tail — the streaming ingestion-health alarm with
+    * ZERO bespoke state (the ledger is the same additive log every
+    * incremental aggregate here uses; counts of 1s fold exactly, so
+    * the long cast is lossless). */
+  def rateAnomalyView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, lookback: Int = 24, minPeriods: Int = 8)
+      : DataFrame =
+    graft.ext.EventWindows.rateAnomalyFromCounts(
+      sumView(spark, tablePath, Seq("key", "ws"))
+        .select(col("ws"), col("key"), col("total").cast("long").as("c")),
+      lookback, minPeriods)
+
   /** Streaming distribution-drift monitor: score every micro-batch's
     * token distribution against a PINNED training-corpus distribution
     * (the train-once contract of the score/BM25 sinks — the model is

@@ -224,6 +224,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() <= 2 * 32)
   }
 
+  test("rateAnomalyView: additive count ledger + z tail equals the " +
+      "batch rate anomaly") {
+    implicit val sqlCtx = spark.sqlContext
+    // 10 alternating-baseline hours then a spike, split across batches
+    def ev(h: Int, i: Int) =
+      Ev(h.toLong * 100 + i, ts(f"2024-01-01 $h%02d:0${i % 10}:00"), "a")
+    val b1 = (0 until 6).flatMap(h =>
+      (0 until (if (h % 2 == 0) 4 else 6)).map(i => ev(h, i)))
+    val b2 = (6 until 10).flatMap(h =>
+      (0 until (if (h % 2 == 0) 4 else 6)).map(i => ev(h, i))) ++
+      (0 until 15).map(i => ev(10, i))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ra")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(
+      mem.toDF().select(date_trunc("hour", col("ts")).as("ws"),
+        col("v").as("key")),
+      Seq("key", "ws"), lit(1L), table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val view = Streams.rateAnomalyView(spark, table, 24, 8)
+      .orderBy("ws").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws").toString,
+        r.getAs[Long]("c"), r.getAs[Long]("n_prior"),
+        Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue)))
+    val batch = graft.ext.EventWindows.rateAnomaly(
+      (b1 ++ b2).toDF().withColumnRenamed("v", "event_type"),
+      col("ts"), "1 hour", col("event_type"), 24, 8)
+      .orderBy("ws").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws").toString,
+        r.getAs[Long]("c"), r.getAs[Long]("n_prior"),
+        Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue)))
+    assert(view.toSeq == batch.toSeq)
+    // the spike is visible through the ledger: z = 10 exactly
+    assert(view.last._4.contains(10.0))
+  }
+
   test("driftMonitorSink: per-batch TV rows equal the batch-mode " +
       "computation; a corpus-identical batch scores exactly 0") {
     implicit val sqlCtx = spark.sqlContext
