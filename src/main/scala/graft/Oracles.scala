@@ -3614,6 +3614,39 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x136: Fightin' Words — both lns quantized DECIMAL(28,12), the
+    // delta an exact decimal difference, z one fixed-order chain
+    "x136_log_odds" ->
+      """WITH toks AS (
+        |  SELECT source = 'src0' AS t,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS y2
+        |  FROM toks GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(y1) AS BIGINT) AS n1,
+        |    CAST(sum(y2) AS BIGINT) AS n2,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM c),
+        |q AS (
+        |  SELECT term, y1, y2,
+        |    CAST(ln((CAST(y1 AS DOUBLE) + 0.5e0)
+        |        / (CAST(n1 AS DOUBLE) + CAST(v AS DOUBLE) * 0.5e0
+        |          - CAST(y1 AS DOUBLE) - 0.5e0)) AS DECIMAL(28,12)) AS q1,
+        |    CAST(ln((CAST(y2 AS DOUBLE) + 0.5e0)
+        |        / (CAST(n2 AS DOUBLE) + CAST(v AS DOUBLE) * 0.5e0
+        |          - CAST(y2 AS DOUBLE) - 0.5e0)) AS DECIMAL(28,12)) AS q2
+        |  FROM c CROSS JOIN tot)
+        |SELECT term, y1, y2,
+        |  CAST(CAST(q1 - q2 AS VARCHAR) AS DOUBLE) AS delta,
+        |  CAST(CAST(q1 - q2 AS VARCHAR) AS DOUBLE)
+        |    / sqrt(1.0e0 / (CAST(y1 AS DOUBLE) + 0.5e0)
+        |      + 1.0e0 / (CAST(y2 AS DOUBLE) + 0.5e0)) AS z
+        |FROM q ORDER BY term""".stripMargin,
+
     // x135: k-anonymity — quasi-id group sizes, bounded summary
     "x135_k_anonymity" ->
       """WITH g AS (

@@ -2040,6 +2040,16 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x136 — Fightin' Words differential usage: Dirichlet-prior
+    * log-odds of every token, src0 vs the rest of the corpus — the
+    * shrunk "what distinguishes this slice" table (Monroe et al.
+    * 2008); each ln quantized once, δ an exact decimal difference. */
+  val x136LogOdds: Q = (s, dir) => {
+    TextAnalysis.logOddsWords(Tables.documents(s, dir), "source", "text",
+        targetValue = "src0")
+      .orderBy("term")
+  }
+
   /** x135 — k-anonymity audit: group sizes over the quasi-identifier
     * pair (event_type, day) with k=50 — the re-identification release
     * gate next to PII scrubbing; one combiner aggregate + one bounded
@@ -2840,6 +2850,7 @@ object Queries {
     "x133_benford" -> x133Benford,
     "x134_gini" -> x134Gini,
     "x135_k_anonymity" -> x135KAnonymity,
+    "x136_log_odds" -> x136LogOdds,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -651,6 +651,53 @@ object TextAnalysis {
             lit(corpusTotal.toDouble))).as("tv_distance"))
   }
 
+  /** Differential word usage — log-odds ratio with an informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn 2008, the "Fightin'
+    * Words" method): which words distinguish the TARGET slice of the
+    * corpus from the rest, shrunk so rare words don't dominate the way
+    * raw PMI/tf-idf deltas do. Per word:
+    *   δ_w = ln((y₁+α)/(n₁+α₀−y₁−α)) − ln((y₂+α)/(n₂+α₀−y₂−α))
+    *   z_w = δ_w / sqrt(1/(y₁+α) + 1/(y₂+α))
+    * The mixture-curation question in one table: "what is src0 full
+    * of that the rest of the corpus isn't".
+    *
+    * Determinism: the two ln's (the only transcendentals) are each
+    * quantized once to DECIMAL(28,12) — the x76 idf discipline — and
+    * δ is their EXACT decimal difference cast to double at the
+    * boundary; z adds two divisions and one exactly-rounded sqrt in
+    * fixed order. Scale shape: one tokenize pass, one (side, word)
+    * combiner agg, a model-sized full-outer word join, one 1-row
+    * broadcast of totals. Output: (term, y1, y2, delta, z). */
+  def logOddsWords(docs: DataFrame, groupCol: String, textCol: String,
+      targetValue: String, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(alpha > 0, s"alpha $alpha must be positive")
+    val toks = docs.select(
+      (col(groupCol) === targetValue).as("__t"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val counts = toks.groupBy("term").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("y1"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("y2"))
+    val totals = broadcast(counts.agg(
+      sum(col("y1")).as("__n1"), sum(col("y2")).as("__n2"),
+      count(lit(1)).as("__v")))
+    val a = lit(alpha)
+    val a0 = col("__v").cast("double") * a
+    def side(y: Column, n: Column) =
+      log((y.cast("double") + a) /
+          (n.cast("double") + a0 - y.cast("double") - a))
+        .cast(DecimalType(28, 12))
+    counts.crossJoin(totals)
+      .withColumn("__d",
+        (side(col("y1"), col("__n1")) - side(col("y2"), col("__n2")))
+          .cast("double"))
+      .select(col("term"), col("y1"), col("y2"),
+        col("__d").as("delta"),
+        (col("__d") / sqrt(
+          lit(1.0) / (col("y1").cast("double") + a) +
+            lit(1.0) / (col("y2").cast("double") + a))).as("z"))
+  }
+
   /** One (id, w1, w2, w3) row per trigram occurrence. */
   private def trigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

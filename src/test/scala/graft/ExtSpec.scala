@@ -1741,6 +1741,22 @@ class ExtSpec extends SparkSpec {
     assert(!m.contains(("other", "big")))   // disjoint pairs absent
   }
 
+  test("log-odds words: target-exclusive words positive, other-side " +
+      "negative, shared words shrunk toward zero") {
+    val d = Seq(("A", "cat cat dog"), ("B", "dog dog bird"))
+      .toDF("source", "text")
+    val got = rows(TextAnalysis.logOddsWords(d, "source", "text", "A")
+      .orderBy("term"))
+    val byT = got.map(r => r.getString(0) ->
+      (r.getAs[Double]("delta"), r.getAs[Double]("z"))).toMap
+    assert(byT("cat")._1 > 0 && byT("cat")._2 > 0)
+    assert(byT("bird")._1 < 0 && byT("bird")._2 < 0)
+    // "dog" appears on both sides at similar rates: |delta| smaller
+    // than either exclusive word's
+    assert(math.abs(byT("dog")._1) < math.abs(byT("cat")._1) &&
+      math.abs(byT("dog")._1) < math.abs(byT("bird")._1))
+  }
+
   test("benford: leading digits via integer scaling; non-positive " +
       "values excluded") {
     import graft.ext.Stats
