@@ -3614,6 +3614,56 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x138: corpus merge — md5 content key, (prio, id) winner via
+    // row_number, every row flagged
+    "x138_corpus_merge" ->
+      """WITH u AS (
+        |  SELECT 'curated' AS origin, 0 AS prio, doc_id AS id, text
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT 'snapshot' AS origin, 1 AS prio, doc_id AS id, text
+        |  FROM documents),
+        |h AS (SELECT origin, prio, id, md5(text) AS hh FROM u),
+        |r AS (
+        |  SELECT origin, prio, id, hh,
+        |    row_number() OVER (PARTITION BY hh ORDER BY prio, id) AS rn,
+        |    count(*) OVER (PARTITION BY hh) AS n_copies
+        |  FROM h)
+        |SELECT origin, CAST(id AS BIGINT) AS id, rn = 1 AS kept,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r ORDER BY origin, id""".stripMargin,
+
+    // x137: log-likelihood — each ln quantized DECIMAL(28,12), exact
+    // decimal sum, one boundary division (the x68 aggregation shape
+    // in log space)
+    "x137_log_likelihood" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS cnt1 FROM bi GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c2),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(ln((CAST(c2.cnt2 AS DOUBLE) + 0.5e0)
+        |      / (CAST(c1.cnt1 AS DOUBLE)
+        |        + 0.5e0 * CAST(vv.v AS DOUBLE))) AS DECIMAL(28,12)) AS q
+        |  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  CROSS JOIN vv),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / count(*) AS loglik
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  a.loglik
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // x136: Fightin' Words — both lns quantized DECIMAL(28,12), the
     // delta an exact decimal difference, z one fixed-order chain
     "x136_log_odds" ->

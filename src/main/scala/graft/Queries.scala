@@ -2040,6 +2040,32 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x138 — priority corpus merge: a "curated" slice (doc_id < 250)
+    * merged with the full snapshot — every distinct content kept once
+    * from the highest-priority corpus containing it, all rows flagged
+    * (the snapshot-reconciliation audit). */
+  val x138CorpusMerge: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Dedup.mergeCorpora(Seq(
+        ("curated", d.where(col("doc_id") < 250)),
+        ("snapshot", d)), "doc_id", "text")
+      .orderBy("origin", "id")
+  }
+
+  /** x137 — log-likelihood LM scoring: mean ln P(w₂|w₁) under the
+    * add-k bigram model — the log-space (perplexity) criterion CCNet
+    * gates on, completing the family beside the probability-mean
+    * scores; each ln quantized once, exact decimal sum, one division. */
+  val x137LogLikelihood: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val (c1, c2) = TextAnalysis.bigramModel(d, "doc_id", "text")
+    val v = TextAnalysis.bigramVocab(c2)
+    TextAnalysis.bigramLogLikelihood(d, "doc_id", "text", c1, c2,
+        smoothK = 0.5, vocab = v)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x136 — Fightin' Words differential usage: Dirichlet-prior
     * log-odds of every token, src0 vs the rest of the corpus — the
     * shrunk "what distinguishes this slice" table (Monroe et al.
@@ -2851,6 +2877,8 @@ object Queries {
     "x134_gini" -> x134Gini,
     "x135_k_anonymity" -> x135KAnonymity,
     "x136_log_odds" -> x136LogOdds,
+    "x137_log_likelihood" -> x137LogLikelihood,
+    "x138_corpus_merge" -> x138CorpusMerge,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

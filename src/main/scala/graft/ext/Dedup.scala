@@ -576,6 +576,40 @@ object Dedup {
           .as("overlap"))
   }
 
+  /** Priority corpus MERGE — snapshot reconciliation: union several
+    * corpora (e.g. successive crawl snapshots, or a curated set plus
+    * a bulk set) and keep each distinct CONTENT exactly once, from
+    * the highest-priority corpus that contains it (list order =
+    * priority; ties within a corpus to the smallest id). The
+    * incremental-ingestion question "which rows of the new snapshot
+    * are actually new" answered corpus-wide in one pass, with every
+    * input row kept and FLAGGED (the audit form — filter kept for the
+    * merged corpus).
+    *
+    * One content-hash combiner agg (min-struct winner, the x82
+    * discipline — never a window over the hot key) + one hash-keyed
+    * join back. Output: (origin, id, kept, n_copies). */
+  def mergeCorpora(corpora: Seq[(String, DataFrame)], idCol: String,
+      textCol: String): DataFrame = {
+    require(corpora.nonEmpty &&
+      corpora.map(_._1).distinct == corpora.map(_._1),
+      "corpus names must be non-empty and distinct")
+    val tagged = corpora.zipWithIndex.map { case ((name, df), i) =>
+      df.select(lit(name).as("origin"), lit(i.toLong).as("__prio"),
+        col(idCol).as("id"), col(textCol).as("__text"))
+    }.reduce(_ unionByName _)
+    val withHash = tagged
+      .withColumn("__h", md5(col("__text").cast("binary")))
+    val winner = withHash.groupBy("__h")
+      .agg(min(struct(col("__prio"), col("id"))).as("w"),
+        count(lit(1)).as("n_copies"))
+    withHash.join(winner, Seq("__h"))
+      .select(col("origin"), col("id"),
+        (col("__prio") === col("w.__prio") && col("id") === col("w.id"))
+          .as("kept"),
+        col("n_copies"))
+  }
+
   /** C4-style passage-level exact dedup (Raffel et al. 2020 removed
     * repeated three-sentence spans; here the unit is a non-overlapping
     * `chunkSize`-token window from [[TextAnalysis.chunkTokens]]): the

@@ -698,6 +698,52 @@ object TextAnalysis {
             lit(1.0) / (col("y2").cast("double") + a))).as("z"))
   }
 
+  /** Per-document LOG-likelihood under the add-k bigram model — the
+    * actual perplexity-filtering signal (CCNet gates on log-space LM
+    * scores, not probability means): mean ln P(w₂|w₁) over the
+    * document's bigrams, P smoothed add-k so unseen pairs score
+    * finitely. Where [[bigramScoreWith]] averages probabilities (one
+    * boilerplate bigram can dominate), the log mean is the
+    * geometric-mean criterion perplexity is defined on —
+    * ppl = exp(−loglik).
+    *
+    * Determinism: each ln (the only transcendental) is quantized once
+    * to DECIMAL(28,12); the per-document sum is an exact decimal with
+    * ONE boundary division. Skew: both count joins run salted (the
+    * family discipline). Output: (id, n_bigrams, loglik), null for
+    * documents with no bigram. */
+  def bigramLogLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      c1: DataFrame, c2: DataFrame, smoothK: Double, vocab: Long,
+      salt: Int = DefaultScoreSalt): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(smoothK > 0 && vocab > 0,
+      "add-k log scoring needs k > 0 and the vocabulary size")
+    val q = log(
+        (coalesce(col("cnt2"), lit(0L)).cast("double") + lit(smoothK)) /
+          (coalesce(col("cnt1"), lit(0L)).cast("double") +
+            lit(smoothK) * lit(vocab.toDouble)))
+      .cast(DecimalType(28, 12))
+    val bg = bigrams(docs, idCol, textCol)
+    val saltCols = Seq(col("id"), col("w1"), col("w2"))
+    val withCounts =
+      if (salt <= 1)
+        bg.join(c2, Seq("w1", "w2"), "left").join(c1, Seq("w1"), "left")
+      else
+        graft.operators.Skew.saltedJoin(
+          graft.operators.Skew.saltedJoin(bg, c2, Seq("w1", "w2"),
+            salt, "left", saltOn = saltCols),
+          c1, Seq("w1"), salt, "left", saltOn = saltCols)
+    val agg = withCounts
+      .withColumn("q", q)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("q")).cast("double") / count(lit(1))).as("loglik"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("loglik"))
+  }
+
   /** One (id, w1, w2, w3) row per trigram occurrence. */
   private def trigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

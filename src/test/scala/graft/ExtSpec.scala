@@ -1741,6 +1741,23 @@ class ExtSpec extends SparkSpec {
     assert(!m.contains(("other", "big")))   // disjoint pairs absent
   }
 
+  test("corpus merge: priority wins, within-corpus ties to smallest id, " +
+      "every row flagged") {
+    val a = Seq((10L, "same text"), (11L, "only in a")).toDF("doc_id", "text")
+    val b = Seq((1L, "same text"), (2L, "only in b"), (3L, "only in b"))
+      .toDF("doc_id", "text")
+    val got = rows(Dedup.mergeCorpora(Seq(("a", a), ("b", b)),
+      "doc_id", "text").orderBy("origin", "id"))
+    val m = got.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getBoolean(2), r.getAs[Long]("n_copies"))).toMap
+    // "same text": corpus a wins despite the larger id
+    assert(m(("a", 10L)) == ((true, 2L)) && m(("b", 1L)) == ((false, 2L)))
+    // "only in b" duplicated within b: smallest id wins
+    assert(m(("b", 2L)) == ((true, 2L)) && m(("b", 3L)) == ((false, 2L)))
+    assert(m(("a", 11L)) == ((true, 1L)))
+    assert(got.length == 5)
+  }
+
   test("log-odds words: target-exclusive words positive, other-side " +
       "negative, shared words shrunk toward zero") {
     val d = Seq(("A", "cat cat dog"), ("B", "dog dog bird"))
