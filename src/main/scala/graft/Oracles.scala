@@ -3614,6 +3614,47 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x139: more-like-this — idf floor micro-units, exact decimal
+    // dots/norms, one cosine chain; rank cut mirrors the engine's
+    // (cosine DESC, id) order
+    "x139_more_like_this" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |p AS (SELECT term, doc_id AS id, CAST(count(*) AS BIGINT) AS tf
+        |      FROM toks GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM p GROUP BY 1),
+        |w AS (
+        |  SELECT p.id, p.term,
+        |    p.tf * CAST(floor(ln(CAST(nn.n AS DOUBLE)
+        |      / CAST(dfc.df AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        |  FROM p JOIN dfc USING (term) CROSS JOIN nn),
+        |norms AS (
+        |  SELECT id, sum(CAST(w AS DECIMAL(15,0)) * CAST(w AS DECIMAL(15,0)))
+        |    AS n2
+        |  FROM w GROUP BY 1),
+        |q AS (SELECT term, w AS wq FROM w WHERE id = 0),
+        |dots AS (
+        |  SELECT w.id,
+        |    sum(CAST(w.w AS DECIMAL(15,0)) * CAST(q.wq AS DECIMAL(15,0)))
+        |      AS dot
+        |  FROM w JOIN q USING (term) WHERE w.id != 0 GROUP BY 1),
+        |qn AS (SELECT n2 AS qn2 FROM norms WHERE id = 0),
+        |scored AS (
+        |  SELECT d.id AS doc_id,
+        |    CAST(CAST(d.dot AS VARCHAR) AS DOUBLE)
+        |      / (sqrt(CAST(CAST(qn.qn2 AS VARCHAR) AS DOUBLE))
+        |        * sqrt(CAST(CAST(n.n2 AS VARCHAR) AS DOUBLE))) AS cosine
+        |  FROM dots d JOIN norms n ON d.id = n.id CROSS JOIN qn)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+        |    AS INTEGER) AS rank,
+        |  cosine
+        |FROM scored ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin,
+
     // x138: corpus merge — md5 content key, (prio, id) winner via
     // row_number, every row flagged
     "x138_corpus_merge" ->

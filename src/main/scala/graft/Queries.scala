@@ -2040,6 +2040,18 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x139 — lexical more-like-this: top-10 tf-idf-cosine neighbors of
+    * document 0 over the postings index — the vector-space "find docs
+    * like this one" baseline, no embeddings involved; idf in floor
+    * micro-units, exact decimal dots/norms, one cosine chain. */
+  val x139MoreLikeThis: Q = (s, dir) => {
+    val (postings, docStats) = Retrieval.buildPostings(
+      Tables.documents(s, dir), "doc_id", "text")
+    Retrieval.moreLikeThis(postings, docStats, queryId = 0L, k = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("rank")
+  }
+
   /** x138 — priority corpus merge: a "curated" slice (doc_id < 250)
     * merged with the full snapshot — every distinct content kept once
     * from the highest-priority corpus containing it, all rows flagged
@@ -2879,6 +2891,7 @@ object Queries {
     "x136_log_odds" -> x136LogOdds,
     "x137_log_likelihood" -> x137LogLikelihood,
     "x138_corpus_merge" -> x138CorpusMerge,
+    "x139_more_like_this" -> x139MoreLikeThis,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

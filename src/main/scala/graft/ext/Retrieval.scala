@@ -235,6 +235,57 @@ object Retrieval {
     (spark.read.parquet(s"$path/postings.parquet"),
       spark.read.parquet(s"$path/docstats.parquet"))
 
+  /** Lexical MORE-LIKE-THIS: top-k documents by tf-idf cosine to a
+    * QUERY DOCUMENT, evaluated over the [[buildPostings]] index — the
+    * "find docs like this one" retrieval primitive with no embeddings
+    * in sight (the classic VSM form, Salton's vector space model).
+    * Near-dup hunting by example, related-document surfacing, and the
+    * lexical baseline every embedding search is judged against.
+    *
+    * Determinism: idf = ln(N/df) is quantized by FLOOR into 1e-6
+    * micro-units (the x115 lesson — floor has no rounding ties);
+    * weights tf·idf₆ are exact longs; dot products and norms are
+    * exact decimal sums of sized products ((15,0)² = 31 ≤ 38); the
+    * cosine is one double chain with two exactly-rounded sqrts.
+    *
+    * Scale shape: the query vector is a broadcast (one doc's terms);
+    * the candidate scan touches only postings of the QUERY's terms;
+    * norms are one combiner agg over the index; the cut is
+    * TakeOrdered. Output: top-k (id, rank, cosine). */
+  def moreLikeThis(postings: DataFrame, docStats: DataFrame,
+      queryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"k $k must be >= 1")
+    val P = DecimalType(15, 0)
+    val n = docStats.count()
+    val df = postings.groupBy("term").agg(count(lit(1)).as("__df"))
+    val weighted = postings.join(df, Seq("term"))
+      .select(col("id"), col("term"),
+        (col("tf") *
+          floor(log(lit(n.toDouble) / col("__df").cast("double")) *
+            lit(1e6)).cast("long")).as("__w"))
+    val norms = weighted.groupBy("id")
+      .agg(sum(col("__w").cast(P) * col("__w").cast(P)).as("__n2"))
+    val q = broadcast(weighted.where(col("id") === queryId)
+      .select(col("term"), col("__w").as("__wq")))
+    val dots = weighted.where(col("id") =!= queryId)
+      .join(q, Seq("term"))
+      .groupBy("id")
+      .agg(sum(col("__w").cast(P) * col("__wq").cast(P)).as("__dot"))
+    val qn = norms.where(col("id") === queryId)
+      .select(col("__n2").as("__qn2"))
+    dots.join(norms, Seq("id")).crossJoin(broadcast(qn))
+      .select(col("id"),
+        (col("__dot").cast("double") /
+          (sqrt(col("__qn2").cast("double")) *
+            sqrt(col("__n2").cast("double")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc).limit(k)
+      .select(col("id"),
+        row_number().over(Window.orderBy(col("cosine").desc,
+          col("id").asc)).as("rank"),
+        col("cosine"))
+  }
+
   /** BM25 top-`k` serving: the ranked-list cut of [[bm25Score]] — the
     * lexical half of [[hybridRrfTopK]] as its own surface (rows are
     * exactly that operator's lexical prefix under the same
