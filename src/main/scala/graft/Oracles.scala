@@ -3614,6 +3614,26 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x140: inter-arrival quantiles — lag diff in exact micros, the
+    // x28 rank formula per event type
+    "x140_inter_arrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, gap AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = greatest(1, (1*n + 1) // 2) THEN v END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, (19*n + 19) // 20) THEN v END)
+        |    AS p95,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // x139: more-like-this — idf floor micro-units, exact decimal
     // dots/norms, one cosine chain; rank cut mirrors the engine's
     // (cosine DESC, id) order

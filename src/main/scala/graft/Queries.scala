@@ -2040,6 +2040,22 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x140 — inter-arrival gap quantiles per event type: lag-diff in
+    * exact micros through the integer-rank quantile formula — the
+    * arrival-process characterization beside x119's anomaly z. */
+  val x140InterArrival: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("gap").isNotNull)
+    Quantiles.discrete(gaps, Seq("event_type"), col("gap"),
+        Seq((1, 2, "p50"), (19, 20, "p95")))
+      .orderBy("event_type")
+  }
+
   /** x139 — lexical more-like-this: top-10 tf-idf-cosine neighbors of
     * document 0 over the postings index — the vector-space "find docs
     * like this one" baseline, no embeddings involved; idf in floor
@@ -2892,6 +2908,7 @@ object Queries {
     "x137_log_likelihood" -> x137LogLikelihood,
     "x138_corpus_merge" -> x138CorpusMerge,
     "x139_more_like_this" -> x139MoreLikeThis,
+    "x140_inter_arrival" -> x140InterArrival,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

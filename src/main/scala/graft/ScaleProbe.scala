@@ -96,7 +96,8 @@ object ScaleProbe {
       "x124_cohort_retention", "x125_daily_hll", "x126_bm25_index",
       "x127_last_touch", "x128_trunc_recall", "x129_regression",
       "x130_session_quantiles", "x131_sim_histogram", "x132_winsorized",
-      "x133_benford", "x134_gini", "x135_k_anonymity", "x136_log_odds")
+      "x133_benford", "x134_gini", "x135_k_anonymity", "x136_log_odds",
+      "x137_log_likelihood", "x138_corpus_merge", "x139_more_like_this")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
