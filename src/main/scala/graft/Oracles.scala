@@ -3614,6 +3614,35 @@ object Oracles {
         |LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // x141: transition matrix — the x14 session CTE, lag within
+    // (user, sid), counts + one conditional division
+    "x141_transitions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged),
+        |pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM sess),
+        |c AS (
+        |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tt
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE) AS p
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
+
     // x140: inter-arrival quantiles — lag diff in exact micros, the
     // x28 rank formula per event type
     "x140_inter_arrival" ->

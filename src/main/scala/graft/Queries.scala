@@ -2040,6 +2040,27 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x141 — session transition matrix: within-session (prev → next)
+    * event-type counts and conditional probabilities — the Markov-
+    * chain behavior view (lag over the session ordering, one count
+    * agg, one division per row). */
+  val x141Transitions: Q = (s, dir) => {
+    val sess = EventWindows.sessionize(Tables.events(s, dir), col("ts"),
+      col("user_id"), 1800000000L, col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = sess
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum(col("n")).as("__t"))
+    pairs.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -2909,6 +2930,7 @@ object Queries {
     "x138_corpus_merge" -> x138CorpusMerge,
     "x139_more_like_this" -> x139MoreLikeThis,
     "x140_inter_arrival" -> x140InterArrival,
+    "x141_transitions" -> x141Transitions,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
