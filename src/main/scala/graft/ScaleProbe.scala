@@ -98,7 +98,7 @@ object ScaleProbe {
       "x130_session_quantiles", "x131_sim_histogram", "x132_winsorized",
       "x133_benford", "x134_gini", "x135_k_anonymity", "x136_log_odds",
       "x137_log_likelihood", "x138_corpus_merge", "x139_more_like_this",
-      "x140_inter_arrival")
+      "x140_inter_arrival", "x141_transitions")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
