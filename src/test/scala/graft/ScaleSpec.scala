@@ -556,6 +556,25 @@ class ScaleSpec extends SparkSpec {
       "featureHashTf grew a join:\n" + fhPlan.take(600))
   }
 
+  test("plan shapes: more-like-this cuts with TakeOrdered and " +
+      "broadcasts the query vector; funnel builds no Window") {
+    import graft.ext.{EventWindows, Retrieval}
+    val docs = Tables("documents")
+    val (p, d) = Retrieval.buildPostings(docs, "doc_id", "text")
+    val mltPlan = Retrieval.moreLikeThis(p, d, queryId = 0L, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(mltPlan.contains("TakeOrderedAndProject"),
+      "MLT cut is not TakeOrdered:\n" + mltPlan.take(800))
+    assert(mltPlan.contains("BroadcastExchange"),
+      "MLT query vector not broadcast:\n" + mltPlan.take(800))
+    val ev = Tables("events")
+    val funnelPlan = EventWindows.funnel(ev, col("ts"), col("user_id"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(!funnelPlan.contains("Window"),
+      "funnel grew a per-key window sort:\n" + funnelPlan.take(800))
+  }
+
   test("pointer doubling: a 24-chain converges within 6 rounds where " +
       "plain propagation is still under-merged; fixpoints agree") {
     import graft.ext.Dedup
