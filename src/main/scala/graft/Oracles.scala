@@ -4646,12 +4646,34 @@ object Oracles {
         Seq(8, 16, 32, 64).map(truncArm).mkString("\nUNION ALL\n") +
         "\nORDER BY dim"))
 
+  // x142: the manifest-driven export replays the ENTIRE x96 kept-set
+  // derivation (wrapped verbatim as a CTE — any drift in the curation
+  // chain fails both queries identically), then the x120 integer
+  // prefix-sum packing over the survivors; the Spark side must
+  // round-trip those rows through JSONL shards ON DISK unchanged.
+  private val manifestExport: Map[String, String] = Map(
+    "x142_manifest_export" ->
+      (s"WITH man AS (\n${base("x96_corpus_prep")}\n),\n" +
+        """kept AS (SELECT doc_id, n_tokens FROM man WHERE kept),
+          |cum AS (
+          |  SELECT doc_id, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cum_prev
+          |  FROM kept)
+          |SELECT CAST(cum_prev // 2000 AS BIGINT) AS shard_id,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+          |  CAST(max(doc_id) AS BIGINT) AS last_doc
+          |FROM cum GROUP BY 1 ORDER BY shard_id""".stripMargin))
+
   // x126: the postings-index BM25 path is bit-equal to the x76 scan
   // path by construction (same tf frame rebuilt, same stats agg, same
   // fixed-order score projection) — the shared oracle IS the claim
   // that only the execution shape changed (the x67/x63 pattern)
   val all: Map[String, String] =
-    base ++ adaptiveLsh ++ truncRecall +
+    base ++ adaptiveLsh ++ truncRecall ++ manifestExport +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25"))
 }

@@ -2061,6 +2061,29 @@ object Queries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** x142 — manifest-driven export: the x96 corpus-prep kept-set
+    * exported as token-budgeted JSONL shards
+    * ([[graft.operators.Export.writeJsonlSharded]]), the manifest
+    * re-derived from the files ON DISK — the end of the curation
+    * pipeline: what a downstream trainer actually reads, certified.
+    * Deterministic prefix-sum shard ids keep the whole round trip
+    * oracle-checkable (the oracle replays the kept-set chain and the
+    * integer packing; the write/read-back must not change a row). */
+  val x142ManifestExport: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val man = Pipeline.corpusPrep(d.where(col("doc_id") >= 20),
+      d.where(col("doc_id") < 20), "doc_id", "text", "lang")
+    val kept = man.where(col("kept"))
+      .select(col("id").as("doc_id"), col("n_tokens"))
+    val docs = d.select(col("doc_id"), col("lang"), col("source"),
+        col("text"))
+      .join(kept, Seq("doc_id"))
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_x142_jsonl").toString
+    graft.operators.Export.writeJsonlSharded(docs, path, "doc_id",
+      "n_tokens", shardTokens = 2000L)
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -2931,6 +2954,7 @@ object Queries {
     "x139_more_like_this" -> x139MoreLikeThis,
     "x140_inter_arrival" -> x140InterArrival,
     "x141_transitions" -> x141Transitions,
+    "x142_manifest_export" -> x142ManifestExport,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -77,6 +77,57 @@ object Export {
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").json(path)
 
+  /** Token-budgeted sharded JSONL export + read-back manifest — the
+    * manifest-DRIVEN form of [[writeJsonl]]: the shard layout comes
+    * from [[graft.ext.Sampling.shardPlan]] (documents in `idCol` order
+    * packed greedily into ≈`shardTokens`-token shards, never splitting
+    * a document), the data lands as `shard_id=N/` JSONL partitions,
+    * and the returned manifest is re-derived FROM DISK (one read-back
+    * aggregate over the written files), so it certifies what a
+    * downstream trainer will actually read, not what the plan
+    * intended. Shard ids are deterministic integer prefix-sum
+    * arithmetic — unlike `repartitionByRange` sampling, the same
+    * corpus always yields the same layout, so the manifest is
+    * oracle-checkable and two exports of the same snapshot are
+    * byte-comparable.
+    *
+    * `df` must carry `idCol` (numeric, the pack order) and
+    * `nTokensCol` (long). Returns (shard_id, n_docs, n_tokens,
+    * first_doc, last_doc) sorted by shard_id. Scale shape: one
+    * id-ordered prefix-sum window (hierarchical decomposition applies
+    * when that single ordering is the bottleneck — see
+    * [[graft.ext.Sampling.tokenBudgetBucketed]]), one hash
+    * repartition on shard_id for the write, one column-pruned
+    * read-back aggregate. */
+  def writeJsonlSharded(df: DataFrame, path: String, idCol: String,
+      nTokensCol: String, shardTokens: Long): DataFrame = {
+    val spark = df.sparkSession
+    val plan = graft.ext.Sampling.shardPlan(
+        df.select(col(idCol), col(nTokensCol)),
+        col(idCol), col(nTokensCol), shardTokens)
+      .select(col("id").as(idCol), col("shard_id"))
+    val data = df.join(plan, Seq(idCol))
+    data.repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard_id").json(path)
+    val idField = org.apache.spark.sql.types.StructField(idCol,
+      org.apache.spark.sql.types.LongType)
+    val ntField = org.apache.spark.sql.types.StructField(nTokensCol,
+      org.apache.spark.sql.types.LongType)
+    val shardField = org.apache.spark.sql.types.StructField("shard_id",
+      org.apache.spark.sql.types.LongType)
+    val back = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        Seq(idField, ntField, shardField)))
+      .json(path)
+    back.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol)).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
   /** Shard manifest of an exported dataset: one row per data file with
     * (file, rows, min_key, max_key) — the catalog a merge-reader or
     * range-pruned consumer plans against without opening data files.

@@ -184,4 +184,51 @@ class ExportSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
+
+  test("writeJsonlSharded: deterministic token-budgeted shards, disk-derived manifest") {
+    val src = Seq(
+      (1L, 500L), (2L, 400L), (3L, 300L), // cum_prev 0, 500, 900
+      (4L, 900L),                         // cum_prev 1200 → shard 1
+      (5L, 100L), (6L, 2500L),            // cum_prev 2100, 2200 → shard 2
+      (7L, 10L))                          // cum_prev 4700 → shard 4
+      .toDF("doc_id", "n_tokens")
+      .withColumn("text", concat(lit("doc "), $"doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shex")
+    try {
+      val path = dir.resolve("shards").toString
+      val man = graft.operators.Export.writeJsonlSharded(src, path,
+        "doc_id", "n_tokens", shardTokens = 1000L)
+      val got = rows(man).map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      // greedy packing: a doc starts a new shard when the running total
+      // crosses the boundary; shard ids skip when one doc spans budgets
+      assert(got == Seq(
+        (0L, 3L, 1200L, 1L, 3L),
+        (1L, 1L, 900L, 4L, 4L),
+        (2L, 2L, 2600L, 5L, 6L),
+        (4L, 1L, 10L, 7L, 7L)))
+      // the layout is directory-partitioned by shard id
+      val shardDirs = new java.io.File(path).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(shardDirs.toSeq ==
+        Seq("shard_id=0", "shard_id=1", "shard_id=2", "shard_id=4"))
+      // every source row survives the round trip exactly
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_tokens", LongType), StructField("text", StringType),
+        StructField("shard_id", LongType)))
+      val back = spark.read.schema(schema).json(path)
+      assert(rows(back.select($"doc_id", $"n_tokens", $"text")
+          .orderBy("doc_id")).map(_.toString) ==
+        rows(src.select($"doc_id", $"n_tokens", $"text")
+          .orderBy("doc_id")).map(_.toString))
+      // prefix-sum ids, not sampled ranges: a second export of the same
+      // snapshot produces the identical manifest
+      val man2 = graft.operators.Export.writeJsonlSharded(src,
+        dir.resolve("shards2").toString, "doc_id", "n_tokens", 1000L)
+      assert(rows(man2).map(_.toString) == rows(man).map(_.toString))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
