@@ -3801,6 +3801,211 @@ object Oracles {
         |    AS rows_at_risk
         |FROM g""".stripMargin,
 
+    // x143: centroid drift — exact decimal per-dim sums at (20,8) (the
+    // precision sized so product and difference stay ≤ 38 end to end),
+    // the integer-scaled cross difference, one left-to-right double
+    // fold over the dim-ordered list, one boundary division
+    "x143_centroid_drift" ->
+      """WITH pe AS (
+        |  SELECT vec_id % 4 AS shard, i - 1 AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,8)) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |ns AS (SELECT vec_id % 4 AS shard, CAST(count(*) AS BIGINT)
+        |         AS n_vecs FROM embeddings GROUP BY 1),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM embeddings),
+        |ss AS (SELECT shard, dim, CAST(sum(v) AS DECIMAL(20,8)) AS s
+        |       FROM pe GROUP BY 1, 2),
+        |gg AS (SELECT dim, CAST(sum(s) AS DECIMAL(20,8)) AS gs
+        |       FROM ss GROUP BY 1),
+        |diffs AS (
+        |  SELECT ss.shard, ss.dim,
+        |    CAST(CAST(ss.s * CAST(ng.n_all AS DECIMAL(9,0))
+        |      - gg.gs * CAST(ns.n_vecs AS DECIMAL(9,0)) AS VARCHAR)
+        |      AS DOUBLE) AS d
+        |  FROM ss JOIN gg USING (dim) JOIN ns USING (shard) CROSS JOIN ng),
+        |folded AS (
+        |  SELECT shard,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(d ORDER BY dim)), (acc, x) -> acc + x * x) AS ss2
+        |  FROM diffs GROUP BY shard)
+        |SELECT f.shard, ns.n_vecs,
+        |  sqrt(ss2) / (CAST(ns.n_vecs AS DOUBLE) * CAST(ng.n_all AS DOUBLE))
+        |    AS drift
+        |FROM folded f JOIN ns USING (shard) CROSS JOIN ng
+        |ORDER BY shard""".stripMargin,
+
+    // x144: readability — integer counts at scan speed, one fixed-order
+    // double formula (both engines parse the same literals and evaluate
+    // left to right)
+    "x144_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  0.39e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8e0 * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE))
+        |    - 15.59e0 AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // x145: l-diversity — the x135 shape with count(DISTINCT sensitive)
+    // riding the same grouped aggregate
+    "x145_l_diversity" ->
+      """WITH g AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS sz, count(DISTINCT user_id) AS dv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(dv) AS BIGINT) AS min_diversity,
+        |  CAST(sum(CASE WHEN dv < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_groups,
+        |  CAST(sum(CASE WHEN dv < 50 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk
+        |FROM g""".stripMargin,
+
+    // x146: largest-remainder quota — HUGEINT product/floor-div/mod
+    // mirrors Spark's DECIMAL(18,0) arithmetic exactly (both exact
+    // integers); rank ties broken by source name, a total order
+    "x146_quota" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT)) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM per),
+        |sc AS (
+        |  SELECT source, w,
+        |    (CAST(1000000 AS HUGEINT) * CAST(w AS HUGEINT)) % tot.tw
+        |      AS rem,
+        |    CAST((CAST(1000000 AS HUGEINT) * CAST(w AS HUGEINT)) // tot.tw
+        |      AS BIGINT) AS base_quota
+        |  FROM per CROSS JOIN tot),
+        |sh AS (SELECT 1000000 - sum(base_quota) AS short FROM sc)
+        |SELECT source, w, base_quota,
+        |  CAST(CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+        |    <= sh.short THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  base_quota + CAST(CASE WHEN row_number()
+        |      OVER (ORDER BY rem DESC, source ASC) <= sh.short
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM sc CROSS JOIN sh ORDER BY source""".stripMargin,
+
+    // x147: KMV pair Jaccard — the x106 hash CTEs, per-source k-minima,
+    // a union-sketch rank cut, integer membership counts, one boundary
+    // division
+    "x147_kmv_pair_jaccard" ->
+      """WITH arrs AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+')
+        |    AS arr
+        |  FROM documents),
+        |toks AS (
+        |  SELECT source, unnest(list_transform(range(1, len(arr)),
+        |    i -> concat(arr[i], ' ', arr[i+1]))) AS w
+        |  FROM arrs),
+        |dv AS (SELECT DISTINCT source, w FROM toks),
+        |h AS (
+        |  SELECT source,
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(w, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2654435761 + 17) % 1000000007)
+        |      * 1073741824 +
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(reverse(w), j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2246822519 + 31) % 1000000007) AS hv
+        |  FROM dv),
+        |dh AS (SELECT DISTINCT source, hv FROM h),
+        |mins AS (
+        |  SELECT source, hv FROM (
+        |    SELECT source, hv,
+        |      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |    FROM dh) WHERE rn <= 128),
+        |srcs AS (SELECT DISTINCT source FROM mins),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |merged AS (
+        |  SELECT src_a, src_b, hv,
+        |    max(in_a) AS in_a, max(in_b) AS in_b
+        |  FROM (
+        |    SELECT p.src_a, p.src_b, m.hv, 1 AS in_a, 0 AS in_b
+        |    FROM pairs p JOIN mins m ON m.source = p.src_a
+        |    UNION ALL
+        |    SELECT p.src_a, p.src_b, m.hv, 0, 1
+        |    FROM pairs p JOIN mins m ON m.source = p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+        |    ORDER BY hv) AS rn
+        |  FROM merged)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_union,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+        |  CAST(sum(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS j_est
+        |FROM ranked WHERE rn <= 128
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // x148: Zipf slope — integer ranks (count DESC, term ASC: a total
+    // order), each ln quantized once at (18,4), then the x129 moment
+    // discipline verbatim
+    "x148_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT source, c, row_number() OVER (PARTITION BY source
+        |    ORDER BY c DESC, term ASC) AS rank
+        |  FROM counts),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,4))) AS sx0,
+        |    sum(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,4))) AS sy0,
+        |    sum(CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,4))
+        |        AS DECIMAL(19,4))
+        |      * CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,4))
+        |        AS DECIMAL(19,4))) AS sxx0,
+        |    sum(CAST(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,4))
+        |        AS DECIMAL(19,4))
+        |      * CAST(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,4))
+        |        AS DECIMAL(19,4))) AS syy0,
+        |    sum(CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,4))
+        |        AS DECIMAL(19,4))
+        |      * CAST(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,4))
+        |        AS DECIMAL(19,4))) AS sxy0
+        |  FROM ranked GROUP BY 1),
+        |d AS (
+        |  SELECT source, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sxx0 AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(syy0 AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(sxy0 AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM m)
+        |SELECT source, n AS n_types, n,
+        |  CASE WHEN nd * sxx - sx * sx > 0.0e0
+        |    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END AS slope,
+        |  CASE WHEN nd * sxx - sx * sx > 0.0e0
+        |    THEN (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx)
+        |      / nd END AS intercept,
+        |  CASE WHEN nd * sxx - sx * sx > 0.0e0
+        |      AND nd * syy - sy * sy > 0.0e0
+        |    THEN (nd * sxy - sx * sy)
+        |      / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END AS r
+        |FROM d ORDER BY source""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

@@ -20,6 +20,7 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("asof")) { asofBench(spark); spark.stop(); return }
+    if (args.contains("x96ab")) { x96Ab(spark, dir); spark.stop(); return }
     import graft.sources.Tables
     import graft.ext.{Dedup, TextAnalysis}
 
@@ -78,6 +79,24 @@ object Probe {
         .orderBy("d1", "d2").count()
     }
     spark.stop()
+  }
+
+  /** Paired same-JVM A/B: corpusPrep with plain label propagation vs
+    * pointer doubling in the winnowing near-dedup stage — the x96
+    * latency is sequential propagation rounds, so the round count is
+    * the contest. Interleaved 2×2 (the separate-process drift lesson). */
+  def x96Ab(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.Tables
+    import graft.ext.Pipeline
+    val d = Tables.documents(spark, dir)
+    def run(doubling: Boolean): Long =
+      Pipeline.corpusPrep(d.where(col("doc_id") >= 20),
+        d.where(col("doc_id") < 20), "doc_id", "text", "lang",
+        doubling = doubling).count()
+    (1 to 2).foreach { i =>
+      time(s"x96 plain    run $i")(run(doubling = false))
+      time(s"x96 doubling run $i")(run(doubling = true))
+    }
   }
 
   /** Micro-bench for the AsOfJoinExec merge loop: synthetic 8M×2M join

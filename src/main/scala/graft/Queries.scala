@@ -2084,6 +2084,68 @@ object Queries {
       "n_tokens", shardTokens = 2000L)
   }
 
+  /** x143 — per-shard embedding-space centroid drift: L2 distance of
+    * each id-shard's centroid to the global centroid — the
+    * representation-level drift alarm beside x118's lexical TV.
+    * Exact decimal per-dim sums, the integer-scaled cross difference
+    * S_s·n_g − S_g·n_s, one fixed-order double fold. */
+  val x143CentroidDrift: Q = (s, dir) => {
+    Similarity.centroidShardDrift(Tables.embeddings(s, dir), "vec_id",
+        "embedding", shards = 4)
+      .orderBy("shard")
+  }
+
+  /** x144 — Flesch-Kincaid readability grade per document: vowel-group
+    * syllables, [.!?]+ sentences, one fixed-order double formula —
+    * the shallow-quality signal next to the Gopher rules. */
+  val x144Readability: Q = (s, dir) => {
+    TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** x145 — l-diversity release audit over (event_type, day) with
+    * user_id as the sensitive attribute: the homogeneity-attack gate
+    * k-anonymity (x135) misses. One summary row. */
+  val x145LDiversity: Q = (s, dir) => {
+    graft.ext.Scrub.lDiversity(Tables.events(s, dir),
+      Seq(col("event_type"), date_trunc("day", col("ts")).as("day")),
+      col("user_id"), l = 50L)
+  }
+
+  /** x146 — largest-remainder token-budget apportionment across
+    * sources: quotas sum to EXACTLY the budget (Hamilton's method),
+    * decimal-exact past the Long ceiling — the allocation step a
+    * budgeted mixture plan runs before sampling. */
+  val x146Quota: Q = (s, dir) => {
+    Sampling.largestRemainderQuota(Tables.documents(s, dir),
+        col("source"), TextAnalysis.tokenCount(col("text")),
+        total = 1000000L)
+      .orderBy("source")
+  }
+
+  /** x147 — KMV-sketch Jaccard matrix between sources over distinct
+    * bigrams: the |sources|² similarity audit at sketch cost (Beyer
+    * et al. 2007 set-operation estimator) — the scale tier of x121's
+    * exact span-overlap matrix. */
+  val x147KmvPairJaccard: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
+    DistinctSketch.kmvPairJaccard(toks, "source", col("tok"), k = 128)
+      .orderBy("src_a", "src_b")
+  }
+
+  /** x148 — Zipf rank-frequency slope per source: OLS over
+    * (ln rank, ln count) of each source's vocabulary — the
+    * natural-language-shape health check (slope ≈ −1) beside x113's
+    * Heaps growth. */
+  val x148ZipfSlope: Q = (s, dir) => {
+    TextAnalysis.zipfSlope(Tables.documents(s, dir), "source", "text")
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -2955,6 +3017,12 @@ object Queries {
     "x140_inter_arrival" -> x140InterArrival,
     "x141_transitions" -> x141Transitions,
     "x142_manifest_export" -> x142ManifestExport,
+    "x143_centroid_drift" -> x143CentroidDrift,
+    "x144_readability" -> x144Readability,
+    "x145_l_diversity" -> x145LDiversity,
+    "x146_quota" -> x146Quota,
+    "x147_kmv_pair_jaccard" -> x147KmvPairJaccard,
+    "x148_zipf_slope" -> x148ZipfSlope,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -98,7 +98,15 @@ object ScaleProbe {
       "x130_session_quantiles", "x131_sim_histogram", "x132_winsorized",
       "x133_benford", "x134_gini", "x135_k_anonymity", "x136_log_odds",
       "x137_log_likelihood", "x138_corpus_merge", "x139_more_like_this",
-      "x140_inter_arrival", "x141_transitions")
+      "x140_inter_arrival", "x141_transitions",
+      // round-10 (second restart): the manifest-driven export (x96's
+      // sequential fixed cost + one prefix-sum window + the sharded
+      // JSONL write/read-back), embedding drift (posexplode + bounded
+      // agg), scan-speed readability, audit/apportionment summaries,
+      // sketch-pair matrix, vocabulary-window Zipf slope
+      "x142_manifest_export", "x143_centroid_drift", "x144_readability",
+      "x145_l_diversity", "x146_quota", "x147_kmv_pair_jaccard",
+      "x148_zipf_slope")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

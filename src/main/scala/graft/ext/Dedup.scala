@@ -141,10 +141,17 @@ object Dedup {
   /** Connected components over near-dup pairs → (id, cluster) where
     * cluster = min id reachable. Iterative label propagation: each round
     * is one join + min-agg; rounds needed = component diameter (near-dup
-    * clusters are shallow — a handful of rounds). `maxIters` bounds
-    * runaway chains; at scale this is the standard alternating
-    * small-star/large-star scheme's simple cousin and shuffles only
-    * (id, label) pairs. */
+    * clusters are shallow — a handful of rounds). If `maxIters` plain
+    * rounds do NOT reach the fixpoint (chain-shaped components —
+    * winnow/overlap graphs grow them past 10 hops at sf0.1 already,
+    * measured in the x96 winnow graph), the loop ESCALATES to pointer-
+    * doubling rounds from the current labels instead of returning an
+    * under-merged result: label reach then squares per round, so
+    * another `maxIters` rounds covers diameter ~2^maxIters. Plain
+    * rounds stay the first tier because they are cheaper per round
+    * (no shortcut self-join) and star-shaped near-dup graphs converge
+    * in 2-3 of them (the measured common case). Shuffles only
+    * (id, label) pairs at every tier. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 10): DataFrame = {
     // materialize the edge set ONCE — the pair plan upstream (LSH
@@ -178,42 +185,22 @@ object Dedup {
       prevProgress = p
       i += 1
     }
-    if (!converged)
-      // stderr, not stdout — Bench's stdout must stay one JSON line
-      System.err.println(
-        s"[graft.Dedup] clusters() hit maxIters=$maxIters before the " +
-          "fixpoint; components with diameter > maxIters are under-merged")
+    if (!converged) labels = doublingRounds(edges, labels, maxIters)
     labels
   }
 
-  /** [[clusters]] with POINTER DOUBLING — the scale path for pair
-    * graphs whose components are chains rather than stars: each round
-    * combines the neighbor-min step with one shortcut hop
-    * (l'(v) := min(l'(v), l'(l'(v)))), so label reach roughly SQUARES
-    * per round and a diameter-d component converges in O(log d)
-    * rounds instead of d (Shiloach-Vishkin / the MapReduce
-    * connected-components family, public technique). Near-dup
-    * clusters are usually star-shaped (every copy pairs with the
-    * canonical), where plain propagation already takes 2 rounds — but
-    * winnowing/overlap graphs produce chains (A~B~C without A~C), and
-    * there the round count IS the wall-clock (each round is a
-    * checkpoint + action of sequential latency, the measured x96/x103
-    * cost shape). Labels are node ids throughout, so the shortcut is
-    * one self-join on (cluster = id). Same output contract and
-    * convergence detection as [[clusters]]; ScaleSpec asserts a
-    * 24-chain converges within 6 rounds here while plain propagation
-    * is still under-merged. */
-  def clustersDoubling(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+  /** Pointer-doubling propagation rounds from a given label state —
+    * the shared tail of [[clustersDoubling]] and [[clusters]]'
+    * escalation path. Same convergence detection; warns (stderr —
+    * Bench's stdout must stay one JSON line) only if even doubling
+    * exhausts its budget (diameter > ~2^maxIters). */
+  private def doublingRounds(edges: DataFrame, labels0: DataFrame,
+      maxIters: Int): DataFrame = {
+    var labels = labels0
     def progress(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(coalesce(sum(col("id") - col("cluster")), lit(0L)))
         .first().getLong(0)
-    var prevProgress = -1L
+    var prevProgress = progress(labels)
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
@@ -239,10 +226,37 @@ object Dedup {
     }
     if (!converged)
       System.err.println(
-        s"[graft.Dedup] clustersDoubling() hit maxIters=$maxIters before " +
+        s"[graft.Dedup] doublingRounds() hit maxIters=$maxIters before " +
           "the fixpoint; components with diameter > 2^maxIters are " +
           "under-merged")
     labels
+  }
+
+  /** [[clusters]] with POINTER DOUBLING — the scale path for pair
+    * graphs whose components are chains rather than stars: each round
+    * combines the neighbor-min step with one shortcut hop
+    * (l'(v) := min(l'(v), l'(l'(v)))), so label reach roughly SQUARES
+    * per round and a diameter-d component converges in O(log d)
+    * rounds instead of d (Shiloach-Vishkin / the MapReduce
+    * connected-components family, public technique). Near-dup
+    * clusters are usually star-shaped (every copy pairs with the
+    * canonical), where plain propagation already takes 2 rounds — but
+    * winnowing/overlap graphs produce chains (A~B~C without A~C), and
+    * there the round count IS the wall-clock (each round is a
+    * checkpoint + action of sequential latency, the measured x96/x103
+    * cost shape). Labels are node ids throughout, so the shortcut is
+    * one self-join on (cluster = id). Same output contract and
+    * convergence detection as [[clusters]]; ScaleSpec asserts a
+    * 24-chain converges within 6 rounds here while plain propagation
+    * is still under-merged. */
+  def clustersDoubling(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .localCheckpoint(true)
+    val labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    doublingRounds(edges, labels, maxIters)
   }
 
   /** End-to-end near-dedup of a corpus: MinHash+LSH pairs → connected

@@ -187,4 +187,47 @@ object DistinctSketch {
         lit(alpha * m.toDouble * m.toDouble) * lit((1L << 31).toDouble) /
           col("s2").cast("double"))
   }
+
+  /** Pairwise JACCARD between groups from their KMV sketches (the
+    * k-minimum-values set-operation estimator, Beyer et al. SIGMOD
+    * 2007): for groups A, B with k-minima sketches S_A, S_B, take the
+    * k smallest of S_A ∪ S_B and estimate
+    * J(A,B) ≈ |U ∩ S_A ∩ S_B| / |U|. The whole |groups|² similarity
+    * matrix costs only sketch-sized data — the 100 TB shape: per-group
+    * k-minima are tiny, mergeable partials; raw values never meet.
+    * Against [[Dedup.sourceSpanOverlap]] (exact, reads every span
+    * twice) this is the sketch tier of the same audit.
+    *
+    * Determinism: the sketch is [[kmvPartial]]'s rank window over the
+    * portable composite hash — integer ranks and counts end to end,
+    * one double division at the boundary. Groups with fewer than k
+    * hashes contribute their full hash set (the estimator stays exact
+    * on that side). Output: (src_a, src_b, n_union, n_both, j_est),
+    * ordered pairs src_a < src_b. */
+  def kmvPairJaccard(df: DataFrame, groupCol: String, value: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvPairJaccard: k=$k must be >= 2")
+    val mins = kmvPartial(df, groupCol, value, k)
+    val srcs = mins.select(col("g")).distinct()
+    val pairs = srcs.select(col("g").as("src_a"))
+      .join(srcs.select(col("g").as("src_b")),
+        col("src_a") < col("src_b"))
+    val fromA = pairs.join(mins.withColumnRenamed("g", "src_a"),
+      Seq("src_a")).select(col("src_a"), col("src_b"), col("h"),
+      lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val fromB = pairs.join(mins.withColumnRenamed("g", "src_b"),
+      Seq("src_b")).select(col("src_a"), col("src_b"), col("h"),
+      lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val merged = fromA.union(fromB)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val ranked = merged.withColumn("rn", row_number().over(
+      Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .where(col("rn") <= k)
+    ranked.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .withColumn("j_est",
+        col("n_both").cast("double") / col("n_union").cast("double"))
+  }
 }

@@ -33,7 +33,8 @@ object Pipeline {
     * near_dup, contamination, contaminated, z, len_outlier, kept). */
   def corpusPrep(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, langCol: String, contaminationMax: Double = 0.2,
-      winnowMinShared: Long = 2L, winnowMaxDf: Long = 50L): DataFrame = {
+      winnowMinShared: Long = 2L, winnowMaxDf: Long = 50L,
+      doubling: Boolean = false): DataFrame = {
     val base = train.select(col(idCol).as("id"), col(langCol).as("lang"),
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
       col(textCol).as("__text"))
@@ -64,7 +65,8 @@ object Pipeline {
       s2.select(col("id").as(idCol), col("__text").as(textCol)),
       idCol, textCol, k = 3, w = 4, minShared = winnowMinShared,
       maxDf = winnowMaxDf)
-    val comp = Dedup.clusters(pairs)
+    val comp =
+      if (doubling) Dedup.clustersDoubling(pairs) else Dedup.clusters(pairs)
     val nearFlag = s2.select(col("id"))
       .join(comp.select(col("id"), col("cluster")), Seq("id"), "left")
       .select(col("id"),

@@ -482,4 +482,45 @@ object Sampling {
         ((col("__cum_prev") - pmod(col("__cum_prev"), lit(shardTokens))) /
           lit(shardTokens)).cast("long").as("shard_id"))
   }
+
+  /** LARGEST-REMAINDER apportionment of a token budget across sources
+    * (Hamilton's method — the house-seats classic): each source gets
+    * floor(total·w_s/W) outright, and the leftover
+    * total − Σfloor (< #sources) goes one unit each to the largest
+    * fractional remainders (ties broken by source name — a TOTAL
+    * order, nothing left to the engine). Unlike per-source rate
+    * rounding, the quotas sum to EXACTLY `total` — the property a
+    * budgeted mixture plan actually needs.
+    *
+    * Exactness at 100 TB: total·w_s is a DECIMAL(18,0)×DECIMAL(18,0)
+    * product — (37,0), inside the 38 cap (the x78 rule) and exact far
+    * past the ~9.2e18 Long ceiling; floor and remainder are decimal
+    * pmod arithmetic, never a double. The rank window runs over the
+    * SOURCE set only (bounded cardinality, like [[unimaxAllocation]]'s
+    * driver loop — document sets never enter a window).
+    * Output: (source, w, base_quota, extra, quota). */
+  def largestRemainderQuota(df: DataFrame, source: Column, weight: Column,
+      total: Long): DataFrame = {
+    require(total >= 0, s"largestRemainderQuota: total=$total")
+    val D = org.apache.spark.sql.types.DecimalType(18, 0)
+    val per = df.groupBy(source.as("source"))
+      .agg(sum(weight).cast(D).as("w"))
+    val tot = per.agg(sum(col("w")).cast(D).as("__W"))
+    val t = lit(total).cast(D)
+    val scaled = per.crossJoin(broadcast(tot))
+      .withColumn("__tw", t * col("w"))
+      .withColumn("__rem", pmod(col("__tw"), col("__W")))
+      .withColumn("base_quota",
+        ((col("__tw") - col("__rem")) / col("__W")).cast("long"))
+    val short = scaled
+      .agg((lit(total) - sum(col("base_quota"))).as("__short"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("source").asc)
+    scaled.crossJoin(broadcast(short))
+      .withColumn("extra",
+        (row_number().over(w) <= col("__short")).cast("long"))
+      .select(col("source"), col("w").cast("long").as("w"),
+        col("base_quota"), col("extra"),
+        (col("base_quota") + col("extra")).as("quota"))
+  }
 }

@@ -79,4 +79,28 @@ object Scrub {
         sum(when(col("__sz") < k, col("__sz")).otherwise(0L))
           .as("rows_at_risk"))
   }
+
+  /** l-DIVERSITY audit (Machanavajjhala et al. ICDE 2006) — the gate
+    * k-anonymity misses: a quasi-identifier group can be large yet
+    * still leak if every row shares the same SENSITIVE value
+    * (homogeneity attack). Counts distinct sensitive values per
+    * quasi-identifier group; groups below `l` are the release risk.
+    * Same one-aggregate summary-row shape as [[kAnonymity]] (two
+    * chained combiner aggs — distinct-per-group rides the same
+    * shuffle as the size count).
+    * Output: (n_rows, n_groups, min_diversity, n_low_groups,
+    * rows_at_risk). */
+  def lDiversity(df: DataFrame, quasiIds: Seq[Column], sensitive: Column,
+      l: Long): DataFrame = {
+    require(l >= 2, s"l $l must be >= 2")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("__sz"), countDistinct(sensitive).as("__div"))
+      .agg(
+        sum(col("__sz")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__div")).as("min_diversity"),
+        sum(when(col("__div") < l, 1L).otherwise(0L)).as("n_low_groups"),
+        sum(when(col("__div") < l, col("__sz")).otherwise(0L))
+          .as("rows_at_risk"))
+  }
 }

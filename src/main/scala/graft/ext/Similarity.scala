@@ -752,4 +752,57 @@ object Similarity {
         (col("proto_rank") * keepDen > col("n_cell") * (keepDen - keepNum))
           .as("kept"))
   }
+
+  /** Per-shard EMBEDDING-SPACE drift: the L2 distance between each
+    * id-shard's centroid and the global centroid — the representation-
+    * level sibling of the lexical total-variation drift audit
+    * ([[TextAnalysis.sourceDrift]]): a shard whose centroid sits far
+    * from the corpus centroid is the ingest slice whose upstream
+    * encoder, domain mix, or preprocessing changed.
+    *
+    * Determinism: per-dimension sums are EXACT decimals; the centroid
+    * difference is computed as the exact integer-scaled cross product
+    * S_shard·n_global − S_global·n_shard (one decimal multiply per
+    * side, operands sized so precision stays ≤ 38 — the x78 rule), so
+    * no division happens until the boundary. The squared-sum fold then
+    * runs left-to-right in IEEE doubles over the dim-sorted array
+    * (both engines reduce lists head-to-tail), sqrt is exactly
+    * rounded, and the single division by n_shard·n_global closes it.
+    *
+    * Scale shape: one posexplode scan + a (shard, dim)-keyed combiner
+    * aggregate (≤ shards·dim rows out), a broadcast-sized global-sum
+    * join, and a bounded per-shard fold. No window over raw vectors,
+    * no pairwise stage. Output: (shard, n_vecs, drift). */
+  def centroidShardDrift(emb: DataFrame, idCol: String, vecCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 2, s"centroidShardDrift: shards=$shards must be >= 2")
+    // (20,8): sized so the sum×count product (30,8) and its difference
+    // (31,8) stay INSIDE Spark's 38-digit cap — at (28,8) the
+    // subtraction wants precision 39 and Spark silently drops to scale
+    // 7 (rounding) while DuckDB keeps scale 8 exactly (the x78 rule,
+    // addition flavor)
+    val D = org.apache.spark.sql.types.DecimalType(20, 8)
+    val N = org.apache.spark.sql.types.DecimalType(9, 0)
+    val pe = emb.select(pmod(col(idCol), lit(shards.toLong)).as("shard"),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val per = pe.groupBy("shard", "dim")
+      .agg(sum(col("v").cast("double").cast(D)).cast(D).as("s"))
+    val glob = per.groupBy("dim").agg(sum(col("s")).cast(D).as("gs"))
+    val ns = emb.groupBy(pmod(col(idCol), lit(shards.toLong)).as("shard"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val ng = emb.agg(count(lit(1)).as("n_all"))
+    val diffs = per.join(glob, Seq("dim"))
+      .join(broadcast(ns), Seq("shard"))
+      .crossJoin(broadcast(ng))
+      .select(col("shard"), col("n_vecs"), col("n_all"), col("dim"),
+        (col("s") * col("n_all").cast(N) - col("gs") * col("n_vecs").cast(N))
+          .cast("double").as("d"))
+    diffs.groupBy("shard", "n_vecs", "n_all")
+      .agg(sort_array(collect_list(struct(col("dim"), col("d")))).as("arr"))
+      .select(col("shard"), col("n_vecs"),
+        (sqrt(aggregate(transform(col("arr"), x => x("d")), lit(0.0),
+          (acc, x) => acc + x * x)) /
+          (col("n_vecs").cast("double") * col("n_all").cast("double")))
+          .as("drift"))
+  }
 }

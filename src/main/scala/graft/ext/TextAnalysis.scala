@@ -1260,4 +1260,55 @@ object TextAnalysis {
       .withColumn("gopher_pass",
         col("ok_words") && col("ok_wl") && col("ok_stop") && col("ok_top"))
   }
+  /** Flesch-Kincaid readability grade — the classic shallow quality
+    * signal (Kincaid et al. 1975; public formula): per document,
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, with
+    * syllables approximated as vowel GROUPS ([aeiouy]+ runs, the
+    * standard heuristic) and sentences as [.!?]+ runs (min 1). Every
+    * count is an exact integer at scan speed; the grade is one fixed-
+    * order IEEE double expression both engines round identically —
+    * no transcendentals, no windows, no joins.
+    * Output: (id, n_words, n_sentences, n_syllables, fk_grade). */
+  def readability(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val w = col("n_words").cast("double")
+    val s = col("n_sentences").cast("double")
+    val sy = col("n_syllables").cast("double")
+    docs.select(col(idCol).as("id"),
+        tokenCount(col(textCol)).as("n_words"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sentences"),
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+          .cast("long").as("n_syllables"))
+      .withColumn("fk_grade",
+        lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59))
+  }
+
+  /** Zipf rank-frequency slope per group: OLS over (ln rank, ln count)
+    * of the group's word types — natural language sits near slope −1
+    * (Zipf 1949); templated, synthetic, or boilerplate-heavy slices
+    * bend away, making the slope a one-row-per-source corpus-health
+    * signal next to [[heapsGrowth]]. Ranks are exact integer
+    * row_numbers (count DESC, term ASC — total order, no ties left to
+    * the engine); each ln is taken once and the moment arithmetic is
+    * [[Stats.regression]]'s exact-decimal discipline.
+    * Scale: one token count agg + one per-group rank window over the
+    * VOCABULARY (types, not tokens) + one combiner agg.
+    * Output: (group, n_types, n, slope, intercept, r). */
+  def zipfSlope(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("group"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("group", "term").agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("group").orderBy(col("c").desc, col("term").asc)))
+    val types = ranked.groupBy("group").agg(count(lit(1)).as("n_types"))
+    Stats.regression(ranked, Seq("group"),
+        log(col("rank").cast("double")), log(col("c").cast("double")))
+      .join(types, Seq("group"))
+      .select(col("group"), col("n_types"), col("n"), col("slope"),
+        col("intercept"), col("r"))
+  }
 }

@@ -1478,6 +1478,13 @@ class ExtSpec extends SparkSpec {
     assert(rep.getAs[Long]("n_contaminated") == 1L)
     assert(rep.getAs[Long]("n_len_outlier") == 1L)
     assert(rep.getAs[Long]("n_kept") == 3L)
+
+    // the pointer-doubling propagation arm converges to the identical
+    // manifest (both reach the min-label fixpoint; only the round
+    // count differs) — the opt-in for chain-shaped winnow graphs
+    assert(rows(graft.ext.Pipeline.corpusPrep(train, bench,
+        "doc_id", "text", "lang", doubling = true).orderBy("id"))
+        .map(_.toString) == got.map(_.toString))
   }
 
   test("featureHashTf: buckets match the reference hash; dense form is consistent") {
@@ -2038,5 +2045,98 @@ class ExtSpec extends SparkSpec {
     val r = rows(DistinctSketch.hllRegisters(df, "g", col("v"))).head
     assert(r.getAs[Long]("reg") == 31L - java.lang.Long
       .toBinaryString(mixed).length)
+  }
+  test("centroidShardDrift: hand-computed two-shard case") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)), // shard 0: centroid (2,0)
+      (1L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 3.0f))) // shard 1: centroid (0,2)
+      .toDF("vec_id", "embedding")
+    // global centroid (1,1); both shards sit at L2 distance sqrt(2)
+    val got = rows(graft.ext.Similarity.centroidShardDrift(
+      e, "vec_id", "embedding", shards = 2).orderBy("shard"))
+    assert(got.map(_.getLong(0)) == Seq(0L, 1L))
+    assert(got.map(_.getLong(1)) == Seq(2L, 2L))
+    got.foreach(r =>
+      assert(math.abs(r.getDouble(2) - math.sqrt(2.0)) < 1e-12))
+  }
+
+  test("readability: counts and the FK formula") {
+    val d = Seq((1L, "Hello world. Testing here!")).toDF("doc_id", "text")
+    val r = rows(TextAnalysis.readability(d, "doc_id", "text")).head
+    assert(r.getAs[Long]("n_words") == 4L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    // hello(2) world(1) testing(2) here(2) vowel groups
+    assert(r.getAs[Long]("n_syllables") == 7L)
+    val fk = 0.39 * (4.0 / 2.0) + 11.8 * (7.0 / 4.0) - 15.59
+    assert(r.getAs[Double]("fk_grade") == fk)
+    // no sentence punctuation: sentence floor of 1, never /0
+    val r2 = rows(TextAnalysis.readability(
+      Seq((2L, "no punctuation at all")).toDF("doc_id", "text"),
+      "doc_id", "text")).head
+    assert(r2.getAs[Long]("n_sentences") == 1L)
+  }
+
+  test("lDiversity: homogeneity risk k-anonymity misses") {
+    // group A: 4 rows but ONE sensitive value (k-anonymous, not diverse);
+    // group B: 3 rows, 3 distinct values
+    val d = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L), ("a", 1L),
+      ("b", 1L), ("b", 2L), ("b", 3L)).toDF("qi", "sens")
+    val r = rows(graft.ext.Scrub.lDiversity(d, Seq(col("qi")),
+      col("sens"), l = 2L)).head
+    assert(r.getAs[Long]("n_rows") == 7L)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("min_diversity") == 1L)
+    assert(r.getAs[Long]("n_low_groups") == 1L)
+    assert(r.getAs[Long]("rows_at_risk") == 4L)
+  }
+
+  test("largestRemainderQuota: quotas sum to exactly the budget") {
+    // W=16, T=10: tw = 70/50/40 -> base 4/3/2 rem 6/2/8; one leftover
+    // unit goes to the largest remainder (source c)
+    val d = Seq(("a", 7L), ("b", 5L), ("c", 4L)).toDF("source", "nt")
+    val got = rows(graft.ext.Sampling.largestRemainderQuota(
+      d, col("source"), col("nt"), total = 10L).orderBy("source"))
+    assert(got.map(r => (r.getString(0), r.getAs[Long]("base_quota"),
+      r.getAs[Long]("extra"), r.getAs[Long]("quota"))) ==
+      Seq(("a", 4L, 0L, 4L), ("b", 3L, 0L, 3L), ("c", 2L, 1L, 3L)))
+    assert(got.map(_.getAs[Long]("quota")).sum == 10L)
+  }
+
+  test("kmvPairJaccard: identical sets estimate 1, disjoint sets 0") {
+    val rowsIn =
+      (1 to 300).map(i => ("a", s"tok$i")) ++
+      (1 to 300).map(i => ("b", s"tok$i")) ++            // b == a
+      (1 to 300).map(i => ("c", s"other$i"))             // c disjoint
+    val d = rowsIn.toDF("g", "v")
+    val got = rows(graft.ext.DistinctSketch.kmvPairJaccard(
+      d, "g", col("v"), k = 64).orderBy("src_a", "src_b"))
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_union"),
+        r.getAs[Double]("j_est"))).toList
+    assert(got.map(t => (t._1, t._2)) ==
+      List(("a", "b"), ("a", "c"), ("b", "c")))
+    val byPair = got.map(t => (t._1, t._2) -> t).toMap
+    assert(byPair(("a", "b"))._4 == 1.0)   // same k-minima on both sides
+    assert(byPair(("a", "c"))._4 == 0.0)
+    assert(got.forall(_._3 == 64L))        // union cut at k
+    // a group smaller than k contributes its whole hash set
+    val small = Seq(("x", "t1"), ("x", "t2"), ("y", "t1"), ("y", "t2"))
+      .toDF("g", "v")
+    val sm = rows(graft.ext.DistinctSketch.kmvPairJaccard(
+      small, "g", col("v"), k = 64)).head
+    assert(sm.getAs[Long]("n_union") == 2L &&
+      sm.getAs[Double]("j_est") == 1.0)
+  }
+
+  test("zipfSlope: an exact power law regresses to slope -1") {
+    // counts 12/6/4/3 = 12/rank for ranks 1..4 -> ln c = ln 12 - ln rank
+    val text = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val d = Seq(("s1", text.mkString(" "))).toDF("source", "text")
+    val r = rows(TextAnalysis.zipfSlope(d, "source", "text")).head
+    assert(r.getAs[Long]("n_types") == 4L)
+    // (18,4) ln quantization leaves ~1e-3 residue on a perfect law
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-2)
+    assert(math.abs(r.getAs[Double]("r") + 1.0) < 1e-4)
   }
 }

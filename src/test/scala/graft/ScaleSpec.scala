@@ -575,19 +575,21 @@ class ScaleSpec extends SparkSpec {
       "funnel grew a per-key window sort:\n" + funnelPlan.take(800))
   }
 
-  test("pointer doubling: a 24-chain converges within 6 rounds where " +
-      "plain propagation is still under-merged; fixpoints agree") {
+  test("pointer doubling: a 24-chain converges within 6 rounds; " +
+      "clusters() escalates to the same fixpoint; fixpoints agree") {
     import graft.ext.Dedup
     val pairs = (0L until 23L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     // doubling squares reach per round: chain-24 needs ~5 rounds
     val fast = Dedup.clustersDoubling(pairs, maxIters = 6).collect()
     assert(fast.forall(_.getLong(1) == 0L),
       "doubling did not converge in 6 rounds")
-    // plain propagation reaches ~1 hop per round: 6 rounds cannot
-    // close a 24-chain (this is exactly why the doubling arm exists)
+    // plain propagation reaches ~1 hop per round, so 6 rounds cannot
+    // close a 24-chain on their own — clusters() must ESCALATE to
+    // doubling rounds and still deliver the fixpoint (the sf0.1 x96
+    // winnow graph hit exactly this under-merge before the escalation)
     val slow = Dedup.clusters(pairs, maxIters = 6).collect()
-    assert(slow.exists(_.getLong(1) != 0L),
-      "plain propagation unexpectedly converged — chain assumption broken")
+    assert(slow.forall(_.getLong(1) == 0L),
+      "clusters() returned an under-merged chain — escalation broken")
     // and at full convergence the two algorithms agree label for label
     val a = Dedup.clusters(pairs, maxIters = 40).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
