@@ -4006,6 +4006,95 @@ object Oracles {
         |      / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END AS r
         |FROM d ORDER BY source""".stripMargin,
 
+    // x149: embedding hygiene — list_dot_product norm² (left-to-right,
+    // matching DotProduct), integer counts, the shared integer-rank
+    // quantile formula
+    "x149_embedding_hygiene" ->
+      """WITH base AS (
+        |  SELECT d.source, e.embedding,
+        |    CASE WHEN e.embedding IS NOT NULL THEN
+        |      list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[])) END AS n2
+        |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id),
+        |counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(embedding) AS BIGINT) AS n_vecs,
+        |    CAST(sum(CASE WHEN n2 = 0.0e0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero,
+        |    CAST(sum(CASE WHEN len(list_filter(embedding,
+        |        x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_nonfinite
+        |  FROM base GROUP BY 1),
+        |r AS (
+        |  SELECT source, n2,
+        |    row_number() OVER (PARTITION BY source ORDER BY n2) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM base WHERE embedding IS NOT NULL),
+        |q AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = greatest(1, (1*n + 1) // 2) THEN n2 END)
+        |      AS p50_n2,
+        |    max(CASE WHEN rn = greatest(1, (19*n + 19) // 20) THEN n2 END)
+        |      AS p95_n2
+        |  FROM r GROUP BY 1)
+        |SELECT c.source, c.n_docs, c.n_vecs, c.n_zero, c.n_nonfinite,
+        |  q.p50_n2, q.p95_n2
+        |FROM counts c LEFT JOIN q USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x150: behavioral entropy — the x102 quantized-ln recipe on
+    // (user, event_type) counts
+    "x150_behavior_entropy" ->
+      """WITH cnts AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |    sum(CAST(cnt AS DECIMAL(9,0)) *
+        |      CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,12))) AS s
+        |  FROM cnts GROUP BY 1)
+        |SELECT user_id, n,
+        |  CAST(CAST(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(28,12))
+        |    AS VARCHAR) AS DOUBLE) -
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS entropy
+        |FROM terms ORDER BY user_id""".stripMargin,
+
+    // x151: SQ8 reconstruction error — the x35 encode chain + midpoint
+    // decode, per-vector squared error folded left-to-right in dim
+    // order, quantized once, exact-decimal slice mean
+    "x151_sq8_error" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |s AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos),
+        |errs AS (
+        |  SELECT e.vec_id, e.pos,
+        |    (e.v - (s.mn + (CAST((CASE WHEN s.mx = s.mn THEN 0
+        |       ELSE greatest(0, least(255,
+        |         CAST(floor((e.v - s.mn) / ((s.mx - s.mn) / 255.0))
+        |           AS BIGINT))) END) AS DOUBLE) + 0.5)
+        |       * ((s.mx - s.mn) / 255.0))) *
+        |    (e.v - (s.mn + (CAST((CASE WHEN s.mx = s.mn THEN 0
+        |       ELSE greatest(0, least(255,
+        |         CAST(floor((e.v - s.mn) / ((s.mx - s.mn) / 255.0))
+        |           AS BIGINT))) END) AS DOUBLE) + 0.5)
+        |       * ((s.mx - s.mn) / 255.0))) AS err
+        |  FROM e JOIN s USING (pos)),
+        |pervec AS (
+        |  SELECT vec_id,
+        |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(err ORDER BY pos)), (acc, x) -> acc + x)
+        |      AS DECIMAL(28,12)) AS sse
+        |  FROM errs GROUP BY vec_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(CAST(sum(p.sse) AS VARCHAR) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_sse,
+        |  max(CAST(CAST(p.sse AS VARCHAR) AS DOUBLE)) AS max_sse
+        |FROM pervec p JOIN documents d ON d.doc_id = p.vec_id
+        |GROUP BY 1 ORDER BY d.source""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

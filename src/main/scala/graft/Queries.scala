@@ -2146,6 +2146,39 @@ object Queries {
       .orderBy("source")
   }
 
+  /** x149 — per-source embedding hygiene + coverage audit: docs
+    * LEFT-joined to vectors, degenerate-vector counts (zero norm,
+    * non-finite components), exact norm² rank-quantiles — the "are
+    * these vectors usable" gate before the ANN/dedup family. */
+  val x149EmbeddingHygiene: Q = (s, dir) => {
+    Similarity.embeddingHygiene(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), "doc_id", "source", "vec_id",
+        "embedding")
+      .orderBy("source")
+  }
+
+  /** x150 — per-user behavioral entropy: Shannon entropy of each
+    * user's event-type mix (x102's quantized-ln discipline
+    * generalized) — the bot/monoculture signal next to the session
+    * family. */
+  val x150BehaviorEntropy: Q = (s, dir) => {
+    graft.ext.Stats.categoricalEntropy(Tables.events(s, dir),
+        Seq("user_id"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  /** x151 — SQ8 reconstruction-error audit per source: encode→decode
+    * every embedding against the corpus codebook and report each
+    * source's squared-error profile — the quantizer-health gate
+    * before an IVF-SQ index serves a slice. */
+  val x151Sq8Error: Q = (s, dir) => {
+    graft.ext.Quantize.reconstructionError(Tables.embeddings(s, dir),
+        "vec_id", "embedding", Tables.documents(s, dir), "doc_id",
+        "source")
+      .withColumnRenamed("slice", "source")
+      .orderBy("source")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3023,6 +3056,9 @@ object Queries {
     "x146_quota" -> x146Quota,
     "x147_kmv_pair_jaccard" -> x147KmvPairJaccard,
     "x148_zipf_slope" -> x148ZipfSlope,
+    "x149_embedding_hygiene" -> x149EmbeddingHygiene,
+    "x150_behavior_entropy" -> x150BehaviorEntropy,
+    "x151_sq8_error" -> x151Sq8Error,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

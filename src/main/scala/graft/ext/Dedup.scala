@@ -141,17 +141,19 @@ object Dedup {
   /** Connected components over near-dup pairs → (id, cluster) where
     * cluster = min id reachable. Iterative label propagation: each round
     * is one join + min-agg; rounds needed = component diameter (near-dup
-    * clusters are shallow — a handful of rounds). If `maxIters` plain
-    * rounds do NOT reach the fixpoint (chain-shaped components —
-    * winnow/overlap graphs grow them past 10 hops at sf0.1 already,
-    * measured in the x96 winnow graph), the loop ESCALATES to pointer-
-    * doubling rounds from the current labels instead of returning an
-    * under-merged result: label reach then squares per round, so
-    * another `maxIters` rounds covers diameter ~2^maxIters. Plain
-    * rounds stay the first tier because they are cheaper per round
-    * (no shortcut self-join) and star-shaped near-dup graphs converge
-    * in 2-3 of them (the measured common case). Shuffles only
-    * (id, label) pairs at every tier. */
+    * clusters are shallow — a handful of rounds). If ≤ 4 plain rounds
+    * (the first tier, capped below `maxIters`) do NOT reach the
+    * fixpoint (chain-shaped components — winnow/overlap graphs grow
+    * them past 10 hops at sf0.1 already, measured in the x96 winnow
+    * graph), the loop ESCALATES to pointer-doubling rounds from the
+    * current labels instead of returning an under-merged result:
+    * label reach then squares per round, so `maxIters` doubling
+    * rounds cover diameter ~2^maxIters. Plain rounds stay the first
+    * tier because they are cheaper per round (no shortcut self-join)
+    * and star-shaped near-dup graphs converge in 2-3 of them (the
+    * measured common case); the 4-round cap keeps a chain graph from
+    * paying a full plain budget before the tier that actually closes
+    * it. Shuffles only (id, label) pairs at every tier. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 10): DataFrame = {
     // materialize the edge set ONCE — the pair plan upstream (LSH
@@ -171,7 +173,14 @@ object Dedup {
     var prevProgress = -1L
     var converged = false
     var i = 0
-    while (i < maxIters && !converged) {
+    // plain tier capped at 4 rounds: star-shaped near-dup graphs (the
+    // common case) converge in 2-3 and never escalate; chain-shaped
+    // graphs would pay maxIters useless plain rounds BEFORE the
+    // doubling that actually closes them (measured: the sf0.1 winnow
+    // graph cost 10 plain + 10 doubling rounds ≈ 12 s vs ≈ 8.5 s pure
+    // doubling — early escalation keeps the sum near the better arm)
+    val plainTier = math.min(4, maxIters)
+    while (i < plainTier && !converged) {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min(col("cluster")).as("nmin"))

@@ -47,4 +47,53 @@ object Quantize {
   /** Dequantized value for a code: the cell midpoint. */
   def dequantize(code: Column, mn: Column, mx: Column): Column =
     mn + (code.cast("double") + 0.5) * ((mx - mn) / 255.0)
+
+  /** Per-slice SQ8 RECONSTRUCTION-ERROR audit: encode → decode every
+    * vector and report each slice's squared-error profile — the
+    * quantizer-health gate run before an IVF-SQ index serves a slice
+    * (a source whose embeddings concentrate in a narrow band of a
+    * dimension's [min, max] range reconstructs poorly, and nothing
+    * else surfaces that).
+    *
+    * Determinism: encode/decode are the x35 IEEE chains (bit-identical
+    * across engines); each vector's squared error folds LEFT-TO-RIGHT
+    * over dimension order (both engines reduce lists head-to-tail),
+    * is quantized ONCE to DECIMAL(28,12), and the per-slice mean is
+    * an exact decimal sum with one boundary division (the x70
+    * discipline). max_sse is a plain double max — order-free.
+    *
+    * Scale shape: one broadcast stats join + per-row map, one per-id
+    * bounded fold (dims rows), one slice combiner agg.
+    * Output: (slice, n_vecs, mean_sse, max_sse). */
+  def reconstructionError(emb: DataFrame, idCol: String, vecCol: String,
+      slices: DataFrame, sliceIdCol: String, sliceCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val stats = dimStats(emb, col(vecCol))
+    val expanded = emb.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("p", "v")))
+      .select(col("__id"), (col("p") + 1).cast("long").as("pos"),
+        col("v").cast("double").as("v"))
+    val errs = expanded.join(broadcast(stats), Seq("pos"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          greatest(lit(0L), least(lit(255L),
+            floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / 255.0))
+              .cast("long")))))
+      .withColumn("e",
+        (col("v") - dequantize(col("code"), col("mn"), col("mx"))) *
+          (col("v") - dequantize(col("code"), col("mn"), col("mx"))))
+    val perVec = errs.groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("e")))).as("arr"))
+      .select(col("__id"),
+        aggregate(transform(col("arr"), x => x("e")), lit(0.0),
+          (acc, x) => acc + x).cast(DecimalType(28, 12)).as("sse"))
+    slices.select(col(sliceIdCol).as("__id"), col(sliceCol).as("slice"))
+      .join(perVec, Seq("__id"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("sse")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_sse"),
+        max(col("sse").cast("double")).as("max_sse"))
+  }
 }

@@ -776,22 +776,43 @@ object Similarity {
   def centroidShardDrift(emb: DataFrame, idCol: String, vecCol: String,
       shards: Int): DataFrame = {
     require(shards >= 2, s"centroidShardDrift: shards=$shards must be >= 2")
-    // (20,8): sized so the sum×count product (30,8) and its difference
-    // (31,8) stay INSIDE Spark's 38-digit cap — at (28,8) the
-    // subtraction wants precision 39 and Spark silently drops to scale
-    // 7 (rounding) while DuckDB keeps scale 8 exactly (the x78 rule,
-    // addition flavor)
-    val D = org.apache.spark.sql.types.DecimalType(20, 8)
-    val N = org.apache.spark.sql.types.DecimalType(9, 0)
+    driftFromShardSums(shardSums(emb, idCol, vecCol, shards))
+  }
+
+  // (20,8): sized so the sum×count product (30,8) and its difference
+  // (31,8) stay INSIDE Spark's 38-digit cap — at (28,8) the
+  // subtraction wants precision 39 and Spark silently drops to scale
+  // 7 (rounding) while DuckDB keeps scale 8 exactly (the x78 rule,
+  // addition flavor)
+  private val DriftD = org.apache.spark.sql.types.DecimalType(20, 8)
+
+  /** The MERGEABLE partial behind [[centroidShardDrift]]: per-(shard,
+    * dim) exact decimal component sums with the shard count riding
+    * along — additive across batches (decimal addition is exact and
+    * associative), which is what lets the streaming sink ledger these
+    * rows per micro-batch and the view fold them to the identical
+    * drift. Output: (shard, dim, s, n_vecs). */
+  def shardSums(emb: DataFrame, idCol: String, vecCol: String,
+      shards: Int): DataFrame = {
     val pe = emb.select(pmod(col(idCol), lit(shards.toLong)).as("shard"),
       posexplode(col(vecCol)).as(Seq("dim", "v")))
     val per = pe.groupBy("shard", "dim")
-      .agg(sum(col("v").cast("double").cast(D)).cast(D).as("s"))
-    val glob = per.groupBy("dim").agg(sum(col("s")).cast(D).as("gs"))
+      .agg(sum(col("v").cast("double").cast(DriftD)).cast(DriftD).as("s"))
     val ns = emb.groupBy(pmod(col(idCol), lit(shards.toLong)).as("shard"))
       .agg(count(lit(1)).as("n_vecs"))
-    val ng = emb.agg(count(lit(1)).as("n_all"))
-    val diffs = per.join(glob, Seq("dim"))
+    per.join(ns, Seq("shard"))
+  }
+
+  /** Fold [[shardSums]] rows (possibly summed across batch partials —
+    * re-cast to the same (20,8)) to the per-shard drift row. */
+  def driftFromShardSums(sums: DataFrame): DataFrame = {
+    val N = org.apache.spark.sql.types.DecimalType(9, 0)
+    val per = sums.select(col("shard"), col("dim"),
+      col("s").cast(DriftD).as("s"), col("n_vecs"))
+    val glob = per.groupBy("dim").agg(sum(col("s")).cast(DriftD).as("gs"))
+    val ns = per.groupBy("shard").agg(max(col("n_vecs")).as("n_vecs"))
+    val ng = ns.agg(sum(col("n_vecs")).as("n_all"))
+    val diffs = per.drop("n_vecs").join(glob, Seq("dim"))
       .join(broadcast(ns), Seq("shard"))
       .crossJoin(broadcast(ng))
       .select(col("shard"), col("n_vecs"), col("n_all"), col("dim"),
@@ -804,5 +825,40 @@ object Similarity {
           (acc, x) => acc + x * x)) /
           (col("n_vecs").cast("double") * col("n_all").cast("double")))
           .as("drift"))
+  }
+
+  /** Per-source embedding HYGIENE + coverage audit: documents LEFT-
+    * joined to their vectors (≤ 1 vector per id — the 1:1 id-space
+    * contract), then per source: coverage (docs vs vectors present),
+    * degenerate-vector counts (zero norm, non-finite components — the
+    * encoder-failure signatures), and exact rank-quantiles of the
+    * squared norm ([[Quantiles.discrete]]'s integer-rank discipline).
+    * The "are these vectors even usable" gate run before any
+    * ANN/dedup family spends a shuffle on them.
+    *
+    * Scale shape: one broadcast-free equi-join on id, one combiner
+    * aggregate, one per-source quantile window over norms only.
+    * Output: (source, n_docs, n_vecs, n_zero, n_nonfinite, p50_n2,
+    * p95_n2). */
+  def embeddingHygiene(docs: DataFrame, emb: DataFrame, docIdCol: String,
+      sourceCol: String, vecIdCol: String, vecCol: String): DataFrame = {
+    val inf = lit(Float.PositiveInfinity)
+    val base = docs.select(col(docIdCol).as("id"),
+        col(sourceCol).as("source"))
+      .join(emb.select(col(vecIdCol).as("id"), col(vecCol).as("__v")),
+        Seq("id"), "left")
+      .withColumn("__n2", graft.functions.VectorOps.norm2(col("__v")))
+    val counts = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      count(col("__v")).as("n_vecs"),
+      sum(when(col("__n2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      sum(when(exists(col("__v"),
+          x => isnan(x) || x === inf || x === -inf), 1L).otherwise(0L))
+        .as("n_nonfinite"))
+    val q = Quantiles.discrete(base.where(col("__v").isNotNull),
+        Seq("source"), col("__n2"),
+        Seq((1, 2, "p50_n2"), (19, 20, "p95_n2")))
+      .drop("n")
+    counts.join(q, Seq("source"), "left")
   }
 }

@@ -82,6 +82,32 @@ object Stats {
           .cast("double") / count(lit(1)).cast("double")).as("win_mean"))
   }
 
+  /** Per-group Shannon entropy of a CATEGORICAL column — the
+    * behavioral-diversity signal (a user whose events are one type is
+    * a bot candidate; a source whose docs are one template is
+    * boilerplate). H = ln(n) − (Σ c·ln c)/n over the group's category
+    * counts — the x102 character-entropy discipline generalized: each
+    * ln quantized ONCE to DECIMAL(28,12), Σ c·lnq an exact decimal
+    * sum (order-independent under any partitioning), doubles only at
+    * the boundary. One (keys, category) combiner count + one keys
+    * combiner fold. Output: (keys..., n, entropy). */
+  def categoricalEntropy(df: DataFrame, keys: Seq[String],
+      category: Column): DataFrame = {
+    val cnts = df
+      .select((keys.map(col) :+ category.as("__cat")): _*)
+      .groupBy((keys.map(col) :+ col("__cat")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val lnq = log(col("cnt").cast("double")).cast(DecimalType(28, 12))
+    val terms = cnts.groupBy(keys.map(col): _*).agg(
+      sum(col("cnt")).as("n"),
+      sum(col("cnt").cast(DecimalType(9, 0)) * lnq).as("__s"))
+    val lnT = log(col("n").cast("double")).cast(DecimalType(28, 12))
+    terms.select((keys.map(col) :+ col("n") :+
+      (lnT.cast("double") -
+        col("__s").cast("double") / col("n").cast("double"))
+        .as("entropy")): _*)
+  }
+
   /** Benford first-significant-digit audit (Newcomb 1881 / Benford
     * 1938; the fraud/synthetic-data forensics classic): the observed
     * distribution of leading digits of a positive numeric column.

@@ -287,6 +287,41 @@ object Streams {
         .select(col("ws"), col("key"), col("total").cast("long").as("c")),
       lookback, minPeriods)
 
+  /** Streaming EMBEDDING-drift maintenance: each micro-batch appends
+    * its [[graft.ext.Similarity.shardSums]] partial — per-(shard, dim)
+    * exact decimal component sums + shard counts, the MERGEABLE form
+    * (decimal addition is exact and associative) — and
+    * [[centroidDriftView]] folds the ledger through the identical
+    * drift tail, so the view is BIT-equal to the batch
+    * `centroidShardDrift` over everything ingested (StreamingSpec
+    * asserts it). The representation-level sibling of
+    * [[driftMonitorSink]]'s lexical TV alarm. Replay-idempotent after
+    * the (_batch, shard, dim) dedup (a re-run batch appends
+    * byte-identical decimal rows). */
+  def centroidDriftSink(stream: DataFrame, idCol: String, vecCol: String,
+      shards: Int, tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Similarity.shardSums(batch, idCol, vecCol, shards)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+      .start()
+
+  /** Fold a [[centroidDriftSink]] ledger to the per-shard drift rows —
+    * [[graft.ext.Similarity.driftFromShardSums]] over the deduped,
+    * batch-summed partials. */
+  def centroidDriftView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Similarity.driftFromShardSums(
+      spark.read.parquet(tablePath)
+        .dropDuplicates("_batch", "shard", "dim")
+        .groupBy("shard", "dim")
+        .agg(sum(col("s")).as("s"), sum(col("n_vecs")).as("n_vecs")))
+
   /** Streaming distribution-drift monitor: score every micro-batch's
     * token distribution against a PINNED training-corpus distribution
     * (the train-once contract of the score/BM25 sinks — the model is

@@ -2139,4 +2139,24 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-2)
     assert(math.abs(r.getAs[Double]("r") + 1.0) < 1e-4)
   }
+  test("embeddingHygiene: coverage gaps, zero and non-finite vectors surface") {
+    val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sA"), (4L, "sB"))
+      .toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f)),               // norm2 25
+      (2L, Array(0.0f, 0.0f)),               // zero vector
+      (4L, Array(Float.NaN, 1.0f)))          // non-finite
+      .toDF("vec_id", "embedding")           // doc 3 has NO vector
+    val got = rows(graft.ext.Similarity.embeddingHygiene(
+      docs, emb, "doc_id", "source", "vec_id", "embedding")
+      .orderBy("source"))
+    val a = got(0); val b = got(1)
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_vecs") == 2L)
+    assert(a.getAs[Long]("n_zero") == 1L &&
+      a.getAs[Long]("n_nonfinite") == 0L)
+    assert(a.getAs[Double]("p50_n2") == 0.0 &&
+      a.getAs[Double]("p95_n2") == 25.0)
+    assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Long]("n_vecs") == 1L)
+    assert(b.getAs[Long]("n_nonfinite") == 1L)
+  }
 }

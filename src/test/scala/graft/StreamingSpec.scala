@@ -224,6 +224,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() <= 2 * 32)
   }
 
+  test("centroidDriftSink: folded shard-sum ledger is bit-equal to the " +
+      "batch centroid drift") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(id: Long) = QV(id, Array(id * 0.25f, 1.0f - id * 0.125f, 0.5f))
+    val b1 = (0L until 40L).map(vec)
+    val b2 = (40L until 100L).map(vec)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cds")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[QV]
+    mem.addData(b1: _*)
+    val q = Streams.centroidDriftSink(mem.toDF(), "vec_id", "embedding",
+      shards = 4, table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = Streams.centroidDriftView(spark, table)
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.ext.Similarity.centroidShardDrift(
+        (b1 ++ b2).toDF(), "vec_id", "embedding", shards = 4)
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch) // exact decimal partials: BIT-equal drift
+    // ledger is per-(batch, shard, dim) partials — bounded, mergeable
+    assert(spark.read.parquet(table).count() == 2 * 4 * 3)
+  }
+
   test("rateAnomalyView: additive count ledger + z tail equals the " +
       "batch rate anomaly") {
     implicit val sqlCtx = spark.sqlContext
