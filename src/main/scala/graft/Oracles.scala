@@ -4095,6 +4095,73 @@ object Oracles {
         |FROM pervec p JOIN documents d ON d.doc_id = p.vec_id
         |GROUP BY 1 ORDER BY d.source""".stripMargin,
 
+    // x152: dataset card — the x93 quality CTEs + the x96 fingerprint
+    // formula, each reduced to its one-row yield count
+    "x152_dataset_card" ->
+      """WITH ntk AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS nt
+        |  FROM documents),
+        |overall AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      AS mean_tokens
+        |  FROM ntk),
+        |fps AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS fp
+        |  FROM documents),
+        |dups AS (
+        |  SELECT CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_exact_dup
+        |  FROM fps JOIN (SELECT fp, min(doc_id) AS keep FROM fps
+        |                 GROUP BY 1) k USING (fp)),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+        |    AS t
+        |  FROM documents),
+        |gbase AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words
+        |          FROM toks),
+        |words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |chars AS (SELECT doc_id, sum(length(w)) AS chars FROM words
+        |          GROUP BY 1),
+        |stopc AS (
+        |  SELECT doc_id, count(DISTINCT w) AS stop_hits FROM words
+        |  WHERE w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'for')
+        |  GROUP BY 1),
+        |topw AS (
+        |  SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |flags AS (
+        |  SELECT b.doc_id,
+        |    b.n_words BETWEEN 50 AND 100000 AS ok_words,
+        |    (CASE WHEN b.n_words > 0
+        |       THEN CAST(c.chars AS DOUBLE) / b.n_words END) IS NOT NULL
+        |      AND (CASE WHEN b.n_words > 0
+        |       THEN CAST(c.chars AS DOUBLE) / b.n_words END)
+        |        BETWEEN 3.0e0 AND 10.0e0 AS ok_wl,
+        |    coalesce(s.stop_hits, 0) >= 2 AS ok_stop,
+        |    (CASE WHEN b.n_words > 0
+        |       THEN CAST(t.topc AS DOUBLE) / b.n_words END) IS NOT NULL
+        |      AND (CASE WHEN b.n_words > 0
+        |       THEN CAST(t.topc AS DOUBLE) / b.n_words END) <= 0.1e0
+        |      AS ok_top
+        |  FROM gbase b
+        |  LEFT JOIN chars c USING (doc_id)
+        |  LEFT JOIN stopc s USING (doc_id)
+        |  LEFT JOIN topw t USING (doc_id)),
+        |qual AS (
+        |  SELECT CAST(sum(CASE WHEN ok_words AND ok_wl AND ok_stop
+        |      AND ok_top THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+        |  FROM flags)
+        |SELECT * FROM overall, dups, qual""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

@@ -2179,6 +2179,15 @@ object Queries {
       .orderBy("source")
   }
 
+  /** x152 — dataset card: the one-row mechanically-derivable corpus
+    * datasheet (size, diversity, exact-dup and rule-quality yield) a
+    * release ships next to the data. Three one-row aggregates over
+    * already-probed operators, cross-joined. */
+  val x152DatasetCard: Q = (s, dir) => {
+    Pipeline.datasetCard(Tables.documents(s, dir), "doc_id", "text",
+      "lang", "source")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3059,6 +3068,7 @@ object Queries {
     "x149_embedding_hygiene" -> x149EmbeddingHygiene,
     "x150_behavior_entropy" -> x150BehaviorEntropy,
     "x151_sq8_error" -> x151Sq8Error,
+    "x152_dataset_card" -> x152DatasetCard,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

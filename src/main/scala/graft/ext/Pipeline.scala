@@ -105,6 +105,41 @@ object Pipeline {
         lit(false)))
   }
 
+  /** One-row DATASET CARD — the corpus summary a release ships next to
+    * the data (Gebru et al. 2021's "datasheets" reduced to the
+    * mechanically-derivable row): size, diversity, exact-duplication
+    * and rule-quality yield, each from an already-probed operator
+    * ([[TextAnalysis.tokenCount]] scan, [[TextAnalysis.fingerprint]]
+    * hash groupBy, [[TextAnalysis.gopherQuality]] combiner agg). Three
+    * one-row aggregates cross-joined — no window, no pairwise stage;
+    * at 100 TB this is three scans (or one, if the caller caches the
+    * projection).
+    * Output: (n_docs, n_tokens, n_langs, n_sources, mean_tokens,
+    * n_exact_dup, n_quality_pass). */
+  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      col(sourceCol).as("source"),
+      TextAnalysis.tokenCount(col(textCol)).as("nt"))
+    val overall = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      (sum(col("nt")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_tokens"))
+    val fp = docs.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val dups = fp
+      .join(fp.groupBy("fp").agg(min(col("id")).as("keep")), Seq("fp"))
+      .agg(sum(when(col("id") =!= col("keep"), 1L).otherwise(0L))
+        .as("n_exact_dup"))
+    val qual = TextAnalysis.gopherQuality(docs, idCol, textCol)
+      .agg(sum(when(col("gopher_pass"), 1L).otherwise(0L))
+        .as("n_quality_pass"))
+    overall.crossJoin(dups).crossJoin(qual)
+  }
+
   /** Per-stage yield report over a [[corpusPrep]] manifest — the one
     * row a pipeline owner actually watches: how many documents each
     * stage dropped and how many survived. NULL stage flags (documents

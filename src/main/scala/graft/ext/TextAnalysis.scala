@@ -1143,6 +1143,24 @@ object TextAnalysis {
         col("entropy"))
   }
 
+  /** Persist a [[bpeMerges]] table (round, p1, p2, merged, cnt)
+    * — the tokenizer-artifact half of the index-lifecycle family
+    * (quantizers: `Ivf.saveModel`; retrieval: `savePostingsIndex`;
+    * this: the merge vocabulary). One tiny parquet; [[loadMerges]]
+    * returns the (p1, p2) pairs round-ascending, ready for
+    * [[bpeEncodeCounts]] on a NEW corpus — train once, apply
+    * everywhere, the cross-session contract. */
+  def saveMerges(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveMerges]] table as the round-ordered (p1, p2) pairs
+    * [[bpeEncodeCounts]] consumes. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Seq[(String, String)] =
+    spark.read.parquet(path).select("round", "p1", "p2")
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Apply [[bpeMerges]]' learned merge table to the corpus and report
     * per-document compression: symbols before (= characters of its
     * words) vs after the k greedy merges — the signal tokenizer work

@@ -2159,4 +2159,27 @@ class ExtSpec extends SparkSpec {
     assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Long]("n_vecs") == 1L)
     assert(b.getAs[Long]("n_nonfinite") == 1L)
   }
+  test("BPE merge persistence: save/load round-trips the merge table") {
+    val text = (Seq.fill(20)("abab") ++ Seq.fill(10)("abcd")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(d, "doc_id", "text", k = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe")
+    try {
+      val path = dir.resolve("merges").toString
+      TextAnalysis.saveMerges(merges, path)
+      val loaded = TextAnalysis.loadMerges(spark, path)
+      val direct = merges.orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(loaded == direct && loaded.size == 2)
+      // the loaded table drives encode on a NEW corpus identically
+      val fresh = Seq((2L, "abab abcd")).toDF("doc_id", "text")
+      val a = rows(TextAnalysis.bpeEncodeCounts(fresh, "doc_id", "text",
+        loaded)).map(_.toString)
+      val b = rows(TextAnalysis.bpeEncodeCounts(fresh, "doc_id", "text",
+        direct)).map(_.toString)
+      assert(a == b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }

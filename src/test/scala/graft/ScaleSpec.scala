@@ -575,6 +575,35 @@ class ScaleSpec extends SparkSpec {
       "funnel grew a per-key window sort:\n" + funnelPlan.take(800))
   }
 
+  test("second-restart operator plans: scan-speed readability, " +
+      "broadcast stats joins, no cartesian in the drift tail") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    // x144: pure per-row projection — no join, no window, no aggregate
+    val rPlan = graft.ext.TextAnalysis.readability(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!rPlan.contains("Join") && !rPlan.contains("Window") &&
+      !rPlan.contains("HashAggregate"),
+      "readability plan grew beyond a scan:\n" + rPlan.take(600))
+    // x151: the 64-row per-dim stats join must ride a broadcast
+    val qPlan = graft.ext.Quantize.reconstructionError(emb, "vec_id",
+        "embedding", docs, "doc_id", "source")
+      .queryExecution.executedPlan.toString
+    assert(qPlan.contains("BroadcastHashJoin") ||
+      qPlan.contains("BroadcastExchange"),
+      "reconstructionError stats join not broadcast:\n" + qPlan.take(600))
+    // x143: the 1-row global-count frame rides a broadcast nested loop;
+    // nothing in the drift tail may degrade to a cartesian product
+    val dPlan = graft.ext.Similarity.centroidShardDrift(emb, "vec_id",
+        "embedding", 4)
+      .queryExecution.executedPlan.toString
+    assert(!dPlan.contains("CartesianProduct"),
+      "drift tail degraded to a cartesian product:\n" + dPlan.take(600))
+    assert(dPlan.contains("BroadcastExchange"),
+      "drift per-shard/global frames not broadcast:\n" + dPlan.take(600))
+  }
+
   test("pointer doubling: a 24-chain converges within 6 rounds; " +
       "clusters() escalates to the same fixpoint; fixpoints agree") {
     import graft.ext.Dedup
