@@ -4162,6 +4162,44 @@ object Oracles {
         |  FROM flags)
         |SELECT * FROM overall, dups, qual""".stripMargin,
 
+    // x153: freshness decay — integer age floor-div, ppm right-shift,
+    // the x83 hash predicate (salt 0x51ed2701 % P = 374496506)
+    "x153_freshness_sample" ->
+      """WITH b AS (
+        |  SELECT event_id, ts, event_type,
+        |    greatest((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+        |      - epoch_us(ts)) // 86400000000, 0) AS age_days
+        |  FROM events),
+        |k AS (
+        |  SELECT event_id, ts, event_type,
+        |    CAST(age_days AS BIGINT) AS age_days,
+        |    CAST(1000000 >> CAST(least(age_days // 7, 20) AS INTEGER)
+        |      AS BIGINT) AS keep_ppm
+        |  FROM b)
+        |SELECT event_id, ts, event_type, age_days, keep_ppm FROM k
+        |WHERE ((event_id % 1000000007) * 374496506 % 1000000007)
+        |  % 1000000 < keep_ppm
+        |ORDER BY event_id""".stripMargin,
+
+    // x154: EMA smoothing — frame-ordered list fold, seeded at the
+    // oldest bucket; both engines reduce head-to-tail
+    "x154_ema_smooth" ->
+      """WITH counts AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS ws,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |wl AS (
+        |  SELECT key, ws, c,
+        |    list(CAST(c AS DOUBLE)) OVER (PARTITION BY key ORDER BY ws
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+        |  FROM counts)
+        |SELECT key, ws, c,
+        |  list_reduce(l, (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ema,
+        |  CAST(c AS DOUBLE) /
+        |    list_reduce(l, (acc, x) -> acc * 0.75e0 + x * 0.25e0)
+        |    AS ratio
+        |FROM wl ORDER BY key, ws""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

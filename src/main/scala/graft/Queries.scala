@@ -2188,6 +2188,31 @@ object Queries {
       "lang", "source")
   }
 
+  /** x153 — freshness-decay sample: keep probability halves per
+    * 7-day half-life of age (stepped right-shift on the ppm budget,
+    * the x83 hash predicate) — the recency bias of a continually
+    * refreshed corpus, RNG-free and re-shard-stable. */
+  val x153FreshnessSample: Q = (s, dir) => {
+    Sampling.freshnessDecaySample(
+        Tables.events(s, dir).select(col("event_id"), col("ts"),
+          col("event_type")),
+        col("event_id"), col("ts"),
+        lit("2024-01-31 00:00:00").cast("timestamp"), halflifeDays = 7L)
+      .orderBy("event_id")
+  }
+
+  /** x154 — trailing EMA smoothing of hourly event rates: the damped
+    * baseline beside x119's z-score; seeded fold over the ≤8
+    * trailing present buckets, bit-deterministic in both engines. */
+  val x154EmaSmooth: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("event_type").as("key"),
+        date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("c"))
+    EventWindows.emaSmooth(counts, lookback = 8)
+      .orderBy("key", "ws")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3069,6 +3094,8 @@ object Queries {
     "x150_behavior_entropy" -> x150BehaviorEntropy,
     "x151_sq8_error" -> x151Sq8Error,
     "x152_dataset_card" -> x152DatasetCard,
+    "x153_freshness_sample" -> x153FreshnessSample,
+    "x154_ema_smooth" -> x154EmaSmooth,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -81,6 +81,36 @@ object EventWindows {
         .as("z"))
   }
 
+  /** Trailing EXPONENTIAL-MOVING-AVERAGE smoothing over per-bucket
+    * counts — the damped baseline beside [[rateAnomalyFromCounts]]'
+    * z-score (EMA reacts to level shifts the fixed-window mean
+    * smears). α = 1/4 over the trailing ≤ `lookback` PRESENT buckets,
+    * seeded at the window's oldest count:
+    * ema = fold(c_old, …, c_now)(acc, x → 0.75·acc + 0.25·x).
+    * The fold runs left-to-right over the frame-ordered list in IEEE
+    * doubles — both engines reduce lists head-to-tail, and bucket
+    * timestamps are unique per key, so the order (and the result) is
+    * bit-deterministic. Row-based frame on PRESENT buckets: gaps
+    * contribute nothing (callers wanting zero-filled decay compose
+    * the x31 gap-fill first).
+    * Input (key, ws, c); output + (ema, ratio = c/ema). */
+  def emaSmooth(counts: DataFrame, lookback: Int = 8): DataFrame = {
+    require(lookback >= 2, s"emaSmooth: lookback=$lookback must be >= 2")
+    val frame = Window.partitionBy("key").orderBy("ws")
+      .rowsBetween(-(lookback - 1), 0)
+    val arr = collect_list(col("c").cast("double")).over(frame)
+    counts
+      .withColumn("__arr", arr)
+      .withColumn("ema",
+        aggregate(
+          slice(col("__arr"), lit(2),
+            greatest(size(col("__arr")) - 1, lit(0))),
+          element_at(col("__arr"), 1),
+          (acc, x) => acc * lit(0.75) + x * lit(0.25)))
+      .withColumn("ratio", col("c").cast("double") / col("ema"))
+      .drop("__arr")
+  }
+
   /** Ordered FUNNEL analysis: per key, the timestamps of the first
     * occurrence of stage 1, the first stage-2 event strictly AFTER
     * it, the first stage-3 strictly after that, and so on — ordered

@@ -483,6 +483,46 @@ object Sampling {
           lit(shardTokens)).cast("long").as("shard_id"))
   }
 
+  /** FRESHNESS-DECAY sampling: keep probability halves every
+    * `halflifeDays` of age — the recency bias a continually-refreshed
+    * training corpus applies to stale crawls (RefinedWeb-class
+    * pipelines re-crawl and downweight old snapshots). Deliberately
+    * STEPPED (floor(age/halflife) halvings, a right-shift on the ppm
+    * budget) so the whole operator is integer arithmetic end to end:
+    * no pow(), no RNG — the same [[temperatureMixture]] hash
+    * predicate decides each row, so re-running or re-sharding keeps
+    * the identical sample. Rows newer than `asOf` clamp to age 0
+    * (kept at full rate); shifts cap at 20 (ppm 0 past ~20
+    * half-lives). One scan, no joins, no shuffle.
+    * Output: the kept rows + (age_days, keep_ppm) audit columns. */
+  def freshnessDecaySample(df: DataFrame, id: Column, ts: Column,
+      asOf: Column, halflifeDays: Long, salt: Long = 0x51ed2701L)
+      : DataFrame = {
+    require(halflifeDays >= 1,
+      s"freshnessDecaySample: halflifeDays=$halflifeDays must be >= 1")
+    val mult = salt % HashPrime
+    require(mult != 0, "salt must be nonzero mod HashPrime")
+    val dayUs = 86400000000L
+    val rawAge = unix_micros(asOf) - unix_micros(ts)
+    val age = greatest(
+      ((rawAge - pmod(rawAge, lit(dayUs))) / lit(dayUs)).cast("long"),
+      lit(0L))
+    val steps = least(
+      ((age - pmod(age, lit(halflifeDays))) / lit(halflifeDays))
+        .cast("long"),
+      lit(20L))
+    val b = pmod(pmod(pmod(id, lit(HashPrime)) * lit(mult),
+      lit(HashPrime)), lit(1000000L))
+    df.withColumn("age_days", age)
+      .withColumn("__steps", steps.cast("int"))
+      // functions.shiftright only takes a literal bit count — the SQL
+      // form accepts the column
+      .withColumn("keep_ppm",
+        expr("CAST(shiftright(1000000, __steps) AS BIGINT)"))
+      .where(b < col("keep_ppm"))
+      .drop("__steps")
+  }
+
   /** LARGEST-REMAINDER apportionment of a token budget across sources
     * (Hamilton's method — the house-seats classic): each source gets
     * floor(total·w_s/W) outright, and the leftover

@@ -2182,4 +2182,46 @@ class ExtSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
+  test("freshnessDecaySample: stepped half-life ppm, fresh rows always kept") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      (1L, t("2024-01-31 00:00:00")), // age 0  -> ppm 1000000 (always kept)
+      (2L, t("2024-01-23 00:00:00")), // age 8  -> 1 step  -> 500000
+      (3L, t("2024-01-16 00:00:00")), // age 15 -> 2 steps -> 250000
+      (4L, t("2023-12-22 00:00:00")), // age 40 -> 5 steps -> 31250
+      (5L, t("2024-02-05 00:00:00"))) // future -> clamped age 0
+      .toDF("id", "ts")
+    val kept = rows(graft.ext.Sampling.freshnessDecaySample(d, $"id",
+      $"ts", lit("2024-01-31 00:00:00").cast("timestamp"),
+      halflifeDays = 7L).orderBy("id"))
+      .map(r => r.getLong(0) -> (r.getAs[Long]("age_days"),
+        r.getAs[Long]("keep_ppm"))).toMap
+    // full-rate rows pass the predicate unconditionally (b < 1e6 always)
+    assert(kept(1L) == (0L, 1000000L))
+    assert(kept(5L) == (0L, 1000000L))
+    kept.get(2L).foreach(v => assert(v == (8L, 500000L)))
+    kept.get(3L).foreach(v => assert(v == (15L, 250000L)))
+    kept.get(4L).foreach(v => assert(v == (40L, 31250L)))
+    // deterministic: the same frame re-sampled is identical
+    val again = rows(graft.ext.Sampling.freshnessDecaySample(d, $"id",
+      $"ts", lit("2024-01-31 00:00:00").cast("timestamp"), 7L)
+      .orderBy("id")).map(_.toString)
+    assert(again == rows(graft.ext.Sampling.freshnessDecaySample(d,
+      $"id", $"ts", lit("2024-01-31 00:00:00").cast("timestamp"), 7L)
+      .orderBy("id")).map(_.toString))
+  }
+
+  test("emaSmooth: seeded trailing fold, exact small case") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val counts = Seq(
+      ("a", t("2024-01-01 00:00:00"), 4L),
+      ("a", t("2024-01-01 01:00:00"), 8L),
+      ("a", t("2024-01-01 02:00:00"), 2L))
+      .toDF("key", "ws", "c")
+    val got = rows(graft.ext.EventWindows.emaSmooth(counts, lookback = 8)
+      .orderBy("ws"))
+      .map(r => (r.getLong(2), r.getAs[Double]("ema")))
+    // ema1 = 4; ema2 = .75*4+.25*8 = 5; ema3 = .75*5+.25*2 = 4.25
+    assert(got == Seq((4L, 4.0), (8L, 5.0), (2L, 4.25)))
+  }
 }
