@@ -4200,6 +4200,34 @@ object Oracles {
         |    AS ratio
         |FROM wl ORDER BY key, ws""".stripMargin,
 
+    // x156: column profile — one UNION arm per column, exact distincts
+    "x156_column_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT text) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents)
+        |SELECT * FROM p ORDER BY "column"""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->
@@ -5067,12 +5095,50 @@ object Oracles {
           |  CAST(max(doc_id) AS BIGINT) AS last_doc
           |FROM cum GROUP BY 1 ORDER BY shard_id""".stripMargin))
 
+  // x155: retrieval eval — the x81 scorer wrapped verbatim (any bm25
+  // drift fails both queries identically), per-query rank cut,
+  // AND-semantics relevance, MRR/precision tail
+  private val retrievalEvalO: Map[String, String] = Map(
+    "x155_retrieval_eval" ->
+      (s"WITH sc AS (\n${base("x81_bm25_multi")}\n),\n" +
+        """ranked AS (
+          |  SELECT doc_id, query_id, bm25,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY bm25 DESC, doc_id ASC) AS rank
+          |  FROM sc),
+          |top AS (SELECT * FROM ranked WHERE rank <= 10),
+          |toks AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          |    AS t
+          |  FROM documents),
+          |rel AS (
+          |  SELECT top.query_id, top.rank,
+          |    CASE top.query_id
+          |      WHEN 'q_spark' THEN list_contains(t, 'spark')
+          |        AND list_contains(t, 'shuffle')
+          |      WHEN 'q_rel' THEN list_contains(t, 'join')
+          |        AND list_contains(t, 'window')
+          |      ELSE list_contains(t, 'dup') AND list_contains(t, 'filter')
+          |    END AS is_rel
+          |  FROM top JOIN toks USING (doc_id))
+          |SELECT query_id,
+          |  CAST(sum(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_rel_at_k,
+          |  CAST(min(CASE WHEN is_rel THEN rank END) AS BIGINT)
+          |    AS first_rel_rank,
+          |  coalesce(1.0e0 / CAST(min(CASE WHEN is_rel THEN rank END)
+          |    AS DOUBLE), 0.0e0) AS rr,
+          |  CAST(sum(CASE WHEN is_rel THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / 10 AS p_at_k
+          |FROM rel GROUP BY 1 ORDER BY query_id""".stripMargin))
+
   // x126: the postings-index BM25 path is bit-equal to the x76 scan
   // path by construction (same tf frame rebuilt, same stats agg, same
   // fixed-order score projection) — the shared oracle IS the claim
   // that only the execution shape changed (the x67/x63 pattern)
   val all: Map[String, String] =
-    base ++ adaptiveLsh ++ truncRecall ++ manifestExport +
+    base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
+      retrievalEvalO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25"))
 }

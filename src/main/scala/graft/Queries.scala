@@ -2213,6 +2213,27 @@ object Queries {
       .orderBy("key", "ws")
   }
 
+  /** x155 — known-item retrieval evaluation: MRR and precision@10 of
+    * the BM25 ranker against AND-semantics term relevance, on x81's
+    * exact query set — the eval row an index owner tracks. */
+  val x155RetrievalEval: Q = (s, dir) => {
+    Retrieval.retrievalEval(Tables.documents(s, dir), "doc_id", "text",
+        queries = Seq(
+          "q_spark" -> Seq("spark", "shuffle"),
+          "q_rel" -> Seq("join", "window"),
+          "q_dedup" -> Seq("dup", "filter")),
+        k = 10)
+      .orderBy("query_id")
+  }
+
+  /** x156 — column profile of the documents snapshot: per column
+    * (n, nulls, exact distincts) — the catalog row read before
+    * trusting a new snapshot. */
+  val x156ColumnProfile: Q = (s, dir) => {
+    graft.ext.Stats.profile(Tables.documents(s, dir))
+      .orderBy("column")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3096,6 +3117,8 @@ object Queries {
     "x152_dataset_card" -> x152DatasetCard,
     "x153_freshness_sample" -> x153FreshnessSample,
     "x154_ema_smooth" -> x154EmaSmooth,
+    "x155_retrieval_eval" -> x155RetrievalEval,
+    "x156_column_profile" -> x156ColumnProfile,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

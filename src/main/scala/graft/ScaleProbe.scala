@@ -108,7 +108,8 @@ object ScaleProbe {
       "x145_l_diversity", "x146_quota", "x147_kmv_pair_jaccard",
       "x148_zipf_slope", "x149_embedding_hygiene",
       "x150_behavior_entropy", "x151_sq8_error", "x152_dataset_card",
-      "x153_freshness_sample", "x154_ema_smooth")
+      "x153_freshness_sample", "x154_ema_smooth",
+      "x155_retrieval_eval", "x156_column_profile")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -567,4 +567,47 @@ object Retrieval {
       .groupBy("id")
       .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
   }
+  /** KNOWN-ITEM retrieval evaluation: per query profile, rank the
+    * corpus by BM25 ([[bm25ScoreMulti]] — one scan for all queries),
+    * cut the top `k`, and score it against AND-semantics relevance
+    * (a document is relevant iff it contains EVERY query term — the
+    * self-labeling ground truth a synthetic corpus supports without
+    * human qrels): reciprocal rank of the first relevant hit and
+    * precision@k, the two numbers an index owner actually tracks.
+    *
+    * Determinism: bm25 values are the x76/x81 bit-deterministic
+    * chain, the rank order (bm25 DESC, id ASC) is total, relevance is
+    * a boolean over token membership, and rr = 1/rank is one double
+    * division. Scale shape: one corpus scan + Q projections + a
+    * per-query top-k window (rank-limit pushdown) + one membership
+    * join against the top-k rows only.
+    * Output: (query_id, n_rel_at_k, first_rel_rank, rr, p_at_k). */
+  def retrievalEval(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"retrievalEval: k=$k must be >= 1")
+    val scored = bm25ScoreMulti(docs, idCol, textCol, queries, k1, b)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("id").asc)
+    val top = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    val rel = queries.foldRight(lit(false)) { case ((qid, terms), acc) =>
+      when(col("query_id") === qid,
+        terms.map(t => array_contains(col("__t"), t)).reduce(_ && _))
+        .otherwise(acc)
+    }
+    top.join(toks, Seq("id"))
+      .withColumn("__rel", rel)
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel_at_k"),
+        min(when(col("__rel"), col("rank"))).as("first_rel_rank"),
+        coalesce(lit(1.0) /
+            min(when(col("__rel"), col("rank"))).cast("double"),
+          lit(0.0)).as("rr"),
+        (sum(when(col("__rel"), 1L).otherwise(0L)).cast("double") /
+          lit(k)).as("p_at_k"))
+  }
 }

@@ -160,4 +160,28 @@ object Stats {
       when(sd > 0.0,
         lit(2.0) * td / (nd * sd) - (nd + lit(1.0)) / nd).as("gini")): _*)
   }
+  /** One-pass COLUMN PROFILE of any DataFrame — the data-catalog row
+    * per column (row count, null count, exact distinct count) a
+    * pipeline owner reads before trusting a new snapshot; the
+    * schema-driven generalization of the dataset card's fixed
+    * columns. Exact distincts expand one aggregate per column (Spark
+    * plans multi-distinct via Expand) — at 100 TB swap
+    * `approx_count_distinct` in for the same output shape at sketch
+    * cost. Output: (column, n, n_null, n_distinct), one row per
+    * input column. */
+  def profile(df: DataFrame): DataFrame = {
+    require(df.columns.nonEmpty, "profile: no columns")
+    val cols = df.columns.toIndexedSeq
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__dist_$c"))) :+
+      count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col("__n").as("n"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__dist_$c").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.n").as("n"),
+        col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
+  }
 }

@@ -2224,4 +2224,36 @@ class ExtSpec extends SparkSpec {
     // ema1 = 4; ema2 = .75*4+.25*8 = 5; ema3 = .75*5+.25*2 = 4.25
     assert(got == Seq((4L, 4.0), (8L, 5.0), (2L, 4.25)))
   }
+  test("retrievalEval: AND-relevance, reciprocal rank, precision@k") {
+    val docs = Seq(
+      (1L, "spark shuffle spark runs"),
+      (2L, "spark alone in this one"),
+      (3L, "nothing relevant here"),
+      (4L, "shuffle spark again together"))
+      .toDF("doc_id", "text")
+    val r = rows(graft.ext.Retrieval.retrievalEval(docs, "doc_id",
+      "text", Seq("q1" -> Seq("spark", "shuffle")), k = 10)).head
+    assert(r.getAs[Long]("n_rel_at_k") == 2L) // docs 1 and 4 have BOTH
+    val first = r.getAs[Long]("first_rel_rank")
+    assert(first >= 1L && first <= 2L)
+    assert(r.getAs[Double]("rr") == 1.0 / first)
+    assert(r.getAs[Double]("p_at_k") == 0.2)
+    // a query whose terms appear nowhere: rr 0, no first rank
+    val miss = rows(graft.ext.Retrieval.retrievalEval(docs, "doc_id",
+      "text", Seq("q0" -> Seq("absent", "terms")), k = 10)).head
+    assert(miss.getAs[Double]("rr") == 0.0 &&
+      miss.isNullAt(miss.fieldIndex("first_rel_rank")))
+  }
+  test("profile: nulls and distincts per column, schema-driven") {
+    val d = Seq(
+      (1L, Some("a"), "x"), (2L, None, "x"), (3L, Some("a"), "y"))
+      .toDF("id", "opt", "grp")
+    val got = rows(graft.ext.Stats.profile(d).orderBy("column"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got == Seq(
+      ("grp", 3L, 0L, 2L),
+      ("id", 3L, 0L, 3L),
+      ("opt", 3L, 1L, 1L))) // countDistinct ignores the null
+  }
 }
