@@ -4228,6 +4228,90 @@ object Oracles {
         |    CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents)
         |SELECT * FROM p ORDER BY "column"""".stripMargin,
 
+    // x157: label-balanced carve-out — equal-weight Hamilton quotas
+    // (all remainders equal -> label-ascending tie order), portable
+    // hash pick order
+    "x157_label_carveout" ->
+      """WITH labels AS (
+        |  SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |nl AS (SELECT CAST(count(*) AS HUGEINT) AS L FROM labels),
+        |q AS (
+        |  SELECT label,
+        |    CAST(64 // L AS BIGINT) +
+        |    CASE WHEN row_number() OVER (ORDER BY label ASC)
+        |      <= CAST(64 % L AS BIGINT) THEN 1 ELSE 0 END AS quota
+        |  FROM labels CROSS JOIN nl),
+        |ranked AS (
+        |  SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY (vec_id % 1000000007) * 654435747 % 1000000007 ASC,
+        |        vec_id ASC) AS pick_rank
+        |  FROM embeddings)
+        |SELECT r.vec_id, r.label, CAST(r.pick_rank AS BIGINT) AS pick_rank,
+        |  CAST(q.quota AS BIGINT) AS quota
+        |FROM ranked r JOIN q USING (label)
+        |WHERE r.pick_rank <= q.quota
+        |ORDER BY r.vec_id""".stripMargin,
+
+    // x158: gate sweep — the x93 stats CTEs reduced to a conditional
+    // count per candidate ceiling
+    "x158_gate_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+        |    AS t
+        |  FROM documents),
+        |gbase AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words
+        |          FROM toks),
+        |words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |chars AS (SELECT doc_id, sum(length(w)) AS chars FROM words
+        |          GROUP BY 1),
+        |stopc AS (
+        |  SELECT doc_id, count(DISTINCT w) AS stop_hits FROM words
+        |  WHERE w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'for')
+        |  GROUP BY 1),
+        |topw AS (
+        |  SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |flags AS (
+        |  SELECT b.doc_id,
+        |    b.n_words BETWEEN 50 AND 100000 AS ok_words,
+        |    (CASE WHEN b.n_words > 0
+        |       THEN CAST(c.chars AS DOUBLE) / b.n_words END)
+        |        BETWEEN 3.0e0 AND 10.0e0 AS ok_wl,
+        |    coalesce(s.stop_hits, 0) >= 2 AS ok_stop,
+        |    CASE WHEN b.n_words > 0
+        |      THEN CAST(t.topc AS DOUBLE) / b.n_words END AS tf
+        |  FROM gbase b
+        |  LEFT JOIN chars c USING (doc_id)
+        |  LEFT JOIN stopc s USING (doc_id)
+        |  LEFT JOIN topw t USING (doc_id)),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN ok_words AND coalesce(ok_wl, false)
+        |      AND ok_stop AND tf IS NOT NULL AND tf <= 0.05e0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+        |    CAST(sum(CASE WHEN ok_words AND coalesce(ok_wl, false)
+        |      AND ok_stop AND tf IS NOT NULL AND tf <= 0.1e0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |    CAST(sum(CASE WHEN ok_words AND coalesce(ok_wl, false)
+        |      AND ok_stop AND tf IS NOT NULL AND tf <= 0.2e0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |    CAST(sum(CASE WHEN ok_words AND coalesce(ok_wl, false)
+        |      AND ok_stop AND tf IS NOT NULL AND tf <= 0.3e0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS p3
+        |  FROM flags)
+        |SELECT 0.05e0 AS threshold, n_docs, p0 AS n_pass,
+        |  CAST(p0 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate
+        |FROM agg
+        |UNION ALL SELECT 0.1e0, n_docs, p1,
+        |  CAST(p1 AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM agg
+        |UNION ALL SELECT 0.2e0, n_docs, p2,
+        |  CAST(p2 AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM agg
+        |UNION ALL SELECT 0.3e0, n_docs, p3,
+        |  CAST(p3 AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM agg
+        |ORDER BY threshold""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

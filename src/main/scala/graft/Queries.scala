@@ -2234,6 +2234,27 @@ object Queries {
       .orderBy("column")
   }
 
+  /** x157 — label-balanced eval carve-out over the embeddings table:
+    * 64 rows split evenly across labels (Hamilton quotas on equal
+    * weights), each label's share in portable-hash order — the
+    * held-out-set construction step. */
+  val x157LabelCarveout: Q = (s, dir) => {
+    Sampling.labelBalancedCarveout(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        col("vec_id"), col("label"), total = 64L)
+      .select(col("vec_id"), col("label"), col("pick_rank"), col("quota"))
+      .orderBy("vec_id")
+  }
+
+  /** x158 — quality-gate threshold sweep: Gopher pass counts at four
+    * candidate top-word-fraction ceilings — the sensitivity table
+    * read before moving a production gate. */
+  val x158GateSweep: Q = (s, dir) => {
+    TextAnalysis.gateSweep(Tables.documents(s, dir), "doc_id", "text",
+        topFracs = Seq(0.05, 0.1, 0.2, 0.3))
+      .orderBy("threshold")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3119,6 +3140,8 @@ object Queries {
     "x154_ema_smooth" -> x154EmaSmooth,
     "x155_retrieval_eval" -> x155RetrievalEval,
     "x156_column_profile" -> x156ColumnProfile,
+    "x157_label_carveout" -> x157LabelCarveout,
+    "x158_gate_sweep" -> x158GateSweep,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

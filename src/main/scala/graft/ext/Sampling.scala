@@ -563,4 +563,29 @@ object Sampling {
         col("base_quota"), col("extra"),
         (col("base_quota") + col("extra")).as("quota"))
   }
+  /** Label-BALANCED evaluation carve-out: `total` rows split as evenly
+    * as the label set allows (equal-weight [[largestRemainderQuota]] —
+    * quotas sum to exactly `total` when every label has enough rows),
+    * each label's share taken in portable-hash order ([[hashValue]],
+    * ties by id — re-running or re-sharding cannot change the pick).
+    * The benchmark-construction step after curation: a held-out set
+    * where no label dominates. A label with fewer rows than its quota
+    * contributes what it has (no redistribution — compose
+    * [[unimaxAllocation]] upstream when caps must rebalance).
+    * Scale shape: one bounded label agg + a per-label rank window
+    * riding WindowGroupLimit + one broadcast quota join.
+    * Output: the selected rows + (pick_rank, quota). */
+  def labelBalancedCarveout(df: DataFrame, id: Column, label: Column,
+      total: Long): DataFrame = {
+    require(total >= 0, s"labelBalancedCarveout: total=$total")
+    val labels = df.groupBy(label.as("__l")).agg(count(lit(1)).as("__n"))
+    val quotas = largestRemainderQuota(labels, col("__l"), lit(1L), total)
+      .select(col("source").as("__l"), col("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(label).orderBy(hashValue(id).asc, id.asc)
+    df.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), label === col("__l"))
+      .where(col("pick_rank") <= col("quota"))
+      .drop("__l")
+  }
 }

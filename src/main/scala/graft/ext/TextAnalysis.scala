@@ -1143,6 +1143,35 @@ object TextAnalysis {
         col("entropy"))
   }
 
+  /** Quality-gate threshold SWEEP: the pass count at each candidate
+    * top-word-fraction ceiling, other Gopher rules held fixed — the
+    * sensitivity table a gate owner reads before moving a threshold
+    * (how many documents does each step actually buy?). One
+    * [[gopherQuality]] pass + one combiner aggregate with a
+    * conditional sum per candidate; the candidate list is bounded and
+    * explodes to one row each.
+    * Output: (threshold, n_docs, n_pass, pass_rate). */
+  def gateSweep(docs: DataFrame, idCol: String, textCol: String,
+      topFracs: Seq[Double]): DataFrame = {
+    require(topFracs.nonEmpty && topFracs.distinct == topFracs,
+      "gateSweep: thresholds must be non-empty and distinct")
+    val q = gopherQuality(docs, idCol, textCol)
+    val aggs = topFracs.zipWithIndex.map { case (t, i) =>
+      sum(when(col("ok_words") && col("ok_wl") && col("ok_stop") &&
+          col("top_word_frac").isNotNull && col("top_word_frac") <= t,
+        1L).otherwise(0L)).as(s"__p$i")
+    } :+ count(lit(1)).as("__n")
+    val row = q.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(topFracs.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col("__n").as("n_docs"),
+          col(s"__p$i").as("n_pass"),
+          (col(s"__p$i").cast("double") / col("__n").cast("double"))
+            .as("pass_rate"))
+      }: _*)).as("s"))
+      .select(col("s.threshold").as("threshold"), col("s.n_docs").as("n_docs"),
+        col("s.n_pass").as("n_pass"), col("s.pass_rate").as("pass_rate"))
+  }
+
   /** Persist a [[bpeMerges]] table (round, p1, p2, merged, cnt)
     * — the tokenizer-artifact half of the index-lifecycle family
     * (quantizers: `Ivf.saveModel`; retrieval: `savePostingsIndex`;

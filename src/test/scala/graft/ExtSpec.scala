@@ -2256,4 +2256,23 @@ class ExtSpec extends SparkSpec {
       ("id", 3L, 0L, 3L),
       ("opt", 3L, 1L, 1L))) // countDistinct ignores the null
   }
+  test("labelBalancedCarveout: even quotas, short labels contribute all") {
+    val d = ((1L to 10L).map(i => (i, "a")) ++
+      (11L to 20L).map(i => (i, "b")) ++
+      Seq((21L, "c"))) // label c has ONE row
+      .toDF("id", "lbl")
+    val got = rows(graft.ext.Sampling.labelBalancedCarveout(
+      d, $"id", $"lbl", total = 9L).orderBy("id"))
+    val byLabel = got.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    // 9 over 3 labels -> quota 3 each; c has only 1 row
+    assert(byLabel == Map("a" -> 3, "b" -> 3, "c" -> 1))
+    assert(got.forall(r => r.getAs[Long]("quota") == 3L))
+    // uneven total: 64 over 3 -> 22/21/21 with the extra to the
+    // ascending-first labels
+    val q = rows(graft.ext.Sampling.labelBalancedCarveout(
+      d, $"id", $"lbl", total = 64L)
+      .select($"lbl", $"quota").distinct().orderBy("lbl"))
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(q == Seq(("a", 22L), ("b", 21L), ("c", 21L)))
+  }
 }
