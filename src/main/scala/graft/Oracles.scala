@@ -4312,6 +4312,55 @@ object Oracles {
         |  CAST(p3 AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM agg
         |ORDER BY threshold""".stripMargin,
 
+    // x159: split leakage — the x02 exact pair CTEs + the hashSplit
+    // bucket formula + one summary row
+    "x159_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+        |    AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT d1, d2,
+        |      CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |    FROM inter
+        |    JOIN sizes sa ON d1 = sa.doc_id
+        |    JOIN sizes sb ON d2 = sb.doc_id) t
+        |  WHERE jaccard >= 0.6),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((doc_id % 1000000007) * 654435747 % 1000000007)
+        |        % 1000 < 800 THEN 'train'
+        |      WHEN ((doc_id % 1000000007) * 654435747 % 1000000007)
+        |        % 1000 < 900 THEN 'valid'
+        |      ELSE 'test' END AS split
+        |  FROM documents),
+        |lab AS (
+        |  SELECT p.d1, p.d2, a.split AS sa, b.split AS sb
+        |  FROM p JOIN sp a ON p.d1 = a.doc_id
+        |  JOIN sp b ON p.d2 = b.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cross,
+        |  CAST(sum(CASE WHEN (sa = 'train' AND sb = 'test')
+        |      OR (sa = 'test' AND sb = 'train') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train_test,
+        |  CASE WHEN count(*) > 0
+        |    THEN CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)
+        |    ELSE 0.0e0 END AS leak_rate
+        |FROM lab""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

@@ -2255,6 +2255,13 @@ object Queries {
       .orderBy("threshold")
   }
 
+  /** x159 — split-leakage audit: near-dup pairs straddling the
+    * 800/100/100 hash split — the eval-contamination number a random
+    * document split hides (Lee et al. 2022). One summary row. */
+  val x159SplitLeakage: Q = (s, dir) => {
+    Pipeline.splitLeakage(Tables.documents(s, dir), "doc_id", "text")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3142,6 +3149,7 @@ object Queries {
     "x156_column_profile" -> x156ColumnProfile,
     "x157_label_carveout" -> x157LabelCarveout,
     "x158_gate_sweep" -> x158GateSweep,
+    "x159_split_leakage" -> x159SplitLeakage,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

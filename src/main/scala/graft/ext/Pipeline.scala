@@ -157,4 +157,40 @@ object Pipeline {
       sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
       sum(when(col("len_outlier"), 1L).otherwise(0L)).as("n_len_outlier"),
       sum(col("kept").cast("long")).as("n_kept"))
+  /** Train/valid/test split LEAKAGE audit: how many near-duplicate
+    * pairs STRADDLE a split boundary — the contamination a random
+    * document-level split silently builds into evaluation (a test doc
+    * whose near-twin sits in train measures memorization, not
+    * generalization; Lee et al. 2022 measure exactly this). Pairs
+    * come from the exact prefix+positional Jaccard join
+    * ([[Dedup.jaccardPairsPrefix]], recall 1 at the threshold);
+    * split assignment is [[Sampling.hashSplit]]'s pure hash — the
+    * audit is deterministic end to end and re-derivable by any
+    * engine. One summary row: total near-dup pairs, boundary-crossing
+    * pairs, the train↔test subset (the harmful ones), and the
+    * crossing rate.
+    * Output: (n_pairs, n_cross, n_train_test, leak_rate). */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      trainPerMille: Int = 800, validPerMille: Int = 100,
+      threshold: Double = 0.6): DataFrame = {
+    val sh = docs.select(col(idCol),
+      TextAnalysis.shingles(col(textCol), 3).as("__sh"))
+    val pairs = Dedup.jaccardPairsPrefix(sh, idCol, "__sh", threshold)
+    val split = Sampling.hashSplit(docs.select(col(idCol)), col(idCol),
+      trainPerMille, validPerMille)
+    val sa = split.select(col(idCol).as("d1"), col("split").as("split_a"))
+    val sb = split.select(col(idCol).as("d2"), col("split").as("split_b"))
+    pairs.join(sa, Seq("d1")).join(sb, Seq("d2"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .as("n_cross"),
+        sum(when((col("split_a") === "train" && col("split_b") === "test")
+            || (col("split_a") === "test" && col("split_b") === "train"),
+          1L).otherwise(0L)).as("n_train_test"),
+        when(count(lit(1)) > 0,
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"))
+          .otherwise(lit(0.0)).as("leak_rate"))
+  }
 }

