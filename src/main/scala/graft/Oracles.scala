@@ -4361,6 +4361,101 @@ object Oracles {
         |    ELSE 0.0e0 END AS leak_rate
         |FROM lab""".stripMargin,
 
+    // x160: code-switch audit — the x79 chunking + the x08 marker
+    // argmax per chunk + a (count DESC, lang ASC) dominant pick
+    "x160_code_switch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |base AS (SELECT doc_id, arr, len(arr) AS dl FROM toks),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    list_transform(list_slice(arr, s + 1, least(s + 32, dl)),
+        |      x -> lower(x)) AS c
+        |  FROM base, unnest(generate_series(0, dl - 1, 32)) AS t(s)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(c,
+        |      x -> x IN ('the','a','and','of','to','in','is'))) AS s_en,
+        |    len(list_filter(c,
+        |      x -> x IN ('der','die','das','und','nicht','ist'))) AS s_de,
+        |    len(list_filter(c,
+        |      x -> x IN ('el','los','que','y','es','una'))) AS s_es,
+        |    len(list_filter(c,
+        |      x -> x IN ('le','les','et','est','une','dans'))) AS s_fr,
+        |    len(list_filter(c,
+        |      x -> x IN ('的','是','了','在','我'))) AS s_zh
+        |  FROM chunks WHERE len(c) > 0),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en = g AND s_en > 0 THEN 'en'
+        |         WHEN s_de = g AND s_de > 0 THEN 'de'
+        |         WHEN s_es = g AND s_es > 0 THEN 'es'
+        |         WHEN s_fr = g AND s_fr > 0 THEN 'fr'
+        |         WHEN s_zh = g AND s_zh > 0 THEN 'zh'
+        |         ELSE 'en' END AS lang
+        |  FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g
+        |        FROM sc) t),
+        |per AS (SELECT doc_id, lang, count(*) AS c FROM lab GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+        |    CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM per GROUP BY 1),
+        |dom AS (
+        |  SELECT doc_id, lang AS dominant_lang, c AS dom_c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, lang ASC) AS rn
+        |    FROM per) WHERE rn = 1)
+        |SELECT a.doc_id, a.n_chunks, a.n_langs, d.dominant_lang,
+        |  CAST(d.dom_c AS DOUBLE) / CAST(a.n_chunks AS DOUBLE)
+        |    AS dominant_share,
+        |  a.n_langs > 1 AS mixed
+        |FROM agg a JOIN dom d USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // x161: vocabulary coverage — (count DESC, term ASC) ranks over
+    // the vocabulary, conditional sums per cutoff, one division each
+    "x161_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, count(*) AS c FROM counts GROUP BY 1),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, term ASC)
+        |    AS rank
+        |  FROM cnt),
+        |agg AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS tot,
+        |    CAST(sum(CASE WHEN rank <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t0,
+        |    CAST(sum(CASE WHEN rank <= 100 THEN c ELSE 0 END) AS BIGINT)
+        |      AS c0,
+        |    CAST(sum(CASE WHEN rank <= 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t1,
+        |    CAST(sum(CASE WHEN rank <= 500 THEN c ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN rank <= 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t2,
+        |    CAST(sum(CASE WHEN rank <= 2000 THEN c ELSE 0 END) AS BIGINT)
+        |      AS c2,
+        |    CAST(sum(CASE WHEN rank <= 10000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS t3,
+        |    CAST(sum(CASE WHEN rank <= 10000 THEN c ELSE 0 END)
+        |      AS BIGINT) AS c3
+        |  FROM ranked)
+        |SELECT CAST(100 AS BIGINT) AS cutoff, t0 AS n_types,
+        |  c0 AS covered_tokens, tot AS total_tokens,
+        |  1.0e0 - CAST(c0 AS DOUBLE) / CAST(tot AS DOUBLE) AS oov_rate
+        |FROM agg
+        |UNION ALL SELECT 500, t1, c1, tot,
+        |  1.0e0 - CAST(c1 AS DOUBLE) / CAST(tot AS DOUBLE) FROM agg
+        |UNION ALL SELECT 2000, t2, c2, tot,
+        |  1.0e0 - CAST(c2 AS DOUBLE) / CAST(tot AS DOUBLE) FROM agg
+        |UNION ALL SELECT 10000, t3, c3, tot,
+        |  1.0e0 - CAST(c3 AS DOUBLE) / CAST(tot AS DOUBLE) FROM agg
+        |ORDER BY cutoff""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

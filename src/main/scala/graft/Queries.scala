@@ -2262,6 +2262,25 @@ object Queries {
     Pipeline.splitLeakage(Tables.documents(s, dir), "doc_id", "text")
   }
 
+  /** x160 — code-switching audit: per-chunk language ID over
+    * non-overlapping 32-token windows, per-doc language mix — the
+    * mixed-language flag a whole-document vote hides. */
+  val x160CodeSwitch: Q = (s, dir) => {
+    TextAnalysis.codeSwitchAudit(Tables.documents(s, dir), "doc_id",
+        "text", chunkSize = 32)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** x161 — vocabulary-coverage curve: covered token mass and OOV
+    * rate at four candidate vocabulary sizes — the tokenizer sizing
+    * table beside x113's Heaps growth. */
+  val x161VocabCoverage: Q = (s, dir) => {
+    TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text",
+        cutoffs = Seq(100L, 500L, 2000L, 10000L))
+      .orderBy("cutoff")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3150,6 +3169,8 @@ object Queries {
     "x157_label_carveout" -> x157LabelCarveout,
     "x158_gate_sweep" -> x158GateSweep,
     "x159_split_leakage" -> x159SplitLeakage,
+    "x160_code_switch" -> x160CodeSwitch,
+    "x161_vocab_coverage" -> x161VocabCoverage,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1172,6 +1172,75 @@ object TextAnalysis {
         col("s.n_pass").as("n_pass"), col("s.pass_rate").as("pass_rate"))
   }
 
+  /** CODE-SWITCHING audit: chunk every document into non-overlapping
+    * token windows, language-ID each chunk ([[langId]]'s marker
+    * argmax), and report the per-document language mix — documents
+    * whose chunks disagree are mixed-language (or concatenation
+    * artifacts), the slice a monolingual training mix wants flagged
+    * rather than mislabeled by a whole-document vote. Dominant
+    * language breaks ties (count DESC, lang ASC) — a total order.
+    * Scale shape: the x79 generator chunking (no shuffle) + two
+    * combiner aggregates keyed by id.
+    * Output: (id, n_chunks, n_langs, dominant_lang, dominant_share,
+    * mixed). */
+  def codeSwitchAudit(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32): DataFrame = {
+    val labeled = chunkTokens(docs, idCol, textCol, chunkSize, chunkSize)
+      .where(col("n_tokens") > 0)
+      .withColumn("__lang", langId(col("chunk_text")))
+    val per = labeled.groupBy(col("id"), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+    per.groupBy("id").agg(
+        sum(col("__c")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__c")).as("nc"), col("__lang").as("l")))
+          .as("__top"))
+      .select(col("id"), col("n_chunks"), col("n_langs"),
+        col("__top.l").as("dominant_lang"),
+        ((-col("__top.nc")).cast("double") /
+          col("n_chunks").cast("double")).as("dominant_share"),
+        (col("n_langs") > 1L).as("mixed"))
+  }
+
+  /** VOCABULARY-COVERAGE curve: for each candidate vocabulary size
+    * (the top-k corpus terms by frequency), the token mass covered
+    * and the OOV rate — the sizing curve a tokenizer/vocabulary
+    * decision reads (diminishing returns per 1k types is the whole
+    * argument). Ranks are (count DESC, term ASC) — a total order —
+    * and every number is an exact integer until the one boundary
+    * division. Scale shape: one token-count aggregate + one rank
+    * window over the VOCABULARY (types, not tokens) + one combiner
+    * fold; cutoffs explode to one row each.
+    * Output: (cutoff, n_types, covered_tokens, total_tokens,
+    * oov_rate). */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      cutoffs: Seq[Long]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.distinct == cutoffs &&
+      cutoffs.forall(_ >= 1), "vocabCoverage: bad cutoffs")
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+    val aggs = cutoffs.zipWithIndex.flatMap { case (c, i) => Seq(
+      sum(when(col("rank") <= c, 1L).otherwise(0L)).as(s"__t$i"),
+      sum(when(col("rank") <= c, col("cnt")).otherwise(0L)).as(s"__c$i"))
+    } :+ sum(col("cnt")).as("__tot")
+    val row = ranked.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(cutoffs.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("cutoff"), col(s"__t$i").as("n_types"),
+          col(s"__c$i").as("covered_tokens"),
+          col("__tot").as("total_tokens"),
+          (lit(1.0) - col(s"__c$i").cast("double") /
+            col("__tot").cast("double")).as("oov_rate"))
+      }: _*)).as("s"))
+      .select(col("s.cutoff").as("cutoff"), col("s.n_types").as("n_types"),
+        col("s.covered_tokens").as("covered_tokens"),
+        col("s.total_tokens").as("total_tokens"),
+        col("s.oov_rate").as("oov_rate"))
+  }
+
   /** Persist a [[bpeMerges]] table (round, p1, p2, merged, cnt)
     * — the tokenizer-artifact half of the index-lifecycle family
     * (quantizers: `Ivf.saveModel`; retrieval: `savePostingsIndex`;

@@ -2301,4 +2301,34 @@ class ExtSpec extends SparkSpec {
     assert(z.getAs[Long]("n_pairs") == 0L &&
       z.getAs[Double]("leak_rate") == 0.0)
   }
+  test("codeSwitchAudit: mixed-language document flagged, dominant tie order") {
+    val en = Seq.fill(8)("the is a of to in and") // strongly English
+    val de = Seq.fill(4)("der die das und nicht ist")
+    val docs = Seq(
+      (1L, (en ++ de).flatMap(_.split(" ")).mkString(" ")), // 2:1 en:de
+      (2L, en.flatMap(_.split(" ")).mkString(" ")))          // pure en
+      .toDF("doc_id", "text")
+    val got = rows(TextAnalysis.codeSwitchAudit(docs, "doc_id", "text",
+      chunkSize = 28).orderBy("id"))
+    val m = got.map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("n_langs") == 2L &&
+      m(1L).getAs[Boolean]("mixed"))
+    assert(m(1L).getAs[String]("dominant_lang") == "en")
+    assert(m(1L).getAs[Double]("dominant_share") == 2.0 / 3.0)
+    assert(m(2L).getAs[Long]("n_langs") == 1L &&
+      !m(2L).getAs[Boolean]("mixed") &&
+      m(2L).getAs[Double]("dominant_share") == 1.0)
+  }
+  test("vocabCoverage: exact mass at each cutoff on a known Zipf-ish corpus") {
+    // term counts: aa x6, bb x3, cc x1 -> total 10
+    val d = Seq((1L, "aa aa aa aa aa aa bb bb bb cc")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.vocabCoverage(d, "text", Seq(1L, 2L, 10L))
+      .orderBy("cutoff"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got == Seq(
+      (1L, 1L, 6L, 10L, 1.0 - 0.6),
+      (2L, 2L, 9L, 10L, 1.0 - 0.9),
+      (10L, 3L, 10L, 10L, 0.0)))
+  }
 }
