@@ -5368,5 +5368,10 @@ object Oracles {
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
       retrievalEvalO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
-      ("x126_bm25_index" -> base("x76_bm25"))
+      ("x126_bm25_index" -> base("x76_bm25")) +
+      // x162: the persisted-quantizer serving path is bit-equal to
+      // x21's inline-trained path — the shared oracle IS the claim
+      ("x162_index_roundtrip" -> base("x21_ivf_ann")) +
+      // x163: the persisted two-level model assigns bit-identically
+      ("x163_two_level_roundtrip" -> base("x61_two_level_assign"))
 }

@@ -21,6 +21,7 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("asof")) { asofBench(spark); spark.stop(); return }
     if (args.contains("x96ab")) { x96Ab(spark, dir); spark.stop(); return }
+    if (args.contains("x106ab")) { x106Ab(spark, dir); spark.stop(); return }
     import graft.sources.Tables
     import graft.ext.{Dedup, TextAnalysis}
 
@@ -79,6 +80,32 @@ object Probe {
         .orderBy("d1", "d2").count()
     }
     spark.stop()
+  }
+
+  /** Paired same-JVM A/B: the x106 KMV sketch as-is (dv derived twice —
+    * the NOTES "three corpus scans" lead) vs a localCheckpointed dv
+    * shared by the stats agg and the hash ranking. */
+  def x106Ab(spark: SparkSession, dir: String): Unit = {
+    import graft.ext.{DistinctSketch, TextAnalysis}
+    import graft.sources.Tables
+    def toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
+    def current(): Long =
+      DistinctSketch.kmv(toks, "source", col("tok"), k = 64).count()
+    def checkpointed(): Long = {
+      val vals = toks.select(col("source").as("g"), col("tok").as("v"))
+        .where(col("v").isNotNull)
+      val dv = vals.distinct().localCheckpoint(true)
+      val dh = dv.select(col("g"),
+        DistinctSketch.compositeHash(col("v")).as("h")).distinct()
+      val stats = dv.groupBy("g").agg(count(lit(1)).as("exact_distinct"))
+      stats.join(DistinctSketch.kmvEstimate(dh, 64), Seq("g")).count()
+    }
+    (1 to 2).foreach { i =>
+      time(s"x106 current      run $i")(current())
+      time(s"x106 checkpointed run $i")(checkpointed())
+    }
   }
 
   /** Paired same-JVM A/B: corpusPrep with plain label propagation vs

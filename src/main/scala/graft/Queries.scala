@@ -2281,6 +2281,42 @@ object Queries {
       .orderBy("cutoff")
   }
 
+  /** x162 — quantizer index LIFECYCLE round-trip: train → saveModel →
+    * loadModel → serve (ivfTopKWith). Shares x21's oracle — the
+    * equality IS the claim that persistence changes nothing (the
+    * x126/x67 pattern): loadModel restores cid-ascending centroids,
+    * so assignment and ranking are bit-identical to in-line
+    * training. */
+  val x162IndexRoundtrip: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cent = Ivf.train(emb, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_x162_ivf").toString
+    Ivf.saveModel(cent, path, s)
+    val loaded = Ivf.loadModel(s, path)
+    Ivf.ivfTopKWith(emb.where(col("vec_id") < 10), emb, "vec_id",
+        "embedding", k = 5, nprobe = 2, loaded)
+      .orderBy("query_id", "rank")
+  }
+
+  /** x163 — TWO-LEVEL index lifecycle round-trip: trainTwoLevelAsData
+    * → saveModelTwoLevel → loadModelTwoLevel → assignWithData. Shares
+    * x61's oracle — the unbounded-K model family survives sessions
+    * with bit-identical assignment (coarse arrays reload
+    * cid-ascending; the fine level never leaves DataFrames). */
+  val x163TwoLevelRoundtrip: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val m = Ivf.trainTwoLevelAsData(emb, "vec_id", "embedding",
+      nCoarse = 4, nFine = 4)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_x163_twolevel").toString
+    Ivf.saveModelTwoLevel(m, path, s)
+    val loaded = Ivf.loadModelTwoLevel(s, path)
+    Ivf.assignWithData(emb, "vec_id", "embedding", loaded)
+      .select(col("neighbor_id").as("id"), col("cid"))
+      .orderBy("id")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3171,6 +3207,8 @@ object Queries {
     "x159_split_leakage" -> x159SplitLeakage,
     "x160_code_switch" -> x160CodeSwitch,
     "x161_vocab_coverage" -> x161VocabCoverage,
+    "x162_index_roundtrip" -> x162IndexRoundtrip,
+    "x163_two_level_roundtrip" -> x163TwoLevelRoundtrip,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -84,7 +84,15 @@ object DistinctSketch {
     require(k >= 2, s"kmv: k=$k must be >= 2 (k=1 estimates 0)")
     val vals = df.select(col(groupCol).as("g"), value.as("v"))
       .where(col("v").isNotNull)
-    val dv = vals.distinct()
+    // materialize the deduped (g, v) table ONCE — it feeds both the
+    // exact-count agg and the hash ranking, and uncheckpointed each
+    // consumer re-runs the full upstream scan+distinct (paired
+    // same-JVM A/B at sf0.1: 2.36 s → 0.84 s min-of-2). The blocks
+    // are bounded by the distinct-value set the operator shuffles
+    // anyway; callers with corpora whose DISTINCT set itself cannot
+    // land on executors should sketch per-partition partials
+    // ([[kmvPartial]]) and fold instead.
+    val dv = vals.distinct().localCheckpoint(true)
     val dh = dv.select(col("g"), compositeHash(col("v")).as("h")).distinct()
     val stats = dv.groupBy("g").agg(count(lit(1)).as("exact_distinct"))
     stats.join(kmvEstimate(dh, k), Seq("g"))
@@ -207,7 +215,9 @@ object DistinctSketch {
   def kmvPairJaccard(df: DataFrame, groupCol: String, value: Column,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvPairJaccard: k=$k must be >= 2")
-    val mins = kmvPartial(df, groupCol, value, k)
+    // tiny (k·|groups| rows) but consumed by BOTH sides of the pair
+    // fan-out — uncheckpointed, the full distinct+rank chain runs twice
+    val mins = kmvPartial(df, groupCol, value, k).localCheckpoint(true)
     val srcs = mins.select(col("g")).distinct()
     val pairs = srcs.select(col("g").as("src_a"))
       .join(srcs.select(col("g").as("src_b")),

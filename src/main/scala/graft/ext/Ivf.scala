@@ -588,6 +588,17 @@ object Ivf {
     val cent =
       if (refineIters <= 0) seedCentroids(corpus, idCol, vecCol, nlist)
       else refinedCentroids(corpus, idCol, vecCol, nlist, refineIters)
+    ivfTopKWith(queries, corpus, idCol, vecCol, k, nprobe, cent)
+  }
+
+  /** [[ivfTopK]] under an ALREADY-TRAINED quantizer — the serving
+    * path of the index lifecycle (the ingest job trains + saves, every
+    * reader [[loadModel]]s and calls this). Bit-identical to training
+    * in-line because [[loadModel]] restores cid-ascending centroids
+    * (the x162 query shares x21's oracle — the equality IS the
+    * claim, the x126 pattern). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, cent: Centroids): DataFrame = {
     val assigned = assignCells(corpus, idCol, vecCol, cent)
 
     // probe list: the nprobe nearest centroids per query. The window runs
