@@ -4456,6 +4456,48 @@ object Oracles {
         |  1.0e0 - CAST(c3 AS DOUBLE) / CAST(tot AS DOUBLE) FROM agg
         |ORDER BY cutoff""".stripMargin,
 
+    // x164: KS drift — integer ECDFs on the shared value grid, exact
+    // decimal cross difference, min-v argmax, one division
+    "x164_ks_drift" ->
+      """WITH base AS (
+        |  SELECT source AS g,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS v
+        |  FROM documents),
+        |pergv AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |perv AS (SELECT v, count(*) AS cc FROM base GROUP BY 1),
+        |ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base
+        |       GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
+        |grid AS (
+        |  SELECT ng.g, ng.n, perv.v, perv.cc, coalesce(pergv.c, 0) AS c
+        |  FROM ng CROSS JOIN perv
+        |  LEFT JOIN pergv ON pergv.g = ng.g AND pergv.v = perv.v),
+        |cum AS (
+        |  SELECT g, n, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum_g,
+        |    sum(cc) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum_c
+        |  FROM grid),
+        |d AS (
+        |  SELECT g, n, v,
+        |    abs(CAST(cum_g AS DECIMAL(18,0))
+        |        * CAST(na.n_all AS DECIMAL(18,0)) -
+        |      CAST(cum_c AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)))
+        |      AS dd
+        |  FROM cum CROSS JOIN na),
+        |m AS (SELECT g, n, max(dd) AS dmax FROM d GROUP BY 1, 2),
+        |at AS (
+        |  SELECT d.g, min(d.v) AS at_value
+        |  FROM d JOIN m ON d.g = m.g AND d.dd = m.dmax GROUP BY 1)
+        |SELECT m.g AS source, m.n,
+        |  CAST(CAST(m.dmax AS VARCHAR) AS DOUBLE)
+        |    / (CAST(m.n AS DOUBLE) * CAST(na.n_all AS DOUBLE)) AS ks,
+        |  at.at_value
+        |FROM m JOIN at USING (g) CROSS JOIN na
+        |ORDER BY source""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

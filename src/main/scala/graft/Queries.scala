@@ -2317,6 +2317,18 @@ object Queries {
       .orderBy("id")
   }
 
+  /** x164 — per-source Kolmogorov-Smirnov drift of the token-length
+    * distribution vs the corpus: exact integer ECDFs on the shared
+    * value grid, one boundary division — the distribution-SHAPE alarm
+    * beside x118's token-mix TV. */
+  val x164KsDrift: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("source"),
+      TextAnalysis.tokenCount(col("text")).as("nt"))
+    graft.ext.Stats.ksDrift(d, col("source"), col("nt"))
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3209,6 +3221,7 @@ object Queries {
     "x161_vocab_coverage" -> x161VocabCoverage,
     "x162_index_roundtrip" -> x162IndexRoundtrip,
     "x163_two_level_roundtrip" -> x163TwoLevelRoundtrip,
+    "x164_ks_drift" -> x164KsDrift,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -184,4 +184,59 @@ object Stats {
       .select(col("p.column").as("column"), col("p.n").as("n"),
         col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
   }
+  /** Per-group KOLMOGOROV-SMIRNOV drift of a discrete numeric column
+    * against the whole corpus: D = max_v |ECDF_g(v) − ECDF_corpus(v)|
+    * — the distribution-shape alarm beside the token-level TV drift
+    * (a source whose length distribution walked away from the corpus
+    * fails KS long before its token mix does). EXACT arithmetic: both
+    * ECDFs are integer cumulative counts over the corpus's distinct
+    * value grid (a group missing a value carries its cumulative
+    * forward), the difference is the cross product
+    * |cum_g·n − cum_c·n_g| in DECIMAL (the x78 sizing), and ONE
+    * double division at the boundary. Ties: the max is over VALUES,
+    * so row order never matters; the argmax value reports the
+    * smallest v attaining D (min over ties — a total order).
+    *
+    * Scale shape: two combiner count aggs, one per-group window over
+    * the |groups|·|distinct values| grid (bounded for discrete
+    * columns — lengths, buckets, ratings), one combiner max.
+    * Output: (group, n, ks, at_value). */
+  def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(18, 0)
+    val base = df.select(group.as("g"), value.as("v"))
+    val perGV = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val perV = base.groupBy("v").agg(count(lit(1)).as("cc"))
+    val ng = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val nAll = base.agg(count(lit(1)).as("n_all"))
+    // full grid: every (group, corpus value), missing counts = 0
+    val grid = ng.select(col("g"), col("n"))
+      .crossJoin(perV)
+      .join(perGV, Seq("g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("cum_g", sum(col("c")).over(wg))
+      .withColumn("cum_c", sum(col("cc")).over(wg))
+      .crossJoin(broadcast(nAll))
+      .withColumn("__d",
+        abs(col("cum_g").cast(N) * col("n_all").cast(N) -
+          col("cum_c").cast(N) * col("n").cast(N)))
+      // the bounded grid feeds BOTH the max agg and the argmax
+      // join-back — the kmv double-derivation lesson, same fix
+      .localCheckpoint(true)
+    val dmax = cum.groupBy("g", "n", "n_all")
+      .agg(max(col("__d")).as("__dmax"))
+    val at = cum.select(col("g"), col("v"), col("__d"))
+      .join(dmax.select(col("g"), col("__dmax")), Seq("g"))
+      .where(col("__d") === col("__dmax"))
+      .groupBy("g").agg(min(col("v")).as("at_value"))
+    dmax.join(at, Seq("g"))
+      .select(col("g").as("group"), col("n"),
+        (col("__dmax").cast("double") /
+          (col("n").cast("double") * col("n_all").cast("double")))
+          .as("ks"),
+        col("at_value"))
+  }
 }

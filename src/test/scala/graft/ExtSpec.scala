@@ -2331,4 +2331,22 @@ class ExtSpec extends SparkSpec {
       (2L, 2L, 9L, 10L, 1.0 - 0.9),
       (10L, 3L, 10L, 10L, 0.0)))
   }
+  test("ksDrift: hand-computed two-group case, identical group scores 0") {
+    // group a: values 1,1,2,3 ; group b: values 3,3,4,4
+    // corpus: 1x2, 2x1, 3x3, 4x2 (n=8)
+    val d = (Seq(1L, 1L, 2L, 3L).map(("a", _)) ++
+      Seq(3L, 3L, 4L, 4L).map(("b", _))).toDF("g", "v")
+    val got = rows(graft.ext.Stats.ksDrift(d, $"g", $"v").orderBy("group"))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    // ECDF_a = (2/4, 3/4, 4/4, 4/4) vs corpus (2/8, 3/8, 6/8, 8/8):
+    // diffs 1/4, 3/8, 1/4, 0 -> KS 3/8 at v=2
+    assert(got(0) == ("a", 4L, 0.375, 2L))
+    // ECDF_b = (0, 0, 2/4, 4/4): diffs 1/4, 3/8, 1/4, 0 -> 3/8 at v=2
+    assert(got(1) == ("b", 4L, 0.375, 2L))
+    // a group that IS the corpus drifts by 0 (argmax = smallest value)
+    val same = Seq(("x", 1L), ("x", 2L)).toDF("g", "v")
+    val z = rows(graft.ext.Stats.ksDrift(same, $"g", $"v")).head
+    assert(z.getDouble(2) == 0.0 && z.getLong(3) == 1L)
+  }
 }
