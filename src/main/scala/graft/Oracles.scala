@@ -4498,6 +4498,39 @@ object Oracles {
         |FROM m JOIN at USING (g) CROSS JOIN na
         |ORDER BY source""".stripMargin,
 
+    // x165: pairwise KS matrix — the x164 grid per group, pair-joined
+    // on the value grid, exact decimal cross difference
+    "x165_ks_matrix" ->
+      """WITH base AS (
+        |  SELECT source AS g,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS v
+        |  FROM documents),
+        |pergv AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |perv AS (SELECT DISTINCT v FROM base),
+        |ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base
+        |       GROUP BY 1),
+        |grid AS (
+        |  SELECT ng.g, ng.n, perv.v, coalesce(pergv.c, 0) AS c
+        |  FROM ng CROSS JOIN perv
+        |  LEFT JOIN pergv ON pergv.g = ng.g AND pergv.v = perv.v),
+        |cum AS (
+        |  SELECT g, n, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM grid),
+        |pairs AS (
+        |  SELECT a.g AS src_a, b.g AS src_b, a.n AS n_a, b.n AS n_b,
+        |    abs(CAST(a.cum AS DECIMAL(18,0)) * CAST(b.n AS DECIMAL(18,0))
+        |      - CAST(b.cum AS DECIMAL(18,0))
+        |        * CAST(a.n AS DECIMAL(18,0))) AS dd
+        |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g)
+        |SELECT src_a, src_b, n_a, n_b,
+        |  CAST(CAST(max(dd) AS VARCHAR) AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks
+        |FROM pairs GROUP BY 1, 2, 3, 4
+        |ORDER BY src_a, src_b""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->
@@ -5402,13 +5435,65 @@ object Oracles {
           |    / 10 AS p_at_k
           |FROM rel GROUP BY 1 ORDER BY query_id""".stripMargin))
 
+  // x166: graded nDCG — the x81 scorer wrapped verbatim, containment
+  // gains, quantized ln2/ln(i+1) discounts, exact decimal DCG/IDCG
+  private val ndcgEvalO: Map[String, String] = Map(
+    "x166_ndcg_eval" ->
+      (s"WITH sc AS (\n${base("x81_bm25_multi")}\n),\n" +
+        """toks AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          |    AS t
+          |  FROM documents),
+          |g AS (
+          |  SELECT sc.doc_id, sc.query_id, sc.bm25,
+          |    CASE sc.query_id
+          |      WHEN 'q_spark' THEN CAST(list_contains(t, 'spark') AS INT)
+          |        + CAST(list_contains(t, 'shuffle') AS INT)
+          |      WHEN 'q_rel' THEN CAST(list_contains(t, 'join') AS INT)
+          |        + CAST(list_contains(t, 'window') AS INT)
+          |      ELSE CAST(list_contains(t, 'dup') AS INT)
+          |        + CAST(list_contains(t, 'filter') AS INT)
+          |    END AS gain
+          |  FROM sc JOIN toks USING (doc_id)),
+          |top AS (
+          |  SELECT query_id, gain,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY bm25 DESC, doc_id ASC) AS rank
+          |  FROM g),
+          |dcg AS (
+          |  SELECT query_id,
+          |    sum(CAST(gain AS DECIMAL(9,0)) *
+          |      CAST(ln(2e0) / ln(CAST(rank + 1 AS DOUBLE))
+          |        AS DECIMAL(28,12))) AS d
+          |  FROM top WHERE rank <= 10 GROUP BY 1),
+          |ideal AS (
+          |  SELECT query_id, gain,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY gain DESC, doc_id ASC) AS rn
+          |  FROM g),
+          |idcg AS (
+          |  SELECT query_id,
+          |    sum(CAST(gain AS DECIMAL(9,0)) *
+          |      CAST(ln(2e0) / ln(CAST(rn + 1 AS DOUBLE))
+          |        AS DECIMAL(28,12))) AS d
+          |  FROM ideal WHERE rn <= 10 GROUP BY 1)
+          |SELECT dcg.query_id,
+          |  CAST(CAST(dcg.d AS VARCHAR) AS DOUBLE) AS dcg,
+          |  CAST(CAST(idcg.d AS VARCHAR) AS DOUBLE) AS idcg,
+          |  CASE WHEN idcg.d > 0
+          |    THEN CAST(CAST(dcg.d AS VARCHAR) AS DOUBLE)
+          |      / CAST(CAST(idcg.d AS VARCHAR) AS DOUBLE)
+          |    ELSE 0.0e0 END AS ndcg
+          |FROM dcg JOIN idcg USING (query_id)
+          |ORDER BY dcg.query_id""".stripMargin))
+
   // x126: the postings-index BM25 path is bit-equal to the x76 scan
   // path by construction (same tf frame rebuilt, same stats agg, same
   // fixed-order score projection) — the shared oracle IS the claim
   // that only the execution shape changed (the x67/x63 pattern)
   val all: Map[String, String] =
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
-      retrievalEvalO +
+      retrievalEvalO ++ ndcgEvalO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2329,6 +2329,29 @@ object Queries {
       .orderBy("source")
   }
 
+  /** x165 — pairwise two-sample KS matrix of token-length
+    * distributions between sources — the |sources|² shape-drift
+    * matrix beside x121's span overlap and x147's sketch Jaccard. */
+  val x165KsMatrix: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("source"),
+      TextAnalysis.tokenCount(col("text")).as("nt"))
+    graft.ext.Stats.ksMatrix(d, col("source"), col("nt"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** x166 — graded nDCG@10 of the BM25 ranker with term-containment
+    * grades — the graded companion of x155's binary MRR, closing the
+    * retrieval-evaluation family. */
+  val x166NdcgEval: Q = (s, dir) => {
+    Retrieval.ndcgEval(Tables.documents(s, dir), "doc_id", "text",
+        queries = Seq(
+          "q_spark" -> Seq("spark", "shuffle"),
+          "q_rel" -> Seq("join", "window"),
+          "q_dedup" -> Seq("dup", "filter")),
+        k = 10)
+      .orderBy("query_id")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3222,6 +3245,8 @@ object Queries {
     "x162_index_roundtrip" -> x162IndexRoundtrip,
     "x163_two_level_roundtrip" -> x163TwoLevelRoundtrip,
     "x164_ks_drift" -> x164KsDrift,
+    "x165_ks_matrix" -> x165KsMatrix,
+    "x166_ndcg_eval" -> x166NdcgEval,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -610,4 +610,60 @@ object Retrieval {
         (sum(when(col("__rel"), 1L).otherwise(0L)).cast("double") /
           lit(k)).as("p_at_k"))
   }
+  /** GRADED retrieval evaluation — nDCG@k of the BM25 ranking with
+    * term-containment grades (gain = how many of the query's terms
+    * the document contains, 0..|terms| — the graded qrels a
+    * synthetic corpus supports without human labels; Järvelin &
+    * Kekäläinen 2002). Discounts ln2/ln(i+1) are the only
+    * transcendentals, each quantized ONCE to DECIMAL(28,12); every
+    * gain·discount product and both DCG/IDCG sums are exact decimals
+    * (operands sized ≤ 38 precision, the x78 rule), and nDCG is one
+    * boundary division. IDCG ranks ALL documents by (gain DESC, id
+    * ASC) — a total order — so ties cannot shift the ideal.
+    * Scale shape: the x155 top-k machinery + one gain scan + one
+    * per-query ideal rank riding WindowGroupLimit.
+    * Output: (query_id, dcg, idcg, ndcg). */
+  def ndcgEval(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"ndcgEval: k=$k must be >= 1")
+    val D = DecimalType(28, 12)
+    val G = DecimalType(9, 0)
+    def disc(rank: org.apache.spark.sql.Column) =
+      (log(lit(2.0)) / log(rank.cast("double") + lit(1.0))).cast(D)
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    val gain = queries.foldRight(lit(0)) { case ((qid, terms), acc) =>
+      when(col("query_id") === qid,
+        terms.map(t => array_contains(col("__t"), t).cast("int"))
+          .reduce(_ + _)).otherwise(acc)
+    }
+    val scored = bm25ScoreMulti(docs, idCol, textCol, queries, k1, b)
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("id").asc)
+    val top = scored
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= k)
+      .join(toks, Seq("id"))
+      .withColumn("__g", gain)
+    val dcg = top.groupBy("query_id")
+      .agg(sum(col("__g").cast(G) * disc(col("rank"))).as("__dcg"))
+    val graded = scored.select(col("id"), col("query_id"))
+      .join(toks, Seq("id"))
+      .withColumn("__g", gain)
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("__g").desc, col("id").asc)
+    val idcg = graded
+      .withColumn("__rn", row_number().over(wIdeal).cast("long"))
+      .where(col("__rn") <= k)
+      .groupBy("query_id")
+      .agg(sum(col("__g").cast(G) * disc(col("__rn"))).as("__idcg"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"),
+        col("__dcg").cast("double").as("dcg"),
+        col("__idcg").cast("double").as("idcg"),
+        when(col("__idcg") > 0,
+          col("__dcg").cast("double") / col("__idcg").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
 }

@@ -239,4 +239,42 @@ object Stats {
           .as("ks"),
         col("at_value"))
   }
+  /** Pairwise TWO-SAMPLE KS matrix: D(a,b) = max_v |ECDF_a − ECDF_b|
+    * for every ordered group pair — the |groups|² drift matrix at
+    * sketch-free exactness ([[ksDrift]]'s grid machinery, the pairing
+    * loop being the only difference). Same integer/decimal
+    * discipline; the grid self-join fans out to |groups|²·|values|
+    * rows, bounded for discrete columns and bounded group sets.
+    * Output: (src_a, src_b, n_a, n_b, ks), pairs src_a < src_b. */
+  def ksMatrix(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(18, 0)
+    val base = df.select(group.as("g"), value.as("v"))
+    val perGV = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val perV = base.select("v").distinct()
+    val ng = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val grid = ng.select(col("g"), col("n"))
+      .crossJoin(perV)
+      .join(perGV, Seq("g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("cum", sum(col("c")).over(wg))
+      .select(col("g"), col("n"), col("v"), col("cum"))
+      .localCheckpoint(true)
+    val a = cum.select(col("g").as("src_a"), col("n").as("n_a"),
+      col("v"), col("cum").as("cum_a"))
+    val b = cum.select(col("g").as("src_b"), col("n").as("n_b"),
+      col("v"), col("cum").as("cum_b"))
+    a.join(b, Seq("v")).where(col("src_a") < col("src_b"))
+      .withColumn("__d",
+        abs(col("cum_a").cast(N) * col("n_b").cast(N) -
+          col("cum_b").cast(N) * col("n_a").cast(N)))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(max(col("__d")).as("__dmax"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (col("__dmax").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks"))
+  }
 }

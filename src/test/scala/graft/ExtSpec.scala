@@ -2349,4 +2349,39 @@ class ExtSpec extends SparkSpec {
     val z = rows(graft.ext.Stats.ksDrift(same, $"g", $"v")).head
     assert(z.getDouble(2) == 0.0 && z.getLong(3) == 1L)
   }
+  test("ksMatrix: pairwise two-sample KS, consistent with ksDrift logic") {
+    // a: 1,1,2,3 ; b: 3,3,4,4 -> ECDF_a (2/4,3/4,1,1) vs
+    // ECDF_b (0,0,2/4,1): diffs 1/2, 3/4, 1/2, 0 -> KS 3/4
+    val d = (Seq(1L, 1L, 2L, 3L).map(("a", _)) ++
+      Seq(3L, 3L, 4L, 4L).map(("b", _))).toDF("g", "v")
+    val got = rows(graft.ext.Stats.ksMatrix(d, $"g", $"v")).head
+    assert((got.getString(0), got.getString(1)) == ("a", "b"))
+    assert(got.getAs[Long]("n_a") == 4L && got.getAs[Long]("n_b") == 4L)
+    assert(got.getAs[Double]("ks") == 0.75)
+    // identical distributions -> 0
+    val same = (Seq(1L, 2L).map(("x", _)) ++ Seq(1L, 2L).map(("y", _)))
+      .toDF("g", "v")
+    assert(rows(graft.ext.Stats.ksMatrix(same, $"g", $"v"))
+      .head.getAs[Double]("ks") == 0.0)
+  }
+  test("ndcgEval: perfect ranking scores 1, graded gains discount correctly") {
+    // doc 1 has both terms (gain 2), doc 2 one (gain 1), doc 3 none.
+    // BM25 must rank 1 above 2 above 3 here, so DCG = IDCG -> ndcg 1.
+    val docs = Seq(
+      (1L, "spark shuffle spark shuffle"),
+      (2L, "spark words only here"),
+      (3L, "nothing at all present"))
+      .toDF("doc_id", "text")
+    val r = rows(graft.ext.Retrieval.ndcgEval(docs, "doc_id", "text",
+      Seq("q1" -> Seq("spark", "shuffle")), k = 10)).head
+    assert(r.getAs[Double]("ndcg") == 1.0)
+    // hand value: 2/log2(2) + 1/log2(3) = 2 + ln2/ln3
+    val expected = 2.0 + math.log(2.0) / math.log(3.0)
+    assert(math.abs(r.getAs[Double]("dcg") - expected) < 1e-9)
+    // no relevant docs anywhere: idcg 0 -> ndcg 0, never a div-by-zero
+    val none = rows(graft.ext.Retrieval.ndcgEval(docs, "doc_id", "text",
+      Seq("q0" -> Seq("absent", "terms")), k = 10)).head
+    assert(none.getAs[Double]("ndcg") == 0.0 &&
+      none.getAs[Double]("idcg") == 0.0)
+  }
 }
