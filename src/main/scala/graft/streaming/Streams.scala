@@ -322,6 +322,58 @@ object Streams {
         .groupBy("shard", "dim")
         .agg(sum(col("s")).as("s"), sum(col("n_vecs")).as("n_vecs")))
 
+  /** Streaming SHARDED-EXPORT sink — the x142 manifest-driven export
+    * as a restart-safe ingest tail: each micro-batch is packed into
+    * ≈`shardTokens`-token shards by the deterministic prefix-sum plan
+    * ([[graft.ext.Sampling.shardPlan]] over the BATCH — streaming
+    * cannot re-shard history, so shard ids are batch-scoped and the
+    * (_batch, shard_id) pair is the global shard key) and lands as
+    * `_batch=N/shard_id=M/` JSONL partitions. Dynamic partition
+    * overwrite by batch id keeps a replayed batch byte-idempotent —
+    * the same ledger discipline as every admission sink here.
+    * [[shardedExportManifest]] re-derives the manifest FROM DISK.
+    * Appends (idCol, nTokensCol, textCol, _batch, shard_id). */
+  def shardedExportSink(docStream: DataFrame, idCol: String,
+      nTokensCol: String, textCol: String, shardTokens: Long,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val plan = graft.ext.Sampling.shardPlan(
+            batch.select(col(idCol), col(nTokensCol)),
+            col(idCol), col(nTokensCol), shardTokens)
+          .select(col("id").as(idCol), col("shard_id"))
+        batch.select(col(idCol), col(nTokensCol), col(textCol))
+          .join(plan, Seq(idCol))
+          .withColumn("_batch", lit(batchId))
+          .repartition(col("shard_id"))
+          .sortWithinPartitions(col("shard_id"), col(idCol))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch", "shard_id")
+          .json(outPath)
+      }
+      .start()
+
+  /** Disk-derived manifest over a [[shardedExportSink]] table: one row
+    * per (_batch, shard_id) with doc count, token mass, and the id
+    * range — what a downstream trainer actually reads, certified
+    * (the x142 contract, per batch). */
+  def shardedExportManifest(spark: org.apache.spark.sql.SparkSession,
+      outPath: String, idCol: String, nTokensCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField(nTokensCol, LongType),
+      StructField("_batch", LongType), StructField("shard_id", LongType)))
+    spark.read.schema(schema).json(outPath)
+      .groupBy("_batch", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col(nTokensCol)).as("n_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+      .orderBy("_batch", "shard_id")
+  }
+
   /** Streaming distribution-drift monitor: score every micro-batch's
     * token distribution against a PINNED training-corpus distribution
     * (the train-once contract of the score/BM25 sinks — the model is

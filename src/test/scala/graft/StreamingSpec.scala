@@ -10,6 +10,7 @@ case class QV(vec_id: Long, embedding: Array[Float])
 case class TDoc(doc_id: Long, text: String)
 case class TSrc(id: Long, src: String, w: Long)
 case class GV(g: String, v: String)
+case class DocT(doc_id: Long, n_tokens: Long, text: String)
 
 /** Streaming forms agree with the batch operators: replayed duplicates
   * insert nothing (A5 in streaming terms), windowed counts match the
@@ -250,6 +251,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch) // exact decimal partials: BIT-equal drift
     // ledger is per-(batch, shard, dim) partials — bounded, mergeable
     assert(spark.read.parquet(table).count() == 2 * 4 * 3)
+  }
+
+  test("shardedExportSink: per-batch prefix-sum shards, disk-derived " +
+      "manifest matches the batch packing") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(i: Long, nt: Long) = DocT(i, nt, s"doc $i")
+    val b1 = Seq(doc(1, 500), doc(2, 400), doc(3, 300), doc(4, 900))
+    val b2 = Seq(doc(5, 1200), doc(6, 100))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sexp")
+    val out = dir.resolve("shards").toString
+    val mem = MemoryStream[DocT]
+    mem.addData(b1: _*)
+    val q = Streams.shardedExportSink(mem.toDF(), "doc_id", "n_tokens",
+      "text", shardTokens = 1000L, out, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val man = rows(Streams.shardedExportManifest(spark, out, "doc_id",
+      "n_tokens"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // batch 0: cum_prev 0,500,900 -> shard 0 (docs 1-3, 1200 tok);
+    //          cum_prev 1200 -> shard 1 (doc 4)
+    // batch 1: cum_prev 0 -> shard 0 (doc 5); cum_prev 1200 -> shard 1
+    assert(man == Seq(
+      (0L, 0L, 3L, 1200L, 1L, 3L),
+      (0L, 1L, 1L, 900L, 4L, 4L),
+      (1L, 0L, 1L, 1200L, 5L, 5L),
+      (1L, 1L, 1L, 100L, 6L, 6L)))
+    // every row round-trips with its text intact
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // partition columns ride along on read — project them away
+    val back = spark.read.schema(schema).json(out)
+      .select($"doc_id", $"text")
+    assert(rows(back.orderBy("doc_id")).map(_.toString) ==
+      (b1 ++ b2).sortBy(_.doc_id)
+        .map(d => s"[${d.doc_id},doc ${d.doc_id}]"))
   }
 
   test("rateAnomalyView: additive count ledger + z tail equals the " +
