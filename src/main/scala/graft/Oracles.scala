@@ -4531,6 +4531,84 @@ object Oracles {
         |FROM pairs GROUP BY 1, 2, 3, 4
         |ORDER BY src_a, src_b""".stripMargin,
 
+    // x167: pairwise HLL union/intersection — the x107 register CTEs,
+    // pair MAX-merge, the same fixed-order estimate chain,
+    // inclusion-exclusion at the boundary
+    "x167_hll_pair_union" ->
+      """WITH arrs AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+')
+        |    AS arr
+        |  FROM documents),
+        |toks AS (
+        |  SELECT source, unnest(list_transform(range(1, len(arr)),
+        |    i -> concat(arr[i], ' ', arr[i+1]))) AS w
+        |  FROM arrs),
+        |h AS (
+        |  SELECT source,
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(w, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2654435761 + 17) % 1000000007) AS w1,
+        |    (((CASE WHEN length(w) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(w) + 1),
+        |         j -> ascii(substring(reverse(w), j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 2246822519 + 31) % 1000000007) AS w2
+        |  FROM toks),
+        |regs AS (
+        |  SELECT source, w2 % 256 AS bucket,
+        |    max(CASE WHEN w1 = 0 THEN 31
+        |        ELSE 31 - length(bin(w1)) END) AS reg
+        |  FROM h GROUP BY 1, 2),
+        |est AS (
+        |  SELECT source,
+        |    CAST(0.7213 AS DOUBLE)
+        |      / (CAST(1 AS DOUBLE)
+        |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+        |      * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+        |      * CAST(2147483648 AS DOUBLE)
+        |      / CAST(s2_occ + (256 - n_occ) * 2147483648 AS DOUBLE)
+        |      AS hll_est
+        |  FROM (
+        |    SELECT source, count(*) AS n_occ,
+        |      sum(CAST(1 AS BIGINT) << CAST(31 - reg AS INTEGER))
+        |        AS s2_occ
+        |    FROM regs GROUP BY 1)),
+        |srcs AS (SELECT DISTINCT source FROM regs),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |m AS (
+        |  SELECT src_a, src_b, bucket, max(reg) AS reg FROM (
+        |    SELECT p.src_a, p.src_b, r.bucket, r.reg
+        |    FROM pairs p JOIN regs r ON r.source = p.src_a
+        |    UNION ALL
+        |    SELECT p.src_a, p.src_b, r.bucket, r.reg
+        |    FROM pairs p JOIN regs r ON r.source = p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |uest AS (
+        |  SELECT src_a, src_b,
+        |    CAST(0.7213 AS DOUBLE)
+        |      / (CAST(1 AS DOUBLE)
+        |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+        |      * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+        |      * CAST(2147483648 AS DOUBLE)
+        |      / CAST(s2_occ + (256 - n_occ) * 2147483648 AS DOUBLE)
+        |      AS union_est
+        |  FROM (
+        |    SELECT src_a, src_b, count(*) AS n_occ,
+        |      sum(CAST(1 AS BIGINT) << CAST(31 - reg AS INTEGER))
+        |        AS s2_occ
+        |    FROM m GROUP BY 1, 2))
+        |SELECT u.src_a, u.src_b, ea.hll_est AS est_a, eb.hll_est AS est_b,
+        |  u.union_est,
+        |  ea.hll_est + eb.hll_est - u.union_est AS inter_est
+        |FROM uest u
+        |JOIN est ea ON ea.source = u.src_a
+        |JOIN est eb ON eb.source = u.src_b
+        |ORDER BY u.src_a, u.src_b""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

@@ -2352,6 +2352,17 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** x167 — pairwise HLL union/intersection estimates over distinct
+    * bigrams per source: register MAX-merge per pair + inclusion-
+    * exclusion — the constant-state sibling of x147's KMV Jaccard. */
+  val x167HllPairUnion: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
+    DistinctSketch.hllPairUnion(toks, "source", col("tok"), p = 8)
+      .orderBy("src_a", "src_b")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3247,6 +3258,7 @@ object Queries {
     "x164_ks_drift" -> x164KsDrift,
     "x165_ks_matrix" -> x165KsMatrix,
     "x166_ndcg_eval" -> x166NdcgEval,
+    "x167_hll_pair_union" -> x167HllPairUnion,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

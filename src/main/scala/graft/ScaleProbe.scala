@@ -113,7 +113,8 @@ object ScaleProbe {
       "x157_label_carveout", "x158_gate_sweep", "x159_split_leakage",
       "x160_code_switch", "x161_vocab_coverage",
       "x162_index_roundtrip", "x163_two_level_roundtrip",
-      "x164_ks_drift", "x165_ks_matrix", "x166_ndcg_eval")
+      "x164_ks_drift", "x165_ks_matrix", "x166_ndcg_eval",
+      "x167_hll_pair_union")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -240,4 +240,45 @@ object DistinctSketch {
       .withColumn("j_est",
         col("n_both").cast("double") / col("n_union").cast("double"))
   }
+  /** Pairwise HLL SET-OPERATION estimates between groups: union
+    * cardinality by cell-wise MAX-merging the two groups' registers
+    * (the defining HLL merge property) and intersection by
+    * inclusion-exclusion (est_a + est_b − union) — the sketch-tier
+    * overlap audit beside [[kmvPairJaccard]], at constant 2^p state
+    * per group no matter the corpus. Registers are computed once,
+    * checkpointed (three consumers), and every estimate is the same
+    * fixed-order double chain as [[hllEstimate]]. Inclusion-exclusion
+    * inherits both sketches' error — small true intersections can
+    * estimate negative; emitted as-is (the caller's floor to apply),
+    * with both per-group estimates alongside for exactly that
+    * judgment. Output: (src_a, src_b, est_a, est_b, union_est,
+    * inter_est), pairs src_a < src_b. */
+  def hllPairUnion(df: DataFrame, groupCol: String, value: Column,
+      p: Int = 8): DataFrame = {
+    val regs = hllRegisters(df, groupCol, value, p).localCheckpoint(true)
+    val per = hllEstimate(regs, p).select(col("g"), col("hll_est"))
+    val srcs = regs.select("g").distinct()
+    val pairs = srcs.select(col("g").as("src_a"))
+      .join(srcs.select(col("g").as("src_b")), col("src_a") < col("src_b"))
+    val fromA = pairs.join(regs.withColumnRenamed("g", "src_a"),
+      Seq("src_a")).select(col("src_a"), col("src_b"), col("bucket"),
+      col("reg"))
+    val fromB = pairs.join(regs.withColumnRenamed("g", "src_b"),
+      Seq("src_b")).select(col("src_a"), col("src_b"), col("bucket"),
+      col("reg"))
+    val merged = fromA.union(fromB)
+      .groupBy("src_a", "src_b", "bucket").agg(max(col("reg")).as("reg"))
+      .select(struct(col("src_a"), col("src_b")).as("g"), col("bucket"),
+        col("reg"))
+    val u = hllEstimate(merged, p)
+      .select(col("g.src_a").as("src_a"), col("g.src_b").as("src_b"),
+        col("hll_est").as("union_est"))
+    u.join(per.select(col("g").as("src_a"), col("hll_est").as("est_a")),
+        Seq("src_a"))
+      .join(per.select(col("g").as("src_b"), col("hll_est").as("est_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("union_est"),
+        (col("est_a") + col("est_b") - col("union_est")).as("inter_est"))
+  }
 }

@@ -2384,4 +2384,31 @@ class ExtSpec extends SparkSpec {
     assert(none.getAs[Double]("ndcg") == 0.0 &&
       none.getAs[Double]("idcg") == 0.0)
   }
+  test("hllPairUnion: merged registers behave like the union sketch") {
+    val rowsIn =
+      (1 to 2000).map(i => ("a", s"u$i")) ++
+      (1001 to 3000).map(i => ("b", s"u$i")) ++     // |a ∪ b| = 3000
+      (1 to 500).map(i => ("c", s"zz$i"))           // disjoint from a
+    val d = rowsIn.toDF("g", "v")
+    val got = rows(graft.ext.DistinctSketch.hllPairUnion(d, "g",
+      col("v")).orderBy("src_a", "src_b"))
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("a", "b"))
+    // union estimate lands in HLL's error envelope around 3000
+    assert(ab.getAs[Double]("union_est") > 2300 &&
+      ab.getAs[Double]("union_est") < 3800)
+    // intersection ~1000 by inclusion-exclusion (looser envelope —
+    // it inherits three sketches' error)
+    assert(ab.getAs[Double]("inter_est") > 300 &&
+      ab.getAs[Double]("inter_est") < 1800)
+    val ac = got(("a", "c"))
+    // disjoint sets: union ≈ est_a + est_c, intersection near zero
+    assert(math.abs(ac.getAs[Double]("inter_est")) <
+      0.25 * ac.getAs[Double]("union_est"))
+    // merge property exactly: union sketch of (a, c) = sketch of a ∪ c
+    val direct = rows(graft.ext.DistinctSketch.hll(
+      d.where($"g" =!= "b").withColumn("g", lit("u")), "g", col("v")))
+      .head.getAs[Double]("hll_est")
+    assert(ac.getAs[Double]("union_est") == direct)
+  }
 }
