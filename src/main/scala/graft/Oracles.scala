@@ -4609,6 +4609,59 @@ object Oracles {
         |JOIN est eb ON eb.source = u.src_b
         |ORDER BY u.src_a, u.src_b""".stripMargin,
 
+    // x168: LPT schedule — the x120 packing + a recursive CTE walking
+    // shards heaviest-first, four explicit reader-load columns, argmin
+    // with lowest-index ties (the Spark driver loop's exact rule)
+    "x168_lpt_assign" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS nt
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, nt,
+        |    coalesce(sum(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM d),
+        |s AS (
+        |  SELECT CAST(cum_prev // 2000 AS BIGINT) AS shard_id,
+        |    CAST(sum(nt) AS BIGINT) AS nt
+        |  FROM cum GROUP BY 1),
+        |ordered AS (
+        |  SELECT shard_id, nt,
+        |    row_number() OVER (ORDER BY nt DESC, shard_id ASC) AS rk
+        |  FROM s),
+        |step(rk, shard_id, nt, reader, l0, l1, l2, l3) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT o.rk, o.shard_id, o.nt,
+        |    CASE WHEN st.l0 <= st.l1 AND st.l0 <= st.l2
+        |           AND st.l0 <= st.l3 THEN 0
+        |         WHEN st.l1 <= st.l2 AND st.l1 <= st.l3 THEN 1
+        |         WHEN st.l2 <= st.l3 THEN 2 ELSE 3 END,
+        |    st.l0 + CASE WHEN st.l0 <= st.l1 AND st.l0 <= st.l2
+        |      AND st.l0 <= st.l3 THEN o.nt ELSE 0 END,
+        |    st.l1 + CASE WHEN NOT (st.l0 <= st.l1 AND st.l0 <= st.l2
+        |        AND st.l0 <= st.l3)
+        |      AND st.l1 <= st.l2 AND st.l1 <= st.l3
+        |      THEN o.nt ELSE 0 END,
+        |    st.l2 + CASE WHEN NOT (st.l0 <= st.l1 AND st.l0 <= st.l2
+        |        AND st.l0 <= st.l3)
+        |      AND NOT (st.l1 <= st.l2 AND st.l1 <= st.l3)
+        |      AND st.l2 <= st.l3 THEN o.nt ELSE 0 END,
+        |    st.l3 + CASE WHEN NOT (st.l0 <= st.l1 AND st.l0 <= st.l2
+        |        AND st.l0 <= st.l3)
+        |      AND NOT (st.l1 <= st.l2 AND st.l1 <= st.l3)
+        |      AND NOT (st.l2 <= st.l3) THEN o.nt ELSE 0 END
+        |  FROM step st JOIN ordered o ON o.rk = st.rk + 1)
+        |SELECT shard_id, nt AS n_tokens, CAST(reader AS BIGINT) AS reader
+        |FROM step WHERE rk >= 1
+        |ORDER BY shard_id""".stripMargin,
+
     // x133: Benford — exact integer scaling, leading digit as the
     // decimal string head, one division per digit row
     "x133_benford" ->

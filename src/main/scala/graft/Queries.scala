@@ -2363,6 +2363,19 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x168 — LPT reader schedule over the x120 shard manifest: each
+    * shard to the least-loaded of 4 readers, heaviest first — the
+    * read-plan step between export layout and a parallel consumer. */
+  val x168LptAssign: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("nt"))
+    val manifest = Sampling.shardPlan(d, col("doc_id"), col("nt"),
+        shardTokens = 2000L)
+      .groupBy("shard_id").agg(sum(col("n_tokens")).as("n_tokens"))
+    Sampling.lptAssign(manifest, "shard_id", "n_tokens", readers = 4)
+      .orderBy("shard_id")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3259,6 +3272,7 @@ object Queries {
     "x165_ks_matrix" -> x165KsMatrix,
     "x166_ndcg_eval" -> x166NdcgEval,
     "x167_hll_pair_union" -> x167HllPairUnion,
+    "x168_lpt_assign" -> x168LptAssign,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

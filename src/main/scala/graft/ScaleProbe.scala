@@ -114,7 +114,7 @@ object ScaleProbe {
       "x160_code_switch", "x161_vocab_coverage",
       "x162_index_roundtrip", "x163_two_level_roundtrip",
       "x164_ks_drift", "x165_ks_matrix", "x166_ndcg_eval",
-      "x167_hll_pair_union")
+      "x167_hll_pair_union", "x168_lpt_assign")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

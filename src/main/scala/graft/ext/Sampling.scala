@@ -588,4 +588,32 @@ object Sampling {
       .where(col("pick_rank") <= col("quota"))
       .drop("__l")
   }
+  /** LONGEST-PROCESSING-TIME assignment of export shards to parallel
+    * readers (Graham 1969's 4/3-approximation): shards sorted by
+    * (token mass DESC, id ASC — a total order) each go to the
+    * currently least-loaded reader (ties to the lowest reader index)
+    * — the read-schedule step after [[shardPlan]], bounding any
+    * reader's load at ≤ 4/3 of optimal. The greedy is inherently
+    * sequential, so it runs as a driver loop over the COLLECTED shard
+    * manifest — bounded by construction (shards ≈ corpus tokens /
+    * shardTokens; the [[unimaxAllocation]] driver-loop contract), and
+    * at 100 TB the manifest is still thousands of rows, not billions.
+    * Output: (shard_id, n_tokens, reader). */
+  def lptAssign(shards: DataFrame, shardIdCol: String,
+      nTokensCol: String, readers: Int): DataFrame = {
+    require(readers >= 1, s"lptAssign: readers=$readers must be >= 1")
+    val spark = shards.sparkSession
+    val rows = shards.select(col(shardIdCol).cast("long"),
+        col(nTokensCol).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (sid, nt) => (-nt, sid) }
+    val loads = Array.fill(readers)(0L)
+    val out = rows.map { case (sid, nt) =>
+      val reader = loads.indices.minBy(i => (loads(i), i))
+      loads(reader) += nt
+      (sid, nt, reader.toLong)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("shard_id", "n_tokens", "reader")
+  }
 }

@@ -2411,4 +2411,20 @@ class ExtSpec extends SparkSpec {
       .head.getAs[Double]("hll_est")
     assert(ac.getAs[Double]("union_est") == direct)
   }
+  test("lptAssign: heaviest-first, least-loaded reader, lowest-index ties") {
+    val shards = Seq((0L, 9L), (1L, 7L), (2L, 6L), (3L, 5L), (4L, 4L))
+      .toDF("shard_id", "n_tokens")
+    val got = rows(graft.ext.Sampling.lptAssign(shards, "shard_id",
+      "n_tokens", readers = 2).orderBy("shard_id"))
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // order 9,7,6,5,4: 9->r0(9), 7->r1(7), 6->r1(13), 5->r0(14),
+    // 4->r1(17)?? no: after 6 loads are (9,13): 5 -> r0 (14); 4 -> r1? 13<14 -> r1 (17)
+    assert(got == Seq((0L, 0L), (1L, 1L), (2L, 1L), (3L, 0L), (4L, 1L)))
+    // equal loads tie to reader 0
+    val even = Seq((0L, 5L), (1L, 5L)).toDF("shard_id", "n_tokens")
+    val e = rows(graft.ext.Sampling.lptAssign(even, "shard_id",
+      "n_tokens", readers = 4).orderBy("shard_id"))
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(e == Seq((0L, 0L), (1L, 1L)))
+  }
 }
