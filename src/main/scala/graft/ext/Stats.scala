@@ -201,14 +201,21 @@ object Stats {
     * the |groups|·|distinct values| grid (bounded for discrete
     * columns — lengths, buckets, ratings), one combiner max.
     * Output: (group, n, ks, at_value). */
-  def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame = {
+  def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame =
+    ksDriftFromCounts(df.select(group.as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c")))
+
+  /** [[ksDrift]] over PRE-AGGREGATED (g, v, c) counts — the form a
+    * streaming additive ledger folds to, so the KS alarm (like the TV
+    * and centroid-drift alarms) has a streaming view that is
+    * bit-equal to the batch operator over everything ingested. */
+  def ksDriftFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val N = DecimalType(18, 0)
-    val base = df.select(group.as("g"), value.as("v"))
-    val perGV = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
-    val perV = base.groupBy("v").agg(count(lit(1)).as("cc"))
-    val ng = base.groupBy("g").agg(count(lit(1)).as("n"))
-    val nAll = base.agg(count(lit(1)).as("n_all"))
+    val perGV = counts.select(col("g"), col("v"), col("c"))
+    val perV = perGV.groupBy("v").agg(sum(col("c")).as("cc"))
+    val ng = perGV.groupBy("g").agg(sum(col("c")).as("n"))
+    val nAll = perGV.agg(sum(col("c")).as("n_all"))
     // full grid: every (group, corpus value), missing counts = 0
     val grid = ng.select(col("g"), col("n"))
       .crossJoin(perV)

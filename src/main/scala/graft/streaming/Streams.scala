@@ -374,6 +374,17 @@ object Streams {
       .orderBy("_batch", "shard_id")
   }
 
+  /** KS-drift view over an [[additiveSink]] ledger keyed (g, v): fold
+    * the per-batch count partials and run the exact x164 KS tail —
+    * with this, every drift alarm in the engine (lexical TV, embedding
+    * centroid, distribution SHAPE) has a streaming form bit-equal to
+    * its batch operator over everything ingested (StreamingSpec). */
+  def ksDriftView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.ksDriftFromCounts(
+      sumView(spark, tablePath, Seq("g", "v"))
+        .select(col("g"), col("v"), col("n").as("c")))
+
   /** Streaming distribution-drift monitor: score every micro-batch's
     * token distribution against a PINNED training-corpus distribution
     * (the train-once contract of the score/BM25 sinks — the model is

@@ -293,6 +293,30 @@ class StreamingSpec extends SparkSpec {
         .map(d => s"[${d.doc_id},doc ${d.doc_id}]"))
   }
 
+  test("ksDriftView: additive (g, v) ledger + KS tail equals the " +
+      "batch ksDrift") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(1L, 1L, 2L, 3L).map(v => GV("a", v.toString)) ++
+      Seq(3L, 3L).map(v => GV("b", v.toString))
+    val b2 = Seq(4L, 4L).map(v => GV("b", v.toString))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ksd")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[GV]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(mem.toDF(), Seq("g", "v"), lit(1L),
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Streams.ksDriftView(spark, table)
+      .orderBy("group")).map(_.toString)
+    val batch = rows(graft.ext.Stats.ksDrift(
+        (b1 ++ b2).toDF("g", "v"), $"g", $"v").orderBy("group"))
+      .map(_.toString)
+    assert(streamed == batch && streamed.size == 2)
+  }
+
   test("rateAnomalyView: additive count ledger + z tail equals the " +
       "batch rate anomaly") {
     implicit val sqlCtx = spark.sqlContext
