@@ -27,6 +27,33 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Scratch dir for queries that round-trip through disk: keyed by
+    * the session's applicationId so two concurrent harness runs on one
+    * machine cannot race each other's `mode("overwrite")` writes
+    * against reads; stable WITHIN a run so repeated Verify/Bench
+    * executions reuse (not leak) the directory, and recursively
+    * removed by a JVM shutdown hook (File.deleteOnExit cannot remove
+    * non-empty dirs). */
+  private val scratchRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      scratchRoots.forEach(p => rm(new java.io.File(p)))
+    }))
+    true
+  }
+  private def scratchPath(s: SparkSession, name: String): String = {
+    require(scratchHookInstalled)
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${name}_${s.sparkContext.applicationId}").toString
+    scratchRoots.add(p)
+    p
+  }
+
   /** q01 — Q1 symbol-universe shape: UNION of two DISTINCT branches, one
     * filtered to the latest snapshot via a max() subquery
     * (reference: extract.rkt:73-108). */
@@ -1752,7 +1779,7 @@ object Queries {
     * stage dropped. */
   val x96CorpusPrep: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    Pipeline.corpusPrep(d.where(col("doc_id") >= 20),
+    Pipeline.corpusPrepCached(dir, d.where(col("doc_id") >= 20),
         d.where(col("doc_id") < 20), "doc_id", "text", "lang")
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
@@ -2071,15 +2098,14 @@ object Queries {
     * integer packing; the write/read-back must not change a row). */
   val x142ManifestExport: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    val man = Pipeline.corpusPrep(d.where(col("doc_id") >= 20),
+    val man = Pipeline.corpusPrepCached(dir, d.where(col("doc_id") >= 20),
       d.where(col("doc_id") < 20), "doc_id", "text", "lang")
     val kept = man.where(col("kept"))
       .select(col("id").as("doc_id"), col("n_tokens"))
     val docs = d.select(col("doc_id"), col("lang"), col("source"),
         col("text"))
       .join(kept, Seq("doc_id"))
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_x142_jsonl").toString
+    val path = scratchPath(s, "graft_x142_jsonl")
     graft.operators.Export.writeJsonlSharded(docs, path, "doc_id",
       "n_tokens", shardTokens = 2000L)
   }
@@ -2290,8 +2316,7 @@ object Queries {
   val x162IndexRoundtrip: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val cent = Ivf.train(emb, "vec_id", "embedding", nlist = 8)
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_x162_ivf").toString
+    val path = scratchPath(s, "graft_x162_ivf")
     Ivf.saveModel(cent, path, s)
     val loaded = Ivf.loadModel(s, path)
     Ivf.ivfTopKWith(emb.where(col("vec_id") < 10), emb, "vec_id",
@@ -2308,8 +2333,7 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     val m = Ivf.trainTwoLevelAsData(emb, "vec_id", "embedding",
       nCoarse = 4, nFine = 4)
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_x163_twolevel").toString
+    val path = scratchPath(s, "graft_x163_twolevel")
     Ivf.saveModelTwoLevel(m, path, s)
     val loaded = Ivf.loadModelTwoLevel(s, path)
     Ivf.assignWithData(emb, "vec_id", "embedding", loaded)
@@ -2469,7 +2493,10 @@ object Queries {
   /** x130 — session-duration quantiles: sessionize (30-min gap) →
     * per-session duration in exact micros → corpus-wide exact p50/p90
     * by integer rank — the x14 session machinery composed with the
-    * x28 quantile discipline. */
+    * x28 quantile discipline. Exact ranks are the oracle contract
+    * here; at 100 TB swap the quantile stage for
+    * [[graft.ext.Quantiles.approx]]'s sketch-bounded arm, exactly as
+    * x28's doc prescribes. */
   val x130SessionQuantiles: Q = (s, dir) => {
     val sess = EventWindows.sessionize(Tables.events(s, dir), col("ts"),
         col("user_id"), 1800000000L, col("event_id"))
@@ -2985,8 +3012,7 @@ object Queries {
         col("o_totalprice"))
     // fixed scratch path, cleared up front: repeated Verify/Bench runs
     // reuse it instead of leaking a new temp dir per execution
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_d05_roundtrip").toString
+    val path = scratchPath(s, "graft_d05_roundtrip")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -3014,8 +3040,7 @@ object Queries {
       .where(col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     // fixed scratch path, cleared up front (Bench runs queries twice)
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_d06_rangesorted").toString
+    val path = scratchPath(s, "graft_d06_rangesorted")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -3034,8 +3059,7 @@ object Queries {
     val src = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("text"))
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_d07_jsonl").toString
+    val path = scratchPath(s, "graft_d07_jsonl")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)

@@ -153,7 +153,13 @@ object Dedup {
     * and star-shaped near-dup graphs converge in 2-3 of them (the
     * measured common case); the 4-round cap keeps a chain graph from
     * paying a full plain budget before the tier that actually closes
-    * it. Shuffles only (id, label) pairs at every tier. */
+    * it. Shuffles only (id, label) pairs at every tier.
+    *
+    * Round budget: worst case 4 + `maxIters` total propagation rounds
+    * (4 plain + `maxIters` doubling) — `maxIters` bounds the DOUBLING
+    * tier, not the whole loop, so callers budgeting wall-clock per
+    * round should count 4 + maxIters; a warning (stderr) fires only
+    * if even doubling exhausts its budget (diameter > ~2^maxIters). */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 10): DataFrame = {
     // materialize the edge set ONCE — the pair plan upstream (LSH

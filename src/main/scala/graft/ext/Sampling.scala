@@ -454,6 +454,66 @@ object Sampling {
       "alloc_tokens", "rate_ppm")
   }
 
+  /** Exclusive id-ordered PREFIX SUM in the 100 TB shape — the shared
+    * engine under [[shardPlan]] and
+    * [[TextAnalysis.vocabularyGrowth]]'s document offsets: the naive
+    * form is one `Window.orderBy(id)` over every per-document row —
+    * a single task walks the whole corpus. Here the id RANGE
+    * [min, max] splits into `nBuckets` contiguous equal-width slices
+    * (contiguity means bucket order IS id order), and the global
+    * prefix decomposes exactly, the [[tokenBudgetBucketed]] recipe
+    * with id-range buckets:
+    *
+    *   sum-before-row = sum-before-its-BUCKET (per-bucket totals —
+    *   ≤ nBuckets rows, prefix-folded in a bounded DRIVER loop and
+    *   broadcast back, so NO single-partition WindowExec exists
+    *   anywhere in the plan) + sum-before-it WITHIN its bucket (a
+    *   window partitioned by bucket: nBuckets-way parallel sorts of
+    *   1/nBuckets slices).
+    *
+    * Deterministic: the decomposition reproduces the single-window
+    * prefix sums exactly (ExtSpec asserts row identity across bucket
+    * counts). Costs one column-pruned min/max pre-scan; the
+    * per-bucket totals collect is bounded by `nBuckets` (the
+    * [[unimaxAllocation]] driver-loop contract). Ids may be any Long
+    * as long as the span max−min fits in 63 bits (a corpus spanning
+    * the entire id domain is not a real corpus — enforced loudly).
+    * Output: (id, n, cum_prev) with cum_prev = Σ n over ids' strict
+    * predecessors. */
+  def idOrderedPrefix(df: DataFrame, id: Column, n: Column,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"idOrderedPrefix: nBuckets=$nBuckets")
+    requireFresh(df, "__ipn", "__ipb", "__ipo", "__ipc")
+    val spark = df.sparkSession
+    val rows = df.select(id.as("id"), n.as("__ipn"))
+    val mm = rows.agg(min(col("id")), max(col("id"))).first()
+    if (mm.isNullAt(0))
+      return rows.select(col("id"), col("__ipn").as("n"),
+        lit(0L).as("cum_prev"))
+    val lo = mm.getLong(0)
+    val span = BigInt(mm.getLong(1)) - BigInt(lo)
+    require(span <= Long.MaxValue,
+      s"idOrderedPrefix: id span $span exceeds 63 bits")
+    val width = (span / nBuckets + 1).toLong
+    val withB = rows.withColumn("__ipb",
+      ((col("id") - lit(lo)) / lit(width)).cast("long"))
+    // bucket totals: ≤ nBuckets rows — a bounded collect, folded to
+    // exclusive bucket offsets on the driver (no global window at all)
+    val totals = withB.groupBy("__ipb")
+      .agg(sum(col("__ipn")).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }
+    import spark.implicits._
+    val offDf = broadcast(offs.toSeq.toDF("__ipb", "__ipo"))
+    val wIn = Window.partitionBy(col("__ipb")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(offDf, Seq("__ipb"))
+      .withColumn("__ipc",
+        col("__ipo") + coalesce(sum(col("__ipn")).over(wIn), lit(0L)))
+      .select(col("id"), col("__ipn").as("n"), col("__ipc").as("cum_prev"))
+  }
+
   /** Token-budgeted SHARD PLAN — the export-layout step between
     * curation and [[graft.operators.Export.writeJsonl]]: documents in
     * id order are packed greedily into shards of ≈ `shardTokens`
@@ -463,23 +523,21 @@ object Sampling {
     * assignment; aggregate for the manifest view.
     *
     * shard_id = floor(tokens-before-this-doc / shardTokens) — pure
-    * integer arithmetic on the id-ordered prefix sum. The prefix sum
-    * here is the plain single-ordering window over per-DOC rows; for
-    * corpora where that is the bottleneck the
-    * [[tokenBudgetBucketed]] hierarchical decomposition applies
-    * verbatim with id-range buckets.
+    * integer arithmetic on the id-ordered prefix sum, computed via
+    * the [[idOrderedPrefix]] hierarchical decomposition: per-id-range
+    * bucket sums, a driver-folded bucket-offset broadcast, and
+    * bucket-partitioned windows — no single-partition window over
+    * per-document rows at any scale. Layout is identical to the
+    * single-window form (same ids, same prefix sums, same shards).
     * Output: (id, n_tokens, shard_id). */
   def shardPlan(df: DataFrame, id: Column, nTokens: Column,
       shardTokens: Long): DataFrame = {
     require(shardTokens >= 1, s"shardTokens $shardTokens must be >= 1")
     requireFresh(df, "__n", "__cum_prev")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, -1)
-    df.select(id.as("id"), nTokens.as("__n"))
-      .withColumn("__cum_prev", coalesce(sum(col("__n")).over(w), lit(0L)))
-      .select(col("id"), col("__n").as("n_tokens"),
-        ((col("__cum_prev") - pmod(col("__cum_prev"), lit(shardTokens))) /
+    idOrderedPrefix(df.select(id.as("id"), nTokens.as("__n")),
+        col("id"), col("__n"))
+      .select(col("id"), col("n").as("n_tokens"),
+        ((col("cum_prev") - pmod(col("cum_prev"), lit(shardTokens))) /
           lit(shardTokens)).cast("long").as("shard_id"))
   }
 
@@ -573,7 +631,13 @@ object Sampling {
     * contributes what it has (no redistribution — compose
     * [[unimaxAllocation]] upstream when caps must rebalance).
     * Scale shape: one bounded label agg + a per-label rank window
-    * riding WindowGroupLimit + one broadcast quota join.
+    * that DOES ride WindowGroupLimit — the rank is first cut at the
+    * LITERAL bound `total` (which dominates every per-label quota, so
+    * the cut is free), because Spark only pushes a group limit for a
+    * rank-vs-literal filter: comparing straight against the
+    * join-derived quota column would force a full per-label sort. The
+    * exact per-label quota filter then applies on the ≤ total
+    * survivors after one broadcast quota join.
     * Output: the selected rows + (pick_rank, quota). */
   def labelBalancedCarveout(df: DataFrame, id: Column, label: Column,
       total: Long): DataFrame = {
@@ -584,6 +648,7 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(label).orderBy(hashValue(id).asc, id.asc)
     df.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .where(col("pick_rank") <= lit(total))
       .join(broadcast(quotas), label === col("__l"))
       .where(col("pick_rank") <= col("quota"))
       .drop("__l")

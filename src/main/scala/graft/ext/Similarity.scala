@@ -807,6 +807,18 @@ object Similarity {
     * re-cast to the same (20,8)) to the per-shard drift row. */
   def driftFromShardSums(sums: DataFrame): DataFrame = {
     val N = org.apache.spark.sql.types.DecimalType(9, 0)
+    // counts enter a DECIMAL(9,0) multiplicand so the (20,8)·(9,0)
+    // product stays ≤ 38 digits at scale 8; a count ≥ 1e9 would
+    // overflow the cast to NULL under non-ANSI Spark and silently
+    // null every drift row — enforce LOUDLY instead (the
+    // Retrieval.tfidfKeywords tf-bound discipline). At ≥ 1e9 vectors
+    // per shard, pre-aggregate shards before folding.
+    def guardedN(c: Column, what: String): Column =
+      when(c < lit(1000000000L), c.cast(N))
+        .otherwise(raise_error(concat(
+          lit(s"driftFromShardSums: $what "), c.cast("string"),
+          lit(" overflows the DECIMAL(9,0) count bound — fold wider" +
+            " shards upstream"))).cast(N))
     val per = sums.select(col("shard"), col("dim"),
       col("s").cast(DriftD).as("s"), col("n_vecs"))
     val glob = per.groupBy("dim").agg(sum(col("s")).cast(DriftD).as("gs"))
@@ -816,7 +828,8 @@ object Similarity {
       .join(broadcast(ns), Seq("shard"))
       .crossJoin(broadcast(ng))
       .select(col("shard"), col("n_vecs"), col("n_all"), col("dim"),
-        (col("s") * col("n_all").cast(N) - col("gs") * col("n_vecs").cast(N))
+        (col("s") * guardedN(col("n_all"), "n_all") -
+          col("gs") * guardedN(col("n_vecs"), "n_vecs"))
           .cast("double").as("d"))
     diffs.groupBy("shard", "n_vecs", "n_all")
       .agg(sort_array(collect_list(struct(col("dim"), col("d")))).as("arr"))

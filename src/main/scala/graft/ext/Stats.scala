@@ -61,8 +61,12 @@ object Stats {
     * would hide.
     *
     * Scale shape: the quantile pass is [[Quantiles.discrete]]'s
-    * per-group window; the clip+mean is one scan + combiner agg
-    * against the broadcast-sized per-group bounds.
+    * per-group window — EXACT ranks, one task per group; at 100 TB
+    * (billions of rows per group) swap the bounds pass for
+    * [[Quantiles.approx]]'s sketch-bounded arm, exactly as x28's doc
+    * prescribes — the clip+mean stage is bounds-agnostic. The
+    * clip+mean is one scan + combiner agg against the broadcast-sized
+    * per-group bounds.
     * Output: (keys..., n, lo, hi, n_lo, n_hi, win_mean). */
   def winsorized(df: DataFrame, keys: Seq[String], value: Column,
       loNum: Int, loDen: Int, hiNum: Int, hiDen: Int): DataFrame = {
@@ -98,9 +102,21 @@ object Stats {
       .groupBy((keys.map(col) :+ col("__cat")): _*)
       .agg(count(lit(1)).as("cnt"))
     val lnq = log(col("cnt").cast("double")).cast(DecimalType(28, 12))
+    // the count enters a DECIMAL(9,0) multiplicand (9+28+1 = 38 keeps
+    // the product exact at scale 12); a (keys, category) count ≥ 1e9
+    // would overflow the cast to NULL under non-ANSI Spark and
+    // silently drop the category from the entropy sum — enforce
+    // LOUDLY instead (the Retrieval.tfidfKeywords tf-bound rule)
+    val cntD = when(col("cnt") < lit(1000000000L),
+        col("cnt").cast(DecimalType(9, 0)))
+      .otherwise(raise_error(concat(
+        lit("categoricalEntropy: per-category count "),
+        col("cnt").cast("string"),
+        lit(" overflows the DECIMAL(9,0) bound")))
+        .cast(DecimalType(9, 0)))
     val terms = cnts.groupBy(keys.map(col): _*).agg(
       sum(col("cnt")).as("n"),
-      sum(col("cnt").cast(DecimalType(9, 0)) * lnq).as("__s"))
+      sum(cntD * lnq).as("__s"))
     val lnT = log(col("n").cast("double")).cast(DecimalType(28, 12))
     terms.select((keys.map(col) :+ col("n") :+
       (lnT.cast("double") -

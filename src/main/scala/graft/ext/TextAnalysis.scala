@@ -419,10 +419,10 @@ object TextAnalysis {
     * log-log is Heaps' law V ∝ N^β.
     *
     * Scale shape: one tokenize pass; per-doc counts; the document
-    * OFFSET prefix sum is a window over per-DOC rows (corpus/1000s
-    * smaller than tokens; for corpora where even doc rows overwhelm
-    * one reducer, the [[Sampling.tokenBudgetBucketed]] hierarchical
-    * decomposition applies verbatim with id-range buckets); token
+    * OFFSET prefix sum runs through [[Sampling.idOrderedPrefix]]'s
+    * hierarchical id-range-bucket decomposition (per-bucket sums, a
+    * driver-folded bucket-offset broadcast, bucket-partitioned
+    * windows — no single-partition window over per-doc rows); token
     * first-positions are one min agg; the curve is a broadcast join
     * of the V-row firsts table against a `points`-row grid. Output:
     * (i, n_prefix, vocab). */
@@ -432,12 +432,8 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("id"),
       posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
     val perDoc = toks.groupBy("id").agg(count(lit(1)).as("__n"))
-    val offs = perDoc.withColumn("__off",
-        coalesce(sum(col("__n")).over(
-          org.apache.spark.sql.expressions.Window.orderBy("id")
-            .rowsBetween(org.apache.spark.sql.expressions.Window
-              .unboundedPreceding, -1)), lit(0L)))
-      .select(col("id"), col("__off"))
+    val offs = Sampling.idOrderedPrefix(perDoc, col("id"), col("__n"))
+      .select(col("id"), col("cum_prev").as("__off"))
     val firsts = toks.join(offs, Seq("id"))
       .select(col("tok"), (col("__off") + col("pos")).as("__g"))
       .groupBy("tok").agg(min(col("__g")).as("__first"))

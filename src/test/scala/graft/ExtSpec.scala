@@ -1731,6 +1731,45 @@ class ExtSpec extends SparkSpec {
       Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L)))
   }
 
+  test("idOrderedPrefix: bucketed decomposition == single-window prefix " +
+      "across bucket counts, negative ids, empty input") {
+    import graft.ext.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val d = Seq((-1000L, 6L), (-7L, 3L), (0L, 2L), (3L, 5L), (9L, 1L),
+      (1000L, 4L)).toDF("doc_id", "nt").repartition(3)
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exp = rows(d.select(col("doc_id").as("id"), col("nt").as("n"))
+      .withColumn("cum_prev", coalesce(sum(col("n")).over(w), lit(0L)))
+      .orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (nb <- Seq(1, 3, 1024)) {
+      val got = rows(Sampling.idOrderedPrefix(d, col("doc_id"), col("nt"),
+          nb).orderBy("id"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got == exp, s"nBuckets=$nb")
+    }
+    assert(rows(Sampling.idOrderedPrefix(d.where(lit(false)),
+      col("doc_id"), col("nt"))).isEmpty)
+  }
+
+  test("labelBalancedCarveout rank window rides WindowGroupLimit " +
+      "(literal total bound before the quota join)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val carved = graft.ext.Sampling.labelBalancedCarveout(
+      docs, col("doc_id"), col("lang"), 10L)
+    val plan = carved.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-limit not rewritten to WindowGroupLimit:\n" + plan.take(600))
+    // exact per-label quotas still hold after the literal pre-cut
+    val perLabel = rows(carved.groupBy("lang").count())
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = rows(carved.select(col("lang"), col("quota")).distinct())
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLabel.foreach { case (l, n) => assert(n <= quotas(l)) }
+    assert(perLabel.values.sum <= 10L)
+  }
+
   test("source overlap: a subset source saturates its own row only") {
     import graft.ext.TextAnalysis
     val d = Seq(

@@ -635,4 +635,28 @@ class ScaleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(am == bm)
   }
+
+  test("no single-partition Window over per-document rows in the " +
+      "shard-plan / export / vocabulary-growth paths") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    def assertPartitioned(df: org.apache.spark.sql.DataFrame,
+        what: String): Unit = {
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w }
+      assert(wins.nonEmpty, s"$what: expected window nodes in the plan")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned Window in $what plan:\n$w"))
+    }
+    val d = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.tokenCount(col("text")).as("nt"))
+    assertPartitioned(graft.ext.Sampling.shardPlan(
+      d, col("doc_id"), col("nt"), 2000L), "shardPlan")
+    assertPartitioned(graft.ext.TextAnalysis.vocabularyGrowth(
+      docs, "doc_id", "text", 5), "vocabularyGrowth")
+    // the full x120 manifest query (the x142 export path runs the
+    // same shardPlan windows before its write)
+    assertPartitioned(Queries.x120ShardPlan(spark, dir), "x120")
+  }
 }
