@@ -24,6 +24,58 @@ object Oracles {
     Set("x04_simhash", "x07_lsh_ann", "x55_opq_encode",
       "x66_adaptive_lsh", "x74_lsh_corpus_dedup", "x75_semantic_canonical")
 
+  // The x99 weighted-SimHash pair chain (tokens -> tf-idf weights ->
+  // 32-bit signatures -> 8-bit band candidates), shared VERBATIM by
+  // the x99 pair listing and the x170 component labeling - the shared
+  // chain IS the claim that x170 folds exactly the x99 graph.
+  private val simhashPairChain: String =
+    """toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |tfq AS (
+        |  SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(ln(CAST(n.n AS DOUBLE) / dfc.df) AS DECIMAL(28,12)) AS idf
+        |  FROM dfc CROSS JOIN n),
+        |ph AS (
+        |  SELECT term,
+        |    (CASE WHEN length(term) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(term) + 1),
+        |         j -> ascii(substring(term, j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) * 1073741824 +
+        |    (CASE WHEN length(term) = 0 THEN 0
+        |     ELSE CAST(list_reduce(list_transform(range(1, length(term) + 1),
+        |         j -> ascii(substring(reverse(term), j, 1))),
+        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |       AS BIGINT) END) AS h
+        |  FROM dfc),
+        |wgt AS (
+        |  SELECT tfq.doc_id, ph.h,
+        |    CAST(tfq.tf AS DECIMAL(9,0)) * idf.idf AS w
+        |  FROM tfq JOIN idf USING (term) JOIN ph USING (term)),
+        |bitsums AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS s
+        |  FROM wgt CROSS JOIN (SELECT unnest(range(0, 32)) AS j) bits
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j
+        |      ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bitsums GROUP BY 1),
+        |bandrows AS (
+        |  SELECT doc_id, b, (sig >> (8 * b)) & 255 AS v
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)""".stripMargin
+
   private val base: Map[String, String] = Map(
 
     "q01_union_universe" ->
@@ -3212,59 +3264,14 @@ object Oracles {
     // each signature bit is the sign of an exact DECIMAL(38,12) sum,
     // and the term hash is the portable polynomial composite
     "x99_weighted_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |tfq AS (
-        |  SELECT doc_id, w AS term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
-        |dfc AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |idf AS (
-        |  SELECT term,
-        |    CAST(ln(CAST(n.n AS DOUBLE) / dfc.df) AS DECIMAL(28,12)) AS idf
-        |  FROM dfc CROSS JOIN n),
-        |ph AS (
-        |  SELECT term,
-        |    (CASE WHEN length(term) = 0 THEN 0
-        |     ELSE CAST(list_reduce(list_transform(range(1, length(term) + 1),
-        |         j -> ascii(substring(term, j, 1))),
-        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
-        |       AS BIGINT) END) * 1073741824 +
-        |    (CASE WHEN length(term) = 0 THEN 0
-        |     ELSE CAST(list_reduce(list_transform(range(1, length(term) + 1),
-        |         j -> ascii(substring(reverse(term), j, 1))),
-        |       (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
-        |       AS BIGINT) END) AS h
-        |  FROM dfc),
-        |wgt AS (
-        |  SELECT tfq.doc_id, ph.h,
-        |    CAST(tfq.tf AS DECIMAL(9,0)) * idf.idf AS w
-        |  FROM tfq JOIN idf USING (term) JOIN ph USING (term)),
-        |bitsums AS (
-        |  SELECT doc_id, j,
-        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS s
-        |  FROM wgt CROSS JOIN (SELECT unnest(range(0, 32)) AS j) bits
-        |  GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j
-        |      ELSE 0 END) AS BIGINT) AS sig
-        |  FROM bitsums GROUP BY 1),
-        |bandrows AS (
-        |  SELECT doc_id, b, (sig >> (8 * b)) & 255 AS v
-        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bandrows a JOIN bandrows b
-        |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
-        |SELECT c.id_a, c.id_b,
+      (s"WITH $simhashPairChain\n" +
+        """|SELECT c.id_a, c.id_b,
         |  CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
         |FROM cand c
         |JOIN sig sa ON c.id_a = sa.doc_id
         |JOIN sig sb ON c.id_b = sb.doc_id
         |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
-        |ORDER BY c.id_a, c.id_b""".stripMargin,
+        |ORDER BY c.id_a, c.id_b""".stripMargin),
 
     // x100: three BPE rounds chained — each round's argmax pair feeds
     // the next round's rewrite; the rewrite is the SAME seeded left
@@ -5618,13 +5625,128 @@ object Oracles {
           |FROM dcg JOIN idcg USING (query_id)
           |ORDER BY dcg.query_id""".stripMargin))
 
+  // x169: the per-source nDCG grid — per-source qrels derived by
+  // source-grain tf-idf, then the x166 nDCG tail over a TABLE-driven
+  // query set: per-term idf·part contributions floor-quantized to
+  // 1e-6 micro-units (the x139 discipline) so the per-query sum is an
+  // exact integer; candidate set = docs matching >= 1 query term
+  // (exact — gain > 0 iff a term matches iff a contribution row
+  // exists, and zero-gain rows add 0 to both sums at any rank)
+  private val ndcgGridO: Map[String, String] = Map(
+    "x169_ndcg_grid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |stf AS (
+        |  SELECT source, term, count(*) AS tf
+        |  FROM (SELECT source, unnest(t) AS term FROM toks)
+        |  GROUP BY 1, 2),
+        |sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY 1),
+        |nsrc AS (SELECT count(*) AS ns
+        |         FROM (SELECT DISTINCT source FROM stf)),
+        |qsc AS (
+        |  SELECT source AS query_id, term,
+        |    CAST(tf AS DECIMAL(9,0)) *
+        |      CAST(ln(CAST(nsrc.ns AS DOUBLE) / CAST(df AS DOUBLE))
+        |        AS DECIMAL(28,12)) AS score
+        |  FROM stf JOIN sdf USING (term) CROSS JOIN nsrc),
+        |qrels AS (
+        |  SELECT query_id, term FROM (
+        |    SELECT query_id, term,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, term ASC) AS rnk
+        |    FROM qsc) WHERE rnk <= 3),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |dtf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |  JOIN (SELECT DISTINCT term FROM qrels) USING (term)
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+        |ddf AS (SELECT term, count(*) AS df FROM dtf GROUP BY 1),
+        |contrib AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(floor(
+        |      CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - f.df + 0.5e0)
+        |          / (f.df + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * t.tf * st.s)
+        |        / (st.s * (t.tf + 0.3e0)
+        |          + 0.8999999999999999e0 * dl.dl * st.n))
+        |      * 1000000e0) AS BIGINT) AS c
+        |  FROM dtf t JOIN qrels q USING (term)
+        |  JOIN dl ON t.doc_id = dl.doc_id
+        |  JOIN ddf f ON t.term = f.term
+        |  CROSS JOIN stats st),
+        |perdq AS (
+        |  SELECT query_id, doc_id, sum(c) AS micro, count(*) AS gain
+        |  FROM contrib GROUP BY 1, 2),
+        |top AS (
+        |  SELECT query_id, gain,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY micro DESC, doc_id ASC) AS rank
+        |  FROM perdq),
+        |dcg AS (
+        |  SELECT query_id,
+        |    sum(CAST(gain AS DECIMAL(9,0)) *
+        |      CAST(ln(2e0) / ln(CAST(rank + 1 AS DOUBLE))
+        |        AS DECIMAL(28,12))) AS d
+        |  FROM top WHERE rank <= 10 GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id, gain,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY gain DESC, doc_id ASC) AS rn
+        |  FROM perdq),
+        |idcg AS (
+        |  SELECT query_id,
+        |    sum(CAST(gain AS DECIMAL(9,0)) *
+        |      CAST(ln(2e0) / ln(CAST(rn + 1 AS DOUBLE))
+        |        AS DECIMAL(28,12))) AS d
+        |  FROM ideal WHERE rn <= 10 GROUP BY 1)
+        |SELECT dcg.query_id AS source,
+        |  CAST(CAST(dcg.d AS VARCHAR) AS DOUBLE) AS dcg,
+        |  CAST(CAST(idcg.d AS VARCHAR) AS DOUBLE) AS idcg,
+        |  CASE WHEN idcg.d > 0
+        |    THEN CAST(CAST(dcg.d AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(idcg.d AS VARCHAR) AS DOUBLE)
+        |    ELSE 0.0e0 END AS ndcg
+        |FROM dcg JOIN idcg USING (query_id)
+        |ORDER BY source""".stripMargin)
+
+  // x170: the x99 pair chain shared VERBATIM, folded to connected
+  // components (the x103 reach recipe) and emitted as per-document
+  // survivor labels — singletons label themselves
+  private val simhashClustersO: Map[String, String] = Map(
+    "x170_simhash_clusters" ->
+      (s"WITH RECURSIVE $simhashPairChain,\n" +
+        """|vpairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN sig sa ON c.id_a = sa.doc_id
+        |  JOIN sig sb ON c.id_b = sb.doc_id
+        |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 3),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+        |          UNION SELECT id_b, id_a FROM vpairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |lab AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  COALESCE(lab.cluster, d.doc_id) AS cluster,
+        |  (d.doc_id = COALESCE(lab.cluster, d.doc_id)) AS is_canonical
+        |FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+        |ORDER BY d.doc_id""".stripMargin))
+
   // x126: the postings-index BM25 path is bit-equal to the x76 scan
   // path by construction (same tf frame rebuilt, same stats agg, same
   // fixed-order score projection) — the shared oracle IS the claim
   // that only the execution shape changed (the x67/x63 pattern)
   val all: Map[String, String] =
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
-      retrievalEvalO ++ ndcgEvalO +
+      retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2400,6 +2400,35 @@ object Queries {
       .orderBy("shard_id")
   }
 
+  /** x169 — per-source retrieval health GRID: each source's query is
+    * its own top-3 source-grain tf-idf keywords
+    * ([[graft.ext.Retrieval.sourceQueries]] — the x78 recipe one
+    * grain up), graded as nDCG@10 with the query set as DATA
+    * ([[graft.ext.Retrieval.ndcgEvalQrels]] — per-term BM25
+    * contributions floor-quantized to micro-units so the data-driven
+    * term sum is exact) — x166's machinery turned into the per-source
+    * grid a retrieval owner watches per ingest source. */
+  val x169NdcgGrid: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val qrels = Retrieval.sourceQueries(d, "doc_id", "text", "source",
+      nTerms = 3)
+    Retrieval.ndcgEvalQrels(d, "doc_id", "text", qrels, k = 10)
+      .withColumnRenamed("query_id", "source")
+      .orderBy("source")
+  }
+
+  /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
+    * per-document survivor labels by the escalating clusters()
+    * propagation — the scale-safe "components, not pair lists" form
+    * (the Ω(#pairs) output-floor lesson) as its own oracle-checked
+    * surface; x99's pair-listing form is unchanged beside it. */
+  val x170SimhashClusters: Q = (s, dir) => {
+    Dedup.weightedSimhashClusters(Tables.documents(s, dir), "doc_id",
+        "text", bits = 32, bands = 4, maxHamming = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x140 — inter-arrival gap quantiles per event type: lag-diff in
     * exact micros through the integer-rank quantile formula — the
     * arrival-process characterization beside x119's anomaly z. */
@@ -3297,6 +3326,8 @@ object Queries {
     "x166_ndcg_eval" -> x166NdcgEval,
     "x167_hll_pair_union" -> x167HllPairUnion,
     "x168_lpt_assign" -> x168LptAssign,
+    "x169_ndcg_grid" -> x169NdcgGrid,
+    "x170_simhash_clusters" -> x170SimhashClusters,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -868,6 +868,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The pair family's SCALE-SAFE output form, as an API instead of
+    * advice: [[weightedSimhashPairs]] fed straight into the
+    * escalating [[clusters]] propagation and returned as per-document
+    * SURVIVOR labels over the full corpus — "feed components, not
+    * pair lists, at 100 TB" (the x99 lesson: pair LISTS carry an
+    * Ω(#pairs) output floor that components don't — a boilerplate
+    * cluster of m copies is m·(m−1)/2 pair rows but only m label
+    * rows). cluster = smallest reachable id (the canonical survivor);
+    * documents no pair touches are their own singleton cluster.
+    * Scale shape: the banded pair join shuffles ids+signatures only;
+    * propagation shuffles (id, label) pairs; the final label join is
+    * ids-only. Output: (id, cluster, is_canonical). */
+  def weightedSimhashClusters(docs: DataFrame, idCol: String,
+      textCol: String, bits: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    val pairs = weightedSimhashPairs(docs, idCol, textCol, bits, bands,
+      maxHamming)
+    val comp = clusters(pairs)
+    docs.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("is_canonical", col("id") === col("cluster"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local fingerprinting algorithm), at
     * word-level k-gram grain: every window of `w` consecutive k-gram

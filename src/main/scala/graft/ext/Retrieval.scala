@@ -666,4 +666,120 @@ object Retrieval {
           col("__dcg").cast("double") / col("__idcg").cast("double"))
           .otherwise(lit(0.0)).as("ndcg"))
   }
+
+  /** Per-SOURCE query derivation — data-driven qrels for the
+    * retrieval health grid: each source's query is its top-`nTerms`
+    * terms by SOURCE-grain tf-idf (tf = occurrences across the
+    * source's documents, df = number of sources containing the term,
+    * idf = ln(|sources|/df) quantized ONCE to DECIMAL(28,12) — the
+    * x78 [[tfidfKeywords]] discipline lifted one grain). Exact
+    * decimal scores, total tie order (score DESC, term ASC), rank cut
+    * at a literal (WindowGroupLimit). The intermediate is
+    * |sources|·|vocab| count rows and the output |sources|·nTerms —
+    * both source/vocabulary-bounded, never corpus-bounded.
+    * Output: (query_id, term, rank) with query_id = the source. */
+  def sourceQueries(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, nTerms: Int = 3): DataFrame = {
+    require(nTerms >= 1, s"sourceQueries: nTerms=$nTerms must be >= 1")
+    val toks = docs.select(col(sourceCol).as("query_id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ns = tf.select("query_id").distinct().agg(count(lit(1)).as("__ns"))
+    val idf = log(col("__ns").cast("double") / col("df").cast("double"))
+      .cast(DecimalType(28, 12))
+    val tfD = when(col("tf") < lit(1000000000L),
+        col("tf").cast(DecimalType(9, 0)))
+      .otherwise(raise_error(concat(
+        lit("sourceQueries: source term frequency "),
+        col("tf").cast("string"),
+        lit(" overflows the DECIMAL(9,0) bound")))
+        .cast(DecimalType(9, 0)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__score").desc, col("term").asc)
+    tf.join(dfT, Seq("term")).crossJoin(broadcast(ns))
+      .withColumn("__score", tfD * idf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= nTerms)
+      .select(col("query_id"), col("term"), col("rank"))
+  }
+
+  /** TABLE-DRIVEN graded nDCG@k — [[ndcgEval]] with the query set as
+    * DATA: `qrels` is (query_id, term) rows (e.g. [[sourceQueries]]),
+    * so queries never enter the plan as constants and the operator
+    * grades an unbounded query set — the per-source retrieval health
+    * GRID. Two departures from the literal-query form, both forced by
+    * data-driven term sets and mirrored verbatim by the oracle:
+    * (1) per-term BM25 contributions (the exact x81 idf·part double
+    * chain) are floor-quantized to 1e-6 micro-units (the
+    * [[moreLikeThis]] discipline), so the per-query score is an exact
+    * integer sum — order-independent where the literal form's
+    * fixed-order double fold cannot exist; (2) the candidate set per
+    * query is the documents containing ≥ 1 query term — EXACT for
+    * both sums, because gain > 0 ⇔ some term matches ⇔ the document
+    * has a contribution row, and zero-gain rows add 0 to DCG and IDCG
+    * at whatever rank they would occupy.
+    * Scale shape: one tokenize scan; tf rows inner-joined to the
+    * qrels vocabulary (broadcast-sized); a 1-row stats broadcast; the
+    * matched (doc, query) table is checkpointed once (ids + two longs)
+    * and feeds both rank windows, each riding WindowGroupLimit.
+    * Output: (query_id, dcg, idcg, ndcg). */
+  def ndcgEvalQrels(docs: DataFrame, idCol: String, textCol: String,
+      qrels: DataFrame, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"ndcgEvalQrels: k=$k must be >= 1")
+    val D = DecimalType(28, 12)
+    val G = DecimalType(9, 0)
+    def disc(rank: org.apache.spark.sql.Column) =
+      (log(lit(2.0)) / log(rank.cast("double") + lit(1.0))).cast(D)
+    val q = qrels.select(col("query_id"), col("term")).distinct()
+    val terms = q.select("term").distinct()
+    val toksRaw = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    val dl = toksRaw.select(col("id"),
+      size(col("__t")).cast("long").as("dl"))
+    val tf = toksRaw.select(col("id"), explode(col("__t")).as("term"))
+      .join(terms, Seq("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0d) +
+        (col("n").cast("double") - col("df") + lit(0.5d)) /
+          (col("df") + lit(0.5d)))
+      .cast(D).cast("double")
+    val part = (lit(k1 + 1) * col("tf") * col("s")) /
+      (col("s") * (col("tf") + lit(k1 * (1 - b))) +
+        lit(k1 * b) * col("dl") * col("n"))
+    val perDQ = tf.join(q, Seq("term"))
+      .join(dl, Seq("id"))
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("query_id"),
+        floor(idf * part * lit(1e6)).cast("long").as("__c"))
+      .groupBy("id", "query_id")
+      .agg(sum(col("__c")).as("__micro"), count(lit(1)).as("__gain"))
+      // feeds BOTH rank windows — checkpoint once (the kmv lesson)
+      .localCheckpoint(true)
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("__micro").desc, col("id").asc)
+    val dcg = perDQ
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(sum(col("__gain").cast(G) * disc(col("rank"))).as("__dcg"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("__gain").desc, col("id").asc)
+    val idcg = perDQ
+      .withColumn("__rn", row_number().over(wIdeal).cast("long"))
+      .where(col("__rn") <= k)
+      .groupBy("query_id")
+      .agg(sum(col("__gain").cast(G) * disc(col("__rn"))).as("__idcg"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"),
+        col("__dcg").cast("double").as("dcg"),
+        col("__idcg").cast("double").as("idcg"),
+        when(col("__idcg") > 0,
+          col("__dcg").cast("double") / col("__idcg").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
 }

@@ -269,13 +269,21 @@ object Stats {
     * discipline; the grid self-join fans out to |groups|²·|values|
     * rows, bounded for discrete columns and bounded group sets.
     * Output: (src_a, src_b, n_a, n_b, ks), pairs src_a < src_b. */
-  def ksMatrix(df: DataFrame, group: Column, value: Column): DataFrame = {
+  def ksMatrix(df: DataFrame, group: Column, value: Column): DataFrame =
+    ksMatrixFromCounts(df.select(group.as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c")))
+
+  /** [[ksMatrix]] from an already-aggregated (g, v, c) count table —
+    * the additive-ledger form ([[ksDriftFromCounts]]'s twin): counts
+    * are sums, so per-batch partials folded by any grouping reproduce
+    * the exact integer ECDFs, which is what gives the pairwise KS
+    * matrix a streaming view bit-equal to its batch operator. */
+  def ksMatrixFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val N = DecimalType(18, 0)
-    val base = df.select(group.as("g"), value.as("v"))
-    val perGV = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
-    val perV = base.select("v").distinct()
-    val ng = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val perGV = counts.select(col("g"), col("v"), col("c"))
+    val perV = perGV.select("v").distinct()
+    val ng = perGV.groupBy("g").agg(sum(col("c")).as("n"))
     val grid = ng.select(col("g"), col("n"))
       .crossJoin(perV)
       .join(perGV, Seq("g", "v"), "left")

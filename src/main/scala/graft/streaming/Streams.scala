@@ -385,6 +385,58 @@ object Streams {
       sumView(spark, tablePath, Seq("g", "v"))
         .select(col("g"), col("v"), col("n").as("c")))
 
+  /** Pairwise KS-MATRIX view over the same [[additiveSink]] (g, v)
+    * ledger as [[ksDriftView]]: fold the per-batch count partials and
+    * run the exact x165 two-sample tail — the group-vs-group
+    * distribution-shape matrix, streaming-fed and bit-equal to batch
+    * [[graft.ext.Stats.ksMatrix]] over everything ingested
+    * (StreamingSpec). One ledger serves both drift alarms. */
+  def ksMatrixView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.ksMatrixFromCounts(
+      sumView(spark, tablePath, Seq("g", "v"))
+        .select(col("g"), col("v"), col("n").as("c")))
+
+  /** Streaming SERVING of a PERSISTED quantizer index — the streaming
+    * half of the x162/x163 index lifecycle (train → save → load →
+    * serve), the [[bm25ScoreSink]] frozen-artifact discipline applied
+    * to quantizer models: the model written by
+    * [[graft.ext.Ivf.saveModel]] (flat) or
+    * [[graft.ext.Ivf.saveModelTwoLevel]] (fine-as-data) is loaded
+    * ONCE at stream start, and every micro-batch of vectors is
+    * assigned under those FROZEN cell boundaries
+    * ([[graft.ext.Ivf.assignModel]] — bit-identical to batch
+    * assignment under the same loaded model, StreamingSpec). Appends
+    * (neighbor_id, cid) rows as `_batch=N/` partitions with dynamic
+    * partition overwrite, so a replayed batch rewrites its own
+    * partition byte-identically (the ledger discipline). Restart-safe
+    * by construction: the saved model IS the state — a restart
+    * re-loads the same files and serves the same assignments; to
+    * re-index, retrain + save, then restart the stream (the
+    * frozen-stats refresh contract). */
+  def modelAssignSink(vecStream: DataFrame, modelPath: String,
+      idCol: String, vecCol: String, outPath: String, checkpoint: String,
+      twoLevel: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vecStream.sparkSession
+    val model: graft.ext.Ivf.Model =
+      if (twoLevel) graft.ext.Ivf.loadModelTwoLevel(spark, modelPath)
+      else graft.ext.Ivf.FlatModel(graft.ext.Ivf.loadModel(spark, modelPath))
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Ivf.assignModel(batch, idCol, vecCol, model)
+          .select(col("neighbor_id"), col("cid"))
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming distribution-drift monitor: score every micro-batch's
     * token distribution against a PINNED training-corpus distribution
     * (the train-once contract of the score/BM25 sinks — the model is

@@ -1770,6 +1770,72 @@ class ExtSpec extends SparkSpec {
     assert(perLabel.values.sum <= 10L)
   }
 
+  test("sourceQueries: each source's top terms are its distinctive " +
+      "vocabulary; ranks deterministic") {
+    import graft.ext.Retrieval
+    val d = Seq(
+      (1L, "web", "apple apple apple banana shared"),
+      (2L, "web", "apple cherry shared"),
+      (3L, "code", "kernel kernel mutex shared"),
+      (4L, "code", "kernel socket shared")
+    ).toDF("doc_id", "source", "text")
+    val q = rows(Retrieval.sourceQueries(d, "doc_id", "text", "source",
+        nTerms = 2).orderBy("query_id", "rank"))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // 'shared' is in both sources -> idf 0 -> never beats distinctive
+    // terms; tf=4 kernel / tf=4 apple lead their sources
+    assert(q == Seq(("code", "kernel", 1L), ("code", "mutex", 2L),
+      ("web", "apple", 1L), ("web", "banana", 2L)))
+  }
+
+  test("ndcgEvalQrels: perfect-ranking query scores ndcg = 1; grid " +
+      "over documents is bounded (0, 1] with dcg <= idcg") {
+    import graft.ext.Retrieval
+    val d = Seq(
+      (1L, "apple banana other words here"),
+      (2L, "apple filler filler filler filler"),
+      (3L, "nothing relevant at all today")
+    ).toDF("doc_id", "text")
+    val qrels = Seq(("q1", "apple"), ("q1", "banana")).toDF(
+      "query_id", "term")
+    val got = rows(Retrieval.ndcgEvalQrels(d, "doc_id", "text", qrels,
+      k = 10))
+    assert(got.size == 1)
+    // doc 1 matches both terms (gain 2, highest bm25), doc 2 one
+    // (gain 1): the bm25 order IS the ideal order -> ndcg exactly 1
+    assert(got.head.getAs[Double]("ndcg") == 1.0)
+    // the full grid over the test table: every source row well-formed
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val grid = rows(Retrieval.ndcgEvalQrels(docs, "doc_id", "text",
+      Retrieval.sourceQueries(docs, "doc_id", "text", "source", 3), k = 10))
+    assert(grid.nonEmpty)
+    grid.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getAs[Double]("dcg"),
+        r.getAs[Double]("idcg"), r.getAs[Double]("ndcg"))
+      assert(dcg >= 0 && dcg <= idcg + 1e-12 && ndcg > 0 && ndcg <= 1.0,
+        r.toString)
+    }
+  }
+
+  test("weightedSimhashClusters: labels = clusters(pairs) completed " +
+      "with singletons; canonical flag consistent") {
+    import graft.ext.Dedup
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = rows(Dedup.weightedSimhashClusters(docs, "doc_id", "text")
+      .orderBy("id")).map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val pairs = Dedup.weightedSimhashPairs(docs, "doc_id", "text")
+    val lab = rows(Dedup.clusters(pairs))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = rows(docs.select(col("doc_id")).orderBy("doc_id"))
+      .map(_.getLong(0))
+      .map(id => (id, lab.getOrElse(id, id), lab.getOrElse(id, id) == id))
+    assert(got == exp)
+    // every cluster label is itself canonical
+    val labels = got.map(_._2).toSet
+    assert(labels.subsetOf(got.filter(_._3).map(_._1).toSet))
+  }
+
   test("source overlap: a subset source saturates its own row only") {
     import graft.ext.TextAnalysis
     val d = Seq(

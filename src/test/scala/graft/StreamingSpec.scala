@@ -317,6 +317,88 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 2)
   }
 
+  test("ksMatrixView: the same additive (g, v) ledger folds to the " +
+      "batch ksMatrix") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(1L, 1L, 2L, 3L).map(v => GV("a", v.toString)) ++
+      Seq(3L, 3L).map(v => GV("b", v.toString))
+    val b2 = Seq(4L, 4L).map(v => GV("b", v.toString)) ++
+      Seq(1L, 4L).map(v => GV("c", v.toString))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ksm")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[GV]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(mem.toDF(), Seq("g", "v"), lit(1L),
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Streams.ksMatrixView(spark, table)
+      .orderBy("src_a", "src_b")).map(_.toString)
+    val batch = rows(graft.ext.Stats.ksMatrix(
+        (b1 ++ b2).toDF("g", "v"), $"g", $"v").orderBy("src_a", "src_b"))
+      .map(_.toString)
+    assert(streamed == batch && streamed.size == 3)
+  }
+
+  test("modelAssignSink: stream-served assignments under persisted " +
+      "flat and two-level models equal batch assignModel; " +
+      "checkpoint restart serves on without re-assigning") {
+    import graft.ext.Ivf
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mas")
+    try {
+      val flatPath = dir.resolve("flat").toString
+      Ivf.saveModel(Ivf.train(emb, "vec_id", "embedding", nlist = 4),
+        flatPath, spark)
+      val twoDir = dir.resolve("two").toString
+      Ivf.saveModelTwoLevel(Ivf.trainTwoLevelAsData(emb, "vec_id",
+        "embedding", nCoarse = 2, nFine = 2), twoDir, spark)
+      val vecs = emb.select($"vec_id", $"embedding").as[QV]
+        .collect().sortBy(_.vec_id)
+      val (v1, v2) = vecs.splitAt(vecs.length / 2)
+      // flat model: two batches through a file source, with a restart
+      // BETWEEN them — the saved model is the only state
+      val src = dir.resolve("src").toString
+      val out = dir.resolve("out").toString
+      val ckpt = dir.resolve("ckpt").toString
+      val schema = Seq.empty[QV].toDF().schema
+      def startSink() = Streams.modelAssignSink(
+        spark.readStream.schema(schema).parquet(src), flatPath,
+        "vec_id", "embedding", out, ckpt)
+      v1.toSeq.toDF().write.mode("append").parquet(src)
+      val q1 = startSink(); q1.processAllAvailable(); q1.stop()
+      v2.toSeq.toDF().write.mode("append").parquet(src)
+      val q2 = startSink(); q2.processAllAvailable(); q2.stop()
+      val batchFlat = rows(Ivf.assignModel(emb, "vec_id", "embedding",
+          Ivf.FlatModel(Ivf.loadModel(spark, flatPath)))
+        .select($"neighbor_id", $"cid").orderBy("neighbor_id"))
+        .map(_.toString)
+      def served(path: String) = rows(spark.read.parquet(path)
+        .select($"neighbor_id", $"cid").orderBy("neighbor_id"))
+        .map(_.toString)
+      assert(served(out) == batchFlat)
+      // each vector assigned exactly once across the restart
+      assert(spark.read.parquet(out).count() == vecs.length.toLong)
+      // two-level fine-as-data model: same contract
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[QV]
+      mem.addData(vecs.toSeq: _*)
+      val out2 = dir.resolve("out2").toString
+      val qq = Streams.modelAssignSink(mem.toDF(), twoDir, "vec_id",
+        "embedding", out2, dir.resolve("ckpt2").toString, twoLevel = true)
+      qq.processAllAvailable(); qq.stop()
+      val batchTwo = rows(Ivf.assignWithData(emb, "vec_id", "embedding",
+          Ivf.loadModelTwoLevel(spark, twoDir))
+        .select($"neighbor_id", $"cid").orderBy("neighbor_id"))
+        .map(_.toString)
+      assert(served(out2) == batchTwo)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("rateAnomalyView: additive count ledger + z tail equals the " +
       "batch rate anomaly") {
     implicit val sqlCtx = spark.sqlContext
