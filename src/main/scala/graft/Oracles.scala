@@ -76,6 +76,40 @@ object Oracles {
         |  FROM bandrows a JOIN bandrows b
         |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)""".stripMargin
 
+  // The winnowing fingerprint chain (tokens -> 3-gram polyHashes ->
+  // w=4 window minima -> df<=50 guard), shared VERBATIM by the x92
+  // pair listing, the x103 component histogram, and the x171
+  // provenance matrix - one graph, three certified views.
+  private val winnowKeptChain: String =
+    """toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]) AS s
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i
+        |        FROM toks)),
+        |hashed AS (
+        |  SELECT doc_id, pos,
+        |    CAST(list_reduce(list_transform(range(1, length(s) + 1),
+        |        j -> ascii(substring(s, j, 1))),
+        |      (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |      AS BIGINT) AS h
+        |  FROM sh),
+        |win AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM hashed),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, wmin AS fp FROM win
+        |  WHERE pos <= greatest(0, CAST(m AS INTEGER) - 4)),
+        |kept AS (
+        |  SELECT f.doc_id, f.fp FROM fp f
+        |  JOIN (SELECT fp, count(*) AS dfc FROM fp GROUP BY 1) d USING (fp)
+        |  WHERE d.dfc <= 50)""".stripMargin
+
   private val base: Map[String, String] = Map(
 
     "q01_union_universe" ->
@@ -2880,35 +2914,8 @@ object Oracles {
     // polynomial hash is chosen for exactly that (see Dedup.polyHash);
     // the lambda casts acc to BIGINT because acc*31 overflows INT32
     "x92_winnow_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]) AS s
-        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i
-        |        FROM toks)),
-        |hashed AS (
-        |  SELECT doc_id, pos,
-        |    CAST(list_reduce(list_transform(range(1, length(s) + 1),
-        |        j -> ascii(substring(s, j, 1))),
-        |      (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
-        |      AS BIGINT) AS h
-        |  FROM sh),
-        |win AS (
-        |  SELECT doc_id, pos,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-        |    count(*) OVER (PARTITION BY doc_id) AS m
-        |  FROM hashed),
-        |fp AS (
-        |  SELECT DISTINCT doc_id, wmin AS fp FROM win
-        |  WHERE pos <= greatest(0, CAST(m AS INTEGER) - 4)),
-        |kept AS (
-        |  SELECT f.doc_id, f.fp FROM fp f
-        |  JOIN (SELECT fp, count(*) AS dfc FROM fp GROUP BY 1) d USING (fp)
-        |  WHERE d.dfc <= 50),
-        |sizes AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY 1),
+      (s"WITH $winnowKeptChain,\n" +
+        """|sizes AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -2919,7 +2926,7 @@ object Oracles {
         |FROM pairs
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // x93: every fraction is one double division of exact integer
     // counts; stop_hits counts DISTINCT stopword types (array_intersect
@@ -3399,35 +3406,8 @@ object Oracles {
     // x103: the x92 pair CTEs + the x16 reachability discipline; a
     // node's component label is the least id it can reach (incl self)
     "x103_dedup_histogram" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]) AS s
-        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i
-        |        FROM toks)),
-        |hashed AS (
-        |  SELECT doc_id, pos,
-        |    CAST(list_reduce(list_transform(range(1, length(s) + 1),
-        |        j -> ascii(substring(s, j, 1))),
-        |      (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
-        |      AS BIGINT) AS h
-        |  FROM sh),
-        |win AS (
-        |  SELECT doc_id, pos,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-        |    count(*) OVER (PARTITION BY doc_id) AS m
-        |  FROM hashed),
-        |fp AS (
-        |  SELECT DISTINCT doc_id, wmin AS fp FROM win
-        |  WHERE pos <= greatest(0, CAST(m AS INTEGER) - 4)),
-        |kept AS (
-        |  SELECT f.doc_id, f.fp FROM fp f
-        |  JOIN (SELECT fp, count(*) AS dfc FROM fp GROUP BY 1) d USING (fp)
-        |  WHERE d.dfc <= 50),
-        |wpairs AS (
+      (s"WITH RECURSIVE $winnowKeptChain,\n" +
+        """|wpairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -3451,7 +3431,7 @@ object Oracles {
         |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters
         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
         |GROUP BY 1 HAVING sum(n_clusters) > 0
-        |ORDER BY cluster_size""".stripMargin,
+        |ORDER BY cluster_size""".stripMargin),
 
     // x104: the x98 waterfill + the x83 salted ppm predicate
     // (374496506 = 0x51ed2701 % 1000000007)
@@ -5713,6 +5693,27 @@ object Oracles {
         |FROM dcg JOIN idcg USING (query_id)
         |ORDER BY source""".stripMargin)
 
+  // x171: the shared winnow chain joined to sources — unordered
+  // source-pair counts over exactly the x92 pair graph
+  private val dedupProvenanceO: Map[String, String] = Map(
+    "x171_dedup_provenance" ->
+      (s"WITH $winnowKeptChain,\n" +
+        """|wpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |attributed AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |    greatest(da.source, db.source) AS src_b
+        |  FROM wpairs
+        |  JOIN documents da ON wpairs.d1 = da.doc_id
+        |  JOIN documents db ON wpairs.d2 = db.doc_id)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  src_a = src_b AS within
+        |FROM attributed
+        |GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin))
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -5746,7 +5747,8 @@ object Oracles {
   // that only the execution shape changed (the x67/x63 pattern)
   val all: Map[String, String] =
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
-      retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO +
+      retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
+      dedupProvenanceO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

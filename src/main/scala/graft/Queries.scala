@@ -1722,10 +1722,19 @@ object Queries {
     * ≥ w+k−1 = 6 tokens IS detected. The engine-portable polynomial
     * hash keeps the whole derivation oracle-recomputable (no pinned
     * literals); maxDf = 50 is the boilerplate-fingerprint guard. */
+  /** The x92/x103 shared pair graph: winnowing pairs over the FULL
+    * documents table, memoized per session ([[graft.ext.Memo]] — both
+    * queries ask for the identical deterministic artifact, so the
+    * session materializes it once; x96/x142's winnow graph is NOT
+    * shareable with this one — it runs over the stage-2 survivor
+    * subset, a different input by contract). */
+  private def winnowPairsFull(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Memo.cached(s, s"winnowPairsFull|$dir|k=3|w=4|ms=2|df=50")(
+      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, w = 4, minShared = 2L, maxDf = 50L))
+
   val x92WinnowPairs: Q = (s, dir) => {
-    Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
-        k = 3, w = 4, minShared = 2L, maxDf = 50L)
-      .orderBy("id_a", "id_b")
+    winnowPairsFull(s, dir).orderBy("id_a", "id_b")
   }
 
   /** x93 — Gopher quality rules (Rae et al. 2021, MassiveText §A1.1):
@@ -1872,10 +1881,7 @@ object Queries {
     * or a broken threshold) read before trusting any survivor set. */
   val x103DedupHistogram: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    Dedup.clusterSizeHistogram(
-        Dedup.winnowPairs(d, "doc_id", "text", k = 3, w = 4,
-          minShared = 2L, maxDf = 50L),
-        d, "doc_id")
+    Dedup.clusterSizeHistogram(winnowPairsFull(s, dir), d, "doc_id")
       .orderBy("cluster_size")
   }
 
@@ -2415,6 +2421,19 @@ object Queries {
     Retrieval.ndcgEvalQrels(d, "doc_id", "text", qrels, k = 10)
       .withColumnRenamed("query_id", "source")
       .orderBy("source")
+  }
+
+  /** x171 — near-dup PROVENANCE matrix: the x92 winnow pair graph
+    * attributed to sources ([[graft.ext.Dedup.pairProvenance]]) —
+    * within-source pair mass is template reuse inside one feed,
+    * cross-source mass is mirroring between feeds; the triage view
+    * read before acting on x103's volume histogram. Shares the
+    * memoized x92/x103 pair graph (one graph, three certified
+    * views). */
+  val x171DedupProvenance: Q = (s, dir) => {
+    Dedup.pairProvenance(winnowPairsFull(s, dir),
+        Tables.documents(s, dir), "doc_id", "source")
+      .orderBy("src_a", "src_b")
   }
 
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
@@ -3328,6 +3347,7 @@ object Queries {
     "x168_lpt_assign" -> x168LptAssign,
     "x169_ndcg_grid" -> x169NdcgGrid,
     "x170_simhash_clusters" -> x170SimhashClusters,
+    "x171_dedup_provenance" -> x171DedupProvenance,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -892,6 +892,32 @@ object Dedup {
       .withColumn("is_canonical", col("id") === col("cluster"))
   }
 
+  /** Near-dup PROVENANCE matrix: a pair graph attributed to sources —
+    * for every unordered source pair, how many near-dup pairs connect
+    * them. The triage view a pipeline owner reads before acting on
+    * dedup volume: mass on the diagonal (within = true) is template
+    * reuse inside one feed (fix the extractor); off-diagonal mass is
+    * mirroring between feeds (drop one side). |sources|²-bounded
+    * output from two ids-only broadcast-shaped joins over the pair
+    * list — at 100 TB feed it the banded pair stage directly; nothing
+    * here adds a shuffle beyond the final bounded groupBy.
+    * Output: (src_a, src_b, n_pairs, within), src_a ≤ src_b. */
+  def pairProvenance(pairs: DataFrame, docs: DataFrame, idCol: String,
+      sourceCol: String, idA: String = "id_a", idB: String = "id_b")
+      : DataFrame = {
+    val d = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(d.select(col(idCol).as(idA), col(sourceCol).as("__sa")),
+        Seq(idA))
+      .join(d.select(col(idCol).as(idB), col(sourceCol).as("__sb")),
+        Seq(idB))
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within", col("src_a") === col("src_b"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local fingerprinting algorithm), at
     * word-level k-gram grain: every window of `w` consecutive k-gram

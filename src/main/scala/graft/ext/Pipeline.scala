@@ -118,25 +118,16 @@ object Pipeline {
     * the INPUT data (e.g. the table directory) — the cache cannot see
     * through a DataFrame to its source. Bounded: one manifest
     * (~1 row/doc, ids+flags only) per distinct corpus a session
-    * touches. */
-  private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-
-  /** [[corpusPrep]] through the session memo — same arguments plus
-    * `cacheKey` naming the input snapshot. First call computes and
-    * localCheckpoints the manifest; later calls with the same key and
-    * thresholds reuse it verbatim. */
+    * touches ([[Memo]] holds the mechanism). */
   def corpusPrepCached(cacheKey: String, train: DataFrame,
       bench: DataFrame, idCol: String, textCol: String, langCol: String,
       contaminationMax: Double = 0.2, winnowMinShared: Long = 2L,
-      winnowMaxDf: Long = 50L, doubling: Boolean = false): DataFrame = {
-    val key = (train.sparkSession.sparkContext.applicationId,
-      s"$cacheKey|$idCol|$textCol|$langCol|$contaminationMax|" +
-        s"$winnowMinShared|$winnowMaxDf|$doubling")
-    manifestCache.computeIfAbsent(key, _ =>
+      winnowMaxDf: Long = 50L, doubling: Boolean = false): DataFrame =
+    Memo.cached(train.sparkSession,
+      s"corpusPrep|$cacheKey|$idCol|$textCol|$langCol|$contaminationMax|" +
+        s"$winnowMinShared|$winnowMaxDf|$doubling")(
       corpusPrep(train, bench, idCol, textCol, langCol, contaminationMax,
-        winnowMinShared, winnowMaxDf, doubling).localCheckpoint(true))
-  }
+        winnowMinShared, winnowMaxDf, doubling))
 
   /** One-row DATASET CARD — the corpus summary a release ships next to
     * the data (Gebru et al. 2021's "datasheets" reduced to the
