@@ -5714,6 +5714,52 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY src_a, src_b""".stripMargin))
 
+  // x172: raw / exact-survivor / near-survivor token mass per source —
+  // the fingerprint keep-min rule plus the shared winnow chain folded
+  // to components (the x103 reach recipe), survivors = label self
+  private val sourceContributionO: Map[String, String] = Map(
+    "x172_source_contribution" ->
+      (s"WITH RECURSIVE $winnowKeptChain,\n" +
+        """|wpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM wpairs
+        |          UNION SELECT d2, d1 FROM wpairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |lab AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS dfp
+        |  FROM documents),
+        |raw AS (
+        |  SELECT source, count(*) AS n_docs, sum(nt) AS tokens_raw
+        |  FROM d GROUP BY 1),
+        |keepers AS (SELECT dfp, min(doc_id) AS doc_id FROM d GROUP BY 1),
+        |ex AS (
+        |  SELECT source, sum(nt) AS tokens_exact
+        |  FROM d JOIN keepers USING (dfp, doc_id) GROUP BY 1),
+        |nr AS (
+        |  SELECT source, sum(nt) AS tokens_near
+        |  FROM d LEFT JOIN lab ON d.doc_id = lab.id
+        |  WHERE COALESCE(lab.cluster, d.doc_id) = d.doc_id
+        |  GROUP BY 1)
+        |SELECT raw.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tokens_raw AS BIGINT) AS tokens_raw,
+        |  CAST(COALESCE(tokens_exact, 0) AS BIGINT) AS tokens_exact,
+        |  CAST(COALESCE(tokens_near, 0) AS BIGINT) AS tokens_near
+        |FROM raw
+        |LEFT JOIN ex ON raw.source = ex.source
+        |LEFT JOIN nr ON raw.source = nr.source
+        |ORDER BY raw.source""".stripMargin))
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -5748,7 +5794,7 @@ object Oracles {
   val all: Map[String, String] =
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
-      dedupProvenanceO +
+      dedupProvenanceO ++ sourceContributionO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2436,6 +2436,37 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x172 — per-source EFFECTIVE-CONTRIBUTION audit: the tokens each
+    * source actually adds to a training corpus — raw volume, after
+    * global exact dedup (fingerprint keep-smallest-id: a copy whose
+    * keeper lives in another source contributes nothing), and after
+    * near-dedup (canonical survivors of the x92 winnow graph — the
+    * memoized graph's third consumer). Prices an ingest feed by
+    * UNIQUE content, not volume — the number a data-buying decision
+    * actually needs beside x118's drift and x171's provenance. */
+  val x172SourceContribution: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("nt"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val raw = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("tokens_raw"))
+    val keepers = d.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val exact = d.join(keepers, Seq("fp", "doc_id"))
+      .groupBy("source").agg(sum(col("nt")).as("tokens_exact"))
+    val comp = Dedup.clusters(winnowPairsFull(s, dir))
+    val near = d
+      .join(comp.select(col("id").as("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .where(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+      .groupBy("source").agg(sum(col("nt")).as("tokens_near"))
+    raw.join(exact, Seq("source"), "left")
+      .join(near, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens_raw"),
+        coalesce(col("tokens_exact"), lit(0L)).as("tokens_exact"),
+        coalesce(col("tokens_near"), lit(0L)).as("tokens_near"))
+      .orderBy("source")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3348,6 +3379,7 @@ object Queries {
     "x169_ndcg_grid" -> x169NdcgGrid,
     "x170_simhash_clusters" -> x170SimhashClusters,
     "x171_dedup_provenance" -> x171DedupProvenance,
+    "x172_source_contribution" -> x172SourceContribution,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
