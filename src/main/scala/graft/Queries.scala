@@ -1829,10 +1829,17 @@ object Queries {
     * Hamming verification. Unlike the golden-pinned x04, the ORACLE
     * RECOMPUTES the signatures themselves — idf quantized once, every
     * bit a sign of an exact decimal sum. */
+  /** The x99/x170 shared pair graph: weighted-SimHash pairs at the
+    * oracle-pinned 32-bit signature, memoized per session (the
+    * [[winnowPairsFull]] discipline — the pair listing and the
+    * component labeling ask for the identical artifact). */
+  private def simhashPairsFull(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Memo.cached(s, s"simhashPairsFull|$dir|b=32|bands=4|h=3")(
+      Dedup.weightedSimhashPairs(Tables.documents(s, dir), "doc_id",
+        "text", bits = 32, bands = 4, maxHamming = 3))
+
   val x99WeightedSimhash: Q = (s, dir) => {
-    Dedup.weightedSimhashPairs(Tables.documents(s, dir), "doc_id",
-        "text", bits = 32, bands = 4, maxHamming = 3)
-      .orderBy("id_a", "id_b")
+    simhashPairsFull(s, dir).orderBy("id_a", "id_b")
   }
 
   /** x100 — BPE merge mining (Sennrich et al. 2016): the first three
@@ -2473,8 +2480,8 @@ object Queries {
     * (the Ω(#pairs) output-floor lesson) as its own oracle-checked
     * surface; x99's pair-listing form is unchanged beside it. */
   val x170SimhashClusters: Q = (s, dir) => {
-    Dedup.weightedSimhashClusters(Tables.documents(s, dir), "doc_id",
-        "text", bits = 32, bands = 4, maxHamming = 3)
+    Dedup.labelsFromPairs(Tables.documents(s, dir), "doc_id",
+        simhashPairsFull(s, dir))
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }

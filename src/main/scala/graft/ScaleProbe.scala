@@ -114,7 +114,16 @@ object ScaleProbe {
       "x160_code_switch", "x161_vocab_coverage",
       "x162_index_roundtrip", "x163_two_level_roundtrip",
       "x164_ks_drift", "x165_ks_matrix", "x166_ndcg_eval",
-      "x167_hll_pair_union", "x168_lpt_assign")
+      "x167_hll_pair_union", "x168_lpt_assign",
+      // round-11: the table-driven nDCG grid (qrels derivation + the
+      // micro-unit BM25 tail), components over the x99 pair graph
+      // (banding + escalating propagation), and the two new views
+      // over the SHARED winnow graph — x92 (first in arm order) pays
+      // the graph per scale dir, so x103/x171/x172 measure their
+      // INCREMENTAL cost on the memoized graph, exactly the
+      // several-views-one-session production shape
+      "x169_ndcg_grid", "x170_simhash_clusters",
+      "x171_dedup_provenance", "x172_source_contribution")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
@@ -146,6 +155,13 @@ object ScaleProbe {
       // 32-bit signature (fixed width measured 35x wall at 10x rows)
       "x99_simhash_auto" -> (dir =>
         graft.ext.Dedup.weightedSimhashPairsAuto(
+          graft.sources.Tables.documents(spark, dir), "doc_id", "text")),
+      // the x170 scale path: components under the auto band width —
+      // the query keeps x99's pinned 32-bit signature for oracle
+      // parity and hits its measured crowding wall at sfx10 (150 s);
+      // this arm is the production default
+      "x170_clusters_auto" -> (dir =>
+        graft.ext.Dedup.weightedSimhashClustersAuto(
           graft.sources.Tables.documents(spark, dir), "doc_id", "text")),
       // the x101 scale path: the exact pairwise form is the x05-class
       // quadratic baseline by DESIGN (not probed past sf0.1); at scale

@@ -221,6 +221,46 @@ class PropertySpec extends SparkSpec {
     assert(b0(1) != b1(1))
   }
 
+  test("property: idOrderedPrefix == single-window prefix on random " +
+      "id sets across bucket counts") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    for (trial <- 1 to 5) {
+      // random distinct ids (positive and negative), random weights
+      val ids = Seq.fill(200)(rnd.nextLong() % 100000L).distinct
+      val data = ids.map(id => (id, math.abs(rnd.nextLong() % 1000L)))
+      val df = data.toDF("doc_id", "nt").repartition(5)
+      val exp = rows(df.select(col("doc_id").as("id"), col("nt").as("n"))
+        .withColumn("cum_prev", coalesce(sum(col("n")).over(w), lit(0L)))
+        .orderBy("id")).map(r => (r.getLong(0), r.getLong(2)))
+      for (nb <- Seq(1, 7, 64, 1024)) {
+        val got = rows(graft.ext.Sampling.idOrderedPrefix(df,
+            col("doc_id"), col("nt"), nb).orderBy("id"))
+          .map(r => (r.getLong(0), r.getLong(2)))
+        assert(got == exp, s"trial=$trial nBuckets=$nb")
+      }
+    }
+  }
+
+  test("Memo.cached computes once per (session, key) and returns the " +
+      "materialized frame verbatim") {
+    var computes = 0
+    def build(): org.apache.spark.sql.DataFrame = {
+      computes += 1
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    val k = s"memo-spec-${System.nanoTime()}"
+    val a = graft.ext.Memo.cached(spark, k)(build())
+    val b = graft.ext.Memo.cached(spark, k)(build())
+    assert(computes == 1, s"computed $computes times")
+    assert(a eq b)
+    assert(rows(b.orderBy("id")).map(_.getLong(0)) == Seq(1L, 2L))
+    // a different key computes independently
+    graft.ext.Memo.cached(spark, k + "-2")(build())
+    assert(computes == 2)
+  }
+
   test("property: year attachment lands in (target−1y, target]") {
     val cases = (1 to 200).map { _ =>
       val d = 1 + rnd.nextInt(28)
