@@ -5760,6 +5760,61 @@ object Oracles {
         |LEFT JOIN nr ON raw.source = nr.source
         |ORDER BY raw.source""".stripMargin))
 
+  // x173: corpus-max as-of, per-user combiner agg, three exact global
+  // NTILEs over total orders (metric, user_id) — standard tile
+  // semantics both engines share (the x91 discipline); monetary
+  // through the VARCHAR decimal→double parity cast
+  // x174: per-(source, dim) DECIMAL(20,8) sums (the x143 cast
+  // parity), pair join, dim-ordered double folds for dot/norms
+  private val rfmCentroidO: Map[String, String] = Map(
+    "x173_rfm" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS asof_us FROM events),
+        |per AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS m
+        |  FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT user_id,
+        |    CAST((mx.asof_us - last_us) // 86400000000 AS BIGINT)
+        |      AS recency_days,
+        |    frequency, m
+        |  FROM per CROSS JOIN mx)
+        |SELECT user_id, recency_days, frequency,
+        |  CAST(CAST(m AS VARCHAR) AS DOUBLE) AS monetary,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC)
+        |    AS BIGINT) AS r_bucket,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+        |    AS BIGINT) AS f_bucket,
+        |  CAST(ntile(5) OVER (ORDER BY m DESC, user_id ASC)
+        |    AS BIGINT) AS m_bucket
+        |FROM base ORDER BY user_id""".stripMargin,
+
+    "x174_centroid_matrix" ->
+      """WITH je AS (
+        |  SELECT d.source AS src, i - 1 AS dim,
+        |    CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(20,8)) AS v
+        |  FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id, range(1, 65) t(i)),
+        |ss AS (SELECT src, dim, CAST(sum(v) AS DECIMAL(20,8)) AS s
+        |       FROM je GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, a.dim,
+        |    CAST(CAST(a.s AS VARCHAR) AS DOUBLE) AS da,
+        |    CAST(CAST(b.s AS VARCHAR) AS DOUBLE) AS db
+        |  FROM ss a JOIN ss b ON a.dim = b.dim AND a.src < b.src),
+        |folded AS (
+        |  SELECT src_a, src_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(da * db ORDER BY dim)), (acc, x) -> acc + x) AS dot,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(da * da ORDER BY dim)), (acc, x) -> acc + x) AS na,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(db * db ORDER BY dim)), (acc, x) -> acc + x) AS nb
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT src_a, src_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+        |FROM folded ORDER BY src_a, src_b""".stripMargin)
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -5794,7 +5849,7 @@ object Oracles {
   val all: Map[String, String] =
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
-      dedupProvenanceO ++ sourceContributionO +
+      dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

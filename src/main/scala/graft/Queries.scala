@@ -2474,6 +2474,29 @@ object Queries {
       .orderBy("source")
   }
 
+  /** x173 — RFM user segmentation: per user, days since last event
+    * (vs the corpus max timestamp — deterministic as-of), event
+    * count, exact decimal spend; each metric quintiled over a total
+    * order ([[graft.ext.EventWindows.rfm]]). The behavioral-cohort
+    * table marketing/abuse teams cut campaigns from. */
+  val x173Rfm: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    EventWindows.rfm(e, col("user_id"), col("ts"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** x174 — per-source embedding-centroid cosine matrix
+    * ([[graft.ext.Similarity.sourceCentroidMatrix]]): the SEMANTIC
+    * mirror-site audit beside x121's lexical overlap — a pair of
+    * feeds with near-1 centroid cosine carries the same content in
+    * different words, which span overlap cannot see. */
+  val x174CentroidMatrix: Q = (s, dir) => {
+    Similarity.sourceCentroidMatrix(
+        Tables.documents(s, dir), col("doc_id"), col("source"),
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3387,6 +3410,8 @@ object Queries {
     "x170_simhash_clusters" -> x170SimhashClusters,
     "x171_dedup_provenance" -> x171DedupProvenance,
     "x172_source_contribution" -> x172SourceContribution,
+    "x173_rfm" -> x173Rfm,
+    "x174_centroid_matrix" -> x174CentroidMatrix,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -123,7 +123,8 @@ object ScaleProbe {
       // INCREMENTAL cost on the memoized graph, exactly the
       // several-views-one-session production shape
       "x169_ndcg_grid", "x170_simhash_clusters",
-      "x171_dedup_provenance", "x172_source_contribution")
+      "x171_dedup_provenance", "x172_source_contribution",
+      "x173_rfm", "x174_centroid_matrix")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

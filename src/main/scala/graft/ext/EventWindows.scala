@@ -188,4 +188,46 @@ object EventWindows {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new")
   }
+
+  /** RFM user segmentation (recency / frequency / monetary — the
+    * classic behavioral-cohort table): per user, whole days since the
+    * last event (vs the CORPUS max timestamp — a deterministic as-of,
+    * no wall clock), event count, and the exact decimal value sum;
+    * each metric quintiled by `buckets`-way NTILE over a TOTAL order
+    * (metric, then user id — explicit tie-break, standard SQL tile
+    * semantics both engines share, the x91 discipline). Bucket 1 is
+    * best on every axis (most recent / most frequent / highest
+    * spend).
+    *
+    * Scale shape: one combiner agg per user + a 1-row as-of broadcast;
+    * the three NTILE windows are EXACT global ranks — one task each
+    * over per-USER rows, the oracle contract. At 100 TB user counts,
+    * swap the bucket stage for [[Quantiles.approx]] thresholds (the
+    * x28/x132 documented arm) — the metrics agg is bucket-agnostic.
+    * Output: (user_id, recency_days, frequency, monetary,
+    * r_bucket, f_bucket, m_bucket). */
+  def rfm(events: DataFrame, userCol: Column, ts: Column, value: Column,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 1, s"rfm: buckets=$buckets must be >= 1")
+    val D = org.apache.spark.sql.types.DecimalType(18, 4)
+    val dayUs = 86400000000L
+    val asof = events.agg(max(unix_micros(ts)).as("__mx"))
+    val per = events.groupBy(userCol.as("user_id")).agg(
+      max(unix_micros(ts)).as("__last"),
+      count(lit(1)).as("frequency"),
+      sum(value.cast(D)).as("__m"))
+    val age = col("__mx") - col("__last")
+    per.crossJoin(broadcast(asof))
+      .withColumn("recency_days",
+        ((age - pmod(age, lit(dayUs))) / lit(dayUs)).cast("long"))
+      .withColumn("r_bucket", ntile(buckets).over(Window
+        .orderBy(col("recency_days").asc, col("user_id").asc)).cast("long"))
+      .withColumn("f_bucket", ntile(buckets).over(Window
+        .orderBy(col("frequency").desc, col("user_id").asc)).cast("long"))
+      .withColumn("m_bucket", ntile(buckets).over(Window
+        .orderBy(col("__m").desc, col("user_id").asc)).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("__m").cast("double").as("monetary"),
+        col("r_bucket"), col("f_bucket"), col("m_bucket"))
+  }
 }

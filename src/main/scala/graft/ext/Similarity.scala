@@ -840,6 +840,44 @@ object Similarity {
           .as("drift"))
   }
 
+  /** Per-SOURCE centroid cosine matrix — the SEMANTIC mirror-site
+    * audit beside x121's lexical span overlap: the cosine between
+    * every pair of per-source mean embeddings. cos(mean_a, mean_b) =
+    * cos(sum_a, sum_b) — the counts cancel — so the whole operator is
+    * per-(source, dim) exact decimal component sums (the (20,8) x143
+    * sizing, proven double→decimal cast parity), a bounded
+    * |sources|²·dim pair join, and per pair ONE fixed-dim-order
+    * double fold (sort_array + aggregate — the x143 fold) for dot and
+    * both norms, with two sqrts and a divide at the boundary.
+    * Scale shape: one explode scan + a (sources·dim)-bounded agg —
+    * nothing downstream ever touches per-vector rows.
+    * Output: (src_a, src_b, cosine), src_a < src_b. */
+  def sourceCentroidMatrix(docs: DataFrame, docId: Column,
+      source: Column, emb: DataFrame, vecId: Column, vec: Column)
+      : DataFrame = {
+    val joined = docs.select(docId.as("__id"), source.as("src"))
+      .join(emb.select(vecId.as("__id"), vec.as("__v")), Seq("__id"))
+    val pe = joined.select(col("src"),
+      posexplode(col("__v")).as(Seq("dim", "v")))
+    val ss = pe.groupBy("src", "dim")
+      .agg(sum(col("v").cast("double").cast(DriftD)).cast(DriftD).as("s"))
+    val a = ss.select(col("src").as("src_a"), col("dim"),
+      col("s").cast("double").as("da"))
+    val b = ss.select(col("src").as("src_b"), col("dim"),
+      col("s").cast("double").as("db"))
+    a.join(b, Seq("dim")).where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sort_array(collect_list(struct(col("dim"), col("da"),
+        col("db")))).as("arr"))
+      .select(col("src_a"), col("src_b"),
+        (aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x("da") * x("db")) /
+          (sqrt(aggregate(col("arr"), lit(0.0),
+            (acc, x) => acc + x("da") * x("da"))) *
+           sqrt(aggregate(col("arr"), lit(0.0),
+             (acc, x) => acc + x("db") * x("db"))))).as("cosine"))
+  }
+
   /** Per-source embedding HYGIENE + coverage audit: documents LEFT-
     * joined to their vectors (≤ 1 vector per id — the 1:1 id-space
     * contract), then per source: coverage (docs vs vectors present),
