@@ -397,6 +397,62 @@ object Streams {
       sumView(spark, tablePath, Seq("g", "v"))
         .select(col("g"), col("v"), col("n").as("c")))
 
+  /** Streaming RFM ledger: per micro-batch, one (user, last_us,
+    * frequency, spend) MERGEABLE partial row — max is max-mergeable,
+    * count and the exact decimal spend sum are additive, so the view
+    * folds any batch partition of the stream to the identical
+    * per-user metrics (the additiveSink discipline with a max column
+    * riding along). Replay-idempotent like every ledger here: a
+    * re-run batch re-appends byte-identical partials under the same
+    * _batch id and the view dedups on (user, _batch). */
+  def rfmSink(events: DataFrame, userCol: Column, ts: Column,
+      value: Column, tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(userCol.as("user_id")).agg(
+            max(unix_micros(ts)).as("_plast"),
+            count(lit(1)).as("_pcount"),
+            sum(value.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .as("_psum"))
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+      .start()
+
+  /** Fold an [[rfmSink]] ledger to the exact batch
+    * [[graft.ext.EventWindows.rfm]] table over everything ingested:
+    * dedup replayed partials on (user, _batch), merge (max, sum,
+    * sum), then the same as-of recency + NTILE bucket tail. */
+  def rfmView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, buckets: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = spark.read.parquet(tablePath)
+      .dropDuplicates("user_id", "_batch")
+      .groupBy("user_id").agg(
+        max(col("_plast")).as("__last"),
+        sum(col("_pcount")).as("frequency"),
+        sum(col("_psum"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("__m"))
+    val asof = merged.agg(max(col("__last")).as("__mx"))
+    val dayUs = 86400000000L
+    val age = col("__mx") - col("__last")
+    merged.crossJoin(broadcast(asof))
+      .withColumn("recency_days",
+        ((age - pmod(age, lit(dayUs))) / lit(dayUs)).cast("long"))
+      .withColumn("r_bucket", ntile(buckets).over(Window
+        .orderBy(col("recency_days").asc, col("user_id").asc)).cast("long"))
+      .withColumn("f_bucket", ntile(buckets).over(Window
+        .orderBy(col("frequency").desc, col("user_id").asc)).cast("long"))
+      .withColumn("m_bucket", ntile(buckets).over(Window
+        .orderBy(col("__m").desc, col("user_id").asc)).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("__m").cast("double").as("monetary"),
+        col("r_bucket"), col("f_bucket"), col("m_bucket"))
+  }
+
   /** Streaming SERVING of a PERSISTED quantizer index — the streaming
     * half of the x162/x163 index lifecycle (train → save → load →
     * serve), the [[bm25ScoreSink]] frozen-artifact discipline applied

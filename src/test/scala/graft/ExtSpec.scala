@@ -1836,6 +1836,52 @@ class ExtSpec extends SparkSpec {
     assert(labels.subsetOf(got.filter(_._3).map(_._1).toSet))
   }
 
+  test("rfm: hand case — recency floor-days, exact spend, total-order " +
+      "buckets") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-09 23:59:59"), 2.5),   // 0 days before asof
+      (2L, ts("2024-01-05 00:00:00"), 100.0), // 4.99.. days -> 4
+      (3L, ts("2024-01-10 00:00:00"), 1.0)    // the asof row itself
+    ).toDF("user_id", "ts", "value")
+    val got = rows(graft.ext.EventWindows.rfm(e, col("user_id"),
+        col("ts"), col("value"), buckets = 2).orderBy("user_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // recency: u1 floor(1s/day)=0, u2 floor(5d-1s... )=4 wait:
+    // asof = 2024-01-10 00:00:00; u1 last 01-09 23:59:59 -> 0 days;
+    // u2 last 01-05 -> 5 days exactly; u3 -> 0 days
+    // r order (rec asc, id): u1(0), u3(0), u2(5) -> tiles 1,1,2
+    // f order (freq desc, id): u1(2), u2(1), u3(1) -> 1,1,2
+    // m order (sum desc, id): u2(100), u1(12.5), u3(1) -> 1,1,2
+    assert(got == Seq(
+      (1L, 0L, 2L, 12.5, 1L, 1L, 1L),
+      (2L, 5L, 1L, 100.0, 2L, 1L, 1L),
+      (3L, 0L, 1L, 1.0, 1L, 2L, 2L)))
+  }
+
+  test("sourceCentroidMatrix: orthogonal sources score 0, identical 1") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Array(2.0f, 0.0f)), (2L, Array(4.0f, 0.0f)), // a: x-axis
+      (3L, Array(0.0f, 3.0f)),                          // b: y-axis
+      (4L, Array(5.0f, 0.0f))                           // c: x-axis
+    ).toDF("vec_id", "embedding")
+    val got = rows(graft.ext.Similarity.sourceCentroidMatrix(
+        docs, col("doc_id"), col("source"),
+        emb, col("vec_id"), col("embedding"))
+      .orderBy("src_a", "src_b"))
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(byPair(("a", "b"))) < 1e-12)
+    assert(math.abs(byPair(("a", "c")) - 1.0) < 1e-12)
+    assert(math.abs(byPair(("b", "c"))) < 1e-12)
+  }
+
   test("source overlap: a subset source saturates its own row only") {
     import graft.ext.TextAnalysis
     val d = Seq(

@@ -10,6 +10,7 @@ case class QV(vec_id: Long, embedding: Array[Float])
 case class TDoc(doc_id: Long, text: String)
 case class TSrc(id: Long, src: String, w: Long)
 case class GV(g: String, v: String)
+case class REv(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class DocT(doc_id: Long, n_tokens: Long, text: String)
 
 /** Streaming forms agree with the batch operators: replayed duplicates
@@ -340,6 +341,34 @@ class StreamingSpec extends SparkSpec {
         (b1 ++ b2).toDF("g", "v"), $"g", $"v").orderBy("src_a", "src_b"))
       .map(_.toString)
     assert(streamed == batch && streamed.size == 3)
+  }
+
+  test("rfmSink/rfmView: mergeable (max, count, sum) partials fold to " +
+      "the exact batch RFM table") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, t: String, v: Double) =
+      REv(u, java.sql.Timestamp.valueOf(t), v)
+    val b1 = Seq(ev(1, "2024-01-01 00:00:00", 10.5),
+      ev(1, "2024-01-03 12:00:00", 2.25), ev(2, "2024-01-02 00:00:00", 5.0),
+      ev(3, "2024-01-01 06:00:00", 1.0))
+    val b2 = Seq(ev(2, "2024-01-05 00:00:00", 7.75),
+      ev(3, "2024-01-01 07:00:00", 0.5), ev(4, "2024-01-04 00:00:00", 9.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[REv]
+    mem.addData(b1: _*)
+    val q = Streams.rfmSink(mem.toDF(), $"user_id", $"ts", $"value",
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Streams.rfmView(spark, table).orderBy("user_id"))
+      .map(_.toString)
+    val batch = rows(graft.ext.EventWindows.rfm((b1 ++ b2).toDF(),
+        $"user_id", $"ts", $"value").orderBy("user_id"))
+      .map(_.toString)
+    assert(streamed == batch && streamed.size == 4)
   }
 
   test("modelAssignSink: stream-served assignments under persisted " +
