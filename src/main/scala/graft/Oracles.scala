@@ -5815,6 +5815,37 @@ object Oracles {
         |SELECT src_a, src_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
         |FROM folded ORDER BY src_a, src_b""".stripMargin)
 
+  // x175: exact integer cell/marginal counts; each cell term the same
+  // fixed IEEE expression both engines parse; ONE fold in (a, b) cell
+  // order (the x143 list_reduce recipe)
+  private val chiSquareO: Map[String, String] = Map(
+    "x175_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(c) AS ta FROM cells GROUP BY 1),
+        |rb AS (SELECT b, sum(c) AS tb FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, count(DISTINCT a) AS na,
+        |        count(DISTINCT b) AS nb FROM cells),
+        |terms AS (
+        |  SELECT cells.a, cells.b,
+        |    (CAST(c AS DOUBLE)
+        |      - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |    * (CAST(c AS DOUBLE)
+        |      - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS t
+        |  FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot)
+        |SELECT CAST(tot.n AS BIGINT) AS n, CAST(tot.na AS BIGINT) AS n_a,
+        |  CAST(tot.nb AS BIGINT) AS n_b,
+        |  CAST((tot.na - 1) * (tot.nb - 1) AS BIGINT) AS dof,
+        |  (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list(t ORDER BY a, b)), (acc, x) -> acc + x)
+        |   FROM terms) AS chi2
+        |FROM tot""".stripMargin)
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -5849,7 +5880,8 @@ object Oracles {
   val all: Map[String, String] =
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
-      dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO +
+      dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
+      chiSquareO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

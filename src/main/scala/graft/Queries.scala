@@ -2497,6 +2497,16 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x175 — lang × source chi-square independence
+    * ([[graft.ext.Stats.chiSquareIndependence]]): a large X² says
+    * language and feed are ENTANGLED (one feed dominating one
+    * language) — the hidden assumption behind per-language thresholds
+    * and stratified sampling, made measurable. One row. */
+  val x175ChiSquare: Q = (s, dir) => {
+    graft.ext.Stats.chiSquareIndependence(Tables.documents(s, dir),
+      col("lang"), col("source"))
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3412,6 +3422,7 @@ object Queries {
     "x172_source_contribution" -> x172SourceContribution,
     "x173_rfm" -> x173Rfm,
     "x174_centroid_matrix" -> x174CentroidMatrix,
+    "x175_chi_square" -> x175ChiSquare,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -857,10 +857,25 @@ object Similarity {
       : DataFrame = {
     val joined = docs.select(docId.as("__id"), source.as("src"))
       .join(emb.select(vecId.as("__id"), vec.as("__v")), Seq("__id"))
-    val pe = joined.select(col("src"),
-      posexplode(col("__v")).as(Seq("dim", "v")))
-    val ss = pe.groupBy("src", "dim")
+    sourceCentroidMatrixFromSums(sourceSums(joined, col("src"),
+      col("__v")))
+  }
+
+  /** The MERGEABLE partial behind [[sourceCentroidMatrix]] — per
+    * (source, dim) exact decimal component sums ([[shardSums]]' shape
+    * keyed by source): additive across batches, so a streaming sink
+    * can ledger them per micro-batch and the view folds to the
+    * identical matrix. Output: (src, dim, s). */
+  def sourceSums(rows: DataFrame, source: Column, vec: Column)
+      : DataFrame =
+    rows.select(source.as("src"), posexplode(vec).as(Seq("dim", "v")))
+      .groupBy("src", "dim")
       .agg(sum(col("v").cast("double").cast(DriftD)).cast(DriftD).as("s"))
+
+  /** The pair-cosine tail of [[sourceCentroidMatrix]] over
+    * already-aggregated (src, dim, s) sums (possibly batch partials
+    * re-summed and cast back to the same (20,8)). */
+  def sourceCentroidMatrixFromSums(ss: DataFrame): DataFrame = {
     val a = ss.select(col("src").as("src_a"), col("dim"),
       col("s").cast("double").as("da"))
     val b = ss.select(col("src").as("src_b"), col("dim"),

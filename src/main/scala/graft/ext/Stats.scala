@@ -217,6 +217,49 @@ object Stats {
     * the |groups|·|distinct values| grid (bounded for discrete
     * columns — lengths, buckets, ratings), one combiner max.
     * Output: (group, n, ks, at_value). */
+  /** Chi-square test of INDEPENDENCE between two categorical columns
+    * (Pearson 1900) — the "is lang independent of source" profiling
+    * gate: a large X² says the two factors are entangled (e.g. one
+    * feed dominates one language), which stratified sampling and
+    * per-language thresholds silently assume away. X² =
+    * Σ_cells (n−e)²/e with e = rowTotal·colTotal/N.
+    *
+    * Determinism: counts are exact integers; e and each cell term are
+    * IEEE doubles folded in (a, b) CELL ORDER (sort_array + one
+    * aggregate fold — the x143 discipline), so partitioning can never
+    * reorder the sum; dof = (|a|−1)(|b|−1) exact. Scale shape: one
+    * combiner count per cell + two bounded marginal aggs + a
+    * |a|·|b|-bounded fold — one output row.
+    * Output: (n, n_a, n_b, dof, chi2). */
+  def chiSquareIndependence(df: DataFrame, a: Column, b: Column)
+      : DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds marginals AND the fold
+    val ra = cells.groupBy("__a").agg(sum(col("__c")).as("__ta"))
+    val rb = cells.groupBy("__b").agg(sum(col("__c")).as("__tb"))
+    val tot = cells.agg(sum(col("__c")).as("__n"),
+      countDistinct(col("__a")).as("__na"),
+      countDistinct(col("__b")).as("__nb"))
+    val term = {
+      val e = col("__ta").cast("double") * col("__tb").cast("double") /
+        col("__n").cast("double")
+      val d = col("__c").cast("double") - e
+      d * d / e
+    }
+    cells.join(ra, Seq("__a")).join(rb, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__na"), col("__nb"),
+        struct(col("__a"), col("__b"), term.as("__t")).as("__s"))
+      .groupBy("__n", "__na", "__nb")
+      .agg(sort_array(collect_list(col("__s"))).as("__arr"))
+      .select(col("__n").as("n"), col("__na").as("n_a"),
+        col("__nb").as("n_b"),
+        ((col("__na") - 1) * (col("__nb") - 1)).as("dof"),
+        aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x("__t")).as("chi2"))
+  }
+
   def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame =
     ksDriftFromCounts(df.select(group.as("g"), value.as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c")))

@@ -397,6 +397,38 @@ object Streams {
       sumView(spark, tablePath, Seq("g", "v"))
         .select(col("g"), col("v"), col("n").as("c")))
 
+  /** Streaming SOURCE-CENTROID ledger: per micro-batch, the
+    * (src, dim) exact decimal component sums of
+    * [[graft.ext.Similarity.sourceSums]] — additive partials, same
+    * discipline as [[centroidDriftSink]] but keyed by the stream's
+    * own source column. [[centroidMatrixView]] folds the ledger to
+    * the exact x174 pair-cosine matrix over everything ingested. */
+  def centroidMatrixSink(stream: DataFrame, source: Column, vec: Column,
+      tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Similarity.sourceSums(batch, source, vec)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+      .start()
+
+  /** Fold a [[centroidMatrixSink]] ledger to the exact batch
+    * [[graft.ext.Similarity.sourceCentroidMatrix]]: dedup replayed
+    * partials on (src, dim, _batch), re-sum to (20,8), pair tail. */
+  def centroidMatrixView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(20, 8)
+    graft.ext.Similarity.sourceCentroidMatrixFromSums(
+      spark.read.parquet(tablePath)
+        .dropDuplicates("src", "dim", "_batch")
+        .groupBy("src", "dim")
+        .agg(sum(col("s")).cast(D).as("s")))
+  }
+
   /** Streaming RFM ledger: per micro-batch, one (user, last_us,
     * frequency, spend) MERGEABLE partial row — max is max-mergeable,
     * count and the exact decimal spend sum are additive, so the view

@@ -343,6 +343,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 3)
   }
 
+  test("centroidMatrixSink/View: additive (src, dim) decimal partials " +
+      "fold to the exact batch pair-cosine matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val joined = docs.select($"doc_id", $"source")
+      .join(emb.select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+    case class SV(source: String, embedding: Array[Float])
+    val all = joined.select($"source", $"embedding").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scm")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[(String, Array[Float])]
+    mem.addData(b1.toSeq: _*)
+    val q = Streams.centroidMatrixSink(
+      mem.toDF().toDF("source", "embedding"), $"source", $"embedding",
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Streams.centroidMatrixView(spark, table)
+      .orderBy("src_a", "src_b")).map(_.toString)
+    val batch = rows(graft.ext.Similarity.sourceCentroidMatrix(
+        docs, $"doc_id", $"source", emb, $"vec_id", $"embedding")
+      .orderBy("src_a", "src_b")).map(_.toString)
+    assert(streamed == batch && streamed.size == 190)
+  }
+
   test("rfmSink/rfmView: mergeable (max, count, sum) partials fold to " +
       "the exact batch RFM table") {
     implicit val sqlCtx = spark.sqlContext
