@@ -5846,6 +5846,61 @@ object Oracles {
         |   FROM terms) AS chi2
         |FROM tot""".stripMargin)
 
+  // x176: the x141 session-transition chain + 4 unrolled quantized
+  // power-iteration rounds (the x115 recipe on behavioral data):
+  // per-edge floor micro-units, exact Long round totals, one
+  // renormalizing division per state
+  private val stationaryO: Map[String, String] = {
+    val head =
+      """flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged),
+        |pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM sess),
+        |c AS (
+        |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tt
+        |      FROM c GROUP BY 1),
+        |states AS (SELECT prev_type AS state FROM c
+        |           UNION SELECT next_type FROM c),
+        |r0 AS (SELECT state, CAST(1.0 AS DOUBLE) AS r FROM states)"""
+        .stripMargin
+    val rounds = (1 to 4).map { k =>
+      s"""cr$k AS (
+         |  SELECT c.next_type AS state,
+         |    CAST(floor(r.r * CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE)
+         |      * 1e12) AS BIGINT) AS cc
+         |  FROM c JOIN r${k - 1} r ON c.prev_type = r.state
+         |  JOIN t ON c.prev_type = t.prev_type),
+         |cj$k AS (SELECT state, CAST(sum(cc) AS BIGINT) AS cj
+         |         FROM cr$k GROUP BY 1),
+         |tt$k AS (SELECT CAST(sum(cj) AS BIGINT) AS tot FROM cj$k),
+         |r$k AS (
+         |  SELECT s.state,
+         |    CAST(COALESCE(cj.cj, 0) AS DOUBLE) / CAST(tt$k.tot AS DOUBLE)
+         |      AS r
+         |  FROM states s LEFT JOIN cj$k cj USING (state)
+         |  CROSS JOIN tt$k)""".stripMargin
+    }
+    val tail =
+      "SELECT state AS event_type, r AS p_stationary FROM r4 " +
+        "ORDER BY event_type"
+    Map("x176_stationary_mix" ->
+      ((head +: rounds).mkString("WITH ", ",\n", "\n") + tail))
+  }
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -5881,7 +5936,7 @@ object Oracles {
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
-      chiSquareO +
+      chiSquareO ++ stationaryO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2507,6 +2507,19 @@ object Queries {
       col("lang"), col("source"))
   }
 
+  /** x176 — stationary event mix
+    * ([[graft.ext.EventWindows.stationaryMix]]): the Markov steady
+    * state of x141's session-transition matrix by 4 quantized power
+    *-iteration rounds — where user behavior settles long-run, the
+    * capacity-planning and behavioral-drift row beside x141's local
+    * probabilities. */
+  val x176StationaryMix: Q = (s, dir) => {
+    EventWindows.stationaryMix(Tables.events(s, dir), col("ts"),
+        col("user_id"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L, iters = 4)
+      .orderBy("event_type")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3423,6 +3436,7 @@ object Queries {
     "x173_rfm" -> x173Rfm,
     "x174_centroid_matrix" -> x174CentroidMatrix,
     "x175_chi_square" -> x175ChiSquare,
+    "x176_stationary_mix" -> x176StationaryMix,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

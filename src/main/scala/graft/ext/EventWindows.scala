@@ -189,6 +189,62 @@ object EventWindows {
       .drop("__new")
   }
 
+  /** STATIONARY EVENT MIX — the Markov steady state of the x141
+    * session-transition matrix by bounded POWER ITERATION (the x115
+    * TextRank discipline on behavioral data): r' ∝ r·P with
+    * P(i→j) = n_ij/t_i, renormalized each round. Where x141 reports
+    * local transition probabilities, this reports where user behavior
+    * SETTLES — the long-run event mix a capacity planner provisions
+    * against, and a drift alarm when it walks away from the observed
+    * mix.
+    *
+    * Determinism: each edge contribution r·n/t is one IEEE chain
+    * floor-quantized into 1e-12 micro-units (a Long) before the
+    * order-independent sum; the round total T is an exact Long sum,
+    * and the renormalization is one double division per state. States
+    * with no outgoing transitions leak their mass (absorbed then
+    * renormalized away) — documented semantics, identical both
+    * engines. Scale shape: the graph is EVENT-TYPE-bounded, so after
+    * one sessionize pass every iteration is a model-sized join+agg;
+    * ranks stay DataFrames throughout.
+    * Output: (event_type, p_stationary). */
+  def stationaryMix(events: DataFrame, ts: Column, user: Column,
+      tie: Column, typeCol: Column, gapMicros: Long,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"stationaryMix: iters=$iters")
+    val sess = sessionize(events, ts, user, gapMicros, tie)
+    val w = Window.partitionBy(user, col("sid")).orderBy(ts.asc, tie.asc)
+    val pairs = sess.withColumn("__prev", lag(typeCol, 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("src"), typeCol.as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds every iteration
+    val t = pairs.groupBy("src").agg(sum(col("n")).as("t"))
+      .localCheckpoint(true)
+    val states = pairs.select(col("src").as("state"))
+      .union(pairs.select(col("dst"))).distinct()
+      .localCheckpoint(true)
+    var rank = states.withColumn("r", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = pairs
+        .join(rank.select(col("state").as("src"), col("r").as("__r")),
+          Seq("src"))
+        .join(t, Seq("src"))
+        .select(col("dst").as("state"),
+          floor(col("__r") * col("n").cast("double") /
+            col("t").cast("double") * lit(1e12)).cast("long").as("c"))
+      val cj = contrib.groupBy("state").agg(sum(col("c")).as("cj"))
+      val tot = cj.agg(sum(col("cj")).as("T"))
+      rank = states.join(cj, Seq("state"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("state"),
+          (coalesce(col("cj"), lit(0L)).cast("double") /
+            col("T").cast("double")).as("r"))
+    }
+    rank.select(col("state").as("event_type"),
+      col("r").as("p_stationary"))
+  }
+
   /** RFM user segmentation (recency / frequency / monetary — the
     * classic behavioral-cohort table): per user, whole days since the
     * last event (vs the CORPUS max timestamp — a deterministic as-of,
