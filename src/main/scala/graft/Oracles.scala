@@ -5901,6 +5901,43 @@ object Oracles {
       ((head +: rounds).mkString("WITH ", ",\n", "\n") + tail))
   }
 
+  // x177: the session chain + a distinct (session, type) projection;
+  // self-join pairs, integer counts, one fixed-order double lift
+  private val cooccurrenceO: Map[String, String] = Map(
+    "x177_cooccurrence" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged),
+        |st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |       FROM (SELECT DISTINCT user_id, sid FROM st)),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM st GROUP BY 1),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pr.n_ab,
+        |  pa.n AS n_a, pb.n AS n_b, ns.n_sessions,
+        |  (CAST(pr.n_ab AS DOUBLE) * CAST(ns.n_sessions AS DOUBLE))
+        |    / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)) AS lift
+        |FROM pr
+        |JOIN per pa ON pr.type_a = pa.event_type
+        |JOIN per pb ON pr.type_b = pb.event_type
+        |CROSS JOIN ns
+        |ORDER BY pr.type_a, pr.type_b""".stripMargin)
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -5936,7 +5973,7 @@ object Oracles {
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
-      chiSquareO ++ stationaryO +
+      chiSquareO ++ stationaryO ++ cooccurrenceO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2520,6 +2520,18 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** x177 — session co-occurrence lift
+    * ([[graft.ext.EventWindows.sessionCooccurrence]]): observed-over-
+    * expected for every unordered event-type pair at session grain —
+    * "sessions that did X also did Y", the behavioral market-basket
+    * twin of x80's token PMI. */
+  val x177Cooccurrence: Q = (s, dir) => {
+    EventWindows.sessionCooccurrence(Tables.events(s, dir), col("ts"),
+        col("user_id"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L)
+      .orderBy("type_a", "type_b")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3437,6 +3449,7 @@ object Queries {
     "x174_centroid_matrix" -> x174CentroidMatrix,
     "x175_chi_square" -> x175ChiSquare,
     "x176_stationary_mix" -> x176StationaryMix,
+    "x177_cooccurrence" -> x177Cooccurrence,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

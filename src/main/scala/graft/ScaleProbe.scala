@@ -124,7 +124,8 @@ object ScaleProbe {
       // several-views-one-session production shape
       "x169_ndcg_grid", "x170_simhash_clusters",
       "x171_dedup_provenance", "x172_source_contribution",
-      "x173_rfm", "x174_centroid_matrix")
+      "x173_rfm", "x174_centroid_matrix", "x175_chi_square",
+      "x176_stationary_mix")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

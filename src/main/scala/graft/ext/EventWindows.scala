@@ -245,6 +245,49 @@ object EventWindows {
       col("r").as("p_stationary"))
   }
 
+  /** Session CO-OCCURRENCE lift — market-basket association on
+    * behavioral data ("sessions that did X also did Y"): for every
+    * unordered event-type pair, the observed-over-expected ratio
+    * lift = n_ab·N / (n_a·n_b) over SESSIONS (the x141 sessionize
+    * grain), where n_x counts sessions containing x at least once.
+    * lift ≫ 1 = the behaviors travel together; ≪ 1 = they repel.
+    * The behavioral twin of x80's token PMI.
+    *
+    * Determinism: counts are exact integers; lift is ONE fixed-order
+    * double chain (n_ab·N)/(n_a·n_b) — products in doubles, so no
+    * 64-bit overflow at any scale. Scale shape: sessionize + one
+    * distinct (session, type) projection; the within-session
+    * self-join fans out at most |types|² per session (event-type
+    * sets are bounded like languages); output is |types|²-bounded.
+    * Output: (type_a, type_b, n_ab, n_a, n_b, n_sessions, lift). */
+  def sessionCooccurrence(events: DataFrame, ts: Column, user: Column,
+      tie: Column, typeCol: Column, gapMicros: Long): DataFrame = {
+    val sess = sessionize(events, ts, user, gapMicros, tie)
+    val st = sess.select(user.as("__u"), col("sid"), typeCol.as("__t"))
+      .distinct()
+      .localCheckpoint(true) // feeds N, per-type counts, and the pairs
+    val ns = st.select("__u", "sid").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val per = st.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val pairs = st.as("a")
+      .join(st.as("b"),
+        col("a.__u") === col("b.__u") && col("a.sid") === col("b.sid") &&
+          col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__t").as("type_a"), col("b.__t").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(per.select(col("__t").as("type_a"), col("__n").as("n_a")),
+        Seq("type_a"))
+      .join(per.select(col("__t").as("type_b"), col("__n").as("n_b")),
+        Seq("type_b"))
+      .crossJoin(broadcast(ns))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_sessions"),
+        ((col("n_ab").cast("double") * col("n_sessions").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+  }
+
   /** RFM user segmentation (recency / frequency / monetary — the
     * classic behavioral-cohort table): per user, whole days since the
     * last event (vs the CORPUS max timestamp — a deterministic as-of,
