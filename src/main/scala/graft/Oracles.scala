@@ -5827,8 +5827,11 @@ object Oracles {
         |rb AS (SELECT b, sum(c) AS tb FROM cells GROUP BY 1),
         |tot AS (SELECT sum(c) AS n, count(DISTINCT a) AS na,
         |        count(DISTINCT b) AS nb FROM cells),
+        |grid AS (
+        |  SELECT ra.a, rb.b, ra.ta, rb.tb, COALESCE(cells.c, 0) AS c
+        |  FROM ra CROSS JOIN rb LEFT JOIN cells USING (a, b)),
         |terms AS (
-        |  SELECT cells.a, cells.b,
+        |  SELECT grid.a, grid.b,
         |    (CAST(c AS DOUBLE)
         |      - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
         |        / CAST(n AS DOUBLE))
@@ -5837,7 +5840,7 @@ object Oracles {
         |        / CAST(n AS DOUBLE))
         |    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
         |        / CAST(n AS DOUBLE)) AS t
-        |  FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot)
+        |  FROM grid CROSS JOIN tot)
         |SELECT CAST(tot.n AS BIGINT) AS n, CAST(tot.na AS BIGINT) AS n_a,
         |  CAST(tot.nb AS BIGINT) AS n_b,
         |  CAST((tot.na - 1) * (tot.nb - 1) AS BIGINT) AS dof,

@@ -247,7 +247,13 @@ object Stats {
       val d = col("__c").cast("double") - e
       d * d / e
     }
-    cells.join(ra, Seq("__a")).join(rb, Seq("__b"))
+    // the FULL |a|·|b| grid, not just observed cells: an unobserved
+    // combination contributes (0−e)²/e = e, and skipping it silently
+    // UNDERCOUNTS X² exactly when the factors are most dependent
+    // (caught by the hand 2×2: a-determines-b read 58, truth 100)
+    ra.crossJoin(rb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
       .crossJoin(broadcast(tot))
       .select(col("__n"), col("__na"), col("__nb"),
         struct(col("__a"), col("__b"), term.as("__t")).as("__s"))

@@ -1882,6 +1882,69 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(byPair(("b", "c"))) < 1e-12)
   }
 
+  test("chiSquareIndependence: independent 2x2 scores 0; perfectly " +
+      "dependent scores N") {
+    // independent: every (a, b) cell = 25 on a 2x2 grid
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("u", "v");
+      i <- 1 to 25 } yield (a, b, i)).toDF("a", "b", "i")
+    val gi = rows(graft.ext.Stats.chiSquareIndependence(ind,
+      col("a"), col("b"))).head
+    assert(gi.getAs[Long]("n") == 100L && gi.getAs[Long]("dof") == 1L)
+    assert(math.abs(gi.getAs[Double]("chi2")) < 1e-9)
+    // dependent: a determines b -> chi2 = N for a 2x2
+    val dep = (Seq.fill(30)(("x", "u")) ++ Seq.fill(70)(("y", "v")))
+      .toDF("a", "b")
+    val gd = rows(graft.ext.Stats.chiSquareIndependence(dep,
+      col("a"), col("b"))).head
+    assert(math.abs(gd.getAs[Double]("chi2") - 100.0) < 1e-9)
+  }
+
+  test("stationaryMix: a symmetric two-state chain settles to " +
+      "(0.5, 0.5); dangling mass leaks and renormalizes") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one session per user: u1 alternates A B A B A; u2 B A B A B —
+    // symmetric chain
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "B"),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "A"),
+      (4L, ts("2024-01-01 00:03:00"), 1L, "B"),
+      (5L, ts("2024-01-01 00:04:00"), 1L, "A"),
+      (6L, ts("2024-01-01 00:00:00"), 2L, "B"),
+      (7L, ts("2024-01-01 00:01:00"), 2L, "A"),
+      (8L, ts("2024-01-01 00:02:00"), 2L, "B"),
+      (9L, ts("2024-01-01 00:03:00"), 2L, "A"),
+      (10L, ts("2024-01-01 00:04:00"), 2L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = rows(graft.ext.EventWindows.stationaryMix(evs, col("ts"),
+        col("user_id"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L, iters = 6).orderBy("event_type"))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("A") - 0.5) < 1e-9 &&
+      math.abs(got("B") - 0.5) < 1e-9, got.toString)
+  }
+
+  test("sessionCooccurrence: hand counts and lift") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // three sessions: {A,B}, {A}, {B} -> n_ab=1, n_a=2, n_b=2, N=3,
+    // lift = 1*3/(2*2) = 0.75
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "B"),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "A"), // new session (gap)
+      (4L, ts("2024-01-01 00:00:00"), 2L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = rows(graft.ext.EventWindows.sessionCooccurrence(evs,
+      col("ts"), col("user_id"), col("event_id"), col("event_type"),
+      gapMicros = 1800000000L))
+    assert(got.size == 1)
+    val r = got.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B" &&
+      r.getAs[Long]("n_ab") == 1L && r.getAs[Long]("n_a") == 2L &&
+      r.getAs[Long]("n_b") == 2L && r.getAs[Long]("n_sessions") == 3L &&
+      math.abs(r.getAs[Double]("lift") - 0.75) < 1e-12)
+  }
+
   test("source overlap: a subset source saturates its own row only") {
     import graft.ext.TextAnalysis
     val d = Seq(
