@@ -507,6 +507,17 @@ class ScaleSpec extends SparkSpec {
         topkPlan.take(600))
     assert(!topkPlan.contains("Sort [bm25"),
       "global sort on bm25 leaked into the bm25TopK plan")
+    // x169 shape: BOTH rank windows of the table-driven nDCG (top-k by
+    // quantized score, ideal by gain) cut at literals -> group limits
+    val gridPlan = graft.ext.Retrieval.ndcgEvalQrels(docs, "doc_id",
+        "text",
+        graft.ext.Retrieval.sourceQueries(docs, "doc_id", "text",
+          "source", 3), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(gridPlan.sliding("WindowGroupLimit".length)
+        .count(_ == "WindowGroupLimit") >= 2,
+      "ndcgEvalQrels rank windows did not ride WindowGroupLimit:\n" +
+        gridPlan.take(800))
   }
 
   test("multimodal: per-partition feature extraction, deterministic stub") {
