@@ -5941,6 +5941,92 @@ object Oracles {
         |CROSS JOIN ns
         |ORDER BY pr.type_a, pr.type_b""".stripMargin)
 
+  // x178: the x93 gopher rules (g-prefixed CTEs — the winnow chain
+  // owns `toks`) + the shared winnow chain folded to components +
+  // the x175 full-grid chi-square tail over the (pass, near-dup) 2x2
+  private val qualityDupO: Map[String, String] = Map(
+    "x178_quality_dup_chi" ->
+      (s"WITH RECURSIVE $winnowKeptChain,\n" +
+        """|wpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM wpairs
+        |          UNION SELECT d2, d1 FROM wpairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |lab AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src),
+        |gtoks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+        |    AS t
+        |  FROM documents),
+        |gbase AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words
+        |          FROM gtoks),
+        |gwords AS (SELECT doc_id, unnest(t) AS w FROM gtoks),
+        |gchars AS (SELECT doc_id, sum(length(w)) AS chars
+        |           FROM gwords GROUP BY 1),
+        |gstopc AS (
+        |  SELECT doc_id, count(DISTINCT w) AS stop_hits FROM gwords
+        |  WHERE w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'for')
+        |  GROUP BY 1),
+        |gtopw AS (
+        |  SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM gwords GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |gstats AS (
+        |  SELECT b.doc_id, b.n_words,
+        |    CASE WHEN b.n_words > 0
+        |      THEN CAST(c.chars AS DOUBLE) / b.n_words END AS mean_wl,
+        |    CAST(coalesce(s.stop_hits, 0) AS INTEGER) AS stop_hits,
+        |    CASE WHEN b.n_words > 0
+        |      THEN CAST(t.topc AS DOUBLE) / b.n_words END AS top_word_frac
+        |  FROM gbase b
+        |  LEFT JOIN gchars c USING (doc_id)
+        |  LEFT JOIN gstopc s USING (doc_id)
+        |  LEFT JOIN gtopw t USING (doc_id)),
+        |gflags AS (
+        |  SELECT doc_id,
+        |    (n_words BETWEEN 50 AND 100000)
+        |    AND (mean_wl IS NOT NULL AND mean_wl BETWEEN 3.0e0 AND 10.0e0)
+        |    AND (stop_hits >= 2)
+        |    AND (top_word_frac IS NOT NULL AND top_word_frac <= 0.1e0)
+        |      AS gopher_pass
+        |  FROM gstats),
+        |obs AS (
+        |  SELECT g.gopher_pass AS a,
+        |    COALESCE(lab.cluster <> g.doc_id, FALSE) AS b
+        |  FROM gflags g LEFT JOIN lab ON g.doc_id = lab.id),
+        |cells AS (SELECT a, b, count(*) AS c FROM obs GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(c) AS ta FROM cells GROUP BY 1),
+        |rb AS (SELECT b, sum(c) AS tb FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, count(DISTINCT a) AS na,
+        |        count(DISTINCT b) AS nb FROM cells),
+        |grid AS (
+        |  SELECT ra.a, rb.b, ra.ta, rb.tb, COALESCE(cells.c, 0) AS c
+        |  FROM ra CROSS JOIN rb LEFT JOIN cells USING (a, b)),
+        |terms AS (
+        |  SELECT grid.a, grid.b,
+        |    (CAST(c AS DOUBLE)
+        |      - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |    * (CAST(c AS DOUBLE)
+        |      - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS t
+        |  FROM grid CROSS JOIN tot)
+        |SELECT CAST(tot.n AS BIGINT) AS n, CAST(tot.na AS BIGINT) AS n_a,
+        |  CAST(tot.nb AS BIGINT) AS n_b,
+        |  CAST((tot.na - 1) * (tot.nb - 1) AS BIGINT) AS dof,
+        |  (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list(t ORDER BY a, b)), (acc, x) -> acc + x)
+        |   FROM terms) AS chi2
+        |FROM tot""".stripMargin))
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -5976,7 +6062,7 @@ object Oracles {
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
-      chiSquareO ++ stationaryO ++ cooccurrenceO +
+      chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2532,6 +2532,29 @@ object Queries {
       .orderBy("type_a", "type_b")
   }
 
+  /** x178 — quality × duplication chi-square: is the Gopher gate
+    * independent of near-duplication, or is it quietly doubling as a
+    * duplicate detector? The x93 pass flag crossed with the x92
+    * winnow-graph near-dup flag through
+    * [[graft.ext.Stats.chiSquareIndependence]] — cross-family
+    * composition (quality × dedup × stats) on the session-memoized
+    * pair graph, exercising the full-grid zero-cell path the
+    * synthetic lang×source table never can. One row. */
+  val x178QualityDupChi: Q = (s, dir) => {
+    val q = TextAnalysis.gopherQuality(Tables.documents(s, dir),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("gopher_pass"))
+    val comp = Dedup.clusters(winnowPairsFull(s, dir))
+    val flags = q
+      .join(comp.select(col("id").as("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .select(col("gopher_pass"),
+        coalesce(col("cluster") =!= col("doc_id"), lit(false))
+          .as("is_near_dup"))
+    graft.ext.Stats.chiSquareIndependence(flags, col("gopher_pass"),
+      col("is_near_dup"))
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3450,6 +3473,7 @@ object Queries {
     "x175_chi_square" -> x175ChiSquare,
     "x176_stationary_mix" -> x176StationaryMix,
     "x177_cooccurrence" -> x177Cooccurrence,
+    "x178_quality_dup_chi" -> x178QualityDupChi,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
