@@ -6069,5 +6069,9 @@ object Oracles {
       // x21's inline-trained path — the shared oracle IS the claim
       ("x162_index_roundtrip" -> base("x21_ivf_ann")) +
       // x163: the persisted two-level model assigns bit-identically
-      ("x163_two_level_roundtrip" -> base("x61_two_level_assign"))
+      ("x163_two_level_roundtrip" -> base("x61_two_level_assign")) +
+      // x179: pairs served from the persisted LSH index are
+      // bit-identical to minhashLsh on the indexed corpus — the
+      // dedup family's index-lifecycle claim, pinned the same way
+      ("x179_lsh_index_roundtrip" -> base("x03_minhash_lsh"))
 }

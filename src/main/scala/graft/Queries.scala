@@ -2555,6 +2555,23 @@ object Queries {
       col("is_near_dup"))
   }
 
+  /** x179 — LSH DEDUP-INDEX lifecycle round-trip: shingle → band →
+    * [[graft.ext.Dedup.saveLshIndex]] → load → serve pairs from the
+    * files ([[graft.ext.Dedup.lshPairsFromIndex]]). Shares x03's
+    * oracle — the equality IS the claim that persisting the dedup
+    * state changes nothing (the x162/x163/x126 pattern, now covering
+    * the dedup family too). */
+  val x179LshIndexRoundtrip: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val path = scratchPath(s, "graft_x179_lshindex")
+    Dedup.saveLshIndex(docs, "doc_id", "sh", path, numHashes = 32,
+      bands = 8)
+    Dedup.lshPairsFromIndex(s, path, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3474,6 +3491,7 @@ object Queries {
     "x176_stationary_mix" -> x176StationaryMix,
     "x177_cooccurrence" -> x177Cooccurrence,
     "x178_quality_dup_chi" -> x178QualityDupChi,
+    "x179_lsh_index_roundtrip" -> x179LshIndexRoundtrip,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -67,6 +67,14 @@ object Dedup {
       .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
       .where(size(col("hs")) > 0)
     val banded = bandKeys(docs, idCol, shinglesCol, numHashes, bands)
+    pairsFromBandsAndShingles(banded, base, threshold)
+  }
+
+  /** The candidate + exact-verification tail shared by [[minhashLsh]]
+    * and the persisted-index serving path [[lshPairsFromIndex]]:
+    * `banded` = (id, band, bucket), `base` = (id, hs). */
+  private def pairsFromBandsAndShingles(banded: DataFrame,
+      base: DataFrame, threshold: Double): DataFrame = {
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -81,6 +89,34 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Persist the LSH DEDUP INDEX — the dedup side of the
+    * index-lifecycle family (x162/x163 persist quantizers, x126 the
+    * postings index; this persists near-dup state): two parquet
+    * tables, `bands/` = (id, band, bucket) LSH keys and `shingles/` =
+    * (id, hs) hashed shingle sets for exact verification. An ingest
+    * job writes it once; any later session serves pair queries or
+    * admission from the files without re-shingling the corpus. */
+  def saveLshIndex(docs: DataFrame, idCol: String, shinglesCol: String,
+      dir: String, numHashes: Int = 32, bands: Int = 8): Unit = {
+    bandKeys(docs, idCol, shinglesCol, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    docs.select(col(idCol).as("id"),
+        hashedShingles(col(shinglesCol)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Near-dup pairs served from a [[saveLshIndex]] directory —
+    * bit-identical to [[minhashLsh]] over the indexed corpus (the
+    * shared tail IS the equality; x179 pins it by sharing x03's
+    * oracle). Nothing is re-shingled: the banded keys and the hashed
+    * sets come straight off disk. */
+  def lshPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double = 0.6): DataFrame =
+    pairsFromBandsAndShingles(
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"), threshold)
 
   /** Incremental-ingestion dedup: drop incoming documents that are
     * near-duplicates of the EXISTING corpus — the production admission
