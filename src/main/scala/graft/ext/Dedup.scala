@@ -130,14 +130,38 @@ object Dedup {
     * ExtSpec). Returns the surviving incoming rows. */
   def dedupAgainstCorpus(existing: DataFrame, incoming: DataFrame,
       idCol: String, shinglesCol: String, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.6): DataFrame = {
-    val exBands = bandKeys(existing, idCol, shinglesCol, numHashes, bands)
-      .withColumnRenamed("id", "ex_id")
+      bands: Int = 8, threshold: Double = 0.6): DataFrame =
+    admitAgainst(
+      bandKeys(existing, idCol, shinglesCol, numHashes, bands)
+        .withColumnRenamed("id", "ex_id"),
+      existing.select(col(idCol).as("ex_id"),
+        hashedShingles(col(shinglesCol)).as("hs_ex")),
+      incoming, idCol, shinglesCol, numHashes, bands, threshold)
+
+  /** [[dedupAgainstCorpus]] with the EXISTING side served from a
+    * [[saveLshIndex]] directory — the production admission path in
+    * full: the corpus's band keys and shingle sets come off disk,
+    * only the incoming batch is shingled and signed (row-identical to
+    * admission against the live corpus — ExtSpec). */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, incoming: DataFrame, idCol: String,
+      shinglesCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame =
+    admitAgainst(
+      spark.read.parquet(s"$indexDir/bands")
+        .withColumnRenamed("id", "ex_id"),
+      spark.read.parquet(s"$indexDir/shingles")
+        .select(col("id").as("ex_id"), col("hs").as("hs_ex")),
+      incoming, idCol, shinglesCol, numHashes, bands, threshold)
+
+  /** Shared admission tail: candidates from shared (band, bucket)
+    * keys, exact hashed-shingle Jaccard verification, anti-join. */
+  private def admitAgainst(exBands: DataFrame, exHs: DataFrame,
+      incoming: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val inBands = bandKeys(incoming, idCol, shinglesCol, numHashes, bands)
     val candidates = inBands.join(exBands, Seq("band", "bucket"))
       .select(col("id"), col("ex_id")).dropDuplicates("id", "ex_id")
-    val exHs = existing.select(col(idCol).as("ex_id"),
-      hashedShingles(col(shinglesCol)).as("hs_ex"))
     val inHs = incoming.select(col(idCol).as("id"),
       hashedShingles(col(shinglesCol)).as("hs_in"))
     val dupIds = candidates.join(inHs, "id").join(exHs, "ex_id")

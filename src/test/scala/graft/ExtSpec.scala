@@ -1945,6 +1945,36 @@ class ExtSpec extends SparkSpec {
       math.abs(r.getAs[Double]("lift") - 0.75) < 1e-12)
   }
 
+  test("LSH index lifecycle: pairs from a saved index == fresh " +
+      "minhashLsh; admission from the index == live-corpus admission") {
+    import graft.ext.{Dedup, TextAnalysis}
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx")
+    try {
+      val existing = d.where(col("doc_id") % 2 === 0)
+      val incoming = d.where(col("doc_id") % 2 === 1)
+      Dedup.saveLshIndex(existing, "doc_id", "sh", dir.toString)
+      // pair serving round-trip
+      val fresh = rows(Dedup.minhashLsh(existing, "doc_id", "sh")
+        .orderBy("id_a", "id_b")).map(_.toString)
+      val served = rows(Dedup.lshPairsFromIndex(spark, dir.toString)
+        .orderBy("id_a", "id_b")).map(_.toString)
+      assert(served == fresh && fresh.nonEmpty)
+      // admission round-trip
+      val live = rows(Dedup.dedupAgainstCorpus(existing, incoming,
+        "doc_id", "sh").select("doc_id").orderBy("doc_id"))
+        .map(_.getLong(0))
+      val idx = rows(Dedup.dedupAgainstIndex(spark, dir.toString,
+        incoming, "doc_id", "sh").select("doc_id").orderBy("doc_id"))
+        .map(_.getLong(0))
+      assert(idx == live && live.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("source overlap: a subset source saturates its own row only") {
     import graft.ext.TextAnalysis
     val d = Seq(
