@@ -154,6 +154,18 @@ object Dedup {
         .select(col("id").as("ex_id"), col("hs").as("hs_ex")),
       incoming, idCol, shinglesCol, numHashes, bands, threshold)
 
+  /** [[dedupAgainstIndex]] against ALREADY-LOADED index frames — the
+    * streaming serving path ([[graft.streaming.Streams.lshAdmitSink]]
+    * loads once, admits every batch). `exBands` = (id, band, bucket),
+    * `exHs` = (id, hs) as [[saveLshIndex]] wrote them. */
+  def dedupAgainstLoadedIndex(exBands: DataFrame, exHs: DataFrame,
+      incoming: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6)
+      : DataFrame =
+    admitAgainst(exBands.withColumnRenamed("id", "ex_id"),
+      exHs.select(col("id").as("ex_id"), col("hs").as("hs_ex")),
+      incoming, idCol, shinglesCol, numHashes, bands, threshold)
+
   /** Shared admission tail: candidates from shared (band, bucket)
     * keys, exact hashed-shingle Jaccard verification, anti-join. */
   private def admitAgainst(exBands: DataFrame, exHs: DataFrame,

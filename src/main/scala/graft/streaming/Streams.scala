@@ -397,6 +397,42 @@ object Streams {
       sumView(spark, tablePath, Seq("g", "v"))
         .select(col("g"), col("v"), col("n").as("c")))
 
+  /** Streaming ADMISSION against a PERSISTED LSH dedup index — the
+    * [[modelAssignSink]] frozen-artifact discipline applied to
+    * near-dup state: the [[graft.ext.Dedup.saveLshIndex]] tables load
+    * once at stream start (band keys + hashed shingle sets,
+    * checkpointed so no batch re-reads the files), and every
+    * micro-batch admits exactly the rows batch
+    * [[graft.ext.Dedup.dedupAgainstIndex]] would (StreamingSpec).
+    * FROZEN-INDEX CONTRACT: admission is judged ONLY against the
+    * indexed corpus — duplicates WITHIN the stream pass (by design:
+    * the index is the authority; compose the ledgered
+    * [[semanticAdmitSink]]-style cross-batch state, or re-index and
+    * restart, when stream-internal dedup is wanted). Appends admitted
+    * rows as `_batch=N/` dynamic-overwrite partitions
+    * (replay-idempotent). */
+  def lshAdmitSink(docStream: DataFrame, indexDir: String, idCol: String,
+      shinglesCol: String, outPath: String, checkpoint: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docStream.sparkSession
+    val exBands = spark.read.parquet(s"$indexDir/bands").localCheckpoint()
+    val exHs = spark.read.parquet(s"$indexDir/shingles").localCheckpoint()
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Dedup.dedupAgainstLoadedIndex(exBands, exHs, batch,
+            idCol, shinglesCol, numHashes, bands, threshold)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming SOURCE-CENTROID ledger: per micro-batch, the
     * (src, dim) exact decimal component sums of
     * [[graft.ext.Similarity.sourceSums]] — additive partials, same

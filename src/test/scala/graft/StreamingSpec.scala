@@ -373,6 +373,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 190)
   }
 
+  test("lshAdmitSink: per-batch admission equals batch " +
+      "dedupAgainstIndex; frozen-index contract lets stream-internal " +
+      "dups pass") {
+    import graft.ext.{Dedup, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshadm")
+    try {
+      val shingled = d.select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      Dedup.saveLshIndex(shingled.where(col("doc_id") % 2 === 0),
+        "doc_id", "sh", dir.resolve("idx").toString)
+      val incoming = d.where(col("doc_id") % 2 === 1)
+        .select($"doc_id", $"text").as[TDoc].collect().sortBy(_.doc_id)
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      val mem = MemoryStream[TDoc]
+      val out = dir.resolve("out").toString
+      mem.addData(b1.toSeq: _*)
+      val q = Streams.lshAdmitSink(
+        mem.toDF().select(col("doc_id"),
+          array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh")),
+        dir.resolve("idx").toString, "doc_id", "sh", out,
+        dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      def batchAdmit(docs: Seq[TDoc]): Seq[Long] =
+        rows(Dedup.dedupAgainstIndex(spark, dir.resolve("idx").toString,
+            docs.toDF().select(col("doc_id"), array_distinct(
+              TextAnalysis.shingles(col("text"), 3)).as("sh")),
+            "doc_id", "sh")
+          .select("doc_id").orderBy("doc_id")).map(_.getLong(0))
+      val got = spark.read.parquet(out)
+        .select($"doc_id", $"_batch".cast("long"))
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq.sorted
+      val exp = (batchAdmit(b1.toSeq).map((0L, _)) ++
+        batchAdmit(b2.toSeq).map((1L, _))).sorted
+      assert(got == exp && got.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("rfmSink/rfmView: mergeable (max, count, sum) partials fold to " +
       "the exact batch RFM table") {
     implicit val sqlCtx = spark.sqlContext
