@@ -6027,6 +6027,29 @@ object Oracles {
         |   FROM terms) AS chi2
         |FROM tot""".stripMargin))
 
+  // x180: deterministic midpoint halves, exact decimal spends, NTILE
+  // per half over total orders, buckets² matrix
+  private val mobilityO: Map[String, String] = Map(
+    "x180_quintile_mobility" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |           FROM events),
+        |sp AS (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) * 2 < b.lo + b.hi THEN 0 ELSE 1 END
+        |      AS half,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS m
+        |  FROM events CROSS JOIN b GROUP BY 1, 2),
+        |q AS (
+        |  SELECT user_id, half,
+        |    CAST(ntile(5) OVER (PARTITION BY half
+        |      ORDER BY m DESC, user_id ASC) AS BIGINT) AS qt
+        |  FROM sp)
+        |SELECT a.qt AS q_early, l.qt AS q_late,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM q a JOIN q l
+        |  ON a.user_id = l.user_id AND a.half = 0 AND l.half = 1
+        |GROUP BY 1, 2 ORDER BY q_early, q_late""".stripMargin)
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -6062,7 +6085,8 @@ object Oracles {
     base ++ adaptiveLsh ++ truncRecall ++ manifestExport ++
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
-      chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO +
+      chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
+      mobilityO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

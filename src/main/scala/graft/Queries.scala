@@ -2572,6 +2572,16 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** x180 — spend-quintile mobility
+    * ([[graft.ext.EventWindows.quantileMobility]]): the early-half vs
+    * late-half segment-migration matrix — did the top quintile stay
+    * on top; off-diagonal mass is churn/upsell in one view. */
+  val x180QuintileMobility: Q = (s, dir) => {
+    EventWindows.quantileMobility(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("value"))
+      .orderBy("q_early", "q_late")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3492,6 +3502,7 @@ object Queries {
     "x177_cooccurrence" -> x177Cooccurrence,
     "x178_quality_dup_chi" -> x178QualityDupChi,
     "x179_lsh_index_roundtrip" -> x179LshIndexRoundtrip,
+    "x180_quintile_mobility" -> x180QuintileMobility,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -125,7 +125,8 @@ object ScaleProbe {
       "x169_ndcg_grid", "x170_simhash_clusters",
       "x171_dedup_provenance", "x172_source_contribution",
       "x173_rfm", "x174_centroid_matrix", "x175_chi_square",
-      "x176_stationary_mix")
+      "x176_stationary_mix", "x177_cooccurrence",
+      "x178_quality_dup_chi", "x179_lsh_index_roundtrip")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

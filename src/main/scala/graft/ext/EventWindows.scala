@@ -288,6 +288,44 @@ object EventWindows {
           .as("lift"))
   }
 
+  /** Spend-QUANTILE MOBILITY matrix — segment migration: users are
+    * quantile-bucketed by exact decimal spend separately in the EARLY
+    * and LATE halves of the observed window (midpoint =
+    * (min+max)/2 micros — deterministic, no wall clock), and the
+    * matrix counts users per (early bucket, late bucket). The
+    * product-analytics "did my top quintile stay on top" table; mass
+    * off the diagonal is churn/upsell in one view. Users active in
+    * only one half drop out (no pair to report — documented).
+    *
+    * Determinism: exact decimal spends, NTILE over total orders
+    * (spend DESC, user ASC) per half. The two NTILE windows are exact
+    * global ranks per half (the x173 caveat: at 100 TB user counts
+    * swap for [[Quantiles.approx]] thresholds — the matrix tail is
+    * bucket-agnostic). Output: (q_early, q_late, n_users) —
+    * buckets²-bounded. */
+  def quantileMobility(events: DataFrame, userCol: Column, ts: Column,
+      value: Column, buckets: Int = 5): DataFrame = {
+    require(buckets >= 1, s"quantileMobility: buckets=$buckets")
+    val D = org.apache.spark.sql.types.DecimalType(18, 4)
+    val bounds = events.agg(min(unix_micros(ts)).as("__lo"),
+      max(unix_micros(ts)).as("__hi"))
+    val spend = events.crossJoin(broadcast(bounds))
+      .withColumn("__half",
+        when(unix_micros(ts) * 2 < col("__lo") + col("__hi"), 0L)
+          .otherwise(1L))
+      .groupBy(userCol.as("user_id"), col("__half"))
+      .agg(sum(value.cast(D)).as("__m"))
+    val w = Window.partitionBy("__half")
+      .orderBy(col("__m").desc, col("user_id").asc)
+    val q = spend.withColumn("__q", ntile(buckets).over(w).cast("long"))
+    q.where(col("__half") === 0L)
+      .select(col("user_id"), col("__q").as("q_early"))
+      .join(q.where(col("__half") === 1L)
+        .select(col("user_id"), col("__q").as("q_late")), Seq("user_id"))
+      .groupBy("q_early", "q_late")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** RFM user segmentation (recency / frequency / monetary — the
     * classic behavioral-cohort table): per user, whole days since the
     * last event (vs the CORPUS max timestamp — a deterministic as-of,
