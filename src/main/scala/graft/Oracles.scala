@@ -6050,6 +6050,52 @@ object Oracles {
         |  ON a.user_id = l.user_id AND a.half = 0 AND l.half = 1
         |GROUP BY 1, 2 ORDER BY q_early, q_late""".stripMargin)
 
+  // x181: the x19 injection + patterns, counted in scrubPii's
+  // sequential masking order (each family on the text with earlier
+  // families already masked)
+  private val piiAuditO: Map[String, String] = Map(
+    "x181_pii_audit" ->
+      """WITH p0 AS (
+        |  SELECT source,
+        |    concat(text, ' Contact user', doc_id, '@example.com via ',
+        |      'https://ex.com/u/', doc_id, ' or +1 555-000-',
+        |      lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+        |      ' at 10.0.0.', CAST(doc_id % 256 AS VARCHAR), '.') AS t0
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t0, 'https?://[^\s]+')) AS c_url,
+        |    regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1
+        |  FROM p0),
+        |p2 AS (
+        |  SELECT source, c_url,
+        |    len(regexp_extract_all(t1,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c_email,
+        |    regexp_replace(t1,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t2
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT source, c_url, c_email,
+        |    len(regexp_extract_all(t2,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c_ip,
+        |    regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |      '<IP>', 'g') AS t3
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT source, c_url, c_email, c_ip,
+        |    len(regexp_extract_all(t3, '\+?[0-9][0-9() -]{7,}[0-9]'))
+        |      AS c_phone
+        |  FROM p3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c_url) AS BIGINT) AS n_url,
+        |  CAST(sum(c_email) AS BIGINT) AS n_email,
+        |  CAST(sum(c_ip) AS BIGINT) AS n_ip,
+        |  CAST(sum(c_phone) AS BIGINT) AS n_phone,
+        |  CAST(sum(CASE WHEN c_url + c_email + c_ip + c_phone > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_with_pii
+        |FROM p4 GROUP BY source ORDER BY source""".stripMargin)
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -6086,7 +6132,7 @@ object Oracles {
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
-      mobilityO +
+      mobilityO ++ piiAuditO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2582,6 +2582,24 @@ object Queries {
       .orderBy("q_early", "q_late")
   }
 
+  /** x181 — PII density audit per source
+    * ([[graft.ext.Scrub.piiAudit]]): match counts per pattern family
+    * and the share of documents carrying any, over the same
+    * synthetic-PII-injected text as x19 (pattern parity with the
+    * DuckDB regex engine is x19's proven ground) — the compliance
+    * dashboard a release review reads next to the scrub itself. */
+  val x181PiiAudit: Q = (s, dir) => {
+    val withPii = concat(col("text"),
+      lit(" Contact user"), col("doc_id"), lit("@example.com via "),
+      lit("https://ex.com/u/"), col("doc_id"),
+      lit(" or +1 555-000-"), lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" at 10.0.0."), (col("doc_id") % 256).cast("string"), lit("."))
+    graft.ext.Scrub.piiAudit(Tables.documents(s, dir), col("source"),
+        withPii)
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3503,6 +3521,7 @@ object Queries {
     "x178_quality_dup_chi" -> x178QualityDupChi,
     "x179_lsh_index_roundtrip" -> x179LshIndexRoundtrip,
     "x180_quintile_mobility" -> x180QuintileMobility,
+    "x181_pii_audit" -> x181PiiAudit,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -29,6 +29,35 @@ object Scrub {
   def scrubPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
+  /** PII DENSITY audit — the compliance dashboard beside [[scrubPii]]:
+    * per group, the match count of each pattern family and how many
+    * rows carry ANY match. Counts follow scrubPii's SEQUENTIAL
+    * masking order exactly (each pattern counted on the text with the
+    * earlier patterns already masked — URL first), so the audit and
+    * the scrub can never disagree about what was masked. One scan +
+    * one combiner agg; output is group-bounded.
+    * Output: (group, n_rows, n_url, n_email, n_ip, n_phone,
+    * n_rows_with_pii). */
+  def piiAudit(df: DataFrame, group: Column, text: Column): DataFrame = {
+    var cur: Column = text
+    val counts = piiPatterns.map { case (p, r) =>
+      val c = size(regexp_extract_all(cur, lit(p), lit(0))).cast("long")
+      cur = regexp_replace(cur, p, r)
+      c
+    }
+    val names = Seq("n_url", "n_email", "n_ip", "n_phone")
+    val perRow = df.select((group.as("group") +:
+      counts.zip(names).map { case (c, n) => c.as(n) }): _*)
+    perRow.groupBy("group").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_url")).as("n_url"),
+      sum(col("n_email")).as("n_email"),
+      sum(col("n_ip")).as("n_ip"),
+      sum(col("n_phone")).as("n_phone"),
+      sum(when(col("n_url") + col("n_email") + col("n_ip") +
+        col("n_phone") > 0, 1L).otherwise(0L)).as("n_rows_with_pii"))
+  }
+
   /** Remove every line whose trimmed form appears in ≥ `minDocFreq`
     * distinct documents (navigation chrome, copyright footers, cookie
     * banners). Line order inside each document is preserved; documents
