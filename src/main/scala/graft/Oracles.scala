@@ -6096,6 +6096,44 @@ object Oracles {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_with_pii
         |FROM p4 GROUP BY source ORDER BY source""".stripMargin)
 
+  // x182: per-user conversion agg, id-parity cohorts, one fixed-order
+  // pooled-z chain
+  private val abConversionO: Map[String, String] = Map(
+    "x182_ab_conversion" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged),
+        |u AS (
+        |  SELECT user_id, sid,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM sess GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id % 2 AS cohort, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS k
+        |  FROM u GROUP BY 1)
+        |SELECT a.cohort AS cohort_a, b.cohort AS cohort_b,
+        |  a.n AS n_a, b.n AS n_b, a.k AS k_a, b.k AS k_b,
+        |  CAST(a.k AS DOUBLE) / a.n AS rate_a,
+        |  CAST(b.k AS DOUBLE) / b.n AS rate_b,
+        |  CASE WHEN sqrt(CAST(a.k + b.k AS DOUBLE) / (a.n + b.n)
+        |      * (1.0e0 - CAST(a.k + b.k AS DOUBLE) / (a.n + b.n))
+        |      * (1.0e0 / a.n + 1.0e0 / b.n)) > 0
+        |    THEN (CAST(a.k AS DOUBLE) / a.n - CAST(b.k AS DOUBLE) / b.n)
+        |      / sqrt(CAST(a.k + b.k AS DOUBLE) / (a.n + b.n)
+        |        * (1.0e0 - CAST(a.k + b.k AS DOUBLE) / (a.n + b.n))
+        |        * (1.0e0 / a.n + 1.0e0 / b.n))
+        |    ELSE NULL END AS z
+        |FROM c a JOIN c b ON a.cohort < b.cohort""".stripMargin)
+
   // x170: the x99 pair chain shared VERBATIM, folded to connected
   // components (the x103 reach recipe) and emitted as per-document
   // survivor labels — singletons label themselves
@@ -6132,7 +6170,7 @@ object Oracles {
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
-      mobilityO ++ piiAuditO +
+      mobilityO ++ piiAuditO ++ abConversionO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

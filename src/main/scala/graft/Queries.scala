@@ -2600,6 +2600,23 @@ object Queries {
       .orderBy("source")
   }
 
+  /** x182 — A/B conversion z-test
+    * ([[graft.ext.Stats.twoProportionZ]]): SESSION-grain conversion
+    * (did the session contain a purchase — user-grain is degenerate
+    * on this corpus: every user eventually buys), cohorts by user-id
+    * parity (deterministic split); the pooled two-proportion z an
+    * experimentation readout starts from. One row. */
+  val x182AbConversion: Q = (s, dir) => {
+    val units = EventWindows.sessionize(Tables.events(s, dir), col("ts"),
+        col("user_id"), 1800000000L, col("event_id"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("__conv"))
+      .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+    graft.ext.Stats.twoProportionZ(units, col("cohort"),
+      col("__conv") === 1L)
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3522,6 +3539,7 @@ object Queries {
     "x179_lsh_index_roundtrip" -> x179LshIndexRoundtrip,
     "x180_quintile_mobility" -> x180QuintileMobility,
     "x181_pii_audit" -> x181PiiAudit,
+    "x182_ab_conversion" -> x182AbConversion,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

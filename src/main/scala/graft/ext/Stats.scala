@@ -266,6 +266,40 @@ object Stats {
           (acc, x) => acc + x("__t")).as("chi2"))
   }
 
+  /** TWO-PROPORTION z-test — the A/B experimentation classic: given
+    * one row per UNIT (user) with a cohort label and a success flag,
+    * the pooled-variance z for the conversion-rate difference
+    * z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)). Expects exactly
+    * two cohorts (the pair join yields one row; zero rows = caller
+    * passed ≠ 2 cohorts — loud by absence). Determinism: exact
+    * integer counts; the z is one fixed-order IEEE chain both
+    * engines parse identically. Scale shape: one combiner agg to two
+    * rows, then constant work.
+    * Output: (cohort_a, cohort_b, n_a, n_b, k_a, k_b, rate_a,
+    * rate_b, z), cohort_a < cohort_b. */
+  def twoProportionZ(units: DataFrame, cohort: Column, success: Column)
+      : DataFrame = {
+    val agg = units.groupBy(cohort.as("cohort")).agg(
+      count(lit(1)).as("n"),
+      sum(when(success, 1L).otherwise(0L)).as("k"))
+    val a = agg.select(col("cohort").as("cohort_a"), col("n").as("n_a"),
+      col("k").as("k_a"))
+    val b = agg.select(col("cohort").as("cohort_b"), col("n").as("n_b"),
+      col("k").as("k_b"))
+    val p1 = col("k_a").cast("double") / col("n_a")
+    val p2 = col("k_b").cast("double") / col("n_b")
+    val p = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val inv = lit(1.0) / col("n_a") + lit(1.0) / col("n_b")
+    val se = sqrt(p * (lit(1.0) - p) * inv)
+    a.join(b, col("cohort_a") < col("cohort_b"))
+      .select(col("cohort_a"), col("cohort_b"), col("n_a"), col("n_b"),
+        col("k_a"), col("k_b"), p1.as("rate_a"), p2.as("rate_b"),
+        // pooled p̂ of 0 or 1 has zero variance — z undefined, NULL
+        // (not ±inf, not an ANSI divide-by-zero crash)
+        when(se > 0, (p1 - p2) / se).as("z"))
+  }
+
   def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame =
     ksDriftFromCounts(df.select(group.as("g"), value.as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c")))
