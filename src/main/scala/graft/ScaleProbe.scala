@@ -126,7 +126,9 @@ object ScaleProbe {
       "x171_dedup_provenance", "x172_source_contribution",
       "x173_rfm", "x174_centroid_matrix", "x175_chi_square",
       "x176_stationary_mix", "x177_cooccurrence",
-      "x178_quality_dup_chi", "x179_lsh_index_roundtrip")
+      "x178_quality_dup_chi", "x179_lsh_index_roundtrip",
+      "x180_quintile_mobility", "x181_pii_audit",
+      "x182_ab_conversion")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -1975,6 +1975,47 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("twoProportionZ: hand case and zero-variance NULL") {
+    import graft.ext.Stats
+    // cohort 0: 2/4 convert; cohort 1: 1/4 -> p=3/8, se known
+    val units = Seq((0L, true), (0L, true), (0L, false), (0L, false),
+      (1L, true), (1L, false), (1L, false), (1L, false))
+      .toDF("cohort", "ok")
+    val r = rows(Stats.twoProportionZ(units, col("cohort"), col("ok"))).head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("k_a") == 2L &&
+      r.getAs[Long]("k_b") == 1L)
+    val p = 3.0 / 8.0
+    val expZ = (0.5 - 0.25) / math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 4))
+    assert(math.abs(r.getAs[Double]("z") - expZ) < 1e-12)
+    // all convert -> zero pooled variance -> NULL z, no ANSI crash
+    val degen = Seq((0L, true), (1L, true)).toDF("cohort", "ok")
+    val rd = rows(Stats.twoProportionZ(degen, col("cohort"),
+      col("ok"))).head
+    assert(rd.isNullAt(rd.fieldIndex("z")))
+  }
+
+  test("quantileMobility: hand case — midpoint halves, per-half " +
+      "buckets, users in one half drop out") {
+    import graft.ext.EventWindows
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // window 01-01..01-11, midpoint 01-06; u1 big->small spender,
+    // u2 small->big, u3 early-only (drops out)
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 100.0),
+      (2L, ts("2024-01-10 00:00:00"), 1L, 1.0),
+      (3L, ts("2024-01-02 00:00:00"), 2L, 5.0),
+      (4L, ts("2024-01-11 00:00:00"), 2L, 50.0),
+      (5L, ts("2024-01-03 00:00:00"), 3L, 10.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = rows(EventWindows.quantileMobility(evs, col("user_id"),
+        col("ts"), col("value"), buckets = 2)
+      .orderBy("q_early", "q_late"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // early spends: u1=100, u3=10, u2=5 -> 2-tiles (desc): u1->1,
+    // u3->1, u2->2; late: u2=50->1, u1=1->2; pairs: u1 (1,2), u2 (2,1)
+    assert(got == Seq((1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
   test("source overlap: a subset source saturates its own row only") {
     import graft.ext.TextAnalysis
     val d = Seq(
