@@ -6096,6 +6096,228 @@ object Oracles {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_with_pii
         |FROM p4 GROUP BY source ORDER BY source""".stripMargin)
 
+  // x183-x187: the classical-stats family — exact integer/decimal
+  // cores (counts, rank half-units, decimal moments), transcendentals
+  // quantized once at DECIMAL(28,12) (the x136 discipline), one
+  // fixed-order double chain per statistic at the boundary
+  private val classicalStatsO: Map[String, String] = Map(
+    // x183: per-(cohort, value) counts on the floor-dollar grid,
+    // cumBelow by a grid window, rank sums in exact half-units
+    // (HUGEINT ≡ the engine's DECIMAL(38,0)), tie term Σ(t³−t), one
+    // z chain mirroring the engine's operand order
+    "x183_mann_whitney" ->
+      """WITH cv AS (
+        |  SELECT user_id % 2 AS g, CAST(floor(value) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cv GROUP BY 1),
+        |cum AS (
+        |  SELECT v, cv, COALESCE(CAST(sum(cv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) AS below
+        |  FROM pv),
+        |r AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT)
+        |      * CAST(2 * below + cv + 1 AS HUGEINT)) AS r2
+        |  FROM cv JOIN cum USING (v) GROUP BY g),
+        |t AS (
+        |  SELECT sum(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT)
+        |    * CAST(cv AS HUGEINT) - CAST(cv AS HUGEINT)) AS tie
+        |  FROM pv),
+        |j AS (
+        |  SELECT a.g AS cohort_a, b.g AS cohort_b, a.n AS n_a, b.n AS n_b,
+        |    a.r2 - CAST(a.n AS HUGEINT) * CAST(a.n + 1 AS HUGEINT) AS u2a,
+        |    b.r2 - CAST(b.n AS HUGEINT) * CAST(b.n + 1 AS HUGEINT) AS u2b,
+        |    t.tie
+        |  FROM r a JOIN r b ON a.g < b.g CROSS JOIN t)
+        |SELECT cohort_a, cohort_b, n_a, n_b,
+        |  CAST(u2a AS DOUBLE) / 2.0e0 AS u_a,
+        |  CAST(u2b AS DOUBLE) / 2.0e0 AS u_b,
+        |  CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0e0
+        |      * ((CAST(n_a + n_b AS DOUBLE) + 1.0e0)
+        |        - CAST(tie AS DOUBLE)
+        |          / (CAST(n_a + n_b AS DOUBLE)
+        |            * (CAST(n_a + n_b AS DOUBLE) - 1.0e0))) > 0.0e0
+        |    THEN (CAST(u2a AS DOUBLE) / 2.0e0
+        |        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0e0)
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0e0
+        |        * ((CAST(n_a + n_b AS DOUBLE) + 1.0e0)
+        |          - CAST(tie AS DOUBLE)
+        |            / (CAST(n_a + n_b AS DOUBLE)
+        |              * (CAST(n_a + n_b AS DOUBLE) - 1.0e0))))
+        |    ELSE NULL END AS z
+        |FROM j""".stripMargin,
+
+    // x184: the x182 session chain, session spend as an exact decimal
+    // sum, the x129 moment discipline per cohort, Welch t + df in the
+    // engine's operand order
+    "x184_welch_t" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged),
+        |u AS (
+        |  SELECT user_id % 2 AS cohort,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sv
+        |  FROM sess GROUP BY user_id, sid),
+        |m AS (
+        |  SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+        |    sum(sv) AS s0,
+        |    sum(CAST(sv AS DECIMAL(19,4)) * CAST(sv AS DECIMAL(19,4)))
+        |      AS ss0
+        |  FROM u GROUP BY 1),
+        |d AS (
+        |  SELECT cohort, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(s0 AS VARCHAR) AS DOUBLE) AS s,
+        |    CAST(CAST(ss0 AS VARCHAR) AS DOUBLE) AS ss
+        |  FROM m),
+        |j AS (
+        |  SELECT a.cohort AS cohort_a, b.cohort AS cohort_b,
+        |    a.n AS n_a, b.n AS n_b,
+        |    a.nd AS na, b.nd AS nb, a.s AS sa, b.s AS sb,
+        |    (a.ss - a.s * a.s / a.nd) / (a.nd - 1.0e0) / a.nd AS sea,
+        |    (b.ss - b.s * b.s / b.nd) / (b.nd - 1.0e0) / b.nd AS seb
+        |  FROM d a JOIN d b ON a.cohort < b.cohort)
+        |SELECT cohort_a, cohort_b, n_a, n_b,
+        |  sa / na AS mean_a, sb / nb AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0.0e0
+        |    THEN (sa / na - sb / nb) / sqrt(sea + seb) ELSE NULL END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0.0e0
+        |    THEN (sea + seb) * (sea + seb)
+        |      / (sea * sea / (na - 1.0e0) + seb * seb / (nb - 1.0e0))
+        |    ELSE NULL END AS df
+        |FROM j""".stripMargin,
+
+    // x185: per-group exact moments, per-group terms folded in GROUP
+    // ORDER (the chi-square list_reduce recipe), F at the boundary
+    "x185_anova_f" ->
+      """WITH g AS (
+        |  SELECT event_type AS gr, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS s0,
+        |    sum(CAST(value AS DECIMAL(19,4))
+        |      * CAST(value AS DECIMAL(19,4))) AS ss0
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT gr, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(s0 AS VARCHAR) AS DOUBLE) AS s,
+        |    CAST(CAST(ss0 AS VARCHAR) AS DOUBLE) AS ss
+        |  FROM g),
+        |terms AS (
+        |  SELECT gr, s * s / nd AS b, ss - s * s / nd AS w FROM d),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(CAST(sum(s0) AS VARCHAR) AS DOUBLE) AS st
+        |  FROM g),
+        |folded AS (
+        |  SELECT
+        |    (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list(b ORDER BY gr)), (acc, x) -> acc + x) FROM terms)
+        |      AS fb,
+        |    (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list(w ORDER BY gr)), (acc, x) -> acc + x) FROM terms)
+        |      AS fw)
+        |SELECT tot.k, tot.nt AS n,
+        |  folded.fb - tot.st * tot.st / CAST(tot.nt AS DOUBLE)
+        |    AS ss_between,
+        |  folded.fw AS ss_within,
+        |  CAST(tot.k - 1 AS BIGINT) AS df1,
+        |  CAST(tot.nt - tot.k AS BIGINT) AS df2,
+        |  CASE WHEN tot.k - 1 > 0 AND tot.nt - tot.k > 0
+        |      AND folded.fw > 0.0e0
+        |    THEN ((folded.fb - tot.st * tot.st / CAST(tot.nt AS DOUBLE))
+        |        / CAST(tot.k - 1 AS DOUBLE))
+        |      / (folded.fw / CAST(tot.nt - tot.k AS DOUBLE))
+        |    ELSE NULL END AS f
+        |FROM tot CROSS JOIN folded""".stripMargin,
+
+    // x186: +0.5 pseudo-count full grid, each ln quantized DECIMAL
+    // (28,12), per-bin terms folded in BIN ORDER
+    "x186_psi" ->
+      """WITH c AS (
+        |  SELECT source AS g, CAST(floor(n_chars / 50) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cc FROM c GROUP BY 1),
+        |ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+        |  CAST(sum(cc) AS BIGINT) AS n_all FROM pv),
+        |grid AS (
+        |  SELECT ng.g, ng.n, pv.v, pv.cc, COALESCE(c.c, 0) AS c,
+        |    nb.nb, nb.n_all
+        |  FROM ng CROSS JOIN pv LEFT JOIN c ON c.g = ng.g AND c.v = pv.v
+        |  CROSS JOIN nb),
+        |terms AS (
+        |  SELECT g, n, v,
+        |    ((CAST(c AS DOUBLE) + 0.5e0)
+        |        / (CAST(n AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE))
+        |      - (CAST(cc AS DOUBLE) + 0.5e0)
+        |        / (CAST(n_all AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE)))
+        |    * CAST(CAST(CAST(ln(
+        |        ((CAST(c AS DOUBLE) + 0.5e0)
+        |          / (CAST(n AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE)))
+        |        / ((CAST(cc AS DOUBLE) + 0.5e0)
+        |          / (CAST(n_all AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE))))
+        |      AS DECIMAL(28,12)) AS VARCHAR) AS DOUBLE) AS t
+        |  FROM grid)
+        |SELECT g AS source, n,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(t ORDER BY v)), (acc, x) -> acc + x) AS psi
+        |FROM terms GROUP BY g, n ORDER BY source""".stripMargin,
+
+    // x187: tied-average ranks in exact half-units per axis (the x183
+    // construction), HUGEINT rank moments, one Pearson chain
+    "x187_spearman" ->
+      """WITH pairs AS (
+        |  SELECT CAST(floor(c_acctbal) AS BIGINT) AS x,
+        |    COALESCE(o.n_orders, 0) AS y
+        |  FROM customer c LEFT JOIN (
+        |    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |    FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey),
+        |cx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS cv
+        |       FROM pairs GROUP BY 1),
+        |rx AS (
+        |  SELECT v AS x, 2 * COALESCE(CAST(sum(cv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + cv + 1 AS r2x
+        |  FROM cx),
+        |cy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS cv
+        |       FROM pairs GROUP BY 1),
+        |ry AS (
+        |  SELECT v AS y, 2 * COALESCE(CAST(sum(cv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + cv + 1 AS r2y
+        |  FROM cy),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(r2x AS HUGEINT)) AS sx,
+        |    sum(CAST(r2y AS HUGEINT)) AS sy,
+        |    sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sxx,
+        |    sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS syy,
+        |    sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sxy
+        |  FROM pairs JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0e0
+        |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0e0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    ELSE NULL END AS rho
+        |FROM m""".stripMargin)
+
   // x182: per-user conversion agg, id-parity cohorts, one fixed-order
   // pooled-z chain
   private val abConversionO: Map[String, String] = Map(
@@ -6170,7 +6392,7 @@ object Oracles {
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
-      mobilityO ++ piiAuditO ++ abConversionO +
+      mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

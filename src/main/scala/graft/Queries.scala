@@ -2617,6 +2617,71 @@ object Queries {
       col("__conv") === 1L)
   }
 
+  /** x183 — Mann–Whitney U rank-sum test
+    * ([[graft.ext.Stats.mannWhitneyU]]): the NONPARAMETRIC A/B readout
+    * beside x182's proportion z and x184's Welch t — stochastic
+    * dominance of event value between the id-parity cohorts, robust to
+    * the heavy tail that drags a mean test. Values on the floor-dollar
+    * grid (the documented discrete-grid contract). One row. */
+  val x183MannWhitney: Q = (s, dir) => {
+    val units = Tables.events(s, dir)
+      .select(pmod(col("user_id"), lit(2L)).as("cohort"),
+        floor(col("value")).as("v"))
+    graft.ext.Stats.mannWhitneyU(units, col("cohort"), col("v"))
+  }
+
+  /** x184 — Welch's t-test on session spend
+    * ([[graft.ext.Stats.welchT]]): mean session value difference
+    * between the id-parity cohorts WITHOUT the equal-variance
+    * assumption, plus Welch–Satterthwaite df — the continuous-metric
+    * A/B companion to x182 (same session grain, same cohorts). One
+    * row. */
+  val x184WelchT: Q = (s, dir) => {
+    val units = EventWindows.sessionize(Tables.events(s, dir), col("ts"),
+        col("user_id"), 1800000000L, col("event_id"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sum(col("value").cast(D4)).as("__sv"))
+      .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+    graft.ext.Stats.welchT(units, col("cohort"), col("__sv"))
+  }
+
+  /** x185 — one-way ANOVA F across event types
+    * ([[graft.ext.Stats.anovaF]]): does mean event value differ by
+    * type at all — the k-group gate before anyone reads per-type
+    * means, beside x184's two-cohort t. One row. */
+  val x185AnovaF: Q = (s, dir) => {
+    graft.ext.Stats.anovaF(Tables.events(s, dir), col("event_type"),
+      col("value"))
+  }
+
+  /** x186 — population stability index per source
+    * ([[graft.ext.Stats.psi]]): each feed's document-length
+    * distribution against the corpus over 50-char bins, with the
+    * +0.5 pseudo-count full grid (the chi-square zero-cell lesson) —
+    * the scorecard-drift number (0.1/0.25 rules of thumb) beside
+    * x118's TV and x164's KS. */
+  val x186Psi: Q = (s, dir) => {
+    graft.ext.Stats.psi(Tables.documents(s, dir), col("source"),
+        floor(col("n_chars") / lit(50)))
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+  }
+
+  /** x187 — Spearman rank correlation
+    * ([[graft.ext.Stats.spearman]]): does customer balance RANK with
+    * order activity (monotone association, outlier-robust) — floor-
+    * dollar balances × per-customer order counts, both bounded grids
+    * per the contract. One row. */
+  val x187Spearman: Q = (s, dir) => {
+    val ords = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n_orders"))
+    val c = Tables.customer(s, dir)
+      .join(ords, col("c_custkey") === col("o_custkey"), "left")
+      .select(floor(col("c_acctbal")).as("__bal"),
+        coalesce(col("__n_orders"), lit(0L)).as("__n_orders"))
+    graft.ext.Stats.spearman(c, col("__bal"), col("__n_orders"))
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3540,6 +3605,11 @@ object Queries {
     "x180_quintile_mobility" -> x180QuintileMobility,
     "x181_pii_audit" -> x181PiiAudit,
     "x182_ab_conversion" -> x182AbConversion,
+    "x183_mann_whitney" -> x183MannWhitney,
+    "x184_welch_t" -> x184WelchT,
+    "x185_anova_f" -> x185AnovaF,
+    "x186_psi" -> x186Psi,
+    "x187_spearman" -> x187Spearman,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -391,4 +391,263 @@ object Stats {
           (col("n_a").cast("double") * col("n_b").cast("double")))
           .as("ks"))
   }
+
+  /** WELCH's unequal-variance t-test (Welch 1947) — the mean-difference
+    * companion to [[twoProportionZ]]'s rate z: given one row per unit
+    * with a cohort label and a numeric metric, the t statistic for the
+    * mean difference WITHOUT assuming equal variances, plus the
+    * Welch–Satterthwaite degrees of freedom — the A/B readout for
+    * continuous metrics (revenue per session, latency, tokens per
+    * document). Expects exactly two cohorts (pair join — loud by
+    * absence, the [[twoProportionZ]] contract).
+    *
+    * Determinism: per-cohort moments (n, Σx, Σx²) are EXACT decimal
+    * sums ((18,4) operands, products at (37,8) — the x78/x129 sizing),
+    * so partitioning never reorders anything; the t/df closed forms
+    * then run in IEEE doubles in ONE fixed operand order. t and df are
+    * NULL when either cohort has n < 2 or the combined standard error
+    * is zero (never ±Inf, never an ANSI crash). Scale shape: one
+    * combiner agg to two rows, then constant work.
+    * Output: (cohort_a, cohort_b, n_a, n_b, mean_a, mean_b, t, df),
+    * cohort_a < cohort_b. */
+  def welchT(units: DataFrame, cohort: Column, value: Column)
+      : DataFrame = {
+    val xd = value.cast(D)
+    val agg = units.groupBy(cohort.as("cohort")).agg(
+      count(lit(1)).as("n"), sum(xd).as("s"), sum(xd * xd).as("ss"))
+    val a = agg.select(col("cohort").as("cohort_a"), col("n").as("n_a"),
+      col("s").as("__sa"), col("ss").as("__ssa"))
+    val b = agg.select(col("cohort").as("cohort_b"), col("n").as("n_b"),
+      col("s").as("__sb"), col("ss").as("__ssb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val sa = col("__sa").cast("double"); val sb = col("__sb").cast("double")
+    val ssa = col("__ssa").cast("double"); val ssb = col("__ssb").cast("double")
+    val va = (ssa - sa * sa / na) / (na - lit(1.0))
+    val vb = (ssb - sb * sb / nb) / (nb - lit(1.0))
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0
+    a.join(b, col("cohort_a") < col("cohort_b"))
+      .select(col("cohort_a"), col("cohort_b"), col("n_a"), col("n_b"),
+        (sa / na).as("mean_a"), (sb / nb).as("mean_b"),
+        when(ok, (sa / na - sb / nb) / sqrt(se2)).as("t"),
+        when(ok, se2 * se2 /
+          (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))))
+          .as("df"))
+  }
+
+  /** One-way ANOVA F (Fisher) — does the metric's MEAN differ across
+    * k groups, the k-cohort generalization of [[welchT]]: F =
+    * (SSB/(k−1)) / (SSW/(n−k)) from per-group exact moments. The
+    * "does spend differ by event type / segment / source" gate before
+    * anyone trusts per-group means.
+    *
+    * Determinism: per-group (n, Σx, Σx²) are exact decimal sums; each
+    * group's two sum-of-squares terms are IEEE doubles folded in
+    * GROUP ORDER (sort_array + one aggregate fold — the
+    * [[chiSquareIndependence]] discipline), so partitioning can never
+    * reorder the sums. F is NULL when k < 2, n ≤ k, or SSW = 0.
+    * Scale shape: one combiner agg to k rows + a k-bounded fold — one
+    * output row. Output: (k, n, ss_between, ss_within, df1, df2, f). */
+  def anovaF(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val xd = value.cast(D)
+    val g = df.groupBy(group.as("__g")).agg(
+      count(lit(1)).as("__n"), sum(xd).as("__s"), sum(xd * xd).as("__ss"))
+    val tot = g.agg(count(lit(1)).as("__k"), sum(col("__n")).as("__nt"),
+      sum(col("__s").cast(DecimalType(38, 4))).as("__st"))
+    // per-group terms: s_g²/n_g (feeds SSB) and ss_g − s_g²/n_g (SSW)
+    val sg = col("__s").cast("double"); val ng = col("__n").cast("double")
+    g.select(struct(col("__g"),
+        (sg * sg / ng).as("__b"),
+        (col("__ss").cast("double") - sg * sg / ng).as("__w")).as("__t"))
+      .groupBy()
+      .agg(sort_array(collect_list(col("__t"))).as("__arr"))
+      .crossJoin(broadcast(tot))
+      .select(col("__k").as("k"), col("__nt").as("n"),
+        (aggregate(col("__arr"), lit(0.0), (acc, x) => acc + x("__b")) -
+          col("__st").cast("double") * col("__st").cast("double") /
+            col("__nt").cast("double")).as("ss_between"),
+        aggregate(col("__arr"), lit(0.0), (acc, x) => acc + x("__w"))
+          .as("ss_within"),
+        (col("__k") - 1).as("df1"), (col("__nt") - col("__k")).as("df2"))
+      .withColumn("f",
+        when(col("df1") > 0 && col("df2") > 0 && col("ss_within") > 0.0,
+          (col("ss_between") / col("df1").cast("double")) /
+            (col("ss_within") / col("df2").cast("double"))))
+  }
+
+  /** MANN–WHITNEY U rank-sum test (Mann & Whitney 1947) — the
+    * NONPARAMETRIC A/B companion to [[welchT]]: does one cohort's
+    * metric stochastically dominate the other's, robust to the heavy
+    * tails that break mean-based t/z readouts. Average ranks for
+    * ties; normal approximation with the exact tie-corrected
+    * variance; no continuity correction (documented contract — both
+    * engines compute the same chain).
+    *
+    * CONTRACT: `value` must be a DISCRETE grid (the [[ksDrift]]
+    * bounded-grid contract — bucketed metrics, integer amounts,
+    * quantized doubles): ranks derive from per-value counts, and a
+    * per-group window runs over the |values| grid. For a continuous
+    * metric, quantize first (e.g. `floor(value)`) — the test is then
+    * exact on the quantized metric.
+    *
+    * EXACT arithmetic end-to-end: with cumBelow(v) = Σ_{u<v} c_u, the
+    * tied-average rank is (2·cumBelow + c_v + 1)/2, so rank sums are
+    * computed in HALF-UNITS as exact decimals (2R = Σ c_a·(2·cumBelow
+    * + c_v + 1)); U, its mean, and the tie term T = Σ(t³−t) stay in
+    * DECIMAL(38,0) (t as (12,0), t³ at 36 digits); ONE double chain
+    * at the boundary: z = (U − n_a·n_b/2)/√(n_a·n_b/12·((n+1) −
+    * T/(n·(n−1)))). z is NULL when the variance is 0 (all values
+    * tied). Scale shape: one (cohort, v) combiner count, a grid-
+    * bounded cumulative window, one pair join of two 1-row frames.
+    * Output: (cohort_a, cohort_b, n_a, n_b, u_a, u_b, z),
+    * cohort_a < cohort_b; u_a + u_b = n_a·n_b. */
+  def mannWhitneyU(units: DataFrame, cohort: Column, value: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(38, 0)
+    val T = DecimalType(12, 0)
+    val cv = units.select(cohort.as("__g"), value.as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val perV = cv.groupBy("__v").agg(sum(col("__c")).as("__cv"))
+    val wv = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // grid-bounded window (the discrete-value contract): cumBelow
+    val cum = perV
+      .withColumn("__below", coalesce(sum(col("__cv")).over(wv), lit(0L)))
+    val ranked = cv.join(cum, Seq("__v"))
+      .groupBy("__g").agg(
+        sum(col("__c")).as("n"),
+        // 2R_g in exact integer half-units
+        sum(col("__c").cast(N) *
+          (lit(2L) * col("__below") + col("__cv") + lit(1L)).cast(N))
+          .as("__r2"))
+    val ties = broadcast(perV.agg(
+      sum(col("__cv").cast(T) * col("__cv").cast(T) * col("__cv").cast(T) -
+        col("__cv").cast(T)).as("__t")))
+    val a = ranked.select(col("__g").as("cohort_a"), col("n").as("n_a"),
+      col("__r2").as("__r2a"))
+    val b = ranked.select(col("__g").as("cohort_b"), col("n").as("n_b"),
+      col("__r2").as("__r2b"))
+    // 2U_a = 2R_a − n_a(n_a+1), exact
+    val u2a = col("__r2a").cast(N) -
+      (col("n_a").cast(N) * (col("n_a") + 1).cast(N))
+    val u2b = col("__r2b").cast(N) -
+      (col("n_b").cast(N) * (col("n_b") + 1).cast(N))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val varU = na * nb / lit(12.0) *
+      ((n + lit(1.0)) - col("__t").cast("double") / (n * (n - lit(1.0))))
+    a.join(b, col("cohort_a") < col("cohort_b")).crossJoin(ties)
+      .select(col("cohort_a"), col("cohort_b"), col("n_a"), col("n_b"),
+        (u2a.cast("double") / lit(2.0)).as("u_a"),
+        (u2b.cast("double") / lit(2.0)).as("u_b"),
+        when(varU > 0.0,
+          (u2a.cast("double") / lit(2.0) - na * nb / lit(2.0)) /
+            sqrt(varU)).as("z"))
+  }
+
+  /** POPULATION STABILITY INDEX per group against the whole corpus —
+    * the scorecard-monitoring drift number (PSI < 0.1 stable, > 0.25
+    * shifted, the credit-risk rule of thumb) beside the KS and TV
+    * alarms: PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) over a bounded bin
+    * grid. Zero-count bins are NOT dropped (the chi-square zero-cell
+    * lesson — an empty bin is maximal evidence of shift): both sides
+    * take the standard +0.5 pseudo-count per bin over the FULL corpus
+    * bin grid, so every term is finite and the full grid contributes.
+    *
+    * Determinism: integer bin counts are exact; each bin's ln is
+    * quantized once to DECIMAL(28,12) (the x76/x136 transcendental
+    * discipline), the remaining ±/× run in IEEE doubles folded in BIN
+    * ORDER (sort_array + aggregate — the [[chiSquareIndependence]]
+    * fold). Scale shape: one (group, bin) combiner count, model-sized
+    * grid join, a |bins|-bounded fold per group.
+    * Output: (group, n, psi). */
+  def psi(df: DataFrame, group: Column, bin: Column): DataFrame =
+    psiFromCounts(df.select(group.as("g"), bin.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c")))
+
+  /** [[psi]] over PRE-AGGREGATED (g, v, c) counts — the additive-
+    * ledger form ([[ksDriftFromCounts]]'s twin), which is what gives
+    * PSI a streaming view bit-equal to its batch operator. */
+  def psiFromCounts(counts: DataFrame): DataFrame = {
+    val L = DecimalType(28, 12)
+    val perGV = counts.select(col("g"), col("v"), col("c"))
+    val perV = perGV.groupBy("v").agg(sum(col("c")).as("cc"))
+    val ng = perGV.groupBy("g").agg(sum(col("c")).as("n"))
+    val nBins = broadcast(perV.agg(count(lit(1)).as("nb"),
+      sum(col("cc")).as("n_all")))
+    val grid = ng.select(col("g"), col("n"))
+      .crossJoin(perV)
+      .join(perGV, Seq("g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(nBins)
+    val half = lit(0.5)
+    val p = (col("c").cast("double") + half) /
+      (col("n").cast("double") + half * col("nb").cast("double"))
+    val q = (col("cc").cast("double") + half) /
+      (col("n_all").cast("double") + half * col("nb").cast("double"))
+    grid
+      .withColumn("__lr", log(p / q).cast(L))
+      .select(col("g"), col("n"),
+        struct(col("v"), ((p - q) * col("__lr").cast("double")).as("__t"))
+          .as("__s"))
+      .groupBy("g", "n")
+      .agg(sort_array(collect_list(col("__s"))).as("__arr"))
+      .select(col("g").as("group"), col("n"),
+        aggregate(col("__arr"), lit(0.0), (acc, x) => acc + x("__t"))
+          .as("psi"))
+  }
+
+  /** SPEARMAN rank correlation — Pearson on tied-average ranks, the
+    * monotone-association number robust to outliers and nonlinear
+    * scales (does account balance RANK with spend, not just covary).
+    *
+    * CONTRACT: both columns must be DISCRETE grids (the
+    * [[mannWhitneyU]] contract — quantize continuous metrics first);
+    * ranks derive from per-value counts through grid-bounded
+    * cumulative windows, never a per-row rank window.
+    *
+    * Arithmetic: tied-average ranks in exact half-units (the
+    * [[mannWhitneyU]] construction per axis), then the Pearson
+    * moments over (2r_x, 2r_y) as exact DECIMAL(38,0) sums — scale
+    * factors cancel in r — and ONE double chain at the boundary.
+    * NULL when either axis has zero rank variance. Scale shape: two
+    * grid aggs + two grid-bounded windows + one combiner moment agg.
+    * Output: one row (n, rho). */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(18, 0) // half-unit ranks ≤ 2(n+1): (18,0)² → (37,0)
+    def ranks(v: Column, d: DataFrame, name: String): DataFrame = {
+      val perV = d.select(v.as("__v")).groupBy("__v")
+        .agg(count(lit(1)).as("__cv"))
+      val wv = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perV.withColumn("__below",
+          coalesce(sum(col("__cv")).over(wv), lit(0L)))
+        .select(col("__v").as(name),
+          (lit(2L) * col("__below") + col("__cv") + lit(1L))
+            .as(s"__r2$name"))
+    }
+    val pairs = df.select(x.as("__x"), y.as("__y"))
+    val rx = ranks(col("__x"), pairs, "__x")
+    val ry = ranks(col("__y"), pairs, "__y")
+    val j = pairs.join(rx, Seq("__x")).join(ry, Seq("__y"))
+      .select(col("__r2__x").cast(N).as("rx"),
+        col("__r2__y").cast(N).as("ry"))
+    val m = j.agg(count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val denX = nd * sxx - sx * sx
+    val denY = nd * syy - sy * sy
+    m.select(col("n"),
+      when(denX > 0.0 && denY > 0.0,
+        (nd * sxy - sx * sy) / sqrt(denX * denY)).as("rho"))
+  }
 }

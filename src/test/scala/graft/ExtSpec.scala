@@ -2712,4 +2712,114 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(e == Seq((0L, 0L), (1L, 1L)))
   }
+
+  test("mannWhitneyU: hand ranks with ties; U partition; all-tied NULL") {
+    import graft.ext.Stats
+    // cohort 0: {1, 2, 2}; cohort 1: {2, 3}
+    // ranks: 1→1; the three 2s share (2+3+4)/3 = 3; 3→5
+    // R0 = 1 + 3 + 3 = 7, U0 = 7 − 3·4/2 = 1; U1 = n0·n1 − U0 = 5
+    val units = Seq((0L, 1L), (0L, 2L), (0L, 2L), (1L, 2L), (1L, 3L))
+      .toDF("g", "v")
+    val r = rows(Stats.mannWhitneyU(units, col("g"), col("v"))).head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_a") == 1.0 && r.getAs[Double]("u_b") == 5.0)
+    // tie-corrected variance: n=5, T = (3³−3) = 24
+    // var = (6/12)·((5+1) − 24/(5·4)) = 0.5·4.8 = 2.4; μ = 3
+    val expZ = (1.0 - 3.0) / math.sqrt(2.4)
+    assert(math.abs(r.getAs[Double]("z") - expZ) < 1e-12)
+    // every value tied → zero variance → NULL z, not ±Inf
+    val tied = Seq((0L, 7L), (0L, 7L), (1L, 7L)).toDF("g", "v")
+    val rt = rows(Stats.mannWhitneyU(tied, col("g"), col("v"))).head
+    assert(rt.isNullAt(rt.fieldIndex("z")))
+  }
+
+  test("welchT: hand means/variances; n=1 cohort NULL") {
+    import graft.ext.Stats
+    // cohort 0: {1, 3} (m=2, s²=2); cohort 1: {2, 6, 10} (m=6, s²=16)
+    val units = Seq((0L, 1.0), (0L, 3.0), (1L, 2.0), (1L, 6.0),
+      (1L, 10.0)).toDF("g", "v")
+    val r = rows(Stats.welchT(units, col("g"), col("v"))).head
+    assert(r.getAs[Double]("mean_a") == 2.0 &&
+      r.getAs[Double]("mean_b") == 6.0)
+    val sea = 2.0 / 2; val seb = 16.0 / 3
+    val expT = (2.0 - 6.0) / math.sqrt(sea + seb)
+    val expDf = math.pow(sea + seb, 2) /
+      (sea * sea / 1 + seb * seb / 2)
+    assert(math.abs(r.getAs[Double]("t") - expT) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df") - expDf) < 1e-12)
+    // a 1-row cohort has no variance estimate → NULL t and df
+    val small = Seq((0L, 1.0), (1L, 2.0), (1L, 3.0)).toDF("g", "v")
+    val rs = rows(Stats.welchT(small, col("g"), col("v"))).head
+    assert(rs.isNullAt(rs.fieldIndex("t")) && rs.isNullAt(rs.fieldIndex("df")))
+  }
+
+  test("anovaF: hand two-group F; zero within-variance NULL") {
+    import graft.ext.Stats
+    // groups a: {1, 3}, b: {5, 7}: means 2, 6; grand 4
+    // SSB = 2·(2−4)² + 2·(6−4)² = 16; SSW = 2 + 2 = 4
+    // F = (16/1)/(4/2) = 8
+    val df0 = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0))
+      .toDF("g", "v")
+    val r = rows(Stats.anovaF(df0, col("g"), col("v"))).head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("ss_between") - 16.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ss_within") - 4.0) < 1e-9)
+    assert(r.getAs[Long]("df1") == 1L && r.getAs[Long]("df2") == 2L)
+    assert(math.abs(r.getAs[Double]("f") - 8.0) < 1e-9)
+    // constant within groups → SSW = 0 → NULL F (never ±Inf)
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val rc = rows(Stats.anovaF(const, col("g"), col("v"))).head
+    assert(rc.isNullAt(rc.fieldIndex("f")))
+  }
+
+  test("psi: hand bins incl. a zero-count bin; nonnegative terms") {
+    import graft.ext.Stats
+    // corpus bins over two groups; group "b" never hits bin 2 — the
+    // zero-cell path must contribute via the +0.5 pseudo-count, not
+    // silently drop (the chi-square lesson)
+    val df0 = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 1L), ("b", 1L),
+      ("b", 1L)).toDF("g", "v")
+    val got = rows(Stats.psi(df0, col("g"), col("v")).orderBy("group"))
+    assert(got.map(_.getString(0)) == Seq("a", "b"))
+    // hand: grid bins {1, 2}; corpus c = (5, 1), n_all = 6, nb = 2
+    def p(c: Long, n: Long) = (c + 0.5) / (n + 0.5 * 2)
+    def term(c: Long, n: Long, cc: Long) =
+      (p(c, n) - p(cc, 6)) * math.log(p(c, n) / p(cc, 6))
+    val expA = term(2, 3, 5) + term(1, 3, 1)
+    val expB = term(3, 3, 5) + term(0, 3, 1)
+    val byG = got.map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(math.abs(byG("a") - expA) < 1e-9)
+    assert(math.abs(byG("b") - expB) < 1e-9)
+    // PSI is nonnegative for both groups (each term (p−q)·ln(p/q) ≥ 0)
+    assert(byG("a") > 0.0 && byG("b") > 0.0)
+  }
+
+  test("spearman: perfect monotone ±1; hand tie case; constant NULL") {
+    import graft.ext.Stats
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("x", "y")
+    assert(rows(Stats.spearman(up, col("x"), col("y"))).head
+      .getAs[Double]("rho") == 1.0)
+    val down = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))
+      .toDF("x", "y")
+    assert(rows(Stats.spearman(down, col("x"), col("y"))).head
+      .getAs[Double]("rho") == -1.0)
+    // ties: x = (1, 2, 2, 3), y = (1, 2, 3, 4)
+    // rx = (1, 2.5, 2.5, 4), ry = (1, 2, 3, 4) → Pearson on ranks
+    val tied = Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val rx = Seq(1.0, 2.5, 2.5, 4.0); val ry = Seq(1.0, 2.0, 3.0, 4.0)
+    val n = 4.0
+    val num = n * rx.zip(ry).map { case (a, b) => a * b }.sum -
+      rx.sum * ry.sum
+    val den = math.sqrt((n * rx.map(a => a * a).sum - rx.sum * rx.sum) *
+      (n * ry.map(a => a * a).sum - ry.sum * ry.sum))
+    val got = rows(Stats.spearman(tied, col("x"), col("y"))).head
+      .getAs[Double]("rho")
+    assert(math.abs(got - num / den) < 1e-12)
+    // constant x → zero rank variance → NULL
+    val const = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    val rc = rows(Stats.spearman(const, col("x"), col("y"))).head
+    assert(rc.isNullAt(rc.fieldIndex("rho")))
+  }
 }
