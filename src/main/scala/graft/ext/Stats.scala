@@ -413,8 +413,17 @@ object Stats {
   def welchT(units: DataFrame, cohort: Column, value: Column)
       : DataFrame = {
     val xd = value.cast(D)
-    val agg = units.groupBy(cohort.as("cohort")).agg(
-      count(lit(1)).as("n"), sum(xd).as("s"), sum(xd * xd).as("ss"))
+    welchTFromMoments(units.groupBy(cohort.as("cohort")).agg(
+      count(lit(1)).as("n"), sum(xd).as("s"), sum(xd * xd).as("ss")))
+  }
+
+  /** [[welchT]] from an already-aggregated per-cohort moment frame
+    * (cohort, n, s, ss) — the additive-ledger form ([[psiFromCounts]]'s
+    * twin): counts and decimal sums are commutative monoids, so
+    * per-batch partials folded by any grouping reproduce the exact
+    * moments, which is what gives the A/B t-test a streaming view
+    * bit-equal to its batch operator. */
+  def welchTFromMoments(agg: DataFrame): DataFrame = {
     val a = agg.select(col("cohort").as("cohort_a"), col("n").as("n_a"),
       col("s").as("__sa"), col("ss").as("__ssa"))
     val b = agg.select(col("cohort").as("cohort_b"), col("n").as("n_b"),

@@ -397,6 +397,54 @@ object Streams {
       sumView(spark, tablePath, Seq("g", "v"))
         .select(col("g"), col("v"), col("n").as("c")))
 
+  /** PSI view over the SAME [[additiveSink]] (g, v) ledger as
+    * [[ksDriftView]]/[[ksMatrixView]] — one count ledger now serves
+    * three distribution alarms (KS shape, pairwise KS, and the
+    * scorecard-monitoring PSI), each bit-equal to its batch operator
+    * over everything ingested (StreamingSpec). */
+  def psiView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.psiFromCounts(
+      sumView(spark, tablePath, Seq("g", "v"))
+        .select(col("g"), col("v"), col("n").as("c")))
+
+  /** Streaming A/B MOMENT ledger: each micro-batch appends its
+    * per-cohort partial (n, Σx, Σx²) — count and exact decimal sums,
+    * all commutative monoids, so replays dedupe on (cohort, _batch)
+    * and append order never matters (the [[additiveSink]] contract
+    * with a second moment riding along). Σx² partials are computed at
+    * (18,4)² → (37,8) inside each batch and stored at (38,8). */
+  def abMomentsSink(units: DataFrame, cohort: Column, value: Column,
+      tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 4)
+    units.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val xd = value.cast(D)
+        batch.groupBy(cohort.as("cohort"))
+          .agg(count(lit(1)).as("_pn"), sum(xd).as("_ps"),
+            sum(xd * xd).as("_pss"))
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+      .start()
+  }
+
+  /** Welch t-test view over an [[abMomentsSink]] ledger: fold the
+    * per-cohort moment partials (exact decimal sums — order- and
+    * batching-independent) and run the x184 Welch tail. The streaming
+    * A/B readout is bit-equal to batch [[graft.ext.Stats.welchT]]
+    * over everything ingested (StreamingSpec). */
+  def welchView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.welchTFromMoments(
+      dedupedPartials(spark, tablePath, Seq("cohort"))
+        .groupBy("cohort")
+        .agg(sum(col("_pn")).as("n"), sum(col("_ps")).as("s"),
+          sum(col("_pss")).as("ss")))
+
   /** Streaming ADMISSION against a PERSISTED LSH dedup index — the
     * [[modelAssignSink]] frozen-artifact discipline applied to
     * near-dup state: the [[graft.ext.Dedup.saveLshIndex]] tables load

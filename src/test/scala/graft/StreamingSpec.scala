@@ -10,6 +10,7 @@ case class QV(vec_id: Long, embedding: Array[Float])
 case class TDoc(doc_id: Long, text: String)
 case class TSrc(id: Long, src: String, w: Long)
 case class GV(g: String, v: String)
+case class CohV(cohort: Long, v: Double)
 case class REv(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class DocT(doc_id: Long, n_tokens: Long, text: String)
 
@@ -341,6 +342,53 @@ class StreamingSpec extends SparkSpec {
         (b1 ++ b2).toDF("g", "v"), $"g", $"v").orderBy("src_a", "src_b"))
       .map(_.toString)
     assert(streamed == batch && streamed.size == 3)
+  }
+
+  test("psiView: the same additive (g, v) ledger folds to the batch " +
+      "psi, incl. a bin one group never hits") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(1L, 1L, 2L, 3L).map(v => GV("a", v.toString)) ++
+      Seq(3L, 3L).map(v => GV("b", v.toString))
+    val b2 = Seq(1L, 3L).map(v => GV("b", v.toString))
+    val dir = java.nio.file.Files.createTempDirectory("graft_psiv")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[GV]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(mem.toDF(), Seq("g", "v"), lit(1L),
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Streams.psiView(spark, table)
+      .orderBy("group")).map(_.toString)
+    val batch = rows(graft.ext.Stats.psi(
+        (b1 ++ b2).toDF("g", "v"), $"g", $"v").orderBy("group"))
+      .map(_.toString)
+    assert(streamed == batch && streamed.size == 2)
+  }
+
+  test("abMomentsSink + welchView: folded moment partials equal the " +
+      "batch welchT across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(CohV(0L, 1.25), CohV(0L, 3.5), CohV(1L, 2.0),
+      CohV(1L, 6.75))
+    val b2 = Seq(CohV(0L, 2.25), CohV(1L, 10.0), CohV(1L, 4.5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_welch")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[CohV]
+    mem.addData(b1: _*)
+    val q = Streams.abMomentsSink(mem.toDF(), $"cohort", $"v",
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Streams.welchView(spark, table)).map(_.toString)
+    val batch = rows(graft.ext.Stats.welchT(
+        (b1 ++ b2).toDF("cohort", "v"), $"cohort", $"v"))
+      .map(_.toString)
+    assert(streamed == batch && streamed.size == 1)
   }
 
   test("centroidMatrixSink/View: additive (src, dim) decimal partials " +
