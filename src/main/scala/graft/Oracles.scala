@@ -6318,6 +6318,188 @@ object Oracles {
         |    ELSE NULL END AS rho
         |FROM m""".stripMargin)
 
+  // x188-x192: JSD matrix, Kaplan-Meier, trigrams, association rules,
+  // HHI — exact integer/decimal cores, lns quantized (28,12), folds in
+  // token/day/key order, one double chain per output
+  private val analyticsFamilyO: Map[String, String] = Map(
+    // x188: per-token terms are EXACT (9,0)·(28,12) decimals summed
+    // (order-free); absent-side closed form joins at the double
+    // boundary; the pair skeleton keeps disjoint-vocab pairs (jsd =
+    // ln 2) — the zero-cell lesson
+    "x188_jsd_matrix" ->
+      """WITH toks AS (
+        |  SELECT source AS g,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |ct AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM ct GROUP BY 1),
+        |pres AS (
+        |  SELECT a.g AS src_a, b.g AS src_b,
+        |    sum(CAST(a.c AS DECIMAL(9,0))
+        |      * CAST(ln(2.0e0 * CAST(a.c AS DOUBLE) * CAST(nb.n AS DOUBLE)
+        |          / (CAST(a.c AS DOUBLE) * CAST(nb.n AS DOUBLE)
+        |            + CAST(b.c AS DOUBLE) * CAST(na.n AS DOUBLE)))
+        |        AS DECIMAL(28,12))) AS sa,
+        |    sum(CAST(b.c AS DECIMAL(9,0))
+        |      * CAST(ln(2.0e0 * CAST(b.c AS DOUBLE) * CAST(na.n AS DOUBLE)
+        |          / (CAST(a.c AS DOUBLE) * CAST(nb.n AS DOUBLE)
+        |            + CAST(b.c AS DOUBLE) * CAST(na.n AS DOUBLE)))
+        |        AS DECIMAL(28,12))) AS sb,
+        |    CAST(sum(a.c) AS BIGINT) AS pa, CAST(sum(b.c) AS BIGINT) AS pb
+        |  FROM ct a JOIN ct b ON a.tok = b.tok AND a.g < b.g
+        |  JOIN ns na ON na.g = a.g JOIN ns nb ON nb.g = b.g
+        |  GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT a.g AS src_a, a.n AS n_a, b.g AS src_b, b.n AS n_b
+        |  FROM ns a CROSS JOIN ns b WHERE a.g < b.g)
+        |SELECT sk.src_a, sk.src_b, sk.n_a, sk.n_b,
+        |  ((COALESCE(CAST(CAST(pres.sa AS VARCHAR) AS DOUBLE), 0.0e0)
+        |      + CAST(sk.n_a - COALESCE(pres.pa, 0) AS DOUBLE)
+        |        * CAST(CAST(CAST(ln(2.0e0) AS DECIMAL(28,12)) AS VARCHAR)
+        |            AS DOUBLE))
+        |      / CAST(sk.n_a AS DOUBLE)
+        |    + (COALESCE(CAST(CAST(pres.sb AS VARCHAR) AS DOUBLE), 0.0e0)
+        |      + CAST(sk.n_b - COALESCE(pres.pb, 0) AS DOUBLE)
+        |        * CAST(CAST(CAST(ln(2.0e0) AS DECIMAL(28,12)) AS VARCHAR)
+        |            AS DOUBLE))
+        |      / CAST(sk.n_b AS DOUBLE)) / 2.0e0 AS jsd
+        |FROM sk LEFT JOIN pres
+        |  ON pres.src_a = sk.src_a AND pres.src_b = sk.src_b
+        |ORDER BY sk.src_a, sk.src_b""".stripMargin,
+
+    // x189: per-user calendar-day lifetimes, 3-day censor horizon,
+    // exact risk-set counts, cumulative product folded in day order
+    // through an ordered window frame
+    "x189_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS f, max(ts) AS l
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(ts) AS mx FROM events),
+        |units AS (
+        |  SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+        |      AS BIGINT) AS day,
+        |    epoch_us(l) < epoch_us(mx.mx) - 259200000000 AS ev
+        |  FROM per CROSS JOIN mx),
+        |d AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM units GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n
+        |        FROM d),
+        |risk AS (
+        |  SELECT day, n_events, n_censored,
+        |    tot.n - COALESCE(CAST(sum(n_events + n_censored) OVER (
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+        |  FROM d CROSS JOIN tot),
+        |f AS (
+        |  SELECT day, n_risk, n_events, n_censored,
+        |    CASE WHEN n_events > 0
+        |      THEN 1.0e0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |      ELSE 1.0e0 END AS fac
+        |  FROM risk)
+        |SELECT day, n_risk, n_events, n_censored,
+        |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list(fac) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |    (acc, x) -> acc * x) AS survival
+        |FROM f ORDER BY day""".stripMargin,
+
+    // x190: the x176 session chain + two lags, corpus-wide triple
+    // counts
+    "x190_session_trigrams" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged),
+        |tri AS (
+        |  SELECT
+        |    lag(event_type, 2) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS t1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS t2,
+        |    event_type AS t3
+        |  FROM sess)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM tri WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY t1, t2, t3""".stripMargin,
+
+    // x191: distinct session-type frame, ordered-pair self-join,
+    // support/confidence/lift in the engine's operand order
+    "x191_assoc_rules" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged),
+        |st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |       FROM (SELECT DISTINCT user_id, sid FROM st)),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM st GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, pa.n AS n_a, pb.n AS n_b, n_ab,
+        |  CAST(n_ab AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE) AS support,
+        |  CAST(n_ab AS DOUBLE) / CAST(pa.n AS DOUBLE) AS confidence,
+        |  (CAST(n_ab AS DOUBLE) * CAST(ns.n_sessions AS DOUBLE))
+        |    / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)) AS lift
+        |FROM pairs
+        |JOIN per pa ON pa.event_type = antecedent
+        |JOIN per pb ON pb.event_type = consequent
+        |CROSS JOIN ns
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    // x192: exact decimal revenue per (region, nation), share² terms
+    // folded in nation order (the chi-square list_reduce recipe)
+    "x192_hhi" ->
+      """WITH rev AS (
+        |  SELECT r.r_name, n.n_name,
+        |    sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS s0
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT r_name, CAST(count(*) AS BIGINT) AS n_keys,
+        |    sum(s0) AS t0
+        |  FROM rev GROUP BY 1),
+        |terms AS (
+        |  SELECT rev.r_name, rev.n_name, tot.n_keys,
+        |    CAST(CAST(tot.t0 AS VARCHAR) AS DOUBLE) AS t,
+        |    (CAST(CAST(rev.s0 AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(tot.t0 AS VARCHAR) AS DOUBLE))
+        |      * (CAST(CAST(rev.s0 AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(tot.t0 AS VARCHAR) AS DOUBLE)) AS sq
+        |  FROM rev JOIN tot USING (r_name))
+        |SELECT r_name, n_keys, t AS total,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(sq ORDER BY n_name)), (acc, x) -> acc + x) AS hhi
+        |FROM terms GROUP BY r_name, n_keys, t
+        |ORDER BY r_name""".stripMargin)
+
   // x182: per-user conversion agg, id-parity cohorts, one fixed-order
   // pooled-z chain
   private val abConversionO: Map[String, String] = Map(
@@ -6392,7 +6574,8 @@ object Oracles {
       retrievalEvalO ++ ndcgEvalO ++ ndcgGridO ++ simhashClustersO ++
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
-      mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO +
+      mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
+      analyticsFamilyO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2682,6 +2682,78 @@ object Queries {
     graft.ext.Stats.spearman(c, col("__bal"), col("__n_orders"))
   }
 
+  /** x188 — pairwise Jensen–Shannon divergence matrix
+    * ([[graft.ext.TextAnalysis.jsdMatrix]]): symmetric, bounded
+    * source-vs-source lexical divergence — finite even on disjoint
+    * vocabularies (where KL explodes), the |sources|² companion to
+    * x118's group-vs-corpus TV and x165's KS shape matrix. */
+  val x188JsdMatrix: Q = (s, dir) => {
+    TextAnalysis.jsdMatrix(Tables.documents(s, dir), "source", "text")
+      .orderBy("src_a", "src_b")
+  }
+
+  /** x189 — Kaplan–Meier churn survival
+    * ([[graft.ext.EventWindows.kaplanMeier]]): per-user activity
+    * lifetime in calendar days, users still active in the last 3 days
+    * of the corpus horizon CENSORED (not churned) — the curve a naive
+    * lifetime histogram biases down. Day grid bounded by corpus age. */
+  val x189KaplanMeier: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("__f"), max(col("ts")).as("__l"))
+    val mx = broadcast(ev.agg(max(col("ts")).as("__mx")))
+    val subjects = per.crossJoin(mx)
+      .select(
+        datediff(to_date(col("__l")), to_date(col("__f")))
+          .cast("long").as("__dur"),
+        (unix_micros(col("__l")) <
+          unix_micros(col("__mx")) - lit(259200000000L)).as("__ev"))
+    EventWindows.kaplanMeier(subjects, col("__dur"), col("__ev"))
+      .orderBy("day")
+  }
+
+  /** x190 — session trigram patterns
+    * ([[graft.ext.EventWindows.sessionTrigrams]]): consecutive
+    * event-type triples within sessions — the length-3 sequential
+    * pattern table beside x141's bigram transitions (|types|³-bounded
+    * output). */
+  val x190SessionTrigrams: Q = (s, dir) => {
+    EventWindows.sessionTrigrams(Tables.events(s, dir), col("ts"),
+        col("user_id"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L)
+      .orderBy("t1", "t2", "t3")
+  }
+
+  /** x191 — association rules at session grain
+    * ([[graft.ext.EventWindows.associationRules]]): directed
+    * support/confidence/lift per event-type pair — x177's market-
+    * basket lift given its asymmetric A → B reading. */
+  val x191AssocRules: Q = (s, dir) => {
+    EventWindows.associationRules(Tables.events(s, dir), col("ts"),
+        col("user_id"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L)
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** x192 — revenue concentration per region
+    * ([[graft.ext.Stats.hhi]]): Herfindahl–Hirschman index of order
+    * revenue across nations within each region — is one nation
+    * carrying the region's whole book, the concentration row beside
+    * x134's Gini. */
+  val x192Hhi: Q = (s, dir) => {
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+    graft.ext.Stats.hhi(rev, col("r_name"), col("n_name"),
+        col("o_totalprice"))
+      .withColumnRenamed("group", "r_name")
+      .orderBy("r_name")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3610,6 +3682,11 @@ object Queries {
     "x185_anova_f" -> x185AnovaF,
     "x186_psi" -> x186Psi,
     "x187_spearman" -> x187Spearman,
+    "x188_jsd_matrix" -> x188JsdMatrix,
+    "x189_kaplan_meier" -> x189KaplanMeier,
+    "x190_session_trigrams" -> x190SessionTrigrams,
+    "x191_assoc_rules" -> x191AssocRules,
+    "x192_hhi" -> x192Hhi,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

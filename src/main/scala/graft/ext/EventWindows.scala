@@ -367,4 +367,122 @@ object EventWindows {
         col("__m").cast("double").as("monetary"),
         col("r_bucket"), col("f_bucket"), col("m_bucket"))
   }
+
+  /** KAPLAN–MEIER survival estimator (Kaplan & Meier 1958) over
+    * right-censored durations — the churn/retention curve done
+    * correctly: users still active at the observation horizon are
+    * CENSORED, not counted as churned (the naive "lifetime histogram"
+    * silently biases survival down). S(t) = Π_{s ≤ t, d_s > 0}
+    * (1 − d_s / n_risk_s), with n_risk_s = subjects whose duration
+    * ≥ s (censored subjects leave the risk set after their censor
+    * day — the standard deaths-before-censors tie rule at equal s).
+    *
+    * Input: one row per SUBJECT with an integer duration (days) and
+    * an event flag (true = observed event, false = censored).
+    * CONTRACT: durations form a BOUNDED grid (calendar days against a
+    * corpus horizon — thousands of rows at any corpus age), the
+    * [[graft.ext.Stats.mannWhitneyU]] discrete-grid contract.
+    *
+    * Determinism: integer death/censor/risk counts are exact; each
+    * day's factor is one IEEE division, and the survival column is a
+    * CUMULATIVE PRODUCT folded in ascending-day order (collect_list
+    * over an ordered window frame — frame order is the fold order,
+    * the x175 fixed-order discipline made cumulative). No logs, no
+    * exp — the boundary stays inside exactly-rounded IEEE ops.
+    * Scale shape: one combiner day agg + two grid-bounded windows.
+    * Output: (day, n_risk, n_events, n_censored, survival), one row
+    * per observed duration day (censor-only days carry factor 1). */
+  def kaplanMeier(subjects: DataFrame, duration: Column, event: Column)
+      : DataFrame = {
+    val perDay = subjects.select(duration.as("day"), event.as("__e"))
+      .groupBy("day").agg(
+        sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored"))
+    val tot = broadcast(perDay.agg(
+      sum(col("n_events") + col("n_censored")).as("__n")))
+    val wPrev = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDay.crossJoin(tot)
+      .withColumn("n_risk", col("__n") -
+        coalesce(sum(col("n_events") + col("n_censored")).over(wPrev),
+          lit(0L)))
+      .withColumn("__f",
+        when(col("n_events") > 0,
+          lit(1.0) - col("n_events").cast("double") /
+            col("n_risk").cast("double"))
+          .otherwise(lit(1.0)))
+      .withColumn("survival",
+        aggregate(collect_list(col("__f")).over(wCum), lit(1.0),
+          (acc, x) => acc * x))
+      .select(col("day"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
+
+  /** Sequential TRIGRAM patterns at session grain — the length-3
+    * extension of the x141 transition bigrams: consecutive event-type
+    * triples within a session (two lags over the session's total
+    * (ts, tie) order), counted corpus-wide. The "view → click →
+    * purchase vs view → error → exit" pattern table behavioral
+    * analysis reads beside the transition matrix and the stationary
+    * mix. Scale shape: sessionize + two lag windows per (user, sid)
+    * partition + one combiner count — no joins.
+    * Output: (t1, t2, t3, n). */
+  def sessionTrigrams(events: DataFrame, ts: Column, user: Column,
+      tie: Column, typeCol: Column, gapMicros: Long): DataFrame = {
+    val sess = sessionize(events, ts, user, gapMicros, tie)
+    val w = Window.partitionBy(user, col("sid")).orderBy(ts, tie)
+    sess
+      .withColumn("__t1", lag(typeCol, 2).over(w))
+      .withColumn("__t2", lag(typeCol, 1).over(w))
+      .where(col("__t1").isNotNull && col("__t2").isNotNull)
+      .groupBy(col("__t1").as("t1"), col("__t2").as("t2"),
+        typeCol.as("t3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** ASSOCIATION RULES at session grain — the directed
+    * support/confidence/lift table over [[sessionCooccurrence]]'s
+    * unordered pair counts (Agrawal & Srikant 1994's A → B readout
+    * restricted to 1-item antecedents): for every ordered type pair,
+    * support = n_ab/N, confidence = n_ab/n_a, lift =
+    * n_ab·N/(n_a·n_b). Both directions of each co-occurring pair are
+    * emitted (confidence is asymmetric — that is the point).
+    * Determinism: exact integer session counts, three IEEE divisions
+    * per row. Scale shape: the [[sessionCooccurrence]] distinct
+    * session-type frame + one |types|²-bounded self-join.
+    * Output: (antecedent, consequent, n_a, n_b, n_ab, support,
+    * confidence, lift). */
+  def associationRules(events: DataFrame, ts: Column, user: Column,
+      tie: Column, typeCol: Column, gapMicros: Long): DataFrame = {
+    val sess = sessionize(events, ts, user, gapMicros, tie)
+    val st = sess.select(user.as("__u"), col("sid"), typeCol.as("__t"))
+      .distinct()
+      .localCheckpoint(true) // feeds N, per-type counts, and the pairs
+    val ns = st.select("__u", "sid").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val per = st.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val pairs = st.as("a")
+      .join(st.as("b"),
+        col("a.__u") === col("b.__u") && col("a.sid") === col("b.sid") &&
+          col("a.__t") =!= col("b.__t"))
+      .groupBy(col("a.__t").as("antecedent"), col("b.__t").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(per.select(col("__t").as("antecedent"), col("__n").as("n_a")),
+        Seq("antecedent"))
+      .join(per.select(col("__t").as("consequent"), col("__n").as("n_b")),
+        Seq("consequent"))
+      .crossJoin(broadcast(ns))
+      .select(col("antecedent"), col("consequent"), col("n_a"),
+        col("n_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_sessions").cast("double"))
+          .as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_ab").cast("double") * col("n_sessions").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+  }
 }

@@ -608,6 +608,43 @@ object Stats {
           .as("psi"))
   }
 
+  /** HERFINDAHL–HIRSCHMAN concentration INDEX per group: HHI =
+    * Σ_keys share² of `weight` mass within the group — the
+    * market-concentration number (1/|keys| = perfectly even, 1.0 =
+    * single-key monopoly) a mixture owner reads next to the Gini row:
+    * is one nation/source/supplier carrying the whole group.
+    * Negative weights are rejected loudly (shares lose meaning).
+    *
+    * Determinism: per-(group, key) weights are exact decimal sums;
+    * each share² term is IEEE, folded in KEY ORDER (sort_array + one
+    * aggregate fold — the [[chiSquareIndependence]] discipline).
+    * Scale shape: one combiner agg + a per-group bounded-key fold.
+    * Output: (group, n_keys, total, hhi). */
+  def hhi(df: DataFrame, group: Column, key: Column, weight: Column)
+      : DataFrame = {
+    val wd = weight.cast(D)
+    val per = df.select(group.as("__g"), key.as("__k"),
+        when(wd >= 0, wd).otherwise(raise_error(concat(
+          lit("hhi: negative weight "), wd.cast("string"),
+          lit(" for key "), key.cast("string"))).cast(D)).as("__w"))
+      .groupBy("__g", "__k").agg(sum(col("__w")).as("__s"))
+    val tot = per.groupBy("__g").agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("__s").cast(DecimalType(38, 4))).as("__t"))
+    per.join(tot, Seq("__g"))
+      .select(col("__g"), col("n_keys"), col("__t"),
+        struct(col("__k"),
+          (col("__s").cast("double") / col("__t").cast("double") *
+            (col("__s").cast("double") / col("__t").cast("double")))
+            .as("__sq")).as("__p"))
+      .groupBy(col("__g"), col("n_keys"), col("__t"))
+      .agg(sort_array(collect_list(col("__p"))).as("__arr"))
+      .select(col("__g").as("group"), col("n_keys"),
+        col("__t").cast("double").as("total"),
+        aggregate(col("__arr"), lit(0.0), (acc, x) => acc + x("__sq"))
+          .as("hhi"))
+  }
+
   /** SPEARMAN rank correlation — Pearson on tied-average ranks, the
     * monotone-association number robust to outliers and nonlinear
     * scales (does account balance RANK with spend, not just covary).

@@ -604,6 +604,90 @@ object TextAnalysis {
             col("n_total").cast("double"))).as("tv_distance"))
   }
 
+  /** Pairwise JENSEN–SHANNON divergence matrix between per-group token
+    * distributions (Lin 1991) — the SYMMETRIC, bounded ([0, ln 2])
+    * source-vs-source divergence beside [[sourceDrift]]'s
+    * group-vs-corpus TV and the KS shape matrix: JSD(P,Q) =
+    * ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2. Unlike KL it is finite on
+    * disjoint vocabularies (a token absent from one side contributes
+    * exactly c·ln 2 on the other), so no epsilon hacks.
+    *
+    * Determinism: Σ_t p_t·ln(p_t/m_t) = (1/n_a)·Σ_t c_t·ln(2·c_a·n_b
+    * / (c_a·n_b + c_b·n_a)) — each ln is quantized once to
+    * DECIMAL(28,12) (the x76/x136 transcendental discipline), each
+    * count rides DECIMAL(9,0) under the tfidfKeywords LOUD <1e9
+    * guard, so every per-token term is an EXACT (38,12) decimal and
+    * the token sum is order-independent under any partitioning —
+    * no fold, no window. Tokens present in only one side of a pair
+    * contribute in closed form ((n_a − Σ_present c_a)·ln 2), so
+    * nothing materializes the dense |vocab|×|pairs| grid. ONE double
+    * chain at the boundary per pair.
+    *
+    * Scale shape: one (group, token) combiner count, a token-keyed
+    * pair self-join (|groups|²-bounded fan-out at vocabulary cost —
+    * the x121/x147 audit shape), one bounded pair agg.
+    * Output: (src_a, src_b, n_a, n_b, jsd), src_a < src_b. */
+  def jsdMatrix(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val L = DecimalType(28, 12)
+    val C = DecimalType(9, 0)
+    def guarded(c: Column, side: String): Column =
+      when(c < lit(1000000000L), c.cast(C))
+        .otherwise(raise_error(concat(
+          lit(s"jsdMatrix: $side token count "), c.cast("string"),
+          lit(" overflows the DECIMAL(9,0) bound"))).cast(C))
+    val ct = docs.select(col(groupCol).as("g"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    val ns = ct.groupBy("g").agg(sum(col("c")).as("n"))
+      .localCheckpoint(true) // bounded: one row per group
+    val a = ct.join(ns, Seq("g"))
+      .select(col("g").as("src_a"), col("tok"), col("c").as("ca"),
+        col("n").as("n_a"))
+    val b = ct.join(ns, Seq("g"))
+      .select(col("g").as("src_b"), col("tok"), col("c").as("cb"),
+        col("n").as("n_b"))
+    val cad = col("ca").cast("double"); val cbd = col("cb").cast("double")
+    val nad = col("n_a").cast("double"); val nbd = col("n_b").cast("double")
+    val la = log(lit(2.0) * cad * nbd /
+      (cad * nbd + cbd * nad)).cast(L)
+    val lb = log(lit(2.0) * cbd * nad /
+      (cad * nbd + cbd * nad)).cast(L)
+    val ln2 = log(lit(2.0)).cast(L)
+    val present = a.join(b, Seq("tok"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(guarded(col("ca"), "present") * la).as("__sa"),
+        sum(guarded(col("cb"), "present") * lb).as("__sb"),
+        sum(col("ca")).as("__pa"), sum(col("cb")).as("__pb"))
+    // pair skeleton from the bounded group table: a pair sharing NO
+    // tokens has no `present` row but is maximally divergent (jsd =
+    // ln 2 exactly) — dropping it would silently report nothing
+    // precisely when drift is largest (the chi-square zero-cell lesson)
+    val skeleton = ns.select(col("g").as("src_a"), col("n").as("n_a"))
+      .crossJoin(ns.select(col("g").as("src_b"), col("n").as("n_b")))
+      .where(col("src_a") < col("src_b"))
+    // the absent-side closed form joins the present sum at the DOUBLE
+    // boundary (a (38,12)+(38,12) decimal add would overflow Spark's
+    // precision cap and silently rescale to (38,11) — diverging from
+    // engines that keep the full scale); every operand entering the
+    // chain is still an exact decimal or integer, cast once
+    skeleton.join(present, Seq("src_a", "src_b"), "left")
+      .withColumn("__sa", coalesce(col("__sa"), lit(0L).cast(L)))
+      .withColumn("__sb", coalesce(col("__sb"), lit(0L).cast(L)))
+      .withColumn("__pa", coalesce(col("__pa"), lit(0L)))
+      .withColumn("__pb", coalesce(col("__pb"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (((col("__sa").cast("double") +
+            (col("n_a") - col("__pa")).cast("double") *
+              ln2.cast("double")) / col("n_a").cast("double") +
+          (col("__sb").cast("double") +
+            (col("n_b") - col("__pb")).cast("double") *
+              ln2.cast("double")) / col("n_b").cast("double")) /
+          lit(2.0)).as("jsd"))
+  }
+
   /** Corpus token distribution — the PINNED model side of the drift
     * monitor: (tok, big_c) counts. Pair with its summed total. */
   def tokenDistribution(docs: DataFrame, textCol: String): DataFrame =

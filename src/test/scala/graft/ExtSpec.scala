@@ -2822,4 +2822,109 @@ class ExtSpec extends SparkSpec {
     val rc = rows(Stats.spearman(const, col("x"), col("y"))).head
     assert(rc.isNullAt(rc.fieldIndex("rho")))
   }
+
+  test("kaplanMeier: hand curve — censored subjects leave the risk " +
+      "set without a survival drop") {
+    import graft.ext.EventWindows
+    // (duration, event): censored at 2 and 4; deaths at 1, 2, 3
+    val subj = Seq((1L, true), (2L, true), (2L, false), (3L, true),
+      (4L, false)).toDF("dur", "ev")
+    val got = rows(EventWindows.kaplanMeier(subj, col("dur"), col("ev"))
+      .orderBy("day"))
+    val byDay = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("survival"))).toMap
+    assert(byDay(1L) == ((5L, 1L, 0L, 1.0 * (1.0 - 1.0 / 5))))
+    assert(byDay(2L) == ((4L, 1L, 1L, (1.0 - 1.0 / 5) * (1.0 - 1.0 / 4))))
+    // day 3: risk set lost the day-2 death AND the day-2 censor
+    assert(byDay(3L)._1 == 2L &&
+      math.abs(byDay(3L)._4 - 0.8 * 0.75 * 0.5) < 1e-12)
+    // a censor-only day keeps survival flat (factor 1)
+    assert(byDay(4L)._2 == 0L && byDay(4L)._4 == byDay(3L)._4)
+  }
+
+  test("jsdMatrix: identical dists are 0; disjoint vocabularies are " +
+      "ln 2; asymmetric mix lands strictly between") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, "sA", "cat dog cat"), (2L, "sB", "dog cat cat"),
+      (3L, "sC", "fish eel fish")).toDF("doc_id", "source", "text")
+    val got = rows(TextAnalysis.jsdMatrix(docs, "source", "text")
+      .orderBy("src_a", "src_b"))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("jsd")).toMap
+    assert(got(("sA", "sB")) == 0.0) // same token distribution
+    // disjoint vocab: maximal divergence, exactly ln 2 (quantized)
+    assert(math.abs(got(("sA", "sC")) - math.log(2.0)) < 1e-9)
+    assert(math.abs(got(("sB", "sC")) - math.log(2.0)) < 1e-9)
+    // partial overlap sits strictly inside (0, ln 2)
+    val mix = Seq((1L, "a", "x x y"), (2L, "b", "x y y"))
+      .toDF("doc_id", "source", "text")
+    val m = rows(TextAnalysis.jsdMatrix(mix, "source", "text")).head
+      .getAs[Double]("jsd")
+    assert(m > 0.0 && m < math.log(2.0))
+  }
+
+  test("sessionTrigrams: consecutive triples within one session only") {
+    import graft.ext.EventWindows
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one user: a b c d in one session, then a gap, then e f (no triple)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "c"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "d"),
+      (1L, ts("2024-01-01 12:00:00"), 5L, "e"),
+      (1L, ts("2024-01-01 12:01:00"), 6L, "f"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = rows(EventWindows.sessionTrigrams(ev, col("ts"),
+        col("user_id"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L)
+      .orderBy("t1", "t2", "t3"))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got == Seq(("a", "b", "c", 1L), ("b", "c", "d", 1L)))
+  }
+
+  test("associationRules: hand support/confidence/lift; confidence " +
+      "is asymmetric") {
+    import graft.ext.EventWindows
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // three sessions (distinct users): {a,b}, {a}, {a,b}
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (2L, ts("2024-01-01 10:00:00"), 3L, "a"),
+      (3L, ts("2024-01-01 10:00:00"), 4L, "a"),
+      (3L, ts("2024-01-01 10:01:00"), 5L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = rows(EventWindows.associationRules(ev, col("ts"),
+        col("user_id"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L)
+      .orderBy("antecedent", "consequent"))
+    val ab = got.head; val ba = got(1)
+    assert(ab.getString(0) == "a" && ab.getLong(4) == 2L &&
+      math.abs(ab.getAs[Double]("support") - 2.0 / 3) < 1e-12 &&
+      math.abs(ab.getAs[Double]("confidence") - 2.0 / 3) < 1e-12 &&
+      math.abs(ab.getAs[Double]("lift") - 1.0) < 1e-12)
+    // b → a is certain while a → b is not — the asymmetry
+    assert(ba.getString(0) == "b" &&
+      ba.getAs[Double]("confidence") == 1.0)
+  }
+
+  test("hhi: hand shares; monopoly is 1; negative weight raises") {
+    import graft.ext.Stats
+    val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
+      .toDF("g", "k", "w")
+    val got = rows(Stats.hhi(df0, col("g"), col("k"), col("w"))
+      .orderBy("group"))
+    assert(math.abs(got.head.getAs[Double]("hhi") -
+      (0.75 * 0.75 + 0.25 * 0.25)) < 1e-12)
+    assert(got(1).getAs[Double]("hhi") == 1.0 &&
+      got(1).getAs[Long]("n_keys") == 1L)
+    val neg = Seq(("g", "k1", -1.0)).toDF("g", "k", "w")
+    intercept[Exception] {
+      Stats.hhi(neg, col("g"), col("k"), col("w")).collect()
+    }
+  }
 }
