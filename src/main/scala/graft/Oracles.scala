@@ -6318,10 +6318,80 @@ object Oracles {
         |    ELSE NULL END AS rho
         |FROM m""".stripMargin)
 
-  // x188-x192: JSD matrix, Kaplan-Meier, trigrams, association rules,
-  // HHI — exact integer/decimal cores, lns quantized (28,12), folds in
-  // token/day/key order, one double chain per output
+  // x188-x194: JSD matrix, Kaplan-Meier, trigrams, association rules,
+  // HHI, Cramér's V, CUSUM — exact integer/decimal cores, lns
+  // quantized (28,12), folds in token/day/key order, one double chain
+  // per output
   private val analyticsFamilyO: Map[String, String] = Map(
+    // x193: the x175 full-grid chi-square chain on (lang, length
+    // bucket) + the V normalization tail
+    "x193_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, CAST(floor(n_chars / 100) AS BIGINT) AS b,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(c) AS ta FROM cells GROUP BY 1),
+        |rb AS (SELECT b, sum(c) AS tb FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, count(DISTINCT a) AS na,
+        |        count(DISTINCT b) AS nb FROM cells),
+        |grid AS (
+        |  SELECT ra.a, rb.b, ra.ta, rb.tb, COALESCE(cells.c, 0) AS c
+        |  FROM ra CROSS JOIN rb LEFT JOIN cells USING (a, b)),
+        |terms AS (
+        |  SELECT grid.a, grid.b,
+        |    (CAST(c AS DOUBLE)
+        |      - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |    * (CAST(c AS DOUBLE)
+        |      - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS t
+        |  FROM grid CROSS JOIN tot),
+        |x AS (
+        |  SELECT CAST(tot.n AS BIGINT) AS n,
+        |    CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
+        |    CAST((tot.na - 1) * (tot.nb - 1) AS BIGINT) AS dof,
+        |    (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list(t ORDER BY a, b)), (acc, y) -> acc + y)
+        |     FROM terms) AS chi2
+        |  FROM tot)
+        |SELECT n, n_a, n_b, dof, chi2,
+        |  CASE WHEN least(n_a, n_b) > 1
+        |    THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+        |      * CAST(least(n_a, n_b) - 1 AS DOUBLE)))
+        |    ELSE NULL END AS v
+        |FROM x""".stripMargin,
+
+    // x194: micro-unit integer deviations (mu floor-quantized by
+    // integer division), exact Long prefix sums and running mins, the
+    // max(0,·) recursion flattened to P − min(0, runmin P)
+    "x194_cusum" ->
+      """WITH c AS (
+        |  SELECT event_type AS g,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS p,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT g, (CAST(sum(c) AS BIGINT) * 1000000)
+        |      // CAST(count(*) AS BIGINT) AS mu
+        |  FROM c GROUP BY 1),
+        |w AS (
+        |  SELECT c.g, c.p, c.c, m.mu,
+        |    CAST(sum(c.c * 1000000 - m.mu - 2000000) OVER (
+        |      PARTITION BY c.g ORDER BY c.p
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+        |  FROM c JOIN m ON c.g = m.g),
+        |r AS (
+        |  SELECT g, p, c, mu, pp,
+        |    least(0, CAST(min(pp) OVER (PARTITION BY g ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS rm
+        |  FROM w)
+        |SELECT g AS event_type, p AS period, c,
+        |  CAST(mu AS DOUBLE) / 1000000.0e0 AS mean,
+        |  CAST(pp - rm AS DOUBLE) / 1000000.0e0 AS cusum,
+        |  (pp - rm) > 20000000 AS alarm
+        |FROM r ORDER BY event_type, period""".stripMargin,
     // x188: per-token terms are EXACT (9,0)·(28,12) decimals summed
     // (order-free); absent-side closed form joins at the double
     // boundary; the pair skeleton keeps disjoint-vocab pairs (jsd =

@@ -2754,6 +2754,30 @@ object Queries {
       .orderBy("r_name")
   }
 
+  /** x193 — Cramér's V effect size
+    * ([[graft.ext.Stats.cramersV]]): lang × length-bucket association
+    * NORMALIZED to [0, 1] — the corpus-scale complement to x175's raw
+    * X² (which grows with n, so "significant" is free at 10⁹ rows;
+    * V answers whether the association is big). One row. */
+  val x193CramersV: Q = (s, dir) => {
+    graft.ext.Stats.cramersV(Tables.documents(s, dir), col("lang"),
+      floor(col("n_chars") / lit(100)))
+  }
+
+  /** x194 — CUSUM sequential drift alarm
+    * ([[graft.ext.Stats.cusum]]): per-event-type daily counts against
+    * the type's own observed mean, slack k = 2 events, threshold
+    * h = 20 events (micro-unit integers — demo thresholds; the
+    * statistic column is threshold-free) — the small-persistent-shift
+    * detector beside x119's per-period z. */
+  val x194Cusum: Q = (s, dir) => {
+    graft.ext.Stats.cusum(Tables.events(s, dir), col("event_type"),
+        date_trunc("day", col("ts")),
+        kMicro = 2000000L, hMicro = 20000000L)
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type", "period")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3687,6 +3711,8 @@ object Queries {
     "x190_session_trigrams" -> x190SessionTrigrams,
     "x191_assoc_rules" -> x191AssocRules,
     "x192_hhi" -> x192Hhi,
+    "x193_cramers_v" -> x193CramersV,
+    "x194_cusum" -> x194Cusum,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -266,6 +266,75 @@ object Stats {
           (acc, x) => acc + x("__t")).as("chi2"))
   }
 
+  /** CRAMÉR's V — [[chiSquareIndependence]] normalized to [0, 1]
+    * (Cramér 1946): V = √(X² / (n·min(|a|−1, |b|−1))), the EFFECT
+    * SIZE the raw X² (which grows linearly in n — everything is
+    * "significant" at corpus scale) cannot give: V ≈ 0 means the
+    * factors are practically independent no matter how many rows
+    * said otherwise. Same exact-count/fixed-fold machinery; one
+    * extra sqrt at the boundary (NULL when a factor has one level).
+    * Output: (n, n_a, n_b, dof, chi2, v). */
+  def cramersV(df: DataFrame, a: Column, b: Column): DataFrame =
+    chiSquareIndependence(df, a, b)
+      .withColumn("v",
+        when(least(col("n_a"), col("n_b")) > 1,
+          sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("n_a"), col("n_b")) - 1).cast("double")))))
+
+  /** One-sided CUSUM change detection per group (Page 1954) — the
+    * SEQUENTIAL drift alarm beside the distributional ones (KS, TV,
+    * PSI): a small persistent upward shift in a per-period count
+    * accumulates until it crosses h, catching what any single-period
+    * z-score (x119) buries in noise. Computed via the prefix-sum
+    * identity S_t = P_t − min(0, min_{s≤t} P_s), P = Σ(c − μ − k) —
+    * the recursive max(0, ·) form flattened into two windows.
+    *
+    * EXACT arithmetic: μ is the group's observed per-period mean
+    * floor-quantized to integer MICRO-UNITS (LOUD guard: totals must
+    * stay < 9.2e12 so total·10⁶ fits a Long), the slack k and
+    * threshold h are caller-supplied micro-unit integers, so every
+    * deviation, prefix sum, and running min is exact Long arithmetic;
+    * ONE division at the boundary renders the statistic. Periods are
+    * the group's OBSERVED grid (gap-fill first — x31 — if absent
+    * periods must count as zero). CONTRACT: bounded period grid (the
+    * [[ksDrift]] discrete-grid rule). Scale shape: one combiner
+    * count, a 1-row-per-group mean table, two grid-bounded windows.
+    * Output: (group, period, c, mean, cusum, alarm). */
+  def cusum(df: DataFrame, group: Column, period: Column,
+      kMicro: Long, hMicro: Long): DataFrame =
+    cusumFromCounts(
+      df.select(group.as("g"), period.as("p"))
+        .groupBy("g", "p").agg(count(lit(1)).as("c")),
+      kMicro, hMicro)
+
+  /** [[cusum]] over a PRE-AGGREGATED (g, p, c) count ledger — the
+    * additive form ([[ksDriftFromCounts]]'s twin), giving the
+    * sequential alarm a streaming view bit-equal to batch. */
+  def cusumFromCounts(counts: DataFrame, kMicro: Long, hMicro: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perG = counts.groupBy("g").agg(sum(col("c")).as("__tot"),
+      count(lit(1)).as("__days"))
+    val muMicro = when(col("__tot") < lit(9000000000000L),
+        expr("(__tot * 1000000) DIV __days"))
+      .otherwise(raise_error(concat(
+        lit("cusum: group total "), col("__tot").cast("string"),
+        lit(" overflows the micro-unit Long bound"))).cast("long"))
+    val wCum = Window.partitionBy("g").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts.join(perG.select(col("g"), col("__tot"), col("__days"),
+        muMicro.as("__mu")), Seq("g"))
+      .withColumn("__dev",
+        col("c") * lit(1000000L) - col("__mu") - lit(kMicro))
+      .withColumn("__p", sum(col("__dev")).over(wCum))
+      .withColumn("__rm", least(lit(0L), min(col("__p")).over(wCum)))
+      .select(col("g").as("group"), col("p").as("period"), col("c"),
+        (col("__mu").cast("double") / lit(1e6)).as("mean"),
+        ((col("__p") - col("__rm")).cast("double") / lit(1e6))
+          .as("cusum"),
+        (col("__p") - col("__rm") > lit(hMicro)).as("alarm"))
+  }
+
   /** TWO-PROPORTION z-test — the A/B experimentation classic: given
     * one row per UNIT (user) with a cohort label and a success flag,
     * the pooled-variance z for the conversion-rate difference

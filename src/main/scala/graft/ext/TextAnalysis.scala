@@ -628,7 +628,16 @@ object TextAnalysis {
     * the x121/x147 audit shape), one bounded pair agg.
     * Output: (src_a, src_b, n_a, n_b, jsd), src_a < src_b. */
   def jsdMatrix(docs: DataFrame, groupCol: String, textCol: String)
-      : DataFrame = {
+      : DataFrame =
+    jsdMatrixFromCounts(docs.select(col(groupCol).as("g"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c")))
+
+  /** [[jsdMatrix]] over PRE-AGGREGATED (g, tok, c) counts — the
+    * additive-ledger form ([[sourceDrift]]'s count table made a
+    * contract), which is what gives the pairwise divergence matrix a
+    * streaming view bit-equal to its batch operator. */
+  def jsdMatrixFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val L = DecimalType(28, 12)
     val C = DecimalType(9, 0)
@@ -637,9 +646,7 @@ object TextAnalysis {
         .otherwise(raise_error(concat(
           lit(s"jsdMatrix: $side token count "), c.cast("string"),
           lit(" overflows the DECIMAL(9,0) bound"))).cast(C))
-    val ct = docs.select(col(groupCol).as("g"),
-        explode(tokens(lower(col(textCol)))).as("tok"))
-      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    val ct = counts.select(col("g"), col("tok"), col("c"))
     val ns = ct.groupBy("g").agg(sum(col("c")).as("n"))
       .localCheckpoint(true) // bounded: one row per group
     val a = ct.join(ns, Seq("g"))

@@ -408,6 +408,30 @@ object Streams {
       sumView(spark, tablePath, Seq("g", "v"))
         .select(col("g"), col("v"), col("n").as("c")))
 
+  /** CUSUM view over an [[additiveSink]] (g, v) ledger where v is the
+    * PERIOD: fold the per-batch count partials and run the exact x194
+    * sequential-alarm tail — the drift family's change-point detector,
+    * streaming-fed and bit-equal to batch [[graft.ext.Stats.cusum]]
+    * over everything ingested (StreamingSpec). */
+  def cusumView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, kMicro: Long, hMicro: Long): DataFrame =
+    graft.ext.Stats.cusumFromCounts(
+      sumView(spark, tablePath, Seq("g", "v"))
+        .select(col("g"), col("v").as("p"), col("n").as("c")),
+      kMicro, hMicro)
+
+  /** Pairwise JSD-matrix view over an [[additiveSink]] (g, v) ledger
+    * where v is the TOKEN: fold the per-batch count partials and run
+    * the exact x188 divergence tail — the lexical mirror audit,
+    * streaming-fed and bit-equal to batch
+    * [[graft.ext.TextAnalysis.jsdMatrix]] over everything ingested
+    * (StreamingSpec). */
+  def jsdMatrixView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.TextAnalysis.jsdMatrixFromCounts(
+      sumView(spark, tablePath, Seq("g", "v"))
+        .select(col("g"), col("v").as("tok"), col("n").as("c")))
+
   /** Streaming A/B MOMENT ledger: each micro-batch appends its
     * per-cohort partial (n, Σx, Σx²) — count and exact decimal sums,
     * all commutative monoids, so replays dedupe on (cohort, _batch)

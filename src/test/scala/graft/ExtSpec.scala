@@ -2823,6 +2823,41 @@ class ExtSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("rho")))
   }
 
+  test("cramersV: perfect association is 1; one-level factor NULL") {
+    import graft.ext.Stats
+    // a determines b exactly → V = 1
+    val perfect = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"),
+      ("a2", "b2")).toDF("a", "b")
+    val r = rows(Stats.cramersV(perfect, col("a"), col("b"))).head
+    assert(math.abs(r.getAs[Double]("v") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("chi2") > 0.0)
+    // a single-level b → min(|a|,|b|)−1 = 0 → NULL V, no divide crash
+    val flat = Seq(("a1", "b"), ("a2", "b")).toDF("a", "b")
+    val rf = rows(Stats.cramersV(flat, col("a"), col("b"))).head
+    assert(rf.isNullAt(rf.fieldIndex("v")))
+  }
+
+  test("cusum: hand level shift — prefix-minus-runmin equals the " +
+      "max(0,·) recursion; slack suppresses noise") {
+    import graft.ext.Stats
+    // one group, 6 periods, counts 5,5,5,9,9,9; mu = 7, k = 0
+    val counts = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L),
+      ("g", 4L, 9L), ("g", 5L, 9L), ("g", 6L, 9L))
+      .toDF("g", "p", "c")
+    val got = rows(Stats.cusumFromCounts(counts, kMicro = 0L,
+      hMicro = 3000000L).orderBy("period"))
+    // recursion by hand: S = 0,0,0,2,4,6; alarms once S > 3
+    assert(got.map(_.getAs[Double]("cusum")) ==
+      Seq(0.0, 0.0, 0.0, 2.0, 4.0, 6.0))
+    assert(got.map(_.getAs[Boolean]("alarm")) ==
+      Seq(false, false, false, false, true, true))
+    assert(got.head.getAs[Double]("mean") == 7.0)
+    // slack k = 2: deviations 5−7−2=−4, 9−7−2=0 → S stays 0, no alarm
+    val damped = rows(Stats.cusumFromCounts(counts, kMicro = 2000000L,
+      hMicro = 3000000L))
+    assert(damped.forall(!_.getAs[Boolean]("alarm")))
+  }
+
   test("kaplanMeier: hand curve — censored subjects leave the risk " +
       "set without a survival drop") {
     import graft.ext.EventWindows

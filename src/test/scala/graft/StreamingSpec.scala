@@ -368,6 +368,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 2)
   }
 
+  test("cusumView: the additive (g, v=period) ledger folds to the " +
+      "batch cusum across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (Seq.fill(5)("1") ++ Seq.fill(5)("2") ++ Seq.fill(2)("3"))
+      .map(p => GV("g", p))
+    val b2 = (Seq.fill(3)("3") ++ Seq.fill(9)("4")).map(p => GV("g", p))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[GV]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(mem.toDF(), Seq("g", "v"), lit(1L),
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Streams.cusumView(spark, table, 0L, 2000000L)
+      .orderBy("period")).map(_.toString)
+    val batch = rows(graft.ext.Stats.cusumFromCounts(
+        (b1 ++ b2).groupBy(identity).map { case (gv, xs) =>
+          (gv.g, gv.v, xs.size.toLong) }.toSeq.toDF("g", "p", "c"),
+        0L, 2000000L).orderBy("period")).map(_.toString)
+    assert(streamed == batch && streamed.size == 4)
+    // period 3 spans both batches (2 + 3 events) — the fold must see 5
+    assert(rows(Streams.cusumView(spark, table, 0L, 2000000L)
+      .where($"period" === "3")).head.getAs[Long]("c") == 5L)
+  }
+
+  test("jsdMatrixView: the additive (g, v=token) ledger folds to the " +
+      "batch jsdMatrix, incl. a disjoint-vocab pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(GV("a", "cat"), GV("a", "dog"), GV("b", "cat"),
+      GV("c", "eel"))
+    val b2 = Seq(GV("a", "cat"), GV("b", "dog"), GV("c", "fish"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsdv")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[GV]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(mem.toDF(), Seq("g", "v"), lit(1L),
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Streams.jsdMatrixView(spark, table)
+      .orderBy("src_a", "src_b")).map(_.toString)
+    val batch = rows(graft.ext.TextAnalysis.jsdMatrixFromCounts(
+        (b1 ++ b2).groupBy(identity).map { case (gv, xs) =>
+          (gv.g, gv.v, xs.size.toLong) }.toSeq.toDF("g", "tok", "c"))
+      .orderBy("src_a", "src_b")).map(_.toString)
+    assert(streamed == batch && streamed.size == 3)
+    // c shares nothing with a or b → exactly ln 2 (quantized)
+    val ac = rows(Streams.jsdMatrixView(spark, table)
+      .where($"src_a" === "a" && $"src_b" === "c")).head
+    assert(math.abs(ac.getAs[Double]("jsd") - math.log(2.0)) < 1e-9)
+  }
+
   test("abMomentsSink + welchView: folded moment partials equal the " +
       "batch welchT across batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
