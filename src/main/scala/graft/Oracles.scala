@@ -6570,6 +6570,53 @@ object Oracles {
         |FROM terms GROUP BY r_name, n_keys, t
         |ORDER BY r_name""".stripMargin)
 
+  // x195: exact-integer power iteration — micro-unit quantization,
+  // HUGEINT moments (≡ the engine's DECIMAL(38,0)), truncating //
+  // divisions (≡ Spark DIV), four unrolled rounds, one double chain
+  private val pcaO: Map[String, String] = {
+    val rounds = (1 to 4).map { r =>
+      val pv = if (r == 1) "v0" else s"v${r - 1}"
+      s"""y$r AS (
+         |  SELECT mm.ia AS i, CAST(sum(mm.m * $pv.v) AS HUGEINT) AS y
+         |  FROM mm JOIN $pv ON mm.ib = $pv.i GROUP BY 1),
+         |s$r AS (SELECT greatest(CAST(1 AS HUGEINT),
+         |  max(abs(y)) // 1000000) AS sc FROM y$r),
+         |v$r AS (SELECT i, y // s$r.sc AS v FROM y$r CROSS JOIN s$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    Map("x195_top_component" ->
+      (s"""WITH pe AS (
+         |  SELECT vec_id, i - 1 AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS xq
+         |  FROM embeddings, range(1, 65) t(i)),
+         |nr AS (
+         |  SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(xq AS HUGEINT)) AS HUGEINT) AS tt
+         |  FROM pe GROUP BY 1),
+         |s AS (
+         |  SELECT a.dim AS ia, b.dim AS ib,
+         |    CAST(sum(CAST(a.xq AS HUGEINT) * CAST(b.xq AS HUGEINT))
+         |      AS HUGEINT) AS s
+         |  FROM pe a JOIN pe b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |m0 AS (
+         |  SELECT ia, ib, na.n * s.s - na.tt * nb.tt AS m
+         |  FROM s JOIN nr na ON na.dim = s.ia
+         |  JOIN nr nb ON nb.dim = s.ib),
+         |ma AS (SELECT greatest(CAST(1 AS HUGEINT),
+         |  max(abs(m)) // 1000000000000000) AS sc FROM m0),
+         |mm AS (SELECT ia, ib, m // ma.sc AS m FROM m0 CROSS JOIN ma),
+         |v0 AS (SELECT dim AS i, CAST(1000000 + dim AS HUGEINT) AS v
+         |       FROM nr),
+         |$rounds,
+         |n2 AS (SELECT CAST(sum(v * v) AS HUGEINT) AS n2 FROM v4)
+         |SELECT i AS dim,
+         |  CASE WHEN n2 > 0
+         |    THEN CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
+         |    ELSE NULL END AS loading
+         |FROM v4 CROSS JOIN n2 ORDER BY dim""").stripMargin)
+  }
+
   // x182: per-user conversion agg, id-parity cohorts, one fixed-order
   // pooled-z chain
   private val abConversionO: Map[String, String] = Map(
@@ -6645,7 +6692,7 @@ object Oracles {
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
-      analyticsFamilyO +
+      analyticsFamilyO ++ pcaO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

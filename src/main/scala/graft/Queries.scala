@@ -2778,6 +2778,18 @@ object Queries {
       .orderBy("event_type", "period")
   }
 
+  /** x195 — top principal component of the embedding corpus
+    * ([[graft.ext.Pca.topComponent]]): the dominant shared direction
+    * (Mu & Viswanath's "all-but-the-top" hygiene axis) by exact-
+    * integer power iteration on the covariance numerator — the axis
+    * the centroid alarms (x143/x174) can see shift but cannot name.
+    * 64 rows, ‖loading‖₂ = 1. */
+  val x195TopComponent: Q = (s, dir) => {
+    graft.ext.Pca.topComponent(Tables.embeddings(s, dir), "vec_id",
+        "embedding")
+      .orderBy("dim")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3713,6 +3725,7 @@ object Queries {
     "x192_hhi" -> x192Hhi,
     "x193_cramers_v" -> x193CramersV,
     "x194_cusum" -> x194Cusum,
+    "x195_top_component" -> x195TopComponent,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

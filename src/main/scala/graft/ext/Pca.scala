@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Top PRINCIPAL COMPONENT of an embedding column by power iteration
+  * on the exact integer covariance numerator — the "all-but-the-top"
+  * embedding-hygiene primitive (Mu & Viswanath ICLR'18: frequent-word
+  * embeddings share a dominant direction; removing it improves nearly
+  * every similarity benchmark) and the dominant-drift axis the
+  * centroid alarms (x143/x174) cannot name.
+  *
+  * DETERMINISM — the whole pipeline is integer-exact until one final
+  * normalization:
+  *  - coordinates quantize once to 1e-6 micro-units (floor — no
+  *    rounding ties), so second moments S_ij = Σ x_i·x_j and totals
+  *    T_i are EXACT DECIMAL(38,0) sums (order-free under any
+  *    partitioning);
+  *  - the covariance NUMERATOR M_ij = N·S_ij − T_i·T_j (the 1/N² and
+  *    quantization scales cancel in the eigenvector) is exact, then
+  *    rescaled by one integer division M DIV max(1, maxAbs DIV 1e15)
+  *    (both engines truncate toward zero — parity-checked) so each
+  *    mat-vec product stays far inside 38 digits;
+  *  - each power-iteration round is an exact integer mat-vec plus an
+  *    integer renormalization v' = y DIV max(1, maxAbs(y) DIV 1e6)
+  *    (the x176 floor-quantized recipe with the IEEE ops removed
+  *    entirely);
+  *  - the single double chain at the boundary divides by one sqrt of
+  *    an exact integer norm.
+  * Starting vector is (1e6 + i) per dim i — deterministic, and never
+  * exactly orthogonal to the top eigenvector the way all-ones is for
+  * antisymmetric loadings (the measured hand-case collapse). The sign
+  * of the returned component is the deterministic one this start
+  * converges to (eigenvector sign is inherently a convention).
+  *
+  * Scale shape: one posexplode pass, one per-vector dim² pair
+  * fan-out feeding a map-side-combinable 4096-row moment agg (the
+  * textbook O(n·d²) covariance — the shuffle carries only the d²
+  * partials), then `iters` rounds of d²-row × d-row joins — model-
+  * sized, executor-resident, nothing per-vector after the first agg.
+  *
+  * Output: (dim, loading), `dim` rows, ‖loading‖₂ = 1.
+  *
+  * Reference for the quantized-iteration shape:
+  * /root/reference/schema.sql has no linear-algebra surface — this is
+  * an extension-tier operator for the LLM-pipeline family. */
+object Pca {
+
+  def topComponent(vecs: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"topComponent: iters=$iters")
+    val N0 = DecimalType(38, 0)
+    val pe = vecs.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .select(col("__id"), col("__i"),
+        floor(col("__x").cast("double") * lit(1e6)).cast("long")
+          .as("__xq"))
+      .localCheckpoint(true) // feeds totals AND the pair moments
+    val nRow = pe.groupBy("__i").agg(count(lit(1)).as("__n"),
+      sum(col("__xq").cast(N0)).as("__t"))
+      .localCheckpoint(true) // d rows
+    val s = pe.as("a").join(pe.as("b"), Seq("__id"))
+      .groupBy(col("a.__i").as("__ia"), col("b.__i").as("__ib"))
+      .agg(sum(col("a.__xq").cast(N0) * col("b.__xq").cast(N0))
+        .as("__s"))
+    val m0 = s
+      .join(nRow.select(col("__i").as("__ia"), col("__n"),
+        col("__t").as("__ta")), Seq("__ia"))
+      .join(nRow.select(col("__i").as("__ib"), col("__t").as("__tb")),
+        Seq("__ib"))
+      .select(col("__ia"), col("__ib"),
+        (col("__n").cast(N0) * col("__s") - col("__ta") * col("__tb"))
+          .as("__m"))
+    // DIV (integral divide, truncation toward zero in BOTH engines —
+    // a decimal→decimal CAST would round half-up and diverge) rescales
+    // the matrix once and each round's vector; quotients fit LONG by
+    // construction (≤1e15 and ≤1e6 respectively)
+    val maxAbs = m0.agg(max(abs(col("__m"))).as("__ma"))
+    val mm = m0.crossJoin(broadcast(maxAbs))
+      .withColumn("__sc",
+        greatest(lit(1L), expr("__ma DIV 1000000000000000")))
+      .select(col("__ia"), col("__ib"),
+        expr("__m DIV __sc").as("__m"))
+      .localCheckpoint(true) // d² rows, feeds every round
+    // init 1e6 + i: the all-ones start is EXACTLY orthogonal to the
+    // top eigenvector of any antisymmetric-loading matrix (measured:
+    // the (1,−1) hand case collapses y to the zero vector in round 1);
+    // the per-dim offset breaks that symmetry deterministically
+    val dims = nRow.select(col("__i"))
+    var v = dims.withColumn("__v", lit(1000000L) + col("__i"))
+    for (_ <- 1 to iters) {
+      val y = mm.join(v.select(col("__i").as("__ib"), col("__v")),
+          Seq("__ib"))
+        .groupBy(col("__ia").as("__i"))
+        .agg(sum(col("__m").cast(N0) * col("__v").cast(N0)).as("__y"))
+      val sc = y.agg(max(abs(col("__y"))).as("__yma"))
+      v = y.crossJoin(broadcast(sc))
+        .withColumn("__sc", greatest(lit(1L), expr("__yma DIV 1000000")))
+        .select(col("__i"), expr("__y DIV __sc").as("__v"))
+    }
+    val norm = v.agg(sum(col("__v").cast(N0) * col("__v").cast(N0))
+      .as("__n2"))
+    // a zero-covariance corpus (constant embeddings) collapses v to 0
+    // — NULL loadings, never an ANSI divide-by-zero crash
+    v.crossJoin(broadcast(norm))
+      .select(col("__i").cast("long").as("dim"),
+        when(col("__n2") > 0,
+          col("__v").cast("double") /
+            sqrt(col("__n2").cast("double"))).as("loading"))
+  }
+}

@@ -2947,6 +2947,31 @@ class ExtSpec extends SparkSpec {
       ba.getAs[Double]("confidence") == 1.0)
   }
 
+  test("topComponent: recovers a known principal direction; unit " +
+      "norm; negative-covariance path exercised") {
+    import graft.ext.Pca
+    // points on the (3, 4) line → top component is ±(0.6, 0.8)
+    val line = Seq(
+      (1L, Array(3.0f, 4.0f)), (2L, Array(6.0f, 8.0f)),
+      (3L, Array(-3.0f, -4.0f)), (4L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Pca.topComponent(line, "vec_id", "embedding")
+      .orderBy("dim")).map(_.getAs[Double]("loading"))
+    assert(math.abs(math.abs(got.head) - 0.6) < 1e-4 &&
+      math.abs(math.abs(got(1)) - 0.8) < 1e-4)
+    assert(math.abs(got.map(x => x * x).sum - 1.0) < 1e-9)
+    // anti-correlated dims (negative covariance entries feed the
+    // truncating DIV): direction ±(1, −1)/√2
+    val anti = Seq(
+      (1L, Array(1.0f, -1.0f)), (2L, Array(-2.0f, 2.0f)),
+      (3L, Array(3.0f, -3.0f)), (4L, Array(0.5f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val g2 = rows(Pca.topComponent(anti, "vec_id", "embedding")
+      .orderBy("dim")).map(_.getAs[Double]("loading"))
+    assert(math.abs(math.abs(g2.head) - math.sqrt(0.5)) < 1e-4)
+    assert(g2.head * g2(1) < 0) // opposite signs along the axis
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
