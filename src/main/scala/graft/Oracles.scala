@@ -6584,8 +6584,8 @@ object Oracles {
          |v$r AS (SELECT i, y // s$r.sc AS v FROM y$r CROSS JOIN s$r)"""
         .stripMargin
     }.mkString(",\n")
-    Map("x195_top_component" ->
-      (s"""WITH pe AS (
+    val chain =
+      s"""WITH pe AS (
          |  SELECT vec_id, i - 1 AS dim,
          |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
          |      AS BIGINT) AS xq
@@ -6608,13 +6608,48 @@ object Oracles {
          |mm AS (SELECT ia, ib, m // ma.sc AS m FROM m0 CROSS JOIN ma),
          |v0 AS (SELECT dim AS i, CAST(1000000 + dim AS HUGEINT) AS v
          |       FROM nr),
-         |$rounds,
-         |n2 AS (SELECT CAST(sum(v * v) AS HUGEINT) AS n2 FROM v4)
-         |SELECT i AS dim,
-         |  CASE WHEN n2 > 0
-         |    THEN CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
-         |    ELSE NULL END AS loading
-         |FROM v4 CROSS JOIN n2 ORDER BY dim""").stripMargin)
+         |$rounds""".stripMargin
+    Map(
+      "x195_top_component" ->
+        (chain +
+          """|,
+             |n2 AS (SELECT CAST(sum(v * v) AS HUGEINT) AS n2 FROM v4)
+             |SELECT i AS dim,
+             |  CASE WHEN n2 > 0
+             |    THEN CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
+             |    ELSE NULL END AS loading
+             |FROM v4 CROSS JOIN n2 ORDER BY dim""".stripMargin),
+      // x196: the SAME chain projected per vector — exact integer
+      // p = Σ xq·v and norms, one cos chain per vector, |cos| floor-
+      // quantized to micro-units so the label mean is an exact sum
+      "x196_anisotropy" ->
+        (chain +
+          """|,
+             |pv AS (
+             |  SELECT pe.vec_id,
+             |    CAST(sum(CAST(pe.xq AS HUGEINT) * v4.v) AS HUGEINT)
+             |      AS p,
+             |    CAST(sum(CAST(pe.xq AS HUGEINT) * CAST(pe.xq AS HUGEINT))
+             |      AS HUGEINT) AS nx
+             |  FROM pe JOIN v4 ON pe.dim = v4.i GROUP BY 1),
+             |nv AS (SELECT CAST(sum(v * v) AS HUGEINT) AS nv FROM v4),
+             |cosv AS (
+             |  SELECT vec_id, CASE WHEN nx > 0 AND nv.nv > 0
+             |    THEN CAST(p AS DOUBLE)
+             |      / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(nv.nv AS DOUBLE)))
+             |    ELSE NULL END AS c
+             |  FROM pv CROSS JOIN nv),
+             |j AS (SELECT e.label, c FROM cosv
+             |      JOIN embeddings e ON e.vec_id = cosv.vec_id)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_zero,
+             |  CASE WHEN count(c) > 0
+             |    THEN CAST(sum(CAST(floor(abs(c) * 1000000) AS BIGINT))
+             |        AS DOUBLE)
+             |      / (CAST(count(c) AS DOUBLE) * 1000000.0e0)
+             |    ELSE NULL END AS mean_abs_cos
+             |FROM j GROUP BY label ORDER BY label""".stripMargin))
   }
 
   // x182: per-user conversion agg, id-parity cohorts, one fixed-order

@@ -2790,6 +2790,18 @@ object Queries {
       .orderBy("dim")
   }
 
+  /** x196 — embedding-space anisotropy per label
+    * ([[graft.ext.Pca.anisotropy]]): mean |cos| of each label's
+    * vectors against x195's top component — Ethayarajh's isotropy
+    * check as a per-class dashboard row; the number "all-but-the-top"
+    * removal is motivated by and re-measured against. Shares x195's
+    * exact-integer chain (the oracle reuses it verbatim). */
+  val x196Anisotropy: Q = (s, dir) => {
+    graft.ext.Pca.anisotropy(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label")
+      .orderBy("label")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3726,6 +3738,7 @@ object Queries {
     "x193_cramers_v" -> x193CramersV,
     "x194_cusum" -> x194Cusum,
     "x195_top_component" -> x195TopComponent,
+    "x196_anisotropy" -> x196Anisotropy,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

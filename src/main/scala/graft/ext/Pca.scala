@@ -47,16 +47,37 @@ import org.apache.spark.sql.types.DecimalType
   * an extension-tier operator for the LLM-pipeline family. */
 object Pca {
 
-  def topComponent(vecs: DataFrame, idCol: String, vecCol: String,
-      iters: Int = 4): DataFrame = {
-    require(iters >= 1 && iters <= 10, s"topComponent: iters=$iters")
-    val N0 = DecimalType(38, 0)
-    val pe = vecs.select(col(idCol).as("__id"),
+  private val N0 = DecimalType(38, 0)
+
+  /** Micro-unit quantized coordinates: (__id, __i, __xq). */
+  private[ext] def quantized(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("__id"),
         posexplode(col(vecCol)).as(Seq("__i", "__x")))
       .select(col("__id"), col("__i"),
         floor(col("__x").cast("double") * lit(1e6)).cast("long")
           .as("__xq"))
       .localCheckpoint(true) // feeds totals AND the pair moments
+
+  def topComponent(vecs: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 4): DataFrame = {
+    val v = powerVector(quantized(vecs, idCol, vecCol), iters)
+    val norm = v.agg(sum(col("__v").cast(N0) * col("__v").cast(N0))
+      .as("__n2"))
+    // a zero-covariance corpus (constant embeddings) collapses v to 0
+    // — NULL loadings, never an ANSI divide-by-zero crash
+    v.crossJoin(broadcast(norm))
+      .select(col("__i").cast("long").as("dim"),
+        when(col("__n2") > 0,
+          col("__v").cast("double") /
+            sqrt(col("__n2").cast("double"))).as("loading"))
+  }
+
+  /** The UN-normalized integer component (__i, __v): the exact-
+    * arithmetic core [[topComponent]] normalizes and [[anisotropy]]
+    * projects against. */
+  private[ext] def powerVector(pe: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"powerVector: iters=$iters")
     val nRow = pe.groupBy("__i").agg(count(lit(1)).as("__n"),
       sum(col("__xq").cast(N0)).as("__t"))
       .localCheckpoint(true) // d rows
@@ -99,14 +120,53 @@ object Pca {
         .withColumn("__sc", greatest(lit(1L), expr("__yma DIV 1000000")))
         .select(col("__i"), expr("__y DIV __sc").as("__v"))
     }
-    val norm = v.agg(sum(col("__v").cast(N0) * col("__v").cast(N0))
-      .as("__n2"))
-    // a zero-covariance corpus (constant embeddings) collapses v to 0
-    // — NULL loadings, never an ANSI divide-by-zero crash
-    v.crossJoin(broadcast(norm))
-      .select(col("__i").cast("long").as("dim"),
-        when(col("__n2") > 0,
-          col("__v").cast("double") /
-            sqrt(col("__n2").cast("double"))).as("loading"))
+    v
+  }
+
+  /** Embedding-space ANISOTROPY audit per label: the mean |cos| of
+    * each vector against the corpus's TOP COMPONENT — Ethayarajh
+    * EMNLP'19's observation made a per-class dashboard row: a healthy
+    * embedding space is near-isotropic (mean |cos| small); a class
+    * whose vectors all lean on the dominant axis is carrying rogue
+    * frequency/length signal, and "all-but-the-top" removal is the
+    * fix this number motivates (and re-measures after).
+    *
+    * Determinism: projections p = Σ xq·v and norms are EXACT decimal
+    * sums of integer products; each vector's cos is ONE double chain;
+    * |cos| floor-quantizes to 1e-6 micro-units so the per-label MEAN
+    * is an exact integer sum with one boundary division (the x139
+    * order-free discipline — a naive avg() of doubles would be
+    * partitioning-dependent). Zero vectors yield NULL cos and are
+    * excluded from the mean with their count reported. Scale shape:
+    * the one d²-moment pass of [[topComponent]] + one per-vector
+    * combiner agg + one label agg.
+    * Output: (label, n, n_zero, mean_abs_cos), per label. */
+  def anisotropy(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, iters: Int = 4): DataFrame = {
+    val pe = quantized(vecs, idCol, vecCol)
+    val v = powerVector(pe, iters).localCheckpoint(true) // d rows
+    val nv = broadcast(v.agg(
+      sum(col("__v").cast(N0) * col("__v").cast(N0)).as("__nv")))
+    val per = pe.join(v, Seq("__i"))
+      .groupBy("__id").agg(
+        sum(col("__xq").cast(N0) * col("__v").cast(N0)).as("__p"),
+        sum(col("__xq").cast(N0) * col("__xq").cast(N0)).as("__nx"))
+    val cosv = per.crossJoin(nv)
+      .select(col("__id"),
+        when(col("__nx") > 0 && col("__nv") > 0,
+          col("__p").cast("double") /
+            (sqrt(col("__nx").cast("double")) *
+              sqrt(col("__nv").cast("double")))).as("__c"))
+    cosv.join(vecs.select(col(idCol).as("__id"),
+        col(labelCol).as("label")), Seq("__id"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_zero"),
+        sum(floor(abs(col("__c")) * lit(1e6)).cast("long")).as("__s"),
+        count(col("__c")).as("__nc"))
+      .select(col("label"), col("n"), col("n_zero"),
+        when(col("__nc") > 0,
+          col("__s").cast("double") /
+            (col("__nc").cast("double") * lit(1e6))).as("mean_abs_cos"))
   }
 }

@@ -2972,6 +2972,25 @@ class ExtSpec extends SparkSpec {
     assert(g2.head * g2(1) < 0) // opposite signs along the axis
   }
 
+  test("anisotropy: axis-aligned label reads ~1, orthogonal label 0; " +
+      "zero vector excluded with its count reported") {
+    import graft.ext.Pca
+    val vecs = Seq(
+      (1L, Array(5.0f, 0.0f), 0), (2L, Array(-5.0f, 0.0f), 0),
+      (3L, Array(10.0f, 0.0f), 0), (4L, Array(-10.0f, 0.0f), 0),
+      (5L, Array(0.0f, 1.0f), 1), (6L, Array(0.0f, -1.0f), 1),
+      (7L, Array(0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = rows(Pca.anisotropy(vecs, "vec_id", "embedding", "label")
+      .orderBy("label"))
+    val l0 = got.head; val l1 = got(1)
+    assert(l0.getAs[Long]("n") == 4L && l0.getAs[Long]("n_zero") == 0L)
+    assert(l0.getAs[Double]("mean_abs_cos") > 0.999)
+    // dim-1 vectors are orthogonal to the dominant axis
+    assert(l1.getAs[Long]("n") == 3L && l1.getAs[Long]("n_zero") == 1L)
+    assert(l1.getAs[Double]("mean_abs_cos") < 0.01)
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
