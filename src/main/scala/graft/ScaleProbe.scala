@@ -128,7 +128,19 @@ object ScaleProbe {
       "x176_stationary_mix", "x177_cooccurrence",
       "x178_quality_dup_chi", "x179_lsh_index_roundtrip",
       "x180_quintile_mobility", "x181_pii_audit",
-      "x182_ab_conversion")
+      "x182_ab_conversion",
+      // round-11 continuation: the classical-stats family (combiner
+      // moments / grid windows — expected scale-flat to scan-speed),
+      // the drift additions (PSI grid, CUSUM day windows, the
+      // |sources|²·vocab JSD pair join), the session family length-3
+      // and rules forms, KM day grid, HHI bounded folds, and the
+      // d²-moment PCA pair fan-out (the one genuinely superlinear
+      // candidate — O(n·d²) by construction)
+      "x183_mann_whitney", "x184_welch_t", "x185_anova_f",
+      "x186_psi", "x187_spearman", "x188_jsd_matrix",
+      "x189_kaplan_meier", "x190_session_trigrams",
+      "x191_assoc_rules", "x192_hhi", "x193_cramers_v",
+      "x194_cusum", "x195_top_component", "x196_anisotropy")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
@@ -218,6 +230,7 @@ object ScaleProbe {
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_OKv2"))) {
       buildOrdersIfAbsent(spark, base, out, copies)
       buildEventsIfAbsent(spark, base, out, copies)
+      buildDimsIfAbsent(spark, base, out)
       return
     }
 
@@ -262,6 +275,7 @@ object ScaleProbe {
 
     buildOrdersIfAbsent(spark, base, out, copies)
     buildEventsIfAbsent(spark, base, out, copies)
+    buildDimsIfAbsent(spark, base, out)
     fs.create(new org.apache.hadoop.fs.Path(s"$out/_OKv2")).close()
   }
 
@@ -300,5 +314,20 @@ object ScaleProbe {
       o.withColumn("o_orderkey", col("o_orderkey") + lit(k * oMax))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+  }
+
+  /** customer/nation/region joined the build with the x187/x192 arms:
+    * copied VERBATIM (orders replicas keep their o_custkey, so the
+    * scaled corpus has ×copies orders per customer — the fan-out a
+    * growing book actually has), dims unchanged like any dimension
+    * table. Independent so existing _OKv2 dirs upgrade in place. */
+  private def buildDimsIfAbsent(spark: SparkSession, base: String,
+      out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("customer", "nation", "region"))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/$t.parquet")))
+        graft.sources.Tables.read(spark, base, t)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
   }
 }
