@@ -6652,6 +6652,71 @@ object Oracles {
              |FROM j GROUP BY label ORDER BY label""".stripMargin))
   }
 
+  // x197/x198: the portable multiplicative hash shared verbatim —
+  // fold = ((u mod P)·A mod P) mod k; bootstrap weights invert the
+  // exact Poisson(1) ppm CDF at a counter-based hash
+  private val splitBootstrapO: Map[String, String] = Map(
+    "x197_fold_audit" ->
+      """WITH f AS (
+        |  SELECT ((user_id % 1000000007) * 654435747 % 1000000007) % 5
+        |      AS fold,
+        |    user_id, event_type
+        |  FROM events),
+        |a AS (
+        |  SELECT fold, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchases
+        |  FROM f GROUP BY 1)
+        |SELECT fold, n_users, n_events, n_purchases,
+        |  CAST(n_purchases AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |    AS purchase_rate
+        |FROM a ORDER BY fold""".stripMargin,
+
+    "x198_bootstrap_ci" ->
+      """WITH per AS (
+        |  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) AS st
+        |  FROM per),
+        |reps0 AS (
+        |  SELECT t.b, per.n, per.s,
+        |    ((per.u % 1000000007) * 654435747 % 1000000007
+        |      + t.b * 7919) % 1000000007 % 1000000 AS ppm
+        |  FROM per CROSS JOIN range(0, 200) t(b)),
+        |w AS (
+        |  SELECT b, n, s,
+        |    CASE WHEN ppm < 367879 THEN 0 WHEN ppm < 735758 THEN 1
+        |      WHEN ppm < 919698 THEN 2 WHEN ppm < 981011 THEN 3
+        |      WHEN ppm < 996340 THEN 4 WHEN ppm < 999405 THEN 5
+        |      WHEN ppm < 999916 THEN 6 WHEN ppm < 999989 THEN 7
+        |      WHEN ppm < 999998 THEN 8 ELSE 9 END AS w
+        |  FROM reps0),
+        |rep AS (
+        |  SELECT b, CAST(sum(w * n) AS BIGINT) AS nw,
+        |    sum(CAST(w AS DECIMAL(4,0)) * s) AS sw
+        |  FROM w GROUP BY b),
+        |m AS (
+        |  SELECT b, CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+        |    / CAST(nw AS DOUBLE) AS m
+        |  FROM rep WHERE nw > 0),
+        |r AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk
+        |      FROM m),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates FROM r),
+        |lo AS (SELECT m AS lo95 FROM r CROSS JOIN nb
+        |       WHERE rk = greatest(1, (n_replicates * 25 + 999) // 1000)),
+        |hi AS (SELECT m AS hi95 FROM r CROSS JOIN nb
+        |       WHERE rk = (n_replicates * 975 + 999) // 1000)
+        |SELECT tot.n_units, tot.n_rows,
+        |  tot.st / CAST(tot.n_rows AS DOUBLE) AS mean,
+        |  lo.lo95, hi.hi95, nb.n_replicates
+        |FROM tot CROSS JOIN nb CROSS JOIN lo CROSS JOIN hi"""
+        .stripMargin)
+
   // x182: per-user conversion agg, id-parity cohorts, one fixed-order
   // pooled-z chain
   private val abConversionO: Map[String, String] = Map(
@@ -6727,7 +6792,7 @@ object Oracles {
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
-      analyticsFamilyO ++ pcaO +
+      analyticsFamilyO ++ pcaO ++ splitBootstrapO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

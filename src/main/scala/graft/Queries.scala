@@ -2802,6 +2802,35 @@ object Queries {
       .orderBy("label")
   }
 
+  /** x197 — deterministic k-fold split audit
+    * ([[graft.ext.Sampling.foldAssign]]): users hashed into 5 folds
+    * through the portable multiplicative hash (fold is a pure function
+    * of user id — group integrity IS the no-leakage guarantee x159
+    * audits for), with per-fold size and label-balance rows — the
+    * table a training run reads before trusting its CV estimate. */
+  val x197FoldAudit: Q = (s, dir) => {
+    Sampling.foldAssign(Tables.events(s, dir), col("user_id"), k = 5)
+      .groupBy("fold").agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .withColumn("purchase_rate",
+        col("n_purchases").cast("double") / col("n_events").cast("double"))
+      .orderBy("fold")
+  }
+
+  /** x198 — RNG-free cluster bootstrap CI
+    * ([[graft.ext.Stats.bootstrapMeanCI]]): 95% error bars on mean
+    * event value with USERS (not events) resampled via derandomized
+    * Poisson(1) weights — the uncertainty row the x119/x129 point
+    * estimates deserve, reproducible bit-for-bit with nothing to
+    * seed. One row. */
+  val x198BootstrapCI: Q = (s, dir) => {
+    graft.ext.Stats.bootstrapMeanCI(Tables.events(s, dir),
+      col("user_id"), col("value"), b = 200)
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3739,6 +3768,8 @@ object Queries {
     "x194_cusum" -> x194Cusum,
     "x195_top_component" -> x195TopComponent,
     "x196_anisotropy" -> x196Anisotropy,
+    "x197_fold_audit" -> x197FoldAudit,
+    "x198_bootstrap_ci" -> x198BootstrapCI,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -39,6 +39,21 @@ object Sampling {
       lit(buckets.toLong))
   }
 
+  /** Deterministic K-FOLD split at UNIT grain — the split CONSTRUCTOR
+    * whose output x159's leakage audit would certify clean by
+    * construction: fold(unit) is a pure function of the unit id
+    * through [[hashBucket]], so every row of a unit (all of a user's
+    * sessions, all of a document's chunks) lands in ONE fold — group
+    * integrity IS the no-leakage guarantee — and re-runs, re-shards,
+    * and other engines reproduce the split bit-for-bit with no RNG
+    * state to store. Scale shape: one projection, no shuffle — the
+    * fold column composes into whatever scan follows.
+    * Output: the input rows + `fold` ∈ [0, k). */
+  def foldAssign(df: DataFrame, unit: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 10000, s"foldAssign: k=$k")
+    df.withColumn("fold", hashBucket(unit, k))
+  }
+
   /** Raw hash value in [0, P) — the pre-bucket multiplicative hash: a
     * deterministic, engine-reproducible "uniform random" ORDER over ids.
     * Sampling operators sort by this (ties by id) so "the first n

@@ -714,6 +714,80 @@ object Stats {
           .as("hhi"))
   }
 
+  /** CLUSTER BOOTSTRAP confidence interval for a mean, RNG-FREE — the
+    * error bars a dashboard number deserves, at the grain correlation
+    * actually lives (resampling EVENTS from correlated users
+    * understates variance; the cluster bootstrap resamples UNITS).
+    * The multinomial bootstrap is approximated by independent
+    * Poisson(1) unit weights (the standard streaming-bootstrap
+    * construction, Oza & Russell 2001; Kleiner's BLB lineage), with
+    * the Poisson draw DERANDOMIZED: weight(u, b) inverts the exact
+    * Poisson(1) CDF at a ppm integer derived from the portable
+    * counter-based hash h = (hash(u) + b·7919) mod P — deterministic,
+    * engine-reproducible, re-shard-stable, nothing to seed or store.
+    *
+    * Determinism: per-unit totals and per-replicate weighted sums are
+    * exact decimal; each replicate mean is ONE double division; the
+    * percentile bounds are EXACT ranks over the B replicate means
+    * (B-bounded window, ties broken by replicate index). Scale shape:
+    * one per-unit combiner agg, a ×B explode over UNITS (not rows),
+    * one B-row window. Replicates with zero total weight are dropped
+    * from the ranking (reported via n_replicates).
+    * Output: one row (n_units, n_rows, mean, lo95, hi95,
+    * n_replicates). */
+  def bootstrapMeanCI(df: DataFrame, unit: Column, value: Column,
+      b: Int = 200): DataFrame = {
+    require(b >= 40 && b <= 10000, s"bootstrapMeanCI: b=$b")
+    import org.apache.spark.sql.expressions.Window
+    val per = df.select(unit.as("__u"), value.cast(D).as("__x"))
+      .groupBy("__u").agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+      .localCheckpoint(true) // feeds the point estimate AND ×B explode
+    val tot = per.agg(count(lit(1)).as("n_units"), sum(col("__n")).as("n_rows"),
+      sum(col("__s").cast(DecimalType(38, 4))).as("__st"))
+    // exact Poisson(1) CDF in ppm: floor(1e6 · e⁻¹·Σ 1/j!) — literal
+    // integer thresholds shared verbatim with the oracle; w capped at 9
+    // (P ≈ 1e-6 beyond)
+    val h = pmod(
+      pmod(pmod(col("__u"), lit(Sampling.HashPrime)) *
+        lit(Sampling.HashMult), lit(Sampling.HashPrime)) +
+        col("__b") * lit(7919L), lit(Sampling.HashPrime))
+    val ppm = pmod(h, lit(1000000L))
+    val w = when(ppm < 367879, 0L).when(ppm < 735758, 1L)
+      .when(ppm < 919698, 2L).when(ppm < 981011, 3L)
+      .when(ppm < 996340, 4L).when(ppm < 999405, 5L)
+      .when(ppm < 999916, 6L).when(ppm < 999989, 7L)
+      .when(ppm < 999998, 8L).otherwise(9L)
+    val reps = per
+      .withColumn("__b", explode(sequence(lit(0L), lit(b - 1L))))
+      .withColumn("__w", w)
+      .groupBy("__b").agg(
+        sum(col("__w") * col("__n")).as("__nw"),
+        sum(col("__w").cast(DecimalType(4, 0)) * col("__s")).as("__sw"))
+      .where(col("__nw") > 0)
+      .select(col("__b"),
+        (col("__sw").cast("double") / col("__nw").cast("double"))
+          .as("__m"))
+    val wRank = Window.orderBy(col("__m"), col("__b")) // B-bounded
+    val ranked = reps.withColumn("__r", row_number().over(wRank))
+      .localCheckpoint(true) // B rows: feeds count + both bound picks
+    val nb = ranked.agg(count(lit(1)).as("n_replicates"))
+    // exact integer ceil-ranks: ceil(B·0.025) via (B·25+999) DIV 1000 —
+    // the IEEE product 200·0.025 is 5.000…03 and ceil()s to SIX
+    val lo = ranked.crossJoin(broadcast(nb))
+      .where(col("__r") === greatest(lit(1L),
+        expr("(n_replicates * 25 + 999) DIV 1000")))
+      .select(col("__m").as("lo95"))
+    val hi = ranked.crossJoin(broadcast(nb))
+      .where(col("__r") === expr("(n_replicates * 975 + 999) DIV 1000"))
+      .select(col("__m").as("hi95"))
+    tot.crossJoin(broadcast(nb)).crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("n_units"), col("n_rows"),
+        (col("__st").cast("double") / col("n_rows").cast("double"))
+          .as("mean"),
+        col("lo95"), col("hi95"), col("n_replicates"))
+  }
+
   /** SPEARMAN rank correlation — Pearson on tied-average ranks, the
     * monotone-association number robust to outliers and nonlinear
     * scales (does account balance RANK with spend, not just covary).

@@ -2991,6 +2991,44 @@ class ExtSpec extends SparkSpec {
     assert(l1.getAs[Double]("mean_abs_cos") < 0.01)
   }
 
+  test("foldAssign: pure function of the unit (group integrity), " +
+      "full fold range, no empty fold on sequential ids") {
+    import graft.ext.Sampling
+    val df0 = (0L until 1000L).flatMap(u => Seq((u, "a"), (u, "b")))
+      .toDF("u", "tag")
+    val folded = Sampling.foldAssign(df0, col("u"), k = 5)
+    // every unit's rows land in exactly one fold — the leakage guarantee
+    val perUnit = rows(folded.groupBy("u")
+      .agg(countDistinct(col("fold")).as("nf"))
+      .where(col("nf") =!= 1L))
+    assert(perUnit.isEmpty)
+    val folds = rows(folded.select("fold").distinct()).map(_.getLong(0))
+    assert(folds.toSet.subsetOf((0L until 5L).toSet) && folds.size == 5)
+  }
+
+  test("bootstrapMeanCI: exact point mean; constant data collapses " +
+      "the interval; bounds ordered and bracketing") {
+    import graft.ext.Stats
+    // constant metric: every replicate mean is exactly the constant
+    val const = (0L until 50L).map(u => (u, 7.25)).toDF("u", "x")
+    val rc = rows(Stats.bootstrapMeanCI(const, col("u"), col("x"),
+      b = 100)).head
+    assert(rc.getAs[Double]("mean") == 7.25 &&
+      rc.getAs[Double]("lo95") == 7.25 && rc.getAs[Double]("hi95") == 7.25)
+    assert(rc.getAs[Long]("n_units") == 50L &&
+      rc.getAs[Long]("n_rows") == 50L)
+    // varied metric: exact point estimate, ordered bracketing bounds
+    val varied = (0L until 200L).map(u => (u, u.toDouble % 10))
+      .toDF("u", "x")
+    val rv = rows(Stats.bootstrapMeanCI(varied, col("u"), col("x"),
+      b = 200)).head
+    assert(rv.getAs[Double]("mean") == 4.5)
+    assert(rv.getAs[Double]("lo95") <= rv.getAs[Double]("mean") &&
+      rv.getAs[Double]("mean") <= rv.getAs[Double]("hi95") &&
+      rv.getAs[Double]("lo95") < rv.getAs[Double]("hi95"))
+    assert(rv.getAs[Long]("n_replicates") == 200L)
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
