@@ -6717,6 +6717,64 @@ object Oracles {
         |FROM tot CROSS JOIN nb CROSS JOIN lo CROSS JOIN hi"""
         .stripMargin)
 
+  // x199: the x184 session chain fanned to three covariates, each
+  // through the exact-moment SMD block (UNION ALL, ordered by name)
+  private val balanceO: Map[String, String] = {
+    val sessHead =
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged),
+        |u AS (
+        |  SELECT user_id % 2 AS cohort,
+        |    CAST(count(*) AS BIGINT) AS n_ev,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS spend,
+        |    max(epoch_us(ts)) - min(epoch_us(ts)) AS dur
+        |  FROM sess GROUP BY user_id, sid)""".stripMargin
+    def block(name: String, c: String) =
+      s"""(SELECT '$name' AS covariate, a.cohort AS cohort_a,
+         |  b.cohort AS cohort_b, a.n AS n_a, b.n AS n_b,
+         |  a.s / a.nd AS mean_a, b.s / b.nd AS mean_b,
+         |  CASE WHEN a.n >= 2 AND b.n >= 2
+         |      AND ((a.ss - a.s * a.s / a.nd) / (a.nd - 1.0e0)
+         |        + (b.ss - b.s * b.s / b.nd) / (b.nd - 1.0e0)) / 2.0e0
+         |        > 0.0e0
+         |    THEN (a.s / a.nd - b.s / b.nd)
+         |      / sqrt(((a.ss - a.s * a.s / a.nd) / (a.nd - 1.0e0)
+         |        + (b.ss - b.s * b.s / b.nd) / (b.nd - 1.0e0)) / 2.0e0)
+         |    ELSE NULL END AS smd
+         |FROM
+         |  (SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+         |     CAST(count(*) AS DOUBLE) AS nd,
+         |     CAST(CAST(sum(CAST($c AS DECIMAL(18,4))) AS VARCHAR)
+         |       AS DOUBLE) AS s,
+         |     CAST(CAST(sum(CAST($c AS DECIMAL(19,4))
+         |       * CAST($c AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS ss
+         |   FROM u GROUP BY cohort) a
+         |JOIN
+         |  (SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+         |     CAST(count(*) AS DOUBLE) AS nd,
+         |     CAST(CAST(sum(CAST($c AS DECIMAL(18,4))) AS VARCHAR)
+         |       AS DOUBLE) AS s,
+         |     CAST(CAST(sum(CAST($c AS DECIMAL(19,4))
+         |       * CAST($c AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS ss
+         |   FROM u GROUP BY cohort) b
+         |ON a.cohort < b.cohort)""".stripMargin
+    Map("x199_covariate_balance" ->
+      (sessHead + "\n" +
+        Seq(block("duration_us", "dur"), block("n_events", "n_ev"),
+          block("spend", "spend")).mkString("\nUNION ALL\n") +
+        "\nORDER BY covariate"))
+  }
+
   // x182: per-user conversion agg, id-parity cohorts, one fixed-order
   // pooled-z chain
   private val abConversionO: Map[String, String] = Map(
@@ -6792,7 +6850,7 @@ object Oracles {
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
-      analyticsFamilyO ++ pcaO ++ splitBootstrapO +
+      analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

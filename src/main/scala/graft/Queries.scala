@@ -2831,6 +2831,28 @@ object Queries {
       col("user_id"), col("value"), b = 200)
   }
 
+  /** x199 — A/B covariate balance
+    * ([[graft.ext.Stats.covariateBalance]]): standardized mean
+    * differences between the x182/x184 cohorts on three session-grain
+    * covariates (event count, spend, duration) — |SMD| < 0.1 is the
+    * balance bar; an imbalanced significant result is a selection
+    * story. Three rows. */
+  val x199CovariateBalance: Q = (s, dir) => {
+    val sess = EventWindows.sessionize(Tables.events(s, dir), col("ts"),
+        col("user_id"), 1800000000L, col("event_id"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("__n_ev"),
+        sum(col("value").cast(D4)).as("__spend"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("__dur"))
+      .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+    graft.ext.Stats.covariateBalance(sess, col("cohort"), Seq(
+        "n_events" -> col("__n_ev"),
+        "spend" -> col("__spend"),
+        "duration_us" -> col("__dur")))
+      .orderBy("covariate")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3770,6 +3792,7 @@ object Queries {
     "x196_anisotropy" -> x196Anisotropy,
     "x197_fold_audit" -> x197FoldAudit,
     "x198_bootstrap_ci" -> x198BootstrapCI,
+    "x199_covariate_balance" -> x199CovariateBalance,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

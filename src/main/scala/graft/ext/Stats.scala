@@ -714,6 +714,48 @@ object Stats {
           .as("hhi"))
   }
 
+  /** COVARIATE BALANCE table — standardized mean differences between
+    * two cohorts (Cohen's d with the pooled-variance denominator the
+    * causal-inference literature uses for balance checks): |SMD| <
+    * 0.1 is the conventional "balanced" bar. The pre-read of every
+    * A/B analysis: a significant x182/x184 result on IMBALANCED
+    * cohorts is a selection story, not a treatment story.
+    * SMD = (m̄_a − m̄_b) / √((s²_a + s²_b)/2) per covariate.
+    *
+    * Determinism: the [[welchT]] exact-decimal moment discipline per
+    * covariate; one IEEE chain per row; NULL when either cohort has
+    * n < 2 or both variances are 0. Scale shape: one combiner moment
+    * agg per covariate (covariate list is bounded), 2-row pair joins.
+    * Output: (covariate, cohort_a, cohort_b, n_a, n_b, mean_a,
+    * mean_b, smd), one row per covariate. */
+  def covariateBalance(units: DataFrame, cohort: Column,
+      covariates: Seq[(String, Column)]): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 64,
+      s"covariateBalance: ${covariates.size} covariates")
+    covariates.map { case (name, c) =>
+      val xd = c.cast(D)
+      val agg = units.groupBy(cohort.as("cohort")).agg(
+        count(lit(1)).as("n"), sum(xd).as("s"), sum(xd * xd).as("ss"))
+      val a = agg.select(col("cohort").as("cohort_a"), col("n").as("n_a"),
+        col("s").as("__sa"), col("ss").as("__ssa"))
+      val b = agg.select(col("cohort").as("cohort_b"), col("n").as("n_b"),
+        col("s").as("__sb"), col("ss").as("__ssb"))
+      val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+      val sa = col("__sa").cast("double"); val sb = col("__sb").cast("double")
+      val va = (col("__ssa").cast("double") - sa * sa / na) /
+        (na - lit(1.0))
+      val vb = (col("__ssb").cast("double") - sb * sb / nb) /
+        (nb - lit(1.0))
+      val den = (va + vb) / lit(2.0)
+      a.join(b, col("cohort_a") < col("cohort_b"))
+        .select(lit(name).as("covariate"), col("cohort_a"),
+          col("cohort_b"), col("n_a"), col("n_b"),
+          (sa / na).as("mean_a"), (sb / nb).as("mean_b"),
+          when(col("n_a") >= 2 && col("n_b") >= 2 && den > 0.0,
+            (sa / na - sb / nb) / sqrt(den)).as("smd"))
+    }.reduce(_ unionByName _)
+  }
+
   /** CLUSTER BOOTSTRAP confidence interval for a mean, RNG-FREE — the
     * error bars a dashboard number deserves, at the grain correlation
     * actually lives (resampling EVENTS from correlated users

@@ -3029,6 +3029,28 @@ class ExtSpec extends SparkSpec {
     assert(rv.getAs[Long]("n_replicates") == 200L)
   }
 
+  test("covariateBalance: hand SMD; identical cohorts read 0; " +
+      "zero-variance NULL") {
+    import graft.ext.Stats
+    // cohort 0: x = {1, 3} (m=2, s²=2); cohort 1: x = {4, 8} (m=6, s²=8)
+    val units = Seq((0L, 1.0, 5.0), (0L, 3.0, 5.0), (1L, 4.0, 5.0),
+      (1L, 8.0, 5.0)).toDF("g", "x", "c")
+    val got = rows(Stats.covariateBalance(units, col("g"),
+      Seq("x" -> col("x"), "c" -> col("c"))).orderBy("covariate"))
+    val cRow = got.head; val xRow = got(1)
+    val expSmd = (2.0 - 6.0) / math.sqrt((2.0 + 8.0) / 2)
+    assert(xRow.getString(0) == "x" &&
+      math.abs(xRow.getAs[Double]("smd") - expSmd) < 1e-12)
+    // constant covariate: zero variance in both cohorts → NULL, not ±Inf
+    assert(cRow.getString(0) == "c" && cRow.isNullAt(cRow.fieldIndex("smd")))
+    // identical distributions → SMD exactly 0
+    val same = Seq((0L, 1.0), (0L, 2.0), (1L, 1.0), (1L, 2.0))
+      .toDF("g", "x")
+    val r0 = rows(Stats.covariateBalance(same, col("g"),
+      Seq("x" -> col("x")))).head
+    assert(r0.getAs[Double]("smd") == 0.0)
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
