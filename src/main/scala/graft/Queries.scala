@@ -2784,9 +2784,21 @@ object Queries {
     * integer power iteration on the covariance numerator — the axis
     * the centroid alarms (x143/x174) can see shift but cannot name.
     * 64 rows, ‖loading‖₂ = 1. */
+  private def pcaQuantizedFull(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Memo.cached(s, s"pcaQuantized|$dir")(
+      graft.ext.Pca.quantized(Tables.embeddings(s, dir), "vec_id",
+        "embedding"))
+
+  /** The session-memoized integer component — x195 (normalization)
+    * and x196 (projection) ask for the IDENTICAL artifact of the same
+    * snapshot, so the d²-moment pass and the iteration run once (the
+    * [[winnowPairsFull]] discipline on the embedding side). */
+  private def pcaComponentFull(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Memo.cached(s, s"pcaComponent|$dir|iters=4")(
+      graft.ext.Pca.powerVector(pcaQuantizedFull(s, dir), iters = 4))
+
   val x195TopComponent: Q = (s, dir) => {
-    graft.ext.Pca.topComponent(Tables.embeddings(s, dir), "vec_id",
-        "embedding")
+    graft.ext.Pca.normalizeComponent(pcaComponentFull(s, dir))
       .orderBy("dim")
   }
 
@@ -2797,8 +2809,9 @@ object Queries {
     * removal is motivated by and re-measured against. Shares x195's
     * exact-integer chain (the oracle reuses it verbatim). */
   val x196Anisotropy: Q = (s, dir) => {
-    graft.ext.Pca.anisotropy(Tables.embeddings(s, dir), "vec_id",
-        "embedding", "label")
+    graft.ext.Pca.anisotropyWith(pcaQuantizedFull(s, dir),
+        pcaComponentFull(s, dir), Tables.embeddings(s, dir), "vec_id",
+        "label")
       .orderBy("label")
   }
 

@@ -140,7 +140,10 @@ object ScaleProbe {
       "x186_psi", "x187_spearman", "x188_jsd_matrix",
       "x189_kaplan_meier", "x190_session_trigrams",
       "x191_assoc_rules", "x192_hhi", "x193_cramers_v",
-      "x194_cusum", "x195_top_component", "x196_anisotropy")
+      "x194_cusum", "x195_top_component", "x196_anisotropy",
+      // the split/bootstrap/balance trio: scan-shaped except x198's
+      // deliberate ×B explode over UNITS (not rows)
+      "x197_fold_audit", "x198_bootstrap_ci", "x199_covariate_balance")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

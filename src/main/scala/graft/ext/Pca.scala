@@ -49,8 +49,10 @@ object Pca {
 
   private val N0 = DecimalType(38, 0)
 
-  /** Micro-unit quantized coordinates: (__id, __i, __xq). */
-  private[ext] def quantized(vecs: DataFrame, idCol: String,
+  /** Micro-unit quantized coordinates (__id, __i, __xq) — public as a
+    * memoization building block: x195/x196 share one materialization
+    * through the session Memo instead of re-running the explode. */
+  def quantized(vecs: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     vecs.select(col(idCol).as("__id"),
         posexplode(col(vecCol)).as(Seq("__i", "__x")))
@@ -60,8 +62,12 @@ object Pca {
       .localCheckpoint(true) // feeds totals AND the pair moments
 
   def topComponent(vecs: DataFrame, idCol: String, vecCol: String,
-      iters: Int = 4): DataFrame = {
-    val v = powerVector(quantized(vecs, idCol, vecCol), iters)
+      iters: Int = 4): DataFrame =
+    normalizeComponent(powerVector(quantized(vecs, idCol, vecCol), iters))
+
+  /** The (dim, loading) normalization tail over an un-normalized
+    * integer component. */
+  def normalizeComponent(v: DataFrame): DataFrame = {
     val norm = v.agg(sum(col("__v").cast(N0) * col("__v").cast(N0))
       .as("__n2"))
     // a zero-covariance corpus (constant embeddings) collapses v to 0
@@ -75,8 +81,8 @@ object Pca {
 
   /** The UN-normalized integer component (__i, __v): the exact-
     * arithmetic core [[topComponent]] normalizes and [[anisotropy]]
-    * projects against. */
-  private[ext] def powerVector(pe: DataFrame, iters: Int): DataFrame = {
+    * projects against — public for session memoization. */
+  def powerVector(pe: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10, s"powerVector: iters=$iters")
     val nRow = pe.groupBy("__i").agg(count(lit(1)).as("__n"),
       sum(col("__xq").cast(N0)).as("__t"))
@@ -144,7 +150,15 @@ object Pca {
   def anisotropy(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, iters: Int = 4): DataFrame = {
     val pe = quantized(vecs, idCol, vecCol)
-    val v = powerVector(pe, iters).localCheckpoint(true) // d rows
+    anisotropyWith(pe, powerVector(pe, iters), vecs, idCol, labelCol)
+  }
+
+  /** [[anisotropy]] over PRE-BUILT quantized coordinates and component
+    * — the memo-shared form (x195 and x196 ask for the same exact
+    * artifacts of the same snapshot). */
+  def anisotropyWith(pe: DataFrame, v0: DataFrame, vecs: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val v = v0.localCheckpoint(true) // d rows
     val nv = broadcast(v.agg(
       sum(col("__v").cast(N0) * col("__v").cast(N0)).as("__nv")))
     val per = pe.join(v, Seq("__i"))
