@@ -6861,5 +6861,9 @@ object Oracles {
       // x179: pairs served from the persisted LSH index are
       // bit-identical to minhashLsh on the indexed corpus — the
       // dedup family's index-lifecycle claim, pinned the same way
-      ("x179_lsh_index_roundtrip" -> base("x03_minhash_lsh"))
+      ("x179_lsh_index_roundtrip" -> base("x03_minhash_lsh")) +
+      // x200: projecting against the PERSISTED integer component is
+      // bit-identical to projecting against the freshly iterated one —
+      // the lifecycle claim, pinned by sharing x196's oracle
+      ("x200_component_roundtrip" -> pcaO("x196_anisotropy"))
 }

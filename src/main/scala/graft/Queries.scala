@@ -2866,6 +2866,22 @@ object Queries {
       .orderBy("covariate")
   }
 
+  /** x200 — PCA component lifecycle round-trip: quantize → iterate →
+    * [[graft.ext.Pca.saveComponent]] → load → project
+    * ([[graft.ext.Pca.anisotropyWith]] under the LOADED component).
+    * Shares x196's oracle — the equality IS the claim that persisting
+    * the exact-integer component changes nothing (the x162/x163/x179
+    * lifecycle pattern reaching the PCA family). */
+  val x200ComponentRoundtrip: Q = (s, dir) => {
+    val pe = pcaQuantizedFull(s, dir)
+    val path = scratchPath(s, "graft_x200_component")
+    graft.ext.Pca.saveComponent(pcaComponentFull(s, dir), path)
+    graft.ext.Pca.anisotropyWith(pe,
+        graft.ext.Pca.loadComponent(s, path),
+        Tables.embeddings(s, dir), "vec_id", "label")
+      .orderBy("label")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3806,6 +3822,7 @@ object Queries {
     "x197_fold_audit" -> x197FoldAudit,
     "x198_bootstrap_ci" -> x198BootstrapCI,
     "x199_covariate_balance" -> x199CovariateBalance,
+    "x200_component_roundtrip" -> x200ComponentRoundtrip,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -82,15 +82,27 @@ object Pca {
   /** The UN-normalized integer component (__i, __v): the exact-
     * arithmetic core [[topComponent]] normalizes and [[anisotropy]]
     * projects against — public for session memoization. */
-  def powerVector(pe: DataFrame, iters: Int): DataFrame = {
+  def powerVector(pe: DataFrame, iters: Int): DataFrame =
+    powerVectorFromMoments(
+      pe.groupBy("__i").agg(count(lit(1)).as("__n"),
+        sum(col("__xq").cast(N0)).as("__t")),
+      pe.as("a").join(pe.as("b"), Seq("__id"))
+        .groupBy(col("a.__i").as("__ia"), col("b.__i").as("__ib"))
+        .agg(sum(col("a.__xq").cast(N0) * col("b.__xq").cast(N0))
+          .as("__s")),
+      iters)
+
+  /** [[powerVector]] from PRE-AGGREGATED moment frames — per-dim
+    * (__i, __n, __t) and per-dim-pair (__ia, __ib, __s). Counts and
+    * exact decimal sums are commutative monoids, so per-batch partials
+    * folded by any grouping reproduce the exact covariance numerator —
+    * which is what gives the top component a streaming view bit-equal
+    * to its batch operator (the additive-ledger discipline reaching
+    * linear algebra). */
+  def powerVectorFromMoments(nRow0: DataFrame, s: DataFrame,
+      iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10, s"powerVector: iters=$iters")
-    val nRow = pe.groupBy("__i").agg(count(lit(1)).as("__n"),
-      sum(col("__xq").cast(N0)).as("__t"))
-      .localCheckpoint(true) // d rows
-    val s = pe.as("a").join(pe.as("b"), Seq("__id"))
-      .groupBy(col("a.__i").as("__ia"), col("b.__i").as("__ib"))
-      .agg(sum(col("a.__xq").cast(N0) * col("b.__xq").cast(N0))
-        .as("__s"))
+    val nRow = nRow0.localCheckpoint(true) // d rows
     val m0 = s
       .join(nRow.select(col("__i").as("__ia"), col("__n"),
         col("__t").as("__ta")), Seq("__ia"))
@@ -128,6 +140,21 @@ object Pca {
     }
     v
   }
+
+  /** Persist an un-normalized integer component ([[powerVector]]'s
+    * output) — the quantizer-model discipline (x162/x163) applied to
+    * the PCA family: the exact integers round-trip through parquet
+    * bit-for-bit, so serving against a loaded component is
+    * bit-identical to serving against the freshly iterated one (the
+    * shared oracle IS that claim). d rows → one file. */
+  def saveComponent(v: DataFrame, path: String): Unit =
+    v.select(col("__i"), col("__v").cast("long").as("__v"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveComponent]] component. */
+  def loadComponent(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).select(col("__i"), col("__v"))
 
   /** Embedding-space ANISOTROPY audit per label: the mean |cos| of
     * each vector against the corpus's TOP COMPONENT — Ethayarajh

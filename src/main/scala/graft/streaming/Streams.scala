@@ -432,6 +432,58 @@ object Streams {
       sumView(spark, tablePath, Seq("g", "v"))
         .select(col("g"), col("v").as("tok"), col("n").as("c")))
 
+  /** Streaming PCA-MOMENT ledger: each micro-batch appends its exact
+    * partial covariance moments — per-dim (count, Σxq) and per-dim-
+    * pair (Σ xq·xq′), all integer/decimal commutative monoids over
+    * the 1e-6-quantized coordinates — as two partial tables
+    * (`dims/`, `moments/`), replay-deduped on (keys, _batch). The
+    * additive-ledger discipline reaching linear algebra: d + d² rows
+    * per batch regardless of batch size. */
+  def pcaMomentsSink(vecStream: DataFrame, idCol: String,
+      vecCol: String, tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val N0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pe = batch.select(col(idCol).as("__id"),
+            posexplode(col(vecCol)).as(Seq("__i", "__x")))
+          .select(col("__id"), col("__i"),
+            floor(col("__x").cast("double") * lit(1e6)).cast("long")
+              .as("__xq"))
+          .localCheckpoint(true) // feeds both partial tables
+        pe.groupBy("__i")
+          .agg(count(lit(1)).as("_pn"), sum(col("__xq").cast(N0)).as("_pt"))
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(s"$tablePath/dims")
+        pe.as("a").join(pe.as("b"), Seq("__id"))
+          .groupBy(col("a.__i").as("__ia"), col("b.__i").as("__ib"))
+          .agg(sum(col("a.__xq").cast(N0) * col("b.__xq").cast(N0))
+            .as("_ps"))
+          .withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(s"$tablePath/moments")
+      }
+      .start()
+  }
+
+  /** Top-principal-component view over a [[pcaMomentsSink]] ledger:
+    * fold the moment partials and run the exact x195 integer power
+    * iteration + normalization — bit-equal to batch
+    * [[graft.ext.Pca.topComponent]] over everything ingested
+    * (StreamingSpec). */
+  def topComponentView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, iters: Int = 4): DataFrame =
+    graft.ext.Pca.normalizeComponent(
+      graft.ext.Pca.powerVectorFromMoments(
+        dedupedPartials(spark, s"$tablePath/dims", Seq("__i"))
+          .groupBy("__i")
+          .agg(sum(col("_pn")).as("__n"), sum(col("_pt")).as("__t")),
+        dedupedPartials(spark, s"$tablePath/moments", Seq("__ia", "__ib"))
+          .groupBy("__ia", "__ib")
+          .agg(sum(col("_ps")).as("__s")),
+        iters))
+
   /** Streaming A/B MOMENT ledger: each micro-batch appends its
     * per-cohort partial (n, Σx, Σx²) — count and exact decimal sums,
     * all commutative monoids, so replays dedupe on (cohort, _batch)

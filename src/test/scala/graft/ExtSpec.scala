@@ -3051,6 +3051,29 @@ class ExtSpec extends SparkSpec {
     assert(r0.getAs[Double]("smd") == 0.0)
   }
 
+  test("saveComponent/loadComponent: loadings under the loaded " +
+      "component are bit-identical to the fresh iteration") {
+    import graft.ext.Pca
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f, 0.5f)), (2L, Array(6.0f, 8.0f, -0.5f)),
+      (3L, Array(-3.0f, -4.0f, 0.25f)), (4L, Array(0.0f, 0.5f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pcasave")
+    try {
+      val pe = Pca.quantized(vecs, "vec_id", "embedding")
+      val v = Pca.powerVector(pe, 4)
+      Pca.saveComponent(v, dir.resolve("comp").toString)
+      val fresh = rows(Pca.normalizeComponent(v).orderBy("dim"))
+        .map(_.toString)
+      val loaded = rows(Pca.normalizeComponent(
+          Pca.loadComponent(spark, dir.resolve("comp").toString))
+        .orderBy("dim")).map(_.toString)
+      assert(loaded == fresh && fresh.size == 3)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))

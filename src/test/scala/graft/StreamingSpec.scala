@@ -425,6 +425,29 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(ac.getAs[Double]("jsd") - math.log(2.0)) < 1e-9)
   }
 
+  test("pcaMomentsSink + topComponentView: folded covariance partials " +
+      "equal the batch topComponent across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(QV(1L, Array(3.0f, 4.0f)), QV(2L, Array(6.0f, 8.0f)))
+    val b2 = Seq(QV(3L, Array(-3.0f, -4.0f)), QV(4L, Array(0.5f, 1.0f)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pcam")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[QV]
+    mem.addData(b1: _*)
+    val q = Streams.pcaMomentsSink(mem.toDF(), "vec_id", "embedding",
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Streams.topComponentView(spark, table)
+      .orderBy("dim")).map(_.toString)
+    val batch = rows(graft.ext.Pca.topComponent(
+        (b1 ++ b2).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .orderBy("dim")).map(_.toString)
+    assert(streamed == batch && streamed.size == 2)
+  }
+
   test("abMomentsSink + welchView: folded moment partials equal the " +
       "batch welchT across batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
