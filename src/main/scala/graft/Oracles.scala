@@ -6649,7 +6649,62 @@ object Oracles {
              |        AS DOUBLE)
              |      / (CAST(count(c) AS DOUBLE) * 1000000.0e0)
              |    ELSE NULL END AS mean_abs_cos
-             |FROM j GROUP BY label ORDER BY label""".stripMargin))
+             |FROM j GROUP BY label ORDER BY label""".stripMargin),
+      // x201: the SAME chain, every vector replaced by its EXACT
+      // integer projection residual c = xq·|v|² − (x·v)·v, then the
+      // x174 pair-cosine tail (dim-ordered double folds) over
+      // per-(source, dim) HUGEINT sums
+      "x201_corrected_matrix" ->
+        (chain +
+          """|,
+             |nv AS (SELECT CAST(sum(v * v) AS HUGEINT) AS nv FROM v4),
+             |gtot AS (
+             |  SELECT dim, CAST(count(*) AS HUGEINT) AS N,
+             |    CAST(sum(CAST(xq AS HUGEINT)) AS HUGEINT) AS T
+             |  FROM pe GROUP BY 1),
+             |persrc AS (
+             |  SELECT d.source AS src, pe.dim,
+             |    CAST(count(*) AS HUGEINT) AS ns,
+             |    CAST(sum(CAST(pe.xq AS HUGEINT)) AS HUGEINT) AS ts
+             |  FROM pe JOIN documents d ON d.doc_id = pe.vec_id
+             |  GROUP BY 1, 2),
+             |ssx AS (
+             |  SELECT src, p.dim, p.ts * g.N - p.ns * g.T AS x
+             |  FROM persrc p JOIN gtot g ON g.dim = p.dim),
+             |xm AS (SELECT greatest(CAST(1 AS HUGEINT),
+             |  max(abs(x)) // 1000000000000) AS sc FROM ssx),
+             |ssr AS (SELECT src, dim, x // xm.sc AS x
+             |        FROM ssx CROSS JOIN xm),
+             |pp AS (
+             |  SELECT src, CAST(sum(ssr.x * v4.v) AS HUGEINT) AS p
+             |  FROM ssr JOIN v4 ON ssr.dim = v4.i GROUP BY 1),
+             |c AS (
+             |  SELECT ssr.src, ssr.dim,
+             |    ssr.x * nv.nv - pp.p * v4.v AS s
+             |  FROM ssr JOIN v4 ON ssr.dim = v4.i
+             |  JOIN pp ON pp.src = ssr.src CROSS JOIN nv),
+             |sm AS (SELECT greatest(CAST(1 AS HUGEINT),
+             |  max(abs(s)) // 1000000000000) AS sc FROM c),
+             |ss AS (SELECT src, dim, s // sm.sc AS s
+             |       FROM c CROSS JOIN sm),
+             |pairs AS (
+             |  SELECT a.src AS src_a, b.src AS src_b, a.dim,
+             |    CAST(a.s AS DOUBLE) AS da, CAST(b.s AS DOUBLE) AS db
+             |  FROM ss a JOIN ss b ON a.dim = b.dim AND a.src < b.src),
+             |folded AS (
+             |  SELECT src_a, src_b,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(da * db ORDER BY dim)), (acc, x) -> acc + x)
+             |      AS dot,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(da * da ORDER BY dim)), (acc, x) -> acc + x)
+             |      AS na,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(db * db ORDER BY dim)), (acc, x) -> acc + x)
+             |      AS nb
+             |  FROM pairs GROUP BY 1, 2)
+             |SELECT src_a, src_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+             |FROM folded ORDER BY src_a, src_b""".stripMargin))
   }
 
   // x197/x198: the portable multiplicative hash shared verbatim —

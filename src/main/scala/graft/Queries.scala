@@ -2882,6 +2882,20 @@ object Queries {
       .orderBy("label")
   }
 
+  /** x201 — all-but-the-top corrected mirror audit
+    * ([[graft.ext.Pca.correctedSourceMatrix]]): the x174 source-
+    * centroid cosine matrix recomputed on exact integer projection
+    * residuals (xq·‖v‖² − (x·v)·v) — with the dominant axis removed,
+    * a still-high pair cosine is shared CONTENT, not the corpus-wide
+    * anisotropy x196 measures. The x195→x196→x201 composition: name
+    * the axis, measure the lean, remove it, re-read the audit. */
+  val x201CorrectedMatrix: Q = (s, dir) => {
+    graft.ext.Pca.correctedSourceMatrix(pcaQuantizedFull(s, dir),
+        pcaComponentFull(s, dir), Tables.documents(s, dir), "doc_id",
+        "source")
+      .orderBy("src_a", "src_b")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3823,6 +3837,7 @@ object Queries {
     "x198_bootstrap_ci" -> x198BootstrapCI,
     "x199_covariate_balance" -> x199CovariateBalance,
     "x200_component_roundtrip" -> x200ComponentRoundtrip,
+    "x201_corrected_matrix" -> x201CorrectedMatrix,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

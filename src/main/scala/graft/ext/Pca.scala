@@ -141,6 +141,70 @@ object Pca {
     v
   }
 
+  /** ALL-BUT-THE-TOP corrected source-centroid cosine matrix — the
+    * x174 mirror audit AFTER centering and removing the dominant axis
+    * (Mu & Viswanath's correction actually applied, mean first): with
+    * the common mean and common-mode direction gone, a still-high
+    * pair cosine is real shared content, not the corpus-wide
+    * anisotropy x196 measures. Everything stays EXACT integers:
+    * scaled-centered sums X = ts·N − ns·T per (source, dim), residual
+    * C = X·‖v‖² − (X·v)·v (projection is linear — the per-source
+    * residual sum IS the residual of the per-source sum, so the whole
+    * correction runs on the model-sized (source, dim) table, never
+    * per vector), two global truncating DIV rescales keep products in
+    * 38 digits and the boundary below 2^53, and the one IEEE region
+    * is [[Similarity.sourceCentroidMatrixFromSums]]' dim-ordered fold.
+    * Scale shape: two (…, dim) combiner aggs + model-sized joins —
+    * the pair tail is |sources|²-bounded.
+    * Output: (src_a, src_b, cosine), src_a < src_b. */
+  def correctedSourceMatrix(pe: DataFrame, v0: DataFrame,
+      docs: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    val v = v0.localCheckpoint(true) // d rows
+    val nv = broadcast(v.agg(
+      sum(col("__v").cast(N0) * col("__v").cast(N0)).as("__nv")))
+    // CENTERING FIRST is load-bearing: projecting UNCENTERED vectors
+    // lets the global mean's (huge) axis component pollute every
+    // residual — the hand case read corrected cosine 1.0 where the
+    // true orthogonal signal is −1. Scaled-centered integers
+    // X_i = xq_i·N − T_i keep everything exact; projection is LINEAR,
+    // so the per-source residual SUM equals the residual of the
+    // per-source sum — computed entirely on the model-sized
+    // (source, dim) table, never per vector.
+    val glob = pe.groupBy("__i").agg(count(lit(1)).as("__N"),
+      sum(col("__xq").cast(N0)).as("__T"))
+    val perSrc = pe
+      .join(docs.select(col(idCol).as("__id"), col(srcCol).as("src")),
+        Seq("__id"))
+      .groupBy(col("src"), col("__i"))
+      .agg(count(lit(1)).as("__ns"), sum(col("__xq").cast(N0)).as("__ts"))
+    val ssx = perSrc.join(glob, Seq("__i"))
+      .select(col("src"), col("__i"),
+        (col("__ts") * col("__N").cast(N0) -
+          col("__ns").cast(N0) * col("__T")).as("__x"))
+    // two truncating rescales by GLOBAL positive factors (cancel in
+    // every cosine; DIV ≡ // in both engines): the first bounds the
+    // ·nv products inside 38 digits, the second puts the boundary
+    // integers below 2^53 — a >2^53 decimal→double cast is where
+    // Spark and DuckDB round a last ulp apart (measured)
+    val xMax = ssx.agg(max(abs(col("__x"))).as("__xm"))
+    val ssr = ssx.crossJoin(broadcast(xMax))
+      .withColumn("__sc", greatest(lit(1L), expr("__xm DIV 1000000000000")))
+      .select(col("src"), col("__i"), expr("__x DIV __sc").as("__x"))
+      .localCheckpoint(true) // |sources|·d rows, feeds P and C
+    val p = ssr.join(v, Seq("__i"))
+      .groupBy("src")
+      .agg(sum(col("__x").cast(N0) * col("__v").cast(N0)).as("__p"))
+    val c = ssr.join(v, Seq("__i")).join(p, Seq("src")).crossJoin(nv)
+      .select(col("src"), col("__i").as("dim"),
+        (col("__x").cast(N0) * col("__nv") -
+          col("__p") * col("__v").cast(N0)).as("s"))
+    val sMax = c.agg(max(abs(col("s"))).as("__sm"))
+    val scaled = c.crossJoin(broadcast(sMax))
+      .withColumn("__sc", greatest(lit(1L), expr("__sm DIV 1000000000000")))
+      .select(col("src"), col("dim"), expr("s DIV __sc").as("s"))
+    Similarity.sourceCentroidMatrixFromSums(scaled)
+  }
+
   /** Persist an un-normalized integer component ([[powerVector]]'s
     * output) — the quantizer-model discipline (x162/x163) applied to
     * the PCA family: the exact integers round-trip through parquet

@@ -3074,6 +3074,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("correctedSourceMatrix: removing the dominant axis exposes the " +
+      "orthogonal disagreement the raw centroid cosine hides") {
+    import graft.ext.{Pca, Similarity}
+    // A and B lean hard on dim 0 (the covariance axis); their dim-1
+    // content is OPPOSITE. Raw centroid cosine ≈ +1 (axis-dominated);
+    // corrected ≈ −1 (the real signal). Source C sits ON the axis —
+    // a third source, because with exactly two the centered sums are
+    // forced negatives and the test would pass without removing v.
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"),
+      (5L, "C"), (6L, "C")).toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Array(8.0f, 1.0f)), (2L, Array(12.0f, 1.0f)),
+      (3L, Array(9.0f, -1.0f)), (4L, Array(13.0f, -1.0f)),
+      (5L, Array(2.0f, 0.0f)), (6L, Array(18.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def ab(df: org.apache.spark.sql.DataFrame): Double =
+      rows(df.where(col("src_a") === "A" && col("src_b") === "B")).head
+        .getAs[Double]("cosine")
+    val raw = ab(Similarity.sourceCentroidMatrix(docs, col("doc_id"),
+      col("source"), emb, col("vec_id"), col("embedding")))
+    val pe = Pca.quantized(emb, "vec_id", "embedding")
+    val corrected = ab(Pca.correctedSourceMatrix(pe,
+      Pca.powerVector(pe, 4), docs, "doc_id", "source"))
+    assert(raw > 0.9, s"raw $raw")
+    assert(corrected < -0.5, s"corrected $corrected")
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
