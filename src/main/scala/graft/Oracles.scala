@@ -6707,6 +6707,53 @@ object Oracles {
              |FROM folded ORDER BY src_a, src_b""".stripMargin))
   }
 
+  // x202/x203: the shared winnow chain folded to an edge set, then
+  // id-ordered triangle joins (the count is orientation-invariant, so
+  // the engine's degree-ordered iteration and this canonical recount
+  // agree by construction) and the full degree histogram incl. 0
+  private val graphO: Map[String, String] = Map(
+    "x202_graph_triangles" ->
+      (s"WITH $winnowKeptChain,\n" +
+        """|ed AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT id_a AS id FROM ed
+        |    UNION ALL SELECT id_b FROM ed) GROUP BY 1),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t
+        |  FROM ed e1 JOIN ed e2 ON e2.id_a = e1.id_b
+        |  JOIN ed e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+        |  FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed)
+        |SELECT tot.n_nodes, ne.n_edges, tri.t AS n_triangles,
+        |  tot.n_wedges,
+        |  CASE WHEN tot.n_wedges > 0
+        |    THEN 3.0e0 * CAST(tri.t AS DOUBLE)
+        |      / CAST(tot.n_wedges AS DOUBLE)
+        |    ELSE NULL END AS clustering_coeff
+        |FROM tot CROSS JOIN ne CROSS JOIN tri""".stripMargin),
+
+    "x203_degree_profile" ->
+      (s"WITH $winnowKeptChain,\n" +
+        """|ed AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT id_a AS id FROM ed
+        |    UNION ALL SELECT id_b FROM ed) GROUP BY 1)
+        |SELECT COALESCE(deg.degree, 0) AS degree,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents d LEFT JOIN deg ON deg.id = d.doc_id
+        |GROUP BY 1 ORDER BY degree""".stripMargin))
+
   // x197/x198: the portable multiplicative hash shared verbatim —
   // fold = ((u mod P)·A mod P) mod k; bootstrap weights invert the
   // exact Poisson(1) ppm CDF at a counter-based hash
@@ -6905,7 +6952,7 @@ object Oracles {
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
-      analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO +
+      analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

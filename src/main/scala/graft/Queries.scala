@@ -2896,6 +2896,31 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x202 — near-dup graph topology
+    * ([[graft.ext.Dedup.graphTriangles]]): triangle census + global
+    * clustering coefficient of the winnow pair graph (fifth consumer
+    * of the session-memoized graph) — clique-like duplication (C→1)
+    * is template farms, chain-like (C→0) is mirror chains where
+    * transitive closure may be gluing non-duplicates; the topology
+    * question x103's size histogram cannot answer. One row. */
+  val x202GraphTriangles: Q = (s, dir) => {
+    Dedup.graphTriangles(winnowPairsFull(s, dir))
+  }
+
+  /** x203 — near-dup degree profile
+    * ([[graft.ext.Dedup.graphDegrees]]): how many documents carry
+    * 0, 1, 2, … near-dup edges — degree-0 mass is clean corpus,
+    * heavy tails are hub documents (boilerplate magnets) the pair
+    * family's df-guards exist for. */
+  val x203DegreeProfile: Q = (s, dir) => {
+    val deg = Dedup.graphDegrees(winnowPairsFull(s, dir))
+    Tables.documents(s, dir).select(col("doc_id").as("id"))
+      .join(deg, Seq("id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3838,6 +3863,8 @@ object Queries {
     "x199_covariate_balance" -> x199CovariateBalance,
     "x200_component_roundtrip" -> x200ComponentRoundtrip,
     "x201_corrected_matrix" -> x201CorrectedMatrix,
+    "x202_graph_triangles" -> x202GraphTriangles,
+    "x203_degree_profile" -> x203DegreeProfile,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1141,4 +1141,67 @@ object Dedup {
         when(coalesce(col("n_tokens"), lit(0L)) > 0,
           coalesce(col("cleaned_text"), lit(""))).as("cleaned_text"))
   }
+
+  /** Undirected degrees of a pair graph (id_a < id_b rows): (id,
+    * degree) — multi-edges are the caller's responsibility (the
+    * winnow/SimHash pair frames are already distinct per pair). */
+  def graphDegrees(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+
+  /** TRIANGLE census + global clustering coefficient of a pair graph
+    * — the dedup-graph TOPOLOGY question x103's size histogram cannot
+    * answer: clique-like components (C → 1) are template farms, where
+    * one canonical survivor is right; chain-like ones (C → 0) are
+    * mirror CHAINS, where transitive near-dup closure may be gluing
+    * non-duplicates end-to-end and the threshold deserves a second
+    * look. C = 3·triangles / wedges, wedges = Σ d(d−1)/2.
+    *
+    * Scale: DEGREE-ORDERED edge iteration (Schank & Wagner 2005 /
+    * compact-forward) — each edge orients from its lower-(degree, id)
+    * endpoint, so out-degrees are O(√m)-bounded and the wedge join
+    * cannot blow up on hubs the way naive id-ordering does; each
+    * triangle is counted exactly once at its minimum-key vertex, so
+    * the count (and the oracle's id-ordered recount) is orientation-
+    * invariant. Exact integers; one double division.
+    * Output: one row (n_nodes, n_edges, n_triangles, n_wedges,
+    * clustering_coeff — NULL when the graph has no wedge). */
+  def graphTriangles(pairs: DataFrame): DataFrame = {
+    val deg = graphDegrees(pairs).localCheckpoint(true)
+    val e = pairs
+      .join(deg.select(col("id").as("id_a"), col("degree").as("__da")),
+        Seq("id_a"))
+      .join(deg.select(col("id").as("id_b"), col("degree").as("__db")),
+        Seq("id_b"))
+    val keyALower = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("id_a") < col("id_b"))
+    val o = e.select(
+        when(keyALower, col("id_a")).otherwise(col("id_b")).as("src"),
+        when(keyALower, col("id_b")).otherwise(col("id_a")).as("dst"),
+        when(keyALower, col("__db")).otherwise(col("__da")).as("__dd"))
+      .localCheckpoint(true) // oriented edges feed wedge AND closure
+    // wedge (v, w) at u with key(v) < key(w); closing edge, if
+    // present, is oriented v→w by the same total order
+    val wedge = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.__dd") < col("e2.__dd") ||
+            (col("e1.__dd") === col("e2.__dd") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+    val tri = wedge.join(o.select("src", "dst"), Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // Σ d(d−1) is even; halve by integer DIV (a `/ 2` would be a
+    // double division mid-chain)
+    val tot = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("degree") * (col("degree") - 1)).as("__w2"))
+    val ne = pairs.agg(count(lit(1)).as("n_edges"))
+    tot.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .withColumn("n_wedges", expr("__w2 DIV 2"))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double")).as("clustering_coeff"))
+  }
 }

@@ -3101,6 +3101,31 @@ class ExtSpec extends SparkSpec {
     assert(corrected < -0.5, s"corrected $corrected")
   }
 
+  test("graphTriangles: hand census — triangle+pendant, hub star, " +
+      "clique; degree-ordered count equals the canonical one") {
+    import graft.ext.Dedup
+    // triangle {1,2,3} + pendant 4 on 3: T=1, wedges=1+1+3=5, C=0.6
+    val g1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val r1 = rows(Dedup.graphTriangles(g1)).head
+    assert(r1.getAs[Long]("n_nodes") == 4L &&
+      r1.getAs[Long]("n_edges") == 4L &&
+      r1.getAs[Long]("n_triangles") == 1L &&
+      r1.getAs[Long]("n_wedges") == 5L &&
+      r1.getAs[Double]("clustering_coeff") == 0.6)
+    // star: the hub case degree-ordering exists for — T=0, C=0
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val rs = rows(Dedup.graphTriangles(star)).head
+    assert(rs.getAs[Long]("n_triangles") == 0L &&
+      rs.getAs[Double]("clustering_coeff") == 0.0)
+    // K4: every wedge closes — C exactly 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val rk = rows(Dedup.graphTriangles(k4)).head
+    assert(rk.getAs[Long]("n_triangles") == 4L &&
+      rk.getAs[Double]("clustering_coeff") == 1.0)
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
