@@ -143,7 +143,11 @@ object ScaleProbe {
       "x194_cusum", "x195_top_component", "x196_anisotropy",
       // the split/bootstrap/balance trio: scan-shaped except x198's
       // deliberate ×B explode over UNITS (not rows)
-      "x197_fold_audit", "x198_bootstrap_ci", "x199_covariate_balance")
+      "x197_fold_audit", "x198_bootstrap_ci", "x199_covariate_balance",
+      // the PCA lifecycle/composition and the graph family (x202/x203
+      // measure INCREMENTAL cost on the winnow graph x92 pays first)
+      "x200_component_roundtrip", "x201_corrected_matrix",
+      "x202_graph_triangles", "x203_degree_profile")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
