@@ -6754,6 +6754,54 @@ object Oracles {
         |FROM documents d LEFT JOIN deg ON deg.id = d.doc_id
         |GROUP BY 1 ORDER BY degree""".stripMargin))
 
+  // x204: midpoint halves (the x180 split), full-type-grid exact
+  // counts, add-half smoothed log2 fc at (28,12), the x182 pooled-z
+  // chain per row
+  private val moversO: Map[String, String] = Map(
+    "x204_behavior_movers" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, epoch_us(ts) * 2 > b.lo + b.hi AS late
+        |  FROM events CROSS JOIN b),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_early,
+        |    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_late
+        |  FROM h GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS te,
+        |      CAST(sum(n_late) AS BIGINT) AS tl FROM c)
+        |SELECT event_type, n_early, n_late,
+        |  CAST(n_early AS DOUBLE) / CAST(te AS DOUBLE) AS share_early,
+        |  CAST(n_late AS DOUBLE) / CAST(tl AS DOUBLE) AS share_late,
+        |  CAST(CAST(CAST(ln(
+        |      ((CAST(n_late AS DOUBLE) + 0.5e0)
+        |        / (CAST(tl AS DOUBLE) + 0.5e0))
+        |      / ((CAST(n_early AS DOUBLE) + 0.5e0)
+        |        / (CAST(te AS DOUBLE) + 0.5e0)))
+        |    AS DECIMAL(28,12)) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(ln(2.0e0) AS DECIMAL(28,12)) AS VARCHAR)
+        |      AS DOUBLE) AS log2_fc,
+        |  CASE WHEN sqrt(CAST(n_early + n_late AS DOUBLE)
+        |      / CAST(te + tl AS DOUBLE)
+        |      * (1.0e0 - CAST(n_early + n_late AS DOUBLE)
+        |        / CAST(te + tl AS DOUBLE))
+        |      * (1.0e0 / CAST(te AS DOUBLE) + 1.0e0 / CAST(tl AS DOUBLE)))
+        |      > 0
+        |    THEN (CAST(n_late AS DOUBLE) / CAST(tl AS DOUBLE)
+        |        - CAST(n_early AS DOUBLE) / CAST(te AS DOUBLE))
+        |      / sqrt(CAST(n_early + n_late AS DOUBLE)
+        |        / CAST(te + tl AS DOUBLE)
+        |        * (1.0e0 - CAST(n_early + n_late AS DOUBLE)
+        |          / CAST(te + tl AS DOUBLE))
+        |        * (1.0e0 / CAST(te AS DOUBLE)
+        |          + 1.0e0 / CAST(tl AS DOUBLE)))
+        |    ELSE NULL END AS z
+        |FROM c CROSS JOIN t ORDER BY event_type""".stripMargin)
+
   // x197/x198: the portable multiplicative hash shared verbatim —
   // fold = ((u mod P)·A mod P) mod k; bootstrap weights invert the
   // exact Poisson(1) ppm CDF at a counter-based hash
@@ -6952,7 +7000,8 @@ object Oracles {
       dedupProvenanceO ++ sourceContributionO ++ rfmCentroidO ++
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
-      analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO +
+      analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
+      moversO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

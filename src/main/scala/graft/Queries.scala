@@ -2921,6 +2921,17 @@ object Queries {
       .orderBy("degree")
   }
 
+  /** x204 — behavior movers
+    * ([[graft.ext.EventWindows.behaviorMovers]]): which event types
+    * grew/shrank between the early and late halves — smoothed log₂
+    * fold change of SHARES plus the pooled z per type; the "what
+    * changed" table beside x194's when-did-it-change alarm. */
+  val x204BehaviorMovers: Q = (s, dir) => {
+    EventWindows.behaviorMovers(Tables.events(s, dir), col("ts"),
+        col("event_type"))
+      .orderBy("event_type")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3865,6 +3876,7 @@ object Queries {
     "x201_corrected_matrix" -> x201CorrectedMatrix,
     "x202_graph_triangles" -> x202GraphTriangles,
     "x203_degree_profile" -> x203DegreeProfile,
+    "x204_behavior_movers" -> x204BehaviorMovers,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

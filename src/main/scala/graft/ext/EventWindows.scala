@@ -442,6 +442,58 @@ object EventWindows {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** BEHAVIOR MOVERS — which event types grew or shrank between the
+    * EARLY and LATE halves of the observed window (midpoint =
+    * (min+max)/2 micros, the x180 deterministic split): per type, the
+    * add-½ smoothed log₂ fold change of its share plus the pooled
+    * two-proportion z for the share difference — the "what changed"
+    * table beside x194's when-did-it-change alarm. Comparing SHARES
+    * (type count / half total), not raw counts, so a corpus that
+    * merely grew does not read as every behavior rising.
+    *
+    * Determinism: exact integer counts on the full type grid (a type
+    * absent from one half is a maximal mover — the zero-cell lesson);
+    * the log₂ is quantized once at DECIMAL(28,12); z is the x182
+    * pooled chain per row, NULL on zero pooled variance. Scale shape:
+    * one 1-row bounds broadcast + one (type, half) combiner count +
+    * a |types|-bounded tail.
+    * Output: (event_type, n_early, n_late, share_early, share_late,
+    * log2_fc, z). */
+  def behaviorMovers(events: DataFrame, ts: Column, typeCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val L = DecimalType(28, 12)
+    val bounds = broadcast(events.agg(
+      min(unix_micros(ts)).as("__lo"), max(unix_micros(ts)).as("__hi")))
+    val halved = events.select(typeCol.as("event_type"),
+        unix_micros(ts).as("__t"))
+      .crossJoin(bounds)
+      .withColumn("__late",
+        col("__t") * 2 > col("__lo") + col("__hi"))
+    val counts = halved.groupBy("event_type").agg(
+      sum(when(!col("__late"), 1L).otherwise(0L)).as("n_early"),
+      sum(when(col("__late"), 1L).otherwise(0L)).as("n_late"))
+    val tot = broadcast(counts.agg(sum(col("n_early")).as("__te"),
+      sum(col("n_late")).as("__tl")))
+    val pe = (col("n_early").cast("double") + lit(0.5)) /
+      (col("__te").cast("double") + lit(0.5))
+    val pl = (col("n_late").cast("double") + lit(0.5)) /
+      (col("__tl").cast("double") + lit(0.5))
+    val se = col("n_early").cast("double") / col("__te").cast("double")
+    val sl = col("n_late").cast("double") / col("__tl").cast("double")
+    val p = (col("n_early") + col("n_late")).cast("double") /
+      (col("__te") + col("__tl")).cast("double")
+    val sd = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("__te").cast("double") +
+        lit(1.0) / col("__tl").cast("double")))
+    counts.crossJoin(tot)
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        se.as("share_early"), sl.as("share_late"),
+        (log(pl / pe).cast(L).cast("double") /
+          log(lit(2.0)).cast(L).cast("double")).as("log2_fc"),
+        when(sd > 0, (sl - se) / sd).as("z"))
+  }
+
   /** ASSOCIATION RULES at session grain — the directed
     * support/confidence/lift table over [[sessionCooccurrence]]'s
     * unordered pair counts (Agrawal & Srikant 1994's A → B readout

@@ -3126,6 +3126,42 @@ class ExtSpec extends SparkSpec {
       rk.getAs[Double]("clustering_coeff") == 1.0)
   }
 
+  test("behaviorMovers: hand halves — share flip reads ±1 log2fc; a " +
+      "type absent from one half still reports") {
+    import graft.ext.EventWindows
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // early half: a,a,b,b ; late half: a,b,b,b + type c only late
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-01-01 01:00:00")),
+      ("b", ts("2024-01-01 02:00:00")), ("b", ts("2024-01-01 03:00:00")),
+      ("a", ts("2024-01-02 21:00:00")), ("b", ts("2024-01-02 22:00:00")),
+      ("b", ts("2024-01-02 23:00:00")), ("c", ts("2024-01-03 00:00:00")))
+      .toDF("event_type", "ts")
+    val got = rows(EventWindows.behaviorMovers(ev, col("ts"),
+      col("event_type")).orderBy("event_type"))
+    val byT = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getAs[Double]("log2_fc"))).toMap
+    assert(byT("a")._1 == 2L && byT("a")._2 == 1L)
+    // c: 0 early, 1 late — present in the output, positive mover
+    assert(byT("c")._1 == 0L && byT("c")._2 == 1L && byT("c")._3 > 0.0)
+    // a's share halved (2/4 → 1/4): smoothed log2 fc near −1
+    assert(byT("a")._3 < -0.5)
+    // shares, not raw counts: equal halves of a GROWING corpus → fc 0
+    val grown = Seq(
+      ("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-01-01 01:00:00")),
+      ("a", ts("2024-01-02 21:00:00")), ("a", ts("2024-01-02 22:00:00")),
+      ("b", ts("2024-01-02 23:00:00")), ("b", ts("2024-01-02 23:30:00")))
+      .toDF("event_type", "ts")
+    val g2 = rows(EventWindows.behaviorMovers(grown, col("ts"),
+      col("event_type")).orderBy("event_type"))
+    // both types keep a 1/2 share → z exactly 0 and equal UNsmoothed
+    // shares (the +0.5 smoothing shifts fc slightly when half totals
+    // differ — that bias is bounded, the exact-share columns are not)
+    assert(g2.forall(r => r.getAs[Double]("z") == 0.0 &&
+      r.getAs[Double]("share_early") == r.getAs[Double]("share_late") &&
+      math.abs(r.getAs[Double]("log2_fc")) < 0.15))
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
