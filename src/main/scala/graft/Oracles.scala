@@ -6802,6 +6802,73 @@ object Oracles {
         |    ELSE NULL END AS z
         |FROM c CROSS JOIN t ORDER BY event_type""".stripMargin)
 
+  // x205: RM3 — the table-driven micro-unit BM25 chain (the x169
+  // discipline) twice, the pool and expansion cuts as decimal-ordered
+  // LIMITs, the 0.7/0.3 mix as exact integers 7m1 + 3m2
+  private val prfO: Map[String, String] = Map(
+    "x205_prf_expand" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+        |    AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id AS id, CAST(len(t) AS BIGINT) AS dl
+        |       FROM toks),
+        |words AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),
+        |tfall AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+        |          FROM words GROUP BY 1, 2),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(dl) AS BIGINT) AS s FROM dl),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tfall GROUP BY 1),
+        |m1 AS (
+        |  SELECT tf.id, CAST(sum(CAST(floor(
+        |      CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df + 0.5e0)
+        |          / (df + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf.tf * st.s)
+        |        / (st.s * (tf.tf + 0.3e0)
+        |          + 0.8999999999999999e0 * dl.dl * st.n))
+        |      * 1000000) AS BIGINT)) AS BIGINT) AS m
+        |  FROM tfall tf JOIN dl ON dl.id = tf.id JOIN dft USING (term)
+        |  CROSS JOIN stats st
+        |  WHERE term IN ('spark', 'join', 'window', 'dup')
+        |  GROUP BY 1),
+        |pool AS (SELECT id FROM m1 ORDER BY m DESC, id LIMIT 10),
+        |exps AS (
+        |  SELECT term FROM (
+        |    SELECT tf.term,
+        |      CAST(sum(tf.tf) AS DECIMAL(9,0))
+        |        * CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - dft.df + 0.5e0)
+        |            / (dft.df + 0.5e0)) AS DECIMAL(28,12)) AS w
+        |    FROM tfall tf JOIN pool ON pool.id = tf.id
+        |    JOIN dft ON dft.term = tf.term CROSS JOIN stats st
+        |    WHERE tf.term NOT IN ('spark', 'join', 'window', 'dup')
+        |    GROUP BY tf.term, dft.df, st.n)
+        |  ORDER BY w DESC, term LIMIT 5),
+        |m2 AS (
+        |  SELECT tf.id, CAST(sum(CAST(floor(
+        |      CAST(CAST(ln(1e0 + (CAST(st.n AS DOUBLE) - df + 0.5e0)
+        |          / (df + 0.5e0)) AS DECIMAL(28,12)) AS DOUBLE)
+        |      * ((2.2e0 * tf.tf * st.s)
+        |        / (st.s * (tf.tf + 0.3e0)
+        |          + 0.8999999999999999e0 * dl.dl * st.n))
+        |      * 1000000) AS BIGINT)) AS BIGINT) AS m
+        |  FROM tfall tf JOIN dl ON dl.id = tf.id JOIN dft USING (term)
+        |  CROSS JOIN stats st
+        |  WHERE term IN (SELECT term FROM exps)
+        |  GROUP BY 1),
+        |merged AS (
+        |  SELECT COALESCE(m1.id, m2.id) AS id,
+        |    COALESCE(m1.m, 0) AS om, COALESCE(m2.m, 0) AS em
+        |  FROM m1 FULL JOIN m2 ON m1.id = m2.id),
+        |top AS (
+        |  SELECT id, om, em, 7 * om + 3 * em AS sm
+        |  FROM merged ORDER BY sm DESC, id LIMIT 20)
+        |SELECT id,
+        |  CAST(row_number() OVER (ORDER BY sm DESC, id) AS INTEGER)
+        |    AS rank,
+        |  om AS orig_micro, em AS exp_micro, sm AS score_micro
+        |FROM top ORDER BY rank""".stripMargin)
+
   // x197/x198: the portable multiplicative hash shared verbatim —
   // fold = ((u mod P)·A mod P) mod k; bootstrap weights invert the
   // exact Poisson(1) ppm CDF at a counter-based hash
@@ -7001,7 +7068,7 @@ object Oracles {
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
-      moversO +
+      moversO ++ prfO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

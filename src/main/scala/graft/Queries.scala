@@ -2932,6 +2932,17 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** x205 — pseudo-relevance feedback retrieval
+    * ([[graft.ext.Retrieval.prfExpand]]): the x76 query profile run
+    * RM3-style — top-10 feedback pool, 5 mined expansion terms, 0.7/
+    * 0.3 interpolation as the exact integer 7·m₁ + 3·m₂ — the classic
+    * vocabulary-mismatch fix beside x139's query-by-example. */
+  val x205PrfExpand: Q = (s, dir) => {
+    Retrieval.prfExpand(Tables.documents(s, dir), "doc_id", "text",
+      Seq("spark", "join", "window", "dup"), poolK = 10, expandK = 5,
+      k = 20)
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3877,6 +3888,7 @@ object Queries {
     "x202_graph_triangles" -> x202GraphTriangles,
     "x203_degree_profile" -> x203DegreeProfile,
     "x204_behavior_movers" -> x204BehaviorMovers,
+    "x205_prf_expand" -> x205PrfExpand,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

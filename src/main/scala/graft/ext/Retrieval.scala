@@ -305,6 +305,93 @@ object Retrieval {
       col("n_tokens"), col("bm25"))
   }
 
+  /** PSEUDO-RELEVANCE FEEDBACK retrieval (RM3-style; Lavrenko & Croft
+    * 2001, the Abdul-Jaleel RM3 interpolation): run the query, mine
+    * expansion terms from the top-`poolK` feedback documents, re-score
+    * with ORIGINAL and EXPANSION term sets interpolated 0.7/0.3 — the
+    * classic fix for vocabulary mismatch ("car" finds "automobile"
+    * documents because the feedback pool talks about both). The
+    * second-pass term set is DATA, so the whole operator rides the
+    * table-driven micro-unit BM25 ([[ndcgEvalQrels]]'s discipline):
+    * per-(doc, term) contributions floor-quantize to 1e-6 micro-units
+    * and every per-doc score is an exact integer sum; the 0.7/0.3 mix
+    * is the exact integer 7·m₁ + 3·m₂ (a common ×10 that never
+    * changes the ranking). Expansion terms rank by the exact decimal
+    * Σ_pool tf · idf₍₂₈,₁₂₎ (weight DESC, term ASC — decimal compares,
+    * no double ties), original query terms excluded. Candidates are
+    * docs matching ≥ 1 term of either set (exact: everything else
+    * scores 0).
+    *
+    * Scale shape: ONE tokenize scan feeds both passes; tf rows join
+    * the (bounded) term sets; 1-row stats broadcast; the pool is a
+    * TakeOrdered top-`poolK` broadcast; the final cut is TakeOrdered.
+    * Output: top-`k` (id, rank, orig_micro, exp_micro, score_micro). */
+  def prfExpand(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], poolK: Int = 10, expandK: Int = 5,
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "terms must be a non-empty distinct list")
+    require(poolK >= 1 && expandK >= 1 && k >= 1,
+      s"prfExpand: poolK=$poolK expandK=$expandK k=$k")
+    val D = DecimalType(28, 12)
+    val G = DecimalType(9, 0)
+    val toksRaw = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    val dl = toksRaw.select(col("id"),
+      size(col("__t")).cast("long").as("dl"))
+    val tfAll = toksRaw.select(col("id"), explode(col("__t")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds both passes AND the term mining
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val dfT = tfAll.groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val idf = log(lit(1.0d) +
+        (col("n").cast("double") - col("df") + lit(0.5d)) /
+          (col("df") + lit(0.5d)))
+      .cast(D).cast("double")
+    val part = (lit(k1 + 1) * col("tf") * col("s")) /
+      (col("s") * (col("tf") + lit(k1 * (1 - b))) +
+        lit(k1 * b) * col("dl") * col("n"))
+    def micro(termSet: DataFrame): DataFrame =
+      tfAll.join(termSet, Seq("term"))
+        .join(dl, Seq("id"))
+        .join(broadcast(dfT), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .select(col("id"),
+          floor(idf * part * lit(1e6)).cast("long").as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__m"))
+    val origSet = docs.sparkSession
+      .createDataFrame(terms.map(Tuple1(_))).toDF("term")
+    val m1 = micro(broadcast(origSet)).localCheckpoint(true)
+    val pool = broadcast(m1
+      .orderBy(col("__m").desc, col("id").asc).limit(poolK)
+      .select(col("id")))
+    val expSet = broadcast(tfAll.join(pool, Seq("id"))
+      .where(!col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("tf")).as("__tfp"))
+      .join(dfT, Seq("term")).crossJoin(broadcast(stats))
+      .select(col("term"),
+        (col("__tfp").cast(G) * log(lit(1.0d) +
+          (col("n").cast("double") - col("df") + lit(0.5d)) /
+            (col("df") + lit(0.5d))).cast(D)).as("__w"))
+      .orderBy(col("__w").desc, col("term").asc).limit(expandK)
+      .select(col("term")))
+    val m2 = micro(expSet)
+    m1.select(col("id"), col("__m").as("orig_micro"))
+      .join(m2.select(col("id"), col("__m").as("exp_micro")),
+        Seq("id"), "full")
+      .select(col("id"),
+        coalesce(col("orig_micro"), lit(0L)).as("orig_micro"),
+        coalesce(col("exp_micro"), lit(0L)).as("exp_micro"))
+      .withColumn("score_micro",
+        lit(7L) * col("orig_micro") + lit(3L) * col("exp_micro"))
+      .orderBy(col("score_micro").desc, col("id").asc).limit(k)
+      .select(col("id"),
+        row_number().over(Window.orderBy(col("score_micro").desc,
+          col("id").asc)).as("rank"),
+        col("orig_micro"), col("exp_micro"), col("score_micro"))
+  }
+
   /** Per-document top-`k` TF-IDF keywords (the classic
     * tf·ln(N/df) weighting; Salton & Buckley 1988). The per-term idf —
     * the only transcendental — is quantized to DECIMAL(28,12) and the

@@ -3162,6 +3162,26 @@ class ExtSpec extends SparkSpec {
       math.abs(r.getAs[Double]("log2_fc")) < 0.15))
   }
 
+  test("prfExpand: vocabulary mismatch fixed — a doc sharing only " +
+      "mined expansion terms enters the ranking") {
+    import graft.ext.Retrieval
+    val docs = Seq(
+      (1L, "car auto road"), (2L, "auto engine road"),
+      (3L, "fish eel water"), (4L, "car wheel"))
+      .toDF("doc_id", "text")
+    val got = rows(Retrieval.prfExpand(docs, "doc_id", "text",
+      Seq("car"), poolK = 2, expandK = 2, k = 4))
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getAs[Long]("orig_micro"), r.getAs[Long]("exp_micro"))).toMap
+    // doc 2 has no query term — it can ONLY rank via expansion terms
+    // mined from the {1, 4} feedback pool ("auto"/"road"/"wheel")
+    assert(byId.contains(2L) && byId(2L)._1 == 0L && byId(2L)._2 > 0L)
+    // the fish doc shares nothing with pool vocabulary
+    assert(!byId.contains(3L))
+    // originals still dominate: both car docs score on the first pass
+    assert(byId(1L)._1 > 0L && byId(4L)._1 > 0L)
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
