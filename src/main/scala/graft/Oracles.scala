@@ -6869,6 +6869,54 @@ object Oracles {
         |  om AS orig_micro, em AS exp_micro, sm AS score_micro
         |FROM top ORDER BY rank""".stripMargin)
 
+  // x206: the q32 version pair folded to row + per-column change
+  // counts (null-safe IS DISTINCT FROM throughout)
+  private val diffSummaryO: Map[String, String] = Map(
+    "x206_diff_summary" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS orderkey, o_totalprice AS price,
+        |    o_orderstatus AS status
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE orderkey % 5 <> 0),
+        |v2 AS (
+        |  SELECT orderkey,
+        |    CASE WHEN orderkey % 3 = 0 THEN price + 1.0 ELSE price END
+        |      AS price,
+        |    status
+        |  FROM base WHERE orderkey % 7 <> 0),
+        |j AS (
+        |  SELECT v1.orderkey AS k1, v2.orderkey AS k2,
+        |    v1.price AS op, v1.status AS os,
+        |    v2.price AS np, v2.status AS ns
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.orderkey = v2.orderkey),
+        |wide AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r,
+        |    CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+        |      AND (op IS DISTINCT FROM np OR os IS DISTINCT FROM ns)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+        |      AND NOT (op IS DISTINCT FROM np OR os IS DISTINCT FROM ns)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS u,
+        |    CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+        |      AND op IS DISTINCT FROM np THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cp,
+        |    CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+        |      AND os IS DISTINCT FROM ns THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cs
+        |  FROM j)
+        |SELECT metric, n FROM (
+        |  SELECT 'rows_added' AS metric, a AS n FROM wide
+        |  UNION ALL SELECT 'rows_removed', r FROM wide
+        |  UNION ALL SELECT 'rows_changed', c FROM wide
+        |  UNION ALL SELECT 'rows_unchanged', u FROM wide
+        |  UNION ALL SELECT 'col_changed:price', cp FROM wide
+        |  UNION ALL SELECT 'col_changed:status', cs FROM wide)
+        |ORDER BY metric""".stripMargin)
+
   // x197/x198: the portable multiplicative hash shared verbatim —
   // fold = ((u mod P)·A mod P) mod k; bootstrap weights invert the
   // exact Poisson(1) ppm CDF at a counter-based hash
@@ -7068,7 +7116,7 @@ object Oracles {
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
-      moversO ++ prfO +
+      moversO ++ prfO ++ diffSummaryO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2943,6 +2943,24 @@ object Queries {
       k = 20)
   }
 
+  /** x206 — snapshot diff SUMMARY
+    * ([[graft.operators.Diff.diffSummary]]): q32's synthetic version
+    * pair folded to the release-review dashboard — row add/remove/
+    * change/unchanged counts plus per-COLUMN change counts (the "one
+    * upstream job rewrote every price" signal a row count buries). */
+  val x206DiffSummary: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+    val v1 = orders.where(col("orderkey") % 5 =!= 0)
+    val v2 = orders.where(col("orderkey") % 7 =!= 0)
+      .withColumn("price",
+        when(col("orderkey") % 3 === 0, col("price") + 1.0)
+          .otherwise(col("price")))
+    graft.operators.Diff.diffSummary(v1, v2, Seq("orderkey"))
+      .orderBy("metric")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3889,6 +3907,7 @@ object Queries {
     "x203_degree_profile" -> x203DegreeProfile,
     "x204_behavior_movers" -> x204BehaviorMovers,
     "x205_prf_expand" -> x205PrfExpand,
+    "x206_diff_summary" -> x206DiffSummary,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

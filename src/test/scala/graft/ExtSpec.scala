@@ -3182,6 +3182,27 @@ class ExtSpec extends SparkSpec {
     assert(byId(1L)._1 > 0L && byId(4L)._1 > 0L)
   }
 
+  test("diffSummary: hand counts incl. null-to-value column change " +
+      "and consistency with snapshotDiff") {
+    import graft.operators.Diff
+    val oldDf = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, None: Option[Double], "c"), (4L, Some(40.0), "d"))
+      .toDF("k", "p", "s")
+    val newDf = Seq((1L, Some(10.0), "a"), (2L, Some(21.0), "b"),
+      (3L, Some(30.0), "c"), (5L, Some(50.0), "e"))
+      .toDF("k", "p", "s")
+    val got = rows(Diff.diffSummary(oldDf, newDf, Seq("k")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 4 removed, 5 added; 2 and 3 changed (3 via null→30.0); 1 same
+    assert(got("rows_added") == 1L && got("rows_removed") == 1L &&
+      got("rows_changed") == 2L && got("rows_unchanged") == 1L)
+    assert(got("col_changed:p") == 2L && got("col_changed:s") == 0L)
+    // row-level counts agree with the full diff
+    val d = rows(Diff.snapshotDiff(oldDf, newDf, Seq("k")))
+      .groupBy(_.getAs[String]("change")).view.mapValues(_.size).toMap
+    assert(d("added") == 1 && d("removed") == 1 && d("changed") == 2)
+  }
+
   test("hhi: hand shares; monopoly is 1; negative weight raises") {
     import graft.ext.Stats
     val df0 = Seq(("g", "k1", 3.0), ("g", "k2", 1.0), ("m", "k1", 5.0))
