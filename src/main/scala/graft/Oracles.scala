@@ -6917,6 +6917,43 @@ object Oracles {
         |  UNION ALL SELECT 'col_changed:status', cs FROM wide)
         |ORDER BY metric""".stripMargin)
 
+  // x207: x119's tie-free z over the CALENDAR-dense grid — every
+  // (key, hour) of the global span exists (generate_series), gaps
+  // carry c = 0; z arithmetic identical to x119 (exact-integer
+  // doubles, one exactly-rounded sqrt)
+  private val calendarAnomalyO: Map[String, String] = Map(
+    "x207_calendar_anomaly" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+        |  FROM span),
+        |grid AS (
+        |  SELECT k.key, h.ws
+        |  FROM (SELECT DISTINCT key FROM c) k CROSS JOIN hours h),
+        |dense AS (
+        |  SELECT g.ws, g.key, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |  FROM grid g LEFT JOIN c ON c.key = g.key AND c.ws = g.ws),
+        |m AS (
+        |  SELECT ws, key, c,
+        |    count(*) OVER w AS n,
+        |    sum(c) OVER w AS s,
+        |    sum(c * c) OVER w AS q
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY key ORDER BY ws
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT ws, key, c, CAST(coalesce(n, 0) AS BIGINT) AS n_prior,
+        |  CASE WHEN n >= 8
+        |      AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0.0
+        |    THEN (CAST(c AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+        |      / sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) END AS z
+        |FROM m ORDER BY ws, key""".stripMargin)
+
   // x197/x198: the portable multiplicative hash shared verbatim —
   // fold = ((u mod P)·A mod P) mod k; bootstrap weights invert the
   // exact Poisson(1) ppm CDF at a counter-based hash
@@ -7116,7 +7153,7 @@ object Oracles {
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
-      moversO ++ prfO ++ diffSummaryO +
+      moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2961,6 +2961,20 @@ object Queries {
       .orderBy("metric")
   }
 
+  /** x207 — CALENDAR-frame rate anomaly
+    * ([[graft.ext.EventWindows.calendarRateAnomaly]]): x119's trailing
+    * z composed with the x31 gap-fill lesson — every (event_type,
+    * hour) cell of the global observed span carries a row, c = 0
+    * where nothing arrived, so a source going dark scores a run of
+    * negative z instead of vanishing from its own alarm. The dense
+    * grid is |keys| × |hours| (sequence() explode per key, 1-row span
+    * broadcast), never a window over absent rows. */
+  val x207CalendarAnomaly: Q = (s, dir) => {
+    EventWindows.calendarRateAnomaly(Tables.events(s, dir), col("ts"),
+        "1 hour", col("event_type"), lookback = 24, minPeriods = 8)
+      .orderBy("ws", "key")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3908,6 +3922,7 @@ object Queries {
     "x204_behavior_movers" -> x204BehaviorMovers,
     "x205_prf_expand" -> x205PrfExpand,
     "x206_diff_summary" -> x206DiffSummary,
+    "x207_calendar_anomaly" -> x207CalendarAnomaly,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -20,15 +20,52 @@ import org.apache.spark.sql.DataFrame
   * Keyed by applicationId so sessions never see each other's blocks.
   * Bounded: one entry per distinct (corpus, operator, args) a session
   * touches — artifacts here are ids+small-columns tables (pair lists,
-  * manifests), not corpora. */
+  * manifests), not corpora — AND bounded in TIME: a session's entries
+  * are evicted when its application ends (a SparkListener registered
+  * on first use), plus a stopped-context sweep on every access, so a
+  * long-lived JVM that cycles many sessions (a test harness, a
+  * notebook server) never pins dead checkpoint blocks or session
+  * references. */
 object Memo {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drop every entry whose owning SparkContext has stopped — the
+    * belt to the listener's braces (covers contexts killed without a
+    * clean onApplicationEnd). */
+  private def sweepStopped(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val stopped =
+        try e.getValue.sparkSession.sparkContext.isStopped
+        catch { case _: Throwable => true }
+      if (stopped) it.remove()
+    }
+  }
 
   /** Materialize `compute` once per (session, cacheKey); later calls
     * return the checkpointed frame verbatim. */
   def cached(spark: org.apache.spark.sql.SparkSession, cacheKey: String)(
-      compute: => DataFrame): DataFrame =
-    cache.computeIfAbsent((spark.sparkContext.applicationId, cacheKey),
+      compute: => DataFrame): DataFrame = {
+    sweepStopped()
+    val app = spark.sparkContext.applicationId
+    if (hooked.add(app))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            cache.keySet.removeIf(_._1 == app)
+            hooked.remove(app)
+          }
+        })
+    cache.computeIfAbsent((app, cacheKey),
       _ => compute.localCheckpoint(true))
+  }
+
+  /** Visible for tests: number of live entries. */
+  private[graft] def size: Int = { sweepStopped(); cache.size() }
 }

@@ -113,21 +113,29 @@ object Pipeline {
     * paying the full sequential propagation + stage-checkpoint cost
     * (~7-8 s at sf0.1, the bench's only real fixed cost, previously
     * paid twice). Keyed by (applicationId, caller key + every
-    * threshold argument): the applicationId scopes localCheckpoint
-    * blocks to the session that owns them; `cacheKey` must identify
-    * the INPUT data (e.g. the table directory) — the cache cannot see
-    * through a DataFrame to its source. Bounded: one manifest
-    * (~1 row/doc, ids+flags only) per distinct corpus a session
-    * touches ([[Memo]] holds the mechanism). */
+    * threshold argument, PLUS the semantic hash of both input plans):
+    * the applicationId scopes localCheckpoint blocks to the session
+    * that owns them; the plan hashes fingerprint the actual inputs, so
+    * two calls that reuse a caller-supplied `cacheKey` against
+    * DIFFERENT train/bench frames miss the cache instead of silently
+    * serving the first call's manifest. (The hash canonicalizes the
+    * logical plan — two reads of the same table path still share one
+    * entry.) Bounded: one manifest (~1 row/doc, ids+flags only) per
+    * distinct corpus a session touches ([[Memo]] holds the
+    * mechanism). */
   def corpusPrepCached(cacheKey: String, train: DataFrame,
       bench: DataFrame, idCol: String, textCol: String, langCol: String,
       contaminationMax: Double = 0.2, winnowMinShared: Long = 2L,
-      winnowMaxDf: Long = 50L, doubling: Boolean = false): DataFrame =
+      winnowMaxDf: Long = 50L, doubling: Boolean = false): DataFrame = {
+    val inputFp = // canonicalized-plan fingerprint of BOTH inputs
+      s"${train.queryExecution.analyzed.semanticHash()}|" +
+        s"${bench.queryExecution.analyzed.semanticHash()}"
     Memo.cached(train.sparkSession,
-      s"corpusPrep|$cacheKey|$idCol|$textCol|$langCol|$contaminationMax|" +
-        s"$winnowMinShared|$winnowMaxDf|$doubling")(
+      s"corpusPrep|$cacheKey|$inputFp|$idCol|$textCol|$langCol|" +
+        s"$contaminationMax|$winnowMinShared|$winnowMaxDf|$doubling")(
       corpusPrep(train, bench, idCol, textCol, langCol, contaminationMax,
         winnowMinShared, winnowMaxDf, doubling))
+  }
 
   /** One-row DATASET CARD — the corpus summary a release ships next to
     * the data (Gebru et al. 2021's "datasheets" reduced to the

@@ -325,6 +325,16 @@ object Retrieval {
     * Scale shape: ONE tokenize scan feeds both passes; tf rows join
     * the (bounded) term sets; 1-row stats broadcast; the pool is a
     * TakeOrdered top-`poolK` broadcast; the final cut is TakeOrdered.
+    * The document-frequency table is VOCABULARY-sized (10⁸⁺ terms at
+    * corpus scale), so it is never broadcast whole: each pass
+    * restricts it to its active term set first (streaming dfT against
+    * the broadcast term set — the [[ndcgEvalQrels]] construction), and
+    * only the ≤ |terms|+expandK restricted slice rides a broadcast.
+    * `tfAll` is localCheckpoint(eager)-ed because three consumers
+    * (both scoring passes and the expansion-term mining) read it; its
+    * storage bound is the corpus (id, term, tf) posting list — O(total
+    * tokens) block storage for the life of the query, the x28
+    * checkpoint-once discipline.
     * Output: top-`k` (id, rank, orig_micro, exp_micro, score_micro). */
   def prfExpand(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], poolK: Int = 10, expandK: Int = 5,
@@ -352,24 +362,34 @@ object Retrieval {
     val part = (lit(k1 + 1) * col("tf") * col("s")) /
       (col("s") * (col("tf") + lit(k1 * (1 - b))) +
         lit(k1 * b) * col("dl") * col("n"))
-    def micro(termSet: DataFrame): DataFrame =
-      tfAll.join(termSet, Seq("term"))
+    def micro(termSet: DataFrame): DataFrame = {
+      // dfT restricted to the ACTIVE term set BEFORE any broadcast:
+      // streaming the vocabulary-sized dfT against the broadcast term
+      // set leaves ≤ |termSet| rows, and only THAT slice is broadcast
+      // into the posting-list join. Broadcasting dfT unrestricted
+      // would ship the whole corpus vocabulary to every executor.
+      val dfSet = broadcast(dfT.join(termSet, Seq("term")))
+      tfAll.join(dfSet, Seq("term"))
         .join(dl, Seq("id"))
-        .join(broadcast(dfT), Seq("term"))
         .crossJoin(broadcast(stats))
         .select(col("id"),
           floor(idf * part * lit(1e6)).cast("long").as("__c"))
         .groupBy("id").agg(sum(col("__c")).as("__m"))
+    }
     val origSet = docs.sparkSession
       .createDataFrame(terms.map(Tuple1(_))).toDF("term")
     val m1 = micro(broadcast(origSet)).localCheckpoint(true)
     val pool = broadcast(m1
       .orderBy(col("__m").desc, col("id").asc).limit(poolK)
       .select(col("id")))
-    val expSet = broadcast(tfAll.join(pool, Seq("id"))
+    // pool-doc term totals are bounded by poolK documents' vocabulary;
+    // build THEM as the broadcast side so dfT streams (never shuffles
+    // or broadcasts whole) through the df lookup.
+    val poolTerms = broadcast(tfAll.join(pool, Seq("id"))
       .where(!col("term").isin(terms: _*))
-      .groupBy("term").agg(sum(col("tf")).as("__tfp"))
-      .join(dfT, Seq("term")).crossJoin(broadcast(stats))
+      .groupBy("term").agg(sum(col("tf")).as("__tfp")))
+    val expSet = broadcast(dfT.join(poolTerms, Seq("term"))
+      .crossJoin(broadcast(stats))
       .select(col("term"),
         (col("__tfp").cast(G) * log(lit(1.0d) +
           (col("n").cast("double") - col("df") + lit(0.5d)) /

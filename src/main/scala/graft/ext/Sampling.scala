@@ -490,18 +490,27 @@ object Sampling {
     * prefix sums exactly (ExtSpec asserts row identity across bucket
     * counts). Costs one column-pruned min/max pre-scan; the
     * per-bucket totals collect is bounded by `nBuckets` (the
-    * [[unimaxAllocation]] driver-loop contract). Ids may be any Long
-    * as long as the span max−min fits in 63 bits (a corpus spanning
-    * the entire id domain is not a real corpus — enforced loudly).
+    * [[unimaxAllocation]] driver-loop contract). Ids must be an
+    * INTEGRAL column (byte/short/int/long — cast internally to long;
+    * enforced loudly, because the range-bucket decomposition needs id
+    * arithmetic) whose span max−min fits in 63 bits (a corpus spanning
+    * the entire id domain is not a real corpus — also enforced).
     * Output: (id, n, cum_prev) with cum_prev = Σ n over ids' strict
-    * predecessors. */
+    * predecessors; `id` keeps the caller's type. */
   def idOrderedPrefix(df: DataFrame, id: Column, n: Column,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 1, s"idOrderedPrefix: nBuckets=$nBuckets")
-    requireFresh(df, "__ipn", "__ipb", "__ipo", "__ipc")
+    requireFresh(df, "__ipn", "__ipb", "__ipo", "__ipc", "__ipl")
     val spark = df.sparkSession
-    val rows = df.select(id.as("id"), n.as("__ipn"))
-    val mm = rows.agg(min(col("id")), max(col("id"))).first()
+    val rows0 = df.select(id.as("id"), n.as("__ipn"))
+    val idT = rows0.schema("id").dataType
+    require(Seq("byte", "short", "int", "bigint")
+        .contains(idT.simpleString),
+      s"idOrderedPrefix: id column must be an integral type, got " +
+        s"${idT.simpleString} — the id-range bucket decomposition " +
+        "needs numeric id arithmetic")
+    val rows = rows0.withColumn("__ipl", col("id").cast("long"))
+    val mm = rows.agg(min(col("__ipl")), max(col("__ipl"))).first()
     if (mm.isNullAt(0))
       return rows.select(col("id"), col("__ipn").as("n"),
         lit(0L).as("cum_prev"))
@@ -511,7 +520,7 @@ object Sampling {
       s"idOrderedPrefix: id span $span exceeds 63 bits")
     val width = (span / nBuckets + 1).toLong
     val withB = rows.withColumn("__ipb",
-      ((col("id") - lit(lo)) / lit(width)).cast("long"))
+      ((col("__ipl") - lit(lo)) / lit(width)).cast("long"))
     // bucket totals: ≤ nBuckets rows — a bounded collect, folded to
     // exclusive bucket offsets on the driver (no global window at all)
     val totals = withB.groupBy("__ipb")
@@ -521,7 +530,7 @@ object Sampling {
     val offs = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }
     import spark.implicits._
     val offDf = broadcast(offs.toSeq.toDF("__ipb", "__ipo"))
-    val wIn = Window.partitionBy(col("__ipb")).orderBy(col("id"))
+    val wIn = Window.partitionBy(col("__ipb")).orderBy(col("__ipl"))
       .rowsBetween(Window.unboundedPreceding, -1)
     withB.join(offDf, Seq("__ipb"))
       .withColumn("__ipc",

@@ -1017,6 +1017,44 @@ object Streams {
       .start()
   }
 
+  /** Streaming RETRIEVAL-HEALTH monitor: the per-query nDCG grid
+    * ([[graft.ext.Retrieval.ndcgEvalQrels]], the x169 evaluation)
+    * computed per micro-batch against a FROZEN qrels artifact — the
+    * serving twin of the last retrieval operator without one. The
+    * qrels table (query_id, term) is deduped and eagerly pinned at
+    * sink construction (the [[bm25ScoreSink]]/[[modelAssignSink]]
+    * frozen-artifact discipline): every batch is judged against the
+    * SAME relevance judgments, so grid rows stay comparable across
+    * the stream's lifetime, and a restart re-pins the identical
+    * artifact (qrels are data, deterministic to re-read). Each batch
+    * pays one tokenize scan of ITSELF; the qrels join bounds tf rows
+    * to the judged vocabulary; both rank windows cut at `k`
+    * (WindowGroupLimit, as in batch). Writes
+    * (query_id, dcg, idcg, ndcg) partitioned by `_batch` with dynamic
+    * overwrite, so a replayed batch REWRITES its partition instead of
+    * duplicating — replay-idempotent after crash-between-write-and-
+    * commit. Per-batch rows ≡ batch ndcgEvalQrels on that batch alone
+    * (StreamingSpec, including across a restart). */
+  def retrievalHealthSink(docStream: DataFrame, qrels: DataFrame,
+      idCol: String, textCol: String, k: Int, outPath: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val pinned = qrels.select(col("query_id"), col("term")).distinct()
+      .localCheckpoint(true)
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Retrieval.ndcgEvalQrels(batch, idCol, textCol,
+            pinned, k)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming ADC scorer: score a query STREAM against a fixed
     * PQ-encoded corpus, appending per-batch top-k rows to `outPath`.
     * The serving shape of [[graft.ext.Pq.adcTopK]]: the corpus is

@@ -1753,6 +1753,41 @@ class ExtSpec extends SparkSpec {
       col("doc_id"), col("nt"))).isEmpty)
   }
 
+  test("idOrderedPrefix: IntegerType ids work (cast internally, " +
+      "caller type preserved); string ids are refused loudly") {
+    import graft.ext.Sampling
+    val di = Seq((3, 5L), (1, 2L), (7, 1L)).toDF("doc_id", "nt")
+    val got = rows(Sampling.idOrderedPrefix(di, col("doc_id"),
+        col("nt"), 4).orderBy("id"))
+      .map(r => (r.getInt(0), r.getLong(2))) // id keeps IntegerType
+    assert(got == Seq((1, 0L), (3, 2L), (7, 7L)))
+    val ds = Seq(("a", 1L)).toDF("doc_id", "nt")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.idOrderedPrefix(ds, col("doc_id"), col("nt"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("corpusPrepCached: same caller key, different inputs miss the " +
+      "cache (plan-fingerprinted keys) — no silent wrong manifest") {
+    import graft.ext.Pipeline
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+        (i, s"some document text number $i with words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bench = mk(Seq(900L))
+    val key = s"fp-spec-${System.nanoTime()}"
+    val a = Pipeline.corpusPrepCached(key, mk(1L to 6L), bench,
+      "doc_id", "text", "lang")
+    val b = Pipeline.corpusPrepCached(key, mk(1L to 9L), bench,
+      "doc_id", "text", "lang")
+    assert(a.count() == 6L && b.count() == 9L,
+      "second call served the first call's manifest")
+    // identical inputs under the same key DO share one entry
+    val a2 = Pipeline.corpusPrepCached(key, mk(1L to 6L), bench,
+      "doc_id", "text", "lang")
+    assert(a eq a2)
+  }
+
   test("labelBalancedCarveout rank window rides WindowGroupLimit " +
       "(literal total bound before the quota join)") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -2209,6 +2244,45 @@ class ExtSpec extends SparkSpec {
     val bLast = got.filter(r => r.getString(1) == "b").last
     assert(bLast.getAs[Long]("n_prior") == 9L &&
       bLast.isNullAt(bLast.fieldIndex("z")))
+  }
+
+  test("calendar rate anomaly: a dark source scores z = -5 on its gap " +
+      "hours instead of vanishing (observed-rows form has no row)") {
+    // key a: hours 0..11 alternating 2/3 events, then SILENT;
+    // key b: 1 event every hour 0..20 — extends the global span, so
+    // a's hours 12..20 are calendar gaps.
+    val evs =
+      (0 until 12).flatMap { h =>
+        val cnt = if (h % 2 == 0) 2 else 3
+        (0 until cnt).map(i =>
+          (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:0$i:00"), "a"))
+      } ++ (0 until 21).map(h =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), "b"))
+    val df = evs.toDF("ts", "event_type")
+    val dense = rows(EventWindows.calendarCounts(df, col("ts"), "1 hour",
+      col("event_type")).orderBy("key", "ws"))
+    // dense grid: 2 keys × 21 hours; a's gap hours carry c = 0
+    assert(dense.length == 42)
+    val aGaps = dense.filter(r => r.getString(1) == "a").drop(12)
+    assert(aGaps.length == 9 && aGaps.forall(_.getAs[Long]("c") == 0L))
+    val got = rows(EventWindows.calendarRateAnomaly(df, col("ts"),
+      "1 hour", col("event_type"), lookback = 6, minPeriods = 4)
+      .orderBy("key", "ws"))
+    // a's hour 12: prior frame = hours 6..11 = (2,3,2,3,2,3):
+    // n=6, S=15, Q=39 -> z = (0·6−15)/sqrt(6·39−225) = −15/3 = −5
+    val h12 = got.filter(r => r.getString(1) == "a")(12)
+    assert(h12.getAs[Long]("c") == 0L)
+    assert(h12.getAs[Double]("z") == -5.0)
+    // the observed-rows form has NO row for (a, hour 12) at all
+    val observed = rows(EventWindows.rateAnomaly(df, col("ts"), "1 hour",
+      col("event_type"), lookback = 6, minPeriods = 4))
+    assert(!observed.exists(r => r.getString(1) == "a" &&
+      r.getAs[java.sql.Timestamp]("ws") ==
+        java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+    // deep in the dark run the baseline itself goes all-zero ->
+    // zero variance -> null z (the alarm fires on the EDGE, once)
+    val h19 = got.filter(r => r.getString(1) == "a")(19)
+    assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
   test("source drift: hand-computed TV distance; disjoint vocabulary " +

@@ -520,6 +520,51 @@ class ScaleSpec extends SparkSpec {
         gridPlan.take(800))
   }
 
+  test("x205 prfExpand: every broadcast side is bounded — no " +
+      "vocabulary-sized df table ships whole") {
+    // The regression this guards: prfExpand once did
+    // broadcast(dfT) where dfT = tfAll.groupBy(term).count() — a
+    // vocabulary-sized (10⁸⁺ terms at corpus scale) executor-OOM
+    // broadcast. Because dfT is localCheckpoint-ed, the aggregate
+    // hides behind a Scan ExistingRDD, so this test requires every
+    // BroadcastExchange subtree to carry a POSITIVE bounding mark:
+    // a Join (restriction to a bounded set), a Limit /
+    // TakeOrderedAndProject cut, a literal LocalTableScan, or a
+    // keys=[] one-row aggregate. A bare checkpointed-frame broadcast
+    // has none and fails. autoBroadcastJoinThreshold=-1 so only
+    // hint-forced broadcasts appear.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = graft.sources.Tables.documents(spark,
+        "/root/testdata/sf0.001")
+      val plan = graft.ext.Retrieval.prfExpand(docs, "doc_id", "text",
+          Seq("spark", "data"), poolK = 5, expandK = 3, k = 10)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      def ind(l: String): Int = {
+        val i = l.indexWhere(c => !" :+-".contains(c))
+        if (i < 0) Int.MaxValue else i
+      }
+      val offending = lines.indices.filter { i =>
+        lines(i).contains("BroadcastExchange") && {
+          val d = ind(lines(i))
+          val subLines = lines.drop(i + 1).takeWhile(ind(_) > d)
+          val sub = subLines.mkString("\n")
+          val oneRowAgg = subLines.find(_.contains("Aggregate(keys=["))
+            .exists(_.contains("Aggregate(keys=[]"))
+          !(sub.contains("Join") || sub.contains("Limit") ||
+            sub.contains("TakeOrderedAndProject") ||
+            sub.contains("LocalTableScan") || oneRowAgg)
+        }
+      }
+      assert(offending.isEmpty,
+        "prfExpand broadcast side with no bounding construct:\n" +
+          offending.map(i => lines(i).trim).mkString("\n"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("multimodal: per-partition feature extraction, deterministic stub") {
     implicit val s = spark
     val recs = Seq(

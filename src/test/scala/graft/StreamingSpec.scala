@@ -1263,6 +1263,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("retrievalHealthSink: per-batch nDCG grid equals batch " +
+      "ndcgEvalQrels on that batch; restart with the same checkpoint " +
+      "continues without rescoring or duplicating") {
+    implicit val sqlCtx = spark.sqlContext
+    val qrels = Seq((1L, "spark"), (1L, "join"), (2L, "fox"),
+      (1L, "spark") /* dup judged pair — deduped at pin time */)
+      .toDF("query_id", "term")
+    val b1 = Seq(TDoc(101L, "spark join spark"), TDoc(102L, "the quick fox"),
+      TDoc(103L, "no relevant words"))
+    val b2 = Seq(TDoc(201L, "fox fox join"), TDoc(202L, "spark scan"))
+    val b3 = Seq(TDoc(301L, "join fox spark"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rhealth")
+    val src = dir.resolve("src").toString
+    val out = dir.resolve("grid").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val schema = Seq.empty[TDoc].toDF().schema
+    def startSink() = Streams.retrievalHealthSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      qrels, "doc_id", "text", k = 2, out, ckpt)
+    def canon(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Double, Double, Double)] =
+      df.select($"query_id", $"dcg", $"idcg", $"ndcg").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+    def expected(docs: Seq[TDoc]) = canon(graft.ext.Retrieval
+      .ndcgEvalQrels(docs.toDF(), "doc_id", "text", qrels, k = 2))
+    def got(b: Long) = canon(
+      spark.read.parquet(out).where($"_batch".cast("long") === b))
+    try {
+      b1.toDF().coalesce(1).write.mode("append").parquet(src)
+      val q = startSink(); q.processAllAvailable()
+      b2.toDF().coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable(); q.stop()
+      assert(got(0) == expected(b1))
+      assert(got(1) == expected(b2))
+      // RESTART on the same checkpoint: resumes at batch 2; earlier
+      // partitions untouched (no rescore, no duplicate); the frozen
+      // qrels re-pin judges the new batch identically to batch form
+      b3.toDF().coalesce(1).write.mode("append").parquet(src)
+      val q2 = startSink(); q2.processAllAvailable(); q2.stop()
+      val batches = spark.read.parquet(out).select($"_batch".cast("long"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      assert(batches.toSeq == Seq(0L, 1L, 2L))
+      assert(got(0) == expected(b1) && got(1) == expected(b2))
+      assert(got(2) == expected(b3))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("bm25Scorer refresh contract: frozen stats drift as the corpus grows; a refreshed closure over the union equals batch bm25Score") {
     val corpus = Seq(TDoc(1L, "spark join window"), TDoc(2L, "the quick fox"),
       TDoc(3L, "spark spark shuffle")).toDF()
