@@ -5852,7 +5852,11 @@ object Oracles {
   // x176: the x141 session-transition chain + 4 unrolled quantized
   // power-iteration rounds (the x115 recipe on behavioral data):
   // per-edge floor micro-units, exact Long round totals, one
-  // renormalizing division per state
+  // renormalizing division per state; DANGLING (destination-only)
+  // states self-loop so absorbing chains keep their mass (mirrors
+  // the engine's stochasticization). `c` is MATERIALIZED: the dang
+  // NOT-IN subquery otherwise makes DuckDB's CTE inliner re-expand
+  // the full window chain per round (observed OOM at sf0.01)
   private val stationaryO: Map[String, String] = {
     val head =
       """flagged AS (
@@ -5871,13 +5875,15 @@ object Oracles {
         |      ORDER BY ts, event_id) AS prev_type,
         |    event_type AS next_type
         |  FROM sess),
-        |c AS (
+        |c AS MATERIALIZED (
         |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
         |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tt
         |      FROM c GROUP BY 1),
         |states AS (SELECT prev_type AS state FROM c
         |           UNION SELECT next_type FROM c),
+        |dang AS (SELECT state FROM states
+        |         WHERE state NOT IN (SELECT prev_type FROM t)),
         |r0 AS (SELECT state, CAST(1.0 AS DOUBLE) AS r FROM states)"""
         .stripMargin
     val rounds = (1 to 4).map { k =>
@@ -5887,8 +5893,12 @@ object Oracles {
          |      * 1e12) AS BIGINT) AS cc
          |  FROM c JOIN r${k - 1} r ON c.prev_type = r.state
          |  JOIN t ON c.prev_type = t.prev_type),
+         |dr$k AS (
+         |  SELECT d.state, CAST(floor(r.r * 1e12) AS BIGINT) AS cc
+         |  FROM dang d JOIN r${k - 1} r ON d.state = r.state),
          |cj$k AS (SELECT state, CAST(sum(cc) AS BIGINT) AS cj
-         |         FROM cr$k GROUP BY 1),
+         |         FROM (SELECT * FROM cr$k
+         |               UNION ALL SELECT * FROM dr$k) GROUP BY 1),
          |tt$k AS (SELECT CAST(sum(cj) AS BIGINT) AS tot FROM cj$k),
          |r$k AS (
          |  SELECT s.state,
@@ -7168,5 +7178,9 @@ object Oracles {
       // x200: projecting against the PERSISTED integer component is
       // bit-identical to projecting against the freshly iterated one —
       // the lifecycle claim, pinned by sharing x196's oracle
-      ("x200_component_roundtrip" -> pcaO("x196_anisotropy"))
+      ("x200_component_roundtrip" -> pcaO("x196_anisotropy")) +
+      // x208: the manifest loaded from parquet is bit-equal to the
+      // in-line five-stage manifest — the pipeline's lifecycle claim,
+      // pinned by sharing x96's oracle
+      ("x208_manifest_roundtrip" -> base("x96_corpus_prep"))
 }

@@ -2975,6 +2975,24 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x208 — manifest PERSISTENCE round-trip: corpusPrep →
+    * [[graft.ext.Pipeline.saveManifest]] → loadManifest → the x96
+    * audit view, sharing x96's oracle — the equality IS the claim
+    * (the x162/x179/x200 lifecycle pattern applied to the pipeline
+    * manifest): the five-stage verdict survives the session, so a
+    * restarted pipeline re-cuts thresholds from parquet instead of
+    * re-paying the full sequential propagation. */
+  val x208ManifestRoundtrip: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val man = Pipeline.corpusPrepCached(dir, d.where(col("doc_id") >= 20),
+      d.where(col("doc_id") < 20), "doc_id", "text", "lang")
+    val path = scratchPath(s, "graft_x208_manifest")
+    Pipeline.saveManifest(man, path)
+    Pipeline.loadManifest(s, path)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3923,6 +3941,7 @@ object Queries {
     "x205_prf_expand" -> x205PrfExpand,
     "x206_diff_summary" -> x206DiffSummary,
     "x207_calendar_anomaly" -> x207CalendarAnomaly,
+    "x208_manifest_roundtrip" -> x208ManifestRoundtrip,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -147,7 +147,12 @@ object ScaleProbe {
       // the PCA lifecycle/composition and the graph family (x202/x203
       // measure INCREMENTAL cost on the winnow graph x92 pays first)
       "x200_component_roundtrip", "x201_corrected_matrix",
-      "x202_graph_triangles", "x203_degree_profile")
+      "x202_graph_triangles", "x203_degree_profile",
+      // round-12: movers' two-half conditional aggs, the bounded-
+      // broadcast RM3 two-pass (post-fix), the diff fold, and the
+      // calendar-dense anomaly grid (|keys|×|hours| by construction)
+      "x204_behavior_movers", "x205_prf_expand", "x206_diff_summary",
+      "x207_calendar_anomaly")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
@@ -217,14 +222,22 @@ object ScaleProbe {
         body
         (System.nanoTime() - t0) / 1e9
       }
+      // first/second printed separately: for Memo-backed families the
+      // FIRST run is the cold (graph/manifest-building) cost and the
+      // second the memoized serve — the cold-vs-cached table in
+      // ARCHITECTURE.md reads straight off this output
       for (q <- queries) {
-        val best = math.min(time(Queries.all(q)(spark, dir).count()),
-          time(Queries.all(q)(spark, dir).count()))
-        println(s"""{"query":"$q","dir":"$dir","sec":$best}""")
+        val t1 = time(Queries.all(q)(spark, dir).count())
+        val t2 = time(Queries.all(q)(spark, dir).count())
+        println(s"""{"query":"$q","dir":"$dir","sec":${math.min(t1, t2)}""" +
+          s""","first":$t1,"second":$t2}""")
       }
       for ((name, op) <- ops) {
-        val best = math.min(time(op(dir).count()), time(op(dir).count()))
-        println(s"""{"query":"$name","dir":"$dir","sec":$best}""")
+        val t1 = time(op(dir).count())
+        val t2 = time(op(dir).count())
+        println(
+          s"""{"query":"$name","dir":"$dir","sec":${math.min(t1, t2)}""" +
+            s""","first":$t1,"second":$t2}""")
       }
     }
     spark.stop()

@@ -137,6 +137,47 @@ object Pipeline {
         winnowMinShared, winnowMaxDf, doubling))
   }
 
+  /** The manifest columns a [[saveManifest]]/[[loadManifest]] round
+    * trip preserves — the [[corpusPrep]] output contract, pinned so a
+    * reader of a stale or foreign parquet directory fails loudly
+    * instead of silently serving a different table shape. */
+  private val manifestCols = Seq("id", "lang", "n_tokens", "ok_quality",
+    "exact_dup", "near_dup", "contamination", "contaminated", "z",
+    "len_outlier", "kept")
+
+  /** Persist a [[corpusPrep]] manifest as parquet — the durable arm of
+    * [[corpusPrepCached]]'s session memo (the [[Ivf.saveModel]]
+    * lifecycle discipline applied to the manifest): the Memo's
+    * localCheckpoint blocks are executor-storage-scoped and die with
+    * the session, so a pipeline that re-cuts thresholds TOMORROW
+    * re-pays the full five-stage propagation unless the manifest was
+    * written down. The manifest is ids+flags only (~1 row/doc, no
+    * text), so the write is corpus-ROW-sized, not corpus-BYTE-sized —
+    * at 100 TB of text this is a few GB of parquet. Deterministic by
+    * construction (every stage hash/id-ordered, no RNG), so the saved
+    * artifact equals a recompute bit-for-bit and the round trip is
+    * oracle-checkable against the in-line manifest's own oracle. */
+  def saveManifest(manifest: DataFrame, path: String): Unit = {
+    require(manifestCols.forall(manifest.columns.contains),
+      s"not a corpusPrep manifest: has ${manifest.columns.toSeq}, " +
+        s"needs $manifestCols")
+    manifest.select(manifestCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveManifest]] parquet; schema-validated loudly. A
+    * restarted session calls this instead of re-running the pipeline —
+    * every manifest consumer (x96's audit view, x142's export,
+    * [[stageReport]]) reads it unchanged. */
+  def loadManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val m = spark.read.parquet(path)
+    require(manifestCols.forall(m.columns.contains),
+      s"$path is not a corpusPrep manifest: has ${m.columns.toSeq}, " +
+        s"needs $manifestCols")
+    m.select(manifestCols.map(col): _*)
+  }
+
   /** One-row DATASET CARD — the corpus summary a release ships next to
     * the data (Gebru et al. 2021's "datasheets" reduced to the
     * mechanically-derivable row): size, diversity, exact-duplication

@@ -1487,6 +1487,44 @@ class ExtSpec extends SparkSpec {
         .map(_.toString) == got.map(_.toString))
   }
 
+  test("manifest persistence: save/load round-trips the corpusPrep " +
+      "manifest bit-equal; foreign parquet refused loudly") {
+    def words(stem: String, n: Int) =
+      "the a " + (1 to n).map(i => f"$stem$i%02d").mkString(" ")
+    val train = Seq(
+      (20L, words("aw", 50), "en"),
+      (21L, "too short", "en"),
+      (22L, words("cw", 51), "en"),
+      (23L, words("cw", 51), "en")
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((1L, words("zw", 60), "en"))
+      .toDF("doc_id", "text", "lang")
+    val man = graft.ext.Pipeline.corpusPrep(train, bench,
+      "doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest")
+      .toString
+    graft.ext.Pipeline.saveManifest(man, dir)
+    val loaded = graft.ext.Pipeline.loadManifest(spark, dir)
+    assert(rows(loaded.orderBy("id")).map(_.toString) ==
+      rows(man.orderBy("id")).map(_.toString))
+    // every manifest consumer reads the loaded form unchanged
+    assert(rows(graft.ext.Pipeline.stageReport(loaded)).map(_.toString) ==
+      rows(graft.ext.Pipeline.stageReport(man)).map(_.toString))
+    // a foreign parquet (wrong shape) is refused loudly, not served
+    val foreign = java.nio.file.Files.createTempDirectory("graft_mfor")
+      .toString
+    train.write.mode("overwrite").parquet(foreign)
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Pipeline.loadManifest(spark, foreign)
+    }
+    assert(e.getMessage.contains("not a corpusPrep manifest"))
+    // and so is saving something that is not a manifest
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Pipeline.saveManifest(train, dir + "_x")
+    }
+    assert(e2.getMessage.contains("not a corpusPrep manifest"))
+  }
+
   test("featureHashTf: buckets match the reference hash; dense form is consistent") {
     def refHash(s: String): Long =
       if (s.isEmpty) 0L
@@ -2283,6 +2321,101 @@ class ExtSpec extends SparkSpec {
     // zero variance -> null z (the alarm fires on the EDGE, once)
     val h19 = got.filter(r => r.getString(1) == "a")(19)
     assert(h19.isNullAt(h19.fieldIndex("z")))
+  }
+
+  test("sparse-grid sweep: transitions omit absent pairs but each " +
+      "row's probabilities still sum to 1") {
+    // one session a,b,a,b,c: a→b twice, b→a once, b→c once; (a,c)
+    // never happens — absent from the output, and its absence does
+    // NOT distort the observed rows' conditional probabilities
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val evs = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (1L, ts(3), 3L, "a"), (1L, ts(4), 4L, "b"), (1L, ts(5), 5L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val sess = EventWindows.sessionize(evs, col("ts"), col("user_id"),
+      1800000000L, col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = sess.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum(col("n")).as("__t"))
+    val got = rows(pairs.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("p"))
+      .orderBy("prev_type", "next_type"))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 0.5),
+      ("b", "c", 1L, 0.5)))
+    assert(!got.exists(t => t._1 == "a" && t._2 == "c"))
+    assert(got.groupBy(_._1).values
+      .forall(rows => math.abs(rows.map(_._4).sum - 1.0) < 1e-15))
+  }
+
+  test("sparse-grid sweep: stationaryMix on a pure absorbing chain " +
+      "settles ALL mass on the absorber — never NaN") {
+    // a→b→c with no cycle: before the dangling self-loop fix, round 3
+    // had zero total (all mass at c, c has no out-edge) and every
+    // state went NaN; with the self-loop the chain settles on c.
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val evs = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (1L, ts(3), 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = rows(EventWindows.stationaryMix(evs, col("ts"),
+        col("user_id"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L, iters = 4)
+      .orderBy("event_type"))
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got == Seq(("a", 0.0), ("b", 0.0), ("c", 1.0)))
+  }
+
+  test("sparse-grid sweep: quantileMobility drops one-half-only users " +
+      "from the matrix but still ranks them within their half") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1/u2 active both halves; u3 early-only (NO row, but u3's spend
+    // competes in the early ntile — that is the documented semantics)
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100.0),
+      (2L, ts("2024-01-01 00:00:01"), 50.0),
+      (3L, ts("2024-01-01 00:00:02"), 5.0),
+      (1L, ts("2024-01-03 00:00:00"), 10.0),
+      (2L, ts("2024-01-03 00:00:01"), 50.0))
+      .toDF("user_id", "ts", "value")
+    val got = rows(EventWindows.quantileMobility(evs, col("user_id"),
+        col("ts"), col("value"), buckets = 2)
+      .orderBy("q_early", "q_late"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // early desc: u1(100)→q1, u2(50)→q1, u3(5)→q2 (3 rows, 2 tiles);
+    // late desc: u2(50)→q1, u1(10)→q2. Pairs: u1 (1,2), u2 (1,1).
+    assert(got == Seq((1L, 1L, 1L), (1L, 2L, 1L)))
+    assert(got.map(_._3).sum == 2L) // u3 contributes no pair
+  }
+
+  test("sparse-grid sweep: associationRules omit never-co-occurring " +
+      "pairs; antecedent counts include consequent-free sessions") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // three single-session users: {a,b}, {a}, {c} — (a,c)/(c,·) never
+    // co-occur (no row); n_a = 2 counts the b-free session, so
+    // confidence is asymmetric: a→b = 1/2 but b→a = 1/1
+    val evs = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (2L, ts(1), 3L, "a"), (3L, ts(1), 4L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = rows(EventWindows.associationRules(evs, col("ts"),
+        col("user_id"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L)
+      .orderBy("antecedent", "consequent"))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(got.map(t => (t._1, t._2)) == Seq(("a", "b"), ("b", "a")))
+    val ab = got.head
+    assert(ab._3 == 2L && ab._4 == 1L && ab._5 == 1L) // n_a, n_b, n_ab
+    assert(ab._6 == 1.0 / 3 && ab._7 == 0.5 && ab._8 == 1.5)
+    val ba = got(1)
+    assert(ba._7 == 1.0 && ba._8 == 1.5)
   }
 
   test("source drift: hand-computed TV distance; disjoint vocabulary " +
