@@ -6964,6 +6964,37 @@ object Oracles {
         |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) END AS z
         |FROM m ORDER BY ws, key""".stripMargin)
 
+  // x209: the oracle re-verifies every pair with DuckDB's own
+  // levenshtein() over the length-banded self-join (|len diff| ≤ d is
+  // necessary for lev ≤ d) — same exact unit-cost edit-distance
+  // semantics as Spark's levenshtein, no blocking scheme to trust
+  private val spellingO: Map[String, String] = Map(
+    "x209_spelling_variants" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |v AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM toks WHERE length(term) >= 4 GROUP BY 1),
+        |p AS (
+        |  SELECT a.term AS ta, a.df AS dfa, b.term AS tb, b.df AS dfb,
+        |    CAST(levenshtein(a.term, b.term) AS INT) AS dist
+        |  FROM v a JOIN v b ON a.term < b.term
+        |  WHERE abs(length(a.term) - length(b.term)) <= 2
+        |    AND levenshtein(a.term, b.term) <= 2)
+        |SELECT
+        |  CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb)
+        |    THEN tb ELSE ta END AS variant,
+        |  CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb)
+        |    THEN ta ELSE tb END AS canonical,
+        |  dist,
+        |  CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb)
+        |    THEN dfb ELSE dfa END AS df_variant,
+        |  CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb)
+        |    THEN dfa ELSE dfb END AS df_canonical
+        |FROM p ORDER BY variant, canonical""".stripMargin)
+
   // x197/x198: the portable multiplicative hash shared verbatim —
   // fold = ((u mod P)·A mod P) mod k; bootstrap weights invert the
   // exact Poisson(1) ppm CDF at a counter-based hash
@@ -7163,7 +7194,7 @@ object Oracles {
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
-      moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO +
+      moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -2993,6 +2993,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x209 — SPELLING-VARIANT consolidation map over the corpus
+    * vocabulary ([[graft.ext.Dedup.editDistancePairs]]): all token
+    * pairs within Levenshtein distance 2 by recall-1 symmetric-delete
+    * blocking + exact threshold-bounded verification, folded to a
+    * (variant → canonical) rewrite map where canonical is the
+    * higher-df side (tie: lexicographically smaller) — the fuzzy
+    * record-linkage primitive token-identity dedup cannot express.
+    * The oracle re-verifies every pair with its own levenshtein()
+    * (both engines implement unit-cost Levenshtein exactly) over the
+    * length-banded self-join — same semantics, no blocking to trust. */
+  val x209SpellingVariants: Q = (s, dir) => {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(lower(col("text"))))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .where(length(col("term")) >= 4)
+      .localCheckpoint(true) // feeds pair gen AND both df lookups
+    val pairs = Dedup.editDistancePairs(vocab, "term", "term",
+      maxDist = 2, minLen = 4)
+    val scored = pairs
+      .join(vocab.select(col("term").as("id_a"), col("df").as("__dfa")),
+        Seq("id_a"))
+      .join(vocab.select(col("term").as("id_b"), col("df").as("__dfb")),
+        Seq("id_b"))
+    val aCanon = col("__dfa") > col("__dfb") ||
+      (col("__dfa") === col("__dfb") && col("id_a") < col("id_b"))
+    scored.select(
+        when(aCanon, col("id_b")).otherwise(col("id_a")).as("variant"),
+        when(aCanon, col("id_a")).otherwise(col("id_b")).as("canonical"),
+        col("dist"),
+        when(aCanon, col("__dfb")).otherwise(col("__dfa")).as("df_variant"),
+        when(aCanon, col("__dfa")).otherwise(col("__dfb"))
+          .as("df_canonical"))
+      .orderBy("variant", "canonical")
+  }
+
   /** x170 — weighted-SimHash COMPONENTS: the x99 pair graph folded to
     * per-document survivor labels by the escalating clusters()
     * propagation — the scale-safe "components, not pair lists" form
@@ -3942,6 +3978,7 @@ object Queries {
     "x206_diff_summary" -> x206DiffSummary,
     "x207_calendar_anomaly" -> x207CalendarAnomaly,
     "x208_manifest_roundtrip" -> x208ManifestRoundtrip,
+    "x209_spelling_variants" -> x209SpellingVariants,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1204,4 +1204,68 @@ object Dedup {
           lit(3.0) * col("n_triangles").cast("double") /
             col("n_wedges").cast("double")).as("clustering_coeff"))
   }
+
+  /** FUZZY string linkage: all pairs within Levenshtein distance
+    * `maxDist`, by SYMMETRIC-DELETE blocking (SymSpell; Garbe 2012) +
+    * exact verification — the record-linkage primitive (misspelling
+    * consolidation, entity-key matching) the token-identity dedup
+    * family cannot express. Blocking is RECALL-1: if lev(A,B) ≤ d,
+    * the ≤d-deletion neighborhoods of A and B intersect (every edit
+    * script induces a common subsequence reachable by deletions from
+    * both sides), so joining on shared delete-variants misses nothing;
+    * the Levenshtein re-check then kills false candidates (variant
+    * collisions like "abcd"/"cdab" sharing "cd" at distance 4).
+    *
+    * Scale shape: each string of length L yields O(L^maxDist) variant
+    * rows (exploded level by level, de-duplicated per level), the
+    * candidate join shuffles only (variant, id) rows, and the verify
+    * join rides ids — no cross join anywhere; the codegen'd
+    * threshold-bounded levenshtein abandons rows early. Skew bound:
+    * a variant shared by V strings yields V(V−1)/2 candidates — the
+    * `minLen ≥ maxDist+2` guard keeps near-empty hub variants out
+    * (the winnowPairs maxDf lesson; with it, every variant keeps ≥ 2
+    * chars — the empty/1-char variants that would bucket half the
+    * vocabulary together can't arise). Output floor is Ω(#true
+    * pairs), like every pair-listing operator.
+    * Input: one row per (id, string); Output: (id_a, id_b, dist),
+    * id_a < id_b. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2, minLen: Int = 4): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"editDistancePairs: maxDist=$maxDist outside [1,3]")
+    require(minLen >= maxDist + 2,
+      s"editDistancePairs: minLen=$minLen must be >= maxDist+2=" +
+        s"${maxDist + 2} (shorter strings collapse onto hub variants)")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(length(col("s")) >= minLen)
+      .localCheckpoint(true) // feeds variant gen AND both verify joins
+    // delete-neighborhood, one deletion per level; per-level distinct
+    // bounds the duplication (delete i then j ≡ delete j then i)
+    var lvl = base.select(col("id"), col("s").as("v")).distinct()
+    var variants = lvl
+    for (_ <- 1 to maxDist) {
+      lvl = lvl
+        .select(col("id"), explode(transform(
+          sequence(lit(0), length(col("v")) - 1),
+          i => concat(col("v").substr(lit(1), i),
+            col("v").substr(i + lit(2), length(col("v")) - i - 1))))
+          .as("v"))
+        .distinct()
+      variants = variants.unionByName(lvl)
+    }
+    val va = variants.select(col("v"), col("id").as("id_a"))
+    val vb = variants.select(col("v"), col("id").as("id_b"))
+    val cand = va.join(vb, Seq("v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("__sa")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("__sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb"), maxDist).as("dist"))
+      .where(col("dist") >= 0)
+  }
 }

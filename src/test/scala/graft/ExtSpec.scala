@@ -1525,6 +1525,33 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a corpusPrep manifest"))
   }
 
+  test("editDistancePairs: symmetric-delete blocking finds exactly the " +
+      "lev<=d pairs; variant collisions at dist>d are rejected") {
+    val d = Seq(
+      (1L, "spark"),   // lev(spark, sparc)=1, lev(spark, shark)=1
+      (2L, "sparc"),
+      (3L, "shark"),   // lev(sparc, shark)=2
+      (4L, "abcdef"),  // lev vs fedcba = 6; they share delete variants
+      (5L, "abcdpq"),  // lev(abcdef, abcdpq)=2
+      (6L, "fedcba"),
+      (7L, "zzzz")     // len 4 < minLen 5 — excluded entirely
+    ).toDF("id", "s")
+    val got = rows(graft.ext.Dedup.editDistancePairs(d, "id", "s",
+        maxDist = 2, minLen = 5).orderBy("id_a", "id_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got == Seq((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2),
+      (4L, 5L, 2)))
+    // the reversal pair (4,6) shares 2-delete variants (e.g. "cd"-free
+    // forms) candidates can collide on, but lev=6 — must NOT appear
+    assert(!got.exists(t => t._1 == 4L && t._2 == 6L))
+    // a minLen that would admit near-empty hub variants refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Dedup.editDistancePairs(d, "id", "s",
+        maxDist = 2, minLen = 3)
+    }
+    assert(e.getMessage.contains("minLen"))
+  }
+
   test("featureHashTf: buckets match the reference hash; dense form is consistent") {
     def refHash(s: String): Long =
       if (s.isEmpty) 0L
