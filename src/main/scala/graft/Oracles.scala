@@ -6964,6 +6964,47 @@ object Oracles {
         |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) END AS z
         |FROM m ORDER BY ws, key""".stripMargin)
 
+  // x210: the x207 dense-grid chain + a (key, hour-of-day) profile
+  // group; leave-one-out moments n−1 / s−c / q−c², the z formula's
+  // double boundary mirrored factor by factor
+  private val seasonalO: Map[String, String] = Map(
+    "x210_seasonal_anomaly" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+        |  FROM span),
+        |grid AS (
+        |  SELECT k.key, h.ws
+        |  FROM (SELECT DISTINCT key FROM c) k CROSS JOIN hours h),
+        |dense AS (
+        |  SELECT g.ws, g.key,
+        |    CAST(extract(hour FROM g.ws) AS INT) AS season,
+        |    CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |  FROM grid g LEFT JOIN c ON c.key = g.key AND c.ws = g.ws),
+        |p AS (
+        |  SELECT key, season, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM dense GROUP BY 1, 2)
+        |SELECT d.ws, d.key, d.season, d.c,
+        |  CAST(p.n - 1 AS BIGINT) AS n_ref,
+        |  CASE WHEN p.n - 1 >= 3
+        |      AND CAST(p.n - 1 AS DOUBLE) * CAST(p.q - d.c * d.c AS DOUBLE)
+        |        - CAST(p.s - d.c AS DOUBLE) * CAST(p.s - d.c AS DOUBLE)
+        |        > 0.0
+        |    THEN (CAST(d.c AS DOUBLE) * CAST(p.n - 1 AS DOUBLE)
+        |        - CAST(p.s - d.c AS DOUBLE))
+        |      / sqrt(CAST(p.n - 1 AS DOUBLE)
+        |          * CAST(p.q - d.c * d.c AS DOUBLE)
+        |        - CAST(p.s - d.c AS DOUBLE) * CAST(p.s - d.c AS DOUBLE))
+        |    END AS z
+        |FROM dense d JOIN p ON d.key = p.key AND d.season = p.season
+        |ORDER BY d.ws, d.key""".stripMargin)
+
   // x209: the oracle re-verifies every pair with DuckDB's own
   // levenshtein() over the length-banded self-join (|len diff| ≤ d is
   // necessary for lev ≤ d) — same exact unit-cost edit-distance
@@ -7194,7 +7235,8 @@ object Oracles {
       chiSquareO ++ stationaryO ++ cooccurrenceO ++ qualityDupO ++
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
-      moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO +
+      moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
+      seasonalO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

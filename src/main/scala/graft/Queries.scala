@@ -2993,6 +2993,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** x210 — SEASONAL (hour-of-day) profile anomaly
+    * ([[graft.ext.EventWindows.seasonalAnomaly]]): each dense calendar
+    * cell scored against the OTHER days' same hour — the periodic
+    * baseline x207's trailing window cannot express (a quiet 3 AM is
+    * normal against other 3 AMs; a dead one is not). Leave-one-out
+    * exact-integer moments over the zero-filled grid; same scaled
+    * tie-free z family as x119/x207. */
+  val x210SeasonalAnomaly: Q = (s, dir) => {
+    EventWindows.seasonalAnomaly(Tables.events(s, dir), col("ts"),
+        "1 hour", col("event_type"), minRef = 3)
+      .orderBy("ws", "key")
+  }
+
   /** x209 — SPELLING-VARIANT consolidation map over the corpus
     * vocabulary ([[graft.ext.Dedup.editDistancePairs]]): all token
     * pairs within Levenshtein distance 2 by recall-1 symmetric-delete
@@ -3979,6 +3992,7 @@ object Queries {
     "x207_calendar_anomaly" -> x207CalendarAnomaly,
     "x208_manifest_roundtrip" -> x208ManifestRoundtrip,
     "x209_spelling_variants" -> x209SpellingVariants,
+    "x210_seasonal_anomaly" -> x210SeasonalAnomaly,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -2350,6 +2350,40 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("seasonal anomaly: a dark hour scores z = -5 against the OTHER " +
+      "days' same hour; season groups with no variance stay null") {
+    // key a: hour 5 of days 0..5 carries 2,3,2,3,2,3 events; day 6's
+    // hour 5 is DARK. Key b pins the global span to 7 full days.
+    val evs =
+      (0 until 6).flatMap { d =>
+        val cnt = if (d % 2 == 0) 2 else 3
+        (0 until cnt).map(i =>
+          (java.sql.Timestamp.valueOf(f"2024-01-0${d + 1} 05:0$i:00"), "a"))
+      } ++ Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "b"),
+        (java.sql.Timestamp.valueOf("2024-01-07 23:00:00"), "b"))
+    val df = evs.toDF("ts", "event_type")
+    val got = rows(EventWindows.seasonalAnomaly(df, col("ts"), "1 hour",
+      col("event_type"), minRef = 3).orderBy("key", "ws"))
+    // dense grid: 2 keys × 168 hours; every season group has 7 cells
+    assert(got.length == 336)
+    assert(got.forall(_.getAs[Long]("n_ref") == 6L))
+    val a = got.filter(_.getString(1) == "a")
+    // day 6 hour 5 (index 6*24+5): reference = the other days' hour 5
+    // = (2,3,2,3,2,3): n'=6, S'=15, Q'=39 → z = (0·6−15)/√(234−225) = −5
+    val dark = a(6 * 24 + 5)
+    assert(dark.getAs[Long]("c") == 0L && dark.getAs[Int]("season") == 5)
+    assert(dark.getAs[Double]("z") == -5.0)
+    // every non-hour-5 'a' season group is all zeros → no variance →
+    // null z (no seasonal norm exists; nothing to deviate from)
+    assert(a.filter(_.getAs[Int]("season") != 5)
+      .forall(r => r.isNullAt(r.fieldIndex("z"))))
+    // b's lone events sit in all-zero reference groups → null too
+    assert(got.filter(_.getString(1) == "b")
+      .filter(_.getAs[Long]("c") > 0)
+      .forall(r => r.isNullAt(r.fieldIndex("z"))))
+  }
+
   test("sparse-grid sweep: transitions omit absent pairs but each " +
       "row's probabilities still sum to 1") {
     // one session a,b,a,b,c: a→b twice, b→a once, b→c once; (a,c)
