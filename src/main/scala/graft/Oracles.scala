@@ -7005,6 +7005,58 @@ object Oracles {
         |FROM dense d JOIN p ON d.key = p.key AND d.season = p.season
         |ORDER BY d.ws, d.key""".stripMargin)
 
+  // x211: full vocab × label grid from exact 2×2 tables; each p·log2
+  // term quantized once at (28,12), cells summed in decimal — the
+  // engine's chain mirrored factor by factor
+  private val tokenMiO: Map[String, String] = Map(
+    "x211_token_label_mi" ->
+      """WITH p AS (
+        |  SELECT DISTINCT doc_id, lang, term FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |        AS term
+        |    FROM documents)),
+        |n11t AS (
+        |  SELECT term, lang AS label, CAST(count(*) AS BIGINT) AS n11
+        |  FROM p GROUP BY 1, 2),
+        |ni AS (SELECT term, CAST(sum(n11) AS BIGINT) AS ni
+        |       FROM n11t GROUP BY 1),
+        |nj AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS nj
+        |       FROM documents GROUP BY 1),
+        |nt AS (SELECT CAST(sum(nj) AS BIGINT) AS N FROM nj),
+        |grid AS (
+        |  SELECT ni.term, nj.label, ni.ni, nj.nj, nt.N,
+        |    CAST(coalesce(n11t.n11, 0) AS BIGINT) AS n11
+        |  FROM ni CROSS JOIN nj CROSS JOIN nt
+        |  LEFT JOIN n11t
+        |    ON n11t.term = ni.term AND n11t.label = nj.label)
+        |SELECT term, label, n11,
+        |  ni - n11 AS n10, nj - n11 AS n01, N - ni - nj + n11 AS n00,
+        |  CAST(
+        |    (CASE WHEN n11 > 0 THEN CAST(
+        |      (CAST(n11 AS DOUBLE) / CAST(N AS DOUBLE))
+        |        * log2((CAST(n11 AS DOUBLE) * CAST(N AS DOUBLE))
+        |          / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+        |      AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END)
+        |    + (CASE WHEN ni - n11 > 0 THEN CAST(
+        |      (CAST(ni - n11 AS DOUBLE) / CAST(N AS DOUBLE))
+        |        * log2((CAST(ni - n11 AS DOUBLE) * CAST(N AS DOUBLE))
+        |          / (CAST(ni AS DOUBLE) * CAST(N - nj AS DOUBLE)))
+        |      AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END)
+        |    + (CASE WHEN nj - n11 > 0 THEN CAST(
+        |      (CAST(nj - n11 AS DOUBLE) / CAST(N AS DOUBLE))
+        |        * log2((CAST(nj - n11 AS DOUBLE) * CAST(N AS DOUBLE))
+        |          / (CAST(N - ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+        |      AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END)
+        |    + (CASE WHEN N - ni - nj + n11 > 0 THEN CAST(
+        |      (CAST(N - ni - nj + n11 AS DOUBLE) / CAST(N AS DOUBLE))
+        |        * log2((CAST(N - ni - nj + n11 AS DOUBLE)
+        |            * CAST(N AS DOUBLE))
+        |          / (CAST(N - ni AS DOUBLE) * CAST(N - nj AS DOUBLE)))
+        |      AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END)
+        |  AS DOUBLE) AS mi
+        |FROM grid ORDER BY term, label""".stripMargin)
+
   // x209: the oracle re-verifies every pair with DuckDB's own
   // levenshtein() over the length-banded self-join (|len diff| ≤ d is
   // necessary for lev ≤ d) — same exact unit-cost edit-distance
@@ -7236,7 +7288,7 @@ object Oracles {
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
-      seasonalO +
+      seasonalO ++ tokenMiO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

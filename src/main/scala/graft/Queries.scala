@@ -3006,6 +3006,19 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x211 — TOKEN–LABEL mutual information grid
+    * ([[graft.ext.TextAnalysis.tokenLabelMI]]): binary-occurrence MI
+    * of every (term, lang) cell from exact 2×2 contingency tables —
+    * the feature-selection / label-leakage audit (a label whose shard
+    * came from one source lights up on that source's vocabulary).
+    * Full vocab × label grid (absent cells scored, the zero-cell
+    * lesson); four (28,12)-quantized p·log₂ terms summed exactly. */
+  val x211TokenLabelMi: Q = (s, dir) => {
+    TextAnalysis.tokenLabelMI(Tables.documents(s, dir), "doc_id",
+        "text", "lang")
+      .orderBy("term", "label")
+  }
+
   /** x209 — SPELLING-VARIANT consolidation map over the corpus
     * vocabulary ([[graft.ext.Dedup.editDistancePairs]]): all token
     * pairs within Levenshtein distance 2 by recall-1 symmetric-delete
@@ -3993,6 +4006,7 @@ object Queries {
     "x208_manifest_roundtrip" -> x208ManifestRoundtrip,
     "x209_spelling_variants" -> x209SpellingVariants,
     "x210_seasonal_anomaly" -> x210SeasonalAnomaly,
+    "x211_token_label_mi" -> x211TokenLabelMi,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -785,6 +785,71 @@ object TextAnalysis {
             lit(1.0) / (col("y2").cast("double") + a))).as("z"))
   }
 
+  /** TOKEN–LABEL mutual information — the feature-selection audit
+    * (Manning, Raghavan & Schütze 2008 §13.5.1): for every (term,
+    * label) cell of the FULL vocabulary × label grid, the MI of the
+    * binary variables "document contains term" × "document has label"
+    * from the exact 2×2 contingency table (N11 docs with term+label,
+    * N10 term without label, N01 label without term, N00 neither).
+    * High-MI terms are the label's signature vocabulary — what a
+    * classifier-data audit reads before trusting a split, and what
+    * leaks when a label's shard was scraped from one source.
+    *
+    * Grid discipline (the chi-square zero-cell / JSD-skeleton
+    * lesson): the grid enumerates ALL terms × ALL labels — a term a
+    * label never saw still gets its row (N11 = 0), because "this
+    * vocabulary is absent from that label" is itself the signal.
+    * Zero cells contribute exactly 0 (the 0·log 0 limit); marginals
+    * come from the n11 table itself (one label per doc ⟹ N1· =
+    * Σ_label N11) except the label totals, which count EVERY doc —
+    * including term-less empty ones.
+    *
+    * Determinism: all counts exact integers; each of the four
+    * p·log₂ terms is ONE fixed-order double chain quantized once to
+    * DECIMAL(28,12); the cell sum is exact decimal arithmetic with
+    * one boundary cast. Scale shape: one distinct-presence scan
+    * (corpus-sized), then everything is (vocab × labels)-bounded —
+    * the n11 agg is map-side combinable, the grid a
+    * vocab × |labels| cross join with the label table broadcast.
+    * Output: (term, label, n11, n10, n01, n00, mi). */
+  def tokenLabelMI(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, minDf: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(minDf >= 1, s"tokenLabelMI: minDf=$minDf must be >= 1")
+    val D = DecimalType(28, 12)
+    val pres = docs.select(col(labelCol).as("label"),
+      explode(array_distinct(tokens(lower(col(textCol))))).as("term"))
+    val n11T = pres.groupBy("term", "label")
+      .agg(count(lit(1)).as("n11"))
+      .localCheckpoint(true) // feeds the term marginals AND the grid
+    val ni = n11T.groupBy("term").agg(sum(col("n11")).as("__ni"))
+      .where(col("__ni") >= minDf)
+    val nj = broadcast(docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nj")))
+    val nT = broadcast(nj.agg(sum(col("__nj")).as("__N")))
+    def cell(nij: Column, rowM: Column, colM: Column): Column =
+      when(nij > 0,
+        ((nij.cast("double") / col("__N").cast("double")) *
+          log2((nij.cast("double") * col("__N").cast("double")) /
+            (rowM.cast("double") * colM.cast("double")))).cast(D))
+        .otherwise(lit(0).cast(D))
+    ni.crossJoin(nj).crossJoin(nT)
+      .join(n11T, Seq("term", "label"), "left")
+      .withColumn("n11", coalesce(col("n11"), lit(0L)))
+      .withColumn("n10", col("__ni") - col("n11"))
+      .withColumn("n01", col("__nj") - col("n11"))
+      .withColumn("n00",
+        col("__N") - col("__ni") - col("__nj") + col("n11"))
+      .select(col("term"), col("label"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        (cell(col("n11"), col("__ni"), col("__nj")) +
+          cell(col("n10"), col("__ni"), col("__N") - col("__nj")) +
+          cell(col("n01"), col("__N") - col("__ni"), col("__nj")) +
+          cell(col("n00"), col("__N") - col("__ni"),
+            col("__N") - col("__nj")))
+          .cast("double").as("mi"))
+  }
+
   /** Per-document LOG-likelihood under the add-k bigram model — the
     * actual perplexity-filtering signal (CCNet gates on log-space LM
     * scores, not probability means): mean ln P(w₂|w₁) over the

@@ -1525,6 +1525,35 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a corpusPrep manifest"))
   }
 
+  test("tokenLabelMI: full grid with absent cells; perfectly " +
+      "label-aligned term scores exactly 1 bit; empty docs count in " +
+      "the marginals") {
+    val d = Seq(
+      (1L, "en", "cat dog"),
+      (2L, "en", "cat"),
+      (3L, "fr", "chien"),
+      (4L, "fr", "")) // term-less doc — still a (label, N) unit
+      .toDF("doc_id", "lang", "text")
+    val got = rows(TextAnalysis.tokenLabelMI(d, "doc_id", "text", "lang")
+      .orderBy("term", "label"))
+    // vocab = {"", cat, chien, dog} × 2 labels — absent cells included
+    assert(got.length == 8)
+    val byCell = got.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // "cat" occurs in BOTH en docs and NO fr doc: MI = 1 bit exactly
+    // ((2/4)·log2(2) twice; the other two cells are zero)
+    assert(byCell(("cat", "en")).getAs[Double]("mi") == 1.0)
+    assert(byCell(("cat", "fr")).getAs[Double]("mi") == 1.0)
+    assert(byCell(("cat", "fr")).getAs[Long]("n11") == 0L)
+    // the absent cell (chien, en): n11=0 n10=1 n01=2 n00=1 — present
+    // in the grid, counts exact; the fr empty doc keeps nj(fr)=2
+    val ce = byCell(("chien", "en"))
+    assert(ce.getAs[Long]("n11") == 0L && ce.getAs[Long]("n10") == 1L &&
+      ce.getAs[Long]("n01") == 2L && ce.getAs[Long]("n00") == 1L)
+    // MI is symmetric in the label complement on a 2-label corpus
+    assert(byCell(("dog", "en")).getAs[Double]("mi") ==
+      byCell(("dog", "fr")).getAs[Double]("mi"))
+  }
+
   test("editDistancePairs: symmetric-delete blocking finds exactly the " +
       "lev<=d pairs; variant collisions at dist>d are rejected") {
     val d = Seq(
