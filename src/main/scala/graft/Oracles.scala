@@ -7005,6 +7005,66 @@ object Oracles {
         |FROM dense d JOIN p ON d.key = p.key AND d.season = p.season
         |ORDER BY d.ws, d.key""".stripMargin)
 
+  // x212: RBO_EXT between the k1=1.2 and k1=2.0 BM25 rankings — both
+  // scorers are the x81 chain verbatim (the k1=2.0 arm substitutes
+  // the three k1-derived literals: k1+1, k1(1−b), k1·b); exact
+  // prefix-overlap counts, each geometric term quantized (28,12),
+  // exact decimal sum + extrapolation term
+  private val rboO: Map[String, String] = {
+    val sa = base("x81_bm25_multi")
+    val sb = {
+      val r = sa.replace("2.2e0", "3.0e0").replace("0.3e0", "0.5e0")
+        .replace("0.8999999999999999e0", "1.5e0")
+      require(r != sa && !r.contains("2.2e0"),
+        "x212 oracle: k1=2.0 literal substitution failed")
+      r
+    }
+    Map("x212_rbo_agreement" ->
+      (s"WITH sa AS (SELECT doc_id, query_id, bm25 FROM (\n$sa\n)),\n" +
+        s"sb AS (SELECT doc_id, query_id, bm25 FROM (\n$sb\n)),\n" +
+        """ta AS (
+          |  SELECT query_id, doc_id, rank FROM (
+          |    SELECT query_id, doc_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY bm25 DESC, doc_id ASC) AS rank
+          |    FROM sa) WHERE rank <= 10),
+          |tb AS (
+          |  SELECT query_id, doc_id, rank FROM (
+          |    SELECT query_id, doc_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY bm25 DESC, doc_id ASC) AS rank
+          |    FROM sb) WHERE rank <= 10),
+          |common AS (
+          |  SELECT ta.query_id, greatest(ta.rank, tb.rank) AS md
+          |  FROM ta JOIN tb
+          |    ON ta.query_id = tb.query_id AND ta.doc_id = tb.doc_id),
+          |queries AS (
+          |  SELECT DISTINCT query_id FROM ta
+          |  UNION SELECT DISTINCT query_id FROM tb),
+          |depths AS (
+          |  SELECT q.query_id, CAST(g.d AS BIGINT) AS d
+          |  FROM queries q CROSS JOIN generate_series(1, 10) g(d)),
+          |xd AS (
+          |  SELECT dp.query_id, dp.d,
+          |    CAST(sum(CASE WHEN c.md IS NOT NULL AND c.md <= dp.d
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS x
+          |  FROM depths dp LEFT JOIN common c ON c.query_id = dp.query_id
+          |  GROUP BY 1, 2)
+          |SELECT query_id,
+          |  max(CASE WHEN d = 10 THEN x END) AS n_common,
+          |  CAST(
+          |    sum(CAST(power(0.9e0, CAST(d - 1 AS DOUBLE))
+          |      * 0.09999999999999998e0
+          |      * (CAST(x AS DOUBLE) / CAST(d AS DOUBLE))
+          |      AS DECIMAL(28,12)))
+          |    + max(CASE WHEN d = 10 THEN
+          |        CAST(power(0.9e0, 10.0e0)
+          |          * (CAST(x AS DOUBLE) / CAST(d AS DOUBLE))
+          |        AS DECIMAL(28,12)) END)
+          |  AS DOUBLE) AS rbo
+          |FROM xd GROUP BY 1 ORDER BY query_id""".stripMargin))
+  }
+
   // x211: full vocab × label grid from exact 2×2 tables; each p·log2
   // term quantized once at (28,12), cells summed in decimal — the
   // engine's chain mirrored factor by factor
@@ -7288,7 +7348,7 @@ object Oracles {
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
-      seasonalO ++ tokenMiO +
+      seasonalO ++ tokenMiO ++ rboO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

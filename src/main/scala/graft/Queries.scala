@@ -3006,6 +3006,30 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x212 — RANK-BIASED OVERLAP between two BM25 parameterizations
+    * ([[graft.ext.Retrieval.rboAgreement]], Webber et al. 2010
+    * RBO_EXT): the top-10 rankings at k1 = 1.2 vs k1 = 2.0 per
+    * query — the ranking-stability audit a ranker-parameter change
+    * ships against. Exact integer prefix overlaps; each geometric
+    * term one quantized double chain; exact decimal sum. */
+  val x212RboAgreement: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val qs = Seq(
+      "q_spark" -> Seq("spark", "shuffle"),
+      "q_rel" -> Seq("join", "window"),
+      "q_dedup" -> Seq("dup", "filter"))
+    def run(k1: Double) = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("bm25").desc, col("id").asc)
+      Retrieval.bm25ScoreMulti(d, "doc_id", "text", qs, k1 = k1)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("id"), col("rank"))
+    }
+    Retrieval.rboAgreement(run(1.2), run(2.0), k = 10, p = 0.9)
+      .orderBy("query_id")
+  }
+
   /** x211 — TOKEN–LABEL mutual information grid
     * ([[graft.ext.TextAnalysis.tokenLabelMI]]): binary-occurrence MI
     * of every (term, lang) cell from exact 2×2 contingency tables —
@@ -4007,6 +4031,7 @@ object Queries {
     "x209_spelling_variants" -> x209SpellingVariants,
     "x210_seasonal_anomaly" -> x210SeasonalAnomaly,
     "x211_token_label_mi" -> x211TokenLabelMi,
+    "x212_rbo_agreement" -> x212RboAgreement,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -889,4 +889,67 @@ object Retrieval {
           col("__dcg").cast("double") / col("__idcg").cast("double"))
           .otherwise(lit(0.0)).as("ndcg"))
   }
+
+  /** RANK-BIASED OVERLAP between two retrieval runs (Webber, Moffat &
+    * Zobel TOIS 2010, the RBO_EXT form): per query, the
+    * geometrically-weighted agreement of the two top-`k` prefixes —
+    * the ranking-STABILITY audit a ranker change (new k1, new index,
+    * PRF on/off) is judged by before it ships. Identical prefixes
+    * score exactly 1; disjoint ones 0; top-weighted in between
+    * (persistence `p`: weight p^(d−1) at depth d — a swap at rank 2
+    * costs more than one at rank 19).
+    *
+    * rbo = (1−p)·Σ_{d=1..k} p^(d−1)·X_d/d + p^k·X_k/k, where X_d =
+    * |A_1:d ∩ B_1:d| (the extrapolation term assumes the depth-k
+    * agreement persists — Webber's RBO_EXT, which closes the
+    * truncated sum to 1 for identical lists). Determinism: X_d are
+    * exact integer counts (a common doc enters at depth
+    * max(rank_a, rank_b)); each weighted term is ONE fixed-order
+    * double chain quantized to DECIMAL(28,12); the per-query sum is
+    * exact decimal with one boundary cast — order-free, so the agg
+    * needs no ordered fold.
+    *
+    * Scale shape: the common-doc join rides (query_id, id); per query
+    * everything after is ≤ k·k rows (the depth explode is a bounded
+    * literal sequence) — query-set-bounded, never corpus-bounded.
+    * Inputs: (query_id, id, rank) each, ranks 1..k (rows beyond k are
+    * ignored). Output: (query_id, n_common, rbo) for every query in
+    * EITHER run (one-sided queries score 0 — the skeleton lesson). */
+  def rboAgreement(runA: DataFrame, runB: DataFrame, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"rboAgreement: k=$k must be >= 1")
+    require(p > 0.0 && p < 1.0, s"rboAgreement: p=$p outside (0,1)")
+    val D = DecimalType(28, 12)
+    val a = runA.select(col("query_id"), col("id"),
+      col("rank").cast("long").as("__ra")).where(col("__ra") <= k)
+    val b = runB.select(col("query_id"), col("id"),
+      col("rank").cast("long").as("__rb")).where(col("__rb") <= k)
+    val common = a.join(b, Seq("query_id", "id"))
+      .select(col("query_id"),
+        greatest(col("__ra"), col("__rb")).as("__md"))
+      .localCheckpoint(true) // feeds the depth grid AND n_common
+    val queries = a.select("query_id").union(b.select("query_id"))
+      .distinct()
+    val depths = queries.select(col("query_id"),
+      explode(sequence(lit(1L), lit(k.toLong))).as("d"))
+    val xd = depths.join(common,
+        Seq("query_id"), "left")
+      .groupBy("query_id", "d")
+      .agg(sum(when(col("__md").isNotNull && col("__md") <= col("d"), 1L)
+        .otherwise(0L)).as("x"))
+    val term = (pow(lit(p), (col("d") - 1).cast("double")) * lit(1.0 - p) *
+      (col("x").cast("double") / col("d").cast("double"))).cast(D)
+    val ext = (pow(lit(p), lit(k).cast("double")) *
+      (col("x").cast("double") / col("d").cast("double"))).cast(D)
+    xd.groupBy("query_id")
+      .agg(
+        max(when(col("d") === k, col("x"))).as("n_common"),
+        // sum() widens to (38,12); adding the (28,12) ext term would
+        // overflow Spark's precision cap and silently RESCALE to
+        // (38,11) — the decimal-ADD trap. The sum is ≤ 1, so the
+        // downcast is lossless and keeps the add at full scale.
+        (sum(term).cast(D) +
+          max(when(col("d") === k, ext).otherwise(lit(null).cast(D))))
+          .cast("double").as("rbo"))
+  }
 }

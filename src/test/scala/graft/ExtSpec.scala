@@ -1525,6 +1525,28 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a corpusPrep manifest"))
   }
 
+  test("rboAgreement: exact RBO_EXT on a hand pair; identical lists " +
+      "score exactly 1; one-sided queries score 0") {
+    import graft.ext.Retrieval
+    // q1: A=[1,2,3] vs B=[1,3,2] at p=0.5, k=3:
+    // X_1=1, X_2=1, X_3=3 → (1-p)[1 + 0.5·(1/2) + 0.25·1] + 0.125·1
+    // = 0.5 + 0.125 + 0.125 + 0.125 = 0.875 — every term an exact
+    // binary fraction, so equality is exact
+    // q2: identical lists → 1 − p^k + p^k = 1 exactly
+    // q3: present only in run A → all X_d = 0 → rbo 0
+    val runA = Seq(("q1", 1L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L),
+      ("q2", 7L, 1L), ("q2", 8L, 2L), ("q2", 9L, 3L),
+      ("q3", 5L, 1L)).toDF("query_id", "id", "rank")
+    val runB = Seq(("q1", 1L, 1L), ("q1", 3L, 2L), ("q1", 2L, 3L),
+      ("q2", 7L, 1L), ("q2", 8L, 2L), ("q2", 9L, 3L))
+      .toDF("query_id", "id", "rank")
+    val got = rows(Retrieval.rboAgreement(runA, runB, k = 3, p = 0.5)
+      .orderBy("query_id"))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got == Seq(("q1", 3L, 0.875), ("q2", 3L, 1.0),
+      ("q3", 0L, 0.0)))
+  }
+
   test("tokenLabelMI: full grid with absent cells; perfectly " +
       "label-aligned term scores exactly 1 bit; empty docs count in " +
       "the marginals") {
