@@ -7005,6 +7005,77 @@ object Oracles {
         |FROM dense d JOIN p ON d.key = p.key AND d.season = p.season
         |ORDER BY d.ws, d.key""".stripMargin)
 
+  // x213: the x182 session chain + first-event stratum; per-stratum
+  // w·diff terms quantized (28,12), adjusted sum exact decimal
+  private val simpsonO: Map[String, String] = Map(
+    "x213_simpson_audit" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged),
+        |ranked AS (
+        |  SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM sess),
+        |u0 AS (
+        |  SELECT user_id, sid,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM sess GROUP BY 1, 2),
+        |fst AS (
+        |  SELECT user_id, sid, event_type AS stratum
+        |  FROM ranked WHERE rn = 1),
+        |u AS (
+        |  SELECT u0.user_id, u0.sid, u0.conv, fst.stratum
+        |  FROM u0 JOIN fst USING (user_id, sid)),
+        |cells AS (
+        |  SELECT stratum, user_id % 2 AS cohort,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS k
+        |  FROM u GROUP BY 1, 2),
+        |pooledc AS (
+        |  SELECT cohort, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(k) AS BIGINT) AS k
+        |  FROM cells GROUP BY 1),
+        |pooled AS (
+        |  SELECT CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE) AS pooled_diff
+        |  FROM pooledc a JOIN pooledc b ON a.cohort < b.cohort),
+        |paired AS (
+        |  SELECT a.stratum, CAST(a.n + b.n AS BIGINT) AS w,
+        |    CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE) AS diff
+        |  FROM cells a JOIN cells b
+        |    ON a.stratum = b.stratum AND a.cohort < b.cohort),
+        |wt AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM paired),
+        |adj AS (
+        |  SELECT CAST(sum(CAST(
+        |      (CAST(p.w AS DOUBLE) / CAST(wt.wt AS DOUBLE)) * p.diff
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS adjusted_diff,
+        |    CAST(count(*) AS BIGINT) AS n_paired
+        |  FROM paired p CROSS JOIN wt),
+        |rev AS (
+        |  SELECT CAST(sum(CASE WHEN (pd.pooled_diff > 0 AND p.diff < 0)
+        |      OR (pd.pooled_diff < 0 AND p.diff > 0) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_reversed
+        |  FROM paired p CROSS JOIN pooled pd),
+        |ns AS (
+        |  SELECT CAST(count(DISTINCT stratum) AS BIGINT) AS n_strata
+        |  FROM cells)
+        |SELECT ns.n_strata, adj.n_paired, rev.n_reversed,
+        |  pooled.pooled_diff, adj.adjusted_diff,
+        |  (pooled.pooled_diff > 0 AND adj.adjusted_diff < 0)
+        |    OR (pooled.pooled_diff < 0 AND adj.adjusted_diff > 0)
+        |    AS paradox
+        |FROM ns CROSS JOIN adj CROSS JOIN rev CROSS JOIN pooled""".stripMargin)
+
   // x212: RBO_EXT between the k1=1.2 and k1=2.0 BM25 rankings — both
   // scorers are the x81 chain verbatim (the k1=2.0 arm substitutes
   // the three k1-derived literals: k1+1, k1(1−b), k1·b); exact
@@ -7348,7 +7419,7 @@ object Oracles {
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
-      seasonalO ++ tokenMiO ++ rboO +
+      seasonalO ++ tokenMiO ++ rboO ++ simpsonO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

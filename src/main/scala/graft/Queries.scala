@@ -3006,6 +3006,26 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x213 — SIMPSON'S-PARADOX audit
+    * ([[graft.ext.Stats.simpsonAudit]]): x182's pooled conversion
+    * readout re-examined per entry-event stratum — pooled vs
+    * direct-standardized rate difference plus reversal flags, the
+    * mix-shift pre-read an A/B conclusion ships against. Session
+    * units; stratum = the session's first event type (deterministic
+    * min over (ts, event_id)); cohorts = user-id parity. */
+  val x213SimpsonAudit: Q = (s, dir) => {
+    val units = EventWindows.sessionize(Tables.events(s, dir), col("ts"),
+        col("user_id"), 1800000000L, col("event_id"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("__stratum"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__conv"))
+    graft.ext.Stats.simpsonAudit(units, col("__stratum"),
+      pmod(col("user_id"), lit(2L)), col("__conv") === 1L)
+  }
+
   /** x212 — RANK-BIASED OVERLAP between two BM25 parameterizations
     * ([[graft.ext.Retrieval.rboAgreement]], Webber et al. 2010
     * RBO_EXT): the top-10 rankings at k1 = 1.2 vs k1 = 2.0 per
@@ -4032,6 +4052,7 @@ object Queries {
     "x210_seasonal_anomaly" -> x210SeasonalAnomaly,
     "x211_token_label_mi" -> x211TokenLabelMi,
     "x212_rbo_agreement" -> x212RboAgreement,
+    "x213_simpson_audit" -> x213SimpsonAudit,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -369,6 +369,75 @@ object Stats {
         when(se > 0, (p1 - p2) / se).as("z"))
   }
 
+  /** SIMPSON'S-PARADOX audit (Simpson 1951; Bickel et al. 1975 — the
+    * Berkeley admissions reversal): the POOLED success-rate difference
+    * between two cohorts next to the STRATUM-ADJUSTED difference
+    * (direct standardization: Σ_s w_s·(p_as − p_bs), w_s = the
+    * stratum's paired share), with the reversal flags — the pre-read
+    * that keeps an A/B readout from shipping a conclusion an uneven
+    * stratum mix manufactured. A paradox = the pooled and adjusted
+    * signs disagree; `n_reversed` counts strata whose own diff
+    * opposes the pooled sign.
+    *
+    * Determinism: every rate is one double division of exact integer
+    * counts; each stratum's w·diff term is ONE fixed-order double
+    * chain quantized to DECIMAL(28,12) and the adjusted sum is exact
+    * decimal (order-free). Strata where a cohort is absent have no
+    * defined diff — they are excluded from the adjusted sum (counted
+    * in n_strata − n_paired) but still feed the pooled rates, exactly
+    * the mix-shift the audit exists to expose.
+    * Scale shape: two combiner aggs (units → stratum×cohort, units →
+    * cohort) + model-sized joins; the stratum grid is
+    * category-bounded. Cohorts must be exactly two values; the a<b
+    * self-join makes cohort_a the smaller.
+    * Output one row: (n_strata, n_paired, n_reversed, pooled_diff,
+    * adjusted_diff, paradox). */
+  def simpsonAudit(units: DataFrame, stratum: Column, cohort: Column,
+      success: Column): DataFrame = {
+    val D = DecimalType(28, 12)
+    val base = units.select(stratum.as("stratum"), cohort.as("cohort"),
+      when(success, 1L).otherwise(0L).as("__s"))
+    val byCell = base.groupBy("stratum", "cohort")
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("k"))
+      .localCheckpoint(true) // feeds pooled, paired AND strata counts
+    val pooledC = byCell.groupBy("cohort")
+      .agg(sum(col("n")).as("n"), sum(col("k")).as("k"))
+    val pooled = pooledC.as("a").join(pooledC.as("b"),
+        col("a.cohort") < col("b.cohort"))
+      .select((col("a.k").cast("double") / col("a.n").cast("double") -
+        col("b.k").cast("double") / col("b.n").cast("double"))
+        .as("pooled_diff"))
+    val paired = byCell.as("a").join(byCell.as("b"),
+        col("a.stratum") === col("b.stratum") &&
+          col("a.cohort") < col("b.cohort"))
+      .select(col("a.stratum").as("stratum"),
+        (col("a.n") + col("b.n")).as("__w"),
+        (col("a.k").cast("double") / col("a.n").cast("double") -
+          col("b.k").cast("double") / col("b.n").cast("double"))
+          .as("__diff"))
+      .localCheckpoint(true)
+    val wTot = paired.agg(sum(col("__w")).as("__wt"))
+    val counts = byCell.agg(
+      countDistinct(col("stratum")).as("n_strata"))
+    val adj = paired.crossJoin(broadcast(wTot))
+      .select(((col("__w").cast("double") / col("__wt").cast("double")) *
+        col("__diff")).cast(D).as("__t"))
+      .agg(sum(col("__t")).cast("double").as("adjusted_diff"),
+        count(lit(1)).as("n_paired"))
+    val rev = paired.crossJoin(broadcast(pooled))
+      .agg(sum(when(
+        (col("pooled_diff") > 0 && col("__diff") < 0) ||
+          (col("pooled_diff") < 0 && col("__diff") > 0), 1L)
+        .otherwise(0L)).as("n_reversed"))
+    counts.crossJoin(broadcast(adj)).crossJoin(broadcast(rev))
+      .crossJoin(broadcast(pooled))
+      .select(col("n_strata"), col("n_paired"), col("n_reversed"),
+        col("pooled_diff"), col("adjusted_diff"),
+        ((col("pooled_diff") > 0 && col("adjusted_diff") < 0) ||
+          (col("pooled_diff") < 0 && col("adjusted_diff") > 0))
+          .as("paradox"))
+  }
+
   def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame =
     ksDriftFromCounts(df.select(group.as("g"), value.as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c")))

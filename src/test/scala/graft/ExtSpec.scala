@@ -1525,6 +1525,36 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a corpusPrep manifest"))
   }
 
+  test("simpsonAudit: the Berkeley reversal — every stratum favors " +
+      "cohort 0, the pool favors cohort 1, paradox flagged") {
+    import graft.ext.Stats
+    // easy: c0 9/10 vs c1 72/90 (+0.1 each stratum)
+    // hard: c0 27/90 vs c1 2/10
+    // pooled: c0 36/100 = .36 vs c1 74/100 = .74 → pooled_diff < 0
+    def mk(st: String, c: Long, k: Int, n: Int) =
+      (0 until n).map(i => (st, c, i < k))
+    val units = (mk("easy", 0L, 9, 10) ++ mk("easy", 1L, 72, 90) ++
+      mk("hard", 0L, 27, 90) ++ mk("hard", 1L, 2, 10))
+      .toDF("stratum", "cohort", "ok")
+    val r = rows(Stats.simpsonAudit(units, col("stratum"), col("cohort"),
+      col("ok"))).head
+    assert(r.getAs[Long]("n_strata") == 2L &&
+      r.getAs[Long]("n_paired") == 2L)
+    assert(r.getAs[Long]("n_reversed") == 2L)
+    assert(r.getAs[Double]("pooled_diff") == 0.36 - 0.74)
+    // both strata diff exactly 0.9−0.8 = 0.3−0.2 (same double), each
+    // weighted 1/2 and quantized — adjusted is exactly 0.1
+    assert(r.getAs[Double]("adjusted_diff") == 0.1)
+    assert(r.getAs[Boolean]("paradox"))
+    // a one-sided stratum joins the pool but not the adjusted sum
+    val units2 = units.union(Seq(("solo", 0L, true)).toDF(
+      "stratum", "cohort", "ok"))
+    val r2 = rows(Stats.simpsonAudit(units2, col("stratum"),
+      col("cohort"), col("ok"))).head
+    assert(r2.getAs[Long]("n_strata") == 3L &&
+      r2.getAs[Long]("n_paired") == 2L)
+  }
+
   test("rboAgreement: exact RBO_EXT on a hand pair; identical lists " +
       "score exactly 1; one-sided queries score 0") {
     import graft.ext.Retrieval
