@@ -287,6 +287,36 @@ object Streams {
         .select(col("ws"), col("key"), col("total").cast("long").as("c")),
       lookback, minPeriods)
 
+  /** CALENDAR-dense rate-anomaly view over the SAME [[additiveSink]]
+    * (key, ws) ledger as [[rateAnomalyView]]: densify the folded
+    * counts over the observed span (gap periods carry c = 0) and run
+    * the exact x207 trailing-z tail — the source-going-dark alarm,
+    * streaming-fed and bit-equal to batch
+    * [[graft.ext.EventWindows.calendarRateAnomaly]] over everything
+    * ingested (StreamingSpec). */
+  def calendarRateAnomalyView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, width: String, lookback: Int = 24,
+      minPeriods: Int = 8): DataFrame =
+    graft.ext.EventWindows.rateAnomalyFromCounts(
+      graft.ext.EventWindows.calendarDensify(
+        sumView(spark, tablePath, Seq("key", "ws"))
+          .select(col("ws"), col("key"),
+            col("total").cast("long").as("c")),
+        width),
+      lookback, minPeriods)
+
+  /** SEASONAL-profile anomaly view over the SAME [[additiveSink]]
+    * (key, ws) ledger — one count ledger now serves THREE ingestion
+    * alarms (trailing z, calendar-dense trailing z, hour-of-day
+    * seasonal z), each bit-equal to its batch operator over
+    * everything ingested (StreamingSpec). */
+  def seasonalAnomalyView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, width: String, minRef: Int = 3): DataFrame =
+    graft.ext.EventWindows.seasonalAnomalyFromCounts(
+      sumView(spark, tablePath, Seq("key", "ws"))
+        .select(col("ws"), col("key"), col("total").cast("long").as("c")),
+      width, minRef = minRef)
+
   /** Streaming EMBEDDING-drift maintenance: each micro-batch appends
     * its [[graft.ext.Similarity.shardSums]] partial — per-(shard, dim)
     * exact decimal component sums + shard counts, the MERGEABLE form

@@ -670,6 +670,55 @@ class StreamingSpec extends SparkSpec {
     assert(view.last._4.contains(10.0))
   }
 
+  test("calendarRateAnomalyView + seasonalAnomalyView: one count " +
+      "ledger serves both calendar alarms, each equal to its batch " +
+      "operator") {
+    implicit val sqlCtx = spark.sqlContext
+    // key a runs 4 full days (counts alternate 2/3 by (hour+day)
+    // parity, so same-hour references have variance), then day 5 is
+    // DARK; key b pins the span. The day-5 gap cells exist only
+    // through densification, so the views prove the ledger
+    // reconstructs the calendar frame (not just observed rows).
+    def ev(d: Int, h: Int, i: Int, k: String) =
+      Ev((d.toLong * 24 + h) * 100 + i + (if (k == "a") 0 else 50),
+        ts(f"2024-01-0${d + 1} $h%02d:0${i % 10}:00"), k)
+    def day(d: Int) = (0 until 24).flatMap(h =>
+      (0 until (if ((h + d) % 2 == 0) 2 else 3)).map(i => ev(d, h, i, "a")))
+    val b1 = day(0) ++ day(1) ++ Seq(ev(0, 0, 0, "b"))
+    val b2 = day(2) ++ day(3) ++ Seq(ev(4, 23, 0, "b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(
+      mem.toDF().select(date_trunc("hour", col("ts")).as("ws"),
+        col("v").as("key")),
+      Seq("key", "ws"), lit(1L), table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val evs = (b1 ++ b2).toDF().withColumnRenamed("v", "event_type")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("ws", "key").collect().map(_.toString).toSeq
+    assert(norm(Streams.calendarRateAnomalyView(spark, table, "1 hour",
+        6, 4)) ==
+      norm(graft.ext.EventWindows.calendarRateAnomaly(evs, col("ts"),
+        "1 hour", col("event_type"), 6, 4)))
+    assert(norm(Streams.seasonalAnomalyView(spark, table, "1 hour",
+        minRef = 3)) ==
+      norm(graft.ext.EventWindows.seasonalAnomaly(evs, col("ts"),
+        "1 hour", col("event_type"), minRef = 3)))
+    // a's dark day-5 hours score against the other days' same hour
+    // (refs 2,3,2,3 → n'=4, S'=10, Q'=26): z = (0·4−10)/√4 = −5
+    val s = Streams.seasonalAnomalyView(spark, table, "1 hour",
+        minRef = 3)
+      .where(col("key") === "a" &&
+        col("ws") === java.sql.Timestamp.valueOf("2024-01-05 07:00:00"))
+      .collect()
+    assert(s.length == 1 && s.head.getAs[Double]("z") == -5.0)
+  }
+
   test("driftMonitorSink: per-batch TV rows equal the batch-mode " +
       "computation; a corpus-identical batch scores exactly 0") {
     implicit val sqlCtx = spark.sqlContext
