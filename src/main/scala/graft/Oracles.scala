@@ -7005,6 +7005,47 @@ object Oracles {
         |FROM dense d JOIN p ON d.key = p.key AND d.season = p.season
         |ORDER BY d.ws, d.key""".stripMargin)
 
+  // x214: Zipf coverage cut — cumulative over the DISTINCT-COUNT grid
+  // (most-frequent buckets first), required mass and the in-bucket
+  // term count both by exact integer ceil-DIV
+  private val vocabBudgetO: Map[String, String] = Map(
+    "x214_vocab_budget" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |cnts AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1),
+        |grid AS (
+        |  SELECT cnt, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(cnt * count(*) AS BIGINT) AS mass
+        |  FROM cnts GROUP BY 1),
+        |cum AS (
+        |  SELECT cnt, n_terms, mass,
+        |    CAST(coalesce(sum(mass) OVER (ORDER BY cnt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS m_before,
+        |    CAST(coalesce(sum(n_terms) OVER (ORDER BY cnt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS t_before
+        |  FROM grid),
+        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS T FROM grid),
+        |tg AS (SELECT unnest([500, 900, 990, 1000]) AS ppm)
+        |SELECT CAST(ppm AS INT) AS ppm,
+        |  CAST(t_before + ((((T * ppm + 999) // 1000) - m_before
+        |    + cnt - 1) // cnt) AS BIGINT) AS vocab_size,
+        |  CAST(m_before + ((((T * ppm + 999) // 1000) - m_before
+        |    + cnt - 1) // cnt) * cnt AS BIGINT) AS covered_mass,
+        |  T AS total_mass,
+        |  CAST(m_before + ((((T * ppm + 999) // 1000) - m_before
+        |    + cnt - 1) // cnt) * cnt AS DOUBLE) / CAST(T AS DOUBLE)
+        |    AS coverage
+        |FROM tg CROSS JOIN tot CROSS JOIN cum
+        |WHERE m_before < (T * ppm + 999) // 1000
+        |  AND m_before + mass >= (T * ppm + 999) // 1000
+        |ORDER BY ppm""".stripMargin)
+
   // x213: the x182 session chain + first-event stratum; per-stratum
   // w·diff terms quantized (28,12), adjusted sum exact decimal
   private val simpsonO: Map[String, String] = Map(
@@ -7419,7 +7460,7 @@ object Oracles {
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
-      seasonalO ++ tokenMiO ++ rboO ++ simpsonO +
+      seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,18 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x214 — VOCABULARY coverage budget
+    * ([[graft.ext.TextAnalysis.vocabularyBudget]]): the smallest
+    * top-frequency vocabulary reaching 50/90/99/100% of token mass —
+    * the Zipf cut a tokenizer's size is chosen by, exact to the term
+    * by integer arithmetic over the distinct-count grid (never a
+    * window over terms). */
+  val x214VocabBudget: Q = (s, dir) => {
+    TextAnalysis.vocabularyBudget(Tables.documents(s, dir), "doc_id",
+        "text", Seq(500, 900, 990, 1000))
+      .orderBy("ppm")
+  }
+
   /** x213 — SIMPSON'S-PARADOX audit
     * ([[graft.ext.Stats.simpsonAudit]]): x182's pooled conversion
     * readout re-examined per entry-event stratum — pooled vs
@@ -4053,6 +4065,7 @@ object Queries {
     "x211_token_label_mi" -> x211TokenLabelMi,
     "x212_rbo_agreement" -> x212RboAgreement,
     "x213_simpson_audit" -> x213SimpsonAudit,
+    "x214_vocab_budget" -> x214VocabBudget,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -785,6 +785,69 @@ object TextAnalysis {
             lit(1.0) / (col("y2").cast("double") + a))).as("z"))
   }
 
+  /** VOCABULARY BUDGET — the tokenizer-design read: for each coverage
+    * target (per-mille of total token mass), the SMALLEST
+    * top-frequency vocabulary that reaches it, plus what it covers
+    * exactly. "How many types do 99% of tokens need?" is the question
+    * a vocabulary size is chosen by (Zipf's law makes the answer far
+    * smaller than |V|; Heaps' law says |V| itself never stops
+    * growing — x113's curve gives the growth, this gives the cut).
+    *
+    * Scale discipline: the cumulative NEVER runs over terms — terms
+    * are grouped by their count value first (the x183 rank-from-
+    * counts lesson applied to Zipf mass), so the window is over the
+    * DISTINCT-COUNT grid (≲ √(total tokens) values by Zipf, bounded
+    * regardless of |V|), and the threshold cut lands inside one
+    * bucket by exact integer arithmetic: required = ⌈T·ppm/1000⌉ by
+    * integer DIV, terms-into-bucket = ⌈(required − cumBefore)/cnt⌉.
+    * No doubles anywhere except the reported coverage ratio.
+    * Output per target: (ppm, vocab_size, covered_mass, total_mass,
+    * coverage), vocab_size = 0 for a 0-mass corpus (NULL coverage). */
+  def vocabularyBudget(docs: DataFrame, idCol: String, textCol: String,
+      ppms: Seq[Int]): DataFrame = {
+    require(ppms.nonEmpty && ppms.distinct == ppms &&
+      ppms.forall(p => p >= 1 && p <= 1000),
+      s"vocabularyBudget: ppms=$ppms must be distinct in [1,1000]")
+    import org.apache.spark.sql.expressions.Window
+    val cnts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val grid = cnts.groupBy("cnt").agg(count(lit(1)).as("n_terms"))
+      .withColumn("mass", col("cnt") * col("n_terms"))
+    // grid-bounded window (the discrete-value contract; most-frequent
+    // buckets first)
+    val wg = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid
+      .withColumn("m_before", coalesce(sum(col("mass")).over(wg), lit(0L)))
+      .withColumn("t_before", coalesce(sum(col("n_terms")).over(wg), lit(0L)))
+    val tot = broadcast(grid.agg(sum(col("mass")).as("__T")))
+    val targets = docs.sparkSession
+      .createDataFrame(ppms.map(Tuple1(_))).toDF("ppm")
+    // required mass = ceil(T·ppm/1000) in exact integers; the unique
+    // bucket where the running mass first reaches it
+    val required = expr("(__T * ppm + 999) DIV 1000")
+    val hit = broadcast(targets).crossJoin(tot).crossJoin(cum)
+      .where(col("m_before") < required &&
+        col("m_before") + col("mass") >= required)
+      .withColumn("__k",
+        expr("(((__T * ppm + 999) DIV 1000) - m_before + cnt - 1) DIV cnt"))
+      .select(col("ppm"),
+        (col("t_before") + col("__k")).as("vocab_size"),
+        (col("m_before") + col("__k") * col("cnt")).as("covered_mass"),
+        col("__T").as("total_mass"),
+        ((col("m_before") + col("__k") * col("cnt")).cast("double") /
+          col("__T").cast("double")).as("coverage"))
+    // a 0-mass corpus hits no bucket: emit the degenerate row per ppm
+    val empty = broadcast(targets).crossJoin(tot)
+      .where(col("__T").isNull || col("__T") === 0L)
+      .select(col("ppm"), lit(0L).as("vocab_size"),
+        lit(0L).as("covered_mass"),
+        coalesce(col("__T"), lit(0L)).as("total_mass"),
+        lit(null).cast("double").as("coverage"))
+    hit.unionByName(empty)
+  }
+
   /** TOKEN–LABEL mutual information — the feature-selection audit
     * (Manning, Raghavan & Schütze 2008 §13.5.1): for every (term,
     * label) cell of the FULL vocabulary × label grid, the MI of the

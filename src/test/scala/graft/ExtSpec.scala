@@ -1525,6 +1525,27 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a corpusPrep manifest"))
   }
 
+  test("vocabularyBudget: exact Zipf cuts, in-bucket ceil, tied-count " +
+      "buckets, full-coverage edge") {
+    // vocab: a×6, b×3, c×1 — T = 10
+    val d = Seq((1L, "a a a a a a b b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.vocabularyBudget(d, "doc_id", "text",
+      Seq(500, 900, 1000)).orderBy("ppm"))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got == Seq(
+      (500, 1L, 6L, 10L, 0.6),   // required 5 → 1 term covers 6
+      (900, 2L, 9L, 10L, 0.9),   // required 9 → a+b
+      (1000, 3L, 10L, 10L, 1.0)))
+    // tied-count bucket: x×2, y×2, z×1 — required ⌈0.7·5⌉ = 4 needs
+    // TWO of the cnt-2 terms (the ceil inside the bucket)
+    val d2 = Seq((1L, "x x y y z")).toDF("doc_id", "text")
+    val got2 = rows(TextAnalysis.vocabularyBudget(d2, "doc_id", "text",
+      Seq(700))).map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(got2 == Seq((700, 2L, 4L, 0.8)))
+  }
+
   test("simpsonAudit: the Berkeley reversal — every stratum favors " +
       "cohort 0, the pool favors cohort 1, paradox flagged") {
     import graft.ext.Stats
