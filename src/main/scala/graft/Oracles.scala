@@ -7005,6 +7005,22 @@ object Oracles {
         |FROM dense d JOIN p ON d.key = p.key AND d.season = p.season
         |ORDER BY d.ws, d.key""".stripMargin)
 
+  // x215: uniform frame plan — pure integer arithmetic over metadata;
+  // idx(j) = (j·n) // k when n > k, else every frame; n ≤ 0 no rows
+  private val framePlanO: Map[String, String] = Map(
+    "x215_frame_plan" ->
+      """WITH vids AS (
+        |  SELECT doc_id, n_chars % 97 AS n FROM documents
+        |  WHERE n_chars % 97 > 0),
+        |j AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0, least(n, 8) - 1)) AS sample_ord
+        |  FROM vids)
+        |SELECT doc_id, CAST(sample_ord AS BIGINT) AS sample_ord,
+        |  CAST(CASE WHEN n <= 8 THEN sample_ord
+        |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
+        |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
+
   // x214: Zipf coverage cut — cumulative over the DISTINCT-COUNT grid
   // (most-frequent buckets first), required mass and the in-bucket
   // term count both by exact integer ceil-DIV
@@ -7460,7 +7476,8 @@ object Oracles {
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
-      seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO +
+      seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
+      framePlanO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

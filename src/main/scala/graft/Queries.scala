@@ -3006,6 +3006,20 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x215 — FRAME-SAMPLING plan
+    * ([[graft.ext.Multimodal.frameSamplePlan]]): k = 8 uniformly-
+    * spread frame indices per clip from metadata alone (frame counts
+    * synthesized from n_chars mod 97, covering the n < k, n = 0 and
+    * n ≫ k regimes) — the decode-stage work order a video pipeline
+    * plans without touching payload bytes. */
+  val x215FramePlan: Q = (s, dir) => {
+    val vids = Tables.documents(s, dir)
+      .select(col("doc_id"), pmod(col("n_chars"), lit(97L)).as("n_frames"))
+    Multimodal.frameSamplePlan(vids, "doc_id", col("n_frames"), k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "sample_ord")
+  }
+
   /** x214 — VOCABULARY coverage budget
     * ([[graft.ext.TextAnalysis.vocabularyBudget]]): the smallest
     * top-frequency vocabulary reaching 50/90/99/100% of token mass —
@@ -4066,6 +4080,7 @@ object Queries {
     "x212_rbo_agreement" -> x212RboAgreement,
     "x213_simpson_audit" -> x213SimpsonAudit,
     "x214_vocab_budget" -> x214VocabBudget,
+    "x215_frame_plan" -> x215FramePlan,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

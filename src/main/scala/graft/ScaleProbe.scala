@@ -152,7 +152,12 @@ object ScaleProbe {
       // broadcast RM3 two-pass (post-fix), the diff fold, and the
       // calendar-dense anomaly grid (|keys|×|hours| by construction)
       "x204_behavior_movers", "x205_prf_expand", "x206_diff_summary",
-      "x207_calendar_anomaly")
+      "x207_calendar_anomaly",
+      // round-12: manifest persistence, symmetric-delete linkage,
+      // seasonal grid, MI grid, RBO, Simpson, Zipf budget
+      "x208_manifest_roundtrip", "x209_spelling_variants",
+      "x210_seasonal_anomaly", "x211_token_label_mi",
+      "x212_rbo_agreement", "x213_simpson_audit", "x214_vocab_budget")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

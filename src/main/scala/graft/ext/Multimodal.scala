@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` payloads with
@@ -188,4 +188,29 @@ object Multimodal {
   def withPayloadMeta(df: DataFrame, payloadCol: String): DataFrame =
     df.withColumn("n_bytes", length(col(payloadCol)).cast("long"))
       .withColumn("digest", sha2(col(payloadCol), 256))
+
+  /** Deterministic uniform FRAME-SAMPLING plan — the Spark-side half
+    * of video ingestion: given each clip's frame count (from
+    * [[decodeMeta]]-style header metadata), emit WHICH frames the
+    * decode stage should touch, k spread uniformly: frame_idx(j) =
+    * ⌊j·n/k⌋ for j = 0..k−1 (strictly increasing when n > k, so
+    * always k distinct frames), or every frame when n ≤ k. The plan
+    * is pure integer arithmetic over metadata — no payload is read,
+    * so a 100 TB video corpus plans its decode from a few GB of
+    * header rows, and the expensive stage touches exactly the planned
+    * (id, frame_idx) set. Clips with n ≤ 0 emit no rows.
+    * Output: (id, sample_ord, frame_idx), fully codegen. */
+  def frameSamplePlan(df: DataFrame, idCol: String, nFrames: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"frameSamplePlan: k=$k must be >= 1")
+    df.select(col(idCol).as("id"), nFrames.cast("long").as("__n"))
+      .where(col("__n") > 0)
+      .select(col("id"), col("__n"),
+        explode(sequence(lit(0L), least(col("__n"), lit(k.toLong)) - 1))
+          .as("sample_ord"))
+      .select(col("id"), col("sample_ord"),
+        when(col("__n") <= k, col("sample_ord"))
+          .otherwise(expr(s"(sample_ord * __n) DIV $k"))
+          .as("frame_idx"))
+  }
 }

@@ -1525,6 +1525,28 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a corpusPrep manifest"))
   }
 
+  test("frameSamplePlan: uniform integer spread, short clips take " +
+      "every frame, empty clips emit nothing, indices strictly " +
+      "increase") {
+    import graft.ext.Multimodal
+    val d = Seq((1L, 100L), (2L, 3L), (3L, 0L), (4L, 8L))
+      .toDF("id", "n_frames")
+    val got = rows(Multimodal.frameSamplePlan(d, "id", col("n_frames"),
+      k = 8).orderBy("id", "sample_ord"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // clip 1 (100 frames): idx = ⌊j·100/8⌋ = 0,12,25,37,50,62,75,87
+    assert(got.filter(_._1 == 1L).map(_._3) ==
+      Seq(0L, 12L, 25L, 37L, 50L, 62L, 75L, 87L))
+    // clip 2 (3 frames < k): all of 0,1,2
+    assert(got.filter(_._1 == 2L).map(_._3) == Seq(0L, 1L, 2L))
+    // clip 3 (0 frames): no rows; clip 4 (n = k): all 8 frames
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 4L).map(_._3) == (0L to 7L))
+    // strict monotonicity within every clip
+    assert(got.groupBy(_._1).values.forall(rs =>
+      rs.map(_._3) == rs.map(_._3).distinct.sorted))
+  }
+
   test("vocabularyBudget: exact Zipf cuts, in-bucket ceil, tied-count " +
       "buckets, full-coverage edge") {
     // vocab: a×6, b×3, c×1 — T = 10
