@@ -393,12 +393,22 @@ object Stats {
     * Output one row: (n_strata, n_paired, n_reversed, pooled_diff,
     * adjusted_diff, paradox). */
   def simpsonAudit(units: DataFrame, stratum: Column, cohort: Column,
-      success: Column): DataFrame = {
+      success: Column): DataFrame =
+    simpsonAuditFromCells(units
+      .select(stratum.as("stratum"), cohort.as("cohort"),
+        when(success, 1L).otherwise(0L).as("__s"))
+      .groupBy("stratum", "cohort")
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("k")))
+
+  /** [[simpsonAudit]] over PRE-AGGREGATED (stratum, cohort, n, k)
+    * cells — the form a streaming additive ledger folds to (counts
+    * and success counts are both additive), so the paradox audit has
+    * a streaming view bit-equal to the batch operator over everything
+    * ingested. */
+  def simpsonAuditFromCells(cells: DataFrame): DataFrame = {
     val D = DecimalType(28, 12)
-    val base = units.select(stratum.as("stratum"), cohort.as("cohort"),
-      when(success, 1L).otherwise(0L).as("__s"))
-    val byCell = base.groupBy("stratum", "cohort")
-      .agg(count(lit(1)).as("n"), sum(col("__s")).as("k"))
+    val byCell = cells
+      .select(col("stratum"), col("cohort"), col("n"), col("k"))
       .localCheckpoint(true) // feeds pooled, paired AND strata counts
     val pooledC = byCell.groupBy("cohort")
       .agg(sum(col("n")).as("n"), sum(col("k")).as("k"))

@@ -317,6 +317,20 @@ object Streams {
         .select(col("ws"), col("key"), col("total").cast("long").as("c")),
       width, minRef = minRef)
 
+  /** SIMPSON-paradox audit view over an [[additiveSink]] ledger keyed
+    * (stratum, cohort) with the success flag as the value: the
+    * ledger's (count, sum) pair IS the contingency cell (n, k) — both
+    * additive, so the fold is exact and the view runs the x213 tail
+    * bit-equal to batch [[graft.ext.Stats.simpsonAudit]] over
+    * everything ingested (StreamingSpec). The A/B family's mix-shift
+    * alarm, streaming-fed with zero bespoke state. */
+  def simpsonAuditView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.simpsonAuditFromCells(
+      sumView(spark, tablePath, Seq("stratum", "cohort"))
+        .select(col("stratum"), col("cohort"), col("n"),
+          col("total").cast("long").as("k")))
+
   /** Streaming EMBEDDING-drift maintenance: each micro-batch appends
     * its [[graft.ext.Similarity.shardSums]] partial — per-(shard, dim)
     * exact decimal component sums + shard counts, the MERGEABLE form

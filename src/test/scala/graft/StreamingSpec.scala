@@ -13,6 +13,7 @@ case class GV(g: String, v: String)
 case class CohV(cohort: Long, v: Double)
 case class REv(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class DocT(doc_id: Long, n_tokens: Long, text: String)
+case class SCU(stratum: String, cohort: Long, ok: Boolean)
 
 /** Streaming forms agree with the batch operators: replayed duplicates
   * insert nothing (A5 in streaming terms), windowed counts match the
@@ -717,6 +718,41 @@ class StreamingSpec extends SparkSpec {
         col("ws") === java.sql.Timestamp.valueOf("2024-01-05 07:00:00"))
       .collect()
     assert(s.length == 1 && s.head.getAs[Double]("z") == -5.0)
+  }
+
+  test("simpsonAuditView: the (stratum, cohort) count ledger folds to " +
+      "the exact batch paradox audit; the reversal emerges only after " +
+      "the second batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def mk(st: String, c: Long, k: Int, n: Int) =
+      (0 until n).map(i => SCU(st, c, i < k))
+    // batch 1: the easy stratum only — no paradox visible yet;
+    // batch 2 adds the hard stratum and flips the pooled sign
+    val b1 = mk("easy", 0L, 9, 10) ++ mk("easy", 1L, 72, 90)
+    val b2 = mk("hard", 0L, 27, 90) ++ mk("hard", 1L, 2, 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_simp")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[SCU]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(mem.toDF(),
+      Seq("stratum", "cohort"), when(col("ok"), 1L).otherwise(0L),
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    val mid = Streams.simpsonAuditView(spark, table).collect().head
+    assert(!mid.getAs[Boolean]("paradox") &&
+      mid.getAs[Long]("n_strata") == 1L)
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = Streams.simpsonAuditView(spark, table).collect()
+      .map(_.toString).toSeq
+    val batch = graft.ext.Stats.simpsonAudit((b1 ++ b2).toDF(),
+      col("stratum"), col("cohort"), col("ok")).collect()
+      .map(_.toString).toSeq
+    assert(got == batch)
+    val r = Streams.simpsonAuditView(spark, table).collect().head
+    assert(r.getAs[Boolean]("paradox") &&
+      r.getAs[Double]("adjusted_diff") == 0.1)
   }
 
   test("driftMonitorSink: per-batch TV rows equal the batch-mode " +
