@@ -7005,6 +7005,47 @@ object Oracles {
         |FROM dense d JOIN p ON d.key = p.key AND d.season = p.season
         |ORDER BY d.ws, d.key""".stripMargin)
 
+  // x216: SIF hash embeddings — w_t = T/(T+1000·c_t) quantized once
+  // at (28,12); sign = polyHash(term||'#'||dim) parity applied by
+  // NEGATION; per-cell decimal sums exact; one boundary division
+  private val sifO: Map[String, String] = Map(
+    "x216_sif_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |nd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nd
+        |       FROM tf GROUP BY 1),
+        |cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c
+        |        FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM cnt),
+        |w AS (
+        |  SELECT term, CAST(CAST(T AS DOUBLE)
+        |      / CAST(T + 1000 * c AS DOUBLE) AS DECIMAL(28,12)) AS wt
+        |  FROM cnt CROSS JOIN tot),
+        |dims AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS dim),
+        |contrib AS (
+        |  SELECT tf.doc_id, d.dim,
+        |    CASE WHEN (CAST(list_reduce(list_transform(
+        |          range(1, length(tf.term || '#' || CAST(d.dim AS VARCHAR))
+        |            + 1),
+        |          j -> ascii(substring(
+        |            tf.term || '#' || CAST(d.dim AS VARCHAR), j, 1))),
+        |        (acc, x) -> (CAST(acc AS BIGINT) * 31 + x) % 1000000007)
+        |        AS BIGINT)) % 2 = 0
+        |      THEN CAST(tf.tf AS DECIMAL(9,0)) * w.wt
+        |      ELSE -(CAST(tf.tf AS DECIMAL(9,0)) * w.wt) END AS v
+        |  FROM tf JOIN w USING (term) CROSS JOIN dims d)
+        |SELECT c.doc_id, c.dim,
+        |  CAST(sum(c.v) AS DOUBLE) / CAST(any_value(nd.nd) AS DOUBLE) AS v
+        |FROM contrib c JOIN nd ON c.doc_id = nd.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY c.doc_id, c.dim""".stripMargin)
+
   // x215: uniform frame plan — pure integer arithmetic over metadata;
   // idx(j) = (j·n) // k when n > k, else every frame; n ≤ 0 no rows
   private val framePlanO: Map[String, String] = Map(
@@ -7477,7 +7518,7 @@ object Oracles {
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
-      framePlanO +
+      framePlanO ++ sifO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

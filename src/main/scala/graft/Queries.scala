@@ -3006,6 +3006,19 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x216 — SIF hash embeddings
+    * ([[graft.ext.TextAnalysis.sifEmbed]]): smooth-inverse-frequency
+    * weighted ±1 hash-sign document vectors (Arora et al. 2017 over
+    * the x97 hashing-trick space) — embedding-free vectorization the
+    * ANN family can consume, oracle-recomputed END TO END (weights
+    * are exact integer ratios; signs the portable polyHash). */
+  val x216SifEmbed: Q = (s, dir) => {
+    TextAnalysis.sifEmbed(Tables.documents(s, dir), "doc_id", "text",
+        dim = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "dim")
+  }
+
   /** x215 — FRAME-SAMPLING plan
     * ([[graft.ext.Multimodal.frameSamplePlan]]): k = 8 uniformly-
     * spread frame indices per clip from metadata alone (frame counts
@@ -4081,6 +4094,7 @@ object Queries {
     "x213_simpson_audit" -> x213SimpsonAudit,
     "x214_vocab_budget" -> x214VocabBudget,
     "x215_frame_plan" -> x215FramePlan,
+    "x216_sif_embed" -> x216SifEmbed,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

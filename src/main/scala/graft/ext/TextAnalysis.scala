@@ -785,6 +785,60 @@ object TextAnalysis {
             lit(1.0) / (col("y2").cast("double") + a))).as("z"))
   }
 
+  /** SIF document embeddings over HASHED word vectors (Arora, Liang &
+    * Ma ICLR 2017, "a simple but tough-to-beat baseline", the
+    * smooth-inverse-frequency weighting; word vectors are ±1
+    * hash-sign features, the x97 hashing-trick space) — the
+    * embedding-free way to give every document a vector the
+    * similarity/ANN family can consume: e_d[i] = (1/n_d)·Σ_t tf_t ·
+    * w_t · sign(t, i), with w_t = a/(a + p(t)) and sign from the
+    * engine-portable polyHash, so the WHOLE vectorization is
+    * oracle-recomputable, not just its shape.
+    *
+    * Determinism: with a = 1/aInv, w_t = T/(T + aInv·c_t) — a ratio
+    * of exact integers, ONE double division quantized to
+    * DECIMAL(28,12); each contribution is (tf as DECIMAL(9,0))·w_t
+    * (exact, precision 38), sign applied by NEGATION (a ±1 multiply
+    * would overflow the precision cap and silently rescale); per-cell
+    * sums are exact decimal; one boundary division by n_d.
+    * Scale shape: one tokenize scan → the (id, term, tf) table
+    * (checkpointed once, three consumers); weights join on the
+    * vocabulary key; the dim explode is a bounded literal; the final
+    * agg is map-side combinable on (id, dim).
+    * Output: (id, dim, v) dense triples, dim = 0..dim−1. */
+  def sifEmbed(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 8, aInv: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(dim >= 1 && dim <= 64, s"sifEmbed: dim=$dim outside [1,64]")
+    require(aInv >= 1, s"sifEmbed: aInv=$aInv must be >= 1")
+    val D = DecimalType(28, 12)
+    val G = DecimalType(9, 0)
+    val tf = docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds nd, the vocab counts AND contrib
+    val nd = tf.groupBy("id").agg(sum(col("tf")).as("__nd"))
+    val cnt = tf.groupBy("term").agg(sum(col("tf")).as("__c"))
+    val tot = broadcast(cnt.agg(sum(col("__c")).as("__T")))
+    val w = cnt.crossJoin(tot).select(col("term"),
+      (col("__T").cast("double") /
+        (col("__T") + lit(aInv) * col("__c")).cast("double"))
+        .cast(D).as("__wt"))
+    val dims = broadcast(docs.sparkSession
+      .createDataFrame((0 until dim).map(Tuple1(_))).toDF("dim"))
+    val contrib = tf.join(w, Seq("term"))
+      .crossJoin(dims)
+      .withColumn("__p", col("tf").cast(G) * col("__wt"))
+      .select(col("id"), col("dim"),
+        when(graft.ext.Dedup.polyHash(
+          concat(col("term"), lit("#"), col("dim").cast("string")))
+          % 2 === 0, col("__p")).otherwise(-col("__p")).as("__v"))
+    contrib.groupBy("id", "dim").agg(sum(col("__v")).as("__s"))
+      .join(nd, Seq("id"))
+      .select(col("id"), col("dim"),
+        (col("__s").cast("double") / col("__nd").cast("double")).as("v"))
+  }
+
   /** VOCABULARY BUDGET — the tokenizer-design read: for each coverage
     * target (per-mille of total token mass), the SMALLEST
     * top-frequency vocabulary that reaches it, plus what it covers

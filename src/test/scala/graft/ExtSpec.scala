@@ -1525,6 +1525,36 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a corpusPrep manifest"))
   }
 
+  test("sifEmbed: exact SIF-weighted hash-sign cells on a hand corpus") {
+    def refHash(s: String): Long =
+      if (s.isEmpty) 0L
+      else s.drop(1).foldLeft(s.head.toLong)((acc, c) =>
+        (acc * 31 + c.toLong) % 1000000007L)
+    // corpus: doc1 = "ab ab cd", doc2 = "cd"; T = 4, c(ab)=2, c(cd)=2
+    val d = Seq((1L, "ab ab cd"), (2L, "cd")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.sifEmbed(d, "doc_id", "text", dim = 4)
+      .orderBy("id", "dim"))
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 8)
+    // expected: w = 4/2004 quantized HALF_UP at 12 decimals; cell =
+    // (tf_ab·±w + tf_cd·±w)/n_d with signs from polyHash parity —
+    // the identical arithmetic, recomputed independently
+    val w = BigDecimal(4.0 / 2004.0)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def sgn(t: String, dim: Int) =
+      if (refHash(s"$t#$dim") % 2 == 0) BigDecimal(1) else BigDecimal(-1)
+    for (dim <- 0 until 4) {
+      // exact decimal sum, then ONE double division (the engine's
+      // boundary order)
+      val e1 = (w * 2 * sgn("ab", dim) + w * sgn("cd", dim)).toDouble / 3.0
+      val e2 = (w * sgn("cd", dim)).toDouble / 1.0
+      assert(got((1L, dim)) == e1, s"doc1 dim $dim")
+      assert(got((2L, dim)) == e2, s"doc2 dim $dim")
+    }
+    // signs actually vary across dims (the hash is not degenerate)
+    assert((0 until 4).map(sgn("ab", _)).distinct.size == 2)
+  }
+
   test("frameSamplePlan: uniform integer spread, short clips take " +
       "every frame, empty clips emit nothing, indices strictly " +
       "increase") {
