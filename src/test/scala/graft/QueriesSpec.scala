@@ -74,7 +74,15 @@ class QueriesSpec extends SparkSpec {
     "x41_heavy_change" ->
       "two count-min grids, same literal-bounded shape as x37",
     "x42_bloom_decontaminate" ->
-      "bloom bit positions: cardinality ≤ m bits, a filter-size literal")
+      "bloom bit positions: cardinality ≤ m bits, a filter-size literal",
+    "x211_token_label_mi" ->
+      ("per-label doc totals: cardinality = |labels| (languages), a " +
+        "category constant like x35's per-dim stats — the vocab-sized " +
+        "side (n11/ni) is never broadcast"),
+    "x213_simpson_audit" ->
+      ("pooled-rate frame: the cohort agg is 2 rows (binary cohorts) " +
+        "and the a<b pair 1 row; strata/cohort grids are " +
+        "category-bounded, never unit-sized"))
 
   test("every registered query executes at sf0.001") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
