@@ -7046,6 +7046,32 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY c.doc_id, c.dim""".stripMargin)
 
+  // x217: SIF chain reused verbatim as a CTE, vectors assembled in
+  // dim order, then the exact x06 cosine ranker (list_dot_product is
+  // the same sequential fold as the engine's codegen dot)
+  private lazy val sifNeighborsO: Map[String, String] = Map(
+    "x217_sif_neighbors" ->
+      (s"WITH sifcells AS (\n${sifO("x216_sif_embed")}\n),\n" +
+        """vec AS (
+          |  SELECT doc_id, list(v ORDER BY dim) AS embedding
+          |  FROM sifcells GROUP BY doc_id)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+          |  cosine
+          |FROM (
+          |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+          |    list_dot_product(q.embedding, c.embedding)
+          |      / (sqrt(list_dot_product(q.embedding, q.embedding))
+          |        * sqrt(list_dot_product(c.embedding, c.embedding)))
+          |      AS cosine,
+          |    row_number() OVER (PARTITION BY q.doc_id
+          |      ORDER BY list_dot_product(q.embedding, c.embedding)
+          |        / (sqrt(list_dot_product(q.embedding, q.embedding))
+          |          * sqrt(list_dot_product(c.embedding, c.embedding)))
+          |        DESC, c.doc_id) AS rank
+          |  FROM vec q JOIN vec c
+          |    ON q.doc_id < 10 AND c.doc_id != q.doc_id) t
+          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   // x215: uniform frame plan — pure integer arithmetic over metadata;
   // idx(j) = (j·n) // k when n > k, else every frame; n ≤ 0 no rows
   private val framePlanO: Map[String, String] = Map(
@@ -7518,7 +7544,7 @@ object Oracles {
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
-      framePlanO ++ sifO +
+      framePlanO ++ sifO ++ sifNeighborsO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

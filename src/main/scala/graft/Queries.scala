@@ -3006,6 +3006,24 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x217 — nearest neighbors in SIF space: x216's hash-sign vectors
+    * assembled per document and fed to the exact x06 brute-force
+    * cosine ranker — text-only semantic neighbors with NO embedding
+    * table anywhere, the composition the SIF operator exists for
+    * (scale path: the same vectors feed [[graft.ext.Ivf]] like any
+    * embedding column). Oracle replays SIF + list_dot_product. */
+  val x217SifNeighbors: Q = (s, dir) => {
+    val vecs = TextAnalysis.sifEmbed(Tables.documents(s, dir), "doc_id",
+        "text", dim = 8)
+      .groupBy("id").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+          x => x.getField("v")).as("embedding"))
+      .localCheckpoint(true) // feeds the query AND corpus sides
+    Similarity.bruteTopK(vecs.where(col("id") < 10), vecs, "id",
+        "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** x216 — SIF hash embeddings
     * ([[graft.ext.TextAnalysis.sifEmbed]]): smooth-inverse-frequency
     * weighted ±1 hash-sign document vectors (Arora et al. 2017 over
@@ -4095,6 +4113,7 @@ object Queries {
     "x214_vocab_budget" -> x214VocabBudget,
     "x215_frame_plan" -> x215FramePlan,
     "x216_sif_embed" -> x216SifEmbed,
+    "x217_sif_neighbors" -> x217SifNeighbors,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,
