@@ -7088,6 +7088,59 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x218: the x207 dense-grid chain + prefix sums; gains through
+  // DECIMAL(19,0) squares (38-digit products, the widest BOTH engines
+  // multiply exactly), one double chain each; argmax ranks
+  // (gain DESC, ws ASC)
+  private val levelShiftO: Map[String, String] = Map(
+    "x218_level_shift" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+        |  FROM span),
+        |grid AS (
+        |  SELECT k.key, h.ws
+        |  FROM (SELECT DISTINCT key FROM c) k CROSS JOIN hours h),
+        |dense AS (
+        |  SELECT g.ws, g.key, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |  FROM grid g LEFT JOIN c ON c.key = g.key AND c.ws = g.ws),
+        |cum AS (
+        |  SELECT ws, key, c,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    CAST(sum(c) OVER (PARTITION BY key ORDER BY ws
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+        |    lead(ws, 1) OVER w AS nxt
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY key ORDER BY ws)),
+        |tot AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS S
+        |  FROM dense GROUP BY 1),
+        |splits AS (
+        |  SELECT cum.key, cum.nxt, cum.i, cum.cs,
+        |    tot.n - cum.i AS nr, tot.S - cum.cs AS sr, cum.ws,
+        |    CAST(CAST(cum.cs AS DECIMAL(19,0))
+        |        * CAST(cum.cs AS DECIMAL(19,0)) AS DOUBLE)
+        |      / CAST(cum.i AS DOUBLE)
+        |    + CAST(CAST(tot.S - cum.cs AS DECIMAL(19,0))
+        |        * CAST(tot.S - cum.cs AS DECIMAL(19,0)) AS DOUBLE)
+        |      / CAST(tot.n - cum.i AS DOUBLE) AS gain
+        |  FROM cum JOIN tot ON cum.key = tot.key
+        |  WHERE cum.i < tot.n),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY gain DESC, ws ASC) AS rk
+        |  FROM splits)
+        |SELECT key, nxt AS split_ws, i AS n_left,
+        |  CAST(nr AS BIGINT) AS n_right,
+        |  CAST(cs AS DOUBLE) / CAST(i AS DOUBLE) AS mean_left,
+        |  CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS mean_right, gain
+        |FROM best WHERE rk = 1 ORDER BY key""".stripMargin)
+
   // x214: Zipf coverage cut — cumulative over the DISTINCT-COUNT grid
   // (most-frequent buckets first), required mass and the in-bucket
   // term count both by exact integer ceil-DIV
@@ -7544,7 +7597,7 @@ object Oracles {
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
-      framePlanO ++ sifO ++ sifNeighborsO +
+      framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

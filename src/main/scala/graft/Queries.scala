@@ -3006,6 +3006,18 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x218 — LEVEL-SHIFT locator
+    * ([[graft.ext.EventWindows.levelShift]]): per event type, the
+    * hourly calendar boundary that best splits the count series into
+    * two level regimes (binary segmentation's first split by exact
+    * variance-reduction argmax) — CUSUM alarms on drift; this names
+    * the hour it happened. */
+  val x218LevelShift: Q = (s, dir) => {
+    EventWindows.levelShift(Tables.events(s, dir), col("ts"), "1 hour",
+        col("event_type"))
+      .orderBy("key")
+  }
+
   /** x217 — nearest neighbors in SIF space: x216's hash-sign vectors
     * assembled per document and fed to the exact x06 brute-force
     * cosine ranker — text-only semantic neighbors with NO embedding
@@ -4114,6 +4126,7 @@ object Queries {
     "x215_frame_plan" -> x215FramePlan,
     "x216_sif_embed" -> x216SifEmbed,
     "x217_sif_neighbors" -> x217SifNeighbors,
+    "x218_level_shift" -> x218LevelShift,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -331,6 +331,19 @@ object Streams {
         .select(col("stratum"), col("cohort"), col("n"),
           col("total").cast("long").as("k")))
 
+  /** LEVEL-SHIFT locator view over the SAME [[additiveSink]]
+    * (key, ws) count ledger — the FOURTH alarm on one ledger
+    * (trailing z, calendar z, seasonal z, and now the change-point
+    * LOCATOR), bit-equal to batch
+    * [[graft.ext.EventWindows.levelShift]] over everything ingested
+    * (StreamingSpec). */
+  def levelShiftView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, width: String): DataFrame =
+    graft.ext.EventWindows.levelShiftFromCounts(
+      sumView(spark, tablePath, Seq("key", "ws"))
+        .select(col("ws"), col("key"), col("total").cast("long").as("c")),
+      width)
+
   /** Streaming EMBEDDING-drift maintenance: each micro-batch appends
     * its [[graft.ext.Similarity.shardSums]] partial — per-(shard, dim)
     * exact decimal component sums + shard counts, the MERGEABLE form

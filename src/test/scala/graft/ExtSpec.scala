@@ -2504,6 +2504,41 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("levelShift: locates the step hour exactly; split_ws is the " +
+      "right regime's first period, including at the last boundary") {
+    // key a: hours 0..2 one event, hours 3..4 five events — counts
+    // 1,1,1,5,5; gains by hand: t=1→37, t=2→42.33, t=3→53, t=4→29
+    val evs =
+      (0 until 3).map(h =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:00:00"), "a")) ++
+      (3 to 4).flatMap(h => (0 until 5).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:0$i%d:00"), "a"))) ++
+      // key b: 1,9 — the best (only) boundary is the LAST one, whose
+      // lead(ws) must come from the pre-filter grid
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), "b")) ++
+      (0 until 9).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 04:0$i%d:00"), "b"))
+    val df = evs.toDF("ts", "event_type")
+    val got = rows(EventWindows.levelShift(df, col("ts"), "1 hour",
+      col("event_type")).orderBy("key"))
+    val a = got(0)
+    assert(a.getString(0) == "a")
+    assert(a.getAs[java.sql.Timestamp]("split_ws") ==
+      java.sql.Timestamp.valueOf("2024-01-01 03:00:00"))
+    assert(a.getAs[Long]("n_left") == 3L && a.getAs[Long]("n_right") == 2L)
+    assert(a.getAs[Double]("mean_left") == 1.0 &&
+      a.getAs[Double]("mean_right") == 5.0)
+    assert(a.getAs[Double]("gain") == 3.0 + 50.0)
+    // key b spans hours 0..4 on the GLOBAL grid (zeros 0,0,0 then
+    // 1,9): best split isolates the 9
+    val b = got(1)
+    assert(b.getString(0) == "b")
+    assert(b.getAs[java.sql.Timestamp]("split_ws") ==
+      java.sql.Timestamp.valueOf("2024-01-01 04:00:00"))
+    assert(b.getAs[Long]("n_right") == 1L &&
+      b.getAs[Double]("mean_right") == 9.0)
+  }
+
   test("seasonal anomaly: a dark hour scores z = -5 against the OTHER " +
       "days' same hour; season groups with no variance stay null") {
     // key a: hour 5 of days 0..5 carries 2,3,2,3,2,3 events; day 6's

@@ -710,6 +710,12 @@ class StreamingSpec extends SparkSpec {
         minRef = 3)) ==
       norm(graft.ext.EventWindows.seasonalAnomaly(evs, col("ts"),
         "1 hour", col("event_type"), minRef = 3)))
+    // the level-shift locator rides the SAME ledger (fourth alarm)
+    assert(Streams.levelShiftView(spark, table, "1 hour")
+        .orderBy("key").collect().map(_.toString).toSeq ==
+      graft.ext.EventWindows.levelShift(evs, col("ts"), "1 hour",
+        col("event_type")).orderBy("key").collect()
+        .map(_.toString).toSeq)
     // a's dark day-5 hours score against the other days' same hour
     // (refs 2,3,2,3 → n'=4, S'=10, Q'=26): z = (0·4−10)/√4 = −5
     val s = Streams.seasonalAnomalyView(spark, table, "1 hour",
