@@ -7088,6 +7088,53 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x219: Otsu over the per-value count grid — the x218 machinery on
+  // the value axis; same (19,0) square and double-chain disciplines
+  private val otsuO: Map[String, String] = Map(
+    "x219_otsu_threshold" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS v
+        |  FROM documents),
+        |cv AS (
+        |  SELECT source AS g, v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(count(*) * v AS BIGINT) AS m
+        |  FROM d GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, c, m,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |    CAST(sum(m) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+        |    lead(v, 1) OVER w AS nxt
+        |  FROM cv WINDOW w AS (PARTITION BY g ORDER BY v)),
+        |tot AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(c) AS BIGINT) AS W, CAST(sum(m) AS BIGINT) AS S
+        |  FROM cv GROUP BY 1),
+        |splits AS (
+        |  SELECT cum.g, cum.nxt, cum.cw, cum.cs, cum.v,
+        |    tot.W - cum.cw AS wr, tot.S - cum.cs AS sr,
+        |    CAST(CAST(cum.cs AS DECIMAL(19,0))
+        |        * CAST(cum.cs AS DECIMAL(19,0)) AS DOUBLE)
+        |      / CAST(cum.cw AS DOUBLE)
+        |    + CAST(CAST(tot.S - cum.cs AS DECIMAL(19,0))
+        |        * CAST(tot.S - cum.cs AS DECIMAL(19,0)) AS DOUBLE)
+        |      / CAST(tot.W - cum.cw AS DOUBLE) AS gain
+        |  FROM cum JOIN tot ON cum.g = tot.g
+        |  WHERE cum.i < tot.nv),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY gain DESC, v ASC) AS rk
+        |  FROM splits)
+        |SELECT g AS source, CAST(nxt AS BIGINT) AS threshold,
+        |  cw AS w_left, CAST(wr AS BIGINT) AS w_right,
+        |  CAST(cs AS DOUBLE) / CAST(cw AS DOUBLE) AS mean_left,
+        |  CAST(sr AS DOUBLE) / CAST(wr AS DOUBLE) AS mean_right, gain
+        |FROM best WHERE rk = 1 ORDER BY source""".stripMargin)
+
   // x218: the x207 dense-grid chain + prefix sums; gains through
   // DECIMAL(19,0) squares (38-digit products, the widest BOTH engines
   // multiply exactly), one double chain each; argmax ranks
@@ -7597,7 +7644,7 @@ object Oracles {
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
-      framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO +
+      framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

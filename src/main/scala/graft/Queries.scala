@@ -3006,6 +3006,19 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x219 — OTSU quality threshold per source
+    * ([[graft.ext.Stats.otsuThreshold]]): the token-count cut that
+    * best splits each source's length distribution into two classes —
+    * a data-derived keep/drop gate instead of a hand-picked constant
+    * (x218's variance-argmax moved to the value axis). */
+  val x219OtsuThreshold: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("source"),
+      TextAnalysis.tokenCount(col("text")).as("nt"))
+    graft.ext.Stats.otsuThreshold(d, col("source"), col("nt"))
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+  }
+
   /** x218 — LEVEL-SHIFT locator
     * ([[graft.ext.EventWindows.levelShift]]): per event type, the
     * hourly calendar boundary that best splits the count series into
@@ -4127,6 +4140,7 @@ object Queries {
     "x216_sif_embed" -> x216SifEmbed,
     "x217_sif_neighbors" -> x217SifNeighbors,
     "x218_level_shift" -> x218LevelShift,
+    "x219_otsu_threshold" -> x219OtsuThreshold,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -448,6 +448,63 @@ object Stats {
           .as("paradox"))
   }
 
+  /** OTSU threshold per group (Otsu 1979, the histogram-based
+    * two-class split): the value cut that best separates a score
+    * distribution into two classes — how a continuous quality score
+    * (length, perplexity, readability) becomes a keep/drop gate
+    * WITHOUT a hand-picked threshold. Maximizing the between-class
+    * term S_L²/W_L + S_R²/W_R over the per-VALUE count grid minimizes
+    * within-class variance (x218's level-shift math moved from the
+    * time axis to the value axis).
+    *
+    * Determinism: counts and value·count sums are exact integers on
+    * the discrete grid (the documented contract — quantize floats
+    * first); squares go through DECIMAL(19,0) (38-digit products,
+    * exact in both engines); each gain is one double chain; argmax
+    * ranks (gain DESC, v ASC). Scale: per-(group, value) combiner
+    * agg, then GRID-bounded windows partitioned by group.
+    * Output per group: (group, threshold — the right class's
+    * smallest value, w_left, w_right, mean_left, mean_right, gain);
+    * groups with one distinct value emit nothing. */
+  def otsuThreshold(df: DataFrame, group: Column, value: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(19, 0)
+    val cv = df.select(group.as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("__c"))
+      .withColumn("__m", col("__c") * col("v"))
+    val wOrd = Window.partitionBy("g").orderBy("v")
+    val cum = cv
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__cw", sum(col("__c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__cs", sum(col("__m")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__next", lead(col("v"), 1).over(wOrd))
+    val tot = cv.groupBy("g").agg(count(lit(1)).as("__nv"),
+      sum(col("__c")).as("__W"), sum(col("__m")).as("__S"))
+    val splits = cum.join(tot, Seq("g"))
+      .where(col("__i") < col("__nv"))
+      .withColumn("__wr", col("__W") - col("__cw"))
+      .withColumn("__sr", col("__S") - col("__cs"))
+      .withColumn("gain",
+        (col("__cs").cast(N) * col("__cs").cast(N)).cast("double") /
+          col("__cw").cast("double") +
+          (col("__sr").cast(N) * col("__sr").cast(N)).cast("double") /
+            col("__wr").cast("double"))
+    val wBest = Window.partitionBy("g")
+      .orderBy(col("gain").desc, col("v").asc)
+    splits.withColumn("__rk", row_number().over(wBest))
+      .where(col("__rk") === 1)
+      .select(col("g").as("group"), col("__next").as("threshold"),
+        col("__cw").as("w_left"), col("__wr").as("w_right"),
+        (col("__cs").cast("double") / col("__cw").cast("double"))
+          .as("mean_left"),
+        (col("__sr").cast("double") / col("__wr").cast("double"))
+          .as("mean_right"),
+        col("gain"))
+  }
+
   def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame =
     ksDriftFromCounts(df.select(group.as("g"), value.as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c")))

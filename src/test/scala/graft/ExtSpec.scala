@@ -2504,6 +2504,25 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("otsuThreshold: bimodal histogram splits between the modes; " +
+      "single-value groups emit nothing") {
+    import graft.ext.Stats
+    // g1: values 1×3, 2×1, 10×2 — classes {1,1,1,2} vs {10,10}:
+    // boundary after v=2: gain = 5²/4 + 20²/2 = 206.25; after v=1:
+    // 3²/3 + 22²/3 = 164.3 — split at threshold 10
+    val d = (Seq.fill(3)(("g1", 1L)) ++ Seq(("g1", 2L)) ++
+      Seq.fill(2)(("g1", 10L)) ++ Seq.fill(4)(("g2", 7L)))
+      .toDF("g", "v")
+    val got = rows(Stats.otsuThreshold(d, col("g"), col("v")))
+    assert(got.length == 1) // g2 has one distinct value — no split
+    val r = got.head
+    assert(r.getString(0) == "g1" && r.getAs[Long]("threshold") == 10L)
+    assert(r.getAs[Long]("w_left") == 4L && r.getAs[Long]("w_right") == 2L)
+    assert(r.getAs[Double]("mean_left") == 1.25 &&
+      r.getAs[Double]("mean_right") == 10.0)
+    assert(r.getAs[Double]("gain") == 25.0 / 4.0 + 200.0)
+  }
+
   test("levelShift: locates the step hour exactly; split_ws is the " +
       "right regime's first period, including at the last boundary") {
     // key a: hours 0..2 one event, hours 3..4 five events — counts
