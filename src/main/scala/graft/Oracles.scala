@@ -7088,6 +7088,50 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x220: per-eval-item contamination — distinct bench shingles hit in
+  // train + the argmax train doc (ties: smallest id); membership is
+  // hash-invariant, so the oracle joins on the STRING shingles
+  private val evalContamO: Map[String, String] = Map(
+    "x220_eval_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+        |    AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(arr) - 1),
+        |      i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS s
+        |  FROM toks),
+        |b AS (SELECT doc_id, s FROM sh WHERE doc_id < 20),
+        |t AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+        |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        |       FROM b GROUP BY 1),
+        |hit AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM b WHERE s IN (SELECT s FROM t) GROUP BY 1),
+        |shared AS (
+        |  SELECT b.doc_id AS idb, t.doc_id AS idt,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM b JOIN t ON b.s = t.s GROUP BY 1, 2),
+        |top AS (
+        |  SELECT idb, idt, shared FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY idb
+        |      ORDER BY shared DESC, idt ASC) AS rk
+        |    FROM shared) WHERE rk = 1),
+        |ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 20)
+        |SELECT ids.doc_id,
+        |  CAST(coalesce(nb.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CASE WHEN nb.n_shingles IS NOT NULL
+        |    THEN CAST(coalesce(hit.n_hit, 0) AS BIGINT) END AS n_hit,
+        |  CAST(coalesce(hit.n_hit, 0) AS DOUBLE)
+        |    / CAST(nb.n_shingles AS DOUBLE) AS contamination,
+        |  top.idt AS top_train_doc, top.shared AS top_shared
+        |FROM ids
+        |LEFT JOIN nb USING (doc_id)
+        |LEFT JOIN hit USING (doc_id)
+        |LEFT JOIN top ON top.idb = ids.doc_id
+        |ORDER BY ids.doc_id""".stripMargin)
+
   // x219: Otsu over the per-value count grid — the x218 machinery on
   // the value axis; same (19,0) square and double-chain disciplines
   private val otsuO: Map[String, String] = Map(
@@ -7644,7 +7688,8 @@ object Oracles {
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
-      framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO +
+      framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
+      evalContamO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

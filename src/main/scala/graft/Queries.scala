@@ -3006,6 +3006,22 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x220 — per-EVAL-ITEM contamination report
+    * ([[graft.ext.Dedup.evalContamination]]): for each pseudo-bench
+    * document (doc_id < 20), the fraction of its distinct 3-gram
+    * shingles found in the training split and the single training doc
+    * carrying the most of them — x89's corpus fraction reversed to
+    * the grain an eval owner acts on. */
+  val x220EvalContamination: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.shingles(col("text"), 3).as("__sh"))
+    Dedup.evalContamination(d.where(col("doc_id") < 20),
+        d.where(col("doc_id") >= 20), "doc_id", "__sh")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x219 — OTSU quality threshold per source
     * ([[graft.ext.Stats.otsuThreshold]]): the token-count cut that
     * best splits each source's length distribution into two classes —
@@ -4141,6 +4157,7 @@ object Queries {
     "x217_sif_neighbors" -> x217SifNeighbors,
     "x218_level_shift" -> x218LevelShift,
     "x219_otsu_threshold" -> x219OtsuThreshold,
+    "x220_eval_contamination" -> x220EvalContamination,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

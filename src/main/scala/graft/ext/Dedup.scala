@@ -1205,6 +1205,59 @@ object Dedup {
             col("n_wedges").cast("double")).as("clustering_coeff"))
   }
 
+  /** Per-EVAL-ITEM contamination report — [[contaminationFraction]]
+    * reversed to the benchmark's grain: for each bench document, how
+    * much of it leaked into the training corpus and WHICH training
+    * document carries the most of it ("this eval item is burned, and
+    * here is the page that burned it" — the row an eval owner acts
+    * on; corpus-level fractions can't name the offender). n_hit
+    * counts the bench item's DISTINCT shingles found anywhere in
+    * train; the top contaminator is the train doc sharing the most
+    * (ties: smallest id — a total order).
+    *
+    * Scale shape: the bench shingle set is benchmark-sized and
+    * broadcast (the x33 eval-slice discipline); the train scan is
+    * filtered to bench shingles BY that broadcast, so the provenance
+    * join's left side is |hits|, never |train|; per-bench argmax is a
+    * bench-bounded window. Bench items with no shingles report 0/NULL
+    * (never dropped — the skeleton lesson).
+    * Output: (id, n_shingles, n_hit, contamination, top_train_doc,
+    * top_shared). */
+  def evalContamination(bench: DataFrame, train: DataFrame,
+      idCol: String, shinglesCol: String): DataFrame = {
+    val bsh = bench.select(col(idCol).as("__idb"),
+        explode(hashedShingles(col(shinglesCol))).as("h"))
+      .distinct()
+      .localCheckpoint(true) // feeds totals, the hit count AND provenance
+    val tsh = train.select(col(idCol).as("__idt"),
+        explode(hashedShingles(col(shinglesCol))).as("h"))
+      .distinct()
+      .localCheckpoint(true) // feeds the hit semi-join AND provenance
+    val nB = bsh.groupBy("__idb").agg(count(lit(1)).as("n_shingles"))
+    val hitN = bsh
+      .join(tsh.select("h").distinct(), Seq("h"), "left_semi")
+      .groupBy("__idb").agg(count(lit(1)).as("n_hit"))
+    val shared = tsh.join(broadcast(bsh), Seq("h"))
+      .groupBy("__idb", "__idt").agg(count(lit(1)).as("__shared"))
+    val wTop = Window.partitionBy("__idb")
+      .orderBy(col("__shared").desc, col("__idt").asc)
+    val top = shared.withColumn("__rk", row_number().over(wTop))
+      .where(col("__rk") === 1)
+      .select(col("__idb"), col("__idt").as("top_train_doc"),
+        col("__shared").as("top_shared"))
+    bench.select(col(idCol).as("__idb")).distinct()
+      .join(nB, Seq("__idb"), "left")
+      .join(hitN, Seq("__idb"), "left")
+      .join(top, Seq("__idb"), "left")
+      .select(col("__idb").as("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        when(col("n_shingles").isNotNull,
+          coalesce(col("n_hit"), lit(0L))).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"),
+        col("top_train_doc"), col("top_shared"))
+  }
+
   /** FUZZY string linkage: all pairs within Levenshtein distance
     * `maxDist`, by SYMMETRIC-DELETE blocking (SymSpell; Garbe 2012) +
     * exact verification — the record-linkage primitive (misspelling

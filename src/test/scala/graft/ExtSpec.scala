@@ -2504,6 +2504,41 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("evalContamination: per-item fractions, argmax contaminator " +
+      "with id tiebreak, clean and shingle-less items kept") {
+    import graft.ext.{Dedup, TextAnalysis}
+    val bench = Seq(
+      (1L, "a b c d e"),     // shingles: abc bcd cde
+      (2L, "x y z w"),       // xyz yzw — clean
+      (3L, "q r")            // too short: NO shingles
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "a b c d"),      // shares abc bcd
+      (11L, "a b c"),        // shares abc
+      (12L, "c d e p q")     // shares cde
+    ).toDF("doc_id", "text")
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextAnalysis.shingles(col("text"), 3).as("__sh"))
+    val got = rows(Dedup.evalContamination(sh(bench), sh(train),
+      "doc_id", "__sh").orderBy("id"))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    val r1 = byId(1L)
+    assert(r1.getAs[Long]("n_shingles") == 3L &&
+      r1.getAs[Long]("n_hit") == 3L)
+    assert(r1.getAs[Double]("contamination") == 1.0)
+    assert(r1.getAs[Long]("top_train_doc") == 10L &&
+      r1.getAs[Long]("top_shared") == 2L)
+    val r2 = byId(2L)
+    assert(r2.getAs[Long]("n_hit") == 0L &&
+      r2.getAs[Double]("contamination") == 0.0 &&
+      r2.isNullAt(r2.fieldIndex("top_train_doc")))
+    val r3 = byId(3L)
+    assert(r3.getAs[Long]("n_shingles") == 0L &&
+      r3.isNullAt(r3.fieldIndex("n_hit")) &&
+      r3.isNullAt(r3.fieldIndex("contamination")))
+  }
+
   test("otsuThreshold: bimodal histogram splits between the modes; " +
       "single-value groups emit nothing") {
     import graft.ext.Stats
