@@ -7088,6 +7088,33 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x221: Good–Turing over the count-of-counts grid; the lead() is
+  // gap-aware (r* defined only when class r+1 exists)
+  private val goodTuringO: Map[String, String] = Map(
+    "x221_good_turing" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |cnts AS (SELECT term, CAST(count(*) AS BIGINT) AS r
+        |         FROM toks GROUP BY 1),
+        |grid AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+        |         FROM cnts GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS T FROM grid),
+        |led AS (
+        |  SELECT r, n_r,
+        |    lead(n_r, 1) OVER (ORDER BY r) AS nr1,
+        |    lead(r, 1) OVER (ORDER BY r) AS r1
+        |  FROM grid)
+        |SELECT r, n_r,
+        |  CASE WHEN r1 = r + 1 THEN
+        |    CAST(r + 1 AS DOUBLE) * CAST(nr1 AS DOUBLE)
+        |      / CAST(n_r AS DOUBLE) END AS r_star,
+        |  CASE WHEN r1 = r + 1 THEN
+        |    CAST(r + 1 AS DOUBLE) * CAST(nr1 AS DOUBLE)
+        |      / CAST(n_r AS DOUBLE) / CAST(T AS DOUBLE) END AS p_item
+        |FROM led CROSS JOIN tot ORDER BY r""".stripMargin)
+
   // x220: per-eval-item contamination — distinct bench shingles hit in
   // train + the argmax train doc (ties: smallest id); membership is
   // hash-invariant, so the oracle joins on the STRING shingles
@@ -7689,7 +7716,7 @@ object Oracles {
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
-      evalContamO +
+      evalContamO ++ goodTuringO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,17 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x221 — GOOD–TURING smoothing grid
+    * ([[graft.ext.TextAnalysis.goodTuring]]): adjusted counts
+    * r* = (r+1)·N_{r+1}/N_r over the corpus count-of-counts — the
+    * estimator a frequency table needs before it predicts the next
+    * sample; gaps in the class grid report NULL (the fitted-tail
+    * boundary), never a silent zero. */
+  val x221GoodTuring: Q = (s, dir) => {
+    TextAnalysis.goodTuring(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("r")
+  }
+
   /** x220 — per-EVAL-ITEM contamination report
     * ([[graft.ext.Dedup.evalContamination]]): for each pseudo-bench
     * document (doc_id < 20), the fraction of its distinct 3-gram
@@ -3054,8 +3065,7 @@ object Queries {
     * (scale path: the same vectors feed [[graft.ext.Ivf]] like any
     * embedding column). Oracle replays SIF + list_dot_product. */
   val x217SifNeighbors: Q = (s, dir) => {
-    val vecs = TextAnalysis.sifEmbed(Tables.documents(s, dir), "doc_id",
-        "text", dim = 8)
+    val vecs = sifCellsFull(s, dir)
       .groupBy("id").agg(
         transform(array_sort(collect_list(struct(col("dim"), col("v")))),
           x => x.getField("v")).as("embedding"))
@@ -3071,9 +3081,16 @@ object Queries {
     * the x97 hashing-trick space) — embedding-free vectorization the
     * ANN family can consume, oracle-recomputed END TO END (weights
     * are exact integer ratios; signs the portable polyHash). */
+  /** The x216/x217 shared SIF cell table, memoized per session (the
+    * winnowPairsFull discipline — the embedding audit and the
+    * neighbor ranker ask for the identical artifact). */
+  private def sifCellsFull(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Memo.cached(s, s"sifCells|$dir|dim=8|aInv=1000")(
+      TextAnalysis.sifEmbed(Tables.documents(s, dir), "doc_id", "text",
+        dim = 8))
+
   val x216SifEmbed: Q = (s, dir) => {
-    TextAnalysis.sifEmbed(Tables.documents(s, dir), "doc_id", "text",
-        dim = 8)
+    sifCellsFull(s, dir)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "dim")
   }
@@ -4158,6 +4175,7 @@ object Queries {
     "x218_level_shift" -> x218LevelShift,
     "x219_otsu_threshold" -> x219OtsuThreshold,
     "x220_eval_contamination" -> x220EvalContamination,
+    "x221_good_turing" -> x221GoodTuring,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

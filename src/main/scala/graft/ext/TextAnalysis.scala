@@ -839,6 +839,47 @@ object TextAnalysis {
         (col("__s").cast("double") / col("__nd").cast("double")).as("v"))
   }
 
+  /** GOOD–TURING frequency smoothing (Good 1953; the count-of-counts
+    * estimator): for each observed frequency class r, the adjusted
+    * count r* = (r+1)·N_{r+1}/N_r and smoothed per-item probability
+    * r* / T — what a frequency table actually predicts about the NEXT
+    * sample, with the leave-one-out mass the raw MLE overclaims
+    * returned to the unseen (p_unseen = N_1/T, readable off the r = 1
+    * row). The LM-smoothing companion of [[vocabularyBudget]]'s Zipf
+    * cut, over the same count-of-counts grid.
+    *
+    * Determinism: N_r and T are exact integers; r* and p are one
+    * double chain each from integer operands. r classes with no
+    * successor class (N_{r+1} = 0) report NULL r* — the standard
+    * truncation (production smoothers switch to a fitted tail there;
+    * Gale & Sampson 1995), never a silent 0. Scale: one tokenize
+    * scan → vocab counts → the count-of-counts grid (Zipf-bounded,
+    * ≲ √T distinct values); the lead() window rides the grid.
+    * Output: (r, n_r, r_star, p_item) ordered by r. */
+  def goodTuring(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r"))
+    val grid = cnts.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val tot = broadcast(grid.agg(sum(col("r") * col("n_r")).as("__T")))
+    // grid-bounded window (the discrete-value contract)
+    val wg = Window.orderBy("r")
+    grid
+      .withColumn("__nr1", lead(col("n_r"), 1).over(wg))
+      .withColumn("__r1", lead(col("r"), 1).over(wg))
+      .crossJoin(tot)
+      .select(col("r"), col("n_r"),
+        when(col("__r1") === col("r") + 1,
+          (col("r") + 1).cast("double") * col("__nr1").cast("double") /
+            col("n_r").cast("double")).as("r_star"),
+        when(col("__r1") === col("r") + 1,
+          (col("r") + 1).cast("double") * col("__nr1").cast("double") /
+            col("n_r").cast("double") / col("__T").cast("double"))
+          .as("p_item"))
+  }
+
   /** VOCABULARY BUDGET — the tokenizer-design read: for each coverage
     * target (per-mille of total token mass), the SMALLEST
     * top-frequency vocabulary that reaches it, plus what it covers

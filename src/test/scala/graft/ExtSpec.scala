@@ -2504,6 +2504,28 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("goodTuring: exact adjusted counts; class gaps report null, " +
+      "not zero") {
+    // vocab: a×3, b×1, c×1, d×2 → N1=2, N2=1, N3=1, T=7
+    // r=1: r* = 2·1/2 = 1; r=2: r* = 3·1/1 = 3; r=3: no class 4 → null
+    val d = Seq((1L, "a a a b"), (2L, "c d d")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.goodTuring(d, "doc_id", "text")
+      .orderBy("r"))
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Double]("r_star")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("p_item")).map(_.doubleValue)))
+    assert(got == Seq(
+      (1L, 2L, Some(1.0), Some(1.0 / 7.0)),
+      (2L, 1L, Some(3.0), Some(3.0 / 7.0)),
+      (3L, 1L, None, None)))
+    // a gapped grid: e×1, f×5 → r=1 has NO class 2 → null r*
+    val g = Seq((1L, "e f f f f f")).toDF("doc_id", "text")
+    val got2 = rows(TextAnalysis.goodTuring(g, "doc_id", "text")
+      .orderBy("r"))
+    assert(got2.head.getLong(0) == 1L &&
+      got2.head.isNullAt(got2.head.fieldIndex("r_star")))
+  }
+
   test("evalContamination: per-item fractions, argmax contaminator " +
       "with id tiebreak, clean and shingle-less items kept") {
     import graft.ext.{Dedup, TextAnalysis}
