@@ -7088,6 +7088,37 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x222: Fano factor over the dense calendar grid; exact integer
+  // moments ((19,0) squares), one double chain, NULL for zero mass
+  private val dispersionO: Map[String, String] = Map(
+    "x222_dispersion" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+        |  FROM span),
+        |grid AS (
+        |  SELECT k.key, h.ws
+        |  FROM (SELECT DISTINCT key FROM c) k CROSS JOIN hours h),
+        |dense AS (
+        |  SELECT g.ws, g.key, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |  FROM grid g LEFT JOIN c ON c.key = g.key AND c.ws = g.ws),
+        |m AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS S,
+        |    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS Q
+        |  FROM dense GROUP BY 1)
+        |SELECT key, n AS n_periods,
+        |  CAST(S AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |  CASE WHEN S > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(Q AS DOUBLE)
+        |      - CAST(S AS DOUBLE) * CAST(S AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(S AS DOUBLE)) END AS vmr
+        |FROM m ORDER BY key""".stripMargin)
+
   // x221: Good–Turing over the count-of-counts grid; the lead() is
   // gap-aware (r* defined only when class r+1 exists)
   private val goodTuringO: Map[String, String] = Map(
@@ -7716,7 +7747,7 @@ object Oracles {
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
-      evalContamO ++ goodTuringO +
+      evalContamO ++ goodTuringO ++ dispersionO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,18 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x222 — arrival DISPERSION
+    * ([[graft.ext.EventWindows.dispersion]]): per event type, the
+    * Fano factor of the hourly dense count series — Poisson-steady
+    * vs bursty vs metronomic, the arrival-SHAPE read beside the
+    * level/trend/season family; exact integer moments, one double
+    * chain. */
+  val x222Dispersion: Q = (s, dir) => {
+    EventWindows.dispersion(Tables.events(s, dir), col("ts"), "1 hour",
+        col("event_type"))
+      .orderBy("key")
+  }
+
   /** x221 — GOOD–TURING smoothing grid
     * ([[graft.ext.TextAnalysis.goodTuring]]): adjusted counts
     * r* = (r+1)·N_{r+1}/N_r over the corpus count-of-counts — the
@@ -4176,6 +4188,7 @@ object Queries {
     "x219_otsu_threshold" -> x219OtsuThreshold,
     "x220_eval_contamination" -> x220EvalContamination,
     "x221_good_turing" -> x221GoodTuring,
+    "x222_dispersion" -> x222Dispersion,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

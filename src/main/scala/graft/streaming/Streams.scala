@@ -344,6 +344,19 @@ object Streams {
         .select(col("ws"), col("key"), col("total").cast("long").as("c")),
       width)
 
+  /** Arrival-DISPERSION view over the SAME [[additiveSink]] (key, ws)
+    * count ledger — the FIFTH alarm on one ledger (trailing z,
+    * calendar z, seasonal z, change-point locator, and now the
+    * burstiness read), bit-equal to batch
+    * [[graft.ext.EventWindows.dispersion]] over everything ingested
+    * (StreamingSpec). */
+  def dispersionView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, width: String): DataFrame =
+    graft.ext.EventWindows.dispersionFromCounts(
+      sumView(spark, tablePath, Seq("key", "ws"))
+        .select(col("ws"), col("key"), col("total").cast("long").as("c")),
+      width)
+
   /** Streaming EMBEDDING-drift maintenance: each micro-batch appends
     * its [[graft.ext.Similarity.shardSums]] partial — per-(shard, dim)
     * exact decimal component sums + shard counts, the MERGEABLE form

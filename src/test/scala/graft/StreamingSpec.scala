@@ -710,6 +710,12 @@ class StreamingSpec extends SparkSpec {
         minRef = 3)) ==
       norm(graft.ext.EventWindows.seasonalAnomaly(evs, col("ts"),
         "1 hour", col("event_type"), minRef = 3)))
+    // the dispersion read rides the SAME ledger (fifth alarm)
+    assert(Streams.dispersionView(spark, table, "1 hour")
+        .orderBy("key").collect().map(_.toString).toSeq ==
+      graft.ext.EventWindows.dispersion(evs, col("ts"), "1 hour",
+        col("event_type")).orderBy("key").collect()
+        .map(_.toString).toSeq)
     // the level-shift locator rides the SAME ledger (fourth alarm)
     assert(Streams.levelShiftView(spark, table, "1 hour")
         .orderBy("key").collect().map(_.toString).toSeq ==
