@@ -7088,6 +7088,28 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x223: the x103 winnow-graph + component chain reused VERBATIM up
+  // to `lab`, folded to per-cluster edge counts and density
+  private lazy val clusterDensityO: Map[String, String] = {
+    val x103 = base("x103_dedup_histogram")
+    val cut = x103.indexOf("sizes AS")
+    require(cut > 0, "x223 oracle: x103 chain slice failed")
+    Map("x223_cluster_density" ->
+      (x103.substring(0, cut) +
+        """sizes AS (
+          |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+          |  FROM lab GROUP BY 1),
+          |ec AS (
+          |  SELECT l.cluster, CAST(count(*) AS BIGINT) AS n_edges
+          |  FROM wpairs w JOIN lab l ON w.d1 = l.id GROUP BY 1)
+          |SELECT s.cluster, s.n_members, ec.n_edges,
+          |  2 * CAST(ec.n_edges AS DOUBLE)
+          |    / (CAST(s.n_members AS DOUBLE)
+          |      * CAST(s.n_members - 1 AS DOUBLE)) AS density
+          |FROM sizes s JOIN ec USING (cluster)
+          |ORDER BY cluster""".stripMargin))
+  }
+
   // x222: Fano factor over the dense calendar grid; exact integer
   // moments ((19,0) squares), one double chain, NULL for zero mass
   private val dispersionO: Map[String, String] = Map(
@@ -7747,7 +7769,7 @@ object Oracles {
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
-      evalContamO ++ goodTuringO ++ dispersionO +
+      evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,28 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x223 — per-CLUSTER edge density over the x92 winnow pair graph:
+    * n_edges / C(n_members, 2) for every near-dup component — the
+    * per-cluster form of x202's global clustering read (density → 1
+    * is a template farm where one survivor is right; density → 0 a
+    * mirror CHAIN the transitive closure may be gluing end-to-end).
+    * Incremental on the memoized graph; counts only, never a
+    * within-cluster pair explode. */
+  val x223ClusterDensity: Q = (s, dir) => {
+    val pairs = winnowPairsFull(s, dir)
+    val lab = Dedup.clusters(pairs)
+    val sizes = lab.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    val edges = pairs.select(col("id_a"))
+      .join(lab.select(col("id").as("id_a"), col("cluster")), Seq("id_a"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("n_edges"),
+        (lit(2.0) * col("n_edges").cast("double") /
+          (col("n_members").cast("double") *
+            (col("n_members") - 1).cast("double"))).as("density"))
+      .orderBy("cluster")
+  }
+
   /** x222 — arrival DISPERSION
     * ([[graft.ext.EventWindows.dispersion]]): per event type, the
     * Fano factor of the hourly dense count series — Poisson-steady
@@ -4189,6 +4211,7 @@ object Queries {
     "x220_eval_contamination" -> x220EvalContamination,
     "x221_good_turing" -> x221GoodTuring,
     "x222_dispersion" -> x222Dispersion,
+    "x223_cluster_density" -> x223ClusterDensity,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

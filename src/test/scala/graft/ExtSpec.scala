@@ -2504,6 +2504,26 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("cluster density: a triangle scores 1, a chain 2/3 — counts " +
+      "only, no within-cluster pair explode") {
+    import graft.ext.Dedup
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val lab = Dedup.clusters(pairs)
+    val sizes = lab.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    val edges = pairs.select(col("id_a"))
+      .join(lab.select(col("id").as("id_a"), col("cluster")), Seq("id_a"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
+    val got = rows(sizes.join(edges, Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("n_edges"),
+        (lit(2.0) * col("n_edges").cast("double") /
+          (col("n_members").cast("double") *
+            (col("n_members") - 1).cast("double"))).as("density"))
+      .orderBy("cluster"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == Seq((1L, 3L, 3L, 1.0), (10L, 3L, 2L, 2.0 / 3.0)))
+  }
+
   test("dispersion: Fano factor exact on a hand grid; bursty beats " +
       "steady; all-zero keys are null") {
     // span = 4 hours. Key steady: 1,1,1,1 → VMR 0; key bursty:
