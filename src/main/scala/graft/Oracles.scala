@@ -7088,6 +7088,57 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x224: Mann–Kendall over the dense grid — exact integer S and tie
+  // terms ((12,0) triple products, 36 digits, bindable both engines),
+  // one double chain for var and the continuity-corrected z
+  private val mannKendallO: Map[String, String] = Map(
+    "x224_mann_kendall" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+        |  FROM span),
+        |grid AS (
+        |  SELECT k.key, h.ws
+        |  FROM (SELECT DISTINCT key FROM c) k CROSS JOIN hours h),
+        |dense AS (
+        |  SELECT g.ws, g.key, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |  FROM grid g LEFT JOIN c ON c.key = g.key AND c.ws = g.ws),
+        |s AS (
+        |  SELECT a.key,
+        |    CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
+        |  FROM dense a JOIN dense b
+        |    ON a.key = b.key AND a.ws < b.ws
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT key,
+        |    sum(CAST(t AS DECIMAL(12,0)) * CAST(t - 1 AS DECIMAL(12,0))
+        |      * CAST(2 * t + 5 AS DECIMAL(12,0))) AS tt
+        |  FROM (SELECT key, c, CAST(count(*) AS BIGINT) AS t
+        |        FROM dense GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |n AS (SELECT key, CAST(count(*) AS BIGINT) AS n
+        |      FROM dense GROUP BY 1),
+        |v AS (
+        |  SELECT n.key, n.n, s.s_stat,
+        |    CAST(CAST(n.n AS DECIMAL(12,0))
+        |        * CAST(n.n - 1 AS DECIMAL(12,0))
+        |        * CAST(2 * n.n + 5 AS DECIMAL(12,0)) - ties.tt
+        |      AS DOUBLE) / 18.0e0 AS var_s
+        |  FROM n JOIN s ON n.key = s.key JOIN ties ON n.key = ties.key)
+        |SELECT key, n AS n_periods, s_stat, var_s,
+        |  CASE WHEN var_s > 0.0 THEN
+        |    CASE WHEN s_stat > 0
+        |        THEN (CAST(s_stat AS DOUBLE) - 1.0e0) / sqrt(var_s)
+        |      WHEN s_stat < 0
+        |        THEN (CAST(s_stat AS DOUBLE) + 1.0e0) / sqrt(var_s)
+        |      ELSE 0.0e0 END
+        |  END AS z
+        |FROM v ORDER BY key""".stripMargin)
+
   // x223: the x103 winnow-graph + component chain reused VERBATIM up
   // to `lab`, folded to per-cluster edge counts and density
   private lazy val clusterDensityO: Map[String, String] = {
@@ -7769,7 +7820,8 @@ object Oracles {
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
-      evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO +
+      evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
+      mannKendallO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

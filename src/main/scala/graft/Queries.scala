@@ -3006,6 +3006,18 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x224 — MANN–KENDALL trend test
+    * ([[graft.ext.EventWindows.mannKendall]]): per event type, the
+    * nonparametric monotone-drift score over the hourly dense series
+    * (exact integer S, tie-corrected variance, continuity-corrected
+    * z) — the trend read beside x218's step locator and x222's
+    * burstiness. */
+  val x224MannKendall: Q = (s, dir) => {
+    EventWindows.mannKendall(Tables.events(s, dir), col("ts"), "1 hour",
+        col("event_type"))
+      .orderBy("key")
+  }
+
   /** x223 — per-CLUSTER edge density over the x92 winnow pair graph:
     * n_edges / C(n_members, 2) for every near-dup component — the
     * per-cluster form of x202's global clustering read (density → 1
@@ -4212,6 +4224,7 @@ object Queries {
     "x221_good_turing" -> x221GoodTuring,
     "x222_dispersion" -> x222Dispersion,
     "x223_cluster_density" -> x223ClusterDensity,
+    "x224_mann_kendall" -> x224MannKendall,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

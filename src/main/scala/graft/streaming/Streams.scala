@@ -357,6 +357,17 @@ object Streams {
         .select(col("ws"), col("key"), col("total").cast("long").as("c")),
       width)
 
+  /** MANN–KENDALL trend view over the SAME [[additiveSink]] (key, ws)
+    * count ledger — the SIXTH alarm on one ledger, bit-equal to batch
+    * [[graft.ext.EventWindows.mannKendall]] over everything ingested
+    * (StreamingSpec). */
+  def mannKendallView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, width: String): DataFrame =
+    graft.ext.EventWindows.mannKendallFromCounts(
+      sumView(spark, tablePath, Seq("key", "ws"))
+        .select(col("ws"), col("key"), col("total").cast("long").as("c")),
+      width)
+
   /** Streaming EMBEDDING-drift maintenance: each micro-batch appends
     * its [[graft.ext.Similarity.shardSums]] partial — per-(shard, dim)
     * exact decimal component sums + shard counts, the MERGEABLE form

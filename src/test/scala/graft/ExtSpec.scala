@@ -2504,6 +2504,35 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("mannKendall: exact S and tie-corrected variance; constant " +
+      "series (all ties) scores null; continuity correction by sign") {
+    // up: counts 1,2,3,4 over 4 hours → S = +6, no ties,
+    // var = 4·3·13/18; down: 4,3,2,1 → S = −6; flat: 2,2,2,2 → var 0
+    def evsFor(k: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(i =>
+          (java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:0$i%d:00"), k))
+      }
+    val df = (evsFor("up", Seq(1, 2, 3, 4)) ++
+      evsFor("down", Seq(4, 3, 2, 1)) ++ evsFor("flat", Seq(2, 2, 2, 2)))
+      .toDF("ts", "event_type")
+    val got = rows(EventWindows.mannKendall(df, col("ts"), "1 hour",
+      col("event_type")).orderBy("key"))
+      .map(r => r.getString(0) -> r).toMap
+    val varS = (4.0 * 3.0 * 13.0) / 18.0
+    val up = got("up")
+    assert(up.getAs[Long]("s_stat") == 6L &&
+      up.getAs[Double]("var_s") == varS)
+    assert(up.getAs[Double]("z") == 5.0 / math.sqrt(varS))
+    val dn = got("down")
+    assert(dn.getAs[Long]("s_stat") == -6L &&
+      dn.getAs[Double]("z") == -5.0 / math.sqrt(varS))
+    val fl = got("flat")
+    assert(fl.getAs[Long]("s_stat") == 0L &&
+      fl.getAs[Double]("var_s") == 0.0 &&
+      fl.isNullAt(fl.fieldIndex("z")))
+  }
+
   test("cluster density: a triangle scores 1, a chain 2/3 — counts " +
       "only, no within-cluster pair explode") {
     import graft.ext.Dedup

@@ -710,6 +710,12 @@ class StreamingSpec extends SparkSpec {
         minRef = 3)) ==
       norm(graft.ext.EventWindows.seasonalAnomaly(evs, col("ts"),
         "1 hour", col("event_type"), minRef = 3)))
+    // the Mann–Kendall trend rides the SAME ledger (sixth alarm)
+    assert(Streams.mannKendallView(spark, table, "1 hour")
+        .orderBy("key").collect().map(_.toString).toSeq ==
+      graft.ext.EventWindows.mannKendall(evs, col("ts"), "1 hour",
+        col("event_type")).orderBy("key").collect()
+        .map(_.toString).toSeq)
     // the dispersion read rides the SAME ledger (fifth alarm)
     assert(Streams.dispersionView(spark, table, "1 hour")
         .orderBy("key").collect().map(_.toString).toSeq ==
