@@ -7088,6 +7088,31 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x225: round-robin curriculum — per-stratum rank by the portable
+  // multiplicative hash (the bucketed engine form equals this plain
+  // per-stratum rank), pos = rank·|strata| + stratum index
+  private val curriculumO: Map[String, String] = Map(
+    "x225_curriculum_interleave" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id % 1000000007) * 654435747) % 1000000007 AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, hv,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY hv, doc_id) - 1 AS BIGINT) AS rk
+        |  FROM h),
+        |si AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+        |      AS bi
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM si)
+        |SELECT r.doc_id, r.source AS stratum,
+        |  r.rk * ns.n + si.bi AS pos
+        |FROM r JOIN si ON r.source = si.source CROSS JOIN ns
+        |ORDER BY pos""".stripMargin)
+
   // x224: Mann–Kendall over the dense grid — exact integer S and tie
   // terms ((12,0) triple products, 36 digits, bindable both engines),
   // one double chain for var and the continuity-corrected z
@@ -7821,7 +7846,7 @@ object Oracles {
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
-      mannKendallO +
+      mannKendallO ++ curriculumO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,18 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x225 — stratified round-robin CURRICULUM order
+    * ([[graft.ext.Sampling.curriculumInterleave]]): a deterministic
+    * global training order interleaving sources — in-stratum shuffle
+    * by the portable hash, bucket-decomposed ranks (no
+    * single-partition window), position = rank·|strata| + index. */
+  val x225CurriculumInterleave: Q = (s, dir) => {
+    Sampling.curriculumInterleave(Tables.documents(s, dir),
+        col("doc_id"), col("source"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("pos")
+  }
+
   /** x224 — MANN–KENDALL trend test
     * ([[graft.ext.EventWindows.mannKendall]]): per event type, the
     * nonparametric monotone-drift score over the hourly dense series
@@ -4225,6 +4237,7 @@ object Queries {
     "x222_dispersion" -> x222Dispersion,
     "x223_cluster_density" -> x223ClusterDensity,
     "x224_mann_kendall" -> x224MannKendall,
+    "x225_curriculum_interleave" -> x225CurriculumInterleave,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

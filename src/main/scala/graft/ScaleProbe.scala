@@ -160,7 +160,8 @@ object ScaleProbe {
       "x212_rbo_agreement", "x213_simpson_audit", "x214_vocab_budget",
       "x215_frame_plan", "x216_sif_embed", "x217_sif_neighbors",
       "x218_level_shift", "x219_otsu_threshold",
-      "x220_eval_contamination", "x221_good_turing")
+      "x220_eval_contamination", "x221_good_turing",
+      "x222_dispersion", "x223_cluster_density", "x224_mann_kendall")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

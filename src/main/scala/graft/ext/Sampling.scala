@@ -538,6 +538,64 @@ object Sampling {
       .select(col("id"), col("__ipn").as("n"), col("__ipc").as("cum_prev"))
   }
 
+  /** Stratified ROUND-ROBIN curriculum order: a deterministic global
+    * training ORDER in which strata (sources, languages, quality
+    * tiers) interleave instead of clumping — the anti-correlation a
+    * training run wants so no epoch segment is one source's long run
+    * (curriculum/mixing literature's "shuffle within, interleave
+    * across"). Within each stratum, documents order by the
+    * engine-portable multiplicative [[hashValue]] (a deterministic
+    * uniform shuffle any engine re-derives); globally, position =
+    * in-stratum-rank · |strata| + stratum-index, so a sort by `pos`
+    * visits strata round-robin while both have documents left
+    * (uneven strata leave gaps — `pos` is an ORDER, not a dense
+    * index).
+    *
+    * Scale shape: the in-stratum rank uses the [[idOrderedPrefix]]
+    * bucket decomposition on the HASH axis — per-(stratum,
+    * hash-bucket) local windows (partition-parallel even when one
+    * stratum dominates the corpus) plus exclusive offsets folded over
+    * the bounded |strata|×nBuckets grid; no single-partition window
+    * over per-document rows anywhere. The stratum index table is
+    * category-bounded and broadcast.
+    * Output: (id, stratum, pos). */
+  def curriculumInterleave(df: DataFrame, id: Column, stratum: Column,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 1, s"curriculumInterleave: nBuckets=$nBuckets")
+    val base0 = df.select(id.as("id"), stratum.as("stratum"))
+    val idT = base0.schema("id").dataType
+    require(Seq("byte", "short", "int", "bigint")
+        .contains(idT.simpleString),
+      s"curriculumInterleave: id must be integral, got " +
+        s"${idT.simpleString} — hashValue needs numeric id arithmetic")
+    val width = HashPrime / nBuckets + 1
+    val base = base0
+      .withColumn("__h", hashValue(col("id")))
+      .withColumn("__b", (col("__h") / lit(width)).cast("long"))
+    val grid = base.groupBy("stratum", "__b")
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // feeds offsets AND the stratum index
+    val wOff = Window.partitionBy("stratum").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = broadcast(grid
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("stratum"), col("__b"), col("__off")))
+    // stratum index over the bounded category grid (total order)
+    val sIdx = broadcast(grid.select("stratum").distinct()
+      .withColumn("__bi",
+        row_number().over(Window.orderBy("stratum")).cast("long") - 1))
+    val nS = broadcast(sIdx.agg(count(lit(1)).as("__ns")))
+    val wIn = Window.partitionBy("stratum", "__b")
+      .orderBy(col("__h"), col("id"))
+    base.join(offs, Seq("stratum", "__b"))
+      .join(sIdx, Seq("stratum"))
+      .crossJoin(nS)
+      .withColumn("__r",
+        col("__off") + row_number().over(wIn).cast("long") - 1)
+      .select(col("id"), col("stratum"),
+        (col("__r") * col("__ns") + col("__bi")).as("pos"))
+  }
+
   /** Token-budgeted SHARD PLAN — the export-layout step between
     * curation and [[graft.operators.Export.writeJsonl]]: documents in
     * id order are packed greedily into shards of ≈ `shardTokens`

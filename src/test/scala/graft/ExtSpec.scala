@@ -2504,6 +2504,28 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("curriculumInterleave: round-robin while strata live, gaps " +
+      "after; hash order within stratum; bucketing invariant") {
+    import graft.ext.Sampling
+    val P = 1000000007L; val M = 654435747L
+    def hv(id: Long) = ((id % P) * M) % P
+    val d = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("doc_id", "source")
+    val got = rows(Sampling.curriculumInterleave(d, col("doc_id"),
+      col("source")).orderBy("pos"))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // A = index 0, B = index 1; A's in-stratum order by hash
+    val aOrder = Seq(1L, 2L, 3L).sortBy(id => (hv(id), id))
+    assert(got.map(_._3) == Seq(0L, 1L, 2L, 4L)) // B exhausts → gap at 3
+    assert(got.filter(_._2 == "A").map(_._1) == aOrder)
+    assert(got.filter(_._2 == "B").map(_._3) == Seq(1L))
+    // a different bucket count yields the IDENTICAL order (the
+    // decomposition is an implementation detail, not semantics)
+    assert(rows(Sampling.curriculumInterleave(d, col("doc_id"),
+        col("source"), nBuckets = 3).orderBy("pos"))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))) == got)
+  }
+
   test("mannKendall: exact S and tie-corrected variance; constant " +
       "series (all ties) scores null; continuity correction by sign") {
     // up: counts 1,2,3,4 over 4 hours → S = +6, no ties,
