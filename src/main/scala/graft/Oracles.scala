@@ -7088,6 +7088,37 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x226: McNemar — the x93 gopher chain reused verbatim as the A
+  // gate; exact discordant cells, (19,0) squares, NULL when the gates
+  // never disagree
+  private lazy val mcnemarO: Map[String, String] = Map(
+    "x226_mcnemar_gates" ->
+      (s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+        """u AS (
+          |  SELECT g.gopher_pass AS a, d.n_chars >= 200 AS b
+          |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+          |cells AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n11,
+          |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n10,
+          |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n01,
+          |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n00
+          |  FROM u)
+          |SELECT n11, n10, n01, n00,
+          |  CASE WHEN n10 + n01 > 0 THEN
+          |    CAST(CAST(n10 - n01 AS DECIMAL(19,0))
+          |        * CAST(n10 - n01 AS DECIMAL(19,0)) AS DOUBLE)
+          |      / CAST(n10 + n01 AS DOUBLE) END AS chi2,
+          |  CASE WHEN n10 + n01 > 0 THEN
+          |    CAST(CAST(greatest(abs(n10 - n01) - 1, 0) AS DECIMAL(19,0))
+          |        * CAST(greatest(abs(n10 - n01) - 1, 0) AS DECIMAL(19,0))
+          |      AS DOUBLE) / CAST(n10 + n01 AS DOUBLE) END AS chi2_cc
+          |FROM cells""".stripMargin))
+
   // x225: round-robin curriculum — per-stratum rank by the portable
   // multiplicative hash (the bucketed engine form equals this plain
   // per-stratum rank), pos = rank·|strata| + stratum index
@@ -7846,7 +7877,7 @@ object Oracles {
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
-      mannKendallO ++ curriculumO +
+      mannKendallO ++ curriculumO ++ mcnemarO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

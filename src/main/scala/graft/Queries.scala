@@ -3006,6 +3006,20 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x226 — McNEMAR gate comparison
+    * ([[graft.ext.Stats.mcNemar]]): the full Gopher quality gate vs
+    * the cheap n_chars ≥ 200 proxy on the same documents — is the
+    * disagreement one-sided, i.e. can the cheap gate stand in? Exact
+    * discordant cells, one χ² chain (+ continuity-corrected). */
+  val x226McNemarGates: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val units = TextAnalysis.gopherQuality(d, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("gopher_pass"))
+      .join(d.select(col("doc_id"), (col("n_chars") >= 200).as("__cheap")),
+        Seq("doc_id"))
+    graft.ext.Stats.mcNemar(units, col("gopher_pass"), col("__cheap"))
+  }
+
   /** x225 — stratified round-robin CURRICULUM order
     * ([[graft.ext.Sampling.curriculumInterleave]]): a deterministic
     * global training order interleaving sources — in-stratum shuffle
@@ -4238,6 +4252,7 @@ object Queries {
     "x223_cluster_density" -> x223ClusterDensity,
     "x224_mann_kendall" -> x224MannKendall,
     "x225_curriculum_interleave" -> x225CurriculumInterleave,
+    "x226_mcnemar_gates" -> x226McNemarGates,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

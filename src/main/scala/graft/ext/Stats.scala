@@ -505,6 +505,38 @@ object Stats {
         col("gain"))
   }
 
+  /** McNEMAR paired-gate test (McNemar 1947): do two keep/drop gates
+    * disagree SYSTEMATICALLY on the same units? The discordant cells
+    * decide — n10 (A-only passes) vs n01 (B-only passes);
+    * χ² = (n10−n01)²/(n10+n01), with the continuity-corrected
+    * (max(|n10−n01|−1, 0))²/(n10+n01) variant — the pre-read before
+    * swapping an expensive quality gate for a cheap proxy ("they
+    * agree 95% of the time" is the WRONG check; McNemar asks whether
+    * the 5% disagreement is one-sided). Exact integer cells; squares
+    * through DECIMAL(19,0); χ² NULL when the gates never disagree
+    * (nothing to test — perfect interchangeability). Rows where
+    * either gate is NULL are excluded from every cell. One combiner
+    * agg; one row out: (n11, n10, n01, n00, chi2, chi2_cc). */
+  def mcNemar(units: DataFrame, gateA: Column, gateB: Column)
+      : DataFrame = {
+    val N19 = DecimalType(19, 0)
+    val cells = units.agg(
+      sum(when(gateA && gateB, 1L).otherwise(0L)).as("n11"),
+      sum(when(gateA && !gateB, 1L).otherwise(0L)).as("n10"),
+      sum(when(!gateA && gateB, 1L).otherwise(0L)).as("n01"),
+      sum(when(!gateA && !gateB, 1L).otherwise(0L)).as("n00"))
+    val d = col("n10") - col("n01")
+    val disc = col("n10") + col("n01")
+    val dcc = greatest(abs(d) - 1, lit(0L))
+    cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      when(disc > 0,
+        (d.cast(N19) * d.cast(N19)).cast("double") /
+          disc.cast("double")).as("chi2"),
+      when(disc > 0,
+        (dcc.cast(N19) * dcc.cast(N19)).cast("double") /
+          disc.cast("double")).as("chi2_cc"))
+  }
+
   def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame =
     ksDriftFromCounts(df.select(group.as("g"), value.as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c")))

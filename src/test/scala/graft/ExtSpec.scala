@@ -2504,6 +2504,29 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("mcNemar: discordant cells decide; agreement-only input is " +
+      "null; continuity clamps at zero") {
+    import graft.ext.Stats
+    // cells: n11=2, n10=3, n01=1, n00=1 → chi2 = 4/4 = 1;
+    // cc = (|2|−1)²/4 = 0.25
+    val u = (Seq.fill(2)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq((false, true)) ++ Seq((false, false))).toDF("a", "b")
+    val r = rows(Stats.mcNemar(u, col("a"), col("b"))).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 3L, 1L, 1L)))
+    assert(r.getAs[Double]("chi2") == 1.0 &&
+      r.getAs[Double]("chi2_cc") == 0.25)
+    // perfect agreement → nothing to test → null
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val r2 = rows(Stats.mcNemar(agree, col("a"), col("b"))).head
+    assert(r2.isNullAt(r2.fieldIndex("chi2")))
+    // b = c → cc clamps to 0 (not 1/(b+c))
+    val bal = Seq((true, false), (false, true)).toDF("a", "b")
+    val r3 = rows(Stats.mcNemar(bal, col("a"), col("b"))).head
+    assert(r3.getAs[Double]("chi2") == 0.0 &&
+      r3.getAs[Double]("chi2_cc") == 0.0)
+  }
+
   test("curriculumInterleave: round-robin while strata live, gaps " +
       "after; hash order within stratum; bucketing invariant") {
     import graft.ext.Sampling
