@@ -7088,6 +7088,51 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x227: availability + longest dark run — gaps-and-islands over the
+  // dense grid (zero rows grouped by index − rank-among-zeros)
+  private val availabilityO: Map[String, String] = Map(
+    "x227_availability" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+        |  FROM span),
+        |grid AS (
+        |  SELECT k.key, h.ws
+        |  FROM (SELECT DISTINCT key FROM c) k CROSS JOIN hours h),
+        |dense AS (
+        |  SELECT g.ws, g.key, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |  FROM grid g LEFT JOIN c ON c.key = g.key AND c.ws = g.ws),
+        |up AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_periods,
+        |    CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up
+        |  FROM dense GROUP BY 1),
+        |idx AS (
+        |  SELECT key, ws, c,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY ws)
+        |      AS BIGINT) AS i
+        |  FROM dense),
+        |zeros AS (
+        |  SELECT key, i,
+        |    i - CAST(row_number() OVER (PARTITION BY key ORDER BY ws)
+        |      AS BIGINT) AS run
+        |  FROM idx WHERE c = 0),
+        |gaps AS (
+        |  SELECT key, CAST(max(len) AS BIGINT) AS longest_gap
+        |  FROM (SELECT key, run, count(*) AS len FROM zeros
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT up.key, up.n_periods, up.n_up,
+        |  CAST(up.n_up AS DOUBLE) / CAST(up.n_periods AS DOUBLE)
+        |    AS availability,
+        |  CAST(coalesce(gaps.longest_gap, 0) AS BIGINT) AS longest_gap
+        |FROM up LEFT JOIN gaps ON up.key = gaps.key
+        |ORDER BY up.key""".stripMargin)
+
   // x226: McNemar — the x93 gopher chain reused verbatim as the A
   // gate; exact discordant cells, (19,0) squares, NULL when the gates
   // never disagree
@@ -7877,7 +7922,7 @@ object Oracles {
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
-      mannKendallO ++ curriculumO ++ mcnemarO +
+      mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

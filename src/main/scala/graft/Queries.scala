@@ -3006,6 +3006,17 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x227 — AVAILABILITY / longest-outage report
+    * ([[graft.ext.EventWindows.availability]]): per event type,
+    * uptime fraction over the hourly dense grid and the longest
+    * consecutive dark run (gaps-and-islands on exact integers) — the
+    * SLA row beside the alarm family. */
+  val x227Availability: Q = (s, dir) => {
+    EventWindows.availability(Tables.events(s, dir), col("ts"), "1 hour",
+        col("event_type"))
+      .orderBy("key")
+  }
+
   /** x226 — McNEMAR gate comparison
     * ([[graft.ext.Stats.mcNemar]]): the full Gopher quality gate vs
     * the cheap n_chars ≥ 200 proxy on the same documents — is the
@@ -4253,6 +4264,7 @@ object Queries {
     "x224_mann_kendall" -> x224MannKendall,
     "x225_curriculum_interleave" -> x225CurriculumInterleave,
     "x226_mcnemar_gates" -> x226McNemarGates,
+    "x227_availability" -> x227Availability,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -368,6 +368,18 @@ object Streams {
         .select(col("ws"), col("key"), col("total").cast("long").as("c")),
       width)
 
+  /** AVAILABILITY view over the SAME [[additiveSink]] (key, ws) count
+    * ledger — the SEVENTH read on one ledger (uptime + longest dark
+    * run beside the five alarms and the locator), bit-equal to batch
+    * [[graft.ext.EventWindows.availability]] over everything ingested
+    * (StreamingSpec). */
+  def availabilityView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, width: String): DataFrame =
+    graft.ext.EventWindows.availabilityFromCounts(
+      sumView(spark, tablePath, Seq("key", "ws"))
+        .select(col("ws"), col("key"), col("total").cast("long").as("c")),
+      width)
+
   /** Streaming EMBEDDING-drift maintenance: each micro-batch appends
     * its [[graft.ext.Similarity.shardSums]] partial — per-(shard, dim)
     * exact decimal component sums + shard counts, the MERGEABLE form

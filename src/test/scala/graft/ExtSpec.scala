@@ -2504,6 +2504,22 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("availability: exact uptime and longest dark run; never-dark " +
+      "keys report 0; interior and trailing gaps both counted") {
+    // key a: up at hours 0,1, dark 2-4, up 5, dark 6-7 (end of span
+    // pinned by b at hour 7): longest gap 3; availability 3/8
+    val evs = Seq(0, 1, 5).map(h =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:00:00"), "a")) ++
+      (0 to 7).map(h =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:00:00"), "b"))
+    val got = rows(EventWindows.availability(evs.toDF("ts", "event_type"),
+      col("ts"), "1 hour", col("event_type")).orderBy("key"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got == Seq(("a", 8L, 3L, 3.0 / 8.0, 3L),
+      ("b", 8L, 8L, 1.0, 0L)))
+  }
+
   test("mcNemar: discordant cells decide; agreement-only input is " +
       "null; continuity clamps at zero") {
     import graft.ext.Stats

@@ -710,6 +710,12 @@ class StreamingSpec extends SparkSpec {
         minRef = 3)) ==
       norm(graft.ext.EventWindows.seasonalAnomaly(evs, col("ts"),
         "1 hour", col("event_type"), minRef = 3)))
+    // availability/outage rides the SAME ledger (seventh read)
+    assert(Streams.availabilityView(spark, table, "1 hour")
+        .orderBy("key").collect().map(_.toString).toSeq ==
+      graft.ext.EventWindows.availability(evs, col("ts"), "1 hour",
+        col("event_type")).orderBy("key").collect()
+        .map(_.toString).toSeq)
     // the Mann–Kendall trend rides the SAME ledger (sixth alarm)
     assert(Streams.mannKendallView(spark, table, "1 hour")
         .orderBy("key").collect().map(_.toString).toSeq ==
