@@ -7088,6 +7088,43 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x228: the x103 winnow chain reused verbatim through wpairs, then
+  // positional string-shingle matches folded on diagonals
+  // (gaps-and-islands per (pair, diagonal))
+  private lazy val reuseAlignO: Map[String, String] = {
+    val x103 = base("x103_dedup_histogram")
+    val cut = x103.indexOf("edges AS")
+    require(cut > 0, "x228 oracle: x103 chain slice failed")
+    Map("x228_reuse_alignment" ->
+      (x103.substring(0, cut) +
+        """m AS (
+          |  SELECT w.d1 AS id_a, w.d2 AS id_b, a.pos AS pa,
+          |    a.pos - b.pos AS d
+          |  FROM wpairs w
+          |  JOIN sh a ON a.doc_id = w.d1
+          |  JOIN sh b ON b.doc_id = w.d2 AND b.s = a.s),
+          |nm AS (
+          |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matches
+          |  FROM m GROUP BY 1, 2),
+          |runs AS (
+          |  SELECT id_a, id_b, d,
+          |    pa - row_number() OVER (PARTITION BY id_a, id_b, d
+          |      ORDER BY pa) AS run
+          |  FROM m),
+          |lens AS (
+          |  SELECT id_a, id_b, CAST(max(len) AS BIGINT)
+          |    AS longest_run_shingles
+          |  FROM (SELECT id_a, id_b, d, run, count(*) AS len
+          |        FROM runs GROUP BY 1, 2, 3, 4)
+          |  GROUP BY 1, 2)
+          |SELECT nm.id_a, nm.id_b, nm.n_matches,
+          |  lens.longest_run_shingles,
+          |  CAST(lens.longest_run_shingles + 2 AS BIGINT)
+          |    AS longest_run_tokens
+          |FROM nm JOIN lens USING (id_a, id_b)
+          |ORDER BY id_a, id_b""".stripMargin))
+  }
+
   // x227: availability + longest dark run — gaps-and-islands over the
   // dense grid (zero rows grouped by index − rank-among-zeros)
   private val availabilityO: Map[String, String] = Map(
@@ -7922,7 +7959,8 @@ object Oracles {
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
-      mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO +
+      mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO ++
+      reuseAlignO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,18 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x228 — text-REUSE alignment over the x92 winnow pairs
+    * ([[graft.ext.Dedup.reuseAlignment]]): shared positional-shingle
+    * diagonals folded to each pair's longest contiguous token run —
+    * the evidence a reviewer reads before trusting a dedup drop
+    * (quoted block vs scattered boilerplate). Incremental on the
+    * memoized pair graph. */
+  val x228ReuseAlignment: Q = (s, dir) => {
+    Dedup.reuseAlignment(Tables.documents(s, dir), "doc_id", "text",
+        winnowPairsFull(s, dir), k = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** x227 — AVAILABILITY / longest-outage report
     * ([[graft.ext.EventWindows.availability]]): per event type,
     * uptime fraction over the hourly dense grid and the longest
@@ -4265,6 +4277,7 @@ object Queries {
     "x225_curriculum_interleave" -> x225CurriculumInterleave,
     "x226_mcnemar_gates" -> x226McNemarGates,
     "x227_availability" -> x227Availability,
+    "x228_reuse_alignment" -> x228ReuseAlignment,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

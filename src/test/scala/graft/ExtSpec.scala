@@ -2504,6 +2504,25 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("reuseAlignment: longest shared run found on the diagonal; " +
+      "scattered matches don't merge; run length in tokens = +k-1") {
+    import graft.ext.Dedup
+    // doc 1 and 2 share the 5-token block "p q r s t" (3 consecutive
+    // 3-shingles) at DIFFERENT offsets, plus the scattered token
+    // block "x y z" later — two separate runs of 3 and 1
+    val docs = Seq(
+      (1L, "a1 a2 p q r s t b1 b2 x y z"),
+      (2L, "c1 p q r s t d1 d2 d3 d4 x y z e1")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = rows(Dedup.reuseAlignment(docs, "doc_id", "text", pairs,
+      k = 3)).head
+    // shared shingles: p-q-r, q-r-s, r-s-t (diag +1) and x-y-z
+    assert(r.getAs[Long]("n_matches") == 4L)
+    assert(r.getAs[Long]("longest_run_shingles") == 3L)
+    assert(r.getAs[Long]("longest_run_tokens") == 5L)
+  }
+
   test("availability: exact uptime and longest dark run; never-dark " +
       "keys report 0; interior and trailing gaps both counted") {
     // key a: up at hours 0,1, dark 2-4, up 5, dark 6-7 (end of span
