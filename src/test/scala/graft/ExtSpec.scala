@@ -2521,6 +2521,20 @@ class ExtSpec extends SparkSpec {
     assert(r.getAs[Long]("n_matches") == 4L)
     assert(r.getAs[Long]("longest_run_shingles") == 3L)
     assert(r.getAs[Long]("longest_run_tokens") == 5L)
+    // REPEATED shingles keep their positions (the set-semantics
+    // hashedShingles would dedupe and shift — the bug the sf corpus
+    // caught and this distinct-free hand case pins): "p q" repeats,
+    // so the 7-token run has 5 shingles, several occurring twice
+    val rep = Seq((1L, "p q p q p q p"), (2L, "z p q p q p q p"))
+      .toDF("doc_id", "text")
+    val r2 = rows(Dedup.reuseAlignment(rep, "doc_id", "text", pairs,
+      k = 3)).head
+    assert(r2.getAs[Long]("longest_run_shingles") == 5L &&
+      r2.getAs[Long]("longest_run_tokens") == 7L)
+    // matches: every (pa, pb) shingle-equal pair across the two docs
+    // (p-q-p ×3 each side → 9, q-p-q ×2 each → 4, + ... ) — assert
+    // the diagonal run logic never exceeds the doc length
+    assert(r2.getAs[Long]("n_matches") == 13L)
   }
 
   test("availability: exact uptime and longest dark run; never-dark " +
