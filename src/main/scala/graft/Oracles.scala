@@ -7088,6 +7088,31 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x229: ES06 exponential keys from the portable hash; the ln chain
+  // quantized once at (28,12) — ordering and output share the value
+  private val weightedSampleO: Map[String, String] = Map(
+    "x229_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, w,
+        |    CAST(CAST(
+        |      ln(CAST(((doc_id % 1000000007) * 654435747) % 1000000007
+        |          + 1 AS DOUBLE) / 1000000008.0e0)
+        |        / CAST(w AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS DOUBLE) AS key
+        |  FROM d WHERE w > 0),
+        |r AS (
+        |  SELECT doc_id, w, key,
+        |    CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+        |      AS BIGINT) AS sample_rank
+        |  FROM k)
+        |SELECT doc_id, w, key, sample_rank
+        |FROM r WHERE sample_rank <= 25 ORDER BY sample_rank""".stripMargin)
+
   // x228: the x103 winnow chain reused verbatim through wpairs, then
   // positional string-shingle matches folded on diagonals
   // (gaps-and-islands per (pair, diagonal))
@@ -7960,7 +7985,7 @@ object Oracles {
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
       mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO ++
-      reuseAlignO +
+      reuseAlignO ++ weightedSampleO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,19 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x229 — WEIGHTED sample ∝ token count
+    * ([[graft.ext.Sampling.weightedSample]], Efraimidis–Spirakis
+    * exponential keys derandomized): the 25 documents drawn with
+    * probability proportional to length — the RNG-free weighted draw
+    * the mixture family needs; key quantized once at (28,12). */
+  val x229WeightedSample: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("nt"))
+    Sampling.weightedTopSample(d, col("doc_id"), col("nt"), n = 25)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("sample_rank")
+  }
+
   /** x228 — text-REUSE alignment over the x92 winnow pairs
     * ([[graft.ext.Dedup.reuseAlignment]]): shared positional-shingle
     * diagonals folded to each pair's longest contiguous token run —
@@ -4278,6 +4291,7 @@ object Queries {
     "x226_mcnemar_gates" -> x226McNemarGates,
     "x227_availability" -> x227Availability,
     "x228_reuse_alignment" -> x228ReuseAlignment,
+    "x229_weighted_sample" -> x229WeightedSample,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -538,6 +538,42 @@ object Sampling {
       .select(col("id"), col("__ipn").as("n"), col("__ipc").as("cum_prev"))
   }
 
+  /** WEIGHTED sampling without replacement, derandomized
+    * (Efraimidis & Spirakis 2006, the exponential-key reservoir): the
+    * `n` rows maximizing key = ln(u)/w with u the id's deterministic
+    * uniform draw — inclusion probability ∝ weight ("sample 10k docs
+    * proportional to token count"), re-derivable by any engine
+    * because u = (hashValue+1)/(P+1) ∈ (0, 1] replaces the RNG (the
+    * x90/x83 ppm-predicate discipline applied to the ES06 scheme).
+    * u = 1 (hash = P−1) gives key 0, the maximum — still a valid
+    * draw. Rows with w ≤ 0 are excluded (never sampled), loudly
+    * documented rather than NaN-ranked.
+    *
+    * Determinism: the key is ONE double chain from exact integers
+    * (ln((h+1)/(P+1)) / w) QUANTIZED once to DECIMAL(28,12) — the
+    * transcendental-at-the-boundary rule, because the ln is both an
+    * output and the ranking criterion; ties (equal quantized keys)
+    * break by id. The rank cut rides WindowGroupLimit.
+    * Output: the sampled rows as (id, w, key, sample_rank). */
+  def weightedTopSample(df: DataFrame, id: Column, weight: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"weightedTopSample: n=$n must be >= 1")
+    // filter w > 0 BEFORE the key projection — under ANSI the ln/w
+    // chain on a zero-weight row is a divide-by-zero crash, not a NaN
+    val base = df.select(id.as("id"), weight.cast("long").as("w"))
+      .where(col("w") > 0)
+    val u = (hashValue(col("id")) + lit(1L)).cast("double") /
+      lit((HashPrime + 1L).toDouble)
+    val key = (log(u) / col("w").cast("double"))
+      .cast(org.apache.spark.sql.types.DecimalType(28, 12))
+      .cast("double")
+    base.withColumn("key", key)
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("key").desc, col("id").asc)).cast("long"))
+      .where(col("sample_rank") <= n)
+      .select(col("id"), col("w"), col("key"), col("sample_rank"))
+  }
+
   /** Stratified ROUND-ROBIN curriculum order: a deterministic global
     * training ORDER in which strata (sources, languages, quality
     * tiers) interleave instead of clumping — the anti-correlation a

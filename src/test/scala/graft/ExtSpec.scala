@@ -2504,6 +2504,28 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("weightedSample: ES06 keys rank by the exact quantized chain; " +
+      "zero weights excluded; heavier ids win given equal hash draws") {
+    import graft.ext.Sampling
+    val P = 1000000007L; val M = 654435747L
+    def key(id: Long, w: Long): Double =
+      BigDecimal(math.log((((id % P) * M) % P + 1).toDouble / (P + 1).toDouble)
+        / w.toDouble).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val d = Seq((1L, 10L), (2L, 100L), (3L, 1L), (4L, 0L), (5L, 50L))
+      .toDF("doc_id", "w")
+    val got = rows(Sampling.weightedTopSample(d, col("doc_id"), col("w"),
+      n = 3).orderBy("sample_rank"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // zero-weight id 4 never appears; ranks follow the recomputed keys
+    assert(!got.exists(_._1 == 4L))
+    val expected = Seq(1L -> 10L, 2L -> 100L, 3L -> 1L, 5L -> 50L)
+      .map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(3)
+      .zipWithIndex.map { case ((id, w, k), i) => (id, w, k, i + 1L) }
+    assert(got == expected)
+  }
+
   test("reuseAlignment: longest shared run found on the diagonal; " +
       "scattered matches don't merge; run length in tokens = +k-1") {
     import graft.ext.Dedup
