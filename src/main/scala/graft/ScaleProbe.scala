@@ -161,7 +161,10 @@ object ScaleProbe {
       "x215_frame_plan", "x216_sif_embed", "x217_sif_neighbors",
       "x218_level_shift", "x219_otsu_threshold",
       "x220_eval_contamination", "x221_good_turing",
-      "x222_dispersion", "x223_cluster_density", "x224_mann_kendall")
+      "x222_dispersion", "x223_cluster_density", "x224_mann_kendall",
+      "x225_curriculum_interleave", "x226_mcnemar_gates",
+      "x227_availability", "x228_reuse_alignment",
+      "x229_weighted_sample")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
