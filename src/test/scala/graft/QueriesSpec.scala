@@ -82,7 +82,11 @@ class QueriesSpec extends SparkSpec {
     "x213_simpson_audit" ->
       ("pooled-rate frame: the cohort agg is 2 rows (binary cohorts) " +
         "and the a<b pair 1 row; strata/cohort grids are " +
-        "category-bounded, never unit-sized"))
+        "category-bounded, never unit-sized"),
+    "x225_curriculum_interleave" ->
+      ("stratum index table: one row per stratum (source/language " +
+        "tier) — category-bounded like x213's cohort frame; the " +
+        "per-document side is never broadcast"))
 
   test("every registered query executes at sf0.001") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
