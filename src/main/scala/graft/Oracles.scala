@@ -7088,6 +7088,49 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x230: Jelinek–Mercer held-out sweep — hash split, vocab-folded
+  // held-out terms, one quantized ln per (word, λ), exact decimal sum
+  private val lambdaSweepO: Map[String, String] = Map(
+    "x230_lambda_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |t AS (
+        |  SELECT w,
+        |    (((doc_id % 1000000007) * 654435747) % 1000000007) % 1000
+        |      < 800 AS tr
+        |  FROM toks),
+        |train AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |          FROM t WHERE tr GROUP BY 1),
+        |stats AS (SELECT CAST(sum(c) AS BIGINT) AS T,
+        |            CAST(count(*) AS BIGINT) AS V
+        |          FROM train),
+        |hold AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+        |         FROM t WHERE NOT tr GROUP BY 1),
+        |grid AS (
+        |  SELECT CAST(coalesce(tr2.c, 0) AS BIGINT) AS c,
+        |    CAST(sum(h.n) AS BIGINT) AS m
+        |  FROM hold h LEFT JOIN train tr2 USING (w)
+        |  GROUP BY 1),
+        |lam AS (SELECT unnest([0.1e0, 0.2e0, 0.3e0, 0.4e0, 0.5e0,
+        |          0.6e0, 0.7e0, 0.8e0, 0.9e0]) AS lambda),
+        |terms AS (
+        |  SELECT lam.lambda, g.m,
+        |    CAST(g.m AS DECIMAL(9,0)) * CAST(ln(
+        |      lam.lambda * (CAST(g.c AS DOUBLE) / CAST(s.T AS DOUBLE))
+        |      + (1.0e0 - lam.lambda) * (1.0e0 / CAST(s.V AS DOUBLE)))
+        |      AS DECIMAL(28,8)) AS tt
+        |  FROM grid g CROSS JOIN stats s CROSS JOIN lam),
+        |per AS (
+        |  SELECT lambda, CAST(sum(m) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tt) AS DOUBLE) AS loglik
+        |  FROM terms GROUP BY 1)
+        |SELECT lambda, n_tokens, loglik,
+        |  row_number() OVER (ORDER BY loglik DESC, lambda ASC) = 1
+        |    AS best
+        |FROM per ORDER BY lambda""".stripMargin)
+
   // x229: ES06 exponential keys from the portable hash; the ln chain
   // quantized once at (28,12) — ordering and output share the value
   private val weightedSampleO: Map[String, String] = Map(
@@ -7985,7 +8028,7 @@ object Oracles {
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
       mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO ++
-      reuseAlignO ++ weightedSampleO +
+      reuseAlignO ++ weightedSampleO ++ lambdaSweepO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,16 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x230 — held-out SMOOTHING sweep
+    * ([[graft.ext.TextAnalysis.lambdaSweep]]): λ ∈ {0.1..0.9} of the
+    * Jelinek–Mercer unigram interpolation graded by held-out
+    * log-likelihood on the hash split — hyperparameter tuning as one
+    * grid query; the winner flagged. */
+  val x230LambdaSweep: Q = (s, dir) => {
+    TextAnalysis.lambdaSweep(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("lambda")
+  }
+
   /** x229 — WEIGHTED sample ∝ token count
     * ([[graft.ext.Sampling.weightedSample]], Efraimidis–Spirakis
     * exponential keys derandomized): the 25 documents drawn with
@@ -4292,6 +4302,7 @@ object Queries {
     "x227_availability" -> x227Availability,
     "x228_reuse_alignment" -> x228ReuseAlignment,
     "x229_weighted_sample" -> x229WeightedSample,
+    "x230_lambda_sweep" -> x230LambdaSweep,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

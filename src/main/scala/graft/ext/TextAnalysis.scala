@@ -839,6 +839,82 @@ object TextAnalysis {
         (col("__s").cast("double") / col("__nd").cast("double")).as("v"))
   }
 
+  /** HELD-OUT smoothing sweep (Jelinek & Mercer 1980, the deleted-
+    * interpolation recipe as one query): for each candidate λ, the
+    * held-out log-likelihood of the λ-interpolated unigram model
+    * p_λ(w) = λ·c(w)/T + (1−λ)/V trained on the hash-split train
+    * slice — hyperparameter tuning AS a grid query, no driver loop
+    * (the x158 threshold-sweep discipline applied to LM smoothing).
+    * The `best` flag marks the argmax (ties: smaller λ — the less
+    * peaked model).
+    *
+    * Determinism: p_λ(w) depends on w only through its TRAIN COUNT,
+    * so held-out mass folds onto the count GRID first (the x183
+    * rank-from-counts lesson): loglik(λ) = Σ_grid m(c) · q₍₂₈,₈₎(ln
+    * p_λ(c)) — exact decimal sums, and only |grid|·|λ| quantized
+    * transcendentals total (Zipf-bounded ≲ √T·|λ|, not vocab·|λ|).
+    * The coarse (28,8) quantization + the tiny term count make a
+    * cross-engine ln ulp landing on a rounding boundary vanishingly
+    * unlikely — at (28,12) over vocab-many terms it was MEASURED
+    * (a 3e-12 sf0.01 mismatch). Unseen held-out words get the
+    * (1−λ)/V floor (finite for λ < 1 — required loudly). Scale: one
+    * tokenize scan, vocab-keyed join, count-grid·|λ| terms, combiner
+    * sums; the argmax is a |λ|-row window.
+    * Output: (lambda, n_tokens, loglik, best). */
+  def lambdaSweep(docs: DataFrame, idCol: String, textCol: String,
+      lambdas: Seq[Double] = (1 to 9).map(_ / 10.0),
+      trainPerMille: Int = 800): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
+    require(lambdas.nonEmpty && lambdas.distinct == lambdas &&
+      lambdas.forall(l => l >= 0.0 && l < 1.0),
+      s"lambdaSweep: lambdas=$lambdas must be distinct in [0,1)")
+    require(trainPerMille >= 1 && trainPerMille <= 999,
+      s"lambdaSweep: trainPerMille=$trainPerMille")
+    val D = DecimalType(28, 8)
+    val G = DecimalType(9, 0) // 9+28+1 = 38: the exact-multiply cap
+    val toks = docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .withColumn("__train",
+        Sampling.hashBucket(col("id"), 1000) < trainPerMille)
+      .localCheckpoint(true) // feeds the train counts AND the held-out
+    val train = toks.where(col("__train"))
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+    val stats = broadcast(train.agg(sum(col("__c")).as("__T"),
+      count(lit(1)).as("__V")))
+    // held-out mass on the train-count GRID: m(c) = held-out tokens
+    // whose word occurred c times in train (c = 0 for unseen)
+    val grid = toks.where(!col("__train"))
+      .groupBy("w").agg(count(lit(1)).as("__n"))
+      .join(train, Seq("w"), "left")
+      .groupBy(coalesce(col("__c"), lit(0L)).as("__c"))
+      .agg(sum(col("__n")).as("__m"))
+    val lam = broadcast(docs.sparkSession
+      .createDataFrame(lambdas.map(Tuple1(_))).toDF("lambda"))
+    val p = col("lambda") *
+      (col("__c").cast("double") / col("__T").cast("double")) +
+      (lit(1.0) - col("lambda")) *
+        (lit(1.0) / col("__V").cast("double"))
+    // loud (9,0) bound on the grid mass — one count-class carrying
+    // ≥ 1e9 held-out tokens needs the wider-split form, not silence
+    val mD = when(col("__m") < lit(1000000000L), col("__m").cast(G))
+      .otherwise(raise_error(concat(
+        lit("lambdaSweep: count-class mass "), col("__m").cast("string"),
+        lit(" overflows the DECIMAL(9,0) exact-multiply bound")))
+        .cast(G))
+    val perLambda = grid
+      .crossJoin(stats).crossJoin(lam)
+      .select(col("lambda"), col("__m"),
+        (mD * log(p).cast(D)).as("__t"))
+      .groupBy("lambda")
+      .agg(sum(col("__m")).as("n_tokens"),
+        sum(col("__t")).cast("double").as("loglik"))
+    val wBest = Window.orderBy(col("loglik").desc, col("lambda").asc)
+    perLambda
+      .withColumn("best", row_number().over(wBest) === 1)
+      .select(col("lambda"), col("n_tokens"), col("loglik"), col("best"))
+  }
+
   /** GOOD–TURING frequency smoothing (Good 1953; the count-of-counts
     * estimator): for each observed frequency class r, the adjusted
     * count r* = (r+1)·N_{r+1}/N_r and smoothed per-item probability

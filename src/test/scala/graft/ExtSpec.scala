@@ -2504,6 +2504,31 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("lambdaSweep: exact held-out loglik; unseen words carry the " +
+      "(1-lambda)/V floor; argmax flagged with smaller-lambda ties") {
+    // hash buckets: doc 1 → 747 (train), doc 4 → 974 (held-out)
+    // train: "a b" → c(a)=c(b)=1, T=2, V=2; held-out: "a z"
+    // p(a) = λ/2 + (1−λ)/2 = 0.5 for every λ; p(z) = (1−λ)/2 —
+    // the sweep is decided ENTIRELY by the unseen word → best λ = 0.1
+    val d = Seq((1L, "a b"), (4L, "a z")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.lambdaSweep(d, "doc_id", "text")
+      .orderBy("lambda"))
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    def q(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def expect(l: Double) =
+      (q(math.log(l * (1.0 / 2.0) + (1.0 - l) * (1.0 / 2.0))) +
+        q(math.log(l * (0.0 / 2.0) + (1.0 - l) * (1.0 / 2.0)))).toDouble
+    assert(got.length == 9)
+    assert(got.forall(_._2 == 2L))
+    assert(got.head == ((0.1, 2L, expect(0.1), true)))
+    val mid = got.find(_._1 == 0.5).get
+    assert(mid == ((0.5, 2L, expect(0.5), false)))
+    // monotone: smaller λ strictly better here
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+  }
+
   test("weightedSample: ES06 keys rank by the exact quantized chain; " +
       "zero weights excluded; heavier ids win given equal hash draws") {
     import graft.ext.Sampling
