@@ -7088,6 +7088,44 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x231: quantile normalization — integer-rank ECDF mapping onto the
+  // pooled count grid, the x214 bucket-cut range join for the lookup
+  private val quantileNormO: Map[String, String] = Map(
+    "x231_quantile_normalize" ->
+      """WITH d AS (
+        |  SELECT source AS grp,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS v
+        |  FROM documents),
+        |gv AS (
+        |  SELECT grp, v, CAST(count(*) AS BIGINT) AS n_gv
+        |  FROM d GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT grp, v, n_gv,
+        |    CAST(sum(n_gv) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r
+        |  FROM gv),
+        |ng AS (SELECT grp, CAST(sum(n_gv) AS BIGINT) AS n
+        |       FROM gv GROUP BY 1),
+        |pooled AS (
+        |  SELECT v, CAST(sum(n_gv) AS BIGINT) AS c FROM gv GROUP BY 1),
+        |pc AS (
+        |  SELECT v AS pv,
+        |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+        |      AS BIGINT) AS cumb
+        |  FROM pooled),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM pooled),
+        |tg AS (
+        |  SELECT ranked.grp, ranked.v, ranked.n_gv, ranked.r,
+        |    (ranked.r * nt.N + ng.n - 1) // ng.n AS t
+        |  FROM ranked JOIN ng ON ranked.grp = ng.grp CROSS JOIN nt)
+        |SELECT tg.grp AS source, tg.v, tg.n_gv,
+        |  tg.r AS rank_in_group, pc.pv AS norm_v
+        |FROM tg JOIN pc ON pc.cumb < tg.t AND tg.t <= pc.cum
+        |ORDER BY source, v""".stripMargin)
+
   // x230: Jelinek–Mercer held-out sweep — hash split, vocab-folded
   // held-out terms, one quantized ln per (word, λ), exact decimal sum
   private val lambdaSweepO: Map[String, String] = Map(
@@ -8028,7 +8066,7 @@ object Oracles {
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
       mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO ++
-      reuseAlignO ++ weightedSampleO ++ lambdaSweepO +
+      reuseAlignO ++ weightedSampleO ++ lambdaSweepO ++ quantileNormO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,19 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x231 — QUANTILE normalization of doc lengths across sources
+    * ([[graft.ext.Quantiles.quantileNormalize]]): each source's
+    * token-count distribution mapped onto the pooled quantiles by
+    * exact integer ranks — the batch-effect correction a global
+    * length threshold needs when sources run hot or cold. */
+  val x231QuantileNormalize: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("source"),
+      TextAnalysis.tokenCount(col("text")).as("nt"))
+    Quantiles.quantileNormalize(d, col("source"), col("nt"))
+      .withColumnRenamed("group", "source")
+      .orderBy("source", "v")
+  }
+
   /** x230 — held-out SMOOTHING sweep
     * ([[graft.ext.TextAnalysis.lambdaSweep]]): λ ∈ {0.1..0.9} of the
     * Jelinek–Mercer unigram interpolation graded by held-out
@@ -4303,6 +4316,7 @@ object Queries {
     "x228_reuse_alignment" -> x228ReuseAlignment,
     "x229_weighted_sample" -> x229WeightedSample,
     "x230_lambda_sweep" -> x230LambdaSweep,
+    "x231_quantile_normalize" -> x231QuantileNormalize,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -112,4 +112,48 @@ object Quantiles {
       .withColumn("outlier", coalesce(abs(col("z")) > cut, lit(false)))
       .drop("_v", "_med2", "_mad4")
   }
+
+  /** QUANTILE NORMALIZATION across groups (the microarray batch-
+    * correction recipe — Bolstad et al. 2003 — generalized to unequal
+    * group sizes): each group's value distribution is mapped onto the
+    * POOLED distribution's quantiles, so per-source score scales
+    * become comparable before a global threshold is applied ("source
+    * A's perplexities run hot" stops mattering). A value with
+    * in-group ECDF rank r of n maps to the pooled value at rank
+    * ⌈r·N/n⌉ — pure integer arithmetic (the [[discrete]] rank
+    * discipline), so the mapping is engine-exact with no
+    * interpolation to disagree on.
+    *
+    * Scale shape: everything runs on COUNT GRIDS — per-(group, value)
+    * counts with grid-bounded cumulative windows, the pooled grid's
+    * cumulative, and the target-rank lookup as the x214 bucket-cut
+    * range join (each target hits exactly one pooled bucket). Output
+    * grain is (group, value) — distinct pairs, not rows; joining back
+    * to rows is the caller's one equi-join.
+    * Output: (group, v, n_gv, rank_in_group, norm_v). */
+  def quantileNormalize(df: DataFrame, group: Column, value: Column)
+      : DataFrame = {
+    val gv = df.select(group.as("group"), value.as("v"))
+      .groupBy("group", "v").agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint(true) // feeds group grids AND the pooled grid
+    val wg = Window.partitionBy("group").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = gv
+      .withColumn("__r", sum(col("n_gv")).over(wg)) // ECDF rank of v
+    val ng = gv.groupBy("group").agg(sum(col("n_gv")).as("__n"))
+    val pooled = gv.groupBy("v").agg(sum(col("n_gv")).as("__c"))
+    val wp = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pooledCum = pooled
+      .withColumn("__cum", sum(col("__c")).over(wp))
+      .withColumn("__cumb", col("__cum") - col("__c"))
+      .select(col("v").as("__pv"), col("__cum"), col("__cumb"))
+    val nTot = broadcast(pooled.agg(sum(col("__c")).as("__nt")))
+    val targets = ranked.join(ng, Seq("group")).crossJoin(nTot)
+      .withColumn("__t", expr("(__r * __nt + __n - 1) DIV __n"))
+    targets.join(pooledCum,
+        col("__cumb") < col("__t") && col("__t") <= col("__cum"))
+      .select(col("group"), col("v"), col("n_gv"),
+        col("__r").as("rank_in_group"), col("__pv").as("norm_v"))
+  }
 }

@@ -2504,6 +2504,21 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("quantileNormalize: exact integer-rank mapping onto the pooled " +
+      "grid; unequal group sizes; max maps to pooled max") {
+    import graft.ext.Quantiles
+    // g1 = {1,2,3,4}, g2 = {10,20}; pooled sorted = 1,2,3,4,10,20
+    // g1: ranks 1..4 → targets ⌈r·6/4⌉ = 2,3,5,6 → 2,3,10,20
+    // g2: ranks 1,2  → targets 3,6            → 3,20
+    val d = (Seq(1L, 2L, 3L, 4L).map(("g1", _)) ++
+      Seq(10L, 20L).map(("g2", _))).toDF("g", "v")
+    val got = rows(Quantiles.quantileNormalize(d, col("g"), col("v"))
+      .orderBy("group", "v"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(got == Seq(("g1", 1L, 2L), ("g1", 2L, 3L), ("g1", 3L, 10L),
+      ("g1", 4L, 20L), ("g2", 10L, 3L), ("g2", 20L, 20L)))
+  }
+
   test("lambdaSweep: exact held-out loglik; unseen words carry the " +
       "(1-lambda)/V floor; argmax flagged with smaller-lambda ties") {
     // hash buckets: doc 1 → 747 (train), doc 4 → 974 (held-out)
