@@ -164,7 +164,8 @@ object ScaleProbe {
       "x222_dispersion", "x223_cluster_density", "x224_mann_kendall",
       "x225_curriculum_interleave", "x226_mcnemar_gates",
       "x227_availability", "x228_reuse_alignment",
-      "x229_weighted_sample")
+      "x229_weighted_sample", "x230_lambda_sweep",
+      "x231_quantile_normalize")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -132,9 +132,17 @@ object Quantiles {
     * to rows is the caller's one equi-join.
     * Output: (group, v, n_gv, rank_in_group, norm_v). */
   def quantileNormalize(df: DataFrame, group: Column, value: Column)
-      : DataFrame = {
-    val gv = df.select(group.as("group"), value.as("v"))
-      .groupBy("group", "v").agg(count(lit(1)).as("n_gv"))
+      : DataFrame =
+    quantileNormalizeFromCounts(df.select(group.as("group"), value.as("v"))
+      .groupBy("group", "v").agg(count(lit(1)).as("n_gv")))
+
+  /** [[quantileNormalize]] over PRE-AGGREGATED (group, v, n_gv) counts
+    * — the form a streaming additive ledger folds to (the
+    * ksDriftFromCounts discipline), so batch-effect correction has a
+    * streaming view bit-equal to the batch operator over everything
+    * ingested. */
+  def quantileNormalizeFromCounts(counts: DataFrame): DataFrame = {
+    val gv = counts.select(col("group"), col("v"), col("n_gv"))
       .localCheckpoint(true) // feeds group grids AND the pooled grid
     val wg = Window.partitionBy("group").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -490,6 +490,18 @@ object Streams {
       sumView(spark, tablePath, Seq("g", "v"))
         .select(col("g"), col("v"), col("n").as("c")))
 
+  /** QUANTILE-NORMALIZATION view over the SAME [[additiveSink]] (g, v)
+    * ledger as the KS/PSI/JSD family — the batch-effect corrector
+    * ([[graft.ext.Quantiles.quantileNormalize]]) streaming-fed and
+    * bit-equal to batch over everything ingested (StreamingSpec); the
+    * SIXTH view on the distribution ledger. */
+  def quantileNormalizeView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Quantiles.quantileNormalizeFromCounts(
+      sumView(spark, tablePath, Seq("g", "v"))
+        .select(col("g").as("group"), col("v"),
+          col("total").cast("long").as("n_gv")))
+
   /** PSI view over the SAME [[additiveSink]] (g, v) ledger as
     * [[ksDriftView]]/[[ksMatrixView]] — one count ledger now serves
     * three distribution alarms (KS shape, pairwise KS, and the

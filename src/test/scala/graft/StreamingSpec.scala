@@ -318,6 +318,13 @@ class StreamingSpec extends SparkSpec {
         (b1 ++ b2).toDF("g", "v"), $"g", $"v").orderBy("group"))
       .map(_.toString)
     assert(streamed == batch && streamed.size == 2)
+    // quantile normalization rides the SAME (g, v) ledger (the sixth
+    // view on the distribution ledger)
+    assert(rows(Streams.quantileNormalizeView(spark, table)
+        .orderBy("group", "v")).map(_.toString) ==
+      rows(graft.ext.Quantiles.quantileNormalize(
+        (b1 ++ b2).toDF("g", "v"), $"g", $"v").orderBy("group", "v"))
+        .map(_.toString))
   }
 
   test("ksMatrixView: the same additive (g, v) ledger folds to the " +
