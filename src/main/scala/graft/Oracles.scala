@@ -7088,6 +7088,49 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x232: Theil–Sen — pairwise integer-rational slopes as doubles
+  // (IEEE division is correctly rounded: equal rationals → identical
+  // doubles), lower median at ⌈n/2⌉ by integer DIV
+  private val theilSenO: Map[String, String] = Map(
+    "x232_theil_sen" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+        |  FROM span),
+        |grid AS (
+        |  SELECT k.key, h.ws
+        |  FROM (SELECT DISTINCT key FROM c) k CROSS JOIN hours h),
+        |dense AS (
+        |  SELECT g.ws, g.key, CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY g.key ORDER BY g.ws)
+        |      AS BIGINT) AS i
+        |  FROM grid g LEFT JOIN c ON c.key = g.key AND c.ws = g.ws),
+        |slopes AS (
+        |  SELECT a.key,
+        |    CAST(b.c - a.c AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+        |  FROM dense a JOIN dense b
+        |    ON a.key = b.key AND a.i < b.i),
+        |np AS (SELECT key, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM slopes GROUP BY 1),
+        |ranked AS (
+        |  SELECT key, s,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY s)
+        |      AS BIGINT) AS rk
+        |  FROM slopes),
+        |med AS (
+        |  SELECT r.key, np.n_pairs, r.s AS sen_slope
+        |  FROM ranked r JOIN np ON r.key = np.key
+        |  WHERE r.rk = (np.n_pairs + 1) // 2),
+        |n AS (SELECT key, CAST(count(*) AS BIGINT) AS n_periods
+        |      FROM dense GROUP BY 1)
+        |SELECT n.key, n.n_periods, med.n_pairs, med.sen_slope
+        |FROM n JOIN med ON n.key = med.key
+        |ORDER BY n.key""".stripMargin)
+
   // x231: quantile normalization — integer-rank ECDF mapping onto the
   // pooled count grid, the x214 bucket-cut range join for the lookup
   private val quantileNormO: Map[String, String] = Map(
@@ -8066,7 +8109,8 @@ object Oracles {
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
       mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO ++
-      reuseAlignO ++ weightedSampleO ++ lambdaSweepO ++ quantileNormO +
+      reuseAlignO ++ weightedSampleO ++ lambdaSweepO ++ quantileNormO ++
+      theilSenO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,17 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x232 — THEIL–SEN robust trend slope
+    * ([[graft.ext.EventWindows.theilSen]]): per event type, the
+    * median pairwise slope of the hourly dense series — the trend
+    * MAGNITUDE beside x224's Mann–Kendall significance, burst-robust
+    * where least squares is not. */
+  val x232TheilSen: Q = (s, dir) => {
+    EventWindows.theilSen(Tables.events(s, dir), col("ts"), "1 hour",
+        col("event_type"))
+      .orderBy("key")
+  }
+
   /** x231 — QUANTILE normalization of doc lengths across sources
     * ([[graft.ext.Quantiles.quantileNormalize]]): each source's
     * token-count distribution mapped onto the pooled quantiles by
@@ -4317,6 +4328,7 @@ object Queries {
     "x229_weighted_sample" -> x229WeightedSample,
     "x230_lambda_sweep" -> x230LambdaSweep,
     "x231_quantile_normalize" -> x231QuantileNormalize,
+    "x232_theil_sen" -> x232TheilSen,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -2504,6 +2504,27 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("theilSen: exact median pairwise slope; a single burst cannot " +
+      "drag the robust slope the way it drags least squares") {
+    // up: 1,2,3,4 → all pairwise slopes = 1 → sen = 1.0
+    // burst: 1,1,10,1 → slopes: (1-1)/1=0,(10-1)/2=4.5,(1-1)/3=0,
+    //   (10-1)/1=9,(1-1)/2=0,(1-10)/1=-9 → sorted: -9,0,0,0,4.5,9 →
+    //   lower median (rank 3) = 0
+    def evsFor(k: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(i =>
+          (java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:${10 + i}%d:00"),
+            k))
+      }
+    val df = (evsFor("up", Seq(1, 2, 3, 4)) ++
+      evsFor("burst", Seq(1, 1, 10, 1))).toDF("ts", "event_type")
+    val got = rows(EventWindows.theilSen(df, col("ts"), "1 hour",
+      col("event_type")).orderBy("key"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got == Seq(("burst", 4L, 6L, 0.0), ("up", 4L, 6L, 1.0)))
+  }
+
   test("quantileNormalize: exact integer-rank mapping onto the pooled " +
       "grid; unequal group sizes; max maps to pooled max") {
     import graft.ext.Quantiles
