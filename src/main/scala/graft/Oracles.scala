@@ -7088,6 +7088,48 @@ object Oracles {
         |    ELSE (sample_ord * n) // 8 END AS BIGINT) AS frame_idx
         |FROM j ORDER BY doc_id, sample_ord""".stripMargin)
 
+  // x233: cohort LTV — floor-cents at the scan, dense per-cohort age
+  // axis, cumulative cents over the age grid, one boundary division
+  private val cohortLtvO: Map[String, String] = Map(
+    "x233_cohort_ltv" ->
+      """WITH base AS (
+        |  SELECT user_id AS key,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS p,
+        |    CAST(floor("value" * 100.0e0) AS BIGINT) AS cents
+        |  FROM events),
+        |first AS (SELECT key, min(p) AS cohort FROM base GROUP BY 1),
+        |sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |          FROM first GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cohort,
+        |    CAST((epoch_us(b.p) - epoch_us(f.cohort)) // 86400000000
+        |      AS BIGINT) AS age,
+        |    CAST(sum(b.cents) AS BIGINT) AS period_cents
+        |  FROM base b JOIN first f USING (key)
+        |  GROUP BY 1, 2),
+        |span AS (SELECT cohort, max(age) AS mx FROM cells GROUP BY 1),
+        |grid AS (
+        |  SELECT cohort, CAST(unnest(generate_series(0, mx)) AS BIGINT)
+        |    AS age
+        |  FROM span),
+        |dense AS (
+        |  SELECT g.cohort, g.age,
+        |    CAST(coalesce(c.period_cents, 0) AS BIGINT) AS period_cents
+        |  FROM grid g LEFT JOIN cells c
+        |    ON c.cohort = g.cohort AND c.age = g.age),
+        |cum AS (
+        |  SELECT cohort, age, period_cents,
+        |    CAST(sum(period_cents) OVER (PARTITION BY cohort
+        |      ORDER BY age ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_cents
+        |  FROM dense)
+        |SELECT cum.cohort, cum.age, sizes.n_users, cum.period_cents,
+        |  cum.cum_cents,
+        |  CAST(cum.cum_cents AS DOUBLE) / 100.0e0
+        |    / CAST(sizes.n_users AS DOUBLE) AS ltv_per_user
+        |FROM cum JOIN sizes ON cum.cohort = sizes.cohort
+        |ORDER BY cum.cohort, cum.age""".stripMargin)
+
   // x232: Theil–Sen — pairwise integer-rational slopes as doubles
   // (IEEE division is correctly rounded: equal rationals → identical
   // doubles), lower median at ⌈n/2⌉ by integer DIV
@@ -8110,7 +8152,7 @@ object Oracles {
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
       mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO ++
       reuseAlignO ++ weightedSampleO ++ lambdaSweepO ++ quantileNormO ++
-      theilSenO +
+      theilSenO ++ cohortLtvO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

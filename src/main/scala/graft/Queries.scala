@@ -3006,6 +3006,17 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x233 — cohort LTV matrix
+    * ([[graft.ext.EventWindows.cohortLtv]]): cumulative spend per
+    * cohort member by day-grain cohort age, exact integer cents,
+    * dense age axis — the value companion of x124's retention
+    * matrix. */
+  val x233CohortLtv: Q = (s, dir) => {
+    EventWindows.cohortLtv(Tables.events(s, dir), col("ts"),
+        col("user_id"), col("value"), "1 day", 86400000000L)
+      .orderBy("cohort", "age")
+  }
+
   /** x232 — THEIL–SEN robust trend slope
     * ([[graft.ext.EventWindows.theilSen]]): per event type, the
     * median pairwise slope of the hourly dense series — the trend
@@ -4329,6 +4340,7 @@ object Queries {
     "x230_lambda_sweep" -> x230LambdaSweep,
     "x231_quantile_normalize" -> x231QuantileNormalize,
     "x232_theil_sen" -> x232TheilSen,
+    "x233_cohort_ltv" -> x233CohortLtv,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

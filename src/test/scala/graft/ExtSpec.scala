@@ -2504,6 +2504,24 @@ class ExtSpec extends SparkSpec {
     assert(h19.isNullAt(h19.fieldIndex("z")))
   }
 
+  test("cohortLtv: floor-cents, dense age axis with zero-spend days, " +
+      "cumulative per-user curve exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.00),
+      (1L, ts("2024-01-03 10:00:00"), 2.50),  // age 2 — age 1 is dark
+      (2L, ts("2024-01-01 12:00:00"), 0.999)  // floors to 99 cents
+    ).toDF("user_id", "ts", "value")
+    val got = rows(EventWindows.cohortLtv(evs, col("ts"), col("user_id"),
+      col("value"), "1 day", 86400000000L).orderBy("cohort", "age"))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got == Seq(
+      (0L, 2L, 199L, 199L, 199.0 / 100.0 / 2.0),
+      (1L, 2L, 0L, 199L, 199.0 / 100.0 / 2.0),   // dark day kept
+      (2L, 2L, 250L, 449L, 449.0 / 100.0 / 2.0)))
+  }
+
   test("theilSen: exact median pairwise slope; a single burst cannot " +
       "drag the robust slope the way it drags least squares") {
     // up: 1,2,3,4 → all pairwise slopes = 1 → sen = 1.0
