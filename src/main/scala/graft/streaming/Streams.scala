@@ -380,6 +380,18 @@ object Streams {
         .select(col("ws"), col("key"), col("total").cast("long").as("c")),
       width)
 
+  /** THEIL–SEN slope view over the SAME [[additiveSink]] (key, ws)
+    * count ledger — the EIGHTH read on one ledger (the robust trend
+    * MAGNITUDE beside the Mann–Kendall significance view), bit-equal
+    * to batch [[graft.ext.EventWindows.theilSen]] over everything
+    * ingested (StreamingSpec). */
+  def theilSenView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, width: String): DataFrame =
+    graft.ext.EventWindows.theilSenFromCounts(
+      sumView(spark, tablePath, Seq("key", "ws"))
+        .select(col("ws"), col("key"), col("total").cast("long").as("c")),
+      width)
+
   /** Streaming EMBEDDING-drift maintenance: each micro-batch appends
     * its [[graft.ext.Similarity.shardSums]] partial — per-(shard, dim)
     * exact decimal component sums + shard counts, the MERGEABLE form

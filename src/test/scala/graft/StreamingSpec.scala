@@ -717,6 +717,12 @@ class StreamingSpec extends SparkSpec {
         minRef = 3)) ==
       norm(graft.ext.EventWindows.seasonalAnomaly(evs, col("ts"),
         "1 hour", col("event_type"), minRef = 3)))
+    // the Theil–Sen slope rides the SAME ledger (eighth read)
+    assert(Streams.theilSenView(spark, table, "1 hour")
+        .orderBy("key").collect().map(_.toString).toSeq ==
+      graft.ext.EventWindows.theilSen(evs, col("ts"), "1 hour",
+        col("event_type")).orderBy("key").collect()
+        .map(_.toString).toSeq)
     // availability/outage rides the SAME ledger (seventh read)
     assert(Streams.availabilityView(spark, table, "1 hour")
         .orderBy("key").collect().map(_.toString).toSeq ==
