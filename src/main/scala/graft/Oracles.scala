@@ -7130,6 +7130,31 @@ object Oracles {
         |FROM cum JOIN sizes ON cum.cohort = sizes.cohort
         |ORDER BY cum.cohort, cum.age""".stripMargin)
 
+  // x234: the x229 ES06 key partitioned by source
+  private val weightedStratO: Map[String, String] = Map(
+    "x234_weighted_stratified" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, doc_id, w,
+        |    CAST(CAST(
+        |      ln(CAST(((doc_id % 1000000007) * 654435747) % 1000000007
+        |          + 1 AS DOUBLE) / 1000000008.0e0)
+        |        / CAST(w AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS DOUBLE) AS key
+        |  FROM d WHERE w > 0),
+        |r AS (
+        |  SELECT source, doc_id, w, key,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY key DESC, doc_id) AS BIGINT) AS sample_rank
+        |  FROM k)
+        |SELECT source, doc_id, w, key, sample_rank
+        |FROM r WHERE sample_rank <= 3
+        |ORDER BY source, sample_rank""".stripMargin)
+
   // x232: Theil–Sen — pairwise integer-rational slopes as doubles
   // (IEEE division is correctly rounded: equal rationals → identical
   // doubles), lower median at ⌈n/2⌉ by integer DIV
@@ -8152,7 +8177,7 @@ object Oracles {
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
       mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO ++
       reuseAlignO ++ weightedSampleO ++ lambdaSweepO ++ quantileNormO ++
-      theilSenO ++ cohortLtvO +
+      theilSenO ++ cohortLtvO ++ weightedStratO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

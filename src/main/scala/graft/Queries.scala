@@ -3006,6 +3006,21 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x234 — WEIGHTED stratified sample
+    * ([[graft.ext.Sampling.weightedStratifiedSample]]): 3 documents
+    * per source drawn ∝ token count — the per-stratum arm of x229's
+    * ES06 draw, riding WindowGroupLimit per stratum. */
+  val x234WeightedStratified: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("nt"))
+    Sampling.weightedStratifiedSample(d, col("source"), col("doc_id"),
+        col("nt"), k = 3)
+      .withColumnRenamed("stratum", "source")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("source", "sample_rank")
+  }
+
   /** x233 — cohort LTV matrix
     * ([[graft.ext.EventWindows.cohortLtv]]): cumulative spend per
     * cohort member by day-grain cohort age, exact integer cents,
@@ -4341,6 +4356,7 @@ object Queries {
     "x231_quantile_normalize" -> x231QuantileNormalize,
     "x232_theil_sen" -> x232TheilSen,
     "x233_cohort_ltv" -> x233CohortLtv,
+    "x234_weighted_stratified" -> x234WeightedStratified,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -574,6 +574,34 @@ object Sampling {
       .select(col("id"), col("w"), col("key"), col("sample_rank"))
   }
 
+  /** [[weightedTopSample]] PER STRATUM — "k docs per source,
+    * probability ∝ weight within each": the same ES06 exponential
+    * keys ranked inside each stratum, so every stratum draws its own
+    * weighted sample in one pass (the stratifiedSample shape with the
+    * uniform hash order replaced by the weighted key). The rank cut
+    * rides WindowGroupLimit per stratum — each map task ships ≤ k
+    * rows per stratum, never the corpus.
+    * Output: (stratum, id, w, key, sample_rank). */
+  def weightedStratifiedSample(df: DataFrame, stratum: Column,
+      id: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"weightedStratifiedSample: k=$k must be >= 1")
+    val base = df.select(stratum.as("stratum"), id.as("id"),
+        weight.cast("long").as("w"))
+      .where(col("w") > 0)
+    val u = (hashValue(col("id")) + lit(1L)).cast("double") /
+      lit((HashPrime + 1L).toDouble)
+    val key = (log(u) / col("w").cast("double"))
+      .cast(org.apache.spark.sql.types.DecimalType(28, 12))
+      .cast("double")
+    base.withColumn("key", key)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy("stratum")
+          .orderBy(col("key").desc, col("id").asc)).cast("long"))
+      .where(col("sample_rank") <= k)
+      .select(col("stratum"), col("id"), col("w"), col("key"),
+        col("sample_rank"))
+  }
+
   /** Stratified ROUND-ROBIN curriculum order: a deterministic global
     * training ORDER in which strata (sources, languages, quality
     * tiers) interleave instead of clumping — the anti-correlation a

@@ -2558,6 +2558,26 @@ class ExtSpec extends SparkSpec {
       ("g1", 4L, 20L), ("g2", 10L, 3L), ("g2", 20L, 20L)))
   }
 
+  test("weightedStratifiedSample: per-stratum ES06 draw, k enforced " +
+      "per stratum, zero weights out") {
+    import graft.ext.Sampling
+    val P = 1000000007L; val M = 654435747L
+    def key(id: Long, w: Long): Double =
+      BigDecimal(math.log((((id % P) * M) % P + 1).toDouble
+        / (P + 1).toDouble) / w.toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = Seq(("A", 1L, 10L), ("A", 2L, 100L), ("A", 3L, 1L),
+      ("B", 4L, 5L), ("B", 5L, 0L)).toDF("s", "doc_id", "w")
+    val got = rows(Sampling.weightedStratifiedSample(d, col("s"),
+      col("doc_id"), col("w"), k = 2).orderBy("stratum", "sample_rank"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    // A keeps its top-2 keys; B keeps only doc 4 (doc 5 has w = 0)
+    val aTop = Seq(1L -> 10L, 2L -> 100L, 3L -> 1L)
+      .sortBy { case (id, w) => (-key(id, w), id) }.take(2).map(_._1)
+    assert(got == aTop.zipWithIndex.map { case (id, i) =>
+      ("A", id, i + 1L) } ++ Seq(("B", 4L, 1L)))
+  }
+
   test("lambdaSweep: exact held-out loglik; unseen words carry the " +
       "(1-lambda)/V floor; argmax flagged with smaller-lambda ties") {
     // hash buckets: doc 1 → 747 (train), doc 4 → 974 (held-out)
