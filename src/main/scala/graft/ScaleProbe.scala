@@ -165,7 +165,8 @@ object ScaleProbe {
       "x225_curriculum_interleave", "x226_mcnemar_gates",
       "x227_availability", "x228_reuse_alignment",
       "x229_weighted_sample", "x230_lambda_sweep",
-      "x231_quantile_normalize", "x232_theil_sen", "x233_cohort_ltv")
+      "x231_quantile_normalize", "x232_theil_sen", "x233_cohort_ltv",
+      "x234_weighted_stratified")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors
