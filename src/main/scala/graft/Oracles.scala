@@ -7130,6 +7130,38 @@ object Oracles {
         |FROM cum JOIN sizes ON cum.cohort = sizes.cohort
         |ORDER BY cum.cohort, cum.age""".stripMargin)
 
+  // x235: full gaps-and-islands listing over the dense grid
+  private val activitySegO: Map[String, String] = Map(
+    "x235_activity_segments" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+        |  FROM span),
+        |grid AS (
+        |  SELECT k.key, h.ws
+        |  FROM (SELECT DISTINCT key FROM c) k CROSS JOIN hours h),
+        |dense AS (
+        |  SELECT g.ws, g.key, CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+        |    CASE WHEN coalesce(c.c, 0) > 0 THEN 'up' ELSE 'down' END
+        |      AS state
+        |  FROM grid g LEFT JOIN c ON c.key = g.key AND c.ws = g.ws),
+        |runs AS (
+        |  SELECT key, state, ws, c,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY ws)
+        |      AS BIGINT)
+        |    - CAST(row_number() OVER (PARTITION BY key, state
+        |        ORDER BY ws) AS BIGINT) AS run
+        |  FROM dense)
+        |SELECT key, state, min(ws) AS run_start, max(ws) AS run_end,
+        |  CAST(count(*) AS BIGINT) AS n_periods,
+        |  CAST(sum(c) AS BIGINT) AS n_events
+        |FROM runs GROUP BY key, state, run
+        |ORDER BY key, run_start""".stripMargin)
+
   // x234: the x229 ES06 key partitioned by source
   private val weightedStratO: Map[String, String] = Map(
     "x234_weighted_stratified" ->
@@ -8177,7 +8209,7 @@ object Oracles {
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
       mannKendallO ++ curriculumO ++ mcnemarO ++ availabilityO ++
       reuseAlignO ++ weightedSampleO ++ lambdaSweepO ++ quantileNormO ++
-      theilSenO ++ cohortLtvO ++ weightedStratO +
+      theilSenO ++ cohortLtvO ++ weightedStratO ++ activitySegO +
       ("x67_fine_data_assign" -> base("x63_two_level_refined")) +
       ("x126_bm25_index" -> base("x76_bm25")) +
       // x162: the persisted-quantizer serving path is bit-equal to

@@ -3006,6 +3006,16 @@ object Queries {
       .orderBy("ws", "key")
   }
 
+  /** x235 — activity SEGMENTS
+    * ([[graft.ext.EventWindows.activitySegments]]): every maximal
+    * up/down run per event type over the hourly dense grid — the
+    * incident table behind x227's availability summary. */
+  val x235ActivitySegments: Q = (s, dir) => {
+    EventWindows.activitySegments(Tables.events(s, dir), col("ts"),
+        "1 hour", col("event_type"))
+      .orderBy("key", "run_start")
+  }
+
   /** x234 — WEIGHTED stratified sample
     * ([[graft.ext.Sampling.weightedStratifiedSample]]): 3 documents
     * per source drawn ∝ token count — the per-stratum arm of x229's
@@ -4357,6 +4367,7 @@ object Queries {
     "x232_theil_sen" -> x232TheilSen,
     "x233_cohort_ltv" -> x233CohortLtv,
     "x234_weighted_stratified" -> x234WeightedStratified,
+    "x235_activity_segments" -> x235ActivitySegments,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

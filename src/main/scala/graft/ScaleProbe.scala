@@ -166,7 +166,7 @@ object ScaleProbe {
       "x227_availability", "x228_reuse_alignment",
       "x229_weighted_sample", "x230_lambda_sweep",
       "x231_quantile_normalize", "x232_theil_sen", "x233_cohort_ltv",
-      "x234_weighted_stratified")
+      "x234_weighted_stratified", "x235_activity_segments")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -2658,6 +2658,29 @@ class ExtSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_matches") == 13L)
   }
 
+  test("activitySegments: maximal runs with spans and masses; the " +
+      "availability summary is derivable from the segment table") {
+    // key a: up(0-1, 3 events), down(2-4), up(5, 1 event), down(6-7)
+    val evs = Seq((0, 2), (1, 1), (5, 1)).flatMap { case (h, n) =>
+      (0 until n).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:0$i%d:00"), "a"))
+    } ++ (0 to 7).map(h =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:00:00"), "b"))
+    val got = rows(EventWindows.activitySegments(
+      evs.toDF("ts", "event_type"), col("ts"), "1 hour",
+      col("event_type")).orderBy("key", "run_start"))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4),
+        r.getLong(5)))
+    assert(got == Seq(
+      ("a", "up", 2L, 3L), ("a", "down", 3L, 0L), ("a", "up", 1L, 1L),
+      ("a", "down", 2L, 0L), ("b", "up", 8L, 8L)))
+    // consistency with the availability summary on the same input
+    val av = rows(EventWindows.availability(evs.toDF("ts", "event_type"),
+      col("ts"), "1 hour", col("event_type")).orderBy("key"))
+    assert(av.head.getAs[Long]("longest_gap") ==
+      got.filter(t => t._1 == "a" && t._2 == "down").map(_._3).max)
+  }
+
   test("availability: exact uptime and longest dark run; never-dark " +
       "keys report 0; interior and trailing gaps both counted") {
     // key a: up at hours 0,1, dark 2-4, up 5, dark 6-7 (end of span
