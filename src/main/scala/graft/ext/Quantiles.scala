@@ -140,8 +140,30 @@ object Quantiles {
     * — the form a streaming additive ledger folds to (the
     * ksDriftFromCounts discipline), so batch-effect correction has a
     * streaming view bit-equal to the batch operator over everything
-    * ingested. */
-  def quantileNormalizeFromCounts(counts: DataFrame): DataFrame = {
+    * ingested.
+    *
+    * CONTRACT — the value column must be DISCRETE (quantized): every
+    * stage runs on the (group, value) COUNT GRID, so grid cardinality
+    * = distinct values × groups. Integer token counts, bucketed
+    * scores, ppm-quantized ratios are fine; a raw double score makes
+    * the grid row-cardinality-sized and the whole point of the
+    * count-grid formulation collapses — quantize first (the
+    * [[discrete]] caveat), enforced by `maxGridValues` (a loud
+    * runtime guard on the measured pooled-grid size, default 10M).
+    *
+    * Scale shape of the rank lookup: the pooled cumulative's
+    * (⟨cumb, cum⟩] intervals PARTITION [1, N], so each target rank
+    * hits exactly one interval — matched via the
+    * [[graft.operators.RangeJoin]] bin-bucket EQUI-join (bin width =
+    * the mean interval length N/|grid|, so interval replication is
+    * ≈ 2·|grid| rows), never a nested-loop theta join: Spark plans a
+    * bare `cumb < t ≤ cum` predicate as BroadcastNestedLoopJoin with
+    * the grid as the broadcast side — grid-sized, i.e. data-sized
+    * exactly when the discrete contract is violated. The bin width
+    * comes from one model-sized collect (1 row: N and |grid|) off the
+    * already-checkpointed grid. */
+  def quantileNormalizeFromCounts(counts: DataFrame,
+      maxGridValues: Long = 10000000L): DataFrame = {
     val gv = counts.select(col("group"), col("v"), col("n_gv"))
       .localCheckpoint(true) // feeds group grids AND the pooled grid
     val wg = Window.partitionBy("group").orderBy("v")
@@ -156,11 +178,25 @@ object Quantiles {
       .withColumn("__cum", sum(col("__c")).over(wp))
       .withColumn("__cumb", col("__cum") - col("__c"))
       .select(col("v").as("__pv"), col("__cum"), col("__cumb"))
-    val nTot = broadcast(pooled.agg(sum(col("__c")).as("__nt")))
-    val targets = ranked.join(ng, Seq("group")).crossJoin(nTot)
-      .withColumn("__t", expr("(__r * __nt + __n - 1) DIV __n"))
-    targets.join(pooledCum,
-        col("__cumb") < col("__t") && col("__t") <= col("__cum"))
+    // one model-sized collect (a single row off the checkpointed
+    // grid): total mass N and pooled-grid cardinality, for the target
+    // ranks and the bin width
+    val stats = pooled
+      .agg(sum(col("__c")).cast("long").as("__nt"),
+        count(lit(1)).as("__ng"))
+      .first()
+    val nTotal = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val nGrid = stats.getLong(1)
+    require(nGrid <= maxGridValues,
+      s"quantileNormalize: $nGrid distinct values exceeds " +
+        s"maxGridValues=$maxGridValues — the value column must be " +
+        "discrete (quantize scores first; see the count-grid contract)")
+    val targets = ranked.join(ng, Seq("group"))
+      .withColumn("__t", // exact integer ceil-division, never a double
+        expr(s"(__r * ${nTotal}L + __n - 1) DIV __n"))
+    val bin = math.max(1L, nTotal / math.max(1L, nGrid))
+    graft.operators.RangeJoin.pointInInterval(targets, col("__t"),
+        pooledCum, col("__cumb") + lit(1L), col("__cum"), bin)
       .select(col("group"), col("v"), col("n_gv"),
         col("__r").as("rank_in_group"), col("__pv").as("norm_v"))
   }

@@ -506,13 +506,16 @@ object Streams {
     * ledger as the KS/PSI/JSD family — the batch-effect corrector
     * ([[graft.ext.Quantiles.quantileNormalize]]) streaming-fed and
     * bit-equal to batch over everything ingested (StreamingSpec); the
-    * SIXTH view on the distribution ledger. */
+    * SIXTH view on the distribution ledger. Reads the OBSERVATION
+    * count `n` (the `_pcount` fold) like every sibling distribution
+    * view (KS/PSI/JSD) — the ledger convention is one appended unit
+    * per observation; the `total` value-sum column is NOT a count. */
   def quantileNormalizeView(spark: org.apache.spark.sql.SparkSession,
       tablePath: String): DataFrame =
     graft.ext.Quantiles.quantileNormalizeFromCounts(
       sumView(spark, tablePath, Seq("g", "v"))
         .select(col("g").as("group"), col("v"),
-          col("total").cast("long").as("n_gv")))
+          col("n").cast("long").as("n_gv")))
 
   /** PSI view over the SAME [[additiveSink]] (g, v) ledger as
     * [[ksDriftView]]/[[ksMatrixView]] — one count ledger now serves

@@ -120,6 +120,167 @@ class QueriesSpec extends SparkSpec {
       s"unexpectedly empty: ${empties -- allowedEmpty}")
   }
 
+  /** Nested-loop join nodes (BroadcastNestedLoopJoin /
+    * CartesianProduct) with a SUSPECT side — the x231 lesson: the
+    * hinted-broadcast sweep above audits only BroadcastExchange
+    * subtrees, and under its threshold=-1 config a non-equi join
+    * degrades to CartesianProduct, so a grid-sized build side slips
+    * through with no BroadcastExchange to inspect. Here every
+    * BNL/CartesianProduct node is checked per DIRECT CHILD: a child
+    * is suspect when its shallowest Aggregate is GROUPED (non-empty
+    * keys → data-cardinality-sized) and the child subtree shows no
+    * bounding construct (a Join restriction, a Limit /
+    * TakeOrderedAndProject cut, a literal LocalTableScan). A node
+    * with any suspect child is a |big|×|other| nested loop waiting
+    * for real scale. (A keys=[] one-row aggregate as the shallowest
+    * agg makes a child bounded — crossJoin(one-row totals) is the
+    * engine's standard scalar-attach shape.)
+    *
+    * Which children count: a BroadcastNestedLoopJoin STREAMS its
+    * non-build side exactly once — any size is fine there (the
+    * scalar-attach crossJoin(broadcast(totals)) streams the whole
+    * grouped table past a 1-row build side by design) — so only the
+    * BUILD child is audited. A CartesianProduct re-scans BOTH sides
+    * (|L|·|R| work AND one side buffered per partition), so either
+    * suspect child flags it. */
+  private def nestedLoopSuspects(planStr: String): Seq[String] = {
+    val lines = planStr.linesIterator.toVector
+    def ind(l: String): Int = {
+      val i = l.indexWhere(c => !" :+-".contains(c))
+      if (i < 0) Int.MaxValue else i
+    }
+    lines.indices.flatMap { i =>
+      val isNl = lines(i).contains("BroadcastNestedLoopJoin") ||
+        lines(i).contains("CartesianProduct")
+      if (!isNl) None
+      else {
+        val d = ind(lines(i))
+        val subLines = lines.drop(i + 1).takeWhile(ind(_) > d)
+        if (subLines.isEmpty) None
+        else {
+          val minInd = subLines.map(ind).min
+          val roots = subLines.indices.filter(j => ind(subLines(j)) == minInd)
+          val children = roots.indices.map { r =>
+            val from = roots(r)
+            val to = if (r + 1 < roots.size) roots(r + 1) else subLines.size
+            subLines.slice(from, to)
+          }
+          def isSuspect(c: Vector[String]): Boolean = {
+            val sub = c.mkString("\n")
+            val topAgg = c.find(_.contains("Aggregate(keys=["))
+            val groupedTop = topAgg.exists(!_.contains("Aggregate(keys=[]"))
+            val bounded = sub.contains("Join") || sub.contains("Limit") ||
+              sub.contains("TakeOrderedAndProject") ||
+              sub.contains("LocalTableScan")
+            groupedTop && !bounded
+          }
+          val audited =
+            if (lines(i).contains("BroadcastNestedLoopJoin"))
+              children.zipWithIndex.filter { case (_, j) =>
+                if (lines(i).contains("BuildLeft")) j == 0
+                else j == children.size - 1 // BuildRight
+              }.map(_._1)
+            else children
+          val suspect = audited.filter(isSuspect)
+          if (suspect.nonEmpty)
+            Some(lines(i).trim + "\n" +
+              suspect.map(_.mkString("\n").take(400)).mkString("\n---\n"))
+          else None
+        }
+      }
+    }
+  }
+
+  /** Nested-loop nodes with a suspect side that are JUSTIFIED — the
+    * [[boundedByDesign]] discipline for the non-equi sweep. Every
+    * entry names the bound the PLAN cannot show; an unlisted hit
+    * fails the sweep (how x231's grid-sized theta join slipped the
+    * broadcast-only audit for a round). */
+  private val nestedLoopByDesign: Map[String, String] = Map(
+    "x175_chi_square" ->
+      ("contingency-table skeleton: category grid × category grid " +
+        "(quality flag × dup flag), both sides |categories|-bounded"),
+    "x178_quality_dup_chi" ->
+      "same category×category contingency skeleton as x175",
+    "x186_psi" ->
+      ("PSI bucket skeleton: |groups| × |buckets| enumeration — both " +
+        "axes category-bounded, never row-sized"),
+    "x193_cramers_v" ->
+      "same contingency skeleton as x175 (category × category)",
+    "x167_hll_pair_union" ->
+      ("|sources|² audit at SKETCH cost: each side is the per-source " +
+        "HLL register table (groups = sources, a catalog constant), " +
+        "checkpointed once — the documented 100 TB matrix shape"),
+    "x147_kmv_pair_jaccard" ->
+      "same |sources|²-at-sketch-cost matrix as x167 (KMV synopses)",
+    "x182_ab_conversion" ->
+      ("cohort_a < cohort_b pair frame over the per-cohort aggregate " +
+        "— |cohorts| is an experiment-design constant (A/B arms)"),
+    "x184_welch_t" -> "same |cohorts|² pair frame as x182",
+    "x199_covariate_balance" -> "same |cohorts|² pair frame as x182",
+    "x213_simpson_audit" ->
+      ("cohort pooled-rate frame: 2 rows (binary cohorts) × strata " +
+        "grid — category-bounded (also allowlisted in the broadcast " +
+        "sweep)"),
+    "x211_token_label_mi" ->
+      ("build side = per-label doc totals: |labels| (languages) rows " +
+        "— a category constant; the vocab-sized side streams (also " +
+        "allowlisted in the broadcast sweep)"),
+    "x101_hashed_neardup" ->
+      ("the LABELED all-pairs cosine baseline the LSH family is " +
+        "graded against — documented Ω(|pairs|) floor; the scale " +
+        "path is x03/x05/x07 banding"),
+    "x214_vocab_budget" ->
+      ("mass-rank theta join over the COUNT-OF-COUNTS grid (distinct " +
+        "tf values, Zipf-bounded ≲ √T — at 10¹² tokens ~10⁶ rows) × " +
+        "4 ppm literals; never vocab- or row-sized"))
+
+  test("no nested-loop join streams against an unrestricted grouped " +
+      "aggregate (the x231 non-equi blind spot)") {
+    // regression fixture: the PRE-FIX x231 shape — a monotone
+    // cumulative grid (grouped agg + global window) theta-joined on
+    // cumb < t <= cum — must trip the detector
+    import spark.implicits._
+    val gv = Seq(("a", 1L, 2L), ("a", 3L, 1L), ("b", 1L, 1L))
+      .toDF("group", "v", "n_gv")
+      .localCheckpoint(true) // real x231 fed a checkpointed grid, not
+      // a LocalTableScan — the checkpoint hides the source as a Scan
+      // ExistingRDD exactly like the production shape
+    val pooled = gv.groupBy("v")
+      .agg(org.apache.spark.sql.functions.sum($"n_gv").as("__c"))
+    val wp = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(Long.MinValue, 0)
+    val pooledCum = pooled
+      .withColumn("__cum", org.apache.spark.sql.functions.sum($"__c").over(wp))
+      .withColumn("__cumb", $"__cum" - $"__c")
+      .select($"v".as("__pv"), $"__cum", $"__cumb")
+    val targets = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("group", "__t")
+    val preFix = targets.join(pooledCum,
+      $"__cumb" < $"__t" && $"__t" <= $"__cum")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val flagged =
+      try {
+        assert(nestedLoopSuspects(
+            preFix.queryExecution.executedPlan.toString).nonEmpty,
+          "detector failed on the known-bad pre-fix x231 theta-join " +
+            "shape:\n" + preFix.queryExecution.executedPlan.toString.take(800))
+        Queries.all.toSeq.map { case (name, q) =>
+          name -> nestedLoopSuspects(
+            q(spark, dir).queryExecution.executedPlan.toString)
+        }.filter(_._2.nonEmpty).toMap
+      }
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevThreshold)
+    val unexplained = flagged -- nestedLoopByDesign.keySet
+    assert(unexplained.isEmpty,
+      "queries plan a nested-loop join whose side is an unrestricted " +
+        "grouped aggregate (grid-sized at corpus scale) with no " +
+        "nestedLoopByDesign justification:\n" +
+        unexplained.map { case (n, b) =>
+          s"$n:\n${b.mkString("\n====\n")}" }.mkString("\n====\n"))
+  }
+
   test("queries and oracles stay in sync") {
     assert(Oracles.all.keySet.subsetOf(Queries.all.keySet))
     val noOracle = Queries.all.keySet -- Oracles.all.keySet
