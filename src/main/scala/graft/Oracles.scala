@@ -8004,6 +8004,30 @@ object Oracles {
         |    THEN dfa ELSE dfb END AS df_canonical
         |FROM p ORDER BY variant, canonical""".stripMargin)
 
+  // x238: the oracle re-verifies the persisted-index linkage with
+  // DuckDB's levenshtein over the length-banded cross of the two
+  // vocabularies — the x209 re-verification idiom, two universes
+  private val linkageO: Map[String, String] = Map(
+    "x238_linkage_roundtrip" ->
+      """WITH te AS (
+        |  SELECT DISTINCT
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS term
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ti AS (
+        |  SELECT DISTINCT
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS term
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |e AS (SELECT term FROM te WHERE length(term) >= 4),
+        |i AS (SELECT term FROM ti WHERE length(term) >= 4)
+        |SELECT i.term AS id, e.term AS ex_id,
+        |  CAST(levenshtein(i.term, e.term) AS INT) AS dist
+        |FROM i JOIN e
+        |  ON abs(length(i.term) - length(e.term)) <= 2
+        |  AND levenshtein(i.term, e.term) <= 2
+        |ORDER BY id, ex_id""".stripMargin)
+
   // x197/x198: the portable multiplicative hash shared verbatim —
   // fold = ((u mod P)·A mod P) mod k; bootstrap weights invert the
   // exact Poisson(1) ppm CDF at a counter-based hash
@@ -8204,6 +8228,7 @@ object Oracles {
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
+      linkageO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++
@@ -8228,5 +8253,13 @@ object Oracles {
       // x208: the manifest loaded from parquet is bit-equal to the
       // in-line five-stage manifest — the pipeline's lifecycle claim,
       // pinned by sharing x96's oracle
-      ("x208_manifest_roundtrip" -> base("x96_corpus_prep"))
+      ("x208_manifest_roundtrip" -> base("x96_corpus_prep")) +
+      // x236: SIF cells loaded from parquet are bit-equal to the
+      // in-line x216 cells — the lifecycle claim for the engine's
+      // costliest session memo, pinned by sharing x216's oracle
+      ("x236_sif_persist" -> sifO("x216_sif_embed")) +
+      // x237: re-embedding against PERSISTED frozen weights is
+      // bit-equal to the in-line vectorization — the serving-path
+      // claim (streaming sifNeighborSink's batch form), same oracle
+      ("x237_sif_frozen" -> sifO("x216_sif_embed"))
 }

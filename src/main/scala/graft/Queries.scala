@@ -2969,9 +2969,22 @@ object Queries {
     * negative z instead of vanishing from its own alarm. The dense
     * grid is |keys| × |hours| (sequence() explode per key, 1-row span
     * broadcast), never a window over absent rows. */
+  /** The calendar family's SHARED hourly dense (ws, key, c) ledger,
+    * memoized per session (the winnowPairsFull / sifCellsFull
+    * discipline): x207/x210/x218/x222/x224/x227/x232/x235 all read
+    * the identical [[graft.ext.EventWindows.calendarCounts]] grid of
+    * the same (source, width), so the events scan + combiner agg +
+    * densify run ONCE and every family member's marginal cost is
+    * grid-only. */
+  private def hourlyCalendarLedger(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.ext.Memo.cached(s, s"calendarDense|$dir|1 hour|event_type")(
+      EventWindows.calendarCounts(Tables.events(s, dir), col("ts"),
+        "1 hour", col("event_type")))
+
   val x207CalendarAnomaly: Q = (s, dir) => {
-    EventWindows.calendarRateAnomaly(Tables.events(s, dir), col("ts"),
-        "1 hour", col("event_type"), lookback = 24, minPeriods = 8)
+    EventWindows.rateAnomalyFromCounts(hourlyCalendarLedger(s, dir),
+        lookback = 24, minPeriods = 8)
       .orderBy("ws", "key")
   }
 
@@ -3001,8 +3014,8 @@ object Queries {
     * exact-integer moments over the zero-filled grid; same scaled
     * tie-free z family as x119/x207. */
   val x210SeasonalAnomaly: Q = (s, dir) => {
-    EventWindows.seasonalAnomaly(Tables.events(s, dir), col("ts"),
-        "1 hour", col("event_type"), minRef = 3)
+    EventWindows.seasonalAnomalyFromDense(hourlyCalendarLedger(s, dir),
+        minRef = 3)
       .orderBy("ws", "key")
   }
 
@@ -3011,8 +3024,7 @@ object Queries {
     * up/down run per event type over the hourly dense grid — the
     * incident table behind x227's availability summary. */
   val x235ActivitySegments: Q = (s, dir) => {
-    EventWindows.activitySegments(Tables.events(s, dir), col("ts"),
-        "1 hour", col("event_type"))
+    EventWindows.activitySegmentsFromDense(hourlyCalendarLedger(s, dir))
       .orderBy("key", "run_start")
   }
 
@@ -3048,8 +3060,7 @@ object Queries {
     * MAGNITUDE beside x224's Mann–Kendall significance, burst-robust
     * where least squares is not. */
   val x232TheilSen: Q = (s, dir) => {
-    EventWindows.theilSen(Tables.events(s, dir), col("ts"), "1 hour",
-        col("event_type"))
+    EventWindows.theilSenFromDense(hourlyCalendarLedger(s, dir))
       .orderBy("key")
   }
 
@@ -3107,8 +3118,7 @@ object Queries {
     * consecutive dark run (gaps-and-islands on exact integers) — the
     * SLA row beside the alarm family. */
   val x227Availability: Q = (s, dir) => {
-    EventWindows.availability(Tables.events(s, dir), col("ts"), "1 hour",
-        col("event_type"))
+    EventWindows.availabilityFromDense(hourlyCalendarLedger(s, dir))
       .orderBy("key")
   }
 
@@ -3145,8 +3155,7 @@ object Queries {
     * z) — the trend read beside x218's step locator and x222's
     * burstiness. */
   val x224MannKendall: Q = (s, dir) => {
-    EventWindows.mannKendall(Tables.events(s, dir), col("ts"), "1 hour",
-        col("event_type"))
+    EventWindows.mannKendallFromDense(hourlyCalendarLedger(s, dir))
       .orderBy("key")
   }
 
@@ -3179,8 +3188,7 @@ object Queries {
     * level/trend/season family; exact integer moments, one double
     * chain. */
   val x222Dispersion: Q = (s, dir) => {
-    EventWindows.dispersion(Tables.events(s, dir), col("ts"), "1 hour",
-        col("event_type"))
+    EventWindows.dispersionFromDense(hourlyCalendarLedger(s, dir))
       .orderBy("key")
   }
 
@@ -3231,8 +3239,7 @@ object Queries {
     * variance-reduction argmax) — CUSUM alarms on drift; this names
     * the hour it happened. */
   val x218LevelShift: Q = (s, dir) => {
-    EventWindows.levelShift(Tables.events(s, dir), col("ts"), "1 hour",
-        col("event_type"))
+    EventWindows.levelShiftFromDense(hourlyCalendarLedger(s, dir))
       .orderBy("key")
   }
 
@@ -3269,6 +3276,38 @@ object Queries {
 
   val x216SifEmbed: Q = (s, dir) => {
     sifCellsFull(s, dir)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "dim")
+  }
+
+  /** x236 — SIF-cell PERSISTENCE round-trip: the memoized x216 cells
+    * → [[graft.ext.TextAnalysis.saveSifCells]] → loadSifCells,
+    * sharing x216's oracle — the equality IS the claim (the
+    * x208/x162/x200 lifecycle pattern applied to the engine's
+    * costliest session memo: a restarted session reads the cells from
+    * parquet — corpus-row×dim-sized, no text — instead of re-paying
+    * the (id, term, tf)×dim explode, cold 54.6 s at sfx10). */
+  val x236SifPersist: Q = (s, dir) => {
+    val path = scratchPath(s, "graft_x236_sifcells")
+    TextAnalysis.saveSifCells(sifCellsFull(s, dir), path)
+    TextAnalysis.loadSifCells(s, path)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "dim")
+  }
+
+  /** x237 — FROZEN-weight SIF re-embed
+    * ([[graft.ext.TextAnalysis.sifEmbedFrozen]]): sifWeights →
+    * saveSifWeights → loadSifWeights → re-embed the same corpus,
+    * sharing x216's oracle — proves the SERVING path (text against
+    * frozen corpus statistics, the streaming sifNeighborSink's batch
+    * form) reproduces the in-line vectorization bit-for-bit, the Ivf
+    * frozen-boundary contract applied to text. */
+  val x237SifFrozen: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val path = scratchPath(s, "graft_x237_sifw")
+    TextAnalysis.saveSifWeights(TextAnalysis.sifWeights(d, "text"), path)
+    TextAnalysis.sifEmbedFrozen(d, "doc_id", "text",
+        TextAnalysis.loadSifWeights(s, path), dim = 8)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "dim")
   }
@@ -3354,6 +3393,30 @@ object Queries {
     TextAnalysis.tokenLabelMI(Tables.documents(s, dir), "doc_id",
         "text", "lang")
       .orderBy("term", "label")
+  }
+
+  /** x238 — persisted-VARIANT-INDEX linkage round-trip
+    * ([[graft.ext.Dedup.saveVariantIndex]] → linkAgainstIndex): the
+    * even-document vocabulary indexed once to parquet (variants +
+    * strings + pinned params), the odd-document vocabulary then
+    * LINKED against the loaded index — every (incoming, indexed)
+    * pair within Levenshtein 2 by recall-1 symmetric-delete blocking
+    * + threshold-bounded exact verification. The x179 index-lifecycle
+    * discipline applied to record linkage (x209's self-join made
+    * incremental: new records match the frozen universe without
+    * re-expanding it); the oracle re-verifies every pair with
+    * DuckDB's own levenshtein over the length-banded cross of the
+    * two vocabularies — no blocking scheme to trust. */
+  val x238LinkageRoundtrip: Q = (s, dir) => {
+    def vocab(rem: Int) = Tables.documents(s, dir)
+      .where(pmod(col("doc_id"), lit(2L)) === rem)
+      .select(explode(TextAnalysis.tokens(lower(col("text"))))
+        .as("term"))
+      .distinct()
+    val path = scratchPath(s, "graft_x238_varidx")
+    Dedup.saveVariantIndex(vocab(0), "term", "term", path)
+    Dedup.linkAgainstIndex(s, path, vocab(1), "term", "term")
+      .orderBy("id", "ex_id")
   }
 
   /** x209 — SPELLING-VARIANT consolidation map over the corpus
@@ -4368,6 +4431,9 @@ object Queries {
     "x233_cohort_ltv" -> x233CohortLtv,
     "x234_weighted_stratified" -> x234WeightedStratified,
     "x235_activity_segments" -> x235ActivitySegments,
+    "x236_sif_persist" -> x236SifPersist,
+    "x237_sif_frozen" -> x237SifFrozen,
+    "x238_linkage_roundtrip" -> x238LinkageRoundtrip,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1331,18 +1331,16 @@ object Dedup {
     * pairs), like every pair-listing operator.
     * Input: one row per (id, string); Output: (id_a, id_b, dist),
     * id_a < id_b. */
-  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 2, minLen: Int = 4): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 3,
-      s"editDistancePairs: maxDist=$maxDist outside [1,3]")
-    require(minLen >= maxDist + 2,
-      s"editDistancePairs: minLen=$minLen must be >= maxDist+2=" +
-        s"${maxDist + 2} (shorter strings collapse onto hub variants)")
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .where(length(col("s")) >= minLen)
-      .localCheckpoint(true) // feeds variant gen AND both verify joins
-    // delete-neighborhood, one deletion per level; per-level distinct
-    // bounds the duplication (delete i then j ≡ delete j then i)
+  /** The SymSpell delete-neighborhood of (id, s) rows: every string
+    * reachable by up to `maxDist` character deletions, one deletion
+    * per level with per-level distinct (delete i then j ≡ delete j
+    * then i, so the distinct bounds the duplication). Shared by
+    * [[editDistancePairs]] (self-linkage) and the persisted
+    * variant-index lifecycle ([[saveVariantIndex]] /
+    * [[linkAgainstLoadedIndex]]) — BOTH sides of a linkage must
+    * expand with the SAME maxDist for the recall-1 guarantee. */
+  private def deleteNeighborhood(base: DataFrame, maxDist: Int)
+      : DataFrame = {
     var lvl = base.select(col("id"), col("s").as("v")).distinct()
     var variants = lvl
     for (_ <- 1 to maxDist) {
@@ -1355,6 +1353,20 @@ object Dedup {
         .distinct()
       variants = variants.unionByName(lvl)
     }
+    variants
+  }
+
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2, minLen: Int = 4): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"editDistancePairs: maxDist=$maxDist outside [1,3]")
+    require(minLen >= maxDist + 2,
+      s"editDistancePairs: minLen=$minLen must be >= maxDist+2=" +
+        s"${maxDist + 2} (shorter strings collapse onto hub variants)")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(length(col("s")) >= minLen)
+      .localCheckpoint(true) // feeds variant gen AND both verify joins
+    val variants = deleteNeighborhood(base, maxDist)
     val va = variants.select(col("v"), col("id").as("id_a"))
     val vb = variants.select(col("v"), col("id").as("id_b"))
     val cand = va.join(vb, Seq("v"))
@@ -1367,6 +1379,84 @@ object Dedup {
       .join(base.select(col("id").as("id_b"), col("s").as("__sb")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb"), maxDist).as("dist"))
+      .where(col("dist") >= 0)
+  }
+
+  /** Persist a SYMMETRIC-DELETE variant index for fuzzy record
+    * linkage — the [[saveLshIndex]] lifecycle discipline applied to
+    * [[editDistancePairs]]'s blocking scheme: three tables under
+    * `path` — `strings/` (id, s: the indexed records), `variants/`
+    * (v, id: the full delete neighborhood), and a one-row `params/`
+    * (max_dist, min_len) pinning the expansion the index was built
+    * with, so a loader expanding queries with a DIFFERENT maxDist
+    * fails loudly instead of silently losing recall. The variants
+    * table is Σ C(len, ≤maxDist) rows per record — record-count-
+    * sized × a small length polynomial, no text bodies. */
+  def saveVariantIndex(df: DataFrame, idCol: String, strCol: String,
+      path: String, maxDist: Int = 2, minLen: Int = 4): Unit = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"saveVariantIndex: maxDist=$maxDist outside [1,3]")
+    require(minLen >= maxDist + 2,
+      s"saveVariantIndex: minLen=$minLen must be >= maxDist+2")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(length(col("s")) >= minLen)
+      .localCheckpoint(true) // feeds the strings table AND the expansion
+    base.write.mode("overwrite").parquet(s"$path/strings")
+    deleteNeighborhood(base, maxDist)
+      .write.mode("overwrite").parquet(s"$path/variants")
+    import spark.implicits._
+    Seq((maxDist, minLen)).toDF("max_dist", "min_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Link `incoming` records against a [[saveVariantIndex]] directory:
+    * reads the params row (enforcing the expansion contract) and the
+    * two tables, then delegates to [[linkAgainstLoadedIndex]]. For a
+    * long-lived stream, load once and call the loaded form per batch
+    * ([[graft.streaming.Streams.linkageAdmitSink]]). */
+  def linkAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, incoming: DataFrame, idCol: String, strCol: String)
+      : DataFrame = {
+    val p = spark.read.parquet(s"$path/params").head()
+    linkAgainstLoadedIndex(
+      spark.read.parquet(s"$path/variants"),
+      spark.read.parquet(s"$path/strings"),
+      incoming, idCol, strCol,
+      maxDist = p.getAs[Int]("max_dist"), minLen = p.getAs[Int]("min_len"))
+  }
+
+  /** The linkage tail against ALREADY-LOADED index tables: incoming
+    * records expand through the same [[deleteNeighborhood]] (same
+    * maxDist — the recall-1 precondition), candidates block on shared
+    * variants, and every candidate is verified with the
+    * threshold-bounded codegen levenshtein against the INDEX strings
+    * — never a cross join. Incoming rows shorter than `minLen` are
+    * excluded exactly as the index excluded them (the hub-variant
+    * guard). Ids are assumed to live in distinct spaces (an incoming
+    * id equal to an indexed id is NOT filtered — two records, not
+    * one). Output: (id, ex_id, dist) — every (incoming, indexed)
+    * match within maxDist; an incoming record with NO output row is
+    * novel, the admission predicate [[graft.streaming.Streams
+    * .linkageAdmitSink]] keys on. */
+  def linkAgainstLoadedIndex(exVariants: DataFrame, exStrings: DataFrame,
+      incoming: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2, minLen: Int = 4): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"linkAgainstLoadedIndex: maxDist=$maxDist outside [1,3]")
+    val inBase = incoming.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(length(col("s")) >= minLen)
+      .localCheckpoint(true) // feeds the expansion AND the verify join
+    val cand = deleteNeighborhood(inBase, maxDist)
+      .join(exVariants.select(col("v"), col("id").as("ex_id")), Seq("v"))
+      .select(col("id"), col("ex_id"))
+      .distinct()
+    cand
+      .join(inBase.select(col("id"), col("s").as("__sa")), Seq("id"))
+      .join(exStrings.select(col("id").as("ex_id"), col("s").as("__sb")),
+        Seq("ex_id"))
+      .select(col("id"), col("ex_id"),
         levenshtein(col("__sa"), col("__sb"), maxDist).as("dist"))
       .where(col("dist") >= 0)
   }

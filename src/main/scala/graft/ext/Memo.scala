@@ -34,14 +34,18 @@ object Memo {
 
   /** Drop every entry whose owning SparkContext has stopped — the
     * belt to the listener's braces (covers contexts killed without a
-    * clean onApplicationEnd). */
+    * clean onApplicationEnd). Runs only when a NEW application first
+    * touches the cache (and from the test-only [[size]]), so a memo
+    * HIT costs one map lookup, not an O(cache) scan. NonFatal only:
+    * an InterruptedException or OOM from the context probe must
+    * propagate, not silently classify the entry as stopped. */
   private def sweepStopped(): Unit = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val stopped =
         try e.getValue.sparkSession.sparkContext.isStopped
-        catch { case _: Throwable => true }
+        catch { case scala.util.control.NonFatal(_) => true }
       if (stopped) it.remove()
     }
   }
@@ -50,9 +54,11 @@ object Memo {
     * return the checkpointed frame verbatim. */
   def cached(spark: org.apache.spark.sql.SparkSession, cacheKey: String)(
       compute: => DataFrame): DataFrame = {
-    sweepStopped()
     val app = spark.sparkContext.applicationId
-    if (hooked.add(app))
+    if (hooked.add(app)) {
+      sweepStopped() // a new session is the moment stale entries from
+      // a dirty-killed predecessor could pile up — sweep here, not on
+      // every access
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
@@ -62,6 +68,7 @@ object Memo {
             hooked.remove(app)
           }
         })
+    }
     cache.computeIfAbsent((app, cacheKey),
       _ => compute.localCheckpoint(true))
   }

@@ -504,11 +504,13 @@ object Sampling {
     val spark = df.sparkSession
     val rows0 = df.select(id.as("id"), n.as("__ipn"))
     val idT = rows0.schema("id").dataType
-    require(Seq("byte", "short", "int", "bigint")
-        .contains(idT.simpleString),
-      s"idOrderedPrefix: id column must be an integral type, got " +
-        s"${idT.simpleString} — the id-range bucket decomposition " +
-        "needs numeric id arithmetic")
+    // match on the DataType, not simpleString: ByteType prints as
+    // "tinyint" and ShortType as "smallint", so a string list of
+    // "byte"/"short" silently rejected the types it claimed to accept
+    require(integralTypes.contains(idT),
+      s"idOrderedPrefix: id column must be an integral type " +
+        s"(byte/short/int/long), got ${idT.simpleString} — the " +
+        "id-range bucket decomposition needs numeric id arithmetic")
     val rows = rows0.withColumn("__ipl", col("id").cast("long"))
     val mm = rows.agg(min(col("__ipl")), max(col("__ipl"))).first()
     if (mm.isNullAt(0))
@@ -538,6 +540,30 @@ object Sampling {
       .select(col("id"), col("__ipn").as("n"), col("__ipc").as("cum_prev"))
   }
 
+  /** The integral DataTypes the id/weight guards accept — matched on
+    * the TYPE, not simpleString (ByteType prints "tinyint" and
+    * ShortType "smallint"; a string list of "byte"/"short" silently
+    * rejected the types it claimed to accept). */
+  private val integralTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(ByteType, ShortType, IntegerType, LongType)
+  }
+
+  /** The ES06 samplers' integer-weight contract, enforced on the
+    * RESOLVED type of the weight expression: a fractional weight
+    * would be silently floored to 0 by the long cast and the row
+    * dropped — a skewed sample with no error. Pre-scale fractional
+    * weights to integer micro-units (ppm) instead. */
+  private def requireIntegralWeight(df: DataFrame, weight: Column,
+      op: String): Unit = {
+    val wT = df.select(weight.as("__w")).schema("__w").dataType
+    require(integralTypes.contains(wT),
+      s"$op: weight must be an integral COUNT column " +
+        s"(byte/short/int/long), got ${wT.simpleString} — fractional " +
+        "weights would be silently floored by the long cast; " +
+        "pre-scale to integer micro-units (ppm) first")
+  }
+
   /** WEIGHTED sampling without replacement, derandomized
     * (Efraimidis & Spirakis 2006, the exponential-key reservoir): the
     * `n` rows maximizing key = ln(u)/w with u the id's deterministic
@@ -549,6 +575,14 @@ object Sampling {
     * draw. Rows with w ≤ 0 are excluded (never sampled), loudly
     * documented rather than NaN-ranked.
     *
+    * WEIGHTS ARE INTEGER COUNTS (token counts, byte sizes, ppm-scaled
+    * ratios) — enforced loudly: a fractional weight column would be
+    * silently floored by the long cast (a 0.7 weight becomes 0 and
+    * the row silently dropped, skewing inclusion probabilities), so
+    * non-integral weight types are rejected; pre-scale fractional
+    * weights to integer micro-units (the engine-wide ppm discipline)
+    * before sampling.
+    *
     * Determinism: the key is ONE double chain from exact integers
     * (ln((h+1)/(P+1)) / w) QUANTIZED once to DECIMAL(28,12) — the
     * transcendental-at-the-boundary rule, because the ln is both an
@@ -558,6 +592,7 @@ object Sampling {
   def weightedTopSample(df: DataFrame, id: Column, weight: Column,
       n: Int): DataFrame = {
     require(n >= 1, s"weightedTopSample: n=$n must be >= 1")
+    requireIntegralWeight(df, weight, "weightedTopSample")
     // filter w > 0 BEFORE the key projection — under ANSI the ln/w
     // chain on a zero-weight row is a divide-by-zero crash, not a NaN
     val base = df.select(id.as("id"), weight.cast("long").as("w"))
@@ -585,6 +620,7 @@ object Sampling {
   def weightedStratifiedSample(df: DataFrame, stratum: Column,
       id: Column, weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"weightedStratifiedSample: k=$k must be >= 1")
+    requireIntegralWeight(df, weight, "weightedStratifiedSample")
     val base = df.select(stratum.as("stratum"), id.as("id"),
         weight.cast("long").as("w"))
       .where(col("w") > 0)
@@ -628,10 +664,10 @@ object Sampling {
     require(nBuckets >= 1, s"curriculumInterleave: nBuckets=$nBuckets")
     val base0 = df.select(id.as("id"), stratum.as("stratum"))
     val idT = base0.schema("id").dataType
-    require(Seq("byte", "short", "int", "bigint")
-        .contains(idT.simpleString),
-      s"curriculumInterleave: id must be integral, got " +
-        s"${idT.simpleString} — hashValue needs numeric id arithmetic")
+    require(integralTypes.contains(idT),
+      s"curriculumInterleave: id must be integral " +
+        s"(byte/short/int/long), got ${idT.simpleString} — hashValue " +
+        "needs numeric id arithmetic")
     val width = HashPrime / nBuckets + 1
     val base = base0
       .withColumn("__h", hashValue(col("id")))

@@ -839,6 +839,122 @@ object TextAnalysis {
         (col("__s").cast("double") / col("__nd").cast("double")).as("v"))
   }
 
+  /** The SIF weight table alone — (term, wt) with wt = T/(T + aInv·c_t)
+    * quantized once to DECIMAL(28,12), exactly the weights [[sifEmbed]]
+    * derives internally: the FREEZABLE half of the SIF model (the
+    * weights are the only corpus statistic the vectorization needs —
+    * signs are pure hash). Persist with [[saveSifWeights]] and a
+    * restarted session (or a stream) embeds NEW text against the
+    * frozen corpus statistics via [[sifEmbedFrozen]], the
+    * Ivf.saveModel frozen-boundary discipline applied to text
+    * vectorization. Scale: one tokenize scan + a vocabulary-keyed agg;
+    * the 1-row total attaches by broadcast. */
+  def sifWeights(docs: DataFrame, textCol: String, aInv: Long = 1000L)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(aInv >= 1, s"sifWeights: aInv=$aInv must be >= 1")
+    val D = DecimalType(28, 12)
+    val cnt = docs
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__c"))
+    val tot = broadcast(cnt.agg(sum(col("__c")).as("__T")))
+    cnt.crossJoin(tot).select(col("term"),
+      (col("__T").cast("double") /
+        (col("__T") + lit(aInv) * col("__c")).cast("double"))
+        .cast(D).as("wt"))
+  }
+
+  /** [[sifEmbed]] against a FROZEN weight table — the serving arm:
+    * identical contribution chain (tf · wt, hash-sign by negation,
+    * exact decimal sums, one boundary division by n_d), with wt joined
+    * from `weights` instead of derived from the input. Over the corpus
+    * the weights came from, the output is bit-identical to
+    * [[sifEmbed]] (x237 proves it through the DuckDB oracle).
+    * OOV CONTRACT: terms absent from the weight table contribute
+    * NOTHING to the vector but their tokens still count in n_d (the
+    * standard frozen-vocabulary treatment — the denominator is the
+    * document's true length); a document consisting ENTIRELY of OOV
+    * terms emits no cells. */
+  def sifEmbedFrozen(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(dim >= 1 && dim <= 64, s"sifEmbedFrozen: dim=$dim outside [1,64]")
+    val G = DecimalType(9, 0)
+    val tf = docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds nd AND the contribution join
+    val nd = tf.groupBy("id").agg(sum(col("tf")).as("__nd"))
+    val dims = broadcast(docs.sparkSession
+      .createDataFrame((0 until dim).map(Tuple1(_))).toDF("dim"))
+    val contrib = tf
+      .join(weights.select(col("term"), col("wt").as("__wt")), Seq("term"))
+      .crossJoin(dims)
+      .withColumn("__p", col("tf").cast(G) * col("__wt"))
+      .select(col("id"), col("dim"),
+        when(graft.ext.Dedup.polyHash(
+          concat(col("term"), lit("#"), col("dim").cast("string")))
+          % 2 === 0, col("__p")).otherwise(-col("__p")).as("__v"))
+    contrib.groupBy("id", "dim").agg(sum(col("__v")).as("__s"))
+      .join(nd, Seq("id"))
+      .select(col("id"), col("dim"),
+        (col("__s").cast("double") / col("__nd").cast("double")).as("v"))
+  }
+
+  /** The column contracts [[saveSifCells]]/[[loadSifCells]] and
+    * [[saveSifWeights]]/[[loadSifWeights]] pin — a reader of a stale
+    * or foreign parquet directory fails loudly instead of silently
+    * serving a different table shape (the Pipeline.saveManifest
+    * discipline). */
+  private val sifCellCols = Seq("id", "dim", "v")
+  private val sifWeightCols = Seq("term", "wt")
+
+  /** Persist a [[sifEmbed]] cell table as parquet — the durable arm of
+    * the session memo (x216's cells are the costliest memoized
+    * artifact in the engine: the (id, term, tf)×dim explode, cold
+    * 54.6 s at sfx10). The cells are (id, dim, v) triples — corpus-
+    * ROW×dim-sized, no text — and deterministic by construction
+    * (exact decimal sums, hash signs), so the saved artifact equals a
+    * recompute bit-for-bit and the round trip shares x216's oracle. */
+  def saveSifCells(cells: DataFrame, path: String): Unit = {
+    require(sifCellCols.forall(cells.columns.contains),
+      s"not a sifEmbed cell table: has ${cells.columns.toSeq}, " +
+        s"needs $sifCellCols")
+    cells.select(sifCellCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveSifCells]] parquet; schema-validated loudly. */
+  def loadSifCells(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val c = spark.read.parquet(path)
+    require(sifCellCols.forall(c.columns.contains),
+      s"$path is not a sifEmbed cell table: has ${c.columns.toSeq}, " +
+        s"needs $sifCellCols")
+    c.select(sifCellCols.map(col): _*)
+  }
+
+  /** Persist a [[sifWeights]] table as parquet — the model half of the
+    * frozen SIF boundary (weights are DECIMAL(28,12): the parquet
+    * round trip is exact, no double re-quantization drift). */
+  def saveSifWeights(weights: DataFrame, path: String): Unit = {
+    require(sifWeightCols.forall(weights.columns.contains),
+      s"not a sifWeights table: has ${weights.columns.toSeq}, " +
+        s"needs $sifWeightCols")
+    weights.select(sifWeightCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveSifWeights]] parquet; schema-validated loudly. */
+  def loadSifWeights(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val w = spark.read.parquet(path)
+    require(sifWeightCols.forall(w.columns.contains),
+      s"$path is not a sifWeights table: has ${w.columns.toSeq}, " +
+        s"needs $sifWeightCols")
+    w.select(sifWeightCols.map(col): _*)
+  }
+
   /** HELD-OUT smoothing sweep (Jelinek & Mercer 1980, the deleted-
     * interpolation recipe as one query): for each candidate λ, the
     * held-out log-likelihood of the λ-interpolated unigram model

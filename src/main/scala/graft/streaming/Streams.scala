@@ -677,6 +677,96 @@ object Streams {
       .start()
   }
 
+  /** Streaming ADMISSION against a PERSISTED symmetric-delete variant
+    * index — the [[lshAdmitSink]] frozen-index discipline applied to
+    * FUZZY RECORD LINKAGE ([[graft.ext.Dedup.saveVariantIndex]]): the
+    * index tables and their pinned (max_dist, min_len) params load
+    * once at stream start (checkpointed), and every micro-batch
+    * admits exactly the records batch
+    * [[graft.ext.Dedup.linkAgainstIndex]] finds NO match for —
+    * near-duplicate spellings of an indexed record are rejected at
+    * the door. FROZEN-INDEX CONTRACT (the lshAdmitSink semantics):
+    * admission is judged ONLY against the indexed records — variants
+    * WITHIN the stream pass; records shorter than min_len are
+    * unjudgeable and pass (the same exclusion the index applied).
+    * Appends admitted rows as `_batch=N/` dynamic-overwrite
+    * partitions (replay-idempotent). */
+  def linkageAdmitSink(recStream: DataFrame, indexDir: String,
+      idCol: String, strCol: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = recStream.sparkSession
+    val params = spark.read.parquet(s"$indexDir/params").head()
+    val maxDist = params.getAs[Int]("max_dist")
+    val minLen = params.getAs[Int]("min_len")
+    val exV = spark.read.parquet(s"$indexDir/variants").localCheckpoint()
+    val exS = spark.read.parquet(s"$indexDir/strings").localCheckpoint()
+    recStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val matched = graft.ext.Dedup.linkAgainstLoadedIndex(exV, exS,
+            batch, idCol, strCol, maxDist, minLen)
+          .select(col("id").as(idCol)).distinct()
+        batch.join(matched, Seq(idCol), "left_anti")
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(outPath)
+      }
+      .start()
+  }
+
+  /** Streaming SEMANTIC-NEIGHBOR serving against a PERSISTED SIF
+    * model — the [[modelAssignSink]] frozen-artifact discipline
+    * applied to TEXT (no embedding table anywhere): the
+    * [[graft.ext.TextAnalysis.saveSifWeights]] weight table and
+    * [[graft.ext.TextAnalysis.saveSifCells]] corpus cells load once
+    * at stream start (checkpointed — no batch re-reads the files, and
+    * the corpus vectors assemble once), then every micro-batch embeds
+    * its documents with the FROZEN weights
+    * ([[graft.ext.TextAnalysis.sifEmbedFrozen]]) and ranks them
+    * against the frozen corpus vectors with the exact brute cosine
+    * ranker — per batch bit-equal to sifEmbedFrozen + bruteTopK over
+    * the same rows (StreamingSpec). FROZEN CONTRACT: neighbors come
+    * ONLY from the indexed corpus; stream-internal similarity is out
+    * of scope (re-index and restart to refresh, the Ivf refresh
+    * contract); a document whose terms are all OOV emits nothing;
+    * stream ids must not collide with corpus ids (the self-exclusion
+    * in the ranker would silently drop the corpus row). Appends
+    * (query_id, rank, neighbor_id, cosine) as `_batch=N/`
+    * dynamic-overwrite partitions (replay-idempotent). */
+  def sifNeighborSink(docStream: DataFrame, weightsPath: String,
+      cellsPath: String, idCol: String, textCol: String, dim: Int,
+      k: Int, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docStream.sparkSession
+    val w = graft.ext.TextAnalysis.loadSifWeights(spark, weightsPath)
+      .localCheckpoint()
+    val corpus = graft.ext.TextAnalysis.loadSifCells(spark, cellsPath)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("v")))), x => x.getField("v")).as("embedding"))
+      .localCheckpoint()
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val q = graft.ext.TextAnalysis.sifEmbedFrozen(batch, idCol,
+            textCol, w, dim)
+          .groupBy("id")
+          .agg(transform(array_sort(collect_list(struct(col("dim"),
+            col("v")))), x => x.getField("v")).as("embedding"))
+        graft.ext.Similarity.bruteTopK(q, corpus, "id", "embedding", k)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming SOURCE-CENTROID ledger: per micro-batch, the
     * (src, dim) exact decimal component sums of
     * [[graft.ext.Similarity.sourceSums]] — additive partials, same

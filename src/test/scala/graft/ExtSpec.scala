@@ -4064,4 +4064,86 @@ class ExtSpec extends SparkSpec {
       Stats.hhi(neg, col("g"), col("k"), col("w")).collect()
     }
   }
+
+  test("sparse-grid sweep: cohortLtv zero-spend month is a real dense " +
+      "cell — period 0, cumulative carried through") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: spends day 0 and day 2, NOTHING day 1 — the dense age axis
+    // must emit the silent month with period_cents = 0 (floor-cents:
+    // 2.509 -> 250, never rounded up), cum flat across it
+    val evs = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1.00),
+      (1L, ts("2024-01-03 09:00:00"), 2.509))
+      .toDF("user_id", "ts", "value")
+    val got = rows(EventWindows.cohortLtv(evs, col("ts"), col("user_id"),
+        col("value"), "1 day", 86400000000L)
+      .orderBy("age"))
+      .map(r => (r.getAs[Long]("age"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("period_cents"), r.getAs[Long]("cum_cents"),
+        r.getAs[Double]("ltv_per_user")))
+    assert(got == Seq((0L, 1L, 100L, 100L, 1.0),
+      (1L, 1L, 0L, 100L, 1.0), (2L, 1L, 250L, 350L, 3.5)))
+  }
+
+  test("sparse-grid sweep: tokenLabelMI with a ONE-document label " +
+      "keeps every absent (term, label) cell in the grid") {
+    // en: {apple}, {banana}; fr: {apple} — (banana, fr) never happens,
+    // but the MI grid must carry it with n11 = 0 (the absent cell IS
+    // the signal: banana is en-exclusive evidence)
+    val d = Seq((1L, "en", "apple"), (2L, "en", "banana"),
+      (3L, "fr", "apple")).toDF("doc_id", "lang", "text")
+    val got = rows(TextAnalysis.tokenLabelMI(d, "doc_id", "text", "lang")
+      .orderBy("term", "label"))
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n11"),
+        r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"),
+        r.getAs[Double]("mi")))
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq(("apple", "en"), ("apple", "fr"), ("banana", "en"),
+        ("banana", "fr")))
+    val bf = got.find(t => t._1 == "banana" && t._2 == "fr").get
+    assert((bf._3, bf._4, bf._5, bf._6) == (0L, 1L, 1L, 1L))
+    // hand MI: (1/3)log2(3/2) + (1/3)log2(3/2) + (1/3)log2(3/4),
+    // each cell quantized at 1e-12 before the exact-decimal sum
+    val expected = 2 * math.log(1.5) / math.log(2.0) / 3 +
+      math.log(0.75) / math.log(2.0) / 3
+    assert(math.abs(bf._7 - expected) < 1e-9, s"mi=${bf._7}")
+    val ae = got.find(t => t._1 == "apple" && t._2 == "en").get
+    assert((ae._3, ae._4, ae._5, ae._6) == (1L, 1L, 1L, 0L))
+  }
+
+  test("sparse-grid sweep: quantileNormalize maps a group absent from " +
+      "the pooled tail onto the pooled MAX — never a dropped row") {
+    // group b has only the pooled MINIMUM value; its top rank must
+    // still land on the pooled maximum (rank 2 of 2 -> pooled rank 5
+    // of 5 -> v=3), exercising the last pooled bucket b never fed
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L), ("b", 1L))
+      .toDF("g", "v")
+    val got = rows(graft.ext.Quantiles.quantileNormalize(d, col("g"),
+        col("v")).orderBy("group", "v"))
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_gv"),
+        r.getAs[Long]("rank_in_group"), r.getAs[Long]("norm_v")))
+    assert(got == Seq(("a", 1L, 1L, 1L, 1L), ("a", 2L, 1L, 2L, 2L),
+      ("a", 3L, 1L, 3L, 3L), ("b", 1L, 2L, 2L, 3L)))
+  }
+
+  test("sparse-grid sweep: goodTuring head/internal count-class gaps " +
+      "yield NULL r_star, never an off-by-one-class estimate") {
+    // counts: a=3, b=2, c=3, d=5 -> grid r2:1, r3:2, r5:1. NO r=1
+    // class at all (head gap), and r3's successor is 5, not 4
+    // (internal gap): r3 must be NULL rather than (4)*N5/N3
+    val d = Seq((1L, "a a a b b"), (2L, "c c c"), (3L, "d d d d d"))
+      .toDF("doc_id", "text")
+    val got = rows(TextAnalysis.goodTuring(d, "doc_id", "text")
+      .orderBy("r"))
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.map(t => (t._1, t._2)) == Seq((2L, 1L), (3L, 2L), (5L, 1L)))
+    // r=2 has the adjacent class r=3: r* = 3*N3/N2 = 6, p = 6/13
+    assert(got(0)._3.contains(6.0) &&
+      math.abs(got(0)._4.get - 6.0 / 13) < 1e-15)
+    assert(got(1)._3.isEmpty && got(1)._4.isEmpty) // internal gap
+    assert(got(2)._3.isEmpty && got(2)._4.isEmpty) // open tail
+  }
+
 }

@@ -520,6 +520,35 @@ class ScaleSpec extends SparkSpec {
         gridPlan.take(800))
   }
 
+  test("x229/x234 ES06 rank cuts ride WindowGroupLimit — each map " +
+      "task ships <= k rows, never the corpus") {
+    // the only global rank windows in src/main without a plan
+    // assertion until now: the row_number() <= n cut must rewrite to
+    // a per-map-task partial top-k (WindowGroupLimit) so the exchange
+    // under the sample carries n rows per task, not every weighted row
+    val docs = graft.sources.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+      .select($"doc_id", $"source",
+        graft.ext.TextAnalysis.tokenCount($"text").as("nt"))
+    val topPlan = graft.ext.Sampling.weightedTopSample(docs, $"doc_id",
+        $"nt", n = 25)
+      .queryExecution.executedPlan.toString
+    // the GLOBAL (unpartitioned) cut rewrites even further than
+    // WindowGroupLimit: LimitPushDown turns it into a
+    // TakeOrderedAndProject(limit=n) — per-task partial top-n with NO
+    // shuffle at all; either marker proves the map-side bound
+    assert(topPlan.contains("TakeOrderedAndProject") ||
+        topPlan.contains("WindowGroupLimit"),
+      "weightedTopSample's global rank cut did not ride " +
+        "TakeOrderedAndProject/WindowGroupLimit:\n" + topPlan.take(800))
+    val stratPlan = graft.ext.Sampling.weightedStratifiedSample(docs,
+        $"source", $"doc_id", $"nt", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(stratPlan.contains("WindowGroupLimit"),
+      "weightedStratifiedSample's per-stratum rank cut did not ride " +
+        "WindowGroupLimit:\n" + stratPlan.take(800))
+  }
+
   test("x205 prfExpand: every broadcast side is bounded — no " +
       "vocabulary-sized df table ships whole") {
     // The regression this guards: prfExpand once did

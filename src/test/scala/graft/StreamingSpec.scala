@@ -553,6 +553,108 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("linkageAdmitSink: per-batch admission equals batch " +
+      "linkAgainstIndex no-match; short and stream-internal variants " +
+      "pass (frozen-index contract)") {
+    import graft.ext.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_linkadm")
+    try {
+      val indexed = Seq(TDoc(1L, "spark"), TDoc(2L, "quantile"),
+        TDoc(3L, "calendar")).toDF()
+      val idx = dir.resolve("idx").toString
+      Dedup.saveVariantIndex(indexed, "doc_id", "text", idx)
+      // b1: exact dup (10), 1-edit variant (11), too-short (12, passes
+      // unjudged), novel (13); b2: exact dup (14), 1-edit (15), novel
+      // (16), and 17 = a variant of 13 FROM B1 — stream-internal, must
+      // pass (the index is the only authority)
+      val b1 = Seq(TDoc(10L, "spark"), TDoc(11L, "spork"),
+        TDoc(12L, "zzz"), TDoc(13L, "banana"))
+      val b2 = Seq(TDoc(14L, "quantile"), TDoc(15L, "calender"),
+        TDoc(16L, "totally"), TDoc(17L, "bananna"))
+      val mem = MemoryStream[TDoc]
+      val out = dir.resolve("out").toString
+      mem.addData(b1: _*)
+      val q = Streams.linkageAdmitSink(mem.toDF(), idx, "doc_id", "text",
+        out, dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out)
+        .select($"_batch".cast("long"), $"doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == Seq((0L, 12L), (0L, 13L), (1L, 16L), (1L, 17L)))
+      // ≡ batch: per batch, admitted = rows linkAgainstIndex matches
+      // nothing for
+      def batchAdmit(docs: Seq[TDoc], batch: Long): Seq[(Long, Long)] = {
+        val m = Dedup.linkAgainstIndex(spark, idx, docs.toDF(),
+          "doc_id", "text").select($"id".as("doc_id")).distinct()
+        rows(docs.toDF().join(m, Seq("doc_id"), "left_anti")
+          .select("doc_id").orderBy("doc_id"))
+          .map(r => (batch, r.getLong(0)))
+      }
+      assert(got == (batchAdmit(b1, 0L) ++ batchAdmit(b2, 1L)).sorted)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("sifNeighborSink: per-batch frozen-weight neighbors equal " +
+      "batch sifEmbedFrozen + bruteTopK against the persisted cells") {
+    import graft.ext.{Similarity, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sifnn")
+    try {
+      val corpus = d.where(col("doc_id") % 2 === 0)
+      val wPath = dir.resolve("w").toString
+      val cPath = dir.resolve("cells").toString
+      TextAnalysis.saveSifWeights(
+        TextAnalysis.sifWeights(corpus, "text"), wPath)
+      TextAnalysis.saveSifCells(
+        TextAnalysis.sifEmbed(corpus, "doc_id", "text", dim = 8), cPath)
+      val incoming = d.where(col("doc_id") % 2 === 1)
+        .where(col("doc_id") < 40)
+        .select($"doc_id", $"text").as[TDoc].collect().sortBy(_.doc_id)
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      val mem = MemoryStream[TDoc]
+      val out = dir.resolve("out").toString
+      mem.addData(b1.toSeq: _*)
+      val q = Streams.sifNeighborSink(mem.toDF(), wPath, cPath,
+        "doc_id", "text", dim = 8, k = 3, out,
+        dir.resolve("ckpt").toString)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      def vecs(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          col("v")))), x => x.getField("v")).as("embedding"))
+      def batchRank(docs: Seq[TDoc]): Seq[String] =
+        rows(Similarity.bruteTopK(
+            vecs(TextAnalysis.sifEmbedFrozen(docs.toDF(), "doc_id",
+              "text", TextAnalysis.loadSifWeights(spark, wPath), 8)),
+            vecs(TextAnalysis.loadSifCells(spark, cPath)),
+            "id", "embedding", k = 3)
+          .orderBy("query_id", "rank")).map(_.toString)
+      // per-batch rows (with the batch id prepended) must equal the
+      // batch composition run on exactly that batch's documents
+      val gotRows = spark.read.parquet(out)
+        .select($"_batch".cast("long"), $"query_id", $"rank",
+          $"neighbor_id", $"cosine")
+        .collect().map(_.toString).sorted.toSeq
+      val expRows = (batchRank(b1.toSeq).map(s =>
+          "[0," + s.stripPrefix("[")) ++
+        batchRank(b2.toSeq).map(s => "[1," + s.stripPrefix("[")))
+        .sorted
+      assert(gotRows.nonEmpty && gotRows == expRows)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("rfmSink/rfmView: mergeable (max, count, sum) partials fold to " +
       "the exact batch RFM table") {
     implicit val sqlCtx = spark.sqlContext
