@@ -8028,6 +8028,114 @@ object Oracles {
         |  AND levenshtein(i.term, e.term) <= 2
         |ORDER BY id, ex_id""".stripMargin)
 
+  // x239-x242: the classifier-eval family over the x93 gopher chain —
+  // confusion counts / rank statistics / marginal products all exact
+  // integers on the score count grid, one double division each
+  private lazy val classifierEvalO: Map[String, String] = {
+    val units =
+      s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+        """u AS (
+          |  SELECT g.gopher_pass AS y, d.n_chars AS s
+          |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+          |""".stripMargin
+    Map(
+      "x239_threshold_sweep" -> (units +
+        """grid AS (
+          |  SELECT s AS threshold,
+          |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          |  FROM u GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(sum(pos) AS BIGINT) AS np,
+          |    CAST(sum(neg) AS BIGINT) AS nn FROM grid),
+          |c AS (
+          |  SELECT threshold,
+          |    CAST(sum(pos) OVER (ORDER BY threshold DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+          |    CAST(sum(neg) OVER (ORDER BY threshold DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+          |  FROM grid)
+          |SELECT c.threshold, c.tp, c.fp,
+          |  CAST(t.np - c.tp AS BIGINT) AS fn,
+          |  CAST(t.nn - c.fp AS BIGINT) AS tn,
+          |  CASE WHEN c.tp + c.fp > 0 THEN
+          |    CAST(c.tp AS DOUBLE) / CAST(c.tp + c.fp AS DOUBLE)
+          |    END AS "precision",
+          |  CASE WHEN t.np > 0 THEN
+          |    CAST(c.tp AS DOUBLE) / CAST(t.np AS DOUBLE) END AS recall,
+          |  CASE WHEN c.tp + c.fp + t.np > 0 THEN
+          |    2.0e0 * CAST(c.tp AS DOUBLE)
+          |      / CAST(c.tp + c.fp + t.np AS DOUBLE) END AS f1,
+          |  CASE WHEN t.nn > 0 THEN
+          |    CAST(c.fp AS DOUBLE) / CAST(t.nn AS DOUBLE) END AS fpr
+          |FROM c CROSS JOIN tot t ORDER BY threshold""".stripMargin),
+      "x240_roc_auc" -> (units +
+        """grid AS (
+          |  SELECT s,
+          |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          |  FROM u GROUP BY 1),
+          |cb AS (
+          |  SELECT pos, neg,
+          |    CAST(coalesce(sum(neg) OVER (ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS nb
+          |  FROM grid)
+          |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+          |  CAST(sum(neg) AS BIGINT) AS n_neg,
+          |  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+          |    CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
+          |      / (2.0e0 * CAST(sum(pos) AS DOUBLE)
+          |        * CAST(sum(neg) AS DOUBLE)) END AS auc
+          |FROM cb""".stripMargin),
+      "x241_calibration" -> (units +
+        """p AS (
+          |  SELECT least(1000000, s * 2000) AS p, y FROM u),
+          |b AS (
+          |  SELECT least(CAST(9 AS BIGINT),
+          |    CAST((p * 10) // 1000000 AS BIGINT)) AS bin, p, y FROM p),
+          |a AS (
+          |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(p) AS BIGINT) AS sp,
+          |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ny
+          |  FROM b GROUP BY 1)
+          |SELECT bin, CAST((bin * 1000000) // 10 AS BIGINT) AS p_lo_ppm,
+          |  n,
+          |  CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0e0
+          |    AS mean_p,
+          |  CAST(ny AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+          |  CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+          |    - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0e0
+          |    AS gap
+          |FROM a ORDER BY bin""".stripMargin),
+      "x242_cohen_kappa" -> (units +
+        """grid AS (
+          |  SELECT y AS a, s >= 200 AS b, CAST(count(*) AS BIGINT) AS c
+          |  FROM u WHERE y IS NOT NULL GROUP BY 1, 2),
+          |rm AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra
+          |       FROM grid GROUP BY 1),
+          |cm AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+          |       FROM grid GROUP BY 1),
+          |pe AS (
+          |  SELECT CAST(coalesce(sum(CAST(rm.ra AS HUGEINT) * cm.cb), 0)
+          |    AS HUGEINT) AS pe2
+          |  FROM rm JOIN cm ON rm.a = cm.b),
+          |t AS (
+          |  SELECT CAST(sum(c) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+          |      AS agree
+          |  FROM grid)
+          |SELECT t.n, t.agree,
+          |  CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE) AS po,
+          |  CAST(pe.pe2 AS DOUBLE)
+          |    / CAST(CAST(t.n AS HUGEINT) * t.n AS DOUBLE) AS pe,
+          |  CASE WHEN CAST(t.n AS HUGEINT) * t.n != pe.pe2 THEN
+          |    CAST(CAST(t.agree AS HUGEINT) * t.n - pe.pe2 AS DOUBLE)
+          |      / CAST(CAST(t.n AS HUGEINT) * t.n - pe.pe2 AS DOUBLE)
+          |    END AS kappa
+          |FROM t CROSS JOIN pe""".stripMargin))
+  }
+
   // x197/x198: the portable multiplicative hash shared verbatim —
   // fold = ((u mod P)·A mod P) mod k; bootstrap weights invert the
   // exact Poisson(1) ppm CDF at a counter-based hash
@@ -8228,7 +8336,7 @@ object Oracles {
       mobilityO ++ piiAuditO ++ abConversionO ++ classicalStatsO ++
       analyticsFamilyO ++ pcaO ++ splitBootstrapO ++ balanceO ++ graphO ++
       moversO ++ prfO ++ diffSummaryO ++ calendarAnomalyO ++ spellingO ++
-      linkageO ++
+      linkageO ++ classifierEvalO ++
       seasonalO ++ tokenMiO ++ rboO ++ simpsonO ++ vocabBudgetO ++
       framePlanO ++ sifO ++ sifNeighborsO ++ levelShiftO ++ otsuO ++
       evalContamO ++ goodTuringO ++ dispersionO ++ clusterDensityO ++

@@ -3395,6 +3395,58 @@ object Queries {
       .orderBy("term", "label")
   }
 
+  /** The x239-x242 shared units table: every document with the
+    * expensive Gopher verdict AND the cheap n_chars signal — the
+    * gate-replacement evaluation frame (x226's pairing, reused by the
+    * whole classifier-eval family). */
+  private def gateUnits(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextAnalysis.gopherQuality(d, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("gopher_pass"))
+      .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+  }
+
+  /** x239 — confusion-matrix THRESHOLD SWEEP
+    * ([[graft.ext.Stats.thresholdSweep]]): precision/recall/F1/FPR of
+    * the cheap n_chars signal against the Gopher verdict at EVERY
+    * distinct cut, one grid query — the operating-point table read
+    * before x242's agreement number and x240's AUC pick the gate. */
+  val x239ThresholdSweep: Q = (s, dir) => {
+    graft.ext.Stats.thresholdSweep(gateUnits(s, dir), col("n_chars"),
+        col("gopher_pass"))
+      .orderBy("threshold")
+  }
+
+  /** x240 — exact ROC-AUC ([[graft.ext.Stats.rocAuc]]): does n_chars
+    * ORDER documents by Gopher quality — the Mann–Whitney U identity
+    * on the score count grid, exact integers to one division. */
+  val x240RocAuc: Q = (s, dir) => {
+    graft.ext.Stats.rocAuc(gateUnits(s, dir), col("n_chars"),
+      col("gopher_pass"))
+  }
+
+  /** x241 — CALIBRATION bins + the reliability gaps
+    * ([[graft.ext.Stats.calibrationBins]]): the capped ppm proxy
+    * p = min(1, n_chars/500) against the observed Gopher pass rate
+    * per equal-width probability bin — "when the score says 70%,
+    * does it pass 70% of the time", exact integer binning. */
+  val x241Calibration: Q = (s, dir) => {
+    graft.ext.Stats.calibrationBins(gateUnits(s, dir),
+        least(lit(1000000L), col("n_chars") * lit(2000L)),
+        col("gopher_pass"), bins = 10)
+      .orderBy("bin")
+  }
+
+  /** x242 — COHEN'S KAPPA ([[graft.ext.Stats.cohenKappa]]):
+    * chance-corrected agreement between the Gopher gate and the cheap
+    * n_chars ≥ 200 proxy — the "how much better than coin-flipping"
+    * number beside x226's one-sidedness test, exact marginal products
+    * to one division. */
+  val x242CohenKappa: Q = (s, dir) => {
+    graft.ext.Stats.cohenKappa(gateUnits(s, dir), col("gopher_pass"),
+      col("n_chars") >= 200)
+  }
+
   /** x238 — persisted-VARIANT-INDEX linkage round-trip
     * ([[graft.ext.Dedup.saveVariantIndex]] → linkAgainstIndex): the
     * even-document vocabulary indexed once to parquet (variants +
@@ -4434,6 +4486,10 @@ object Queries {
     "x236_sif_persist" -> x236SifPersist,
     "x237_sif_frozen" -> x237SifFrozen,
     "x238_linkage_roundtrip" -> x238LinkageRoundtrip,
+    "x239_threshold_sweep" -> x239ThresholdSweep,
+    "x240_roc_auc" -> x240RocAuc,
+    "x241_calibration" -> x241Calibration,
+    "x242_cohen_kappa" -> x242CohenKappa,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

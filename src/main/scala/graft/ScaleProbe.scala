@@ -166,7 +166,13 @@ object ScaleProbe {
       "x227_availability", "x228_reuse_alignment",
       "x229_weighted_sample", "x230_lambda_sweep",
       "x231_quantile_normalize", "x232_theil_sen", "x233_cohort_ltv",
-      "x234_weighted_stratified", "x235_activity_segments")
+      "x234_weighted_stratified", "x235_activity_segments",
+      // round-13: the SIF/linkage persistence round-trips (write+read
+      // included), and the classifier-eval family (score-grid windows
+      // + bounded bins/contingency — expected scan-speed)
+      "x236_sif_persist", "x237_sif_frozen", "x238_linkage_roundtrip",
+      "x239_threshold_sweep", "x240_roc_auc", "x241_calibration",
+      "x242_cohen_kappa")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -537,6 +537,178 @@ object Stats {
           disc.cast("double")).as("chi2_cc"))
   }
 
+  /** Exact ROC-AUC of a SCORE against a binary label, via the
+    * Mann–Whitney U identity AUC = P(s⁺ > s⁻) + ½P(s⁺ = s⁻) — the
+    * one-number read on "does the cheap score actually order
+    * documents by quality" before a classifier threshold ships into
+    * a curation gate. Computed entirely on the per-score COUNT GRID
+    * (the [[mannWhitneyU]] discrete-value contract — quantize a
+    * continuous score first): with negBelow(v) = Σ_{u<v} neg_u, the
+    * doubled numerator 2·Σ_v pos_v·(2·negBelow + neg_v) and the
+    * denominator 2·n⁺·n⁻ are exact DECIMAL(38,0) integers; ONE double
+    * division at the boundary. AUC is NULL when either class is
+    * empty (nothing to rank against). Scale shape: one (score)
+    * combiner agg, one grid-bounded cumulative window, one-row out:
+    * (n_pos, n_neg, auc). */
+  def rocAuc(units: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(38, 0)
+    val grid = units.select(score.as("__v"), label.as("__y"))
+      .groupBy("__v").agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__neg"))
+    val wv = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // grid-bounded window (the discrete-value contract)
+    grid
+      .withColumn("__nb", coalesce(sum(col("__neg")).over(wv), lit(0L)))
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(col("__pos").cast(N) *
+          (lit(2L) * col("__nb") + col("__neg")).cast(N)).as("__num2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("__num2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))).as("auc"))
+  }
+
+  /** Confusion-matrix THRESHOLD SWEEP — precision/recall/F1/FPR at
+    * every distinct score cut (predict positive iff score ≥ t) as ONE
+    * grid query, no driver loop (the x158 sweep discipline with a
+    * LABEL): the operating-point table a gate owner reads next to
+    * [[rocAuc]]'s single number before picking the cut. From the
+    * per-score count grid: tp/fp are suffix sums over the grid
+    * (cumulative from the top — a grid-bounded window), fn/tn the
+    * complements against the 1-row totals; every count exact, the
+    * four ratios one double division each (NULL-guarded: precision
+    * NULL when nothing is predicted positive, recall/FPR NULL when
+    * the class is empty). Same discrete-score contract as [[rocAuc]].
+    * Output per threshold: (threshold, tp, fp, fn, tn, precision,
+    * recall, f1, fpr). */
+  def thresholdSweep(units: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = units.select(score.as("threshold"), label.as("__y"))
+      .groupBy("threshold").agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__neg"))
+      .localCheckpoint(true) // feeds the suffix window AND the totals
+    val tot = broadcast(grid.agg(sum(col("__pos")).as("__np"),
+      sum(col("__neg")).as("__nn")))
+    val wDesc = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("tp", sum(col("__pos")).over(wDesc))
+      .withColumn("fp", sum(col("__neg")).over(wDesc))
+      .crossJoin(tot)
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("__np") - col("tp")).as("fn"),
+        (col("__nn") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") > 0, col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).as("precision"),
+        when(col("__np") > 0,
+          col("tp").cast("double") / col("__np").cast("double"))
+          .as("recall"),
+        // 2tp/(2tp+fp+fn) = 2tp/(tp+fp+n_pos)
+        when(col("tp") + col("fp") + col("__np") > 0,
+          lit(2.0) * col("tp").cast("double") /
+            (col("tp") + col("fp") + col("__np")).cast("double"))
+          .as("f1"),
+        when(col("__nn") > 0,
+          col("fp").cast("double") / col("__nn").cast("double"))
+          .as("fpr"))
+  }
+
+  /** CALIBRATION (reliability) bins for a ppm-quantized probability
+    * against a binary outcome — "when the score says 70%, does it
+    * happen 70% of the time": equal-width bins over [0, 1e6] ppm
+    * (bin = min(bins−1, p·bins div 1e6), pure integer arithmetic —
+    * the probability arrives ALREADY quantized to ppm, the engine's
+    * probability convention, so binning is exact), per bin the count,
+    * exact mean predicted probability (Σppm/n, one division), and the
+    * observed rate. The per-bin |rate − mean_p| gaps fold to ECE with
+    * [[expectedCalibrationError]]. Empty bins are absent (no
+    * prediction mass — nothing to calibrate; ECE weights by n, so
+    * absence is correct, unlike the chi-square zero-cell case).
+    * Scale: one combiner agg on a ≤`bins` grid.
+    * Output: (bin, p_lo_ppm, n, mean_p, rate, gap). */
+  def calibrationBins(units: DataFrame, probPpm: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"calibrationBins: bins=$bins outside [2,1000]")
+    // exact integer floor-division (the Export trunc discipline: the
+    // subtraction makes the dividend an exact multiple, so the double
+    // division is exact — ppm·bins ≤ 1e9 is far inside 2^53)
+    def floorDiv(a: Column, d: Long): Column =
+      ((a - pmod(a, lit(d))) / lit(d)).cast("long")
+    val pb = probPpm.cast("long") * lit(bins.toLong)
+    val b = least(lit(bins - 1L), floorDiv(pb, 1000000L))
+    units.select(b.as("bin"), probPpm.cast("long").as("__p"),
+        label.as("__y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        sum(col("__p")).as("__sp"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__ny"))
+      .select(col("bin"),
+        floorDiv(col("bin") * lit(1000000L), bins.toLong).as("p_lo_ppm"),
+        col("n"),
+        (col("__sp").cast("double") / col("n").cast("double") /
+          lit(1e6)).as("mean_p"),
+        (col("__ny").cast("double") / col("n").cast("double")).as("rate"),
+        (col("__ny").cast("double") / col("n").cast("double") -
+          col("__sp").cast("double") / col("n").cast("double") / lit(1e6))
+          .as("gap"))
+  }
+
+  /** Expected Calibration Error over a [[calibrationBins]] table:
+    * ECE = Σ_b (n_b/N)·|gap_b| — the one-number companion, one
+    * bin-grid agg. Output: (n, n_bins, ece). */
+  def expectedCalibrationError(bins: DataFrame): DataFrame =
+    bins.agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins"),
+      (sum(abs(col("gap")) * col("n").cast("double")) /
+        sum(col("n")).cast("double")).as("ece"))
+
+  /** COHEN'S KAPPA inter-rater agreement (Cohen 1960) — chance-
+    * corrected agreement between two CATEGORICAL raters on the same
+    * units (two quality gates, two language-ID models, human vs
+    * model labels): κ = (p_o − p_e)/(1 − p_e) with p_e from the
+    * marginal products — the number [[mcNemar]] deliberately is not
+    * (McNemar asks "is the disagreement one-sided"; kappa asks "how
+    * much better than chance do they agree"). Exact integers: with
+    * N = Σ grid, agree = Σ diagonal, pe2 = Σ_k rowM_k·colM_k
+    * (DECIMAL(38,0)), κ = (agree·N − pe2)/(N² − pe2) — ONE double
+    * division; NULL when N² = pe2 (a rater is constant — chance
+    * explains everything, kappa undefined). Rows where either rater
+    * is NULL are excluded. Scale: one (a, b) combiner grid
+    * (|categories|², bounded), two marginal folds, one row out:
+    * (n, agree, po, pe, kappa). */
+  def cohenKappa(units: DataFrame, raterA: Column, raterB: Column)
+      : DataFrame = {
+    val N = DecimalType(38, 0)
+    val grid = units.select(raterA.as("__a"), raterB.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds both marginals AND the diagonal
+    val rowM = grid.groupBy("__a").agg(sum(col("__c")).as("__ra"))
+    val colM = grid.groupBy("__b").agg(sum(col("__c")).as("__cb"))
+    val pe2 = rowM.join(colM, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra").cast(N) * col("__cb").cast(N)),
+        lit(0L).cast(N)).as("__pe2"))
+    val top = grid.agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("agree"))
+    top.crossJoin(broadcast(pe2))
+      .select(col("n"), col("agree"),
+        (col("agree").cast("double") / col("n").cast("double")).as("po"),
+        (col("__pe2").cast("double") /
+          (col("n").cast(N) * col("n").cast(N)).cast("double")).as("pe"),
+        when(col("n").cast(N) * col("n").cast(N) =!= col("__pe2"),
+          (col("agree").cast(N) * col("n").cast(N) - col("__pe2"))
+            .cast("double") /
+            (col("n").cast(N) * col("n").cast(N) - col("__pe2"))
+              .cast("double")).as("kappa"))
+  }
+
   def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame =
     ksDriftFromCounts(df.select(group.as("g"), value.as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c")))

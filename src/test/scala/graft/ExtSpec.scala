@@ -4146,4 +4146,72 @@ class ExtSpec extends SparkSpec {
     assert(got(2)._3.isEmpty && got(2)._4.isEmpty) // open tail
   }
 
+
+  test("rocAuc: perfect separation 1.0, reversal 0.0, all-tied 0.5, " +
+      "empty class NULL — exact U identity") {
+    import graft.ext.Stats
+    def auc(rows: Seq[(Long, Boolean)]): Option[Double] = {
+      val r = Stats.rocAuc(rows.toDF("s", "y"), col("s"), col("y")).head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(auc(Seq((3L, true), (4L, true), (1L, false), (2L, false)))
+      .contains(1.0))
+    assert(auc(Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+      .contains(0.0))
+    assert(auc(Seq((1L, true), (1L, false))).contains(0.5))
+    assert(auc(Seq((1L, true), (3L, true), (2L, false))).contains(0.5))
+    assert(auc(Seq((1L, true), (2L, true))).isEmpty)
+  }
+
+  test("thresholdSweep: hand confusion matrix at every cut; suffix " +
+      "sums from the score grid") {
+    import graft.ext.Stats
+    val u = Seq((1L, false), (2L, true), (2L, false), (3L, true))
+      .toDF("s", "y")
+    val got = rows(Stats.thresholdSweep(u, col("s"), col("y"))
+      .orderBy(col("threshold").desc))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8)))
+    assert(got == Seq(
+      (3L, 1L, 0L, 1L, 2L, 1.0, 0.5, 2.0 / 3, 0.0),
+      (2L, 2L, 1L, 0L, 1L, 2.0 / 3, 1.0, 0.8, 0.5),
+      (1L, 2L, 2L, 0L, 0L, 0.5, 1.0, 2.0 / 3, 1.0)))
+  }
+
+  test("calibrationBins: exact ppm binning, p = 1e6 clamps into the " +
+      "top bin; gaps hand-checked") {
+    import graft.ext.Stats
+    val u = Seq((50000L, false), (150000L, true), (1000000L, true),
+      (999999L, false)).toDF("p", "y")
+    val got = rows(Stats.calibrationBins(u, col("p"), col("y"),
+        bins = 10).orderBy("bin"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got == Seq(
+      (0L, 0L, 1L, 0.05, 0.0),
+      (1L, 100000L, 1L, 0.15, 1.0),
+      (9L, 900000L, 2L, 1999999.0 / 2 / 1e6, 0.5)))
+    val ece = rows(Stats.expectedCalibrationError(
+      Stats.calibrationBins(u, col("p"), col("y"), bins = 10))).head
+    assert(ece.getLong(0) == 4L && ece.getLong(1) == 3L)
+    // ECE = (1*.05 + 1*.85 + 2*(1999999/2/1e6 - .5)) / 4
+    val exp = (0.05 + 0.85 + 2 * (1999999.0 / 2 / 1e6 - 0.5)) / 4
+    assert(math.abs(ece.getDouble(2) - exp) < 1e-15)
+  }
+
+  test("cohenKappa: textbook 2x2 scores 0.4; two constant raters in " +
+      "full agreement are NULL (chance explains everything)") {
+    import graft.ext.Stats
+    val u = (Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false)))
+      .toDF("a", "b")
+    val r = Stats.cohenKappa(u, col("a"), col("b")).head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 35L)
+    assert(r.getDouble(2) == 0.7 && r.getDouble(3) == 0.5 &&
+      r.getDouble(4) == 0.4)
+    val const = Seq.fill(5)((true, true)).toDF("a", "b")
+    assert(Stats.cohenKappa(const, col("a"), col("b")).head().isNullAt(4))
+  }
+
 }
