@@ -48,7 +48,12 @@ object Explain {
         // not a window; x84 rides the x76 plan over chunks
         "x76_bm25", "x77_hybrid_rrf", "x78_tfidf_keywords",
         "x79_chunk_tokens", "x80_pmi_collocations", "x81_bm25_multi",
-        "x82_passage_dedup", "x83_temperature_mix", "x84_bm25_maxp")
+        "x82_passage_dedup", "x83_temperature_mix", "x84_bm25_maxp",
+        // round 13: x231's pooled-rank lookup must be the bin-bucket
+        // EQUI-join (no BroadcastNestedLoopJoin / CartesianProduct
+        // with a data-derived side — the r12 weak item); x240's AUC
+        // is one grid window + a 1-row agg, no pair join anywhere
+        "x231_quantile_normalize", "x240_roc_auc")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

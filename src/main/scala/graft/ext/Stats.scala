@@ -551,13 +551,23 @@ object Stats {
     * combiner agg, one grid-bounded cumulative window, one-row out:
     * (n_pos, n_neg, auc). */
   def rocAuc(units: DataFrame, score: Column, label: Column)
-      : DataFrame = {
+      : DataFrame =
+    rocAucFromCounts(units.select(score.as("v"), label.as("y"))
+      .groupBy("v", "y").agg(count(lit(1)).as("c")))
+
+  /** [[rocAuc]] over PRE-AGGREGATED (v, y, c) counts — the form a
+    * streaming additive ledger folds to (the ksDriftFromCounts
+    * discipline), so classifier evaluation has streaming views
+    * bit-equal to the batch operators over everything ingested
+    * ([[graft.streaming.Streams.rocAucView]]). */
+  def rocAucFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val N = DecimalType(38, 0)
-    val grid = units.select(score.as("__v"), label.as("__y"))
+    val grid = counts.select(col("v").as("__v"), col("y").as("__y"),
+        col("c").as("__c"))
       .groupBy("__v").agg(
-        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
-        sum(when(!col("__y"), 1L).otherwise(0L)).as("__neg"))
+        sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
     val wv = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, -1)
     // grid-bounded window (the discrete-value contract)
@@ -587,12 +597,20 @@ object Stats {
     * Output per threshold: (threshold, tp, fp, fn, tn, precision,
     * recall, f1, fpr). */
   def thresholdSweep(units: DataFrame, score: Column, label: Column)
-      : DataFrame = {
+      : DataFrame =
+    thresholdSweepFromCounts(units.select(score.as("v"), label.as("y"))
+      .groupBy("v", "y").agg(count(lit(1)).as("c")))
+
+  /** [[thresholdSweep]] over PRE-AGGREGATED (v, y, c) counts — the
+    * streaming-ledger form
+    * ([[graft.streaming.Streams.thresholdSweepView]]). */
+  def thresholdSweepFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grid = units.select(score.as("threshold"), label.as("__y"))
+    val grid = counts.select(col("v").as("threshold"), col("y").as("__y"),
+        col("c").as("__c"))
       .groupBy("threshold").agg(
-        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
-        sum(when(!col("__y"), 1L).otherwise(0L)).as("__neg"))
+        sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
       .localCheckpoint(true) // feeds the suffix window AND the totals
     val tot = broadcast(grid.agg(sum(col("__pos")).as("__np"),
       sum(col("__neg")).as("__nn")))
@@ -634,7 +652,16 @@ object Stats {
     * Scale: one combiner agg on a ≤`bins` grid.
     * Output: (bin, p_lo_ppm, n, mean_p, rate, gap). */
   def calibrationBins(units: DataFrame, probPpm: Column, label: Column,
-      bins: Int = 10): DataFrame = {
+      bins: Int = 10): DataFrame =
+    calibrationBinsFromCounts(units
+      .select(probPpm.cast("long").as("v"), label.as("y"))
+      .groupBy("v", "y").agg(count(lit(1)).as("c")), bins)
+
+  /** [[calibrationBins]] over PRE-AGGREGATED (v, y, c) counts with
+    * v the ppm probability — the streaming-ledger form
+    * ([[graft.streaming.Streams.calibrationView]]). */
+  def calibrationBinsFromCounts(counts: DataFrame, bins: Int = 10)
+      : DataFrame = {
     require(bins >= 2 && bins <= 1000,
       s"calibrationBins: bins=$bins outside [2,1000]")
     // exact integer floor-division (the Export trunc discipline: the
@@ -642,13 +669,13 @@ object Stats {
     // division is exact — ppm·bins ≤ 1e9 is far inside 2^53)
     def floorDiv(a: Column, d: Long): Column =
       ((a - pmod(a, lit(d))) / lit(d)).cast("long")
-    val pb = probPpm.cast("long") * lit(bins.toLong)
-    val b = least(lit(bins - 1L), floorDiv(pb, 1000000L))
-    units.select(b.as("bin"), probPpm.cast("long").as("__p"),
-        label.as("__y"))
-      .groupBy("bin").agg(count(lit(1)).as("n"),
-        sum(col("__p")).as("__sp"),
-        sum(when(col("__y"), 1L).otherwise(0L)).as("__ny"))
+    val pb = col("__p") * lit(bins.toLong)
+    counts.select(col("v").cast("long").as("__p"), col("y").as("__y"),
+        col("c").as("__c"))
+      .withColumn("bin", least(lit(bins - 1L), floorDiv(pb, 1000000L)))
+      .groupBy("bin").agg(sum(col("__c")).as("n"),
+        sum(col("__p") * col("__c")).as("__sp"),
+        sum(when(col("__y"), col("__c")).otherwise(0L)).as("__ny"))
       .select(col("bin"),
         floorDiv(col("bin") * lit(1000000L), bins.toLong).as("p_lo_ppm"),
         col("n"),
@@ -683,11 +710,19 @@ object Stats {
     * (|categories|², bounded), two marginal folds, one row out:
     * (n, agree, po, pe, kappa). */
   def cohenKappa(units: DataFrame, raterA: Column, raterB: Column)
-      : DataFrame = {
+      : DataFrame =
+    cohenKappaFromCounts(units.select(raterA.as("a"), raterB.as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c")))
+
+  /** [[cohenKappa]] over PRE-AGGREGATED (a, b, c) cells — the
+    * streaming-ledger form
+    * ([[graft.streaming.Streams.cohenKappaView]]). */
+  def cohenKappaFromCounts(cells: DataFrame): DataFrame = {
     val N = DecimalType(38, 0)
-    val grid = units.select(raterA.as("__a"), raterB.as("__b"))
+    val grid = cells
+      .select(col("a").as("__a"), col("b").as("__b"), col("c").as("__c"))
       .where(col("__a").isNotNull && col("__b").isNotNull)
-      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
       .localCheckpoint(true) // feeds both marginals AND the diagonal
     val rowM = grid.groupBy("__a").agg(sum(col("__c")).as("__ra"))
     val colM = grid.groupBy("__b").agg(sum(col("__c")).as("__cb"))

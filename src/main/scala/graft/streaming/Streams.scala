@@ -517,6 +517,48 @@ object Streams {
         .select(col("g").as("group"), col("v"),
           col("n").cast("long").as("n_gv")))
 
+  /** Exact ROC-AUC view over an [[additiveSink]] ledger keyed
+    * (v, y) — score value × binary label, one appended unit per
+    * scored document: fold the count partials and run the exact x240
+    * U-identity tail. ONE (v, y) ledger serves the whole
+    * classifier-eval family ([[thresholdSweepView]],
+    * [[calibrationView]]) — live gate monitoring bit-equal to the
+    * batch operators over everything ingested (StreamingSpec). */
+  def rocAucView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.rocAucFromCounts(
+      sumView(spark, tablePath, Seq("v", "y"))
+        .select(col("v"), col("y"), col("n").as("c")))
+
+  /** Threshold-sweep view over the SAME (v, y) ledger as
+    * [[rocAucView]] — the full precision/recall/F1/FPR operating
+    * table, streaming-fed. */
+  def thresholdSweepView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.thresholdSweepFromCounts(
+      sumView(spark, tablePath, Seq("v", "y"))
+        .select(col("v"), col("y"), col("n").as("c")))
+
+  /** Calibration view over the SAME (v, y) ledger as [[rocAucView]],
+    * with v the ppm probability — reliability bins streaming-fed;
+    * compose with [[graft.ext.Stats.expectedCalibrationError]] for
+    * the live ECE number. */
+  def calibrationView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, bins: Int = 10): DataFrame =
+    graft.ext.Stats.calibrationBinsFromCounts(
+      sumView(spark, tablePath, Seq("v", "y"))
+        .select(col("v"), col("y"), col("n").as("c")), bins)
+
+  /** Cohen's-kappa view over an [[additiveSink]] ledger keyed
+    * (a, b) — the two raters' verdict pair per unit: chance-corrected
+    * agreement streaming-fed, bit-equal to batch
+    * [[graft.ext.Stats.cohenKappa]] over everything ingested. */
+  def cohenKappaView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.cohenKappaFromCounts(
+      sumView(spark, tablePath, Seq("a", "b"))
+        .select(col("a"), col("b"), col("n").as("c")))
+
   /** PSI view over the SAME [[additiveSink]] (g, v) ledger as
     * [[ksDriftView]]/[[ksMatrixView]] — one count ledger now serves
     * three distribution alarms (KS shape, pairwise KS, and the

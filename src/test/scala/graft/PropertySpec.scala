@@ -278,4 +278,62 @@ class PropertySpec extends SparkSpec {
       $"r" <= add_months($"target", -12))
     assert(bad.count() == 0, bad.take(3).mkString("; "))
   }
+
+  test("property: rocAuc in [0,1] and = the brute pairwise AUC on " +
+      "random labeled scores") {
+    import graft.ext.Stats
+    for (_ <- 1 to 10) {
+      val units = (1 to 60).map(_ =>
+        (rnd.nextInt(8).toLong, rnd.nextBoolean()))
+      val pos = units.filter(_._2).map(_._1)
+      val neg = units.filterNot(_._2).map(_._1)
+      val r = Stats.rocAuc(units.toDF("s", "y"), $"s", $"y").head()
+      if (pos.isEmpty || neg.isEmpty) assert(r.isNullAt(2))
+      else {
+        val brute = (for (p <- pos; n <- neg)
+          yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum /
+          (pos.size.toDouble * neg.size)
+        assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+        assert(math.abs(r.getDouble(2) - brute) < 1e-12,
+          s"auc=${r.getDouble(2)} brute=$brute")
+      }
+    }
+  }
+
+  test("property: thresholdSweep recall/fpr are nonincreasing in the " +
+      "threshold and tp+fn / fp+tn are the class totals on every row") {
+    import graft.ext.Stats
+    val units = (1 to 80).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextBoolean()))
+    val np = units.count(_._2); val nn = units.size - np
+    val got = rows(Stats.thresholdSweep(units.toDF("s", "y"), $"s", $"y")
+      .orderBy("threshold"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.forall { case (_, tp, fp, fn, tn) =>
+      tp + fn == np && fp + tn == nn })
+    // ordered by ascending threshold, tp and fp are NONINCREASING
+    assert(got.map(_._2).sliding(2).forall(w =>
+      w.size < 2 || w(0) >= w(1)))
+    assert(got.map(_._3).sliding(2).forall(w =>
+      w.size < 2 || w(0) >= w(1)))
+  }
+
+  test("property: cohenKappa <= 1, = 1 only on perfect agreement, and " +
+      "invariant under swapping the raters") {
+    import graft.ext.Stats
+    for (_ <- 1 to 10) {
+      val units = (1 to 50).map(_ =>
+        (rnd.nextInt(3).toString, rnd.nextInt(3).toString))
+      val r = Stats.cohenKappa(units.toDF("a", "b"), $"a", $"b").head()
+      val s = Stats.cohenKappa(units.toDF("a", "b"), $"b", $"a").head()
+      if (!r.isNullAt(4)) {
+        assert(r.getDouble(4) <= 1.0 + 1e-15)
+        assert((r.getDouble(4) == 1.0) == units.forall(u => u._1 == u._2))
+        assert(!s.isNullAt(4) && math.abs(r.getDouble(4) -
+          s.getDouble(4)) < 1e-15)
+      } else assert(s.isNullAt(4))
+    }
+  }
+
 }

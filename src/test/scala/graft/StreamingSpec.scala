@@ -14,6 +14,8 @@ case class CohV(cohort: Long, v: Double)
 case class REv(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class DocT(doc_id: Long, n_tokens: Long, text: String)
 case class SCU(stratum: String, cohort: Long, ok: Boolean)
+case class VY(v: Long, y: Boolean)
+case class RatersAB(a: Boolean, b: Boolean)
 
 /** Streaming forms agree with the batch operators: replayed duplicates
   * insert nothing (A5 in streaming terms), windowed counts match the
@@ -551,6 +553,53 @@ class StreamingSpec extends SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
+  }
+
+  test("classifier-eval views: ONE (v, y) ledger folds to the exact " +
+      "batch rocAuc, thresholdSweep and calibration; an (a, b) ledger " +
+      "to cohenKappa") {
+    import graft.ext.Stats
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(VY(50000L, false), VY(150000L, true), VY(150000L, true))
+    val b2 = Seq(VY(999999L, false), VY(1000000L, true), VY(50000L, true))
+    val dir = java.nio.file.Files.createTempDirectory("graft_evalvw")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[VY]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(mem.toDF(), Seq("v", "y"), lit(1L),
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = (b1 ++ b2).toDF("v", "y")
+    assert(rows(Streams.rocAucView(spark, table)).map(_.toString) ==
+      rows(Stats.rocAuc(all, $"v", $"y")).map(_.toString))
+    assert(rows(Streams.thresholdSweepView(spark, table)
+        .orderBy("threshold")).map(_.toString) ==
+      rows(Stats.thresholdSweep(all, $"v", $"y").orderBy("threshold"))
+        .map(_.toString))
+    assert(rows(Streams.calibrationView(spark, table).orderBy("bin"))
+        .map(_.toString) ==
+      rows(Stats.calibrationBins(all, $"v", $"y").orderBy("bin"))
+        .map(_.toString))
+    // the kappa ledger is keyed by the RATER PAIR
+    val k1 = Seq(RatersAB(true, true), RatersAB(true, false))
+    val k2 = Seq(RatersAB(false, true), RatersAB(false, false),
+      RatersAB(true, true))
+    val kdir = java.nio.file.Files.createTempDirectory("graft_kappavw")
+    val ktable = kdir.resolve("log").toString
+    val kmem = MemoryStream[RatersAB]
+    kmem.addData(k1: _*)
+    val kq = Streams.additiveSink(kmem.toDF(), Seq("a", "b"), lit(1L),
+      ktable, kdir.resolve("ckpt").toString)
+    kq.processAllAvailable()
+    kmem.addData(k2: _*)
+    kq.processAllAvailable()
+    kq.stop()
+    assert(rows(Streams.cohenKappaView(spark, ktable)).map(_.toString) ==
+      rows(Stats.cohenKappa((k1 ++ k2).toDF("a", "b"), $"a", $"b"))
+        .map(_.toString))
   }
 
   test("linkageAdmitSink: per-batch admission equals batch " +
