@@ -8069,6 +8069,29 @@ object Oracles {
           |  CASE WHEN t.nn > 0 THEN
           |    CAST(c.fp AS DOUBLE) / CAST(t.nn AS DOUBLE) END AS fpr
           |FROM c CROSS JOIN tot t ORDER BY threshold""".stripMargin),
+      "x244_group_auc" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT d.source, g.gopher_pass AS y, d.n_chars AS s
+            |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+            |grid AS (
+            |  SELECT source, s,
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+            |  FROM u GROUP BY 1, 2),
+            |cb AS (
+            |  SELECT source, pos, neg,
+            |    CAST(coalesce(sum(neg) OVER (PARTITION BY source
+            |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+            |      1 PRECEDING), 0) AS BIGINT) AS nb
+            |  FROM grid)
+            |SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+            |  CAST(sum(neg) AS BIGINT) AS n_neg,
+            |  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+            |    CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
+            |      / (2.0e0 * CAST(sum(pos) AS DOUBLE)
+            |        * CAST(sum(neg) AS DOUBLE)) END AS auc
+            |FROM cb GROUP BY source ORDER BY source""".stripMargin),
       "x240_roc_auc" -> (units +
         """grid AS (
           |  SELECT s,
@@ -8369,5 +8392,9 @@ object Oracles {
       // x237: re-embedding against PERSISTED frozen weights is
       // bit-equal to the in-line vectorization — the serving-path
       // claim (streaming sifNeighborSink's batch form), same oracle
-      ("x237_sif_frozen" -> sifO("x216_sif_embed"))
+      ("x237_sif_frozen" -> sifO("x216_sif_embed")) +
+      // x243: the winnow pair graph loaded from parquet is bit-equal
+      // to the in-line build — the lifecycle claim for the engine's
+      // most-consumed memo, pinned by sharing x92's oracle
+      ("x243_graph_persist" -> base("x92_winnow_pairs"))
 }

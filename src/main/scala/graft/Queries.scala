@@ -3128,12 +3128,8 @@ object Queries {
     * disagreement one-sided, i.e. can the cheap gate stand in? Exact
     * discordant cells, one χ² chain (+ continuity-corrected). */
   val x226McNemarGates: Q = (s, dir) => {
-    val d = Tables.documents(s, dir)
-    val units = TextAnalysis.gopherQuality(d, "doc_id", "text")
-      .select(col("id").as("doc_id"), col("gopher_pass"))
-      .join(d.select(col("doc_id"), (col("n_chars") >= 200).as("__cheap")),
-        Seq("doc_id"))
-    graft.ext.Stats.mcNemar(units, col("gopher_pass"), col("__cheap"))
+    graft.ext.Stats.mcNemar(gateUnits(s, dir), col("gopher_pass"),
+      col("n_chars") >= 200)
   }
 
   /** x225 — stratified round-robin CURRICULUM order
@@ -3395,16 +3391,20 @@ object Queries {
       .orderBy("term", "label")
   }
 
-  /** The x239-x242 shared units table: every document with the
+  /** The x226/x239-x242 shared units table: every document with the
     * expensive Gopher verdict AND the cheap n_chars signal — the
-    * gate-replacement evaluation frame (x226's pairing, reused by the
-    * whole classifier-eval family). */
-  private def gateUnits(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    TextAnalysis.gopherQuality(d, "doc_id", "text")
-      .select(col("id").as("doc_id"), col("gopher_pass"))
-      .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-  }
+    * gate-replacement evaluation frame, memoized per session (the
+    * hourlyCalendarLedger discipline: five queries ask for the
+    * identical gopher scan of the same corpus, so the tokenize +
+    * top-word pass runs once and each eval query's marginal cost is
+    * the grid tail). */
+  private def gateUnits(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Memo.cached(s, s"gateUnits|$dir") {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.gopherQuality(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("gopher_pass"))
+        .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    }
 
   /** x239 — confusion-matrix THRESHOLD SWEEP
     * ([[graft.ext.Stats.thresholdSweep]]): precision/recall/F1/FPR of
@@ -3445,6 +3445,35 @@ object Queries {
   val x242CohenKappa: Q = (s, dir) => {
     graft.ext.Stats.cohenKappa(gateUnits(s, dir), col("gopher_pass"),
       col("n_chars") >= 200)
+  }
+
+  /** x243 — winnow-PAIR-GRAPH persistence round-trip
+    * ([[graft.ext.Dedup.savePairGraph]] → loadPairGraph), sharing
+    * x92's oracle: the engine's most-consumed session memo (seven
+    * incremental views ride the winnow graph) gains the durable arm
+    * every other memoized family already has — a restarted session
+    * loads ids+counts parquet instead of re-paying the fingerprint
+    * scan + pair join. */
+  val x243GraphPersist: Q = (s, dir) => {
+    val path = scratchPath(s, "graft_x243_pairgraph")
+    Dedup.savePairGraph(winnowPairsFull(s, dir), path)
+    Dedup.loadPairGraph(s, path)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** x244 — per-SOURCE ROC-AUC ([[graft.ext.Stats.rocAucByGroup]]):
+    * x240's pooled AUC split by source — the ranking-quality audit
+    * that catches a proxy score working on average while failing a
+    * minority slice (the Simpson lesson applied to rankings);
+    * partitioned grid windows, exact U identity per group. */
+  val x244GroupAuc: Q = (s, dir) => {
+    val u = gateUnits(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    graft.ext.Stats.rocAucByGroup(u, col("source"), col("n_chars"),
+        col("gopher_pass"))
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
   }
 
   /** x238 — persisted-VARIANT-INDEX linkage round-trip
@@ -4490,6 +4519,8 @@ object Queries {
     "x240_roc_auc" -> x240RocAuc,
     "x241_calibration" -> x241Calibration,
     "x242_cohen_kappa" -> x242CohenKappa,
+    "x243_graph_persist" -> x243GraphPersist,
+    "x244_group_auc" -> x244GroupAuc,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -1383,6 +1383,39 @@ object Dedup {
       .where(col("dist") >= 0)
   }
 
+  /** The column contract [[savePairGraph]]/[[loadPairGraph]] pin —
+    * the [[winnowPairs]] output shape (the near-dup evidence table
+    * x103/x171/x172/x202/x203/x223/x228 all consume). */
+  private val pairGraphCols = Seq("id_a", "id_b", "n_shared", "nfp_a",
+    "nfp_b", "overlap")
+
+  /** Persist a [[winnowPairs]] near-dup pair graph as parquet — the
+    * durable arm of the session memo that serves the engine's largest
+    * consumer family (seven incremental views ride the winnow graph):
+    * the graph is ids + counts only (no text), so the write is
+    * pair-count-sized, and the derivation is deterministic (hash
+    * fingerprints, exact counts), so the saved artifact equals a
+    * recompute bit-for-bit — the round trip shares x92's oracle. A
+    * restarted session loads the graph instead of re-paying the
+    * fingerprint scan + pair join (cold 7.0 s at sfx10). */
+  def savePairGraph(pairs: DataFrame, path: String): Unit = {
+    require(pairGraphCols.forall(pairs.columns.contains),
+      s"not a winnowPairs graph: has ${pairs.columns.toSeq}, " +
+        s"needs $pairGraphCols")
+    pairs.select(pairGraphCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[savePairGraph]] parquet; schema-validated loudly. */
+  def loadPairGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val p = spark.read.parquet(path)
+    require(pairGraphCols.forall(p.columns.contains),
+      s"$path is not a winnowPairs graph: has ${p.columns.toSeq}, " +
+        s"needs $pairGraphCols")
+    p.select(pairGraphCols.map(col): _*)
+  }
+
   /** Persist a SYMMETRIC-DELETE variant index for fuzzy record
     * linkage — the [[saveLshIndex]] lifecycle discipline applied to
     * [[editDistancePairs]]'s blocking scheme: three tables under

@@ -583,6 +583,46 @@ object Stats {
               col("n_neg").cast("double"))).as("auc"))
   }
 
+  /** [[rocAuc]] PER GROUP — "does the cheap score order documents by
+    * quality IN EVERY SOURCE/LANGUAGE, or only on average": a score
+    * can carry a healthy pooled AUC while being anti-predictive
+    * inside a minority slice (the Simpson-style failure x213 audits
+    * for rates, here for rankings). Same exact U-identity arithmetic
+    * on the per-(group, score) count grid; the cumulative window is
+    * PARTITIONED by group (parallel across groups, grid-bounded
+    * within). Output: (group, n_pos, n_neg, auc) — auc NULL where a
+    * group has an empty class. */
+  def rocAucByGroup(units: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame =
+    rocAucByGroupFromCounts(units
+      .select(group.as("g"), score.as("v"), label.as("y"))
+      .groupBy("g", "v", "y").agg(count(lit(1)).as("c")))
+
+  /** [[rocAucByGroup]] over PRE-AGGREGATED (g, v, y, c) counts — the
+    * streaming-ledger form. */
+  def rocAucByGroupFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(38, 0)
+    val grid = counts.select(col("g"), col("v").as("__v"),
+        col("y").as("__y"), col("c").as("__c"))
+      .groupBy("g", "__v").agg(
+        sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
+    val wv = Window.partitionBy("g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("__nb", coalesce(sum(col("__neg")).over(wv), lit(0L)))
+      .groupBy("g")
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(col("__pos").cast(N) *
+          (lit(2L) * col("__nb") + col("__neg")).cast(N)).as("__num2"))
+      .select(col("g").as("group"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("__num2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** Confusion-matrix THRESHOLD SWEEP — precision/recall/F1/FPR at
     * every distinct score cut (predict positive iff score ≥ t) as ONE
     * grid query, no driver loop (the x158 sweep discipline with a

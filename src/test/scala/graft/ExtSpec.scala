@@ -4214,4 +4214,46 @@ class ExtSpec extends SparkSpec {
     assert(Stats.cohenKappa(const, col("a"), col("b")).head().isNullAt(4))
   }
 
+
+  test("rocAucByGroup: each group's AUC equals pooled rocAuc run on " +
+      "that group alone; Simpson-style reversal surfaces per slice") {
+    import graft.ext.Stats
+    // group A: score orders labels perfectly; group B: perfectly
+    // REVERSED — a pooled AUC would blur what the slices show
+    val u = Seq(("A", 1L, false), ("A", 2L, true), ("A", 3L, true),
+      ("B", 1L, true), ("B", 2L, false), ("B", 3L, false))
+      .toDF("g", "s", "y")
+    val got = rows(Stats.rocAucByGroup(u, col("g"), col("s"), col("y"))
+      .orderBy("group"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got == Seq(("A", 2L, 1L, 1.0), ("B", 1L, 2L, 0.0)))
+    for (g <- Seq("A", "B")) {
+      val pooled = Stats.rocAuc(u.where(col("g") === g), col("s"),
+        col("y")).head().getDouble(2)
+      assert(got.find(_._1 == g).get._4 == pooled)
+    }
+  }
+
+  test("pair-graph persistence: save/load round-trips the winnow " +
+      "graph bit-for-bit; a foreign directory fails loudly") {
+    import graft.ext.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg")
+    try {
+      val g = Dedup.winnowPairs(docs, "doc_id", "text", k = 3, w = 4,
+        minShared = 2L, maxDf = 50L)
+      val path = dir.resolve("graph").toString
+      Dedup.savePairGraph(g, path)
+      val back = Dedup.loadPairGraph(spark, path)
+      assert(rows(back.orderBy("id_a", "id_b")).map(_.toString) ==
+        rows(g.orderBy("id_a", "id_b")).map(_.toString))
+      val foreign = dir.resolve("foreign").toString
+      Seq((1L, 2L)).toDF("x", "y").write.parquet(foreign)
+      intercept[IllegalArgumentException](
+        Dedup.loadPairGraph(spark, foreign))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
 }
