@@ -8131,6 +8131,64 @@ object Oracles {
           |    - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0e0
           |    AS gap
           |FROM a ORDER BY bin""".stripMargin),
+      "x245_brier" -> (units +
+        """p AS (
+          |  SELECT least(1000000, s * 2000) AS p,
+          |    CASE WHEN y THEN 1000000 ELSE 0 END AS yz
+          |  FROM u),
+          |a AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN yz = 1000000 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS ny,
+          |    CAST(sum(CAST(p - yz AS HUGEINT) * (p - yz)) AS HUGEINT)
+          |      AS se
+          |  FROM p)
+          |SELECT n,
+          |  CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e12) AS brier,
+          |  CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+          |    * (1.0e0 - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+          |    AS brier_ref,
+          |  CASE WHEN ny > 0 AND ny < n THEN
+          |    1.0e0 - (CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e12))
+          |      / (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+          |        * (1.0e0 - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)))
+          |    END AS skill
+          |FROM a""".stripMargin),
+      "x246_kendall_tau" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT stop_hits AS x,
+            |    least(CAST(19 AS BIGINT), n_words // 25) AS y
+            |  FROM g),
+            |grid AS (
+            |  SELECT x, y, CAST(count(*) AS BIGINT) AS c
+            |  FROM u GROUP BY 1, 2),
+            |sp AS (
+            |  SELECT CAST(coalesce(sum(CAST(a.c AS HUGEINT) * b.c *
+            |      (CASE WHEN b.y > a.y THEN 1
+            |        WHEN b.y < a.y THEN -1 ELSE 0 END)), 0) AS HUGEINT)
+            |    AS s
+            |  FROM grid a JOIN grid b ON a.x < b.x),
+            |tx AS (
+            |  SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0)
+            |    AS HUGEINT) AS tx2
+            |  FROM (SELECT x, CAST(sum(c) AS BIGINT) AS t
+            |        FROM grid GROUP BY 1)),
+            |ty AS (
+            |  SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0)
+            |    AS HUGEINT) AS ty2
+            |  FROM (SELECT y, CAST(sum(c) AS BIGINT) AS t
+            |        FROM grid GROUP BY 1)),
+            |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid)
+            |SELECT nt.n, CAST(sp.s AS BIGINT) AS s_stat,
+            |  CASE WHEN CAST(nt.n AS HUGEINT) * (nt.n - 1) > tx.tx2
+            |      AND CAST(nt.n AS HUGEINT) * (nt.n - 1) > ty.ty2 THEN
+            |    2.0e0 * CAST(sp.s AS DOUBLE)
+            |      / sqrt(CAST(CAST(nt.n AS HUGEINT) * (nt.n - 1) - tx.tx2
+            |          AS DOUBLE)
+            |        * CAST(CAST(nt.n AS HUGEINT) * (nt.n - 1) - ty.ty2
+            |          AS DOUBLE)) END AS tau_b
+            |FROM nt CROSS JOIN sp CROSS JOIN tx CROSS JOIN ty""".stripMargin),
       "x242_cohen_kappa" -> (units +
         """grid AS (
           |  SELECT y AS a, s >= 200 AS b, CAST(count(*) AS BIGINT) AS c

@@ -3476,6 +3476,28 @@ object Queries {
       .orderBy("source")
   }
 
+  /** x245 — BRIER score + skill ([[graft.ext.Stats.brierScore]]): the
+    * strictly-proper scoring of the capped n_chars/500 ppm proxy
+    * against the Gopher outcome, with the climatology skill score —
+    * the one-number "is this probability WORTH anything" beside
+    * x241's per-bin reliability read. */
+  val x245Brier: Q = (s, dir) => {
+    graft.ext.Stats.brierScore(gateUnits(s, dir),
+      least(lit(1000000L), col("n_chars") * lit(2000L)),
+      col("gopher_pass"))
+  }
+
+  /** x246 — KENDALL'S TAU-B ([[graft.ext.Stats.kendallTauB]]):
+    * concordance between two quality sub-signals (stopword hits vs
+    * the length bucket) with the full tie correction — the pairwise
+    * complement of x187's Spearman, exact on the joint count grid. */
+  val x246KendallTau: Q = (s, dir) => {
+    val g = TextAnalysis.gopherQuality(Tables.documents(s, dir),
+      "doc_id", "text")
+    graft.ext.Stats.kendallTauB(g, col("stop_hits"),
+      least(lit(19L), expr("n_words DIV 25")))
+  }
+
   /** x238 — persisted-VARIANT-INDEX linkage round-trip
     * ([[graft.ext.Dedup.saveVariantIndex]] → linkAgainstIndex): the
     * even-document vocabulary indexed once to parquet (variants +
@@ -4521,6 +4543,8 @@ object Queries {
     "x242_cohen_kappa" -> x242CohenKappa,
     "x243_graph_persist" -> x243GraphPersist,
     "x244_group_auc" -> x244GroupAuc,
+    "x245_brier" -> x245Brier,
+    "x246_kendall_tau" -> x246KendallTau,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -172,7 +172,8 @@ object ScaleProbe {
       // + bounded bins/contingency — expected scan-speed)
       "x236_sif_persist", "x237_sif_frozen", "x238_linkage_roundtrip",
       "x239_threshold_sweep", "x240_roc_auc", "x241_calibration",
-      "x242_cohen_kappa", "x243_graph_persist", "x244_group_auc")
+      "x242_cohen_kappa", "x243_graph_persist", "x244_group_auc",
+      "x245_brier", "x246_kendall_tau")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -727,6 +727,97 @@ object Stats {
           .as("gap"))
   }
 
+  /** BRIER SCORE of a ppm-quantized probability against a binary
+    * outcome (Brier 1950) — the strictly-proper companion to
+    * [[calibrationBins]]: mean squared error of the probability,
+    * penalizing BOTH miscalibration and lack of resolution, plus the
+    * skill score against the climatology reference bs_ref = ȳ(1−ȳ)
+    * (skill > 0 ⇔ the score beats always-predicting-the-base-rate).
+    * Exact integers: Σ(p − y·10⁶)² in DECIMAL(38,0) (p ≤ 10⁶ squared
+    * = 10¹² per row — 10²¹ headroom at a billion rows), ȳ terms from
+    * exact counts; two double divisions at the boundary. skill NULL
+    * when the outcome is constant (bs_ref = 0 — nothing to beat).
+    * One combiner agg, one row out: (n, brier, brier_ref, skill). */
+  def brierScore(units: DataFrame, probPpm: Column, label: Column)
+      : DataFrame = {
+    val N = DecimalType(38, 0)
+    val e = probPpm.cast("long") -
+      when(label, 1000000L).otherwise(0L)
+    units.agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("__ny"),
+        sum(e.cast(N) * e.cast(N)).as("__se"))
+      .select(col("n"),
+        (col("__se").cast("double") /
+          (col("n").cast("double") * lit(1e12))).as("brier"),
+        (col("__ny").cast("double") / col("n").cast("double") *
+          (lit(1.0) - col("__ny").cast("double") / col("n").cast("double")))
+          .as("brier_ref"),
+        when(col("__ny") > 0 && col("__ny") < col("n"),
+          lit(1.0) - (col("__se").cast("double") /
+            (col("n").cast("double") * lit(1e12))) /
+            (col("__ny").cast("double") / col("n").cast("double") *
+              (lit(1.0) -
+                col("__ny").cast("double") / col("n").cast("double"))))
+          .as("skill"))
+  }
+
+  /** KENDALL'S TAU-B rank correlation with the full tie correction
+    * (Kendall 1945) — the concordance companion to Spearman (x187):
+    * are two ordinal signals monotonically related, counted over
+    * PAIRS (robust to any monotone rescaling of either axis). On the
+    * JOINT count grid: C − D = Σ_{x₁<x₂} c₁·c₂·sign(y₂ − y₁) (each
+    * unordered observation pair once), tie terms from the marginal
+    * grids, all in exact DOUBLED pair units (n(n−1), Σt(t−1) — no
+    * halving until the final double chain):
+    * τ_b = 2S / √((n(n−1) − Σtₓ(tₓ−1))·(n(n−1) − Σt_y(t_y−1))).
+    * NULL when either axis is constant.
+    *
+    * CONTRACT: both axes must be DISCRETE grids (the [[mannWhitneyU]]
+    * lesson) — the pairwise stage is |grid|² comparisons, fine for
+    * quantized scores/buckets/categories and enforced loudly via
+    * `maxGridCells` (a measured count off the checkpointed grid, the
+    * quantileNormalize guard). Scale: one (x, y) combiner agg, the
+    * grid self-join (grid-bounded, distributed), two marginal folds.
+    * Output: (n, s_stat, tau_b). */
+  def kendallTauB(units: DataFrame, x: Column, y: Column,
+      maxGridCells: Long = 20000L): DataFrame = {
+    val N = DecimalType(38, 0)
+    val grid = units.select(x.as("__x"), y.as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the pair join twice + 3 marginals
+    val cells = grid.count()
+    require(cells <= maxGridCells,
+      s"kendallTauB: $cells distinct (x, y) cells exceeds " +
+        s"maxGridCells=$maxGridCells — quantize the axes first (the " +
+        "pairwise stage is |grid|² comparisons)")
+    val a = grid.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__c").as("__ca"))
+    val b = grid.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__c").as("__cb"))
+    val s = a.join(b, col("__xa") < col("__xb"))
+      .agg(coalesce(sum(col("__ca").cast(N) * col("__cb").cast(N) *
+        when(col("__yb") > col("__ya"), 1L)
+          .when(col("__yb") < col("__ya"), -1L).otherwise(0L).cast(N)),
+        lit(0).cast(N)).as("__s"))
+    def tiePairs2(marg: DataFrame): DataFrame = marg.agg(
+      coalesce(sum(col("__t").cast(N) * (col("__t") - 1).cast(N)),
+        lit(0).cast(N)).as("__tp2"))
+    val tx = tiePairs2(grid.groupBy("__x").agg(sum(col("__c")).as("__t")))
+      .withColumnRenamed("__tp2", "__tx2")
+    val ty = tiePairs2(grid.groupBy("__y").agg(sum(col("__c")).as("__t")))
+      .withColumnRenamed("__tp2", "__ty2")
+    val n = grid.agg(sum(col("__c")).as("n"))
+    n.crossJoin(broadcast(s)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .withColumn("__n02", col("n").cast(N) * (col("n") - 1).cast(N))
+      .select(col("n"), col("__s").cast("long").as("s_stat"),
+        when(col("__n02") > col("__tx2") && col("__n02") > col("__ty2"),
+          lit(2.0) * col("__s").cast("double") /
+            sqrt((col("__n02") - col("__tx2")).cast("double") *
+              (col("__n02") - col("__ty2")).cast("double")))
+          .as("tau_b"))
+  }
+
   /** Expected Calibration Error over a [[calibrationBins]] table:
     * ECE = Σ_b (n_b/N)·|gap_b| — the one-number companion, one
     * bin-grid agg. Output: (n, n_bins, ece). */

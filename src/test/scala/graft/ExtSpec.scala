@@ -4256,4 +4256,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+
+  test("brierScore: perfect forecasts score 0 with skill 1; constant " +
+      "outcome has NULL skill") {
+    import graft.ext.Stats
+    val perfect = Seq((1000000L, true), (0L, false)).toDF("p", "y")
+    val r = Stats.brierScore(perfect, col("p"), col("y")).head()
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 0.0 &&
+      r.getDouble(2) == 0.25 && r.getDouble(3) == 1.0)
+    // always-base-rate forecast: brier = ref, skill = 0
+    val base = Seq((500000L, true), (500000L, false)).toDF("p", "y")
+    val rb = Stats.brierScore(base, col("p"), col("y")).head()
+    assert(rb.getDouble(1) == 0.25 && rb.getDouble(3) == 0.0)
+    val const = Seq((200000L, true), (900000L, true)).toDF("p", "y")
+    assert(Stats.brierScore(const, col("p"), col("y")).head().isNullAt(3))
+  }
+
+  test("kendallTauB: perfect concordance 1, reversal -1, hand tie " +
+      "case 0.5, constant axis NULL; grid guard trips loudly") {
+    import graft.ext.Stats
+    def tau(rows: Seq[(Long, Long)]): Option[Double] = {
+      val r = Stats.kendallTauB(rows.toDF("x", "y"), col("x"), col("y"))
+        .head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(tau(Seq((1L, 1L), (2L, 2L), (3L, 3L))).contains(1.0))
+    assert(tau(Seq((1L, 3L), (2L, 2L), (3L, 1L))).contains(-1.0))
+    // hand case with ties on both axes: S=1, n(n-1)=6, tx2=ty2=2 ->
+    // tau = 2/sqrt(16) = 0.5
+    assert(tau(Seq((1L, 1L), (1L, 2L), (2L, 2L))).contains(0.5))
+    assert(tau(Seq((1L, 1L), (1L, 2L), (1L, 3L))).isEmpty)
+    intercept[IllegalArgumentException](
+      Stats.kendallTauB(Seq((1L, 1L), (2L, 2L)).toDF("x", "y"),
+        col("x"), col("y"), maxGridCells = 1L))
+  }
+
 }
