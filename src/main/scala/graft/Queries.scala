@@ -1742,8 +1742,17 @@ object Queries {
     * dominant-token-share gates, each surfaced as its own boolean plus
     * the conjunction — rule-based quality filtering that re-cuts
     * without recomputing the scan. */
+  /** The shared full Gopher verdict table, memoized per session (the
+    * hourlyCalendarLedger discipline): x93/x178/x226/x239-x246 all
+    * derive from the identical tokenize + top-word scan of the same
+    * corpus, so it runs once per session. */
+  private def gopherFull(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Memo.cached(s, s"gopherFull|$dir")(
+      TextAnalysis.gopherQuality(Tables.documents(s, dir), "doc_id",
+        "text"))
+
   val x93GopherQuality: Q = (s, dir) => {
-    TextAnalysis.gopherQuality(Tables.documents(s, dir), "doc_id", "text")
+    gopherFull(s, dir)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }
@@ -2541,8 +2550,7 @@ object Queries {
     * pair graph, exercising the full-grid zero-cell path the
     * synthetic lang×source table never can. One row. */
   val x178QualityDupChi: Q = (s, dir) => {
-    val q = TextAnalysis.gopherQuality(Tables.documents(s, dir),
-        "doc_id", "text")
+    val q = gopherFull(s, dir)
       .select(col("id").as("doc_id"), col("gopher_pass"))
     val comp = Dedup.clusters(winnowPairsFull(s, dir))
     val flags = q
@@ -3400,10 +3408,10 @@ object Queries {
     * the grid tail). */
   private def gateUnits(s: SparkSession, dir: String): DataFrame =
     graft.ext.Memo.cached(s, s"gateUnits|$dir") {
-      val d = Tables.documents(s, dir)
-      TextAnalysis.gopherQuality(d, "doc_id", "text")
+      gopherFull(s, dir)
         .select(col("id").as("doc_id"), col("gopher_pass"))
-        .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          col("n_chars")), Seq("doc_id"))
     }
 
   /** x239 — confusion-matrix THRESHOLD SWEEP
@@ -3492,8 +3500,7 @@ object Queries {
     * the length bucket) with the full tie correction — the pairwise
     * complement of x187's Spearman, exact on the joint count grid. */
   val x246KendallTau: Q = (s, dir) => {
-    val g = TextAnalysis.gopherQuality(Tables.documents(s, dir),
-      "doc_id", "text")
+    val g = gopherFull(s, dir)
     graft.ext.Stats.kendallTauB(g, col("stop_hits"),
       least(lit(19L), expr("n_words DIV 25")))
   }
