@@ -3406,13 +3406,19 @@ object Queries {
     * identical gopher scan of the same corpus, so the tokenize +
     * top-word pass runs once and each eval query's marginal cost is
     * the grid tail). */
-  private def gateUnits(s: SparkSession, dir: String): DataFrame =
+  private def gateUnits(s: SparkSession, dir: String): DataFrame = {
+    // resolve the inner memo BEFORE entering the outer compute:
+    // Memo.cached is computeIfAbsent on one shared map, and Java
+    // forbids the mapping function from re-entering the map (nested
+    // computeIfAbsent can deadlock on a shared bin)
+    val gopher = gopherFull(s, dir)
     graft.ext.Memo.cached(s, s"gateUnits|$dir") {
-      gopherFull(s, dir)
+      gopher
         .select(col("id").as("doc_id"), col("gopher_pass"))
         .join(Tables.documents(s, dir).select(col("doc_id"),
           col("n_chars")), Seq("doc_id"))
     }
+  }
 
   /** x239 — confusion-matrix THRESHOLD SWEEP
     * ([[graft.ext.Stats.thresholdSweep]]): precision/recall/F1/FPR of

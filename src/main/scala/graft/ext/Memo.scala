@@ -51,7 +51,17 @@ object Memo {
   }
 
   /** Materialize `compute` once per (session, cacheKey); later calls
-    * return the checkpointed frame verbatim. */
+    * return the checkpointed frame verbatim.
+    *
+    * REENTRANT by design: `compute` may itself call [[cached]] for a
+    * DIFFERENT key (a derived memo reading a base memo), which is why
+    * this is a get → compute → putIfAbsent sequence and NOT
+    * computeIfAbsent — Java forbids a computeIfAbsent mapping
+    * function from re-entering the map (nested calls can deadlock on
+    * a shared bin). The cost is that two threads racing the same
+    * cold key may both compute (one result is discarded) — harmless
+    * here because every memoized artifact is deterministic, and
+    * sessions drive queries single-threaded in practice. */
   def cached(spark: org.apache.spark.sql.SparkSession, cacheKey: String)(
       compute: => DataFrame): DataFrame = {
     val app = spark.sparkContext.applicationId
@@ -69,8 +79,14 @@ object Memo {
           }
         })
     }
-    cache.computeIfAbsent((app, cacheKey),
-      _ => compute.localCheckpoint(true))
+    val key = (app, cacheKey)
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val computed = compute.localCheckpoint(true)
+      val prior = cache.putIfAbsent(key, computed)
+      if (prior != null) prior else computed
+    }
   }
 
   /** Visible for tests: number of live entries. */
