@@ -547,20 +547,29 @@ object Stats {
     * doubled numerator 2·Σ_v pos_v·(2·negBelow + neg_v) and the
     * denominator 2·n⁺·n⁻ are exact DECIMAL(38,0) integers; ONE double
     * division at the boundary. AUC is NULL when either class is
-    * empty (nothing to rank against). Scale shape: one (score)
+    * empty (nothing to rank against). The discrete-score contract is
+    * ENFORCED loudly via `maxGridValues` (a measured count off the
+    * checkpointed score grid, the quantileNormalize discipline): the
+    * cumulative window is GLOBAL and unpartitioned, so a raw
+    * unquantized double score would silently plan a row-cardinality
+    * single-task sort — quantize first. Scale shape: one (score)
     * combiner agg, one grid-bounded cumulative window, one-row out:
     * (n_pos, n_neg, auc). */
-  def rocAuc(units: DataFrame, score: Column, label: Column)
-      : DataFrame =
+  def rocAuc(units: DataFrame, score: Column, label: Column,
+      maxGridValues: Long = 10000000L): DataFrame =
     rocAucFromCounts(units.select(score.as("v"), label.as("y"))
-      .groupBy("v", "y").agg(count(lit(1)).as("c")))
+      .groupBy("v", "y").agg(count(lit(1)).as("c")), maxGridValues)
 
   /** [[rocAuc]] over PRE-AGGREGATED (v, y, c) counts — the form a
     * streaming additive ledger folds to (the ksDriftFromCounts
     * discipline), so classifier evaluation has streaming views
     * bit-equal to the batch operators over everything ingested
-    * ([[graft.streaming.Streams.rocAucView]]). */
-  def rocAucFromCounts(counts: DataFrame): DataFrame = {
+    * ([[graft.streaming.Streams.rocAucView]]). Same loud
+    * `maxGridValues` guard as the units form — a streaming ledger
+    * keyed by an unquantized score would otherwise grow the global
+    * window without bound. */
+  def rocAucFromCounts(counts: DataFrame,
+      maxGridValues: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val N = DecimalType(38, 0)
     val grid = counts.select(col("v").as("__v"), col("y").as("__y"),
@@ -568,9 +577,16 @@ object Stats {
       .groupBy("__v").agg(
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
+      .localCheckpoint(true) // feeds the measured guard AND the window
+    val nGrid = grid.count()
+    require(nGrid <= maxGridValues,
+      s"rocAuc: $nGrid distinct score values exceeds " +
+        s"maxGridValues=$maxGridValues — the score must be discrete " +
+        "(quantize a raw double first; the cumulative window is " +
+        "global and grid-sized)")
     val wv = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // grid-bounded window (the discrete-value contract)
+    // grid-bounded window (the discrete-value contract, enforced above)
     grid
       .withColumn("__nb", coalesce(sum(col("__neg")).over(wv), lit(0L)))
       .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
@@ -590,17 +606,22 @@ object Stats {
     * for rates, here for rankings). Same exact U-identity arithmetic
     * on the per-(group, score) count grid; the cumulative window is
     * PARTITIONED by group (parallel across groups, grid-bounded
-    * within). Output: (group, n_pos, n_neg, auc) — auc NULL where a
+    * within). The discrete-score contract is enforced via
+    * `maxGridValues` on the POOLED (group, score) cell count — a
+    * bound on every per-group window at the price of one measured
+    * count. Output: (group, n_pos, n_neg, auc) — auc NULL where a
     * group has an empty class. */
   def rocAucByGroup(units: DataFrame, group: Column, score: Column,
-      label: Column): DataFrame =
+      label: Column, maxGridValues: Long = 10000000L): DataFrame =
     rocAucByGroupFromCounts(units
       .select(group.as("g"), score.as("v"), label.as("y"))
-      .groupBy("g", "v", "y").agg(count(lit(1)).as("c")))
+      .groupBy("g", "v", "y").agg(count(lit(1)).as("c")), maxGridValues)
 
   /** [[rocAucByGroup]] over PRE-AGGREGATED (g, v, y, c) counts — the
-    * streaming-ledger form. */
-  def rocAucByGroupFromCounts(counts: DataFrame): DataFrame = {
+    * streaming-ledger form. Same pooled-cell `maxGridValues` guard as
+    * the units form. */
+  def rocAucByGroupFromCounts(counts: DataFrame,
+      maxGridValues: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val N = DecimalType(38, 0)
     val grid = counts.select(col("g"), col("v").as("__v"),
@@ -608,6 +629,13 @@ object Stats {
       .groupBy("g", "__v").agg(
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
+      .localCheckpoint(true) // feeds the measured guard AND the window
+    val nCells = grid.count()
+    require(nCells <= maxGridValues,
+      s"rocAucByGroup: $nCells pooled (group, score) cells exceeds " +
+        s"maxGridValues=$maxGridValues — the score must be discrete " +
+        "(quantize a raw double first; each group's window is " +
+        "grid-sized)")
     val wv = Window.partitionBy("g").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, -1)
     grid
@@ -633,25 +661,36 @@ object Stats {
     * complements against the 1-row totals; every count exact, the
     * four ratios one double division each (NULL-guarded: precision
     * NULL when nothing is predicted positive, recall/FPR NULL when
-    * the class is empty). Same discrete-score contract as [[rocAuc]].
+    * the class is empty). Same discrete-score contract as [[rocAuc]],
+    * enforced by the same measured `maxGridValues` guard (the suffix
+    * window is global and grid-sized).
     * Output per threshold: (threshold, tp, fp, fn, tn, precision,
     * recall, f1, fpr). */
-  def thresholdSweep(units: DataFrame, score: Column, label: Column)
-      : DataFrame =
+  def thresholdSweep(units: DataFrame, score: Column, label: Column,
+      maxGridValues: Long = 10000000L): DataFrame =
     thresholdSweepFromCounts(units.select(score.as("v"), label.as("y"))
-      .groupBy("v", "y").agg(count(lit(1)).as("c")))
+      .groupBy("v", "y").agg(count(lit(1)).as("c")), maxGridValues)
 
   /** [[thresholdSweep]] over PRE-AGGREGATED (v, y, c) counts — the
     * streaming-ledger form
-    * ([[graft.streaming.Streams.thresholdSweepView]]). */
-  def thresholdSweepFromCounts(counts: DataFrame): DataFrame = {
+    * ([[graft.streaming.Streams.thresholdSweepView]]). Same loud
+    * `maxGridValues` guard as the units form. */
+  def thresholdSweepFromCounts(counts: DataFrame,
+      maxGridValues: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grid = counts.select(col("v").as("threshold"), col("y").as("__y"),
         col("c").as("__c"))
       .groupBy("threshold").agg(
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
-      .localCheckpoint(true) // feeds the suffix window AND the totals
+      .localCheckpoint(true) // feeds the suffix window, the totals,
+      // AND the measured guard
+    val nGrid = grid.count()
+    require(nGrid <= maxGridValues,
+      s"thresholdSweep: $nGrid distinct score values exceeds " +
+        s"maxGridValues=$maxGridValues — the score must be discrete " +
+        "(quantize a raw double first; the suffix window is global " +
+        "and grid-sized)")
     val tot = broadcast(grid.agg(sum(col("__pos")).as("__np"),
       sum(col("__neg")).as("__nn")))
     val wDesc = Window.orderBy(col("threshold").desc)
@@ -688,7 +727,10 @@ object Stats {
     * observed rate. The per-bin |rate − mean_p| gaps fold to ECE with
     * [[expectedCalibrationError]]. Empty bins are absent (no
     * prediction mass — nothing to calibrate; ECE weights by n, so
-    * absence is correct, unlike the chi-square zero-cell case).
+    * absence is correct, unlike the chi-square zero-cell case). The
+    * [0, 1e6] ppm range is a LOUD contract: an out-of-range value
+    * raises at execution (raise_error inside the bin expression)
+    * rather than binning into a nonsensical negative bin.
     * Scale: one combiner agg on a ≤`bins` grid.
     * Output: (bin, p_lo_ppm, n, mean_p, rate, gap). */
   def calibrationBins(units: DataFrame, probPpm: Column, label: Column,
@@ -710,9 +752,18 @@ object Stats {
     def floorDiv(a: Column, d: Long): Column =
       ((a - pmod(a, lit(d))) / lit(d)).cast("long")
     val pb = col("__p") * lit(bins.toLong)
+    // loud range contract: a ppm probability lives in [0, 1e6] — a
+    // negative or >1e6 value would otherwise bin silently (negative
+    // bin ids with nonsensical p_lo_ppm); raise_error sits INSIDE the
+    // bin expression so column pruning cannot drop the check
+    val binChecked = when(col("__p").between(0L, 1000000L),
+      least(lit(bins - 1L), floorDiv(pb, 1000000L)))
+      .otherwise(raise_error(concat(
+        lit("calibrationBins: ppm probability out of [0, 1e6]: "),
+        col("__p").cast("string"))).cast("long"))
     counts.select(col("v").cast("long").as("__p"), col("y").as("__y"),
         col("c").as("__c"))
-      .withColumn("bin", least(lit(bins - 1L), floorDiv(pb, 1000000L)))
+      .withColumn("bin", binChecked)
       .groupBy("bin").agg(sum(col("__c")).as("n"),
         sum(col("__p") * col("__c")).as("__sp"),
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__ny"))

@@ -4235,6 +4235,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("classifier-eval score-grid guards: an unquantized score trips " +
+      "maxGridValues loudly on rocAuc, thresholdSweep and " +
+      "rocAucByGroup; an out-of-range ppm raises in calibrationBins") {
+    import graft.ext.Stats
+    // 20 distinct raw doubles — the exact shape the discrete-score
+    // contract forbids (grid = row cardinality)
+    val raw = (1 to 20).map(i => (i * 0.137, i % 2 == 0)).toDF("s", "y")
+    intercept[IllegalArgumentException](
+      Stats.rocAuc(raw, col("s"), col("y"), maxGridValues = 10L))
+    intercept[IllegalArgumentException](
+      Stats.thresholdSweep(raw, col("s"), col("y"), maxGridValues = 10L))
+    val rawG = raw.withColumn("g", col("y").cast("string"))
+    intercept[IllegalArgumentException](
+      Stats.rocAucByGroup(rawG, col("g"), col("s"), col("y"),
+        maxGridValues = 10L))
+    // quantizing the same data passes the same bound
+    val q = raw.select((col("s") * 2).cast("long").as("s"), col("y"))
+    val auc = Stats.rocAuc(q, col("s"), col("y"), maxGridValues = 10L)
+      .head().getDouble(2)
+    assert(auc >= 0.0 && auc <= 1.0)
+    // calibration range contract: negative ppm raises at execution
+    val neg = Seq((-5L, true), (100L, false)).toDF("p", "y")
+    val e = intercept[Exception](
+      Stats.calibrationBins(neg, col("p"), col("y")).collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else (t.getMessage + "\n" + msgs(t.getCause))
+    assert(msgs(e).contains("out of [0, 1e6]"))
+    val over = Seq((1000001L, true), (100L, false)).toDF("p", "y")
+    val e2 = intercept[Exception](
+      Stats.calibrationBins(over, col("p"), col("y")).collect())
+    assert(msgs(e2).contains("out of [0, 1e6]"))
+  }
+
   test("pair-graph persistence: save/load round-trips the winnow " +
       "graph bit-for-bit; a foreign directory fails loudly") {
     import graft.ext.Dedup

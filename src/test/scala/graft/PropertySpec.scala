@@ -336,4 +336,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: the rocAuc/thresholdSweep grid guard trips on every " +
+      "unquantized random score batch and admits its quantized form") {
+    import graft.ext.Stats
+    for (_ <- 1 to 5) {
+      val cases = (1 to 300).map(_ =>
+        (rnd.nextDouble() * 1000, rnd.nextBoolean()))
+      val df = cases.toDF("s", "y")
+      // a continuous score's grid is ~row-sized — must fail loudly
+      intercept[IllegalArgumentException](
+        Stats.rocAuc(df, $"s", $"y", maxGridValues = 64L))
+      intercept[IllegalArgumentException](
+        Stats.thresholdSweep(df, $"s", $"y", maxGridValues = 64L))
+      // bucketing restores the discrete contract under the same bound
+      val q = df.select(floor($"s" / 100).cast("long").as("s"), $"y")
+      val r = Stats.rocAuc(q, $"s", $"y", maxGridValues = 64L).head()
+      assert(!r.isNullAt(2) &&
+        r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
 }
