@@ -172,7 +172,16 @@ class QueriesSpec extends SparkSpec {
             val bounded = sub.contains("Join") || sub.contains("Limit") ||
               sub.contains("TakeOrderedAndProject") ||
               sub.contains("LocalTableScan")
-            groupedTop && !bounded
+            // checkpoint laundering (the kendallTauB shape): a
+            // localCheckpoint renders ALL ancestry — including a
+            // grouped aggregate — as a bare Scan ExistingRDD, so a
+            // grid checkpointed BEFORE the theta join shows no
+            // Aggregate line to key on. An un-aggregated
+            // ExistingRDD-rooted child is unknowable-cardinality by
+            // construction: suspect unless the query is allowlisted
+            // with a named MEASURED guard (nestedLoopByDesign).
+            val laundered = topAgg.isEmpty && sub.contains("Scan ExistingRDD")
+            (groupedTop || laundered) && !bounded
           }
           val audited =
             if (lines(i).contains("BroadcastNestedLoopJoin"))
@@ -233,7 +242,26 @@ class QueriesSpec extends SparkSpec {
     "x214_vocab_budget" ->
       ("mass-rank theta join over the COUNT-OF-COUNTS grid (distinct " +
         "tf values, Zipf-bounded ≲ √T — at 10¹² tokens ~10⁶ rows) × " +
-        "4 ppm literals; never vocab- or row-sized"))
+        "4 ppm literals; never vocab- or row-sized"),
+    "x246_kendall_tau" ->
+      ("checkpoint-laundered (x, y) grid self-join (__xa < __xb): the " +
+        "plan shows only Scan ExistingRDD, but Stats.kendallTauB " +
+        "carries a MEASURED maxGridCells require (default 20k) on the " +
+        "checkpointed grid's count — stronger than any plan pattern; " +
+        "the pairwise stage is |grid|² by documented contract"),
+    "x188_jsd_matrix" ->
+      ("pair SKELETON off the checkpointed per-source totals table " +
+        "(ns: one row per group by construction — the jsdMatrix " +
+        "'bounded: one row per group' checkpoint) crossed a < b: " +
+        "|sources|², the same catalog-constant matrix shape as " +
+        "x167/x147; the vocab-sized (g, tok) counts never enter the " +
+        "cartesian"),
+    "x217_sif_neighbors" ->
+      ("brute-force cosine kNN BASELINE (Similarity.bruteTopK): the " +
+        "query side is literal-bounded (id < 10) so the product is " +
+        "10 × |corpus| — corpus-LINEAR, one stream of the corpus per " +
+        "query row; the documented scale path for unbounded query " +
+        "sets is the IVF family (x21-x25)"))
 
   test("no nested-loop join streams against an unrestricted grouped " +
       "aggregate (the x231 non-equi blind spot)") {
@@ -257,6 +285,18 @@ class QueriesSpec extends SparkSpec {
     val targets = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("group", "__t")
     val preFix = targets.join(pooledCum,
       $"__cumb" < $"__t" && $"__t" <= $"__cum")
+    // second fixture: CHECKPOINT LAUNDERING — the same grouped grid
+    // checkpointed AFTER the aggregate, then theta self-joined (the
+    // kendallTauB shape). The checkpoint erases the Aggregate ancestry
+    // (plan shows Scan ExistingRDD), so the Aggregate-keyed rule alone
+    // is blind to it; the ExistingRDD-rooted rule must still trip.
+    val launderedGrid = gv.groupBy("v")
+      .agg(org.apache.spark.sql.functions.sum($"n_gv").as("__c"))
+      .localCheckpoint(true)
+    val laundered = launderedGrid
+      .select($"v".as("__va"), $"__c".as("__ca"))
+      .join(launderedGrid.select($"v".as("__vb"), $"__c".as("__cb")),
+        $"__va" < $"__vb")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val flagged =
@@ -265,6 +305,11 @@ class QueriesSpec extends SparkSpec {
             preFix.queryExecution.executedPlan.toString).nonEmpty,
           "detector failed on the known-bad pre-fix x231 theta-join " +
             "shape:\n" + preFix.queryExecution.executedPlan.toString.take(800))
+        assert(nestedLoopSuspects(
+            laundered.queryExecution.executedPlan.toString).nonEmpty,
+          "detector failed on the checkpoint-laundered grid self-join " +
+            "(the kendallTauB shape):\n" +
+            laundered.queryExecution.executedPlan.toString.take(800))
         Queries.all.toSeq.map { case (name, q) =>
           name -> nestedLoopSuspects(
             q(spark, dir).queryExecution.executedPlan.toString)
