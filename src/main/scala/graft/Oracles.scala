@@ -8189,6 +8189,112 @@ object Oracles {
             |        * CAST(CAST(nt.n AS HUGEINT) * (nt.n - 1) - ty.ty2
             |          AS DOUBLE)) END AS tau_b
             |FROM nt CROSS JOIN sp CROSS JOIN tx CROSS JOIN ty""".stripMargin),
+      // x247: AP = Σ_k pos_k·tp_k/(tp_k+fp_k) / n_pos over the
+      // descending score cuts — each term one double chain in the
+      // SAME fixed operand order as the engine, quantized to
+      // DECIMAL(28,12) (the x188 determinism idiom) so the sum is
+      // exact and order-independent
+      "x247_avg_precision" -> (units +
+        """grid AS (
+          |  SELECT s,
+          |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          |  FROM u GROUP BY 1),
+          |c AS (
+          |  SELECT pos, neg,
+          |    CAST(sum(pos) OVER (ORDER BY s DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+          |    CAST(sum(neg) OVER (ORDER BY s DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+          |  FROM grid),
+          |t AS (
+          |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+          |    CAST(sum(neg) AS BIGINT) AS n_neg,
+          |    sum(CASE WHEN pos > 0 THEN
+          |      CAST(CAST(pos AS DOUBLE) * CAST(tp AS DOUBLE)
+          |        / CAST(tp + fp AS DOUBLE) AS DECIMAL(28,12))
+          |      ELSE CAST(0 AS DECIMAL(28,12)) END) AS ts
+          |  FROM c)
+          |SELECT n_pos, n_neg,
+          |  CASE WHEN n_pos > 0 THEN
+          |    CAST(ts AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS ap
+          |FROM t""".stripMargin),
+      // x249: net utility per cut off the same suffix sums as x239 —
+      // exact BIGINT arithmetic end to end
+      "x249_decision_curve" -> (units +
+        """grid AS (
+          |  SELECT s AS threshold,
+          |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          |  FROM u GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(sum(pos) AS BIGINT) AS np,
+          |    CAST(sum(neg) AS BIGINT) AS nn FROM grid),
+          |c AS (
+          |  SELECT threshold,
+          |    CAST(sum(pos) OVER (ORDER BY threshold DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+          |    CAST(sum(neg) OVER (ORDER BY threshold DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+          |  FROM grid)
+          |SELECT c.threshold, c.tp, c.fp,
+          |  CAST(t.np - c.tp AS BIGINT) AS fn,
+          |  CAST(t.nn - c.fp AS BIGINT) AS tn,
+          |  CAST(5 * c.tp - 1 * c.fp - 2 * (t.np - c.tp) AS BIGINT)
+          |    AS utility
+          |FROM c CROSS JOIN tot t ORDER BY threshold""".stripMargin),
+      // x248/x250: the per-source probability-quality audits — the
+      // x241/x245 arithmetic keyed by source
+      "x248_group_calibration" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT d.source,
+            |    least(1000000, d.n_chars * 2000) AS p,
+            |    g.gopher_pass AS y
+            |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+            |b AS (
+            |  SELECT source, least(CAST(9 AS BIGINT),
+            |    CAST((p * 10) // 1000000 AS BIGINT)) AS bin, p, y
+            |  FROM u),
+            |a AS (
+            |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(p) AS BIGINT) AS sp,
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ny
+            |  FROM b GROUP BY 1, 2)
+            |SELECT source, bin,
+            |  CAST((bin * 1000000) // 10 AS BIGINT) AS p_lo_ppm, n,
+            |  CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0e0
+            |    AS mean_p,
+            |  CAST(ny AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+            |  CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+            |    - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0e0
+            |    AS gap
+            |FROM a ORDER BY source, bin""".stripMargin),
+      "x250_group_brier" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT d.source,
+            |    least(1000000, d.n_chars * 2000) AS p,
+            |    CASE WHEN g.gopher_pass THEN 1000000 ELSE 0 END AS yz
+            |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+            |a AS (
+            |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(CASE WHEN yz = 1000000 THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS ny,
+            |    CAST(sum(CAST(p - yz AS HUGEINT) * (p - yz)) AS HUGEINT)
+            |      AS se
+            |  FROM u GROUP BY 1)
+            |SELECT source, n,
+            |  CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e12) AS brier,
+            |  CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+            |    * (1.0e0 - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+            |    AS brier_ref,
+            |  CASE WHEN ny > 0 AND ny < n THEN
+            |    1.0e0 - (CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e12))
+            |      / (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+            |        * (1.0e0 - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)))
+            |    END AS skill
+            |FROM a ORDER BY source""".stripMargin),
       "x242_cohen_kappa" -> (units +
         """grid AS (
           |  SELECT y AS a, s >= 200 AS b, CAST(count(*) AS BIGINT) AS c

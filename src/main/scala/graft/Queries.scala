@@ -3480,12 +3480,25 @@ object Queries {
     * that catches a proxy score working on average while failing a
     * minority slice (the Simpson lesson applied to rankings);
     * partitioned grid windows, exact U identity per group. */
+  /** The x244/x248/x250 shared per-source frame: [[gateUnits]] plus
+    * the source column — one extra documents-projection join over the
+    * memoized Gopher scan, memoized itself so the three per-source
+    * audits pay it once. */
+  private def gateUnitsWithSource(s: SparkSession, dir: String)
+      : DataFrame = {
+    // resolve the base memo before the outer compute (the gateUnits
+    // discipline: Memo.cached is reentrant, but resolving first means
+    // one compute instead of a discarded duplicate on a cold race)
+    val base = gateUnits(s, dir)
+    graft.ext.Memo.cached(s, s"gateUnitsSrc|$dir") {
+      base.join(Tables.documents(s, dir).select(col("doc_id"),
+        col("source")), Seq("doc_id"))
+    }
+  }
+
   val x244GroupAuc: Q = (s, dir) => {
-    val u = gateUnits(s, dir)
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
-        Seq("doc_id"))
-    graft.ext.Stats.rocAucByGroup(u, col("source"), col("n_chars"),
-        col("gopher_pass"))
+    graft.ext.Stats.rocAucByGroup(gateUnitsWithSource(s, dir),
+        col("source"), col("n_chars"), col("gopher_pass"))
       .withColumnRenamed("group", "source")
       .orderBy("source")
   }
@@ -3509,6 +3522,60 @@ object Queries {
     val g = gopherFull(s, dir)
     graft.ext.Stats.kendallTauB(g, col("stop_hits"),
       least(lit(19L), expr("n_words DIV 25")))
+  }
+
+  /** x247 — exact AVERAGE PRECISION
+    * ([[graft.ext.Stats.averagePrecision]]): the precision-recall
+    * read of the n_chars proxy against the Gopher verdict — the
+    * number x240's ROC-AUC cannot give on an imbalanced gate (AUC is
+    * prevalence-blind; AP weights exactly the kept positives), from
+    * the same suffix sums as x239, exact integers per term to one
+    * quantized double chain. */
+  val x247AvgPrecision: Q = (s, dir) => {
+    graft.ext.Stats.averagePrecision(gateUnits(s, dir), col("n_chars"),
+      col("gopher_pass"))
+  }
+
+  /** x248 — per-SOURCE calibration bins
+    * ([[graft.ext.Stats.calibrationBinsByGroup]]): x241's reliability
+    * read split by source — the x244 Simpson-lesson applied to
+    * probability quality: the capped ppm proxy can be calibrated
+    * pooled while over-confident in one source and under-confident
+    * in another, the slices cancelling. Exact integer binning per
+    * (source, bin). */
+  val x248GroupCalibration: Q = (s, dir) => {
+    graft.ext.Stats.calibrationBinsByGroup(gateUnitsWithSource(s, dir),
+        col("source"), least(lit(1000000L), col("n_chars") * lit(2000L)),
+        col("gopher_pass"), bins = 10)
+      .withColumnRenamed("group", "source")
+      .orderBy("source", "bin")
+  }
+
+  /** x249 — DECISION CURVE / utility sweep
+    * ([[graft.ext.Stats.decisionCurve]]): the operating-point CHOOSER
+    * over the x239 suffix sums — net utility of gating at every
+    * distinct n_chars cut under explicit unit costs (a kept good
+    * document earns 5, a kept bad one costs 1, a dropped good one
+    * costs 2 — the curation trade a gate owner actually prices),
+    * exact integers end to end. */
+  val x249DecisionCurve: Q = (s, dir) => {
+    graft.ext.Stats.decisionCurve(gateUnits(s, dir), col("n_chars"),
+        col("gopher_pass"), wTp = 5L, wFp = 1L, wFn = 2L)
+      .orderBy("threshold")
+  }
+
+  /** x250 — per-SOURCE Brier + skill
+    * ([[graft.ext.Stats.brierByGroup]]): x245's strictly-proper
+    * probability score split by source — a proxy can beat climatology
+    * pooled while being WORSE than the base rate inside one source
+    * (negative skill), the audit that decides whether one global
+    * proxy or per-source cuts ship. */
+  val x250GroupBrier: Q = (s, dir) => {
+    graft.ext.Stats.brierByGroup(gateUnitsWithSource(s, dir),
+        col("source"), least(lit(1000000L), col("n_chars") * lit(2000L)),
+        col("gopher_pass"))
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
   }
 
   /** x238 — persisted-VARIANT-INDEX linkage round-trip
@@ -4558,6 +4625,10 @@ object Queries {
     "x244_group_auc" -> x244GroupAuc,
     "x245_brier" -> x245Brier,
     "x246_kendall_tau" -> x246KendallTau,
+    "x247_avg_precision" -> x247AvgPrecision,
+    "x248_group_calibration" -> x248GroupCalibration,
+    "x249_decision_curve" -> x249DecisionCurve,
+    "x250_group_brier" -> x250GroupBrier,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

@@ -717,6 +717,71 @@ object Stats {
           .as("fpr"))
   }
 
+  /** Exact AVERAGE PRECISION (step-interpolated PR-AUC, the TREC /
+    * standard-IR convention: AP = Σ_k P(k)·ΔR(k) over the distinct
+    * score cuts, descending) — the precision-recall companion to
+    * [[rocAuc]], and the number a gate owner on an IMBALANCED corpus
+    * reads first: ROC-AUC is blind to prevalence (a gate passing 2%
+    * of documents can carry a flattering AUC while ranking garbage
+    * into every retrieved batch); AP weights exactly the positives.
+    * On the per-score count grid, descending: with suffix sums
+    * tp_k/fp_k (the [[thresholdSweep]] machinery), each threshold
+    * block contributes pos_k·tp_k/(tp_k+fp_k) — an exact-integer
+    * numerator to ONE double division, quantized to DECIMAL(28,12)
+    * (the jsdMatrix determinism discipline: the per-term double chain
+    * has one fixed operand order both engines round identically, and
+    * the quantized terms then SUM exactly — order-independent under
+    * any partitioning); AP = Σterms / n_pos, one double division at
+    * the boundary. Ties are handled block-wise (the distinct-score
+    * operating points — scikit-learn's average_precision convention).
+    * AP NULL when there are no positives (nothing to average over);
+    * all-positive data gives AP = 1 (P(k) = 1 at every cut). Same
+    * discrete-score contract and measured `maxGridValues` guard as
+    * [[rocAuc]]. One row out: (n_pos, n_neg, ap). */
+  def averagePrecision(units: DataFrame, score: Column, label: Column,
+      maxGridValues: Long = 10000000L): DataFrame =
+    averagePrecisionFromCounts(units.select(score.as("v"), label.as("y"))
+      .groupBy("v", "y").agg(count(lit(1)).as("c")), maxGridValues)
+
+  /** [[averagePrecision]] over PRE-AGGREGATED (v, y, c) counts — the
+    * streaming-ledger form ([[graft.streaming.Streams.prAucView]]):
+    * the SAME (v, y) additive ledger that serves rocAuc /
+    * thresholdSweep / calibration also folds to exact AP. */
+  def averagePrecisionFromCounts(counts: DataFrame,
+      maxGridValues: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = DecimalType(28, 12)
+    val grid = counts.select(col("v").as("__v"), col("y").as("__y"),
+        col("c").as("__c"))
+      .groupBy("__v").agg(
+        sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
+      .localCheckpoint(true) // feeds the measured guard AND the window
+    val nGrid = grid.count()
+    require(nGrid <= maxGridValues,
+      s"averagePrecision: $nGrid distinct score values exceeds " +
+        s"maxGridValues=$maxGridValues — the score must be discrete " +
+        "(quantize a raw double first; the suffix window is global " +
+        "and grid-sized)")
+    val wDesc = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("__tp", sum(col("__pos")).over(wDesc))
+      .withColumn("__fp", sum(col("__neg")).over(wDesc))
+      // P(k) at a block with no positives gets ΔR = 0 — zero term
+      .withColumn("__term",
+        when(col("__pos") > 0,
+          (col("__pos").cast("double") * col("__tp").cast("double") /
+            (col("__tp") + col("__fp")).cast("double")).cast(L))
+          .otherwise(lit(0).cast(L)))
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(col("__term")).as("__ts"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          col("__ts").cast("double") / col("n_pos").cast("double"))
+          .as("ap"))
+  }
+
   /** CALIBRATION (reliability) bins for a ppm-quantized probability
     * against a binary outcome — "when the score says 70%, does it
     * happen 70% of the time": equal-width bins over [0, 1e6] ppm
@@ -778,6 +843,55 @@ object Stats {
           .as("gap"))
   }
 
+  /** [[calibrationBins]] PER GROUP — "is the probability calibrated
+    * in EVERY source/language, or only on average" (the x244
+    * Simpson-lesson applied to probability quality: a score can be
+    * well-calibrated pooled while over-confident in one slice and
+    * under-confident in another, the two cancelling). Same exact
+    * integer ppm binning, same loud [0, 1e6] range contract; the bin
+    * agg is keyed (group, bin) — |groups|·bins rows, category-bounded.
+    * Output: (group, bin, p_lo_ppm, n, mean_p, rate, gap). */
+  def calibrationBinsByGroup(units: DataFrame, group: Column,
+      probPpm: Column, label: Column, bins: Int = 10): DataFrame =
+    calibrationBinsByGroupFromCounts(units
+      .select(group.as("g"), probPpm.cast("long").as("v"), label.as("y"))
+      .groupBy("g", "v", "y").agg(count(lit(1)).as("c")), bins)
+
+  /** [[calibrationBinsByGroup]] over PRE-AGGREGATED (g, v, y, c)
+    * counts — the streaming-ledger form: the same (g, v, y) additive
+    * ledger that serves [[rocAucByGroupFromCounts]] folds to
+    * per-group reliability bins
+    * ([[graft.streaming.Streams.calibrationByGroupView]]). */
+  def calibrationBinsByGroupFromCounts(counts: DataFrame,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"calibrationBinsByGroup: bins=$bins outside [2,1000]")
+    def floorDiv(a: Column, d: Long): Column =
+      ((a - pmod(a, lit(d))) / lit(d)).cast("long")
+    val pb = col("__p") * lit(bins.toLong)
+    // the calibrationBins loud range contract, inside the expression
+    val binChecked = when(col("__p").between(0L, 1000000L),
+      least(lit(bins - 1L), floorDiv(pb, 1000000L)))
+      .otherwise(raise_error(concat(
+        lit("calibrationBinsByGroup: ppm probability out of [0, 1e6]: "),
+        col("__p").cast("string"))).cast("long"))
+    counts.select(col("g"), col("v").cast("long").as("__p"),
+        col("y").as("__y"), col("c").as("__c"))
+      .withColumn("bin", binChecked)
+      .groupBy("g", "bin").agg(sum(col("__c")).as("n"),
+        sum(col("__p") * col("__c")).as("__sp"),
+        sum(when(col("__y"), col("__c")).otherwise(0L)).as("__ny"))
+      .select(col("g").as("group"), col("bin"),
+        floorDiv(col("bin") * lit(1000000L), bins.toLong).as("p_lo_ppm"),
+        col("n"),
+        (col("__sp").cast("double") / col("n").cast("double") /
+          lit(1e6)).as("mean_p"),
+        (col("__ny").cast("double") / col("n").cast("double")).as("rate"),
+        (col("__ny").cast("double") / col("n").cast("double") -
+          col("__sp").cast("double") / col("n").cast("double") / lit(1e6))
+          .as("gap"))
+  }
+
   /** BRIER SCORE of a ppm-quantized probability against a binary
     * outcome (Brier 1950) — the strictly-proper companion to
     * [[calibrationBins]]: mean squared error of the probability,
@@ -810,6 +924,77 @@ object Stats {
               (lit(1.0) -
                 col("__ny").cast("double") / col("n").cast("double"))))
           .as("skill"))
+  }
+
+  /** [[brierScore]] PER GROUP — the probability-quality audit per
+    * source/language: each group's Brier, climatology reference and
+    * skill from the same exact-integer arithmetic (Σ(p − y·10⁶)² in
+    * DECIMAL(38,0) per group, two double divisions at the boundary).
+    * skill NULL where a group's outcome is constant. One combiner
+    * agg keyed by group; output: (group, n, brier, brier_ref,
+    * skill). */
+  def brierByGroup(units: DataFrame, group: Column, probPpm: Column,
+      label: Column): DataFrame = {
+    val N = DecimalType(38, 0)
+    val e = probPpm.cast("long") -
+      when(label, 1000000L).otherwise(0L)
+    units.groupBy(group.as("group")).agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("__ny"),
+        sum(e.cast(N) * e.cast(N)).as("__se"))
+      .select(col("group"), col("n"),
+        (col("__se").cast("double") /
+          (col("n").cast("double") * lit(1e12))).as("brier"),
+        (col("__ny").cast("double") / col("n").cast("double") *
+          (lit(1.0) - col("__ny").cast("double") / col("n").cast("double")))
+          .as("brier_ref"),
+        when(col("__ny") > 0 && col("__ny") < col("n"),
+          lit(1.0) - (col("__se").cast("double") /
+            (col("n").cast("double") * lit(1e12))) /
+            (col("__ny").cast("double") / col("n").cast("double") *
+              (lit(1.0) -
+                col("__ny").cast("double") / col("n").cast("double"))))
+          .as("skill"))
+  }
+
+  /** DECISION-CURVE / utility sweep — the operating-point CHOOSER the
+    * [[thresholdSweep]] table feeds: with integer unit costs (what a
+    * kept true positive earns, what a kept false positive and a
+    * dropped false negative cost), the exact net utility of gating
+    * at every distinct score cut, one grid query:
+    * U(t) = wTp·tp(t) − wFp·fp(t) − wFn·fn(t). Costs are bounded to
+    * [0, 1e6] loudly so the products stay exactly representable
+    * (w·count ≤ 1e6·10¹² — inside DECIMAL(38,0) with 20 digits of
+    * headroom; the boundary cast to long is ANSI-loud on overflow).
+    * The argmax row IS the recommended cut — but the whole curve
+    * ships, because cost assumptions get revisited and the table is
+    * |grid|-bounded anyway. Same discrete-score contract and
+    * measured guard as [[thresholdSweep]]. Output per threshold:
+    * (threshold, tp, fp, fn, tn, utility). */
+  def decisionCurve(units: DataFrame, score: Column, label: Column,
+      wTp: Long, wFp: Long, wFn: Long,
+      maxGridValues: Long = 10000000L): DataFrame =
+    decisionCurveFromCounts(units.select(score.as("v"), label.as("y"))
+      .groupBy("v", "y").agg(count(lit(1)).as("c")), wTp, wFp, wFn,
+      maxGridValues)
+
+  /** [[decisionCurve]] over PRE-AGGREGATED (v, y, c) counts — the
+    * streaming-ledger form: the SAME (v, y) ledger as
+    * rocAuc/thresholdSweep/AP, so the live operating-point chooser
+    * is bit-equal to batch over everything ingested. */
+  def decisionCurveFromCounts(counts: DataFrame, wTp: Long, wFp: Long,
+      wFn: Long, maxGridValues: Long = 10000000L): DataFrame = {
+    val N = DecimalType(38, 0)
+    require(wTp >= 0L && wTp <= 1000000L && wFp >= 0L &&
+      wFp <= 1000000L && wFn >= 0L && wFn <= 1000000L,
+      s"decisionCurve: costs (wTp=$wTp, wFp=$wFp, wFn=$wFn) outside " +
+        "[0, 1e6] — the integer-exactness bound")
+    thresholdSweepFromCounts(counts, maxGridValues)
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        (lit(wTp).cast(N) * col("tp").cast(N) -
+          lit(wFp).cast(N) * col("fp").cast(N) -
+          lit(wFn).cast(N) * col("fn").cast(N)).cast("long")
+          .as("utility"))
   }
 
   /** KENDALL'S TAU-B rank correlation with the full tie correction

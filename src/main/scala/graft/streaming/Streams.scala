@@ -549,6 +549,53 @@ object Streams {
       sumView(spark, tablePath, Seq("v", "y"))
         .select(col("v"), col("y"), col("n").as("c")), bins)
 
+  /** Exact AVERAGE-PRECISION (PR-AUC) view over the SAME (v, y)
+    * ledger as [[rocAucView]] — the precision-recall read for
+    * imbalanced gates, streaming-fed and bit-equal to batch
+    * [[graft.ext.Stats.averagePrecision]] over everything ingested
+    * (StreamingSpec). The FOURTH view on one classifier-eval
+    * ledger. */
+  def prAucView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.averagePrecisionFromCounts(
+      sumView(spark, tablePath, Seq("v", "y"))
+        .select(col("v"), col("y"), col("n").as("c")))
+
+  /** Decision-curve view over the SAME (v, y) ledger as
+    * [[rocAucView]] — the live operating-point chooser under fixed
+    * unit costs, streaming-fed and bit-equal to batch
+    * [[graft.ext.Stats.decisionCurve]]. */
+  def decisionCurveView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, wTp: Long, wFp: Long, wFn: Long): DataFrame =
+    graft.ext.Stats.decisionCurveFromCounts(
+      sumView(spark, tablePath, Seq("v", "y"))
+        .select(col("v"), col("y"), col("n").as("c")), wTp, wFp, wFn)
+
+  /** Per-GROUP ROC-AUC view over an [[additiveSink]] ledger keyed
+    * (g, v, y) — source × score × label, one appended unit per scored
+    * document: fold the count partials and run the exact x244
+    * partitioned U-identity tail. The (g, v, y) ledger is the grouped
+    * twin of the (v, y) one (documented beside it): its g-marginal
+    * folds to the pooled ledger, so ONE grouped ledger can serve both
+    * the per-source audit and every pooled view. Streaming-fed,
+    * bit-equal to batch [[graft.ext.Stats.rocAucByGroup]] over
+    * everything ingested (StreamingSpec). */
+  def rocAucByGroupView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.rocAucByGroupFromCounts(
+      sumView(spark, tablePath, Seq("g", "v", "y"))
+        .select(col("g"), col("v"), col("y"), col("n").as("c")))
+
+  /** Per-GROUP calibration view over the SAME (g, v, y) ledger as
+    * [[rocAucByGroupView]], with v the ppm probability — per-source
+    * reliability bins, streaming-fed and bit-equal to batch
+    * [[graft.ext.Stats.calibrationBinsByGroup]]. */
+  def calibrationByGroupView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, bins: Int = 10): DataFrame =
+    graft.ext.Stats.calibrationBinsByGroupFromCounts(
+      sumView(spark, tablePath, Seq("g", "v", "y"))
+        .select(col("g"), col("v"), col("y"), col("n").as("c")), bins)
+
   /** Cohen's-kappa view over an [[additiveSink]] ledger keyed
     * (a, b) — the two raters' verdict pair per unit: chance-corrected
     * agreement streaming-fed, bit-equal to batch

@@ -4235,6 +4235,83 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("averagePrecision: perfect ranking 1, all-positive 1, " +
+      "reversal = prevalence, interleaved hand case, no positives " +
+      "NULL; guard trips on an unquantized score") {
+    import graft.ext.Stats
+    def ap(rows: Seq[(Long, Boolean)]): Option[Double] = {
+      val r = Stats.averagePrecision(rows.toDF("s", "y"), col("s"),
+        col("y")).head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    // positives strictly above negatives
+    assert(ap(Seq((3L, true), (4L, true), (1L, false), (2L, false)))
+      .contains(1.0))
+    // no negatives: P(k) = 1 at every cut
+    assert(ap(Seq((1L, true), (2L, true))).contains(1.0))
+    // all negatives above the one positive block: one term,
+    // P = n_pos/(n_pos + n_neg) — AP degenerates to prevalence
+    // (terms are DECIMAL(28,12)-quantized, so exact to 5e-13)
+    assert(ap(Seq((1L, true), (2L, false), (3L, false)))
+      .map(a => math.abs(a - 1.0 / 3.0)).exists(_ < 1e-12))
+    // interleaved: cuts at 4 (tp=1, P=1), 2 (tp=2, P=2/3);
+    // AP = (1*1 + 1*2/3)/2 = 5/6
+    assert(ap(Seq((4L, true), (3L, false), (2L, true), (1L, false)))
+      .map(a => math.abs(a - 5.0 / 6.0)).exists(_ < 1e-12))
+    assert(ap(Seq((1L, false), (2L, false))).isEmpty)
+    intercept[IllegalArgumentException](
+      Stats.averagePrecision(
+        (1 to 20).map(i => (i * 0.31, i % 2 == 0)).toDF("s", "y"),
+        col("s"), col("y"), maxGridValues = 10L))
+  }
+
+  test("decisionCurve: hand utility at every cut; cost bound trips " +
+      "loudly") {
+    import graft.ext.Stats
+    val u = Seq((1L, false), (2L, true), (2L, false), (3L, true))
+      .toDF("s", "y")
+    // same grid as the thresholdSweep hand case; U = 5tp - fp - 2fn
+    val got = rows(Stats.decisionCurve(u, col("s"), col("y"),
+        wTp = 5L, wFp = 1L, wFn = 2L)
+      .orderBy(col("threshold").desc))
+      .map(r => (r.getLong(0), r.getLong(5)))
+    assert(got == Seq(
+      (3L, 5L * 1 - 0 - 2 * 1), // tp=1 fp=0 fn=1 -> 3
+      (2L, 5L * 2 - 1 - 0),     // tp=2 fp=1 fn=0 -> 9
+      (1L, 5L * 2 - 2 - 0)))    // tp=2 fp=2 fn=0 -> 8
+    intercept[IllegalArgumentException](
+      Stats.decisionCurve(u, col("s"), col("y"),
+        wTp = 1000001L, wFp = 1L, wFn = 1L))
+  }
+
+  test("calibrationBinsByGroup / brierByGroup: each group's rows " +
+      "equal the pooled operator run on that group alone") {
+    import graft.ext.Stats
+    val u = Seq(("A", 50000L, false), ("A", 150000L, true),
+      ("A", 999999L, false), ("B", 1000000L, true), ("B", 50000L, true),
+      ("B", 150000L, false)).toDF("g", "p", "y")
+    for (g <- Seq("A", "B")) {
+      val slice = u.where(col("g") === g)
+      assert(rows(Stats.calibrationBinsByGroup(u, col("g"), col("p"),
+          col("y")).where(col("group") === g)
+          .drop("group").orderBy("bin")).map(_.toString) ==
+        rows(Stats.calibrationBins(slice, col("p"), col("y"))
+          .orderBy("bin")).map(_.toString))
+      assert(rows(Stats.brierByGroup(u, col("g"), col("p"), col("y"))
+          .where(col("group") === g).drop("group")).map(_.toString) ==
+        rows(Stats.brierScore(slice, col("p"), col("y")))
+          .map(_.toString))
+    }
+    // the loud range contract holds in the grouped form too
+    val neg = Seq(("A", -5L, true)).toDF("g", "p", "y")
+    val e = intercept[Exception](
+      Stats.calibrationBinsByGroup(neg, col("g"), col("p"), col("y"))
+        .collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else (t.getMessage + "\n" + msgs(t.getCause))
+    assert(msgs(e).contains("out of [0, 1e6]"))
+  }
+
   test("classifier-eval score-grid guards: an unquantized score trips " +
       "maxGridValues loudly on rocAuc, thresholdSweep and " +
       "rocAucByGroup; an out-of-range ppm raises in calibrationBins") {

@@ -15,6 +15,7 @@ case class REv(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class DocT(doc_id: Long, n_tokens: Long, text: String)
 case class SCU(stratum: String, cohort: Long, ok: Boolean)
 case class VY(v: Long, y: Boolean)
+case class GVY(g: String, v: Long, y: Boolean)
 case class RatersAB(a: Boolean, b: Boolean)
 
 /** Streaming forms agree with the batch operators: replayed duplicates
@@ -583,6 +584,13 @@ class StreamingSpec extends SparkSpec {
         .map(_.toString) ==
       rows(Stats.calibrationBins(all, $"v", $"y").orderBy("bin"))
         .map(_.toString))
+    // the SAME ledger also folds to exact AP and the decision curve
+    assert(rows(Streams.prAucView(spark, table)).map(_.toString) ==
+      rows(Stats.averagePrecision(all, $"v", $"y")).map(_.toString))
+    assert(rows(Streams.decisionCurveView(spark, table, 5L, 1L, 2L)
+        .orderBy("threshold")).map(_.toString) ==
+      rows(Stats.decisionCurve(all, $"v", $"y", 5L, 1L, 2L)
+        .orderBy("threshold")).map(_.toString))
     // the kappa ledger is keyed by the RATER PAIR
     val k1 = Seq(RatersAB(true, true), RatersAB(true, false))
     val k2 = Seq(RatersAB(false, true), RatersAB(false, false),
@@ -600,6 +608,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Streams.cohenKappaView(spark, ktable)).map(_.toString) ==
       rows(Stats.cohenKappa((k1 ++ k2).toDF("a", "b"), $"a", $"b"))
         .map(_.toString))
+  }
+
+  test("per-group classifier-eval views: ONE (g, v, y) ledger folds " +
+      "to the exact batch rocAucByGroup and calibrationBinsByGroup") {
+    import graft.ext.Stats
+    implicit val sqlCtx = spark.sqlContext
+    // group A ranks perfectly, group B reversed — the Simpson shape
+    // the per-group views exist to surface
+    val b1 = Seq(GVY("A", 100000L, false), GVY("A", 900000L, true),
+      GVY("B", 100000L, true))
+    val b2 = Seq(GVY("B", 900000L, false), GVY("A", 500000L, true),
+      GVY("B", 500000L, false))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gevalvw")
+    val table = dir.resolve("log").toString
+    val mem = MemoryStream[GVY]
+    mem.addData(b1: _*)
+    val q = Streams.additiveSink(mem.toDF(), Seq("g", "v", "y"), lit(1L),
+      table, dir.resolve("ckpt").toString)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = (b1 ++ b2).toDF("g", "v", "y")
+    assert(rows(Streams.rocAucByGroupView(spark, table).orderBy("group"))
+        .map(_.toString) ==
+      rows(Stats.rocAucByGroup(all, $"g", $"v", $"y").orderBy("group"))
+        .map(_.toString))
+    assert(rows(Streams.calibrationByGroupView(spark, table)
+        .orderBy("group", "bin")).map(_.toString) ==
+      rows(Stats.calibrationBinsByGroup(all, $"g", $"v", $"y")
+        .orderBy("group", "bin")).map(_.toString))
+    // the grouped ledger's g-marginal serves the POOLED views too —
+    // one ledger, both audits
+    val pooled = Streams.sumView(spark, table, Seq("g", "v", "y"))
+      .groupBy("v", "y")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("c"))
+    assert(rows(Stats.rocAucFromCounts(pooled)).map(_.toString) ==
+      rows(Stats.rocAuc(all, $"v", $"y")).map(_.toString))
   }
 
   test("linkageAdmitSink: per-batch admission equals batch " +
