@@ -20,9 +20,13 @@ object ColdStart {
     val name = args(1)
     val q = Queries.all.getOrElse(name,
       sys.error(s"unknown query $name"))
+    // same parallelism contract as Bench (SPARK_GRAFT_CPUS, default
+    // 4): the cold-start rows sit beside the bench tables and must
+    // measure the same configuration
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -3407,10 +3407,11 @@ object Queries {
     * top-word pass runs once and each eval query's marginal cost is
     * the grid tail). */
   private def gateUnits(s: SparkSession, dir: String): DataFrame = {
-    // resolve the inner memo BEFORE entering the outer compute:
-    // Memo.cached is computeIfAbsent on one shared map, and Java
-    // forbids the mapping function from re-entering the map (nested
-    // computeIfAbsent can deadlock on a shared bin)
+    // resolve the inner memo BEFORE the outer compute. Memo.cached is
+    // REENTRANT by design (get → compute → putIfAbsent, not
+    // computeIfAbsent), so nesting would be safe — resolving first is
+    // the preferred pattern because on a cold race it costs one
+    // gopher compute instead of a discarded duplicate
     val gopher = gopherFull(s, dir)
     graft.ext.Memo.cached(s, s"gateUnits|$dir") {
       gopher

@@ -59,9 +59,11 @@ object Memo {
     * computeIfAbsent — Java forbids a computeIfAbsent mapping
     * function from re-entering the map (nested calls can deadlock on
     * a shared bin). The cost is that two threads racing the same
-    * cold key may both compute (one result is discarded) — harmless
-    * here because every memoized artifact is deterministic, and
-    * sessions drive queries single-threaded in practice. */
+    * cold key may both compute — harmless for correctness because
+    * every memoized artifact is deterministic; the loser's
+    * eagerly-materialized checkpoint blocks are unpersisted before
+    * returning the winner's frame, so the race never pins duplicate
+    * executor storage for the application's lifetime. */
   def cached(spark: org.apache.spark.sql.SparkSession, cacheKey: String)(
       compute: => DataFrame): DataFrame = {
     val app = spark.sparkContext.applicationId
@@ -85,7 +87,20 @@ object Memo {
     else {
       val computed = compute.localCheckpoint(true)
       val prior = cache.putIfAbsent(key, computed)
-      if (prior != null) prior else computed
+      if (prior != null) {
+        // lost the cold-key race: free the duplicate's checkpoint
+        // blocks (eagerly materialized above) instead of pinning
+        // them until application end. Dataset.unpersist would be a
+        // CacheManager no-op here — a localCheckpoint's blocks hang
+        // off the underlying RDD (the plan's LogicalRDD leaf), so
+        // unpersist THAT.
+        computed.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+        prior
+      } else computed
     }
   }
 

@@ -261,6 +261,40 @@ class PropertySpec extends SparkSpec {
     assert(computes == 2)
   }
 
+  test("Memo.cached cold-key race: both threads compute, one result " +
+      "wins, and the loser's checkpoint blocks are unpersisted") {
+    import java.util.concurrent.CyclicBarrier
+    val k = s"memo-race-${System.nanoTime()}"
+    // hold BOTH threads inside compute until both have entered, so
+    // both localCheckpoint and exactly one putIfAbsent wins
+    val barrier = new CyclicBarrier(2)
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.DataFrame]()
+    def work(): Unit = {
+      val df = graft.ext.Memo.cached(spark, k) {
+        barrier.await()
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      }
+      results.add(df)
+    }
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val t1 = new Thread(() => work()); val t2 = new Thread(() => work())
+    t1.start(); t2.start(); t1.join(30000); t2.join(30000)
+    val got = results.toArray(Array.empty[org.apache.spark.sql.DataFrame])
+    assert(got.length == 2)
+    // both callers see the SAME winning frame
+    assert(got(0) eq got(1))
+    assert(rows(got(0).orderBy("id")).map(_.getLong(0)) == Seq(1L, 2L))
+    // the loser's checkpointed RDD must have been unpersisted: net
+    // one new persistent RDD, not two (unpersist is non-blocking —
+    // removal from the registry is synchronous, block deletion async)
+    assert(spark.sparkContext.getPersistentRDDs.size ==
+      persistedBefore + 1,
+      s"persistent RDDs before=$persistedBefore " +
+        s"after=${spark.sparkContext.getPersistentRDDs.size}")
+  }
+
   test("property: year attachment lands in (target−1y, target]") {
     val cases = (1 to 200).map { _ =>
       val d = 1 + rnd.nextInt(28)
