@@ -1416,31 +1416,50 @@ object Dedup {
     p.select(pairGraphCols.map(col): _*)
   }
 
+  /** The prefix bucket of a variant string — a pure function of the
+    * variant (first two characters hashed, seed-fixed xxhash64), so
+    * equal variants ALWAYS land in the same bucket and the recall-1
+    * blocking guarantee is untouched by the bucketed layout. */
+  private def variantBucket(v: Column, nBuckets: Int): Column =
+    pmod(xxhash64(substring(v, 1, 2)), lit(nBuckets.toLong)).cast("int")
+
   /** Persist a SYMMETRIC-DELETE variant index for fuzzy record
     * linkage — the [[saveLshIndex]] lifecycle discipline applied to
     * [[editDistancePairs]]'s blocking scheme: three tables under
     * `path` — `strings/` (id, s: the indexed records), `variants/`
-    * (v, id: the full delete neighborhood), and a one-row `params/`
-    * (max_dist, min_len) pinning the expansion the index was built
-    * with, so a loader expanding queries with a DIFFERENT maxDist
-    * fails loudly instead of silently losing recall. The variants
-    * table is Σ C(len, ≤maxDist) rows per record — record-count-
-    * sized × a small length polynomial, no text bodies. */
+    * (id, v: the full delete neighborhood, PARTITIONED by the
+    * prefix `bucket` of v), and a one-row `params/` (max_dist,
+    * min_len, n_buckets) pinning the expansion AND the bucket layout
+    * the index was built with, so a loader expanding queries with a
+    * DIFFERENT maxDist or bucketing fails loudly / cannot drift
+    * silently. The variants table is Σ C(len, ≤maxDist) rows per
+    * record — record-count-sized × a small length polynomial, no text
+    * bodies; at 100 TB vocabulary the bucketed layout is what keeps a
+    * small incoming batch from scanning it all: the batch's expansion
+    * touches few prefix buckets, and [[linkAgainstIndex]] prunes the
+    * scan to exactly those directories (PartitionFilters in the plan)
+    * before the bloom gate cuts the survivors again. */
   def saveVariantIndex(df: DataFrame, idCol: String, strCol: String,
-      path: String, maxDist: Int = 2, minLen: Int = 4): Unit = {
+      path: String, maxDist: Int = 2, minLen: Int = 4,
+      nBuckets: Int = 64): Unit = {
     require(maxDist >= 1 && maxDist <= 3,
       s"saveVariantIndex: maxDist=$maxDist outside [1,3]")
     require(minLen >= maxDist + 2,
       s"saveVariantIndex: minLen=$minLen must be >= maxDist+2")
+    require(nBuckets >= 1 && nBuckets <= 4096,
+      s"saveVariantIndex: nBuckets=$nBuckets outside [1,4096]")
     val spark = df.sparkSession
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .where(length(col("s")) >= minLen)
       .localCheckpoint(true) // feeds the strings table AND the expansion
     base.write.mode("overwrite").parquet(s"$path/strings")
     deleteNeighborhood(base, maxDist)
-      .write.mode("overwrite").parquet(s"$path/variants")
+      .withColumn("bucket", variantBucket(col("v"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/variants")
     import spark.implicits._
-    Seq((maxDist, minLen)).toDF("max_dist", "min_len")
+    Seq((maxDist, minLen, nBuckets))
+      .toDF("max_dist", "min_len", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
@@ -1452,12 +1471,18 @@ object Dedup {
   def linkAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, incoming: DataFrame, idCol: String, strCol: String)
       : DataFrame = {
-    val p = spark.read.parquet(s"$path/params").head()
+    val params = spark.read.parquet(s"$path/params")
+    val p = params.head()
+    // pre-bucketed-layout indexes (no n_buckets column) still link —
+    // they just skip the partition prune
+    val nBuckets = if (params.columns.contains("n_buckets"))
+      p.getAs[Int]("n_buckets") else 0
     linkAgainstLoadedIndex(
       spark.read.parquet(s"$path/variants"),
       spark.read.parquet(s"$path/strings"),
       incoming, idCol, strCol,
-      maxDist = p.getAs[Int]("max_dist"), minLen = p.getAs[Int]("min_len"))
+      maxDist = p.getAs[Int]("max_dist"), minLen = p.getAs[Int]("min_len"),
+      nBuckets = nBuckets)
   }
 
   /** The linkage tail against ALREADY-LOADED index tables: incoming
@@ -1469,20 +1494,56 @@ object Dedup {
     * excluded exactly as the index excluded them (the hub-variant
     * guard). Ids are assumed to live in distinct spaces (an incoming
     * id equal to an indexed id is NOT filtered — two records, not
-    * one). Output: (id, ex_id, dist) — every (incoming, indexed)
-    * match within maxDist; an incoming record with NO output row is
-    * novel, the admission predicate [[graft.streaming.Streams
-    * .linkageAdmitSink]] keys on. */
+    * one).
+    *
+    * 100 TB shape: incoming is BY CONTRACT the small side (an
+    * admission batch against a frozen universe), so the index scan is
+    * what must not be paid in full. Two gates, both recall-exact:
+    * (1) with `nBuckets` > 0 (a bucketed [[saveVariantIndex]]
+    * layout), the incoming expansion's distinct prefix buckets — a
+    * model-sized collect, ≤ nBuckets values — prune the variants
+    * read to those partitions (PartitionFilters on a parquet scan; a
+    * plain filter on a checkpointed stream copy); (2) a Bloom filter
+    * of the incoming variants ([[Bloom.buildHashed]], fpp 1%) gates
+    * the surviving index rows at scan speed, so only ~fpp of the
+    * pruned index plus the true variant matches reach the candidate
+    * shuffle. False positives are killed by the exact levenshtein
+    * verify; false negatives don't exist — results are byte-identical
+    * to the ungated join (the x238 oracle re-verifies with DuckDB's
+    * own levenshtein, no blocking scheme trusted).
+    * Output: (id, ex_id, dist) — every (incoming, indexed) match
+    * within maxDist; an incoming record with NO output row is novel,
+    * the admission predicate
+    * [[graft.streaming.Streams.linkageAdmitSink]] keys on. */
   def linkAgainstLoadedIndex(exVariants: DataFrame, exStrings: DataFrame,
       incoming: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 2, minLen: Int = 4): DataFrame = {
+      maxDist: Int = 2, minLen: Int = 4, nBuckets: Int = 0): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3,
       s"linkAgainstLoadedIndex: maxDist=$maxDist outside [1,3]")
     val inBase = incoming.select(col(idCol).as("id"), col(strCol).as("s"))
       .where(length(col("s")) >= minLen)
       .localCheckpoint(true) // feeds the expansion AND the verify join
-    val cand = deleteNeighborhood(inBase, maxDist)
-      .join(exVariants.select(col("v"), col("id").as("ex_id")), Seq("v"))
+    val inVar = deleteNeighborhood(inBase, maxDist)
+      .localCheckpoint(true) // feeds the bucket collect, the bloom
+      // build AND the candidate join — three consumers, one expansion
+    val nInVar = inVar.count()
+    val gated = if (nInVar == 0) {
+      exVariants.where(lit(false)) // empty batch: nothing can match
+    } else {
+      val bloom = Bloom.buildHashed(inVar, col("v"),
+        expectedItems = nInVar, fpp = 0.01)
+      val bloomed = exVariants
+        .where(Bloom.mightContain(bloom, col("v")))
+      if (nBuckets > 0) {
+        // model-sized collect: ≤ nBuckets distinct ints
+        val buckets = inVar
+          .select(variantBucket(col("v"), nBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        bloomed.where(col("bucket").isInCollection(buckets))
+      } else bloomed
+    }
+    val cand = inVar
+      .join(gated.select(col("v"), col("id").as("ex_id")), Seq("v"))
       .select(col("id"), col("ex_id"))
       .distinct()
     cand

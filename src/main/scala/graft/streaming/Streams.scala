@@ -784,9 +784,16 @@ object Streams {
       idCol: String, strCol: String, outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = recStream.sparkSession
-    val params = spark.read.parquet(s"$indexDir/params").head()
+    val paramsDf = spark.read.parquet(s"$indexDir/params")
+    val params = paramsDf.head()
     val maxDist = params.getAs[Int]("max_dist")
     val minLen = params.getAs[Int]("min_len")
+    // bucketed layouts carry n_buckets: the per-batch link then
+    // bucket-filters the checkpointed variants copy (no partition
+    // pruning off a checkpoint, but the candidate-join input shrinks
+    // identically)
+    val nBuckets = if (paramsDf.columns.contains("n_buckets"))
+      params.getAs[Int]("n_buckets") else 0
     val exV = spark.read.parquet(s"$indexDir/variants").localCheckpoint()
     val exS = spark.read.parquet(s"$indexDir/strings").localCheckpoint()
     recStream.writeStream
@@ -794,7 +801,7 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val matched = graft.ext.Dedup.linkAgainstLoadedIndex(exV, exS,
-            batch, idCol, strCol, maxDist, minLen)
+            batch, idCol, strCol, maxDist, minLen, nBuckets)
           .select(col("id").as(idCol)).distinct()
         batch.join(matched, Seq(idCol), "left_anti")
           .withColumn("_batch", lit(batchId))

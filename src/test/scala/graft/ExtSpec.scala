@@ -4345,6 +4345,39 @@ class ExtSpec extends SparkSpec {
     assert(msgs(e2).contains("out of [0, 1e6]"))
   }
 
+  test("bucketed variant index: the link plan prunes the variants " +
+      "scan to the incoming prefix buckets and bloom-gates it; " +
+      "matches are the hand-checked set; an empty batch links to " +
+      "nothing") {
+    import graft.ext.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_varidx")
+    try {
+      val indexed = Seq((1L, "spark"), (2L, "quantile"),
+        (3L, "calendar"), (4L, "winnow")).toDF("id", "s")
+      val idx = dir.resolve("idx").toString
+      Dedup.saveVariantIndex(indexed, "id", "s", idx, nBuckets = 16)
+      val incoming = Seq((10L, "spork"), (11L, "banana")).toDF("id", "s")
+      val linked = Dedup.linkAgainstIndex(spark, idx, incoming, "id", "s")
+      val plan = linked.queryExecution.executedPlan.toString
+      // bloom gate at scan speed + partition prune to incoming buckets
+      assert(plan.contains("might_contain"),
+        "no bloom gate in plan:\n" + plan.take(800))
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+        "variants scan not partition-pruned:\n" + plan.take(800))
+      // spork -> spark (dist 1, blocked via the shared delete "sprk");
+      // banana is novel
+      assert(rows(linked.orderBy("id", "ex_id"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) ==
+        Seq((10L, 1L, 1)))
+      // empty incoming: the bloom build is skipped, nothing links
+      val none = Dedup.linkAgainstIndex(spark, idx,
+        incoming.where(col("id") < 0), "id", "s")
+      assert(none.count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("pair-graph persistence: save/load round-trips the winnow " +
       "graph bit-for-bit; a foreign directory fails loudly") {
     import graft.ext.Dedup
