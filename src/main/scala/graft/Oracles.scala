@@ -8295,6 +8295,129 @@ object Oracles {
             |        * (1.0e0 - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)))
             |    END AS skill
             |FROM a ORDER BY source""".stripMargin),
+      // x251: per-source AP — the x247 arithmetic with suffix windows
+      // partitioned by source
+      "x251_group_ap" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT d.source, g.gopher_pass AS y, d.n_chars AS s
+            |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+            |grid AS (
+            |  SELECT source, s,
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+            |  FROM u GROUP BY 1, 2),
+            |c AS (
+            |  SELECT source, pos, neg,
+            |    CAST(sum(pos) OVER (PARTITION BY source ORDER BY s DESC
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+            |    CAST(sum(neg) OVER (PARTITION BY source ORDER BY s DESC
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+            |  FROM grid),
+            |t AS (
+            |  SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+            |    CAST(sum(neg) AS BIGINT) AS n_neg,
+            |    sum(CASE WHEN pos > 0 THEN
+            |      CAST(CAST(pos AS DOUBLE) * CAST(tp AS DOUBLE)
+            |        / CAST(tp + fp AS DOUBLE) AS DECIMAL(28,12))
+            |      ELSE CAST(0 AS DECIMAL(28,12)) END) AS ts
+            |  FROM c GROUP BY source)
+            |SELECT source, n_pos, n_neg,
+            |  CASE WHEN n_pos > 0 THEN
+            |    CAST(ts AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS ap
+            |FROM t ORDER BY source""".stripMargin),
+      // x252: MCC per cut — exact HUGEINT numerator, the fixed
+      // ((tp+fp)(tp+fn))·((tn+fp)(tn+fn)) double order under one sqrt
+      "x252_mcc_sweep" -> (units +
+        """grid AS (
+          |  SELECT s AS threshold,
+          |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          |  FROM u GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(sum(pos) AS BIGINT) AS np,
+          |    CAST(sum(neg) AS BIGINT) AS nn FROM grid),
+          |c AS (
+          |  SELECT threshold,
+          |    CAST(sum(pos) OVER (ORDER BY threshold DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+          |    CAST(sum(neg) OVER (ORDER BY threshold DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+          |  FROM grid),
+          |m AS (
+          |  SELECT c.threshold, c.tp, c.fp,
+          |    CAST(t.np - c.tp AS BIGINT) AS fn,
+          |    CAST(t.nn - c.fp AS BIGINT) AS tn
+          |  FROM c CROSS JOIN tot t)
+          |SELECT threshold, tp, fp, fn, tn,
+          |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+          |      AND tn + fn > 0 THEN
+          |    CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+          |        AS DOUBLE)
+          |      / sqrt((CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE))
+          |        * (CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))
+          |    END AS mcc
+          |FROM m ORDER BY threshold""".stripMargin),
+      // x253: Fleiss over the three stacked gate verdicts — the
+      // common-denominator exact form, one division
+      "x253_fleiss_kappa" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """r AS (
+            |  SELECT doc_id, gopher_pass AS v FROM g
+            |  UNION ALL SELECT doc_id, stop_hits >= 2 FROM g
+            |  UNION ALL SELECT doc_id, n_words >= 40 FROM g),
+            |grid AS (
+            |  SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+            |  FROM r GROUP BY 1, 2),
+            |s AS (
+            |  SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+            |    CAST(sum(c) AS BIGINT) AS t,
+            |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_units
+            |  FROM grid),
+            |e AS (
+            |  SELECT CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS e2
+            |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cj
+            |        FROM grid GROUP BY 1))
+            |SELECT s.n_units, CAST(3 AS BIGINT) AS n_raters,
+            |  CAST(s.s2 - s.t AS DOUBLE)
+            |    / (CAST(s.t AS DOUBLE) * 2.0e0) AS p_bar,
+            |  CAST(e.e2 AS DOUBLE)
+            |    / CAST(CAST(s.t AS HUGEINT) * s.t AS DOUBLE) AS p_e,
+            |  CASE WHEN CAST(s.t AS HUGEINT) * s.t != e.e2 THEN
+            |    CAST((s.s2 - s.t) * s.t - e.e2 * 2 AS DOUBLE)
+            |      / CAST((CAST(s.t AS HUGEINT) * s.t - e.e2) * 2
+            |        AS DOUBLE) END AS kappa
+            |FROM s CROSS JOIN e""".stripMargin),
+      // x254: quadratic-weighted kappa over the two ordinal buckets —
+      // integer weights, exact sums, one division
+      "x254_weighted_kappa" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT least(CAST(9 AS BIGINT), stop_hits) AS a,
+            |    least(CAST(9 AS BIGINT), n_words // 50) AS b
+            |  FROM g),
+            |grid AS (
+            |  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+            |  FROM u GROUP BY 1, 2),
+            |o AS (
+            |  SELECT CAST(sum(c) AS BIGINT) AS n,
+            |    CAST(coalesce(sum(CAST((a - b) * (a - b) AS HUGEINT) * c),
+            |      0) AS HUGEINT) AS wo
+            |  FROM grid),
+            |rm AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra
+            |       FROM grid GROUP BY 1),
+            |cm AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+            |       FROM grid GROUP BY 1),
+            |e AS (
+            |  SELECT CAST(coalesce(sum(
+            |      CAST((rm.a - cm.b) * (rm.a - cm.b) AS HUGEINT)
+            |        * rm.ra * cm.cb), 0) AS HUGEINT) AS we
+            |  FROM rm CROSS JOIN cm)
+            |SELECT o.n,
+            |  CASE WHEN e.we > 0 THEN
+            |    1.0e0 - CAST(CAST(o.n AS HUGEINT) * o.wo AS DOUBLE)
+            |      / CAST(e.we AS DOUBLE) END AS kappa_w
+            |FROM o CROSS JOIN e""".stripMargin),
       "x242_cohen_kappa" -> (units +
         """grid AS (
           |  SELECT y AS a, s >= 200 AS b, CAST(count(*) AS BIGINT) AS c

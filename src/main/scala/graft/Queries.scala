@@ -3565,6 +3565,55 @@ object Queries {
       .orderBy("threshold")
   }
 
+  /** x251 — per-SOURCE average precision
+    * ([[graft.ext.Stats.averagePrecisionByGroup]]): x247's PR-space
+    * read split by source — the third per-source dial beside x244's
+    * AUC and x250's Brier (ranking, probability, retrieval quality),
+    * partitioned suffix windows, per-term quantized exact sums. */
+  val x251GroupAp: Q = (s, dir) => {
+    graft.ext.Stats.averagePrecisionByGroup(gateUnitsWithSource(s, dir),
+        col("source"), col("n_chars"), col("gopher_pass"))
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+  }
+
+  /** x252 — MCC sweep ([[graft.ext.Stats.mccSweep]]): the balanced
+    * confusion-matrix number at every cut — F1 ignores true
+    * negatives and accuracy drowns in the majority class, so the
+    * imbalanced-gate owner reads MCC beside x239's four ratios;
+    * exact-integer numerator, one fixed-order double chain. */
+  val x252MccSweep: Q = (s, dir) => {
+    graft.ext.Stats.mccSweep(gateUnits(s, dir), col("n_chars"),
+        col("gopher_pass"))
+      .orderBy("threshold")
+  }
+
+  /** x253 — FLEISS' KAPPA ([[graft.ext.Stats.fleissKappa]]): do the
+    * THREE cheap quality gates (Gopher verdict, length ≥ 40 words,
+    * stopword evidence ≥ 2) agree beyond chance — the multi-rater
+    * generalization of x242 that decides whether an ensemble of
+    * gates is redundant or carries independent signal; exact
+    * integers on the (doc, verdict) count grid to one division. */
+  val x253FleissKappa: Q = (s, dir) => {
+    val g = gopherFull(s, dir)
+    val ratings = g.select(col("id"), explode(array(
+      col("gopher_pass"), col("stop_hits") >= 2, col("n_words") >= 40))
+      .as("verdict"))
+    graft.ext.Stats.fleissKappa(ratings, col("id"), col("verdict"))
+  }
+
+  /** x254 — WEIGHTED COHEN'S KAPPA ([[graft.ext.Stats.weightedKappa]],
+    * quadratic): agreement between two ORDINAL quality raters (the
+    * 0-9 stopword bucket vs the 0-9 length bucket) where
+    * off-by-one-bucket is a lesser disagreement than off-by-nine —
+    * the ordinal companion to x242's nominal kappa, integer weights,
+    * exact sums to one division. */
+  val x254WeightedKappa: Q = (s, dir) => {
+    val g = gopherFull(s, dir)
+    graft.ext.Stats.weightedKappa(g, least(lit(9L), col("stop_hits")),
+      least(lit(9L), expr("n_words DIV 50")))
+  }
+
   /** x250 — per-SOURCE Brier + skill
     * ([[graft.ext.Stats.brierByGroup]]): x245's strictly-proper
     * probability score split by source — a proxy can beat climatology
@@ -4630,6 +4679,10 @@ object Queries {
     "x248_group_calibration" -> x248GroupCalibration,
     "x249_decision_curve" -> x249DecisionCurve,
     "x250_group_brier" -> x250GroupBrier,
+    "x251_group_ap" -> x251GroupAp,
+    "x252_mcc_sweep" -> x252MccSweep,
+    "x253_fleiss_kappa" -> x253FleissKappa,
+    "x254_weighted_kappa" -> x254WeightedKappa,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

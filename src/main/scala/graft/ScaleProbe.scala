@@ -173,7 +173,17 @@ object ScaleProbe {
       "x236_sif_persist", "x237_sif_frozen", "x238_linkage_roundtrip",
       "x239_threshold_sweep", "x240_roc_auc", "x241_calibration",
       "x242_cohen_kappa", "x243_graph_persist", "x244_group_auc",
-      "x245_brier", "x246_kendall_tau")
+      "x245_brier", "x246_kendall_tau",
+      // round-14: AP + decision curve (same suffix-sum grid as x239),
+      // and the per-source calibration/Brier pair (bounded
+      // (source, bin) / (source) grids off the memoized gateUnits)
+      "x247_avg_precision", "x248_group_calibration",
+      "x249_decision_curve", "x250_group_brier",
+      // round-14 second block: per-source AP (partitioned suffix
+      // windows), MCC off the same sweep grid, and the multi-rater /
+      // ordinal agreement pair (category-bounded grids)
+      "x251_group_ap", "x252_mcc_sweep", "x253_fleiss_kappa",
+      "x254_weighted_kappa")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -782,6 +782,207 @@ object Stats {
           .as("ap"))
   }
 
+  /** [[averagePrecision]] PER GROUP — the per-source ranking audit in
+    * PRECISION-RECALL space (x244's Simpson lesson, third dial: AUC
+    * ranks, calibration reads probabilities, AP weights the kept
+    * positives — a proxy can hold a healthy pooled AP while retrieving
+    * garbage inside one source whose prevalence differs). Same exact
+    * per-term arithmetic as the pooled form on the per-(group, score)
+    * grid; suffix windows PARTITIONED by group, terms
+    * DECIMAL(28,12)-quantized then summed per group. Guard on the
+    * pooled (group, score) cell count. Output: (group, n_pos, n_neg,
+    * ap) — ap NULL where a group has no positives. */
+  def averagePrecisionByGroup(units: DataFrame, group: Column,
+      score: Column, label: Column, maxGridValues: Long = 10000000L)
+      : DataFrame =
+    averagePrecisionByGroupFromCounts(units
+      .select(group.as("g"), score.as("v"), label.as("y"))
+      .groupBy("g", "v", "y").agg(count(lit(1)).as("c")), maxGridValues)
+
+  /** [[averagePrecisionByGroup]] over PRE-AGGREGATED (g, v, y, c)
+    * counts — the (g, v, y) grouped-ledger form
+    * ([[graft.streaming.Streams.apByGroupView]]). */
+  def averagePrecisionByGroupFromCounts(counts: DataFrame,
+      maxGridValues: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = DecimalType(28, 12)
+    val grid = counts.select(col("g"), col("v").as("__v"),
+        col("y").as("__y"), col("c").as("__c"))
+      .groupBy("g", "__v").agg(
+        sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
+      .localCheckpoint(true) // feeds the measured guard AND the window
+    val nCells = grid.count()
+    require(nCells <= maxGridValues,
+      s"averagePrecisionByGroup: $nCells pooled (group, score) cells " +
+        s"exceeds maxGridValues=$maxGridValues — the score must be " +
+        "discrete (quantize a raw double first)")
+    val wDesc = Window.partitionBy("g").orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("__tp", sum(col("__pos")).over(wDesc))
+      .withColumn("__fp", sum(col("__neg")).over(wDesc))
+      .withColumn("__term",
+        when(col("__pos") > 0,
+          (col("__pos").cast("double") * col("__tp").cast("double") /
+            (col("__tp") + col("__fp")).cast("double")).cast(L))
+          .otherwise(lit(0).cast(L)))
+      .groupBy("g")
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(col("__term")).as("__ts"))
+      .select(col("g").as("group"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          col("__ts").cast("double") / col("n_pos").cast("double"))
+          .as("ap"))
+  }
+
+  /** MATTHEWS CORRELATION COEFFICIENT at every distinct score cut
+    * (Matthews 1975) — the single balanced confusion-matrix number per
+    * operating point: unlike F1 (blind to tn) and accuracy (swamped by
+    * the majority class), MCC only rewards a cut that gets all four
+    * cells right, which is exactly the summary an imbalanced-gate
+    * owner wants next to [[thresholdSweep]]'s four ratios.
+    * MCC(t) = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn)) —
+    * numerator exact DECIMAL(38,0); the denominator's four marginal
+    * sums are exact longs multiplied in ONE fixed double order
+    * ((tp+fp)·(tp+fn) then ·((tn+fp)·(tn+fn)) — ≤10⁴⁸, far inside
+    * double range) under one sqrt; NULL when any marginal is zero
+    * (MCC undefined — a degenerate cut). Same discrete-score contract
+    * and guard as the sweep it rides. Output per threshold:
+    * (threshold, tp, fp, fn, tn, mcc). */
+  def mccSweep(units: DataFrame, score: Column, label: Column,
+      maxGridValues: Long = 10000000L): DataFrame =
+    mccSweepFromCounts(units.select(score.as("v"), label.as("y"))
+      .groupBy("v", "y").agg(count(lit(1)).as("c")), maxGridValues)
+
+  /** [[mccSweep]] over PRE-AGGREGATED (v, y, c) counts — the SAME
+    * (v, y) ledger as the rest of the classifier-eval family
+    * ([[graft.streaming.Streams.mccSweepView]]). */
+  def mccSweepFromCounts(counts: DataFrame,
+      maxGridValues: Long = 10000000L): DataFrame = {
+    val N = DecimalType(38, 0)
+    val d = (c: Column) => c.cast("double")
+    val sweep = thresholdSweepFromCounts(counts, maxGridValues)
+    val pp = col("tp") + col("fp"); val ap = col("tp") + col("fn")
+    val pn = col("tn") + col("fp"); val an = col("tn") + col("fn")
+    sweep.select(col("threshold"), col("tp"), col("fp"), col("fn"),
+      col("tn"),
+      when(pp > 0 && ap > 0 && pn > 0 && an > 0,
+        (col("tp").cast(N) * col("tn").cast(N) -
+          col("fp").cast(N) * col("fn").cast(N)).cast("double") /
+          sqrt((d(pp) * d(ap)) * (d(pn) * d(an)))).as("mcc"))
+  }
+
+  /** FLEISS' KAPPA multi-rater agreement (Fleiss 1971) — [[cohenKappa]]
+    * generalized past two raters: m gates/models/annotators each
+    * assign every unit a category, and κ reads how far the observed
+    * per-unit agreement exceeds chance. The check before averaging m
+    * quality gates into one vote: high κ means the gates are
+    * redundant, low κ means the ensemble carries real signal (or real
+    * noise). Input: ONE ROW PER RATING (unit, category) — m rows per
+    * unit; the rater count must be CONSTANT across units (Fleiss'
+    * formula assumes it; enforced by a measured require, the loud
+    * contract).
+    *
+    * Exact arithmetic on the (unit, category) count grid: with
+    * T = N·n total ratings, S2 = Σ_ij n_ij², E2 = Σ_j (Σ_i n_ij)²,
+    * κ = ((S2 − T)·T − E2·(n−1)) / ((n−1)·(T² − E2)) — both sides
+    * exact DECIMAL(38,0), ONE double division. NULL when T² = E2
+    * (every rating in one category — chance explains everything) or
+    * n < 2. Scale: one (unit, category) combiner grid (m-bounded per
+    * unit), one square fold, one category-marginal fold. Output one
+    * row: (n_units, n_raters, p_bar, p_e, kappa). */
+  def fleissKappa(units: DataFrame, unitCol: Column, category: Column)
+      : DataFrame = {
+    val N = DecimalType(38, 0)
+    val grid = units.select(unitCol.as("__u"), category.as("__cat"))
+      .where(col("__u").isNotNull && col("__cat").isNotNull)
+      .groupBy("__u", "__cat").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the rater-count check, the square
+      // fold AND the category marginals
+    val perUnit = grid.groupBy("__u").agg(sum(col("__c")).as("__n"))
+      .localCheckpoint(true)
+    val raterCounts = perUnit.select(col("__n")).distinct().collect()
+    require(raterCounts.length == 1,
+      s"fleissKappa: per-unit rating counts differ " +
+        s"(${raterCounts.map(_.getLong(0)).sorted.mkString(", ")}) — " +
+        "Fleiss' formula assumes a constant rater count per unit")
+    val n = raterCounts.head.getLong(0)
+    require(n >= 2, s"fleissKappa: $n rating(s) per unit — agreement " +
+      "needs at least two raters")
+    val s2 = grid.agg(sum(col("__c").cast(N) * col("__c").cast(N))
+      .as("__s2"), sum(col("__c")).as("__t"),
+      count_distinct(col("__u")).as("n_units"))
+    val e2 = grid.groupBy("__cat").agg(sum(col("__c")).as("__cj"))
+      .agg(sum(col("__cj").cast(N) * col("__cj").cast(N)).as("__e2"))
+    s2.crossJoin(broadcast(e2))
+      .select(col("n_units"), lit(n).as("n_raters"),
+        ((col("__s2") - col("__t").cast(N)).cast("double") /
+          (col("__t").cast("double") * lit((n - 1).toDouble)))
+          .as("p_bar"),
+        (col("__e2").cast("double") /
+          (col("__t").cast(N) * col("__t").cast(N)).cast("double"))
+          .as("p_e"),
+        when(col("__t").cast(N) * col("__t").cast(N) =!= col("__e2"),
+          ((col("__s2") - col("__t").cast(N)) * col("__t").cast(N) -
+            col("__e2") * lit(n - 1).cast(N)).cast("double") /
+            ((col("__t").cast(N) * col("__t").cast(N) - col("__e2")) *
+              lit(n - 1).cast(N)).cast("double")).as("kappa"))
+  }
+
+  /** WEIGHTED COHEN'S KAPPA (Cohen 1968) — [[cohenKappa]] for ORDINAL
+    * raters: disagreeing by one quality bucket is not the same error
+    * as disagreeing by nine, so cell (i, j) is penalized by an
+    * integer weight — |i−j| (linear) or (i−j)² (quadratic, the
+    * default: the ICC-like reading). κ_w = 1 − N·Σw·o / Σ_ij w_ij·r_i·c_j
+    * with o the observed grid and r/c the marginals — the expected
+    * side needs the FULL |categories|² marginal product grid, bounded
+    * by construction. Raters must be integral buckets (the ordinal
+    * contract — weights are exact integers, so both sums are exact
+    * DECIMAL(38,0); ONE double division). NULL when the expected
+    * weighted disagreement is zero (both raters constant — nothing to
+    * correct for). Rows where either rater is NULL are excluded.
+    * Output: (n, kappa_w). */
+  def weightedKappa(units: DataFrame, raterA: Column, raterB: Column,
+      quadratic: Boolean = true): DataFrame =
+    weightedKappaFromCounts(units
+      .select(raterA.cast("long").as("a"), raterB.cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c")), quadratic)
+
+  /** [[weightedKappa]] over PRE-AGGREGATED (a, b, c) cells — rides
+    * the SAME (a, b) ledger as [[cohenKappaFromCounts]]
+    * ([[graft.streaming.Streams.weightedKappaView]]). */
+  def weightedKappaFromCounts(cells: DataFrame,
+      quadratic: Boolean = true): DataFrame = {
+    val N = DecimalType(38, 0)
+    def w(i: Column, j: Column): Column = {
+      val diff = abs(i.cast("long") - j.cast("long"))
+      (if (quadratic) diff * diff else diff).cast(N)
+    }
+    val grid = cells
+      .select(col("a").cast("long").as("__a"),
+        col("b").cast("long").as("__b"), col("c").as("__c"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .localCheckpoint(true) // feeds the observed fold AND both marginals
+    val obs = grid.agg(sum(col("__c")).as("n"),
+      coalesce(sum(w(col("__a"), col("__b")) * col("__c").cast(N)),
+        lit(0).cast(N)).as("__wo"))
+    val rowM = grid.groupBy("__a").agg(sum(col("__c")).as("__ra"))
+    val colM = grid.groupBy("__b").agg(sum(col("__c")).as("__cb"))
+    // the |cats|² expected grid: every (row-marginal, col-marginal)
+    // pair — category-bounded by construction, never unit-sized
+    val exp = rowM.crossJoin(colM)
+      .agg(coalesce(sum(w(col("__a"), col("__b")) *
+        col("__ra").cast(N) * col("__cb").cast(N)), lit(0).cast(N))
+        .as("__we"))
+    obs.crossJoin(broadcast(exp))
+      .select(col("n"),
+        when(col("__we") > 0,
+          lit(1.0) - (col("n").cast(N) * col("__wo")).cast("double") /
+            col("__we").cast("double")).as("kappa_w"))
+  }
+
   /** CALIBRATION (reliability) bins for a ppm-quantized probability
     * against a binary outcome — "when the score says 70%, does it
     * happen 70% of the time": equal-width bins over [0, 1e6] ppm

@@ -571,6 +571,37 @@ object Streams {
       sumView(spark, tablePath, Seq("v", "y"))
         .select(col("v"), col("y"), col("n").as("c")), wTp, wFp, wFn)
 
+  /** MCC-sweep view over the SAME (v, y) ledger as [[rocAucView]] —
+    * the balanced confusion-matrix number per cut, streaming-fed and
+    * bit-equal to batch [[graft.ext.Stats.mccSweep]]. The SIXTH view
+    * on one classifier-eval ledger. */
+  def mccSweepView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.mccSweepFromCounts(
+      sumView(spark, tablePath, Seq("v", "y"))
+        .select(col("v"), col("y"), col("n").as("c")))
+
+  /** Per-GROUP average-precision view over the SAME (g, v, y) ledger
+    * as [[rocAucByGroupView]] — per-source PR-space ranking quality,
+    * streaming-fed and bit-equal to batch
+    * [[graft.ext.Stats.averagePrecisionByGroup]]. */
+  def apByGroupView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.averagePrecisionByGroupFromCounts(
+      sumView(spark, tablePath, Seq("g", "v", "y"))
+        .select(col("g"), col("v"), col("y"), col("n").as("c")))
+
+  /** Weighted-kappa view over the SAME (a, b) ledger as
+    * [[cohenKappaView]] — ordinal chance-corrected agreement,
+    * streaming-fed and bit-equal to batch
+    * [[graft.ext.Stats.weightedKappa]]. One rater-pair ledger now
+    * serves both agreement reads. */
+  def weightedKappaView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, quadratic: Boolean = true): DataFrame =
+    graft.ext.Stats.weightedKappaFromCounts(
+      sumView(spark, tablePath, Seq("a", "b"))
+        .select(col("a"), col("b"), col("n").as("c")), quadratic)
+
   /** Per-GROUP ROC-AUC view over an [[additiveSink]] ledger keyed
     * (g, v, y) — source × score × label, one appended unit per scored
     * document: fold the count partials and run the exact x244

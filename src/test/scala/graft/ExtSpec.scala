@@ -4312,6 +4312,86 @@ class ExtSpec extends SparkSpec {
     assert(msgs(e).contains("out of [0, 1e6]"))
   }
 
+  test("averagePrecisionByGroup: each group's AP equals pooled " +
+      "averagePrecision run on that group alone") {
+    import graft.ext.Stats
+    val u = Seq(("A", 1L, false), ("A", 2L, true), ("A", 3L, true),
+      ("B", 1L, true), ("B", 2L, false), ("B", 3L, false))
+      .toDF("g", "s", "y")
+    val got = rows(Stats.averagePrecisionByGroup(u, col("g"), col("s"),
+      col("y")).orderBy("group"))
+    for ((g, i) <- Seq("A", "B").zipWithIndex) {
+      val pooled = Stats.averagePrecision(u.where(col("g") === g),
+        col("s"), col("y")).head()
+      assert(got(i).getLong(1) == pooled.getLong(0) &&
+        got(i).getLong(2) == pooled.getLong(1) &&
+        got(i).getDouble(3) == pooled.getDouble(2))
+    }
+  }
+
+  test("mccSweep: hand confusion matrices; degenerate cut (zero " +
+      "marginal) is NULL") {
+    import graft.ext.Stats
+    val u = Seq((1L, false), (2L, true), (2L, false), (3L, true))
+      .toDF("s", "y")
+    val got = rows(Stats.mccSweep(u, col("s"), col("y"))
+      .orderBy(col("threshold").desc))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    // cut 3: (tp,fp,fn,tn)=(1,0,1,2) -> 2/sqrt(12); cut 2: (2,1,0,1)
+    // -> 2/sqrt(12); cut 1: (2,2,0,0) -> tn+fn=0, NULL
+    val e = 2.0 / math.sqrt(12.0)
+    assert(got.map(_._1) == Seq(3L, 2L, 1L))
+    assert(math.abs(got(0)._2.get - e) < 1e-15 &&
+      math.abs(got(1)._2.get - e) < 1e-15 && got(2)._2.isEmpty)
+  }
+
+  test("fleissKappa: hand case -1/3, unanimous units 1, constant " +
+      "category NULL; unequal rater counts and n=1 trip loudly") {
+    import graft.ext.Stats
+    def fk(rows: Seq[(Long, String)]) =
+      Stats.fleissKappa(rows.toDF("u", "v"), col("u"), col("v")).head()
+    // unit 1 unanimous, unit 2 split: S2=6, T=4, E2=10 -> -1/3
+    val r = fk(Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B")))
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.625)
+    assert(math.abs(r.getDouble(4) - (-1.0 / 3.0)) < 1e-15)
+    // both units unanimous in DIFFERENT categories: kappa = 1
+    assert(fk(Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B")))
+      .getDouble(4) == 1.0)
+    // every rating one category: chance explains everything -> NULL
+    assert(fk(Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A")))
+      .isNullAt(4))
+    intercept[IllegalArgumentException](
+      fk(Seq((1L, "A"), (1L, "A"), (2L, "A"))))
+    intercept[IllegalArgumentException](
+      fk(Seq((1L, "A"), (2L, "B"))))
+  }
+
+  test("weightedKappa: perfect agreement 1, two-category reversal -1, " +
+      "quadratic punishes far cells harder than linear, binary " +
+      "weighted == Cohen, constant raters NULL") {
+    import graft.ext.Stats
+    def wk(rows: Seq[(Long, Long)], quad: Boolean = true) = {
+      val r = Stats.weightedKappa(rows.toDF("a", "b"), col("a"),
+        col("b"), quadratic = quad).head()
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    }
+    assert(wk(Seq((0L, 0L), (1L, 1L))).contains(1.0))
+    assert(wk(Seq((0L, 1L), (1L, 0L))).contains(-1.0))
+    // a 3-category case where the far-off cell dominates: quadratic
+    // kappa must be strictly below linear
+    val tri = Seq((0L, 2L), (0L, 0L), (1L, 1L), (2L, 2L))
+    assert(wk(tri, quad = true).get < wk(tri, quad = false).get)
+    // on BINARY raters any weighting reduces to Cohen's kappa
+    val bin = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L),
+      (0L, 0L), (1L, 1L), (1L, 0L))
+    val cohen = Stats.cohenKappa(bin.toDF("a", "b"), col("a"), col("b"))
+      .head().getDouble(4)
+    assert(math.abs(wk(bin).get - cohen) < 1e-15)
+    assert(wk(Seq((1L, 1L), (1L, 1L))).isEmpty)
+  }
+
   test("classifier-eval score-grid guards: an unquantized score trips " +
       "maxGridValues loudly on rocAuc, thresholdSweep and " +
       "rocAucByGroup; an out-of-range ppm raises in calibrationBins") {

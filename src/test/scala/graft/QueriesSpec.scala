@@ -261,7 +261,12 @@ class QueriesSpec extends SparkSpec {
         "query side is literal-bounded (id < 10) so the product is " +
         "10 × |corpus| — corpus-LINEAR, one stream of the corpus per " +
         "query row; the documented scale path for unbounded query " +
-        "sets is the IVF family (x21-x25)"))
+        "sets is the IVF family (x21-x25)"),
+    "x254_weighted_kappa" ->
+      ("weightedKappa expected-disagreement grid: row marginals × " +
+        "column marginals of the ORDINAL buckets — both sides " +
+        "|categories|-bounded (≤10 rows each off the checkpointed " +
+        "(a, b) grid), the x175 contingency-skeleton shape"))
 
   test("no nested-loop join streams against an unrestricted grouped " +
       "aggregate (the x231 non-equi blind spot)") {

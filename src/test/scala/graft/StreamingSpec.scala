@@ -584,13 +584,18 @@ class StreamingSpec extends SparkSpec {
         .map(_.toString) ==
       rows(Stats.calibrationBins(all, $"v", $"y").orderBy("bin"))
         .map(_.toString))
-    // the SAME ledger also folds to exact AP and the decision curve
+    // the SAME ledger also folds to exact AP, the decision curve and
+    // the MCC sweep
     assert(rows(Streams.prAucView(spark, table)).map(_.toString) ==
       rows(Stats.averagePrecision(all, $"v", $"y")).map(_.toString))
     assert(rows(Streams.decisionCurveView(spark, table, 5L, 1L, 2L)
         .orderBy("threshold")).map(_.toString) ==
       rows(Stats.decisionCurve(all, $"v", $"y", 5L, 1L, 2L)
         .orderBy("threshold")).map(_.toString))
+    assert(rows(Streams.mccSweepView(spark, table).orderBy("threshold"))
+        .map(_.toString) ==
+      rows(Stats.mccSweep(all, $"v", $"y").orderBy("threshold"))
+        .map(_.toString))
     // the kappa ledger is keyed by the RATER PAIR
     val k1 = Seq(RatersAB(true, true), RatersAB(true, false))
     val k2 = Seq(RatersAB(false, true), RatersAB(false, false),
@@ -608,6 +613,13 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Streams.cohenKappaView(spark, ktable)).map(_.toString) ==
       rows(Stats.cohenKappa((k1 ++ k2).toDF("a", "b"), $"a", $"b"))
         .map(_.toString))
+    // the SAME rater-pair ledger folds to the weighted form too
+    // (boolean raters cast to 0/1 ordinals)
+    val kAll = (k1 ++ k2).toDF("a", "b")
+      .select($"a".cast("long").as("a"), $"b".cast("long").as("b"))
+    assert(rows(Streams.weightedKappaView(spark, ktable))
+        .map(_.toString) ==
+      rows(Stats.weightedKappa(kAll, $"a", $"b")).map(_.toString))
   }
 
   test("per-group classifier-eval views: ONE (g, v, y) ledger folds " +
@@ -639,6 +651,10 @@ class StreamingSpec extends SparkSpec {
         .orderBy("group", "bin")).map(_.toString) ==
       rows(Stats.calibrationBinsByGroup(all, $"g", $"v", $"y")
         .orderBy("group", "bin")).map(_.toString))
+    assert(rows(Streams.apByGroupView(spark, table).orderBy("group"))
+        .map(_.toString) ==
+      rows(Stats.averagePrecisionByGroup(all, $"g", $"v", $"y")
+        .orderBy("group")).map(_.toString))
     // the grouped ledger's g-marginal serves the POOLED views too —
     // one ledger, both audits
     val pooled = Streams.sumView(spark, table, Seq("g", "v", "y"))
