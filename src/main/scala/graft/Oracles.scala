@@ -8418,6 +8418,148 @@ object Oracles {
             |    1.0e0 - CAST(CAST(o.n AS HUGEINT) * o.wo AS DOUBLE)
             |      / CAST(e.we AS DOUBLE) END AS kappa_w
             |FROM o CROSS JOIN e""".stripMargin),
+      // x255: gains/lift off the same suffix sums — exact floor
+      // depth, HUGEINT lift ratio to one division
+      "x255_gains_curve" -> (units +
+        """grid AS (
+          |  SELECT s AS threshold,
+          |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          |  FROM u GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(sum(pos) AS BIGINT) AS np,
+          |    CAST(sum(neg) AS BIGINT) AS nn FROM grid),
+          |c AS (
+          |  SELECT threshold,
+          |    CAST(sum(pos) OVER (ORDER BY threshold DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+          |    CAST(sum(neg) OVER (ORDER BY threshold DESC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+          |  FROM grid)
+          |SELECT c.threshold,
+          |  CAST((CAST(c.tp + c.fp AS HUGEINT) * 1000000)
+          |    // (t.np + t.nn) AS BIGINT) AS depth_ppm,
+          |  c.tp, c.fp,
+          |  CASE WHEN t.np > 0 THEN
+          |    CAST(c.tp AS DOUBLE) / CAST(t.np AS DOUBLE) END AS gain,
+          |  CASE WHEN t.np > 0 AND c.tp + c.fp > 0 THEN
+          |    CAST(CAST(c.tp AS HUGEINT) * (t.np + t.nn) AS DOUBLE)
+          |      / CAST(CAST(c.tp + c.fp AS HUGEINT) * t.np AS DOUBLE)
+          |    END AS lift
+          |FROM c CROSS JOIN tot t ORDER BY threshold""".stripMargin),
+      // x256: Krippendorff nominal alpha with an abstaining rater —
+      // per-unit terms DECIMAL(28,12)-quantized, the exact
+      // coincidence denominator over PAIRABLE units only
+      "x256_krippendorff" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """r AS (
+            |  SELECT doc_id, gopher_pass AS v FROM g
+            |  UNION ALL SELECT doc_id, stop_hits >= 2 FROM g
+            |  UNION ALL SELECT doc_id, n_words >= 40 FROM g
+            |    WHERE doc_id % 2 = 0),
+            |grid AS (
+            |  SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+            |  FROM r GROUP BY 1, 2),
+            |pu AS (
+            |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+            |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+            |  FROM grid GROUP BY 1 HAVING sum(c) >= 2),
+            |o AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+            |    CAST(sum(n) AS BIGINT) AS n_values,
+            |    coalesce(sum(CAST(
+            |      CAST(CAST(n AS HUGEINT) * n - s2 AS DOUBLE)
+            |        / CAST(n - 1 AS DOUBLE) AS DECIMAL(28,12))),
+            |      CAST(0 AS DECIMAL(28,12))) AS dobs
+            |  FROM pu),
+            |m AS (
+            |  SELECT CAST(coalesce(sum(CAST(nc AS HUGEINT) * nc), 0)
+            |    AS HUGEINT) AS e2
+            |  FROM (SELECT grid.v, CAST(sum(grid.c) AS BIGINT) AS nc
+            |        FROM grid JOIN pu ON grid.doc_id = pu.doc_id
+            |        GROUP BY 1))
+            |SELECT o.n_units, o.n_values,
+            |  CASE WHEN o.n_values >= 2
+            |      AND CAST(o.n_values AS HUGEINT) * o.n_values != m.e2
+            |    THEN 1.0e0 - CAST(o.dobs AS DOUBLE)
+            |      * CAST(o.n_values - 1 AS DOUBLE)
+            |      / CAST(CAST(o.n_values AS HUGEINT) * o.n_values - m.e2
+            |        AS DOUBLE) END AS alpha
+            |FROM o CROSS JOIN m""".stripMargin),
+      // x257: derandomized Poisson-bootstrap AUC — the x198 hash +
+      // ppm CDF replayed, per-replicate U identity, exact ceil-rank
+      // bounds
+      "x257_auc_bootstrap" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT g.doc_id AS uid, d.n_chars AS v,
+            |    g.gopher_pass AS y
+            |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+            |pgrid AS (
+            |  SELECT v,
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+            |  FROM u GROUP BY 1),
+            |pcb AS (
+            |  SELECT pos, neg,
+            |    CAST(coalesce(sum(neg) OVER (ORDER BY v
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      AS BIGINT) AS nb
+            |  FROM pgrid),
+            |pt AS (
+            |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+            |    CAST(sum(neg) AS BIGINT) AS n_neg,
+            |    CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+            |      CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
+            |        / (2.0e0 * CAST(sum(pos) AS DOUBLE)
+            |          * CAST(sum(neg) AS DOUBLE)) END AS auc
+            |  FROM pcb),
+            |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM u),
+            |reps AS (
+            |  SELECT t.b, u.v, u.y,
+            |    ((uid % 1000000007) * 654435747 % 1000000007
+            |      + t.b * 7919) % 1000000007 % 1000000 AS ppm
+            |  FROM u CROSS JOIN range(0, 200) t(b)),
+            |wts AS (
+            |  SELECT b, v, y,
+            |    CASE WHEN ppm < 367879 THEN 0 WHEN ppm < 735758 THEN 1
+            |      WHEN ppm < 919698 THEN 2 WHEN ppm < 981011 THEN 3
+            |      WHEN ppm < 996340 THEN 4 WHEN ppm < 999405 THEN 5
+            |      WHEN ppm < 999916 THEN 6 WHEN ppm < 999989 THEN 7
+            |      WHEN ppm < 999998 THEN 8 ELSE 9 END AS w
+            |  FROM reps),
+            |bgrid AS (
+            |  SELECT b, v,
+            |    CAST(sum(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE w END) AS BIGINT) AS neg
+            |  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+            |bcb AS (
+            |  SELECT b, pos, neg,
+            |    CAST(coalesce(sum(neg) OVER (PARTITION BY b ORDER BY v
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      AS BIGINT) AS nb
+            |  FROM bgrid),
+            |a AS (
+            |  SELECT b,
+            |    CAST(sum(CAST(pos AS HUGEINT) * (2 * nb + neg))
+            |        AS DOUBLE)
+            |      / (2.0e0 * CAST(sum(pos) AS DOUBLE)
+            |        * CAST(sum(neg) AS DOUBLE)) AS auc
+            |  FROM bcb GROUP BY b
+            |  HAVING sum(pos) > 0 AND sum(neg) > 0),
+            |rk AS (SELECT b, auc, row_number() OVER (ORDER BY auc, b)
+            |         AS r FROM a),
+            |nb2 AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates
+            |        FROM rk),
+            |lo AS (SELECT auc AS lo95 FROM rk CROSS JOIN nb2
+            |       WHERE r = greatest(1, (n_replicates * 25 + 999)
+            |         // 1000)),
+            |hi AS (SELECT auc AS hi95 FROM rk CROSS JOIN nb2
+            |       WHERE r = (n_replicates * 975 + 999) // 1000)
+            |SELECT nu.n_units, pt.n_pos, pt.n_neg, pt.auc, lo.lo95,
+            |  hi.hi95, nb2.n_replicates
+            |FROM nu CROSS JOIN pt CROSS JOIN lo CROSS JOIN hi
+            |  CROSS JOIN nb2""".stripMargin),
       "x242_cohen_kappa" -> (units +
         """grid AS (
           |  SELECT y AS a, s >= 200 AS b, CAST(count(*) AS BIGINT) AS c

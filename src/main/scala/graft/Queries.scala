@@ -3614,6 +3614,45 @@ object Queries {
       least(lit(9L), expr("n_words DIV 50")))
   }
 
+  /** x255 — CUMULATIVE GAINS / LIFT ([[graft.ext.Stats.gainsCurve]]):
+    * the depth-based read of x239's suffix sums — "keep the top
+    * depth_ppm of the corpus by n_chars, capture gain of the good
+    * documents at lift× random" — the curation-budget chart, exact
+    * integer depth and one-division lift. */
+  val x255GainsCurve: Q = (s, dir) => {
+    graft.ext.Stats.gainsCurve(gateUnits(s, dir), col("n_chars"),
+        col("gopher_pass"))
+      .orderBy("threshold")
+  }
+
+  /** x256 — KRIPPENDORFF'S ALPHA
+    * ([[graft.ext.Stats.krippendorffAlpha]]): x253's three-gate
+    * agreement with a rater that ABSTAINS — the length gate only
+    * judges even doc_ids, so per-unit rating counts vary (2 or 3)
+    * and Fleiss' constant-n contract (enforced loudly there) does
+    * not hold; Krippendorff's coincidence form is built for exactly
+    * that missing-data shape. */
+  val x256Krippendorff: Q = (s, dir) => {
+    val g = gopherFull(s, dir)
+    val full = g.select(col("id"), explode(array(
+      col("gopher_pass"), col("stop_hits") >= 2)).as("verdict"))
+    val partial = g.where(pmod(col("id"), lit(2L)) === 0)
+      .select(col("id"), (col("n_words") >= 40).as("verdict"))
+    graft.ext.Stats.krippendorffAlpha(full.unionByName(partial),
+      col("id"), col("verdict"))
+  }
+
+  /** x257 — BOOTSTRAP CI for ROC-AUC
+    * ([[graft.ext.Stats.aucBootstrapCI]]): x240's point estimate
+    * with derandomized Poisson-bootstrap error bars (the x198
+    * counter-based hash + exact ppm CDF) — 200 replicate AUCs on
+    * b-partitioned grid windows, exact ceil-rank percentile
+    * bounds. */
+  val x257AucBootstrap: Q = (s, dir) => {
+    graft.ext.Stats.aucBootstrapCI(gateUnits(s, dir), col("doc_id"),
+      col("n_chars"), col("gopher_pass"), b = 200)
+  }
+
   /** x250 — per-SOURCE Brier + skill
     * ([[graft.ext.Stats.brierByGroup]]): x245's strictly-proper
     * probability score split by source — a proxy can beat climatology
@@ -4683,6 +4722,9 @@ object Queries {
     "x252_mcc_sweep" -> x252MccSweep,
     "x253_fleiss_kappa" -> x253FleissKappa,
     "x254_weighted_kappa" -> x254WeightedKappa,
+    "x255_gains_curve" -> x255GainsCurve,
+    "x256_krippendorff" -> x256Krippendorff,
+    "x257_auc_bootstrap" -> x257AucBootstrap,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

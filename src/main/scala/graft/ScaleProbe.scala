@@ -183,7 +183,12 @@ object ScaleProbe {
       // windows), MCC off the same sweep grid, and the multi-rater /
       // ordinal agreement pair (category-bounded grids)
       "x251_group_ap", "x252_mcc_sweep", "x253_fleiss_kappa",
-      "x254_weighted_kappa")
+      "x254_weighted_kappa",
+      // round-14 third block: gains table (one sweep projection),
+      // Krippendorff (per-unit fold + marginals), and the ×B
+      // bootstrap AUC (the documented B·|grid| trade — the one
+      // deliberately superlinear arm, like x198)
+      "x255_gains_curve", "x256_krippendorff", "x257_auc_bootstrap")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -873,6 +873,181 @@ object Stats {
           sqrt((d(pp) * d(ap)) * (d(pn) * d(an)))).as("mcc"))
   }
 
+  /** CUMULATIVE GAINS / LIFT table — the depth-based read of the
+    * [[thresholdSweep]] grid: "if the gate keeps everything scoring
+    * ≥ t — the top depth_ppm of the corpus — it captures gain of the
+    * good documents, lift× better than random". The chart a curation
+    * budget meeting actually looks at: recall against depth, not
+    * against a score nobody has intuition for. All off the same
+    * suffix sums: depth_ppm = ⌊(tp+fp)·10⁶/n⌋ exact integer
+    * floor-division, gain = recall, lift = tp·n / ((tp+fp)·n_pos) —
+    * exact DECIMAL(38,0) numerator and denominator, ONE double
+    * division (lift NULL when either class or the cut is empty; at
+    * full depth lift = 1 exactly). Same discrete-score contract and
+    * guard. Output per threshold: (threshold, depth_ppm, tp, fp,
+    * gain, lift). */
+  def gainsCurve(units: DataFrame, score: Column, label: Column,
+      maxGridValues: Long = 10000000L): DataFrame =
+    gainsCurveFromCounts(units.select(score.as("v"), label.as("y"))
+      .groupBy("v", "y").agg(count(lit(1)).as("c")), maxGridValues)
+
+  /** [[gainsCurve]] over PRE-AGGREGATED (v, y, c) counts — the SAME
+    * (v, y) ledger as the rest of the family
+    * ([[graft.streaming.Streams.gainsCurveView]]). */
+  def gainsCurveFromCounts(counts: DataFrame,
+      maxGridValues: Long = 10000000L): DataFrame = {
+    val N = DecimalType(38, 0)
+    val sweep = thresholdSweepFromCounts(counts, maxGridValues)
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    val np = col("tp") + col("fn")
+    val kept = col("tp") + col("fp")
+    // exact integer floor-division (the Export trunc discipline)
+    val depthNum = kept.cast(N) * lit(1000000L).cast(N)
+    val depth = ((depthNum - pmod(depthNum, n.cast(N))) / n.cast(N))
+      .cast("long")
+    sweep.select(col("threshold"), depth.as("depth_ppm"), col("tp"),
+      col("fp"),
+      when(np > 0, col("tp").cast("double") / np.cast("double"))
+        .as("gain"),
+      when(np > 0 && kept > 0,
+        (col("tp").cast(N) * n.cast(N)).cast("double") /
+          (kept.cast(N) * np.cast(N)).cast("double")).as("lift"))
+  }
+
+  /** KRIPPENDORFF'S ALPHA, nominal (Krippendorff 1970/2004) — the
+    * agreement number when [[fleissKappa]]'s constant-rater-count
+    * contract does NOT hold: raters may skip units (a gate that
+    * abstains, an annotator who saw half the corpus), and units with
+    * a single rating are simply unpairable and excluded rather than
+    * fatal. The standard reliability statistic for exactly that
+    * missing-data shape. On the (unit, category) count grid, over
+    * units with n_u ≥ 2 ratings: per-unit observed disagreement
+    * (n_u² − Σ_c n_uc²)/(n_u − 1) — one fixed-order double chain
+    * quantized to DECIMAL(28,12) (the jsdMatrix determinism idiom:
+    * exact-summable, order-independent), and
+    * α = 1 − Σ_u term · (n−1) / (n² − Σ_c n_c²) with n = Σ pairable
+    * ratings and the denominator exact DECIMAL(38,0); ONE double
+    * division. NULL when every rating is one category (n² = Σn_c²)
+    * or nothing is pairable. Scale: one (unit, category) combiner
+    * grid, one per-unit fold, one category-marginal fold. Output:
+    * (n_units, n_values, alpha) — n_units/n_values count only
+    * pairable units/ratings. */
+  def krippendorffAlpha(units: DataFrame, unitCol: Column,
+      category: Column): DataFrame = {
+    val N = DecimalType(38, 0)
+    val L = DecimalType(28, 12)
+    val grid = units.select(unitCol.as("__u"), category.as("__cat"))
+      .where(col("__u").isNotNull && col("__cat").isNotNull)
+      .groupBy("__u", "__cat").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the per-unit fold AND the marginals
+    val perUnit = grid.groupBy("__u").agg(
+        sum(col("__c")).as("__n"),
+        sum(col("__c").cast(N) * col("__c").cast(N)).as("__s2"))
+      .where(col("__n") >= 2) // single-rating units are unpairable
+      .localCheckpoint(true) // feeds the term fold AND the marginal join
+    val obs = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("__n")).as("n_values"),
+      coalesce(sum(
+        (((col("__n").cast(N) * col("__n").cast(N)) - col("__s2"))
+          .cast("double") / (col("__n") - 1).cast("double")).cast(L)),
+        lit(0).cast(L)).as("__do"))
+    // category marginals over PAIRABLE units only
+    val marg = grid.join(perUnit.select(col("__u")), Seq("__u"))
+      .groupBy("__cat").agg(sum(col("__c")).as("__nc"))
+      .agg(coalesce(sum(col("__nc").cast(N) * col("__nc").cast(N)),
+        lit(0).cast(N)).as("__e2"))
+    obs.crossJoin(broadcast(marg))
+      .select(col("n_units"), col("n_values"),
+        when(col("n_values") >= 2 &&
+          col("n_values").cast(N) * col("n_values").cast(N) =!=
+            col("__e2"),
+          lit(1.0) - col("__do").cast("double") *
+            (col("n_values") - 1).cast("double") /
+            (col("n_values").cast(N) * col("n_values").cast(N) -
+              col("__e2")).cast("double")).as("alpha"))
+  }
+
+  /** BOOTSTRAP confidence interval for ROC-AUC — the error bars the
+    * x240 point estimate deserves before a gate ships on it ("is
+    * 0.71 vs 0.69 a real ranking difference or noise"), RNG-FREE via
+    * the [[bootstrapMeanCI]] construction: Poisson(1) unit weights
+    * derandomized through the portable counter-based hash
+    * h = (hash(u) + b·7919) mod P and the exact ppm Poisson CDF —
+    * deterministic, engine-reproducible, nothing to seed. Each
+    * replicate b reweights the (score, label) count grid (weights
+    * fold ADDITIVELY into cells — the resample never materializes),
+    * then the exact U identity runs per replicate on b-partitioned
+    * grid windows; replicates with an empty class drop (reported via
+    * n_replicates). Percentile bounds are EXACT ceil-ranks over the
+    * replicate AUCs (ties broken by replicate index). Scale shape:
+    * one ×B explode over ROWS folded straight into B grid copies
+    * (B·|grid| cells — the documented bootstrap trade), B-partitioned
+    * windows, one B-row ranking. Output one row: (n_units, n_pos,
+    * n_neg, auc, lo95, hi95, n_replicates). */
+  def aucBootstrapCI(units: DataFrame, unitId: Column, score: Column,
+      label: Column, b: Int = 200, maxGridValues: Long = 10000000L)
+      : DataFrame = {
+    require(b >= 40 && b <= 10000, s"aucBootstrapCI: b=$b outside " +
+      "[40,10000]")
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(38, 0)
+    val base = units.select(unitId.as("__u"), score.as("__v"),
+        label.as("__y"))
+      .localCheckpoint(true) // feeds the point estimate AND ×B explode
+    val point = rocAucFromCounts(base.groupBy("__v", "__y")
+      .agg(count(lit(1)).as("c"))
+      .select(col("__v").as("v"), col("__y").as("y"), col("c")),
+      maxGridValues)
+    val nUnits = broadcast(base.agg(count(lit(1)).as("n_units")))
+    // the bootstrapMeanCI derandomized Poisson(1) ppm inverse-CDF
+    val h = pmod(
+      pmod(pmod(col("__u"), lit(Sampling.HashPrime)) *
+        lit(Sampling.HashMult), lit(Sampling.HashPrime)) +
+        col("__b") * lit(7919L), lit(Sampling.HashPrime))
+    val ppm = pmod(h, lit(1000000L))
+    val w = when(ppm < 367879, 0L).when(ppm < 735758, 1L)
+      .when(ppm < 919698, 2L).when(ppm < 981011, 3L)
+      .when(ppm < 996340, 4L).when(ppm < 999405, 5L)
+      .when(ppm < 999916, 6L).when(ppm < 999989, 7L)
+      .when(ppm < 999998, 8L).otherwise(9L)
+    val grid = base
+      .withColumn("__b", explode(sequence(lit(0L), lit(b - 1L))))
+      .withColumn("__w", w)
+      .groupBy("__b", "__v").agg(
+        sum(when(col("__y"), col("__w")).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), col("__w")).otherwise(0L)).as("__neg"))
+      .where(col("__pos") > 0 || col("__neg") > 0)
+    val wv = Window.partitionBy("__b").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aucs = grid
+      .withColumn("__nb", coalesce(sum(col("__neg")).over(wv), lit(0L)))
+      .groupBy("__b")
+      .agg(sum(col("__pos")).as("__np"), sum(col("__neg")).as("__nn"),
+        sum(col("__pos").cast(N) *
+          (lit(2L) * col("__nb") + col("__neg")).cast(N)).as("__num2"))
+      .where(col("__np") > 0 && col("__nn") > 0)
+      .select(col("__b"),
+        (col("__num2").cast("double") /
+          (lit(2.0) * col("__np").cast("double") *
+            col("__nn").cast("double"))).as("__a"))
+    val wRank = Window.orderBy(col("__a"), col("__b")) // B-bounded
+    val ranked = aucs.withColumn("__r", row_number().over(wRank))
+      .localCheckpoint(true) // B rows: feeds count + both bound picks
+    val nb = ranked.agg(count(lit(1)).as("n_replicates"))
+    val lo = ranked.crossJoin(broadcast(nb))
+      .where(col("__r") === greatest(lit(1L),
+        expr("(n_replicates * 25 + 999) DIV 1000")))
+      .select(col("__a").as("lo95"))
+    val hi = ranked.crossJoin(broadcast(nb))
+      .where(col("__r") === expr("(n_replicates * 975 + 999) DIV 1000"))
+      .select(col("__a").as("hi95"))
+    point.crossJoin(nUnits).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_units"), col("n_pos"), col("n_neg"), col("auc"),
+        col("lo95"), col("hi95"), col("n_replicates"))
+  }
+
   /** FLEISS' KAPPA multi-rater agreement (Fleiss 1971) — [[cohenKappa]]
     * generalized past two raters: m gates/models/annotators each
     * assign every unit a category, and κ reads how far the observed

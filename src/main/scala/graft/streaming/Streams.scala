@@ -581,6 +581,16 @@ object Streams {
       sumView(spark, tablePath, Seq("v", "y"))
         .select(col("v"), col("y"), col("n").as("c")))
 
+  /** Gains/lift view over the SAME (v, y) ledger as [[rocAucView]] —
+    * the depth-based curation read, streaming-fed and bit-equal to
+    * batch [[graft.ext.Stats.gainsCurve]]. The SEVENTH view on one
+    * classifier-eval ledger. */
+  def gainsCurveView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.gainsCurveFromCounts(
+      sumView(spark, tablePath, Seq("v", "y"))
+        .select(col("v"), col("y"), col("n").as("c")))
+
   /** Per-GROUP average-precision view over the SAME (g, v, y) ledger
     * as [[rocAucByGroupView]] — per-source PR-space ranking quality,
     * streaming-fed and bit-equal to batch

@@ -4392,6 +4392,68 @@ class ExtSpec extends SparkSpec {
     assert(wk(Seq((1L, 1L), (1L, 1L))).isEmpty)
   }
 
+  test("gainsCurve: exact hand depths/gains/lifts; full depth has " +
+      "lift exactly 1") {
+    import graft.ext.Stats
+    val u = Seq((1L, false), (2L, true), (2L, false), (3L, true))
+      .toDF("s", "y")
+    val got = rows(Stats.gainsCurve(u, col("s"), col("y"))
+      .orderBy(col("threshold").desc))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4),
+        r.getDouble(5)))
+    assert(got == Seq(
+      (3L, 250000L, 0.5, 2.0),
+      (2L, 750000L, 1.0, 4.0 / 3.0),
+      (1L, 1000000L, 1.0, 1.0)))
+  }
+
+  test("krippendorffAlpha: hand cases — perfect 1, half-split 0, " +
+      "single-rating units excluded, varying rater counts accepted " +
+      "(the Fleiss gap), constant category NULL") {
+    import graft.ext.Stats
+    def ka(rows: Seq[(Long, String)]) =
+      Stats.krippendorffAlpha(rows.toDF("u", "v"), col("u"), col("v"))
+        .head()
+    val perfect = ka(Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B")))
+    assert(perfect.getLong(0) == 2L && perfect.getLong(1) == 4L &&
+      perfect.getDouble(2) == 1.0)
+    // u1 unanimous, u2 split: Do-terms 0 + 2; marginals A=3, B=1
+    // -> alpha = 1 - 2*3/(16-10) = 0
+    assert(ka(Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B")))
+      .getDouble(2) == 0.0)
+    // a third unit with ONE rating is unpairable: excluded entirely
+    val withSingle = ka(Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "C")))
+    assert(withSingle.getLong(0) == 2L && withSingle.getLong(1) == 4L &&
+      withSingle.getDouble(2) == 0.0)
+    // VARYING rater counts (3 and 2) are fine — exactly what
+    // fleissKappa rejects loudly
+    val varying = Seq((1L, "A"), (1L, "A"), (1L, "A"), (2L, "A"),
+      (2L, "B"))
+    intercept[IllegalArgumentException](
+      Stats.fleissKappa(varying.toDF("u", "v"), col("u"), col("v"))
+        .head())
+    // terms 0 + 2, n=5, marginals A=4 B=1, E2=17 -> 1 - 2*4/8 = 0
+    assert(ka(varying).getDouble(2) == 0.0)
+    assert(ka(Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A")))
+      .isNullAt(2))
+  }
+
+  test("aucBootstrapCI: perfect separation pins every replicate at 1; " +
+      "bounds are ordered and replicate count bounded; b range trips") {
+    import graft.ext.Stats
+    val u = (1 to 40).map(i =>
+      (i.toLong, if (i <= 20) i + 100L else i.toLong, i <= 20))
+      .toDF("id", "s", "y")
+    val r = Stats.aucBootstrapCI(u, col("id"), col("s"), col("y"),
+      b = 50).head()
+    assert(r.getLong(0) == 40L && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+    assert(r.getLong(6) >= 40L && r.getLong(6) <= 50L)
+    intercept[IllegalArgumentException](
+      Stats.aucBootstrapCI(u, col("id"), col("s"), col("y"), b = 10))
+  }
+
   test("classifier-eval score-grid guards: an unquantized score trips " +
       "maxGridValues loudly on rocAuc, thresholdSweep and " +
       "rocAucByGroup; an out-of-range ppm raises in calibrationBins") {

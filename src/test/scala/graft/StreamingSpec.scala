@@ -596,6 +596,10 @@ class StreamingSpec extends SparkSpec {
         .map(_.toString) ==
       rows(Stats.mccSweep(all, $"v", $"y").orderBy("threshold"))
         .map(_.toString))
+    assert(rows(Streams.gainsCurveView(spark, table)
+        .orderBy("threshold")).map(_.toString) ==
+      rows(Stats.gainsCurve(all, $"v", $"y").orderBy("threshold"))
+        .map(_.toString))
     // the kappa ledger is keyed by the RATER PAIR
     val k1 = Seq(RatersAB(true, true), RatersAB(true, false))
     val k2 = Seq(RatersAB(false, true), RatersAB(false, false),
