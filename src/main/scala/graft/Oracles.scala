@@ -8560,6 +8560,202 @@ object Oracles {
             |  hi.hi95, nb2.n_replicates
             |FROM nu CROSS JOIN pt CROSS JOIN lo CROSS JOIN hi
             |  CROSS JOIN nb2""".stripMargin),
+      // x258: DeLong replay — doubled-placement integer moments, the
+      // engine's exact covP/meanP double chains reproduced term by
+      // term in the same operand order
+      "x258_delong_auc" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT g.gopher_pass AS y, g.stop_hits AS vb,
+            |    d.n_chars AS va
+            |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+            |ga AS (
+            |  SELECT va AS v,
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+            |  FROM u GROUP BY 1),
+            |pa AS (
+            |  SELECT v,
+            |    CAST(2 * coalesce(sum(neg) OVER (ORDER BY v
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      + neg AS BIGINT) AS a10,
+            |    CAST(2 * coalesce(sum(pos) OVER (ORDER BY v DESC
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      + pos AS BIGINT) AS a01
+            |  FROM ga),
+            |gb AS (
+            |  SELECT vb AS v,
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+            |  FROM u GROUP BY 1),
+            |pb AS (
+            |  SELECT v,
+            |    CAST(2 * coalesce(sum(neg) OVER (ORDER BY v
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      + neg AS BIGINT) AS b10,
+            |    CAST(2 * coalesce(sum(pos) OVER (ORDER BY v DESC
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      + pos AS BIGINT) AS b01
+            |  FROM gb),
+            |pl AS (
+            |  SELECT u.y, pa.a10, pa.a01, pb.b10, pb.b01
+            |  FROM u JOIN pa ON u.va = pa.v JOIN pb ON u.vb = pb.v),
+            |mm AS (
+            |  SELECT
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS m,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n,
+            |    CAST(sum(CASE WHEN y THEN a10 ELSE 0 END) AS HUGEINT)
+            |      AS sa10,
+            |    CAST(sum(CASE WHEN y THEN b10 ELSE 0 END) AS HUGEINT)
+            |      AS sb10,
+            |    CAST(sum(CASE WHEN y THEN CAST(a10 AS HUGEINT) * a10
+            |      ELSE 0 END) AS HUGEINT) AS saa10,
+            |    CAST(sum(CASE WHEN y THEN CAST(b10 AS HUGEINT) * b10
+            |      ELSE 0 END) AS HUGEINT) AS sbb10,
+            |    CAST(sum(CASE WHEN y THEN CAST(a10 AS HUGEINT) * b10
+            |      ELSE 0 END) AS HUGEINT) AS sab10,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE a01 END) AS HUGEINT)
+            |      AS sa01,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE b01 END) AS HUGEINT)
+            |      AS sb01,
+            |    CAST(sum(CASE WHEN y THEN 0
+            |      ELSE CAST(a01 AS HUGEINT) * a01 END) AS HUGEINT)
+            |      AS saa01,
+            |    CAST(sum(CASE WHEN y THEN 0
+            |      ELSE CAST(b01 AS HUGEINT) * b01 END) AS HUGEINT)
+            |      AS sbb01,
+            |    CAST(sum(CASE WHEN y THEN 0
+            |      ELSE CAST(a01 AS HUGEINT) * b01 END) AS HUGEINT)
+            |      AS sab01
+            |  FROM pl),
+            |dd AS (
+            |  SELECT m, n,
+            |    CAST(sa10 AS DOUBLE)
+            |      / (2.0e0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE))
+            |      AS auc_a,
+            |    CAST(sb10 AS DOUBLE)
+            |      / (2.0e0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE))
+            |      AS auc_b,
+            |    (CAST(saa10 AS DOUBLE) - CAST(sa10 AS DOUBLE)
+            |        * CAST(sa10 AS DOUBLE) / CAST(m AS DOUBLE))
+            |      / ((CAST(m AS DOUBLE) - 1.0e0)
+            |        * (2.0e0 * CAST(n AS DOUBLE))
+            |        * (2.0e0 * CAST(n AS DOUBLE))) AS s10aa,
+            |    (CAST(sbb10 AS DOUBLE) - CAST(sb10 AS DOUBLE)
+            |        * CAST(sb10 AS DOUBLE) / CAST(m AS DOUBLE))
+            |      / ((CAST(m AS DOUBLE) - 1.0e0)
+            |        * (2.0e0 * CAST(n AS DOUBLE))
+            |        * (2.0e0 * CAST(n AS DOUBLE))) AS s10bb,
+            |    (CAST(sab10 AS DOUBLE) - CAST(sa10 AS DOUBLE)
+            |        * CAST(sb10 AS DOUBLE) / CAST(m AS DOUBLE))
+            |      / ((CAST(m AS DOUBLE) - 1.0e0)
+            |        * (2.0e0 * CAST(n AS DOUBLE))
+            |        * (2.0e0 * CAST(n AS DOUBLE))) AS s10ab,
+            |    (CAST(saa01 AS DOUBLE) - CAST(sa01 AS DOUBLE)
+            |        * CAST(sa01 AS DOUBLE) / CAST(n AS DOUBLE))
+            |      / ((CAST(n AS DOUBLE) - 1.0e0)
+            |        * (2.0e0 * CAST(m AS DOUBLE))
+            |        * (2.0e0 * CAST(m AS DOUBLE))) AS s01aa,
+            |    (CAST(sbb01 AS DOUBLE) - CAST(sb01 AS DOUBLE)
+            |        * CAST(sb01 AS DOUBLE) / CAST(n AS DOUBLE))
+            |      / ((CAST(n AS DOUBLE) - 1.0e0)
+            |        * (2.0e0 * CAST(m AS DOUBLE))
+            |        * (2.0e0 * CAST(m AS DOUBLE))) AS s01bb,
+            |    (CAST(sab01 AS DOUBLE) - CAST(sa01 AS DOUBLE)
+            |        * CAST(sb01 AS DOUBLE) / CAST(n AS DOUBLE))
+            |      / ((CAST(n AS DOUBLE) - 1.0e0)
+            |        * (2.0e0 * CAST(m AS DOUBLE))
+            |        * (2.0e0 * CAST(m AS DOUBLE))) AS s01ab
+            |  FROM mm)
+            |SELECT m AS n_pos, n AS n_neg,
+            |  CASE WHEN m > 0 AND n > 0 THEN auc_a END AS auc_a,
+            |  CASE WHEN m > 0 AND n > 0 THEN auc_b END AS auc_b,
+            |  CASE WHEN m >= 2 AND n >= 2 AND
+            |      (s10aa + s10bb - 2.0e0 * s10ab) / CAST(m AS DOUBLE)
+            |        + (s01aa + s01bb - 2.0e0 * s01ab)
+            |          / CAST(n AS DOUBLE) > 0.0e0 THEN
+            |    (auc_a - auc_b) / sqrt(
+            |      (s10aa + s10bb - 2.0e0 * s10ab) / CAST(m AS DOUBLE)
+            |        + (s01aa + s01bb - 2.0e0 * s01ab)
+            |          / CAST(n AS DOUBLE)) END AS z
+            |FROM dd""".stripMargin),
+      // x259: the x257 bootstrap replay with the x247 AP tail per
+      // replicate
+      "x259_ap_bootstrap" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT g.doc_id AS uid, d.n_chars AS v,
+            |    g.gopher_pass AS y
+            |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+            |pgrid AS (
+            |  SELECT v,
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+            |  FROM u GROUP BY 1),
+            |pc AS (
+            |  SELECT pos, neg,
+            |    CAST(sum(pos) OVER (ORDER BY v DESC
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+            |    CAST(sum(neg) OVER (ORDER BY v DESC
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+            |  FROM pgrid),
+            |pt AS (
+            |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+            |    CAST(sum(neg) AS BIGINT) AS n_neg,
+            |    CASE WHEN sum(pos) > 0 THEN
+            |      CAST(sum(CASE WHEN pos > 0 THEN
+            |        CAST(CAST(pos AS DOUBLE) * CAST(tp AS DOUBLE)
+            |          / CAST(tp + fp AS DOUBLE) AS DECIMAL(28,12))
+            |        ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE)
+            |        / CAST(sum(pos) AS DOUBLE) END AS ap
+            |  FROM pc),
+            |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM u),
+            |reps AS (
+            |  SELECT t.b, u.v, u.y,
+            |    ((uid % 1000000007) * 654435747 % 1000000007
+            |      + t.b * 7919) % 1000000007 % 1000000 AS ppm
+            |  FROM u CROSS JOIN range(0, 200) t(b)),
+            |wts AS (
+            |  SELECT b, v, y,
+            |    CASE WHEN ppm < 367879 THEN 0 WHEN ppm < 735758 THEN 1
+            |      WHEN ppm < 919698 THEN 2 WHEN ppm < 981011 THEN 3
+            |      WHEN ppm < 996340 THEN 4 WHEN ppm < 999405 THEN 5
+            |      WHEN ppm < 999916 THEN 6 WHEN ppm < 999989 THEN 7
+            |      WHEN ppm < 999998 THEN 8 ELSE 9 END AS w
+            |  FROM reps),
+            |bgrid AS (
+            |  SELECT b, v,
+            |    CAST(sum(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE w END) AS BIGINT) AS neg
+            |  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+            |bc AS (
+            |  SELECT b, pos, neg,
+            |    CAST(sum(pos) OVER (PARTITION BY b ORDER BY v DESC
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+            |    CAST(sum(neg) OVER (PARTITION BY b ORDER BY v DESC
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+            |  FROM bgrid),
+            |a AS (
+            |  SELECT b,
+            |    CAST(sum(CASE WHEN pos > 0 THEN
+            |      CAST(CAST(pos AS DOUBLE) * CAST(tp AS DOUBLE)
+            |        / CAST(tp + fp AS DOUBLE) AS DECIMAL(28,12))
+            |      ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE)
+            |      / CAST(sum(pos) AS DOUBLE) AS ap
+            |  FROM bc GROUP BY b HAVING sum(pos) > 0),
+            |rk AS (SELECT b, ap, row_number() OVER (ORDER BY ap, b)
+            |         AS r FROM a),
+            |nb2 AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates
+            |        FROM rk),
+            |lo AS (SELECT ap AS lo95 FROM rk CROSS JOIN nb2
+            |       WHERE r = greatest(1, (n_replicates * 25 + 999)
+            |         // 1000)),
+            |hi AS (SELECT ap AS hi95 FROM rk CROSS JOIN nb2
+            |       WHERE r = (n_replicates * 975 + 999) // 1000)
+            |SELECT nu.n_units, pt.n_pos, pt.n_neg, pt.ap, lo.lo95,
+            |  hi.hi95, nb2.n_replicates
+            |FROM nu CROSS JOIN pt CROSS JOIN lo CROSS JOIN hi
+            |  CROSS JOIN nb2""".stripMargin),
       "x242_cohen_kappa" -> (units +
         """grid AS (
           |  SELECT y AS a, s >= 200 AS b, CAST(count(*) AS BIGINT) AS c

@@ -3653,6 +3653,33 @@ object Queries {
       col("n_chars"), col("gopher_pass"), b = 200)
   }
 
+  /** x258 — DeLONG paired AUC comparison
+    * ([[graft.ext.Stats.deLongTest]]): does raw LENGTH (n_chars) rank
+    * documents by Gopher quality better than STOPWORD EVIDENCE
+    * (stop_hits) — the two cheap proxies compared on the SAME units
+    * with the placement-covariance correction a naive CI-overlap
+    * check misses; exact doubled-placement moments to one double
+    * chain. */
+  val x258DelongAuc: Q = (s, dir) => {
+    val u = gopherFull(s, dir)
+      .select(col("id").as("doc_id"), col("gopher_pass"),
+        col("stop_hits"))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        col("n_chars")), Seq("doc_id"))
+    graft.ext.Stats.deLongTest(u, col("n_chars"), col("stop_hits"),
+      col("gopher_pass"))
+  }
+
+  /** x259 — BOOTSTRAP CI for AVERAGE PRECISION
+    * ([[graft.ext.Stats.apBootstrapCI]]): x247's PR-space point
+    * estimate with the x257 derandomized-Poisson error bars —
+    * replicate APs on b-partitioned descending suffix windows, exact
+    * ceil-rank bounds. */
+  val x259ApBootstrap: Q = (s, dir) => {
+    graft.ext.Stats.apBootstrapCI(gateUnits(s, dir), col("doc_id"),
+      col("n_chars"), col("gopher_pass"), b = 200)
+  }
+
   /** x250 — per-SOURCE Brier + skill
     * ([[graft.ext.Stats.brierByGroup]]): x245's strictly-proper
     * probability score split by source — a proxy can beat climatology
@@ -4725,6 +4752,8 @@ object Queries {
     "x255_gains_curve" -> x255GainsCurve,
     "x256_krippendorff" -> x256Krippendorff,
     "x257_auc_bootstrap" -> x257AucBootstrap,
+    "x258_delong_auc" -> x258DelongAuc,
+    "x259_ap_bootstrap" -> x259ApBootstrap,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

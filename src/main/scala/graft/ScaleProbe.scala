@@ -188,7 +188,11 @@ object ScaleProbe {
       // Krippendorff (per-unit fold + marginals), and the ×B
       // bootstrap AUC (the documented B·|grid| trade — the one
       // deliberately superlinear arm, like x198)
-      "x255_gains_curve", "x256_krippendorff", "x257_auc_bootstrap")
+      "x255_gains_curve", "x256_krippendorff", "x257_auc_bootstrap",
+      // round-14 fourth block: DeLong (two grid builds + two
+      // equi-joins back + one combiner agg — row-linear) and the AP
+      // twin of the ×B bootstrap arm
+      "x258_delong_auc", "x259_ap_bootstrap")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

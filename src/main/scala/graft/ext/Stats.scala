@@ -1048,6 +1048,208 @@ object Stats {
         col("lo95"), col("hi95"), col("n_replicates"))
   }
 
+  /** DeLONG paired AUC comparison (DeLong, DeLong & Clarke-Pearson
+    * 1988) — "does score A rank the SAME units better than score B,
+    * beyond noise": the standard nonparametric test for comparing two
+    * classifiers on one test set, which a bootstrap-CI overlap check
+    * ([[aucBootstrapCI]]) systematically gets wrong because the two
+    * AUCs are CORRELATED through the shared units — DeLong estimates
+    * that covariance explicitly from per-unit placement values.
+    *
+    * Exact arithmetic: a positive unit's placement under a score is
+    * V10 = (negBelow + ½·negAt)/n⁻ — kept as the DOUBLED integer
+    * numerator 2·negBelow + negAt (the Mann–Whitney identity per
+    * unit), joined from the score's count grid (grid-bounded windows,
+    * then one equi-join back to units); all five moments (ΣVA, ΣVB,
+    * ΣVA², ΣVB², ΣVA·VB, per class) are exact DECIMAL(38,0) sums of
+    * doubled units, so partitioning never reorders anything; the
+    * variance/covariance closed forms and
+    * z = (AUC_A − AUC_B)/√(var_A + var_B − 2·cov) run in IEEE doubles
+    * in one fixed operand order. z is NULL when either class is
+    * empty, a class has a single unit (sample variance undefined), or
+    * the variance of the difference is ≤ 0 (identical rankings —
+    * nothing to test). Discrete-score contract on BOTH scores, same
+    * measured guard. Scale shape: two grid builds, two equi-joins
+    * back to units, ONE combiner agg per class, constant tail.
+    * Output one row: (n_pos, n_neg, auc_a, auc_b, z). */
+  def deLongTest(units: DataFrame, scoreA: Column, scoreB: Column,
+      label: Column, maxGridValues: Long = 10000000L): DataFrame = {
+    val N = DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val base = units.select(scoreA.as("__va"), scoreB.as("__vb"),
+        label.as("__y"))
+      .localCheckpoint(true) // feeds both grids AND both placement joins
+    // placement numerators per score grid: for a positive at v,
+    // 2·negBelow(v) + negAt(v); for a negative at v, the mirror
+    // 2·posAbove(v) + posAt(v) (placements against the other class)
+    def placements(score: String): DataFrame = {
+      val grid = base.groupBy(col(score).as("__v")).agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__neg"))
+        .localCheckpoint(true)
+      val nGrid = grid.count()
+      require(nGrid <= maxGridValues,
+        s"deLongTest: $nGrid distinct values of $score exceeds " +
+          s"maxGridValues=$maxGridValues — quantize the score first")
+      val wAsc = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wDesc = Window.orderBy(col("__v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid
+        .withColumn("__nb", coalesce(sum(col("__neg")).over(wAsc),
+          lit(0L)))
+        .withColumn("__pa", coalesce(sum(col("__pos")).over(wDesc),
+          lit(0L)))
+        .select(col("__v"),
+          (lit(2L) * col("__nb") + col("__neg")).as("__v10x2"),
+          (lit(2L) * col("__pa") + col("__pos")).as("__v01x2"))
+    }
+    val pa = placements("__va")
+      .withColumnRenamed("__v10x2", "__a10")
+      .withColumnRenamed("__v01x2", "__a01")
+    val pb = placements("__vb")
+      .withColumnRenamed("__v10x2", "__b10")
+      .withColumnRenamed("__v01x2", "__b01")
+    val placed = base
+      .join(pa, base("__va") === pa("__v")).drop("__v")
+      .join(pb, base("__vb") === pb("__v")).drop("__v")
+    // per-class exact moment fold of the doubled placements
+    val m = placed.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__m"),
+      sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"),
+      sum(when(col("__y"), col("__a10")).otherwise(0L)).cast(N)
+        .as("__sa10"),
+      sum(when(col("__y"), col("__b10")).otherwise(0L)).cast(N)
+        .as("__sb10"),
+      sum(when(col("__y"), col("__a10").cast(N) * col("__a10").cast(N))
+        .otherwise(lit(0).cast(N))).as("__saa10"),
+      sum(when(col("__y"), col("__b10").cast(N) * col("__b10").cast(N))
+        .otherwise(lit(0).cast(N))).as("__sbb10"),
+      sum(when(col("__y"), col("__a10").cast(N) * col("__b10").cast(N))
+        .otherwise(lit(0).cast(N))).as("__sab10"),
+      sum(when(!col("__y"), col("__a01")).otherwise(0L)).cast(N)
+        .as("__sa01"),
+      sum(when(!col("__y"), col("__b01")).otherwise(0L)).cast(N)
+        .as("__sb01"),
+      sum(when(!col("__y"), col("__a01").cast(N) * col("__a01").cast(N))
+        .otherwise(lit(0).cast(N))).as("__saa01"),
+      sum(when(!col("__y"), col("__b01").cast(N) * col("__b01").cast(N))
+        .otherwise(lit(0).cast(N))).as("__sbb01"),
+      sum(when(!col("__y"), col("__a01").cast(N) * col("__b01").cast(N))
+        .otherwise(lit(0).cast(N))).as("__sab01"))
+    // doubled-unit normalization: placements are x/(2n) of the sums
+    // above; AUC = mean placement; sample (co)variances of the
+    // placement means with the 1/(k−1) correction — one double chain
+    val md = col("__m").cast("double"); val nd = col("__n").cast("double")
+    def meanP(s: Column, denom: Column, k: Column): Column =
+      s.cast("double") / (lit(2.0) * denom.cast("double") *
+        k.cast("double"))
+    // cov(X,Y) over doubled units: (Σxy − Σx·Σy/k) / ((k−1)·(2n)²)
+    def covP(sxy: Column, sx: Column, sy: Column, k: Column,
+        denom: Column): Column =
+      (sxy.cast("double") -
+        sx.cast("double") * sy.cast("double") / k.cast("double")) /
+        ((k.cast("double") - lit(1.0)) *
+          (lit(2.0) * denom.cast("double")) *
+          (lit(2.0) * denom.cast("double")))
+    val aucA = meanP(col("__sa10"), col("__n"), col("__m"))
+    val aucB = meanP(col("__sb10"), col("__n"), col("__m"))
+    val s10aa = covP(col("__saa10"), col("__sa10"), col("__sa10"),
+      col("__m"), col("__n"))
+    val s10bb = covP(col("__sbb10"), col("__sb10"), col("__sb10"),
+      col("__m"), col("__n"))
+    val s10ab = covP(col("__sab10"), col("__sa10"), col("__sb10"),
+      col("__m"), col("__n"))
+    val s01aa = covP(col("__saa01"), col("__sa01"), col("__sa01"),
+      col("__n"), col("__m"))
+    val s01bb = covP(col("__sbb01"), col("__sb01"), col("__sb01"),
+      col("__n"), col("__m"))
+    val s01ab = covP(col("__sab01"), col("__sa01"), col("__sb01"),
+      col("__n"), col("__m"))
+    val varDiff = (s10aa + s10bb - lit(2.0) * s10ab) / md +
+      (s01aa + s01bb - lit(2.0) * s01ab) / nd
+    m.select(col("__m").as("n_pos"), col("__n").as("n_neg"),
+      when(col("__m") > 0 && col("__n") > 0, aucA).as("auc_a"),
+      when(col("__m") > 0 && col("__n") > 0, aucB).as("auc_b"),
+      when(col("__m") >= 2 && col("__n") >= 2 && varDiff > 0.0,
+        (aucA - aucB) / sqrt(varDiff)).as("z"))
+  }
+
+  /** BOOTSTRAP confidence interval for AVERAGE PRECISION — the
+    * [[aucBootstrapCI]] machinery pointed at the PR-space number
+    * ([[averagePrecision]]): same derandomized Poisson(1) unit
+    * weights, same additive fold into B grid copies, per-replicate
+    * step-AP on b-partitioned descending suffix windows
+    * (per-term quantized to DECIMAL(28,12), the pooled form's
+    * discipline), exact ceil-rank bounds. Replicates with no
+    * positives drop (n_replicates reports survivors). Output one
+    * row: (n_units, n_pos, n_neg, ap, lo95, hi95, n_replicates). */
+  def apBootstrapCI(units: DataFrame, unitId: Column, score: Column,
+      label: Column, b: Int = 200, maxGridValues: Long = 10000000L)
+      : DataFrame = {
+    require(b >= 40 && b <= 10000, s"apBootstrapCI: b=$b outside " +
+      "[40,10000]")
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(38, 0)
+    val L = DecimalType(28, 12)
+    val base = units.select(unitId.as("__u"), score.as("__v"),
+        label.as("__y"))
+      .localCheckpoint(true) // feeds the point estimate AND ×B explode
+    val point = averagePrecisionFromCounts(base.groupBy("__v", "__y")
+      .agg(count(lit(1)).as("c"))
+      .select(col("__v").as("v"), col("__y").as("y"), col("c")),
+      maxGridValues)
+    val nUnits = broadcast(base.agg(count(lit(1)).as("n_units")))
+    val h = pmod(
+      pmod(pmod(col("__u"), lit(Sampling.HashPrime)) *
+        lit(Sampling.HashMult), lit(Sampling.HashPrime)) +
+        col("__b") * lit(7919L), lit(Sampling.HashPrime))
+    val ppm = pmod(h, lit(1000000L))
+    val w = when(ppm < 367879, 0L).when(ppm < 735758, 1L)
+      .when(ppm < 919698, 2L).when(ppm < 981011, 3L)
+      .when(ppm < 996340, 4L).when(ppm < 999405, 5L)
+      .when(ppm < 999916, 6L).when(ppm < 999989, 7L)
+      .when(ppm < 999998, 8L).otherwise(9L)
+    val grid = base
+      .withColumn("__b", explode(sequence(lit(0L), lit(b - 1L))))
+      .withColumn("__w", w)
+      .groupBy("__b", "__v").agg(
+        sum(when(col("__y"), col("__w")).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), col("__w")).otherwise(0L)).as("__neg"))
+      .where(col("__pos") > 0 || col("__neg") > 0)
+    val wDesc = Window.partitionBy("__b").orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val aps = grid
+      .withColumn("__tp", sum(col("__pos")).over(wDesc))
+      .withColumn("__fp", sum(col("__neg")).over(wDesc))
+      .withColumn("__term",
+        when(col("__pos") > 0,
+          (col("__pos").cast("double") * col("__tp").cast("double") /
+            (col("__tp") + col("__fp")).cast("double")).cast(L))
+          .otherwise(lit(0).cast(L)))
+      .groupBy("__b")
+      .agg(sum(col("__pos")).as("__np"), sum(col("__term")).as("__ts"))
+      .where(col("__np") > 0)
+      .select(col("__b"),
+        (col("__ts").cast("double") / col("__np").cast("double"))
+          .as("__a"))
+    val wRank = Window.orderBy(col("__a"), col("__b")) // B-bounded
+    val ranked = aps.withColumn("__r", row_number().over(wRank))
+      .localCheckpoint(true) // B rows: feeds count + both bound picks
+    val nb = ranked.agg(count(lit(1)).as("n_replicates"))
+    val lo = ranked.crossJoin(broadcast(nb))
+      .where(col("__r") === greatest(lit(1L),
+        expr("(n_replicates * 25 + 999) DIV 1000")))
+      .select(col("__a").as("lo95"))
+    val hi = ranked.crossJoin(broadcast(nb))
+      .where(col("__r") === expr("(n_replicates * 975 + 999) DIV 1000"))
+      .select(col("__a").as("hi95"))
+    point.crossJoin(nUnits).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_units"), col("n_pos"), col("n_neg"), col("ap"),
+        col("lo95"), col("hi95"), col("n_replicates"))
+  }
+
   /** FLEISS' KAPPA multi-rater agreement (Fleiss 1971) — [[cohenKappa]]
     * generalized past two raters: m gates/models/annotators each
     * assign every unit a category, and κ reads how far the observed

@@ -4454,6 +4454,47 @@ class ExtSpec extends SparkSpec {
       Stats.aucBootstrapCI(u, col("id"), col("s"), col("y"), b = 10))
   }
 
+  test("deLongTest: hand case z = sqrt(0.5); AUCs equal rocAuc on " +
+      "the same data; antisymmetric in the scores; identical scores " +
+      "have NULL z") {
+    import graft.ext.Stats
+    // m = n = 2. A: V10 = (1, 0.5) -> AUC_A = 0.75, S10 = S01 = 0.125
+    // B: V10 = (0, 0.5) -> AUC_B = 0.25; covs both -0.125
+    // varDiff = 0.5/2 + 0.5/2 = 0.5; z = 0.5/sqrt(0.5)
+    val u = Seq((4L, 1L, true), (2L, 3L, true), (3L, 2L, false),
+      (1L, 4L, false)).toDF("a", "b", "y")
+    val r = Stats.deLongTest(u, col("a"), col("b"), col("y")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 0.25)
+    assert(math.abs(r.getDouble(4) - 0.5 / math.sqrt(0.5)) < 1e-15)
+    // AUCs agree with the U-identity operator on the same columns
+    assert(r.getDouble(2) ==
+      Stats.rocAuc(u, col("a"), col("y")).head().getDouble(2))
+    assert(r.getDouble(3) ==
+      Stats.rocAuc(u, col("b"), col("y")).head().getDouble(2))
+    // antisymmetry
+    val rev = Stats.deLongTest(u, col("b"), col("a"), col("y")).head()
+    assert(math.abs(rev.getDouble(4) + r.getDouble(4)) < 1e-15)
+    // identical scores: varDiff = 0 -> nothing to test
+    assert(Stats.deLongTest(u, col("a"), col("a"), col("y")).head()
+      .isNullAt(4))
+  }
+
+  test("apBootstrapCI: perfect ranking pins every replicate AP at 1; " +
+      "b range trips") {
+    import graft.ext.Stats
+    val u = (1 to 40).map(i =>
+      (i.toLong, if (i <= 20) i + 100L else i.toLong, i <= 20))
+      .toDF("id", "s", "y")
+    val r = Stats.apBootstrapCI(u, col("id"), col("s"), col("y"),
+      b = 50).head()
+    assert(r.getLong(0) == 40L && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+    assert(r.getLong(6) >= 40L && r.getLong(6) <= 50L)
+    intercept[IllegalArgumentException](
+      Stats.apBootstrapCI(u, col("id"), col("s"), col("y"), b = 39))
+  }
+
   test("classifier-eval score-grid guards: an unquantized score trips " +
       "maxGridValues loudly on rocAuc, thresholdSweep and " +
       "rocAucByGroup; an out-of-range ppm raises in calibrationBins") {
