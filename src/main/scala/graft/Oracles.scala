@@ -8756,6 +8756,44 @@ object Oracles {
             |  hi.hi95, nb2.n_replicates
             |FROM nu CROSS JOIN pt CROSS JOIN lo CROSS JOIN hi
             |  CROSS JOIN nb2""".stripMargin),
+      // x260: per-source argmax cut — the x249 utility on the
+      // source-partitioned sweep, rank-1 with the low-threshold
+      // tie-break
+      "x260_group_cut" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT d.source, g.gopher_pass AS y, d.n_chars AS s
+            |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+            |grid AS (
+            |  SELECT source, s AS threshold,
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+            |  FROM u GROUP BY 1, 2),
+            |tot AS (
+            |  SELECT source, CAST(sum(pos) AS BIGINT) AS np,
+            |    CAST(sum(neg) AS BIGINT) AS nn
+            |  FROM grid GROUP BY 1),
+            |c AS (
+            |  SELECT source, threshold,
+            |    CAST(sum(pos) OVER (PARTITION BY source
+            |      ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)
+            |      AS BIGINT) AS tp,
+            |    CAST(sum(neg) OVER (PARTITION BY source
+            |      ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)
+            |      AS BIGINT) AS fp
+            |  FROM grid),
+            |sw AS (
+            |  SELECT c.source, c.threshold, c.tp, c.fp,
+            |    CAST(t.np - c.tp AS BIGINT) AS fn,
+            |    CAST(t.nn - c.fp AS BIGINT) AS tn,
+            |    CAST(5 * c.tp - 1 * c.fp - 2 * (t.np - c.tp) AS BIGINT)
+            |      AS utility
+            |  FROM c JOIN tot t ON c.source = t.source)
+            |SELECT source, threshold, tp, fp, fn, tn, utility
+            |FROM sw
+            |QUALIFY row_number() OVER (PARTITION BY source
+            |  ORDER BY utility DESC, threshold ASC) = 1
+            |ORDER BY source""".stripMargin),
       "x242_cohen_kappa" -> (units +
         """grid AS (
           |  SELECT y AS a, s >= 200 AS b, CAST(count(*) AS BIGINT) AS c

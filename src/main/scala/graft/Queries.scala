@@ -3680,6 +3680,20 @@ object Queries {
       col("n_chars"), col("gopher_pass"), b = 200)
   }
 
+  /** x260 — per-SOURCE OPTIMAL CUT
+    * ([[graft.ext.Stats.bestCutByGroup]]): the ship decision the
+    * per-source audits (x244/x248/x250/x251) build to — each source's
+    * utility-maximizing n_chars cut under the x249 costs, exact
+    * integer utilities, deterministic low-threshold tie-break; one
+    * rank-1 window per source over the grid-bounded sweep. */
+  val x260GroupCut: Q = (s, dir) => {
+    graft.ext.Stats.bestCutByGroup(gateUnitsWithSource(s, dir),
+        col("source"), col("n_chars"), col("gopher_pass"),
+        wTp = 5L, wFp = 1L, wFn = 2L)
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+  }
+
   /** x250 — per-SOURCE Brier + skill
     * ([[graft.ext.Stats.brierByGroup]]): x245's strictly-proper
     * probability score split by source — a proxy can beat climatology
@@ -4754,6 +4768,7 @@ object Queries {
     "x257_auc_bootstrap" -> x257AucBootstrap,
     "x258_delong_auc" -> x258DelongAuc,
     "x259_ap_bootstrap" -> x259ApBootstrap,
+    "x260_group_cut" -> x260GroupCut,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

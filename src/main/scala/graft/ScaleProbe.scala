@@ -192,7 +192,9 @@ object ScaleProbe {
       // round-14 fourth block: DeLong (two grid builds + two
       // equi-joins back + one combiner agg — row-linear) and the AP
       // twin of the ×B bootstrap arm
-      "x258_delong_auc", "x259_ap_bootstrap")
+      "x258_delong_auc", "x259_ap_bootstrap",
+      // the per-source argmax cut (partitioned sweep + rank-1 window)
+      "x260_group_cut")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -1360,6 +1360,97 @@ object Stats {
             col("__we").cast("double")).as("kappa_w"))
   }
 
+  /** [[thresholdSweep]] PER GROUP — every source's own operating
+    * table: suffix sums on windows PARTITIONED by group, per-group
+    * totals joined back (group-keyed equi-join, never a broadcast of
+    * a group-sized frame). The input to [[bestCutByGroup]] — the
+    * per-source operating point x250's audit motivates (when a proxy
+    * is mis-calibrated differently per source, ONE global cut is the
+    * wrong ship decision). Same discrete-score contract, pooled-cell
+    * guard. Output: (group, threshold, tp, fp, fn, tn, precision,
+    * recall, f1, fpr). */
+  def thresholdSweepByGroup(units: DataFrame, group: Column,
+      score: Column, label: Column, maxGridValues: Long = 10000000L)
+      : DataFrame =
+    thresholdSweepByGroupFromCounts(units
+      .select(group.as("g"), score.as("v"), label.as("y"))
+      .groupBy("g", "v", "y").agg(count(lit(1)).as("c")), maxGridValues)
+
+  /** [[thresholdSweepByGroup]] over PRE-AGGREGATED (g, v, y, c)
+    * counts — the (g, v, y) grouped-ledger form
+    * ([[graft.streaming.Streams.thresholdSweepByGroupView]]). */
+  def thresholdSweepByGroupFromCounts(counts: DataFrame,
+      maxGridValues: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = counts.select(col("g"), col("v").as("threshold"),
+        col("y").as("__y"), col("c").as("__c"))
+      .groupBy("g", "threshold").agg(
+        sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
+        sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
+      .localCheckpoint(true) // feeds the guard, the windows AND totals
+    val nCells = grid.count()
+    require(nCells <= maxGridValues,
+      s"thresholdSweepByGroup: $nCells pooled (group, score) cells " +
+        s"exceeds maxGridValues=$maxGridValues — the score must be " +
+        "discrete (quantize a raw double first)")
+    val tot = grid.groupBy("g").agg(sum(col("__pos")).as("__np"),
+      sum(col("__neg")).as("__nn"))
+    val wDesc = Window.partitionBy("g").orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("tp", sum(col("__pos")).over(wDesc))
+      .withColumn("fp", sum(col("__neg")).over(wDesc))
+      .join(tot, Seq("g")) // group-keyed equi-join, never broadcast
+      .select(col("g").as("group"), col("threshold"), col("tp"),
+        col("fp"),
+        (col("__np") - col("tp")).as("fn"),
+        (col("__nn") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") > 0, col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).as("precision"),
+        when(col("__np") > 0,
+          col("tp").cast("double") / col("__np").cast("double"))
+          .as("recall"),
+        when(col("tp") + col("fp") + col("__np") > 0,
+          lit(2.0) * col("tp").cast("double") /
+            (col("tp") + col("fp") + col("__np")).cast("double"))
+          .as("f1"),
+        when(col("__nn") > 0,
+          col("fp").cast("double") / col("__nn").cast("double"))
+          .as("fpr"))
+  }
+
+  /** The per-group OPTIMAL OPERATING POINT under explicit unit costs
+    * — the ship decision [[thresholdSweepByGroup]] feeds: for every
+    * group, the cut maximizing the exact integer utility
+    * U = wTp·tp − wFp·fp − wFn·fn (the [[decisionCurve]] economics),
+    * ties broken deterministically toward the LOWEST threshold (keep
+    * more at equal utility). One rank-1 window per group over the
+    * grid-bounded sweep — the plan is a WindowGroupLimit-style
+    * per-group top-1, never a global sort. Output one row per group:
+    * (group, threshold, tp, fp, fn, tn, utility). */
+  def bestCutByGroup(units: DataFrame, group: Column, score: Column,
+      label: Column, wTp: Long, wFp: Long, wFn: Long,
+      maxGridValues: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = DecimalType(38, 0)
+    require(wTp >= 0L && wTp <= 1000000L && wFp >= 0L &&
+      wFp <= 1000000L && wFn >= 0L && wFn <= 1000000L,
+      s"bestCutByGroup: costs (wTp=$wTp, wFp=$wFp, wFn=$wFn) outside " +
+        "[0, 1e6] — the integer-exactness bound")
+    val sweep = thresholdSweepByGroup(units, group, score, label,
+        maxGridValues)
+      .withColumn("utility",
+        (lit(wTp).cast(N) * col("tp").cast(N) -
+          lit(wFp).cast(N) * col("fp").cast(N) -
+          lit(wFn).cast(N) * col("fn").cast(N)).cast("long"))
+    val wBest = Window.partitionBy("group")
+      .orderBy(col("utility").desc, col("threshold").asc)
+    sweep.withColumn("__rk", row_number().over(wBest))
+      .where(col("__rk") === 1)
+      .select(col("group"), col("threshold"), col("tp"), col("fp"),
+        col("fn"), col("tn"), col("utility"))
+  }
+
   /** CALIBRATION (reliability) bins for a ppm-quantized probability
     * against a binary outcome — "when the score says 70%, does it
     * happen 70% of the time": equal-width bins over [0, 1e6] ppm

@@ -627,6 +627,16 @@ object Streams {
       sumView(spark, tablePath, Seq("g", "v", "y"))
         .select(col("g"), col("v"), col("y"), col("n").as("c")))
 
+  /** Per-GROUP threshold-sweep view over the SAME (g, v, y) ledger
+    * as [[rocAucByGroupView]] — every source's live operating table,
+    * streaming-fed and bit-equal to batch
+    * [[graft.ext.Stats.thresholdSweepByGroup]]. */
+  def thresholdSweepByGroupView(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    graft.ext.Stats.thresholdSweepByGroupFromCounts(
+      sumView(spark, tablePath, Seq("g", "v", "y"))
+        .select(col("g"), col("v"), col("y"), col("n").as("c")))
+
   /** Per-GROUP calibration view over the SAME (g, v, y) ledger as
     * [[rocAucByGroupView]], with v the ppm probability — per-source
     * reliability bins, streaming-fed and bit-equal to batch

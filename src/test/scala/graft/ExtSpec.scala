@@ -4454,6 +4454,42 @@ class ExtSpec extends SparkSpec {
       Stats.aucBootstrapCI(u, col("id"), col("s"), col("y"), b = 10))
   }
 
+  test("thresholdSweepByGroup: each group's table equals the pooled " +
+      "sweep run on that group alone; bestCutByGroup picks the " +
+      "utility argmax with the low-threshold tie-break") {
+    import graft.ext.Stats
+    val u = Seq(("A", 1L, false), ("A", 2L, true), ("A", 2L, false),
+      ("A", 3L, true), ("B", 1L, true), ("B", 2L, false))
+      .toDF("g", "s", "y")
+    for (g <- Seq("A", "B")) {
+      val slice = u.where(col("g") === g)
+      assert(rows(Stats.thresholdSweepByGroup(u, col("g"), col("s"),
+          col("y")).where(col("group") === g)
+          .drop("group").orderBy("threshold")).map(_.toString) ==
+        rows(Stats.thresholdSweep(slice, col("s"), col("y"))
+          .orderBy("threshold")).map(_.toString))
+    }
+    // group A (the x239 hand grid): utilities at cuts 3/2/1 are
+    // 3/9/8 -> cut 2 wins; group B: cut 2 has U=-2-0=... compute:
+    // cut2: tp=0,fp=1,fn=1 -> -3; cut1: tp=1,fp=1,fn=0 -> 4 -> cut 1
+    val best = rows(Stats.bestCutByGroup(u, col("g"), col("s"),
+        col("y"), wTp = 5L, wFp = 1L, wFn = 2L).orderBy("group"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(6)))
+    assert(best == Seq(("A", 2L, 9L), ("B", 1L, 4L)))
+    // tie-break: two cuts with equal utility keep the LOWER threshold
+    // (wTp=1, wFp=1, wFn=0: cut2 U=2-1=1, cut1 U=2-2=0; with wFn=1:
+    // cut3 U=1-0-1=0, cut2 U=2-1-0=1, cut1 U=2-2-0=0) — construct an
+    // explicit tie instead: weights 0/0/0 make every cut U=0 -> the
+    // lowest threshold wins per group
+    val tied = rows(Stats.bestCutByGroup(u, col("g"), col("s"),
+        col("y"), wTp = 0L, wFp = 0L, wFn = 0L).orderBy("group"))
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(tied == Seq(("A", 1L), ("B", 1L)))
+    intercept[IllegalArgumentException](
+      Stats.bestCutByGroup(u, col("g"), col("s"), col("y"),
+        wTp = -1L, wFp = 0L, wFn = 0L))
+  }
+
   test("deLongTest: hand case z = sqrt(0.5); AUCs equal rocAuc on " +
       "the same data; antisymmetric in the scores; identical scores " +
       "have NULL z") {

@@ -659,6 +659,10 @@ class StreamingSpec extends SparkSpec {
         .map(_.toString) ==
       rows(Stats.averagePrecisionByGroup(all, $"g", $"v", $"y")
         .orderBy("group")).map(_.toString))
+    assert(rows(Streams.thresholdSweepByGroupView(spark, table)
+        .orderBy("group", "threshold")).map(_.toString) ==
+      rows(Stats.thresholdSweepByGroup(all, $"g", $"v", $"y")
+        .orderBy("group", "threshold")).map(_.toString))
     // the grouped ledger's g-marginal serves the POOLED views too —
     // one ledger, both audits
     val pooled = Streams.sumView(spark, table, Seq("g", "v", "y"))
