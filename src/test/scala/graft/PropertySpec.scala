@@ -370,6 +370,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: AUC, AP and the DeLong z are BIT-identical under " +
+      "strictly monotone integer score transforms (rank statistics " +
+      "on exact count grids)") {
+    import graft.ext.Stats
+    for (_ <- 1 to 3) {
+      val cases = (1 to 60).map(i => (i.toLong, rnd.nextInt(30).toLong,
+        rnd.nextInt(25).toLong, rnd.nextBoolean()))
+      val df = cases.toDF("id", "a", "b", "y")
+      // v -> 3v + 100 preserves order and integrality: the count
+      // grids are isomorphic, so every downstream integer and every
+      // fixed-order double chain is literally the same computation
+      val tdf = df.select($"id", ($"a" * 3 + 100).as("a"),
+        ($"b" * 3 + 100).as("b"), $"y")
+      assert(rows(Stats.rocAuc(df, $"a", $"y")).map(_.toString) ==
+        rows(Stats.rocAuc(tdf, $"a", $"y")).map(_.toString))
+      assert(rows(Stats.averagePrecision(df, $"a", $"y"))
+          .map(_.toString) ==
+        rows(Stats.averagePrecision(tdf, $"a", $"y")).map(_.toString))
+      assert(rows(Stats.deLongTest(df, $"a", $"b", $"y"))
+          .map(_.toString) ==
+        rows(Stats.deLongTest(tdf, $"a", $"b", $"y")).map(_.toString))
+    }
+  }
+
   test("property: the rocAuc/thresholdSweep grid guard trips on every " +
       "unquantized random score batch and admits its quantized form") {
     import graft.ext.Stats
