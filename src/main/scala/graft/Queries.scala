@@ -3476,15 +3476,10 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  /** x244 — per-SOURCE ROC-AUC ([[graft.ext.Stats.rocAucByGroup]]):
-    * x240's pooled AUC split by source — the ranking-quality audit
-    * that catches a proxy score working on average while failing a
-    * minority slice (the Simpson lesson applied to rankings);
-    * partitioned grid windows, exact U identity per group. */
-  /** The x244/x248/x250 shared per-source frame: [[gateUnits]] plus
-    * the source column — one extra documents-projection join over the
-    * memoized Gopher scan, memoized itself so the three per-source
-    * audits pay it once. */
+  /** The x244/x248/x250/x251/x260 shared per-source frame:
+    * [[gateUnits]] plus the source column — one extra
+    * documents-projection join over the memoized Gopher scan,
+    * memoized itself so the per-source audits pay it once. */
   private def gateUnitsWithSource(s: SparkSession, dir: String)
       : DataFrame = {
     // resolve the base memo before the outer compute (the gateUnits
@@ -3497,6 +3492,11 @@ object Queries {
     }
   }
 
+  /** x244 — per-SOURCE ROC-AUC ([[graft.ext.Stats.rocAucByGroup]]):
+    * x240's pooled AUC split by source — the ranking-quality audit
+    * that catches a proxy score working on average while failing a
+    * minority slice (the Simpson lesson applied to rankings);
+    * partitioned grid windows, exact U identity per group. */
   val x244GroupAuc: Q = (s, dir) => {
     graft.ext.Stats.rocAucByGroup(gateUnitsWithSource(s, dir),
         col("source"), col("n_chars"), col("gopher_pass"))

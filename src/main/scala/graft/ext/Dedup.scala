@@ -1460,13 +1460,21 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .where(length(col("s")) >= minLen)
       .localCheckpoint(true) // feeds the strings table AND the expansion
+    val nRecords = base.count() // checkpointed — one cheap job
     val buckets = if (nBuckets > 0) nBuckets
-      else math.min(4096L, math.max(1L, base.count() / 50000L + 1L)).toInt
+      else math.min(4096L, math.max(1L, nRecords / 50000L + 1L)).toInt
     base.write.mode("overwrite").parquet(s"$path/strings")
-    deleteNeighborhood(base, maxDist)
+    val expanded = deleteNeighborhood(base, maxDist)
       .withColumn("bucket", variantBucket(col("v"), buckets))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/variants")
+    // an EMPTY vocabulary must still round-trip: a dynamic-partition
+    // writer emits no schema-bearing part file for zero rows (the
+    // loader would then fail schema inference), so write the empty
+    // frame unpartitioned — same columns, zero rows, loadable
+    if (nRecords == 0L)
+      expanded.write.mode("overwrite").parquet(s"$path/variants")
+    else
+      expanded.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/variants")
     import spark.implicits._
     Seq((maxDist, minLen, buckets))
       .toDF("max_dist", "min_len", "n_buckets")

@@ -947,7 +947,7 @@ object Stats {
       .localCheckpoint(true) // feeds the term fold AND the marginal join
     val obs = perUnit.agg(
       count(lit(1)).as("n_units"),
-      sum(col("__n")).as("n_values"),
+      coalesce(sum(col("__n")), lit(0L)).as("n_values"),
       coalesce(sum(
         (((col("__n").cast(N) * col("__n").cast(N)) - col("__s2"))
           .cast("double") / (col("__n") - 1).cast("double")).cast(L)),
@@ -968,6 +968,49 @@ object Stats {
               col("__e2")).cast("double")).as("alpha"))
   }
 
+  /** The derandomized Poisson(1) replicate weight of (unit, b) — ONE
+    * definition shared by [[bootstrapMeanCI]], [[aucBootstrapCI]] and
+    * [[apBootstrapCI]] (and mirrored literally by their oracles):
+    * invert the exact Poisson(1) CDF in ppm at the portable
+    * counter-based hash h = (hash(u) + b·7919) mod P; weight capped
+    * at 9 (P ≈ 1e-6 beyond). */
+  private def poissonWeight(u: Column, b: Column): Column = {
+    val h = pmod(
+      pmod(pmod(u, lit(Sampling.HashPrime)) *
+        lit(Sampling.HashMult), lit(Sampling.HashPrime)) +
+        b * lit(7919L), lit(Sampling.HashPrime))
+    val ppm = pmod(h, lit(1000000L))
+    when(ppm < 367879, 0L).when(ppm < 735758, 1L)
+      .when(ppm < 919698, 2L).when(ppm < 981011, 3L)
+      .when(ppm < 996340, 4L).when(ppm < 999405, 5L)
+      .when(ppm < 999916, 6L).when(ppm < 999989, 7L)
+      .when(ppm < 999998, 8L).otherwise(9L)
+  }
+
+  /** Exact ceil-rank 95% percentile bounds over per-replicate
+    * statistics (valueCol keyed by repCol for deterministic
+    * tie-break) — the shared tail of the three bootstrap operators.
+    * ALWAYS one row out: (n_replicates, lo95, hi95) — bounds NULL
+    * (and n_replicates 0) when no replicate survived, so callers
+    * keep their documented one-row contract instead of silently
+    * producing zero rows. The ceil-ranks are exact integers
+    * ((B·25+999) DIV 1000 — the IEEE 200·0.025 pitfall). */
+  private def ceilRankBounds(stats: DataFrame, valueCol: String,
+      repCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.orderBy(col(valueCol), col(repCol)) // B-bounded
+    val ranked = stats.withColumn("__r", row_number().over(wRank))
+      .localCheckpoint(true) // B rows: feeds the count AND both picks
+    val nb = ranked.agg(count(lit(1)).as("__nreps"))
+    ranked.crossJoin(broadcast(nb)).agg(
+      count(lit(1)).as("n_replicates"),
+      min(when(col("__r") === greatest(lit(1L),
+        expr("(__nreps * 25 + 999) DIV 1000")), col(valueCol)))
+        .as("lo95"),
+      min(when(col("__r") === expr("(__nreps * 975 + 999) DIV 1000"),
+        col(valueCol))).as("hi95"))
+  }
+
   /** BOOTSTRAP confidence interval for ROC-AUC — the error bars the
     * x240 point estimate deserves before a gate ships on it ("is
     * 0.71 vs 0.69 a real ranking difference or noise"), RNG-FREE via
@@ -979,7 +1022,9 @@ object Stats {
     * fold ADDITIVELY into cells — the resample never materializes),
     * then the exact U identity runs per replicate on b-partitioned
     * grid windows; replicates with an empty class drop (reported via
-    * n_replicates). Percentile bounds are EXACT ceil-ranks over the
+    * n_replicates; if NONE survives — single-class data — the row
+    * still comes back with NULL bounds and n_replicates 0, never
+    * zero rows). Percentile bounds are EXACT ceil-ranks over the
     * replicate AUCs (ties broken by replicate index). Scale shape:
     * one ×B explode over ROWS folded straight into B grid copies
     * (B·|grid| cells — the documented bootstrap trade), B-partitioned
@@ -1000,20 +1045,9 @@ object Stats {
       .select(col("__v").as("v"), col("__y").as("y"), col("c")),
       maxGridValues)
     val nUnits = broadcast(base.agg(count(lit(1)).as("n_units")))
-    // the bootstrapMeanCI derandomized Poisson(1) ppm inverse-CDF
-    val h = pmod(
-      pmod(pmod(col("__u"), lit(Sampling.HashPrime)) *
-        lit(Sampling.HashMult), lit(Sampling.HashPrime)) +
-        col("__b") * lit(7919L), lit(Sampling.HashPrime))
-    val ppm = pmod(h, lit(1000000L))
-    val w = when(ppm < 367879, 0L).when(ppm < 735758, 1L)
-      .when(ppm < 919698, 2L).when(ppm < 981011, 3L)
-      .when(ppm < 996340, 4L).when(ppm < 999405, 5L)
-      .when(ppm < 999916, 6L).when(ppm < 999989, 7L)
-      .when(ppm < 999998, 8L).otherwise(9L)
     val grid = base
       .withColumn("__b", explode(sequence(lit(0L), lit(b - 1L))))
-      .withColumn("__w", w)
+      .withColumn("__w", poissonWeight(col("__u"), col("__b")))
       .groupBy("__b", "__v").agg(
         sum(when(col("__y"), col("__w")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__w")).otherwise(0L)).as("__neg"))
@@ -1031,19 +1065,8 @@ object Stats {
         (col("__num2").cast("double") /
           (lit(2.0) * col("__np").cast("double") *
             col("__nn").cast("double"))).as("__a"))
-    val wRank = Window.orderBy(col("__a"), col("__b")) // B-bounded
-    val ranked = aucs.withColumn("__r", row_number().over(wRank))
-      .localCheckpoint(true) // B rows: feeds count + both bound picks
-    val nb = ranked.agg(count(lit(1)).as("n_replicates"))
-    val lo = ranked.crossJoin(broadcast(nb))
-      .where(col("__r") === greatest(lit(1L),
-        expr("(n_replicates * 25 + 999) DIV 1000")))
-      .select(col("__a").as("lo95"))
-    val hi = ranked.crossJoin(broadcast(nb))
-      .where(col("__r") === expr("(n_replicates * 975 + 999) DIV 1000"))
-      .select(col("__a").as("hi95"))
-    point.crossJoin(nUnits).crossJoin(broadcast(nb))
-      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    point.crossJoin(nUnits)
+      .crossJoin(broadcast(ceilRankBounds(aucs, "__a", "__b")))
       .select(col("n_units"), col("n_pos"), col("n_neg"), col("auc"),
         col("lo95"), col("hi95"), col("n_replicates"))
   }
@@ -1071,13 +1094,22 @@ object Stats {
     * nothing to test). Discrete-score contract on BOTH scores, same
     * measured guard. Scale shape: two grid builds, two equi-joins
     * back to units, ONE combiner agg per class, constant tail.
+    * NULL scores are a LOUD error (the placement equi-join would
+    * silently drop them, making auc_a/auc_b disagree with [[rocAuc]]
+    * on the same column — filter or impute first).
     * Output one row: (n_pos, n_neg, auc_a, auc_b, z). */
   def deLongTest(units: DataFrame, scoreA: Column, scoreB: Column,
       label: Column, maxGridValues: Long = 10000000L): DataFrame = {
     val N = DecimalType(38, 0)
     import org.apache.spark.sql.expressions.Window
-    val base = units.select(scoreA.as("__va"), scoreB.as("__vb"),
-        label.as("__y"))
+    // NULL check lives INSIDE the used expression (pruning-proof)
+    def nn(c: Column, name: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"deLongTest: NULL $name — a NULL score has no placement " +
+          "and would silently vanish from the moments; filter or " +
+          "impute first")))
+    val base = units.select(nn(scoreA, "scoreA").as("__va"),
+        nn(scoreB, "scoreB").as("__vb"), label.as("__y"))
       .localCheckpoint(true) // feeds both grids AND both placement joins
     // placement numerators per score grid: for a positive at v,
     // 2·negBelow(v) + negAt(v); for a negative at v, the mirror
@@ -1182,7 +1214,8 @@ object Stats {
     * step-AP on b-partitioned descending suffix windows
     * (per-term quantized to DECIMAL(28,12), the pooled form's
     * discipline), exact ceil-rank bounds. Replicates with no
-    * positives drop (n_replicates reports survivors). Output one
+    * positives drop (n_replicates reports survivors; zero survivors
+    * still returns the one documented row, bounds NULL). Output one
     * row: (n_units, n_pos, n_neg, ap, lo95, hi95, n_replicates). */
   def apBootstrapCI(units: DataFrame, unitId: Column, score: Column,
       label: Column, b: Int = 200, maxGridValues: Long = 10000000L)
@@ -1190,7 +1223,6 @@ object Stats {
     require(b >= 40 && b <= 10000, s"apBootstrapCI: b=$b outside " +
       "[40,10000]")
     import org.apache.spark.sql.expressions.Window
-    val N = DecimalType(38, 0)
     val L = DecimalType(28, 12)
     val base = units.select(unitId.as("__u"), score.as("__v"),
         label.as("__y"))
@@ -1200,19 +1232,9 @@ object Stats {
       .select(col("__v").as("v"), col("__y").as("y"), col("c")),
       maxGridValues)
     val nUnits = broadcast(base.agg(count(lit(1)).as("n_units")))
-    val h = pmod(
-      pmod(pmod(col("__u"), lit(Sampling.HashPrime)) *
-        lit(Sampling.HashMult), lit(Sampling.HashPrime)) +
-        col("__b") * lit(7919L), lit(Sampling.HashPrime))
-    val ppm = pmod(h, lit(1000000L))
-    val w = when(ppm < 367879, 0L).when(ppm < 735758, 1L)
-      .when(ppm < 919698, 2L).when(ppm < 981011, 3L)
-      .when(ppm < 996340, 4L).when(ppm < 999405, 5L)
-      .when(ppm < 999916, 6L).when(ppm < 999989, 7L)
-      .when(ppm < 999998, 8L).otherwise(9L)
     val grid = base
       .withColumn("__b", explode(sequence(lit(0L), lit(b - 1L))))
-      .withColumn("__w", w)
+      .withColumn("__w", poissonWeight(col("__u"), col("__b")))
       .groupBy("__b", "__v").agg(
         sum(when(col("__y"), col("__w")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__w")).otherwise(0L)).as("__neg"))
@@ -1233,19 +1255,8 @@ object Stats {
       .select(col("__b"),
         (col("__ts").cast("double") / col("__np").cast("double"))
           .as("__a"))
-    val wRank = Window.orderBy(col("__a"), col("__b")) // B-bounded
-    val ranked = aps.withColumn("__r", row_number().over(wRank))
-      .localCheckpoint(true) // B rows: feeds count + both bound picks
-    val nb = ranked.agg(count(lit(1)).as("n_replicates"))
-    val lo = ranked.crossJoin(broadcast(nb))
-      .where(col("__r") === greatest(lit(1L),
-        expr("(n_replicates * 25 + 999) DIV 1000")))
-      .select(col("__a").as("lo95"))
-    val hi = ranked.crossJoin(broadcast(nb))
-      .where(col("__r") === expr("(n_replicates * 975 + 999) DIV 1000"))
-      .select(col("__a").as("hi95"))
-    point.crossJoin(nUnits).crossJoin(broadcast(nb))
-      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    point.crossJoin(nUnits)
+      .crossJoin(broadcast(ceilRankBounds(aps, "__a", "__b")))
       .select(col("n_units"), col("n_pos"), col("n_neg"), col("ap"),
         col("lo95"), col("hi95"), col("n_replicates"))
   }
@@ -1280,6 +1291,9 @@ object Stats {
     val perUnit = grid.groupBy("__u").agg(sum(col("__c")).as("__n"))
       .localCheckpoint(true)
     val raterCounts = perUnit.select(col("__n")).distinct().collect()
+    require(raterCounts.nonEmpty,
+      "fleissKappa: no ratings (empty input, or every unit/category " +
+        "NULL) — nothing to agree on")
     require(raterCounts.length == 1,
       s"fleissKappa: per-unit rating counts differ " +
         s"(${raterCounts.map(_.getLong(0)).sorted.mkString(", ")}) — " +
@@ -1316,16 +1330,33 @@ object Stats {
     * side needs the FULL |categories|² marginal product grid, bounded
     * by construction. Raters must be integral buckets (the ordinal
     * contract — weights are exact integers, so both sums are exact
-    * DECIMAL(38,0); ONE double division). NULL when the expected
-    * weighted disagreement is zero (both raters constant — nothing to
-    * correct for). Rows where either rater is NULL are excluded.
+    * DECIMAL(38,0); ONE double division). The integral contract is
+    * LOUD (the calibration raise_error discipline): a rater value
+    * the long cast would change — 1.9, or a non-numeric string —
+    * raises at execution instead of silently truncating into a
+    * plausible-but-wrong kappa. NULL when the expected weighted
+    * disagreement is zero (both raters constant — nothing to correct
+    * for). Rows where either rater is NULL are excluded.
     * Output: (n, kappa_w). */
   def weightedKappa(units: DataFrame, raterA: Column, raterB: Column,
-      quadratic: Boolean = true): DataFrame =
+      quadratic: Boolean = true): DataFrame = {
+    // cast-checked ordinal: NULL passes through (documented
+    // exclusion); anything the cast would ALTER fails loudly, inside
+    // the used expression so pruning can't drop the check
+    def ord(c: Column, side: String): Column =
+      when(c.isNull, lit(null).cast("long"))
+        .when(c.cast("long").isNotNull &&
+          c.cast("long").cast("double") === c.cast("double"),
+          c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"weightedKappa: $side rater value is not an integral " +
+            "bucket (the ordinal contract): "),
+          c.cast("string"))).cast("long"))
     weightedKappaFromCounts(units
-      .select(raterA.cast("long").as("a"), raterB.cast("long").as("b"))
+      .select(ord(raterA, "left").as("a"), ord(raterB, "right").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("c")), quadratic)
+  }
 
   /** [[weightedKappa]] over PRE-AGGREGATED (a, b, c) cells — rides
     * the SAME (a, b) ledger as [[cohenKappaFromCounts]]
@@ -2197,22 +2228,9 @@ object Stats {
       .localCheckpoint(true) // feeds the point estimate AND ×B explode
     val tot = per.agg(count(lit(1)).as("n_units"), sum(col("__n")).as("n_rows"),
       sum(col("__s").cast(DecimalType(38, 4))).as("__st"))
-    // exact Poisson(1) CDF in ppm: floor(1e6 · e⁻¹·Σ 1/j!) — literal
-    // integer thresholds shared verbatim with the oracle; w capped at 9
-    // (P ≈ 1e-6 beyond)
-    val h = pmod(
-      pmod(pmod(col("__u"), lit(Sampling.HashPrime)) *
-        lit(Sampling.HashMult), lit(Sampling.HashPrime)) +
-        col("__b") * lit(7919L), lit(Sampling.HashPrime))
-    val ppm = pmod(h, lit(1000000L))
-    val w = when(ppm < 367879, 0L).when(ppm < 735758, 1L)
-      .when(ppm < 919698, 2L).when(ppm < 981011, 3L)
-      .when(ppm < 996340, 4L).when(ppm < 999405, 5L)
-      .when(ppm < 999916, 6L).when(ppm < 999989, 7L)
-      .when(ppm < 999998, 8L).otherwise(9L)
     val reps = per
       .withColumn("__b", explode(sequence(lit(0L), lit(b - 1L))))
-      .withColumn("__w", w)
+      .withColumn("__w", poissonWeight(col("__u"), col("__b")))
       .groupBy("__b").agg(
         sum(col("__w") * col("__n")).as("__nw"),
         sum(col("__w").cast(DecimalType(4, 0)) * col("__s")).as("__sw"))
@@ -2220,21 +2238,7 @@ object Stats {
       .select(col("__b"),
         (col("__sw").cast("double") / col("__nw").cast("double"))
           .as("__m"))
-    val wRank = Window.orderBy(col("__m"), col("__b")) // B-bounded
-    val ranked = reps.withColumn("__r", row_number().over(wRank))
-      .localCheckpoint(true) // B rows: feeds count + both bound picks
-    val nb = ranked.agg(count(lit(1)).as("n_replicates"))
-    // exact integer ceil-ranks: ceil(B·0.025) via (B·25+999) DIV 1000 —
-    // the IEEE product 200·0.025 is 5.000…03 and ceil()s to SIX
-    val lo = ranked.crossJoin(broadcast(nb))
-      .where(col("__r") === greatest(lit(1L),
-        expr("(n_replicates * 25 + 999) DIV 1000")))
-      .select(col("__m").as("lo95"))
-    val hi = ranked.crossJoin(broadcast(nb))
-      .where(col("__r") === expr("(n_replicates * 975 + 999) DIV 1000"))
-      .select(col("__m").as("hi95"))
-    tot.crossJoin(broadcast(nb)).crossJoin(broadcast(lo))
-      .crossJoin(broadcast(hi))
+    tot.crossJoin(broadcast(ceilRankBounds(reps, "__m", "__b")))
       .select(col("n_units"), col("n_rows"),
         (col("__st").cast("double") / col("n_rows").cast("double"))
           .as("mean"),

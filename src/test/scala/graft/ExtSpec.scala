@@ -4366,6 +4366,10 @@ class ExtSpec extends SparkSpec {
       fk(Seq((1L, "A"), (1L, "A"), (2L, "A"))))
     intercept[IllegalArgumentException](
       fk(Seq((1L, "A"), (2L, "B"))))
+    // empty input names the TRUE cause, not "counts differ ()"
+    val eEmpty = intercept[IllegalArgumentException](
+      fk(Seq.empty[(Long, String)]))
+    assert(eEmpty.getMessage.contains("no ratings"))
   }
 
   test("weightedKappa: perfect agreement 1, two-category reversal -1, " +
@@ -4390,6 +4394,14 @@ class ExtSpec extends SparkSpec {
       .head().getDouble(4)
     assert(math.abs(wk(bin).get - cohen) < 1e-15)
     assert(wk(Seq((1L, 1L), (1L, 1L))).isEmpty)
+    // the ordinal contract is LOUD: a non-integral rater value raises
+    // instead of silently truncating
+    def msgs(t: Throwable): String =
+      if (t == null) "" else (t.getMessage + "\n" + msgs(t.getCause))
+    val frac = Seq((1.9, 2L), (2.0, 2L)).toDF("a", "b")
+    val e = intercept[Exception](
+      Stats.weightedKappa(frac, col("a"), col("b")).collect())
+    assert(msgs(e).contains("not an integral bucket"))
   }
 
   test("gainsCurve: exact hand depths/gains/lifts; full depth has " +
@@ -4437,6 +4449,10 @@ class ExtSpec extends SparkSpec {
     assert(ka(varying).getDouble(2) == 0.0)
     assert(ka(Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A")))
       .isNullAt(2))
+    // NOTHING pairable: counts are proper zeros (not NULL), alpha NULL
+    val unpairable = ka(Seq((1L, "A"), (2L, "B"), (3L, "C")))
+    assert(unpairable.getLong(0) == 0L && unpairable.getLong(1) == 0L &&
+      unpairable.isNullAt(2))
   }
 
   test("aucBootstrapCI: perfect separation pins every replicate at 1; " +
@@ -4452,6 +4468,13 @@ class ExtSpec extends SparkSpec {
     assert(r.getLong(6) >= 40L && r.getLong(6) <= 50L)
     intercept[IllegalArgumentException](
       Stats.aucBootstrapCI(u, col("id"), col("s"), col("y"), b = 10))
+    // single-class data: every replicate drops, but the documented
+    // ONE row still comes back — NULL bounds, n_replicates 0
+    val oneClass = Stats.aucBootstrapCI(u.where(col("y")), col("id"),
+      col("s"), col("y"), b = 50).collect()
+    assert(oneClass.length == 1)
+    assert(oneClass.head.isNullAt(3) && oneClass.head.isNullAt(4) &&
+      oneClass.head.isNullAt(5) && oneClass.head.getLong(6) == 0L)
   }
 
   test("thresholdSweepByGroup: each group's table equals the pooled " +
@@ -4514,6 +4537,16 @@ class ExtSpec extends SparkSpec {
     // identical scores: varDiff = 0 -> nothing to test
     assert(Stats.deLongTest(u, col("a"), col("a"), col("y")).head()
       .isNullAt(4))
+    // NULL scores raise loudly (the placement join would otherwise
+    // silently drop them and desynchronize auc_a from rocAuc)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else (t.getMessage + "\n" + msgs(t.getCause))
+    val withNull = Seq((Some(1L), 2L, true), (None, 3L, false))
+      .toDF("a", "b", "y")
+    val e = intercept[Exception](
+      Stats.deLongTest(withNull, col("a"), col("b"), col("y"))
+        .collect())
+    assert(msgs(e).contains("NULL scoreA"))
   }
 
   test("apBootstrapCI: perfect ranking pins every replicate AP at 1; " +
@@ -4592,6 +4625,14 @@ class ExtSpec extends SparkSpec {
       val none = Dedup.linkAgainstIndex(spark, idx,
         incoming.where(col("id") < 0), "id", "s")
       assert(none.count() == 0)
+      // an EMPTY vocabulary must still round-trip (the dynamic
+      // partition writer emits no schema file for zero rows — the
+      // empty frame is written unpartitioned instead)
+      val emptyIdx = dir.resolve("empty").toString
+      Dedup.saveVariantIndex(indexed.where(col("id") < 0), "id", "s",
+        emptyIdx)
+      assert(Dedup.linkAgainstIndex(spark, emptyIdx, incoming, "id",
+        "s").count() == 0)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
