@@ -8794,6 +8794,37 @@ object Oracles {
             |QUALIFY row_number() OVER (PARTITION BY source
             |  ORDER BY utility DESC, threshold ASC) = 1
             |ORDER BY source""".stripMargin),
+      // x261: x248's bins folded to one ECE per source — per-bin
+      // |gap|·n terms DECIMAL(28,12)-quantized (the determinism
+      // idiom), one division per source
+      "x261_group_ece" -> (
+        s"WITH g AS (\n${base("x93_gopher_quality")}\n),\n" +
+          """u AS (
+            |  SELECT d.source,
+            |    least(1000000, d.n_chars * 2000) AS p,
+            |    g.gopher_pass AS y
+            |  FROM g JOIN documents d ON g.doc_id = d.doc_id),
+            |b AS (
+            |  SELECT source, least(CAST(9 AS BIGINT),
+            |    CAST((p * 10) // 1000000 AS BIGINT)) AS bin, p, y
+            |  FROM u),
+            |a AS (
+            |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(p) AS BIGINT) AS sp,
+            |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ny
+            |  FROM b GROUP BY 1, 2),
+            |bins AS (
+            |  SELECT source, n,
+            |    CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+            |      - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0e0
+            |      AS gap
+            |  FROM a)
+            |SELECT source, CAST(sum(n) AS BIGINT) AS n,
+            |  CAST(count(*) AS BIGINT) AS n_bins,
+            |  CAST(sum(CAST(abs(gap) * CAST(n AS DOUBLE)
+            |      AS DECIMAL(28,12))) AS DOUBLE)
+            |    / CAST(sum(n) AS DOUBLE) AS ece
+            |FROM bins GROUP BY source ORDER BY source""".stripMargin),
       "x242_cohen_kappa" -> (units +
         """grid AS (
           |  SELECT y AS a, s >= 200 AS b, CAST(count(*) AS BIGINT) AS c

@@ -3694,6 +3694,20 @@ object Queries {
       .orderBy("source")
   }
 
+  /** x261 — per-SOURCE ECE
+    * ([[graft.ext.Stats.expectedCalibrationErrorByGroup]]): x248's
+    * reliability bins folded to one number per source — the ranking
+    * of WHERE recalibration effort goes, |sources|-bounded. */
+  val x261GroupEce: Q = (s, dir) => {
+    graft.ext.Stats.expectedCalibrationErrorByGroup(
+        graft.ext.Stats.calibrationBinsByGroup(
+          gateUnitsWithSource(s, dir), col("source"),
+          least(lit(1000000L), col("n_chars") * lit(2000L)),
+          col("gopher_pass"), bins = 10))
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+  }
+
   /** x250 — per-SOURCE Brier + skill
     * ([[graft.ext.Stats.brierByGroup]]): x245's strictly-proper
     * probability score split by source — a proxy can beat climatology
@@ -4769,6 +4783,7 @@ object Queries {
     "x258_delong_auc" -> x258DelongAuc,
     "x259_ap_bootstrap" -> x259ApBootstrap,
     "x260_group_cut" -> x260GroupCut,
+    "x261_group_ece" -> x261GroupEce,
     "d01_chain_pipeline" -> d01ChainPipeline,
     "d02_volatility_html" -> d02VolatilityHtml,
     "d03_weeklies" -> d03Weeklies,

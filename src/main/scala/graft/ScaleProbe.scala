@@ -194,7 +194,8 @@ object ScaleProbe {
       // twin of the ×B bootstrap arm
       "x258_delong_auc", "x259_ap_bootstrap",
       // the per-source argmax cut (partitioned sweep + rank-1 window)
-      "x260_group_cut")
+      // and the per-source ECE fold (|sources|·bins grid)
+      "x260_group_cut", "x261_group_ece")
       .filter(q => only.forall(_.contains(q)))
     // the AUTO-sized embedding-space paths (the production defaults) —
     // the corpus entries keep pinned literals, so their scale factors

@@ -1762,6 +1762,24 @@ object Stats {
       (sum(abs(col("gap")) * col("n").cast("double")) /
         sum(col("n")).cast("double")).as("ece"))
 
+  /** [[expectedCalibrationError]] PER GROUP over a
+    * [[calibrationBinsByGroup]] table — one ECE number per source,
+    * the scalar read of the per-source reliability audit (ECE per
+    * slice is what decides WHERE recalibration effort goes). The
+    * per-bin |gap|·n terms are quantized to DECIMAL(28,12) before
+    * the fold (the jsdMatrix determinism idiom: each term is one
+    * fixed-order double chain both engines round identically, and
+    * quantized terms SUM exactly under any partitioning); ONE double
+    * division per group. Output: (group, n, n_bins, ece). */
+  def expectedCalibrationErrorByGroup(bins: DataFrame): DataFrame = {
+    val L = DecimalType(28, 12)
+    bins.groupBy("group").agg(sum(col("n")).as("n"),
+      count(lit(1)).as("n_bins"),
+      (sum((abs(col("gap")) * col("n").cast("double")).cast(L))
+        .cast("double") /
+        sum(col("n")).cast("double")).as("ece"))
+  }
+
   /** COHEN'S KAPPA inter-rater agreement (Cohen 1960) — chance-
     * corrected agreement between two CATEGORICAL raters on the same
     * units (two quality gates, two language-ID models, human vs

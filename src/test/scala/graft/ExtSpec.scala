@@ -4310,6 +4310,20 @@ class ExtSpec extends SparkSpec {
     def msgs(t: Throwable): String =
       if (t == null) "" else (t.getMessage + "\n" + msgs(t.getCause))
     assert(msgs(e).contains("out of [0, 1e6]"))
+    // per-group ECE equals the pooled ECE run on each slice alone
+    // (up to the grouped form's documented per-term quantization)
+    val bins = Stats.calibrationBinsByGroup(u, col("g"), col("p"),
+      col("y"))
+    val byG = rows(Stats.expectedCalibrationErrorByGroup(bins)
+      .orderBy("group"))
+    for ((g, i) <- Seq("A", "B").zipWithIndex) {
+      val pooled = Stats.expectedCalibrationError(
+        Stats.calibrationBins(u.where(col("g") === g), col("p"),
+          col("y"))).head()
+      assert(byG(i).getLong(1) == pooled.getLong(0) &&
+        byG(i).getLong(2) == pooled.getLong(1))
+      assert(math.abs(byG(i).getDouble(3) - pooled.getDouble(2)) < 1e-12)
+    }
   }
 
   test("averagePrecisionByGroup: each group's AP equals pooled " +
