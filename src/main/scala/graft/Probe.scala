@@ -22,6 +22,9 @@ object Probe {
     if (args.contains("asof")) { asofBench(spark); spark.stop(); return }
     if (args.contains("x96ab")) { x96Ab(spark, dir); spark.stop(); return }
     if (args.contains("x106ab")) { x106Ab(spark, dir); spark.stop(); return }
+    if (args.contains("r15")) { r15Stages(spark, dir); spark.stop(); return }
+    if (args.contains("r15b")) { r15StagesB(spark, dir); spark.stop(); return }
+    if (args.contains("r15c")) { r15StagesC(spark, dir); spark.stop(); return }
     import graft.sources.Tables
     import graft.ext.{Dedup, TextAnalysis}
 
@@ -80,6 +83,254 @@ object Probe {
         .orderBy("d1", "d2").count()
     }
     spark.stop()
+  }
+
+  /** Round-15 stage timings for the bench top offenders — which stage
+    * of each expensive query actually holds the wall-clock. */
+  def r15Stages(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.Tables
+    import graft.ext.{Dedup, TextAnalysis, DistinctSketch, Similarity}
+
+    // ---- x131: plain all-pairs jaccard vs prefix/positional at t=0.3
+    def shDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+    (1 to 2).foreach { i =>
+      time(s"x131 plain      run $i")(
+        Dedup.jaccardPairs(shDocs, "doc_id", "sh", 0.3).count())
+      time(s"x131 prefix+pos run $i")(
+        Dedup.jaccardPairsPrefix(shDocs, "doc_id", "sh", 0.3).count())
+      time(s"x131 prefix-pos run $i")(
+        Dedup.jaccardPairsPrefix(shDocs, "doc_id", "sh", 0.3,
+          positional = false).count())
+    }
+    val pl = Dedup.jaccardPairs(shDocs, "doc_id", "sh", 0.3)
+    val pr = Dedup.jaccardPairsPrefix(shDocs, "doc_id", "sh", 0.3)
+    println("[probe] x131 plain\\prefix=" + pl.except(pr).count() +
+      " prefix\\plain=" + pr.except(pl).count())
+
+    // ---- x117: containment — NEW prefix-filtered vs OLD plain join
+    val base131 = shDocs.select(col("doc_id").as("id"),
+      Dedup.hashedShingles(col("sh")).as("hs"))
+    def oldContainment = {
+      val tok = base131.select(col("id"), explode(col("hs")).as("h"))
+      val candidates = tok.as("a").join(tok.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val sa = base131.select(col("id").as("id_a"), col("hs").as("hs_a"))
+      val sb = base131.select(col("id").as("id_b"), col("hs").as("hs_b"))
+      candidates.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+            .as("shared"),
+          size(col("hs_a")).cast("long").as("n_a"),
+          size(col("hs_b")).cast("long").as("n_b"))
+        .withColumn("c_a_in_b",
+          col("shared").cast("double") / col("n_a").cast("double"))
+        .withColumn("c_b_in_a",
+          col("shared").cast("double") / col("n_b").cast("double"))
+        .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.9)
+    }
+    (1 to 2).foreach { i =>
+      time(s"x117 old run $i")(oldContainment.count())
+      time(s"x117 new run $i")(
+        Dedup.containmentPairs(shDocs, "doc_id", "sh", 0.9).count())
+    }
+    val cNew = Dedup.containmentPairs(shDocs, "doc_id", "sh", 0.9)
+    println("[probe] x117 old\\new=" + oldContainment.except(cNew).count() +
+      " new\\old=" + cNew.except(oldContainment).count())
+
+    // ---- clusters() rounds on the winnow pair graph
+    val wp = Dedup.winnowPairs(Tables.documents(spark, dir), "doc_id",
+      "text", k = 3, w = 4, minShared = 2L, maxDf = 50L)
+      .localCheckpoint(true)
+    println("[probe] winnow pairs n=" + wp.count())
+    (1 to 2).foreach { i =>
+      time(s"clusters(winnow)   run $i")(Dedup.clusters(wp).count())
+      time(s"clustersDbl(winnow) run $i")(Dedup.clustersDoubling(wp).count())
+    }
+
+    // ---- x170: simhash pair build vs labeling
+    val sp = time("x170 simhash pairs build")(
+      Dedup.weightedSimhashPairs(Tables.documents(spark, dir), "doc_id",
+        "text", bits = 32, bands = 4, maxHamming = 3).localCheckpoint(true))
+    println("[probe] simhash pairs n=" + sp.count())
+    time("x170 labelsFromPairs")(
+      Dedup.labelsFromPairs(Tables.documents(spark, dir), "doc_id", sp)
+        .count())
+
+    // ---- x101: vector build vs all-pairs stage
+    val vecs = time("x101 featureHashVector")(
+      TextAnalysis.featureHashVector(Tables.documents(spark, dir),
+        "doc_id", "text", dim = 64).localCheckpoint(true))
+    println("[probe] vecs n=" + vecs.count())
+    time("x101 pairs on cp vecs")(
+      Similarity.nearDupPairs(vecs, "id", "vec", 0.95).count())
+
+    // ---- x147/x167: sketch build vs pair fan-out
+    def toks2 = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
+    time("x147 kmvPartial only")(
+      DistinctSketch.kmvPartial(toks2, "source", col("tok"), 128).count())
+    time("x147 full")(
+      DistinctSketch.kmvPairJaccard(toks2, "source", col("tok"), 128)
+        .count())
+    time("x167 hllRegisters only")(
+      DistinctSketch.hllRegisters(toks2, "source", col("tok"), 8).count())
+    time("x167 full")(
+      DistinctSketch.hllPairUnion(toks2, "source", col("tok"), 8).count())
+
+    // ---- x112: scan vs join vs agg
+    val epoch = to_date(lit("1970-01-01"))
+    val points = Tables.lineitem(spark, dir).select(
+      datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"),
+      col("l_quantity"))
+    time("x112 points scan")(points.count())
+    val iv = Tables.orders(spark, dir).where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("win_start"))
+      .withColumn("win_end", col("win_start") + lit(3L))
+    time("x112 iv scan")(iv.count())
+    time("x112 join only")(graft.operators.RangeJoin.pointInInterval(
+      points, col("ship_day"), iv, col("win_start"), col("win_end"), 4L)
+      .count())
+    time("x112 full")(Queries.all("x112_range_join")(spark, dir).count())
+  }
+
+  /** Second r15 batch: x85 / x73 / sketch-family deep dives. */
+  def r15StagesB(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.Tables
+    import graft.ext.{Dedup, TextAnalysis}
+
+    // ---- x85 stages
+    val docs = Tables.documents(spark, dir)
+    val chunks = TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 32)
+      .withColumn("ckey",
+        col("id").cast("long") * lit(1000000L) + col("chunk_id"))
+    time("x85 chunks")(chunks.count())
+    val sh85 = chunks.select(col("ckey"),
+      TextAnalysis.shingles(col("chunk_text"), 3).as("sh"))
+    val p85 = time("x85 pairs (prefix)")(
+      Dedup.jaccardPairsPrefix(sh85, "ckey", "sh", 0.6)
+        .localCheckpoint(true))
+    println("[probe] x85 pairs n=" + p85.count())
+    time("x85 clusters")(
+      Dedup.clusters(p85, idA = "d1", idB = "d2").count())
+    time("x85 full")(
+      Queries.all("x85_chunk_near_dedup")(spark, dir).count())
+
+    // ---- x73 stages
+    val imp = time("x73 importance build")(
+      TextAnalysis.importanceRatioScore(docs, "doc_id", "text",
+        target = docs.where(col("lang") === "en"), smoothK = 0.5)
+        .localCheckpoint(true))
+    println("[probe] x73 imp n=" + imp.count())
+    time("x73 tail after cp")({
+      val withSrc = imp
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .where(col("importance").isNotNull)
+        .select(col("id"), col("source"), col("importance"))
+      TextAnalysis.calibrate(withSrc, col("source"), col("importance"),
+        col("id"))
+        .where(col("pct") >= 0.5).count()
+    })
+    time("x73 full")(Queries.all("x73_dsir_select")(spark, dir).count())
+    time("x73 full 2nd")(Queries.all("x73_dsir_select")(spark, dir).count())
+
+    // ---- x238 stages
+    time("x238 full")(
+      Queries.all("x238_linkage_roundtrip")(spark, dir).count())
+    // ---- x55 / x176 / x223 / x159 / x212 full-only (min-of-2)
+    Seq("x55_opq_encode", "x176_stationary_mix", "x223_cluster_density",
+      "x159_split_leakage", "x212_rbo_agreement", "x205_prf_expand",
+      "x121_source_overlap", "x169_ndcg_grid", "x179_lsh_index_roundtrip",
+      "x84_bm25_maxp", "x86_bm25_topk", "x103_dedup_histogram")
+      .foreach { q =>
+        (1 to 2).foreach { i =>
+          time(s"$q run $i")(Queries.all(q)(spark, dir).count())
+        }
+      }
+  }
+
+  /** Third r15 batch: weightedSimhash stage split — which of polyHash,
+    * the 32-decimal-sum signature agg, and the band join holds x99/x170's
+    * pair-build wall. */
+  def r15StagesC(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.Tables
+    import graft.ext.{Dedup, TextAnalysis, DistinctSketch}
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id").as("id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    time("tf agg")(tf.count())
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val idf = dfc.crossJoin(broadcast(n))
+      .select(col("term"),
+        log(col("n").cast("double") / col("df"))
+          .cast(DecimalType(28, 12)).as("idf"))
+    val wgtPoly = tf.join(idf, Seq("term"))
+      .select(col("id"),
+        (Dedup.polyHash(col("term")) * lit(1073741824L) +
+          Dedup.polyHash(reverse(col("term")))).as("__h"),
+        (col("tf").cast(DecimalType(9, 0)) * col("idf")).as("__w"))
+    val wgtXx = tf.join(idf, Seq("term"))
+      .select(col("id"), xxhash64(col("term")).as("__h"),
+        (col("tf").cast(DecimalType(9, 0)) * col("idf")).as("__w"))
+    time("wgt with polyHash")(wgtPoly.count())
+    time("wgt with xxhash64")(wgtXx.count())
+    def sigOf(wgt: org.apache.spark.sql.DataFrame) = {
+      val sums = (0 until 32).map(j =>
+        sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1,
+          col("__w")).otherwise(-col("__w"))).as(s"__s$j"))
+      wgt.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+        .select(col("id"),
+          (0 until 32).map(j =>
+            when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+    }
+    time("sig 32-decimal-sum agg (poly)")(sigOf(wgtPoly).count())
+    time("sig 32-decimal-sum agg (xx)")(sigOf(wgtXx).count())
+    val sig = sigOf(wgtPoly).localCheckpoint(true)
+    time("band join + verify") {
+      val width = 8; val mask = (1L << width) - 1L
+      val bandRows = sig.select(col("id"), posexplode(
+          array((0 until 4).map(b =>
+            shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "v")))
+      val cand = bandRows.select(col("id").as("id_a"), col("band"), col("v"))
+        .join(bandRows.select(col("id").as("id_b"), col("band"), col("v")),
+          Seq("band", "v"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(sig.select(col("id").as("id_a"), col("simhash").as("__sa")),
+          Seq("id_a"))
+        .join(sig.select(col("id").as("id_b"), col("simhash").as("__sb")),
+          Seq("id_b"))
+        .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+        .where(col("hamming") <= 3)
+        .count()
+    }
+    // new-vs-old sketch pair stages (values must be identical)
+    def toks2 = docs.select(col("source"),
+      explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
+    (1 to 2).foreach { i =>
+      time(s"x147 full run $i")(
+        DistinctSketch.kmvPairJaccard(toks2, "source", col("tok"), 128)
+          .count())
+      time(s"x167 full run $i")(
+        DistinctSketch.hllPairUnion(toks2, "source", col("tok"), 8)
+          .count())
+    }
+    println("[probe] x167 sample=" + DistinctSketch.hllPairUnion(
+      toks2, "source", col("tok"), 8).orderBy("src_a", "src_b")
+      .limit(2).collect().mkString("; "))
+    println("[probe] x147 sample=" + DistinctSketch.kmvPairJaccard(
+      toks2, "source", col("tok"), 128).orderBy("src_a", "src_b")
+      .limit(2).collect().mkString("; "))
   }
 
   /** Paired same-JVM A/B: the x106 KMV sketch as-is (dv derived twice —

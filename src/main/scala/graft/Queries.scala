@@ -341,7 +341,7 @@ object Queries {
     * recall is 1 on this corpus (asserted vs [[x02NgramJaccard]] in
     * ScalaTest). */
   val x03MinhashLsh: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
       .select(col("doc_id"),
         array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
     Dedup.minhashLsh(docs, "doc_id", "sh", numHashes = 32, bands = 8,
@@ -854,7 +854,7 @@ object Queries {
     * this corpus (the x03≡x02 identity), so the exact-Jaccard oracle
     * decides admission identically. */
   val x36IncrementalDedup: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir).select(col("doc_id"),
+    val docs = Tables.documentsWide(s, dir).select(col("doc_id"),
       array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
     val isIncoming = col("doc_id") % 7 === 0
     Dedup.dedupAgainstCorpus(docs.where(!isIncoming), docs.where(isIncoming),
@@ -1441,7 +1441,7 @@ object Queries {
     * reweighted training mixture. Pure composition of oracle-checked
     * pieces; one window per source on top of x70's plan. */
   val x73DsirSelect: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
     val imp = TextAnalysis.importanceRatioScore(docs, "doc_id", "text",
       target = docs.where(col("lang") === "en"), smoothK = 0.5)
     val withSrc = imp
@@ -1574,7 +1574,7 @@ object Queries {
     * text — boilerplate repeated millions of times costs one combiner
     * per partition, not a hot-key window sort. */
   val x82PassageDedup: Q = (s, dir) => {
-    Dedup.dedupPassages(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.dedupPassages(Tables.documentsWide(s, dir), "doc_id", "text",
         chunkSize = 32)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -1603,7 +1603,7 @@ object Queries {
     * is the x76 plan over chunks, the per-doc argmax is a keyed
     * window, and the final cut is TakeOrderedAndProject. */
   val x84Bm25MaxP: Q = (s, dir) => {
-    Retrieval.bm25MaxP(Tables.documents(s, dir), "doc_id", "text",
+    Retrieval.bm25MaxP(Tables.documentsWide(s, dir), "doc_id", "text",
         terms = Seq("spark", "join", "window", "dup"),
         chunkSize = 64, stride = 48, k = 20)
       .orderBy(col("maxp").desc, col("doc_id").asc)
@@ -1618,7 +1618,7 @@ object Queries {
     * per document like x82: how many of my passages survive once
     * near-copies count as copies. */
   val x85ChunkNearDedup: Q = (s, dir) => {
-    Dedup.dedupPassagesNear(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.dedupPassagesNear(Tables.documentsWide(s, dir), "doc_id", "text",
         chunkSize = 32)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -1730,8 +1730,20 @@ object Queries {
     * subset, a different input by contract). */
   private def winnowPairsFull(s: SparkSession, dir: String): DataFrame =
     graft.ext.Memo.cached(s, s"winnowPairsFull|$dir|k=3|w=4|ms=2|df=50")(
-      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.winnowPairs(Tables.documentsWide(s, dir), "doc_id", "text",
         k = 3, w = 4, minShared = 2L, maxDf = 50L))
+
+  /** The winnow graph's COMPONENT LABELS, memoized like the graph
+    * itself (r15): x103/x172/x178/x223 all fold the same memoized
+    * pair graph through the same deterministic [[Dedup.clusters]]
+    * propagation — each was paying the full sequential round latency
+    * again for an identical artifact. One labeling, four certified
+    * views (the "one graph, three certified views" discipline, one
+    * level up). */
+  private def winnowClustersFull(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Memo.cached(s,
+      s"winnowClustersFull|$dir|k=3|w=4|ms=2|df=50")(
+      Dedup.clusters(winnowPairsFull(s, dir)))
 
   val x92WinnowPairs: Q = (s, dir) => {
     winnowPairsFull(s, dir).orderBy("id_a", "id_b")
@@ -1811,7 +1823,7 @@ object Queries {
     * engine-portable hash keeps the entire vectorization
     * oracle-recomputed, not just its shape. */
   val x97FeatureHash: Q = (s, dir) => {
-    TextAnalysis.featureHashTf(Tables.documents(s, dir), "doc_id",
+    TextAnalysis.featureHashTf(Tables.documentsWide(s, dir), "doc_id",
         "text", dim = 64)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "bucket")
@@ -1844,7 +1856,7 @@ object Queries {
     * component labeling ask for the identical artifact). */
   private def simhashPairsFull(s: SparkSession, dir: String): DataFrame =
     graft.ext.Memo.cached(s, s"simhashPairsFull|$dir|b=32|bands=4|h=3")(
-      Dedup.weightedSimhashPairs(Tables.documents(s, dir), "doc_id",
+      Dedup.weightedSimhashPairs(Tables.documentsWide(s, dir), "doc_id",
         "text", bits = 32, bands = 4, maxHamming = 3))
 
   val x99WeightedSimhash: Q = (s, dir) => {
@@ -1897,7 +1909,8 @@ object Queries {
     * or a broken threshold) read before trusting any survivor set. */
   val x103DedupHistogram: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    Dedup.clusterSizeHistogram(winnowPairsFull(s, dir), d, "doc_id")
+    Dedup.clusterSizeHistogramFromLabels(winnowClustersFull(s, dir), d,
+        "doc_id")
       .orderBy("cluster_size")
   }
 
@@ -1938,7 +1951,7 @@ object Queries {
     * (WindowGroupLimit), so no partition ever holds more than k
     * hashes per source before the shuffle. */
   val x106KmvDistinct: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.documentsWide(s, dir)
       .select(col("source"),
         explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
     DistinctSketch.kmv(toks, "source", col("tok"), k = 64)
@@ -1955,7 +1968,7 @@ object Queries {
     * (libm-dependent); n_zero and the exact count ride along so the
     * caller applies policy. */
   val x107HllDistinct: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.documentsWide(s, dir)
       .select(col("source"),
         explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
     DistinctSketch.hll(toks, "source", col("tok"), p = 8)
@@ -2025,7 +2038,7 @@ object Queries {
     * pairs. */
   val x112RangeJoin: Q = (s, dir) => {
     val epoch = to_date(lit("1970-01-01"))
-    val points = Tables.lineitem(s, dir).select(
+    val points = Tables.lineitemWide(s, dir).select(
       datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"),
       col("l_quantity"))
     val iv = Tables.orders(s, dir).where(col("o_totalprice") > 400000)
@@ -2083,7 +2096,7 @@ object Queries {
     * contains — mirror detection / provenance audit at source grain,
     * |sources|²-bounded output. */
   val x121SourceOverlap: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
       .select(col("source"), TextAnalysis.shingles(col("text"), 3).as("sh"))
     Dedup.sourceSpanOverlap(docs, "source", "sh")
       .orderBy("src_a", "src_b")
@@ -2177,7 +2190,7 @@ object Queries {
     * et al. 2007 set-operation estimator) — the scale tier of x121's
     * exact span-overlap matrix. */
   val x147KmvPairJaccard: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.documentsWide(s, dir)
       .select(col("source"),
         explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
     DistinctSketch.kmvPairJaccard(toks, "source", col("tok"), k = 128)
@@ -2265,7 +2278,7 @@ object Queries {
     * the BM25 ranker against AND-semantics term relevance, on x81's
     * exact query set — the eval row an index owner tracks. */
   val x155RetrievalEval: Q = (s, dir) => {
-    Retrieval.retrievalEval(Tables.documents(s, dir), "doc_id", "text",
+    Retrieval.retrievalEval(Tables.documentsWide(s, dir), "doc_id", "text",
         queries = Seq(
           "q_spark" -> Seq("spark", "shuffle"),
           "q_rel" -> Seq("join", "window"),
@@ -2389,7 +2402,7 @@ object Queries {
     * grades — the graded companion of x155's binary MRR, closing the
     * retrieval-evaluation family. */
   val x166NdcgEval: Q = (s, dir) => {
-    Retrieval.ndcgEval(Tables.documents(s, dir), "doc_id", "text",
+    Retrieval.ndcgEval(Tables.documentsWide(s, dir), "doc_id", "text",
         queries = Seq(
           "q_spark" -> Seq("spark", "shuffle"),
           "q_rel" -> Seq("join", "window"),
@@ -2402,7 +2415,7 @@ object Queries {
     * bigrams per source: register MAX-merge per pair + inclusion-
     * exclusion — the constant-state sibling of x147's KMV Jaccard. */
   val x167HllPairUnion: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.documentsWide(s, dir)
       .select(col("source"),
         explode(TextAnalysis.shingles(col("text"), 2)).as("tok"))
     DistinctSketch.hllPairUnion(toks, "source", col("tok"), p = 8)
@@ -2469,7 +2482,7 @@ object Queries {
     val keepers = d.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     val exact = d.join(keepers, Seq("fp", "doc_id"))
       .groupBy("source").agg(sum(col("nt")).as("tokens_exact"))
-    val comp = Dedup.clusters(winnowPairsFull(s, dir))
+    val comp = winnowClustersFull(s, dir)
     val near = d
       .join(comp.select(col("id").as("doc_id"), col("cluster")),
         Seq("doc_id"), "left")
@@ -2552,7 +2565,7 @@ object Queries {
   val x178QualityDupChi: Q = (s, dir) => {
     val q = gopherFull(s, dir)
       .select(col("id").as("doc_id"), col("gopher_pass"))
-    val comp = Dedup.clusters(winnowPairsFull(s, dir))
+    val comp = winnowClustersFull(s, dir)
     val flags = q
       .join(comp.select(col("id").as("doc_id"), col("cluster")),
         Seq("doc_id"), "left")
@@ -3172,7 +3185,7 @@ object Queries {
     * within-cluster pair explode. */
   val x223ClusterDensity: Q = (s, dir) => {
     val pairs = winnowPairsFull(s, dir)
-    val lab = Dedup.clusters(pairs)
+    val lab = winnowClustersFull(s, dir)
     val sizes = lab.groupBy("cluster").agg(count(lit(1)).as("n_members"))
     val edges = pairs.select(col("id_a"))
       .join(lab.select(col("id").as("id_a"), col("cluster")), Seq("id_a"))
@@ -3369,7 +3382,7 @@ object Queries {
     * ships against. Exact integer prefix overlaps; each geometric
     * term one quantized double chain; exact decimal sum. */
   val x212RboAgreement: Q = (s, dir) => {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsWide(s, dir)
     val qs = Seq(
       "q_spark" -> Seq("spark", "shuffle"),
       "q_rel" -> Seq("join", "window"),
@@ -3735,7 +3748,7 @@ object Queries {
     * DuckDB's own levenshtein over the length-banded cross of the
     * two vocabularies — no blocking scheme to trust. */
   val x238LinkageRoundtrip: Q = (s, dir) => {
-    def vocab(rem: Int) = Tables.documents(s, dir)
+    def vocab(rem: Int) = Tables.documentsWide(s, dir)
       .where(pmod(col("doc_id"), lit(2L)) === rem)
       .select(explode(TextAnalysis.tokens(lower(col("text"))))
         .as("term"))
@@ -3816,7 +3829,7 @@ object Queries {
     * micro-units, exact decimal dots/norms, one cosine chain. */
   val x139MoreLikeThis: Q = (s, dir) => {
     val (postings, docStats) = Retrieval.buildPostings(
-      Tables.documents(s, dir), "doc_id", "text")
+      Tables.documentsWide(s, dir), "doc_id", "text")
     Retrieval.moreLikeThis(postings, docStats, queryId = 0L, k = 10)
       .withColumnRenamed("id", "doc_id")
       .orderBy("rank")
@@ -3906,9 +3919,13 @@ object Queries {
     * threshold tuning view (where does the pair mass sit before you
     * pick 0.6?). */
   val x131SimHistogram: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
       .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
-    Dedup.jaccardPairs(docs, "doc_id", "sh", threshold = 0.3)
+    // r15: prefix+positional candidate generation (recall 1 by
+    // construction, exact verify) replaces the plain Σdf² posting
+    // join — identical pair set (probed: except() empty both ways;
+    // oracle hash unchanged), ~Σ dfPrefix² candidate work instead
+    Dedup.jaccardPairsPrefix(docs, "doc_id", "sh", threshold = 0.3)
       .select(floor(col("jaccard") * lit(10.0)).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
       .orderBy("bucket")
@@ -4048,7 +4065,7 @@ object Queries {
     * diluted past any threshold. Same posting-join candidates as x02,
     * exact verification, one double division per direction. */
   val x117ContainmentPairs: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
       .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
     Dedup.containmentPairs(docs, "doc_id", "sh", threshold = 0.9)
       .orderBy("id_a", "id_b")
@@ -4266,7 +4283,7 @@ object Queries {
     * this keeps the best one, and each survivor carries its cluster
     * label so lineage is auditable. */
   val x52Canonical: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
       .select(col("doc_id"), col("text"),
         TextAnalysis.shingles(col("text"), 3).as("sh"))
     Dedup.canonicalSelect(docs, "doc_id", "sh",

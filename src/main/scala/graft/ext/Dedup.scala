@@ -243,11 +243,12 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
     // labels only ever decrease, so Σ(id − cluster) grows strictly until
-    // the fixpoint — one cheap agg over the checkpointed result replaces
-    // a join-based change detector (one action per round, not two)
-    def progress(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum(col("id") - col("cluster")), lit(0L)))
-        .first().getLong(0)
+    // the fixpoint. The change detector is an OBSERVED metric collected
+    // DURING the round's checkpoint materialization (Observation +
+    // CollectMetrics — checkpoint runs through withAction, so the
+    // listener fires), which makes each round exactly ONE Spark action;
+    // the previous separate progress agg was a second per-round action
+    // whose fixed latency dominated round cost at small label volumes.
     var prevProgress = -1L
     var converged = false
     var i = 0
@@ -262,17 +263,47 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min(col("cluster")).as("nmin"))
+      val obs = org.apache.spark.sql.Observation()
       labels = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
+        .observe(obs,
+          coalesce(sum(col("id") - col("cluster")), lit(0L)).as("p"))
         .localCheckpoint(true)
-      val p = progress(labels)
+      val p = obs.get("p").asInstanceOf[Long]
       converged = p == prevProgress
       prevProgress = p
       i += 1
     }
-    if (!converged) labels = doublingRounds(edges, labels, maxIters)
+    if (!converged) {
+      // r15 ESCALATION CONTRACTION (the large-star/small-star family,
+      // Kiveris et al. 2014 — public technique): before the doubling
+      // tier, rewrite the edge set to the DISTINCT quotient edges
+      // (label(a), label(b)), self-loops dropped. Min-label
+      // propagation only ever needs connectivity between label
+      // GROUPS: every original edge is represented by its endpoints'
+      // jump chains (v → label(v), the arm doubling already runs each
+      // round) plus the quotient edge, so components — and therefore
+      // the final labels — are unchanged (the fixpoint argument lives
+      // with the doubling doc below; the escalating-graph ScaleSpec
+      // fixtures and the oracle pin it). For dense near-dup graphs
+      // (a boilerplate cluster of m copies is m·(m−1)/2 pair rows but
+      // collapses to a handful of quotient edges after the plain
+      // tier) this cuts every remaining round's join from Ω(#pairs)
+      // to the rep-graph size, at the one-time cost of two ids-only
+      // joins + a distinct.
+      val la = labels.select(col("id").as("__ia"), col("cluster").as("__la"))
+      val lb = labels.select(col("id").as("__ib"), col("cluster").as("__lb"))
+      val edgesC = edges
+        .join(la, edges("a") === col("__ia"))
+        .join(lb, edges("b") === col("__ib"))
+        .select(col("__la").as("a"), col("__lb").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(true)
+      labels = doublingRounds(edgesC, labels, maxIters, prevProgress)
+    }
     labels
   }
 
@@ -282,12 +313,24 @@ object Dedup {
     * Bench's stdout must stay one JSON line) only if even doubling
     * exhausts its budget (diameter > ~2^maxIters). */
   private def doublingRounds(edges: DataFrame, labels0: DataFrame,
-      maxIters: Int): DataFrame = {
+      maxIters: Int, progress0: Long): DataFrame = {
+    // `edges` may be the CONTRACTED quotient graph (the clusters()
+    // escalation): the neighbor-min arm then only updates nodes that
+    // are quotient vertices, and every other node converges through
+    // the pointer-jump arm one round behind (its label is always a
+    // current label of some quotient vertex, and chains contract at
+    // doubling speed). Fixpoint soundness: a no-change round means
+    // label = label∘label everywhere AND label constant across every
+    // quotient edge; the component minimum m is a quotient vertex
+    // whenever its group is not already the whole component (plain
+    // propagation keeps label(m) = m), so label-constant quotient
+    // components force every stuck value r to equal m.
     var labels = labels0
-    def progress(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum(col("id") - col("cluster")), lit(0L)))
-        .first().getLong(0)
-    var prevProgress = progress(labels)
+    // progress0 is the caller's last observed Σ(id − cluster): 0 for
+    // identity labels (cluster = id by construction), the final plain-
+    // round observation on the escalation path — either way no extra
+    // Spark action is spent re-measuring the starting state
+    var prevProgress = progress0
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
@@ -301,12 +344,15 @@ object Dedup {
             .as("cluster"))
       val ptr = stepped.select(col("id").as("pid"),
         col("cluster").as("pcluster"))
+      val obs = org.apache.spark.sql.Observation()
       labels = stepped.join(ptr, stepped("cluster") === ptr("pid"), "left")
         .select(stepped("id"),
           least(stepped("cluster"),
             coalesce(col("pcluster"), stepped("cluster"))).as("cluster"))
+        .observe(obs,
+          coalesce(sum(col("id") - col("cluster")), lit(0L)).as("p"))
         .localCheckpoint(true)
-      val p = progress(labels)
+      val p = obs.get("p").asInstanceOf[Long]
       converged = p == prevProgress
       prevProgress = p
       i += 1
@@ -343,7 +389,7 @@ object Dedup {
       .localCheckpoint(true)
     val labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    doublingRounds(edges, labels, maxIters)
+    doublingRounds(edges, labels, maxIters, progress0 = 0L)
   }
 
   /** End-to-end near-dedup of a corpus: MinHash+LSH pairs → connected
@@ -618,7 +664,8 @@ object Dedup {
       threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val base = docs
       .select(col(idCol).as("id"), hashedShingles(col(shinglesCol)).as("hs"))
-    val tok = base.select(col("id"), explode(col("hs")).as("h"))
+    val tok = base.select(col("id"), size(col("hs")).as("s"),
+      explode(col("hs")).as("h"))
     val capped =
       if (maxDocFreq == Long.MaxValue) tok
       else {
@@ -626,9 +673,35 @@ object Dedup {
           .where(col("df") > maxDocFreq).select("h")
         tok.join(hot, Seq("h"), "left_anti")
       }
-    val candidates = capped.as("a").join(capped.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // r15 candidate generation: SMALLER-SIDE prefix filter. The pair
+    // qualifies iff overlap O ≥ t·min(s_a, s_b), so with shingles in
+    // one global total order (ascending df, ties by hash — rare-first,
+    // the jaccardPairsPrefix discipline) the SMALLER document's first
+    // s − ⌈t·s⌉ + 1 shingles must contain a common one: if every
+    // common shingle sat in its ⌈t·s⌉ − 1 suffix slots, the overlap
+    // could not reach t·s. Recall is therefore 1 BY CONSTRUCTION —
+    // the larger side cannot prune (containment permits any size
+    // ratio), so candidates are prefix(smaller) ⋈ FULL postings,
+    // Σ_h dfPrefix(h)·df(h) work instead of the plain join's Σ df².
+    // t is rounded DOWN at scale 12 so the prefix only ever LENGTHENS
+    // (the jaccardPairsPrefix decimal-ceil lesson); verification below
+    // is unchanged (exact, full sets), so the cap's documented recall
+    // caveat is the only approximation, exactly as before.
+    val dfc = capped.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val tDec = new java.math.BigDecimal(threshold)
+      .setScale(12, java.math.RoundingMode.FLOOR)
+    val prefix = capped.join(dfc, "h")
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= col("s") - ceil(lit(tDec) * col("s")) + 1)
+      .select(col("id"), col("s"), col("h"))
+    val candidates = prefix.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") &&
+          (col("a.s") < col("b.s") ||
+            (col("a.s") === col("b.s") && col("a.id") < col("b.id"))) &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sa = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val sb = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
@@ -810,8 +883,15 @@ object Dedup {
     * cheap alarm. Shuffles (id, label) pairs + two bounded aggs.
     * Output: (cluster_size, n_clusters), empty buckets omitted. */
   def clusterSizeHistogram(pairs: DataFrame, universe: DataFrame,
+      idCol: String): DataFrame =
+    clusterSizeHistogramFromLabels(clusters(pairs), universe, idCol)
+
+  /** [[clusterSizeHistogram]] over ALREADY-COMPUTED component labels —
+    * public so a caller holding a memoized labeling (one propagation,
+    * several certified views) can fold it without re-running the
+    * sequential propagation rounds. */
+  def clusterSizeHistogramFromLabels(comp: DataFrame, universe: DataFrame,
       idCol: String): DataFrame = {
-    val comp = clusters(pairs)
     val hist = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     val singles = universe.select(col(idCol).as("id")).distinct()

@@ -215,28 +215,30 @@ object DistinctSketch {
   def kmvPairJaccard(df: DataFrame, groupCol: String, value: Column,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvPairJaccard: k=$k must be >= 2")
-    // tiny (k·|groups| rows) but consumed by BOTH sides of the pair
-    // fan-out — uncheckpointed, the full distinct+rank chain runs twice
-    val mins = kmvPartial(df, groupCol, value, k).localCheckpoint(true)
-    val srcs = mins.select(col("g")).distinct()
-    val pairs = srcs.select(col("g").as("src_a"))
-      .join(srcs.select(col("g").as("src_b")),
+    // r15: sketches travel as ONE SORTED ARRAY PER GROUP (≤ k longs)
+    // and the whole pair stage is a |groups|² self-join with per-pair
+    // array expressions — the former per-(pair, hash) fan-out paid a
+    // union + groupBy + rank-window SHUFFLE over |pairs|·k rows to
+    // compute what "k smallest of the union" already says per row.
+    // Exact same integers: merged-distinct-sorted prefix of length k
+    // IS the union's k minima; membership via array_intersect.
+    // Checkpointed: the arrays are consumed by BOTH sides of the
+    // self-join — uncheckpointed, the full distinct+rank sketch build
+    // runs twice.
+    val arrs = kmvPartial(df, groupCol, value, k)
+      .groupBy("g").agg(array_sort(collect_list(col("h"))).as("hs"))
+      .localCheckpoint(true)
+    val pairs = arrs.select(col("g").as("src_a"), col("hs").as("__ha"))
+      .join(arrs.select(col("g").as("src_b"), col("hs").as("__hb")),
         col("src_a") < col("src_b"))
-    val fromA = pairs.join(mins.withColumnRenamed("g", "src_a"),
-      Seq("src_a")).select(col("src_a"), col("src_b"), col("h"),
-      lit(1L).as("in_a"), lit(0L).as("in_b"))
-    val fromB = pairs.join(mins.withColumnRenamed("g", "src_b"),
-      Seq("src_b")).select(col("src_a"), col("src_b"), col("h"),
-      lit(0L).as("in_a"), lit(1L).as("in_b"))
-    val merged = fromA.union(fromB)
-      .groupBy("src_a", "src_b", "h")
-      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
-    val ranked = merged.withColumn("rn", row_number().over(
-      Window.partitionBy("src_a", "src_b").orderBy("h")))
-      .where(col("rn") <= k)
-    ranked.groupBy("src_a", "src_b")
-      .agg(count(lit(1)).as("n_union"),
-        sum(col("in_a") * col("in_b")).as("n_both"))
+    pairs
+      .withColumn("__ku",
+        slice(array_sort(array_distinct(concat(col("__ha"), col("__hb")))),
+          1, k))
+      .select(col("src_a"), col("src_b"),
+        size(col("__ku")).cast("long").as("n_union"),
+        size(array_intersect(array_intersect(col("__ku"), col("__ha")),
+          col("__hb"))).cast("long").as("n_both"))
       .withColumn("j_est",
         col("n_both").cast("double") / col("n_union").cast("double"))
   }
@@ -255,30 +257,41 @@ object DistinctSketch {
     * inter_est), pairs src_a < src_b. */
   def hllPairUnion(df: DataFrame, groupCol: String, value: Column,
       p: Int = 8): DataFrame = {
-    val regs = hllRegisters(df, groupCol, value, p).localCheckpoint(true)
-    val per = hllEstimate(regs, p).select(col("g"), col("hll_est"))
-    val srcs = regs.select("g").distinct()
-    val pairs = srcs.select(col("g").as("src_a"))
-      .join(srcs.select(col("g").as("src_b")), col("src_a") < col("src_b"))
-    val fromA = pairs.join(regs.withColumnRenamed("g", "src_a"),
-      Seq("src_a")).select(col("src_a"), col("src_b"), col("bucket"),
-      col("reg"))
-    val fromB = pairs.join(regs.withColumnRenamed("g", "src_b"),
-      Seq("src_b")).select(col("src_a"), col("src_b"), col("bucket"),
-      col("reg"))
-    val merged = fromA.union(fromB)
-      .groupBy("src_a", "src_b", "bucket").agg(max(col("reg")).as("reg"))
-      .select(struct(col("src_a"), col("src_b")).as("g"), col("bucket"),
-        col("reg"))
-    val u = hllEstimate(merged, p)
-      .select(col("g.src_a").as("src_a"), col("g.src_b").as("src_b"),
-        col("hll_est").as("union_est"))
-    u.join(per.select(col("g").as("src_a"), col("hll_est").as("est_a")),
-        Seq("src_a"))
-      .join(per.select(col("g").as("src_b"), col("hll_est").as("est_b")),
-        Seq("src_b"))
-      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
-        col("union_est"),
-        (col("est_a") + col("est_b") - col("union_est")).as("inter_est"))
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    // r15: registers travel as ONE DENSE LENGTH-m ARRAY PER GROUP
+    // (empty buckets hold rho 0 and contribute 2^31 to s2 exactly as
+    // [[hllEstimate]]'s (m − occupied)·2^31 term) and the pair stage
+    // becomes a |groups|² self-join with a zip_with(greatest) per pair
+    // — the former per-(pair, bucket) fan-out paid a union + groupBy
+    // shuffle over |pairs|·2^p rows plus three joins to reassemble the
+    // output. Same exact integer s2 per side/union, same fixed-order
+    // double chain for every estimate. Checkpointed: the dense arrays
+    // are consumed by both sides of the self-join.
+    def s2Of(regs: Column): Column =
+      aggregate(regs, lit(0L),
+        (acc, r) => acc + call_function("shiftleft", lit(1L),
+          (lit(31) - r).cast("int")))
+    def estOf(s2: Column): Column =
+      lit(alpha * m.toDouble * m.toDouble) * lit((1L << 31).toDouble) /
+        s2.cast("double")
+    val dense = hllRegisters(df, groupCol, value, p)
+      .groupBy("g").agg(
+        map_from_arrays(collect_list(col("bucket")),
+          collect_list(col("reg"))).as("__mr"))
+      .select(col("g"),
+        transform(sequence(lit(0L), lit(m - 1)),
+          b => coalesce(element_at(col("__mr"), b), lit(0L))).as("regs"))
+      .localCheckpoint(true)
+    dense.select(col("g").as("src_a"), col("regs").as("__ra"))
+      .join(dense.select(col("g").as("src_b"), col("regs").as("__rb")),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        estOf(s2Of(col("__ra"))).as("est_a"),
+        estOf(s2Of(col("__rb"))).as("est_b"),
+        estOf(s2Of(zip_with(col("__ra"), col("__rb"),
+          (x, y) => greatest(x, y)))).as("union_est"))
+      .withColumn("inter_est",
+        col("est_a") + col("est_b") - col("union_est"))
   }
 }

@@ -577,7 +577,15 @@ object Stats {
       .groupBy("__v").agg(
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
-      .localCheckpoint(true) // feeds the measured guard AND the window
+    // measured fail-fast guard on the LAZY grid (r15): the count costs
+    // one extra aggregation pass at consumption time, but nothing is
+    // checkpointed — the former localCheckpoint(true) guard pinned one
+    // MEMORY_AND_DISK RDD per call for the application lifetime (a
+    // leak for monitors that rebuild the streaming views per refresh).
+    // The guard still runs BEFORE the global window is planned, which
+    // is its purpose: failing ahead of a row-cardinality single-task
+    // sort. NOTE: this makes the constructor eager (it runs one Spark
+    // job); streaming-view builders inherit that eagerness.
     val nGrid = grid.count()
     require(nGrid <= maxGridValues,
       s"rocAuc: $nGrid distinct score values exceeds " +
@@ -629,7 +637,8 @@ object Stats {
       .groupBy("g", "__v").agg(
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
-      .localCheckpoint(true) // feeds the measured guard AND the window
+    // lazy-grid measured guard — the rocAucFromCounts r15 discipline
+    // (one extra agg pass, no checkpoint pinned)
     val nCells = grid.count()
     require(nCells <= maxGridValues,
       s"rocAucByGroup: $nCells pooled (group, score) cells exceeds " +
@@ -683,22 +692,28 @@ object Stats {
       .groupBy("threshold").agg(
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
-      .localCheckpoint(true) // feeds the suffix window, the totals,
-      // AND the measured guard
+    // lazy-grid measured guard — the rocAucFromCounts r15 discipline
+    // (one extra agg pass, no checkpoint pinned)
     val nGrid = grid.count()
     require(nGrid <= maxGridValues,
       s"thresholdSweep: $nGrid distinct score values exceeds " +
         s"maxGridValues=$maxGridValues — the score must be discrete " +
         "(quantize a raw double first; the suffix window is global " +
         "and grid-sized)")
-    val tot = broadcast(grid.agg(sum(col("__pos")).as("__np"),
-      sum(col("__neg")).as("__nn")))
     val wDesc = Window.orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // r15: the class totals are FULL-FRAME sums over the SAME window
+    // order — one WindowExec computes suffix sums and totals in one
+    // pass, replacing the former separate 1-row agg + BroadcastExchange
+    // + CrossJoin (a third consumer of the grid). Exact-integer sums,
+    // identical values.
+    val wAll = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     grid
       .withColumn("tp", sum(col("__pos")).over(wDesc))
       .withColumn("fp", sum(col("__neg")).over(wDesc))
-      .crossJoin(tot)
+      .withColumn("__np", sum(col("__pos")).over(wAll))
+      .withColumn("__nn", sum(col("__neg")).over(wAll))
       .select(col("threshold"), col("tp"), col("fp"),
         (col("__np") - col("tp")).as("fn"),
         (col("__nn") - col("fp")).as("tn"),
@@ -756,7 +771,7 @@ object Stats {
       .groupBy("__v").agg(
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
-      .localCheckpoint(true) // feeds the measured guard AND the window
+    // lazy-grid measured guard — the rocAucFromCounts r15 discipline
     val nGrid = grid.count()
     require(nGrid <= maxGridValues,
       s"averagePrecision: $nGrid distinct score values exceeds " +
@@ -811,7 +826,7 @@ object Stats {
       .groupBy("g", "__v").agg(
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
-      .localCheckpoint(true) // feeds the measured guard AND the window
+    // lazy-grid measured guard — the rocAucFromCounts r15 discipline
     val nCells = grid.count()
     require(nCells <= maxGridValues,
       s"averagePrecisionByGroup: $nCells pooled (group, score) cells " +
@@ -936,15 +951,16 @@ object Stats {
       category: Column): DataFrame = {
     val N = DecimalType(38, 0)
     val L = DecimalType(28, 12)
+    // r15 (ADVICE): no checkpoints — both frames are bounded combiner
+    // aggs that recompute per consumer instead of pinning blocks for
+    // the application lifetime (the fleissKappa discipline)
     val grid = units.select(unitCol.as("__u"), category.as("__cat"))
       .where(col("__u").isNotNull && col("__cat").isNotNull)
       .groupBy("__u", "__cat").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true) // feeds the per-unit fold AND the marginals
     val perUnit = grid.groupBy("__u").agg(
         sum(col("__c")).as("__n"),
         sum(col("__c").cast(N) * col("__c").cast(N)).as("__s2"))
       .where(col("__n") >= 2) // single-rating units are unpairable
-      .localCheckpoint(true) // feeds the term fold AND the marginal join
     val obs = perUnit.agg(
       count(lit(1)).as("n_units"),
       coalesce(sum(col("__n")), lit(0L)).as("n_values"),
@@ -999,16 +1015,22 @@ object Stats {
       repCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wRank = Window.orderBy(col(valueCol), col(repCol)) // B-bounded
-    val ranked = stats.withColumn("__r", row_number().over(wRank))
-      .localCheckpoint(true) // B rows: feeds the count AND both picks
-    val nb = ranked.agg(count(lit(1)).as("__nreps"))
-    ranked.crossJoin(broadcast(nb)).agg(
-      count(lit(1)).as("n_replicates"),
-      min(when(col("__r") === greatest(lit(1L),
-        expr("(__nreps * 25 + 999) DIV 1000")), col(valueCol)))
-        .as("lo95"),
-      min(when(col("__r") === expr("(__nreps * 975 + 999) DIV 1000"),
-        col(valueCol))).as("hi95"))
+    // r15: the replicate count is a FULL-FRAME window count on the
+    // same B-bounded order — one WindowExec computes rank and count in
+    // one pass, replacing the former checkpoint + 1-row agg +
+    // BroadcastExchange + CrossJoin (and un-pinning the B-row RDD the
+    // checkpoint held for the application lifetime)
+    val wAll = Window.orderBy(col(valueCol), col(repCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats.withColumn("__r", row_number().over(wRank))
+      .withColumn("__nreps", count(lit(1)).over(wAll))
+      .agg(
+        count(lit(1)).as("n_replicates"),
+        min(when(col("__r") === greatest(lit(1L),
+          expr("(__nreps * 25 + 999) DIV 1000")), col(valueCol)))
+          .as("lo95"),
+        min(when(col("__r") === expr("(__nreps * 975 + 999) DIV 1000"),
+          col(valueCol))).as("hi95"))
   }
 
   /** BOOTSTRAP confidence interval for ROC-AUC — the error bars the
@@ -1118,7 +1140,8 @@ object Stats {
       val grid = base.groupBy(col(score).as("__v")).agg(
         sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__neg"))
-        .localCheckpoint(true)
+      // lazy-grid measured guard — the rocAucFromCounts r15 discipline
+      // (grid recomputes from the checkpointed base, never the corpus)
       val nGrid = grid.count()
       require(nGrid <= maxGridValues,
         s"deLongTest: $nGrid distinct values of $score exceeds " +
@@ -1283,13 +1306,15 @@ object Stats {
   def fleissKappa(units: DataFrame, unitCol: Column, category: Column)
       : DataFrame = {
     val N = DecimalType(38, 0)
+    // r15 (ADVICE): no checkpoints — the grid is a combiner agg over
+    // the ratings input and recomputes for each of its three bounded
+    // consumers (rater-count check, square fold, category marginals)
+    // instead of pinning a MEMORY_AND_DISK RDD per call for the
+    // application lifetime; ratings ledgers are unit×category bounded
     val grid = units.select(unitCol.as("__u"), category.as("__cat"))
       .where(col("__u").isNotNull && col("__cat").isNotNull)
       .groupBy("__u", "__cat").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true) // feeds the rater-count check, the square
-      // fold AND the category marginals
     val perUnit = grid.groupBy("__u").agg(sum(col("__c")).as("__n"))
-      .localCheckpoint(true)
     val raterCounts = perUnit.select(col("__n")).distinct().collect()
     require(raterCounts.nonEmpty,
       "fleissKappa: no ratings (empty input, or every unit/category " +
@@ -1368,9 +1393,24 @@ object Stats {
       val diff = abs(i.cast("long") - j.cast("long"))
       (if (quadratic) diff * diff else diff).cast(N)
     }
+    // r15 (ADVICE): the streaming-ledger entry point now enforces the
+    // same cast-checked ordinal contract as the units form — a cell
+    // key the long cast would ALTER (1.9, a non-numeric string) raises
+    // loudly inside the used expression instead of truncating into a
+    // plausible-but-wrong kappa. NULL keys pass through to the
+    // documented exclusion filter.
+    def ordCell(c: Column, side: String): Column =
+      when(c.isNull, lit(null).cast("long"))
+        .when(c.cast("long").isNotNull &&
+          c.cast("long").cast("double") === c.cast("double"),
+          c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"weightedKappaFromCounts: $side cell key is not an " +
+            "integral ordinal bucket: "), c.cast("string")))
+          .cast("long"))
     val grid = cells
-      .select(col("a").cast("long").as("__a"),
-        col("b").cast("long").as("__b"), col("c").as("__c"))
+      .select(ordCell(col("a"), "a").as("__a"),
+        ordCell(col("b"), "b").as("__b"), col("c").as("__c"))
       .where(col("__a").isNotNull && col("__b").isNotNull)
       .localCheckpoint(true) // feeds the observed fold AND both marginals
     val obs = grid.agg(sum(col("__c")).as("n"),
@@ -1418,20 +1458,24 @@ object Stats {
       .groupBy("g", "threshold").agg(
         sum(when(col("__y"), col("__c")).otherwise(0L)).as("__pos"),
         sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__neg"))
-      .localCheckpoint(true) // feeds the guard, the windows AND totals
+    // lazy-grid measured guard — the rocAucFromCounts r15 discipline
     val nCells = grid.count()
     require(nCells <= maxGridValues,
       s"thresholdSweepByGroup: $nCells pooled (group, score) cells " +
         s"exceeds maxGridValues=$maxGridValues — the score must be " +
         "discrete (quantize a raw double first)")
-    val tot = grid.groupBy("g").agg(sum(col("__pos")).as("__np"),
-      sum(col("__neg")).as("__nn"))
     val wDesc = Window.partitionBy("g").orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // r15: per-group totals as FULL-FRAME sums on the same partitioned
+    // window — one WindowExec, no separate groupBy + equi-join back
+    // (the thresholdSweepFromCounts discipline, partitioned by g)
+    val wAll = Window.partitionBy("g").orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     grid
       .withColumn("tp", sum(col("__pos")).over(wDesc))
       .withColumn("fp", sum(col("__neg")).over(wDesc))
-      .join(tot, Seq("g")) // group-keyed equi-join, never broadcast
+      .withColumn("__np", sum(col("__pos")).over(wAll))
+      .withColumn("__nn", sum(col("__neg")).over(wAll))
       .select(col("g").as("group"), col("threshold"), col("tp"),
         col("fp"),
         (col("__np") - col("tp")).as("fn"),

@@ -40,6 +40,49 @@ object Tables {
     }
   }
 
+  /** OPT-IN scan fan-out for UNSPLITTABLE small inputs feeding
+    * HEAVY-PER-ROW pipelines (optimization guide §2.5 "one huge
+    * unsplittable file … repartition immediately after the read"): a
+    * single-row-group parquet file plans as ONE scan task no matter
+    * the core count, so shingling / hashing / signature / chunking
+    * work downstream of the scan runs at parallelism 1. When the file
+    * set's NATURAL split count (bytes / maxPartitionBytes) is below
+    * the session's parallelism, fan the rows out once with a
+    * round-robin exchange; at scale splits ≫ cores and the read is
+    * returned UNCHANGED (real corpora arrive as many files/row groups
+    * and parallelize naturally), so this is scale-adaptive by
+    * derivation, not a local-mode constant.
+    *
+    * OPT-IN, not applied inside [[read]], by measurement: a blanket
+    * fan-out costs every query an exchange plus parallelism-wide task
+    * fans on every downstream stage — across the 304-query bench that
+    * taxed the cheap-query tail ~+68 s to buy ~−41 s on the heavy
+    * family (r15 A/B, min-of-2 × 2 runs). Only pipelines whose
+    * per-row work measurably dominates ask for the wide read. */
+  def readWide(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = read(spark, dir, name)
+    val par = spark.sparkContext.defaultParallelism
+    val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    val naturalSplits = math.max(1L, (bytes + maxPartBytes - 1) / maxPartBytes)
+    // floor: dimension-grade files (≤256 KiB) are broadcast-sized — a
+    // fan-out exchange buys nothing there
+    if (naturalSplits < par && bytes >= 256L * 1024) df.repartition(par)
+    else df
+  }
+
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    readWide(s, d, "documents")
+  def embeddingsWide(s: SparkSession, d: String): DataFrame =
+    readWide(s, d, "embeddings")
+  def lineitemWide(s: SparkSession, d: String): DataFrame =
+    readWide(s, d, "lineitem")
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")

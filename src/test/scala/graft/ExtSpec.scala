@@ -3096,6 +3096,43 @@ class ExtSpec extends SparkSpec {
     assert(jac.head.getAs[Double]("jaccard") < 0.2)
   }
 
+  test("containmentPairs: smaller-side prefix candidates reproduce the " +
+      "brute all-pairs result on random boilerplate-heavy corpora") {
+    import graft.ext.TextAnalysis
+    // small vocab => hot shingles shared by most docs (the worst case
+    // for prefix pruning: the df-ordering must push them out of every
+    // prefix without losing a single qualifying pair); random lengths
+    // => equal-size ties exercise the (s_a = s_b, id_a < id_b) arm
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1L to 30L).map { i =>
+      val len = 3 + rnd.nextInt(16)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), 2).as("sh"))
+    val base = sh.select(col("doc_id").as("id"),
+      Dedup.hashedShingles(col("sh")).as("hs"))
+    for (t <- Seq(0.5, 0.9)) {
+      val brute = base.as("a").join(base.as("b"),
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          size(array_intersect(col("a.hs"), col("b.hs"))).cast("long")
+            .as("shared"),
+          size(col("a.hs")).cast("long").as("n_a"),
+          size(col("b.hs")).cast("long").as("n_b"))
+        .withColumn("c_a_in_b",
+          col("shared").cast("double") / col("n_a").cast("double"))
+        .withColumn("c_b_in_a",
+          col("shared").cast("double") / col("n_b").cast("double"))
+        .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= t)
+      val got = Dedup.containmentPairs(sh, "doc_id", "sh", t)
+      assert(got.except(brute).count() == 0 &&
+        brute.except(got).count() == 0,
+        s"t=$t: prefix-filtered result differs from brute all-pairs")
+    }
+  }
+
   test("trained lang-id: training docs classify to their own language; " +
       "too-short docs predict null") {
     val d = Seq(

@@ -278,7 +278,7 @@ class PropertySpec extends SparkSpec {
       }
       results.add(df)
     }
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val t1 = new Thread(() => work()); val t2 = new Thread(() => work())
     t1.start(); t2.start(); t1.join(30000); t2.join(30000)
     val got = results.toArray(Array.empty[org.apache.spark.sql.DataFrame])
@@ -286,13 +286,23 @@ class PropertySpec extends SparkSpec {
     // both callers see the SAME winning frame
     assert(got(0) eq got(1))
     assert(rows(got(0).orderBy("id")).map(_.getLong(0)) == Seq(1L, 2L))
-    // the loser's checkpointed RDD must have been unpersisted: net
-    // one new persistent RDD, not two (unpersist is non-blocking —
-    // removal from the registry is synchronous, block deletion async)
-    assert(spark.sparkContext.getPersistentRDDs.size ==
-      persistedBefore + 1,
-      s"persistent RDDs before=$persistedBefore " +
-        s"after=${spark.sparkContext.getPersistentRDDs.size}")
+    // the loser's checkpointed RDD must have been unpersisted: the SET
+    // of newly persisted RDD ids is exactly the winner's checkpoint
+    // RDD — a lingering loser would show as a second new id. Asserted
+    // as a set difference against the winner's concrete id (not an
+    // exact size delta) so concurrent cleanup of UNRELATED persisted
+    // RDDs from earlier tests cannot flake this (unpersist is
+    // non-blocking — registry removal is synchronous, block deletion
+    // async).
+    val winnerId = got(0).queryExecution.analyzed.collectLeaves()
+      .collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    assert(winnerId.nonEmpty, "winner frame has no LogicalRDD leaf")
+    val newIds = spark.sparkContext.getPersistentRDDs.keySet -- idsBefore
+    assert(newIds == Set(winnerId.get),
+      s"new persistent RDD ids $newIds != Set(${winnerId.get}) — " +
+        "the race loser's checkpoint blocks were not unpersisted")
   }
 
   test("property: year attachment lands in (target−1y, target]") {

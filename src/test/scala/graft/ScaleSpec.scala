@@ -721,6 +721,38 @@ class ScaleSpec extends SparkSpec {
     assert(am == bm)
   }
 
+  test("clusters(): escalation contraction matches a driver union-find " +
+      "on random graphs with cliques and chains") {
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val base = (1 to 70).map(_ =>
+        (rnd.nextLong(n.toLong), rnd.nextLong(n.toLong)))
+        .filter { case (a, b) => a != b }
+      // a dense clique (the contraction's target shape) + a long chain
+      // (forces escalation past the 4-round plain tier)
+      val clique = for (i <- 40L to 48L; j <- (i + 1) to 48L) yield (i, j)
+      val chain = (60L until 90L).map(i => (i, i + 1))
+      val all = (base ++ clique ++ chain).distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      all.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = all.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(v => (v, find(v))).sortBy(_._1)
+      val got = Dedup.clusters(all.toDF("id_a", "id_b"), maxIters = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == truth,
+        s"clusters() diverged from union-find ground truth")
+    }
+  }
+
   test("no single-partition Window over per-document rows in the " +
       "shard-plan / export / vocabulary-growth paths") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
