@@ -45,24 +45,73 @@ object Bench {
           None
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min-of-2 over SUCCESSFUL runs only
-      name -> Seq(once(name, fn), once(name, fn)).flatten.minOption
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // min-of-2 over SUCCESSFUL runs only; run 1 kept separately as the
+      // COLD time (the memoized families build their session artifacts
+      // there — min-of-2 alone systematically under-reports them)
+      (name, once(name, fn), once(name, fn))
+    }
+    val results = runs.map { case (name, r1, r2) =>
+      name -> Seq(r1, r2).flatten.minOption
     }
     val qs = results.map {
       case (k, Some(v)) => s"\"" + k + "\":" + v
       case (k, None)    => s"\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
+    val cold = runs.map {
+      case (k, Some(v), _) => s"\"" + k + "\":" + v
+      case (k, None, _)    => s"\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
     val ok = results.collect { case (_, Some(v)) => v }
     val errored = results.count(_._2.isEmpty)
     val total = ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errored,"sf":"$sfDir"}""")
+    // "queries_cold" (run-1 times) is an ADDITION after the existing
+    // keys, so a consumer of "queries" parses unchanged
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"errors":$errored,"sf":"$sfDir"}""")
     // the driver keeps only the TAIL of stdout: with the total printed
     // first in one long line, truncation destroys exactly the headline
     // (BENCH_r03/r04 "parsed": null). A short trailing summary survives
     // any tail capture. Distinct metric name so a consumer summing
     // "total" lines cannot double-count the same wall-clock.
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec","errors":$errored,"n_queries":${results.size},"sf":"$sfDir"}""")
+    // === r16 additions BELOW total_tail (additions-only: the driver's
+    // existing total_tail parse sees an unchanged prefix) ===
+    // The driver archives only the last ~2000 BYTES of stdout (every
+    // BENCH_r*.json "tail" field is exactly 2000 chars), so r15's single
+    // 10 KB per-query line was truncated mid-map and PERF_r15 lost the
+    // whole round-over-round comparison (per_query: {}, geomean: null).
+    // Emit the map again in SMALL SELF-CONTAINED chunk lines, 3-decimal
+    // values, 20 queries each, sorted by ASCENDING min time so the most
+    // expensive queries sit NEAREST the end of stdout: whatever tail
+    // window the driver keeps, it captures total_tail (parsed from the
+    // full stream) plus the costliest — most comparison-relevant —
+    // chunks; a bigger window captures the whole map.
+    def f3(v: Double): String = f"$v%.3f"
+    val byTime = results.sortBy { case (k, v) => (v.getOrElse(-1.0), k) }
+    val parts = byTime.grouped(20).toVector
+    parts.zipWithIndex.foreach { case (grp, i) =>
+      val m = grp.map {
+        case (k, Some(v)) => s"\"" + k + "\":" + f3(v)
+        case (k, None)    => s"\"" + k + "\":\"err\""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"per_query_tail","part":${i + 1},"parts":${parts.size},"queries":$m}""")
+    }
+    // cold visibility (VERDICT r15 item 7): queries whose run-1 time is
+    // far above the reported min — the session-memoized families (winnow
+    // / simhash graphs, shared labelings) whose real first-touch cost
+    // min-of-2 hides. Compact [min, cold] pairs, largest gaps last.
+    val gaps = runs.collect {
+      case (k, Some(c), r2) if {
+        val m = math.min(c, r2.getOrElse(c))
+        c > 2 * m && c - m > 0.5
+      } => (k, math.min(c, r2.getOrElse(c)), c)
+    }.sortBy(t => t._3 - t._2).takeRight(20)
+    if (gaps.nonEmpty) {
+      val m = gaps.map { case (k, mn, c) =>
+        s"\"" + k + "\":[" + f3(mn) + "," + f3(c) + "]"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"cold_gap_tail","queries":$m}""")
+    }
     spark.stop()
   }
 }

@@ -25,6 +25,19 @@ object Probe {
     if (args.contains("r15")) { r15Stages(spark, dir); spark.stop(); return }
     if (args.contains("r15b")) { r15StagesB(spark, dir); spark.stop(); return }
     if (args.contains("r15c")) { r15StagesC(spark, dir); spark.stop(); return }
+    if (args.contains("r16")) { r16Stages(spark, dir, args.drop(1)); spark.stop(); return }
+    if (args.contains("r16post")) {
+      // FINAL (post-execution, AQE-resolved) plan for the given queries —
+      // runtime exchange/stage reuse is invisible in the pre-execution
+      // explain, so plan-reuse claims are checked here
+      args.drop(1).filter(Queries.all.contains).foreach { q =>
+        val df = Queries.all(q)(spark, dir)
+        df.collect() // executes df's OWN QueryExecution (count() plans a new one)
+        println(s"\n========== $q (final) ==========")
+        df.explain("formatted")
+      }
+      spark.stop(); return
+    }
     import graft.sources.Tables
     import graft.ext.{Dedup, TextAnalysis}
 
@@ -391,6 +404,20 @@ object Probe {
     (1 to 3).foreach { i =>
       time(s"asof 8M x 2M run $i")(
         graft.plans.AsOfJoin(left, right, Seq("k"), "t", "t").count())
+    }
+  }
+
+  /** r16 batch: full-query min-of-2 probes for the round's target set —
+    * pass query names after `r16` (defaults to the r16 headline set). */
+  def r16Stages(spark: SparkSession, dir: String, names: Seq[String]): Unit = {
+    val qs = if (names.nonEmpty) names
+      else Seq("x176_stationary_mix", "x99_weighted_simhash",
+        "x170_simhash_clusters", "x73_dsir_select", "x92_winnow_pairs",
+        "x97_feature_hash", "x147_kmv_pair_jaccard", "x175_chi_square")
+    qs.filter(Queries.all.contains).foreach { q =>
+      (1 to 2).foreach { i =>
+        time(s"$q run $i")(Queries.all(q)(spark, dir).count())
+      }
     }
   }
 }

@@ -1426,8 +1426,12 @@ object Queries {
     * matches bit-for-bit. */
   val x70ImportanceRatio: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    TextAnalysis.importanceRatioScore(docs, "doc_id", "text",
-        target = docs.where(col("lang") === "en"), smoothK = 0.5)
+    // r16: the target is a predicate over the scoring corpus, so both
+    // models fold from ONE bigram-stream aggregation (conditional
+    // target count) and attach in two joins instead of four — value-
+    // identical (oracle + ExtSpec equivalence property)
+    TextAnalysis.importanceRatioScoreFlagged(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", smoothK = 0.5)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }
@@ -1442,8 +1446,9 @@ object Queries {
     * pieces; one window per source on top of x70's plan. */
   val x73DsirSelect: Q = (s, dir) => {
     val docs = Tables.documentsWide(s, dir)
-    val imp = TextAnalysis.importanceRatioScore(docs, "doc_id", "text",
-      target = docs.where(col("lang") === "en"), smoothK = 0.5)
+    // r16: fused one-pass models, see x70
+    val imp = TextAnalysis.importanceRatioScoreFlagged(docs, "doc_id",
+      "text", isTarget = col("lang") === "en", smoothK = 0.5)
     val withSrc = imp
       .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
       .where(col("importance").isNotNull)

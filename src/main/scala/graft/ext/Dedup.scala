@@ -865,7 +865,28 @@ object Dedup {
     * (acc*31+x) % 1000000007)` in DuckDB) — the x04 lesson was that
     * engine-native hashes force golden-pinned oracles; this one keeps
     * the winnowing family fully recomputable. Pure HOF fold, no UDF. */
-  def polyHash(s: Column): Column = {
+  def polyHash(s: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.PolyHash(
+        org.apache.spark.sql.graft.Bridge.expression(s)))
+
+  /** `polyHash(reverse(s))` without materializing the reversed string —
+    * the second half of the 60-bit composite term hash
+    * ([[weightedSimhash]], [[DistinctSketch]]'s mixedRev). Identical
+    * value by the [[graft.functions.expressions.PolyHashImpl]]
+    * character-stride argument; ExtSpec pins bit-equality against the
+    * composed `polyHash(reverse(s))` on adversarial unicode. */
+  def polyHashReversed(s: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.PolyHash(
+        org.apache.spark.sql.graft.Bridge.expression(s), reversed = true))
+
+  /** The r15-and-earlier HOF form of [[polyHash]] — kept (a) as the
+    * executable specification the codegen expression is property-tested
+    * against, and (b) because it IS the cross-engine recipe (the DuckDB
+    * list_reduce in the scaladoc above runs this exact fold). Not used
+    * on any query path. */
+  private[graft] def polyHashHof(s: Column): Column = {
     val P = 1000000007L
     when(length(s) <= 1, ascii(s).cast("long"))
       .otherwise(aggregate(
@@ -930,6 +951,14 @@ object Dedup {
   def weightedSimhash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 60, s"weightedSimhash: bits=$bits not in [1,60]")
+    // r16: the signature is ONE fixed-width aggregate
+    // (WeightedSimhashSignAgg — 2·bits long slots, exact 128-bit
+    // integer sums of the SAME scale-10^-12 integers the former 32
+    // DECIMAL(38,12) sum buffers held; sign and therefore every bit
+    // bit-identical, pinned by the ExtSpec decimal-equivalence property
+    // test and the oracle). idfScaled = the idf decimal's unscaled
+    // integer — the ×10^12 product is exact (idf carries exactly 12
+    // fractional digits) and the long cast is of an integral decimal.
     import org.apache.spark.sql.types.DecimalType
     val toks = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
@@ -943,7 +972,46 @@ object Dedup {
     val wgt = tf.join(idf, Seq("term"))
       .select(col("id"),
         (polyHash(col("term")) * lit(1073741824L) +
-          polyHash(reverse(col("term")))).as("__h"),
+          polyHashReversed(col("term"))).as("__h"),
+        // the DECIMAL(9,0) tf bound is part of the operator's contract
+        // (fail loudly instead of silently wrapping) — kept verbatim
+        when(col("tf") < lit(1000000000L), col("tf"))
+          .otherwise(raise_error(concat(
+            lit("weightedSimhash: term frequency "),
+            col("tf").cast("string"),
+            lit(" overflows the DECIMAL(9,0) tf bound"))).cast("long"))
+          .as("__tf"),
+        (col("idf") * lit(1000000000000L)).cast("long").as("__idfs"))
+    wgt.groupBy(col("id")).agg(
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.WeightedSimhashSignAgg(
+          org.apache.spark.sql.graft.Bridge.expression(col("__h")),
+          org.apache.spark.sql.graft.Bridge.expression(col("__tf")),
+          org.apache.spark.sql.graft.Bridge.expression(col("__idfs")),
+          bits).toAggregateExpression()).as("simhash"))
+  }
+
+  /** The r15-and-earlier 32-decimal-sum form of [[weightedSimhash]] —
+    * kept as the executable specification the fixed-width aggregate is
+    * property-tested against (ExtSpec pins row-identical signatures on
+    * randomized corpora). Not used on any query path. */
+  private[graft] def weightedSimhashDecimal(docs: DataFrame, idCol: String,
+      textCol: String, bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"weightedSimhash: bits=$bits not in [1,60]")
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val idf = dfc.crossJoin(broadcast(n))
+      .select(col("term"),
+        log(col("n").cast("double") / col("df"))
+          .cast(DecimalType(28, 12)).as("idf"))
+    val wgt = tf.join(idf, Seq("term"))
+      .select(col("id"),
+        (polyHash(col("term")) * lit(1073741824L) +
+          polyHashReversed(col("term"))).as("__h"),
         (when(col("tf") < lit(1000000000L), col("tf").cast(DecimalType(9, 0)))
           .otherwise(raise_error(concat(
             lit("weightedSimhash: term frequency "),

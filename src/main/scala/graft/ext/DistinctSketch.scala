@@ -52,7 +52,7 @@ object DistinctSketch {
     * components every sketch here draws from. */
   def mixedFwd(s: Column): Column = mix(Dedup.polyHash(s), 2654435761L, 17L)
   def mixedRev(s: Column): Column =
-    mix(Dedup.polyHash(reverse(s)), 2246822519L, 31L)
+    mix(Dedup.polyHashReversed(s), 2246822519L, 31L)
 
   /** 60-bit composite: mixedFwd·2^30 + mixedRev — the x92/x99 shape
     * with the value-uniform components. Range [0, P·2^30 + P). */

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
+  /** Free the checkpoint blocks of an eagerly localCheckpoint-ed frame
+    * (the Memo race-loser discipline): Dataset.unpersist is a
+    * CacheManager no-op for checkpoints — the blocks hang off the
+    * plan's LogicalRDD leaf, so unpersist THAT. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Tumbling window aggregation; `width` e.g. "1 hour". */
   def tumbling(df: DataFrame, ts: Column, width: String, keys: Seq[Column],
       aggs: Seq[Column]): DataFrame =
@@ -763,6 +774,16 @@ object EventWindows {
       .join(t.select(col("src").as("state")), Seq("state"), "left_anti")
       .localCheckpoint(true)
     var rank = states.withColumn("r", lit(1.0))
+    // Each round's plan references `rank` twice (edge + dangling arms)
+    // and `cj` twice (per-state numerator + the total), so a LAZY loop
+    // quadruples the logical plan per iteration — 4^iters subtree
+    // copies had the ANALYZER, not the executor, owning the wall clock
+    // (measured: 695 s for a 10-row chain at iters=6). Same discipline
+    // as Dedup.clusters: truncate the lineage with one eager
+    // localCheckpoint per round — the frame is event-type-bounded
+    // (model-sized) — and free the previous round's blocks so the call
+    // pins exactly one rank snapshot, not `iters` of them.
+    var prevCp: DataFrame = null
     for (_ <- 1 to iters) {
       val contribEdges = pairs
         .join(rank.select(col("state").as("src"), col("r").as("__r")),
@@ -782,6 +803,9 @@ object EventWindows {
         .select(col("state"),
           (coalesce(col("cj"), lit(0L)).cast("double") /
             col("T").cast("double")).as("r"))
+        .localCheckpoint(true)
+      if (prevCp != null) unpersistCheckpoint(prevCp)
+      prevCp = rank
     }
     rank.select(col("state").as("event_type"),
       col("r").as("p_stationary"))

@@ -233,9 +233,17 @@ object Stats {
     * Output: (n, n_a, n_b, dof, chi2). */
   def chiSquareIndependence(df: DataFrame, a: Column, b: Column)
       : DataFrame = {
+    // r16: NO eager checkpoint. The grid feeds four consumers
+    // (marginals, totals, the fold join), but all four sit in ONE final
+    // plan whose four copies of the grid subtree share an IDENTICAL
+    // Exchange — ReuseExchange/AQE stage reuse executes the scan +
+    // partial agg once and the consumers re-read the shuffle output
+    // (plan shows ReusedExchange/ReusedQueryStage; plans/r16/x175).
+    // Same one-scan cost as the old localCheckpoint(true), WITHOUT the
+    // pinned-RDD-per-call leak (the r14 ADVICE class) and without the
+    // extra materialization action.
     val cells = df.select(a.as("__a"), b.as("__b"))
       .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true) // feeds marginals AND the fold
     val ra = cells.groupBy("__a").agg(sum(col("__c")).as("__ta"))
     val rb = cells.groupBy("__b").agg(sum(col("__c")).as("__tb"))
     val tot = cells.agg(sum(col("__c")).as("__n"),

@@ -1384,6 +1384,73 @@ object TextAnalysis {
       bigramVocab(c2t), bigramVocab(c2b), smoothK, salt)
   }
 
+  /** [[importanceRatioScore]] for the common case where the TARGET is a
+    * PREDICATE over the scoring corpus itself (x70/x73: target =
+    * `lang = 'en'`): both bigram models come from ONE occurrence-stream
+    * aggregation with a conditional target count — `cnt2_t =
+    * count(when(isTarget, 1))` — instead of two independent
+    * `bigramModel` passes over the corpus, and the score stream
+    * attaches (cnt2_t, cnt2_b) / (cnt1_t, cnt1_b) with TWO key-joins
+    * instead of four (the r16 guide-§2.4 shared-exchange shape). The
+    * prefix counts c1 fold from the c2 grid (Σ_w2 cnt2 per w1 — the
+    * same integers), so the model costs one shuffle of the bigram
+    * stream plus one bounded re-agg.
+    *
+    * Value-equivalence to the two-model form (oracle-pinned on
+    * x70/x73, ExtSpec-pinned on randomized corpora): a (w1,w2) pair
+    * absent from the target model joined NULL there and the add-k
+    * smoothing coalesces NULL to 0 — exactly what the conditional
+    * count's 0 contributes; vocabularies filter cnt_t > 0 before the
+    * distinct so zero-count rows can't inflate V_t. */
+  def importanceRatioScoreFlagged(docs: DataFrame, idCol: String,
+      textCol: String, isTarget: Column, smoothK: Double = 0.5,
+      salt: Int = DefaultScoreSalt): DataFrame = {
+    require(smoothK > 0, "importance ratio needs smoothK > 0 (the " +
+      "background probability must never be 0)")
+    import org.apache.spark.sql.types.DecimalType
+    val bgf = docs.select(col(idCol).as("id"), isTarget.as("__t"),
+        tokens(lower(col(textCol))).as("t"))
+      .select(col("id"), col("__t"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("id"), col("__t"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+    val c2 = bgf.groupBy("w1", "w2").agg(
+      count(lit(1)).as("cnt2_b"),
+      count(when(col("__t"), 1)).as("cnt2_t"))
+    val c1 = c2.groupBy("w1").agg(
+      sum(col("cnt2_b")).as("cnt1_b"),
+      sum(col("cnt2_t")).as("cnt1_t"))
+    // vocabulary sizes: distinct continuations with a NON-ZERO count in
+    // the respective model (a zero target count means "absent from the
+    // target model")
+    val vb = c2.select(col("w2")).distinct().count()
+    val vt = c2.where(col("cnt2_t") > 0).select(col("w2")).distinct().count()
+    def smoothed(cnt2: Column, cnt1: Column, v: Long): Column =
+      ((coalesce(cnt2, lit(0L)).cast("double") + lit(smoothK)) /
+        (coalesce(cnt1, lit(0L)).cast("double") +
+          lit(smoothK) * lit(v.toDouble)))
+        .cast(DecimalType(28, 12))
+    val bg = bgf.select(col("id"), col("w1"), col("w2"))
+    val saltCols = Seq(col("id"), col("w1"), col("w2"))
+    def j(l: DataFrame, m: DataFrame, keys: Seq[String]): DataFrame =
+      if (salt <= 1) l.join(m, keys, "left")
+      else graft.operators.Skew.saltedJoin(l, m, keys, salt, "left",
+        saltOn = saltCols)
+    val withCounts = j(j(bg, c2, Seq("w1", "w2")), c1, Seq("w1"))
+    val agg = withCounts
+      .withColumn("pt", smoothed(col("cnt2_t"), col("cnt1_t"), vt))
+      .withColumn("pb", smoothed(col("cnt2_b"), col("cnt1_b"), vb))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("pt")).cast("double") / sum(col("pb")).cast("double"))
+          .as("importance"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("importance"))
+  }
+
   /** Train-once serving form of [[importanceRatioScore]]: both models
     * (target on `target`, background on `background`) are built and
     * checkpointed NOW, vocabulary sizes counted once, and the returned

@@ -913,6 +913,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("importanceRatioScoreFlagged (r16 one-pass models) is " +
+      "row-identical to the two-model importanceRatioScore when the " +
+      "target is a predicate of the corpus — hand case, sf0.001, salts") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "a b a b", "t"), (2L, "a b", "t"),
+      (3L, "x y x y", "n"), (4L, "solo", "n")).toDF("doc_id", "text", "d")
+    def cmp(d: org.apache.spark.sql.DataFrame, flag: org.apache.spark.sql.Column,
+        tgt: org.apache.spark.sql.DataFrame, salt: Int): Unit = {
+      val a = rows(TextAnalysis.importanceRatioScoreFlagged(
+        d, "doc_id", "text", flag, salt = salt).orderBy("id")).map(_.toString)
+      val b = rows(TextAnalysis.importanceRatioScore(
+        d, "doc_id", "text", tgt, salt = salt).orderBy("id")).map(_.toString)
+      assert(a == b, s"salt=$salt")
+    }
+    cmp(docs, $"d" === "t", docs.where($"d" === "t"), 1)
+    cmp(docs, $"d" === "t", docs.where($"d" === "t"), 8)
+    val sf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    cmp(sf, col("lang") === "en", sf.where(col("lang") === "en"),
+      TextAnalysis.DefaultScoreSalt)
+    // degenerate predicates: empty target (all probability through the
+    // 1/V_t floor with V_t = 0 -> pt = k/0·... guard parity), full target
+    cmp(docs, lit(true), docs, 1)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.importanceRatioScoreFlagged(docs, "doc_id", "text",
+        lit(true), smoothK = 0.0)
+    }
+  }
+
   private def q12(x: Double): Double =
     new java.math.BigDecimal(x)
       .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -1777,6 +1805,29 @@ class ExtSpec extends SparkSpec {
     assert(pairs.values.forall(_ <= 3))
     // near-dup 2 differs from 1/4 by one appended token: few bits move
     assert(pairs.get((1L, 2L)).forall(_ <= 3))
+  }
+
+  test("weightedSimhash: the r16 fixed-width sign aggregate is " +
+      "row-identical to the 32-decimal-sum form on randomized corpora " +
+      "(same scale-1e-12 integers, 128-bit exact sums, strict-positive " +
+      "sign)") {
+    val rnd = new scala.util.Random(1016)
+    val vocab = Vector("the", "a", "of", "data", "spark", "dedup",
+      "corpus", "model", "térm", "世界", "x1", "x2", "rare1", "rare2",
+      "boilerplate", "pipeline")
+    for (trial <- 1 to 3) {
+      val d = (1L to 60L).map { i =>
+        val n = 1 + rnd.nextInt(40)
+        (i, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      for (bits <- Seq(8, 32, 60)) {
+        val a = rows(Dedup.weightedSimhash(d, "doc_id", "text", bits)
+          .orderBy("id")).map(r => (r.getLong(0), r.getLong(1)))
+        val b = rows(Dedup.weightedSimhashDecimal(d, "doc_id", "text", bits)
+          .orderBy("id")).map(r => (r.getLong(0), r.getLong(1)))
+        assert(a == b, s"trial=$trial bits=$bits")
+      }
+    }
   }
 
   test("bpeMerges: hand-traced greedy merges, left-to-right non-overlap") {

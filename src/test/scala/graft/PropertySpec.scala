@@ -424,4 +424,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: codegen polyHash / polyHashReversed are BIT-identical " +
+      "to the HOF fold on adversarial unicode (the r16 contract: the " +
+      "expression replaced the engine-portable reference, so the DuckDB " +
+      "oracle recipe must keep recomputing it exactly)") {
+    import graft.ext.Dedup
+    // deterministic adversarial corpus: ASCII, 2/3/4-byte UTF-8
+    // (codepoints above the BMP exercise the surrogate-pair path of
+    // ascii()'s codePointAt), combining marks, boundary codepoints,
+    // empties and single chars of every width, plus random mixtures
+    val pool: Array[String] = Array(
+      "", "a", "Z", "~", "\u0000", "\u007f",          // 1-byte edges
+      "", "é", "߿",                    // 2-byte edges
+      "ࠀ", "€", "�", "￿",          // 3-byte edges
+      new String(Character.toChars(0x10000)),          // 4-byte low edge
+      new String(Character.toChars(0x1F600)),          // emoji
+      new String(Character.toChars(0x10FFFF)),         // max codepoint
+      "é",                                       // combining mark
+      "café touché", "naïve",
+      "世界 you 世界",
+      "mixed €é" + new String(Character.toChars(0x1F680)))
+    val cases = pool.toIndexedSeq ++ (1 to 400).map { _ =>
+      val n = rnd.nextInt(12)
+      (1 to n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    } ++ (1 to 100).map { _ =>
+      // fully random valid codepoints (surrogates excluded)
+      val n = 1 + rnd.nextInt(8)
+      (1 to n).map { _ =>
+        var cp = rnd.nextInt(0x110000)
+        while (cp >= 0xD800 && cp <= 0xDFFF) cp = rnd.nextInt(0x110000)
+        new String(Character.toChars(cp))
+      }.mkString
+    }
+    val df = cases.toDF("s")
+    val bad = df.select($"s",
+        Dedup.polyHash($"s").as("cg"),
+        Dedup.polyHashHof($"s").as("hof"),
+        Dedup.polyHashReversed($"s").as("cgr"),
+        Dedup.polyHashHof(reverse($"s")).as("hofr"))
+      .where($"cg" =!= $"hof" || $"cgr" =!= $"hofr" ||
+        $"cg".isNull =!= $"hof".isNull || $"cgr".isNull =!= $"hofr".isNull)
+    assert(bad.count() == 0, bad.take(5).mkString("; "))
+    // null propagates like the HOF chain
+    val nr = Seq(Option.empty[String]).toDF("s")
+      .select(Dedup.polyHash($"s"), Dedup.polyHashReversed($"s")).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+    // and the interpreted path (eval without codegen) agrees with the
+    // codegen path: force interpreted eval through a LOCAL relation
+    // filter that Catalyst constant-folds at optimization time
+    val lit0 = rows(spark.range(1).select(
+      Dedup.polyHash(lit("café €" +
+        new String(Character.toChars(0x1F600)))).as("h")))
+      .head.getLong(0)
+    val hof0 = rows(spark.range(1).select(
+      Dedup.polyHashHof(lit("café €" +
+        new String(Character.toChars(0x1F600)))).as("h")))
+      .head.getLong(0)
+    assert(lit0 == hof0)
+  }
+
 }

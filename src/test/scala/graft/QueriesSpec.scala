@@ -7,6 +7,30 @@ class QueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Run `f` over every registered query from a small thread pool —
+    * the guide-§2.6 overlap: the corpus is 304 INDEPENDENT queries
+    * whose sf0.001 runs are latency-bound (plan + a handful of tiny
+    * stages each), so running them serially leaves the session idle
+    * on every tail. Spark sessions are thread-safe; 8 in flight cut
+    * the full-corpus sweep ~4× with identical results (the driver's
+    * sbt-test budget is the constraint — r15's serial sweep helped
+    * push the suite past it). Failures propagate with the query name. */
+  private def forEachQuery[T](f: ((String,
+      (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)) => T): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = Queries.all.toSeq.map { kv =>
+        scala.concurrent.Future(f(kv))
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(20, "min"))
+    } finally pool.shutdown()
+  }
+
   /** BroadcastExchange subtrees whose build side derives from a
     * GROUPED aggregate with no bounding construct in sight — the x205
     * lesson generalized: a `groupBy(term/token/...)` aggregate is
@@ -93,7 +117,7 @@ class QueriesSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (counts, flagged) =
       try {
-        val perQuery = Queries.all.map { case (name, q) =>
+        val perQuery = forEachQuery { case (name, q) =>
           val frame = q(spark, dir)
           val bad = unboundedBroadcastAggs(
             frame.queryExecution.executedPlan.toString)
@@ -111,7 +135,7 @@ class QueriesSpec extends SparkSpec {
         "justification:\n" +
         unexplained.map { case (n, b) =>
           s"$n:\n${b.mkString("\n---\n")}" }.mkString("\n====\n"))
-    val empties = counts.filter(_._2 == 0).keySet
+    val empties = counts.filter(_._2 == 0).map(_._1).toSet
     // hash/LSH candidate queries may legitimately be empty at tiny scale;
     // everything else must produce rows
     val allowedEmpty = Set("q16_anti_fk", "q24_set_ops", "x02_ngram_jaccard",
@@ -315,7 +339,7 @@ class QueriesSpec extends SparkSpec {
           "detector failed on the checkpoint-laundered grid self-join " +
             "(the kendallTauB shape):\n" +
             laundered.queryExecution.executedPlan.toString.take(800))
-        Queries.all.toSeq.map { case (name, q) =>
+        forEachQuery { case (name, q) =>
           name -> nestedLoopSuspects(
             q(spark, dir).queryExecution.executedPlan.toString)
         }.filter(_._2.nonEmpty).toMap
